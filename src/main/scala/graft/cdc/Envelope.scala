@@ -1,0 +1,65 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Debezium-envelope parsing (SURVEY.md §2 rows 2-3, 12).
+  *
+  * The reference consumes Kafka JSON envelopes and keeps only
+  * `payload.after` — silently dropping deletes
+  * (consumer/kafka_to_minio.py:66-70). We keep `op`/`ts_ms` so deletes stay
+  * representable (the readme declares delete capture as a goal,
+  * readme.md:69); callers filter when they want after-image parity.
+  *
+  * All parsing is `from_json` on a declarative plan — PERMISSIVE mode keeps
+  * malformed rows as a `_corrupt_record` quarantine column instead of
+  * failing the batch (the reference's `ON_ERROR='CONTINUE'` semantics,
+  * docker/dags/minio_to_snowflake_dag.py:82).
+  */
+object Envelope {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Parse a DataFrame with a JSON-string `value` column holding Debezium
+    * envelopes into columns: after.*, op, ts_ms, _corrupt_record.
+    */
+  def parse(raw: DataFrame, valueCol: String, afterSchema: StructType): DataFrame = {
+    val env = graft.model.Schemas.envelope(afterSchema)
+      .add(CorruptCol, org.apache.spark.sql.types.StringType)
+    raw
+      .withColumn("e", from_json(
+        col(valueCol), env,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+      .select(
+        (afterSchema.fieldNames.toSeq.map(f => col(s"e.payload.after.$f").as(f)) ++
+          Seq(
+            col("e.payload.op").as("op"),
+            col("e.payload.ts_ms").as("ts_ms"),
+            col(s"e.$CorruptCol").as(CorruptCol))): _*)
+  }
+
+  /** Split a parsed frame into (clean, quarantine). Quarantine = rows whose
+    * JSON did not parse (SURVEY.md §2 row R1: dead-letter routing).
+    */
+  def quarantine(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val bad = parsed.filter(col(CorruptCol).isNotNull)
+    val good = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    (good, bad)
+  }
+
+  /** After-image rows only — the reference pipeline's behavior (deletes have
+    * `after: null` and vanish). `keepDeletes=true` retains op='d' rows for
+    * downstream tombstone handling.
+    */
+  def afterImages(parsed: DataFrame, keyCol: String, keepDeletes: Boolean = false): DataFrame =
+    if (keepDeletes) parsed
+    else parsed.filter(col("op") =!= lit("d") && col(keyCol).isNotNull)
+
+  /** Typed extraction out of a JSON-string column — the Snowflake
+    * `v:field::type` staging idiom (stg_customers.sql:5-9) on Spark:
+    * `get_json_object` + cast, fully codegen'd.
+    */
+  def jsonField(jsonCol: Column, path: String, castTo: String): Column =
+    get_json_object(jsonCol, s"$$.$path").cast(castTo)
+}

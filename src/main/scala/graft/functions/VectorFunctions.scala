@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+
+/** Vector math over `ArrayType(FloatType)` embedding columns.
+  *
+  * Two tiers (SURVEY.md §7.4):
+  *  - `*_hof` variants compose built-in higher-order functions
+  *    (`zip_with` + `aggregate`) — declarative, oracle-friendly
+  *    (deterministic left-fold in DOUBLE, bitwise-reproducible in DuckDB's
+  *    `list_reduce` too).
+  *  - `CosineSimilarity` is a native Catalyst Expression evaluating a tight
+  *    primitive loop per row — no per-element Catalyst dispatch, no boxed
+  *    intermediates; this is the hot-path form for 100 TB brute-force
+  *    scoring. (CodegenFallback: the fallback call is one virtual call per
+  *    row; the O(dim) inner loop is plain JVM code.)
+  */
+object VectorFunctions {
+
+  /** Deterministic left-fold dot product in double precision. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normHof(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (normHof(a) * normHof(b))
+
+  // Spark 4: Column↔Expression bridging is private[sql] — see ColumnBridge
+  private def ex(c: Column) = org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)
+  private def co(e: Expression) = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** Native fast path. */
+  def cosine(a: Column, b: Column): Column = co(CosineSimilarity(ex(a), ex(b)))
+
+  def dot(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+}
+
+/** cos(a,b) over two float arrays; null if either input is null or lengths
+  * differ. Accumulates in double, index order — same result as the HOF
+  * left-fold form.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    val d = math.sqrt(nx) * math.sqrt(ny)
+    if (d == 0.0) null else dot / d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.ArrayType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

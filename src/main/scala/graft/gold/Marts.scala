@@ -1,0 +1,62 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gold-layer star-schema operators (SURVEY.md §2 rows 17a, R2, 24).
+  *
+  * The reference's fact enriches transactions with the owning customer via
+  * a LEFT JOIN to accounts (fact_transactions.sql:13-15); the readme's
+  * richer variant inner-joins both dims filtered to current SCD2 rows
+  * (readme.md:585-595).
+  *
+  * Scale: dimension sides are broadcast — the fact never shuffles for the
+  * join. The as-of (point-in-time) lookup avoids a non-equi join blow-up by
+  * being a union + window "last known version" sweep: one shuffle on the
+  * key, O(n log n), instead of a broadcast-nested-loop range join.
+  */
+object Marts {
+
+  /** Left equi-join fact enrichment (row 17a): orphan facts survive with
+    * null dim columns. `dim` is broadcast.
+    */
+  def enrich(fact: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), key, "left")
+
+  /** Readme-variant fact (R2): inner joins to current dim rows only. */
+  def enrichCurrent(fact: DataFrame, dim: DataFrame, key: Seq[String],
+                    isCurrent: String = "is_current"): DataFrame =
+    fact.join(broadcast(dim.filter(col(isCurrent))), key, "inner")
+
+  /** As-of join: for each left row, attach the latest right row with
+    * `right.ts <= left.ts` for the same key. Implemented as
+    * union-sort-sweep: tag both sides, window `last(value, ignoreNulls)`
+    * ordered by (ts, side) per key — right rows at equal ts sort before
+    * left rows so an exactly-simultaneous version is visible.
+    *
+    * @param valueCols right-side columns to carry (must not collide with left)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTs: String, rightTs: String,
+               valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))
+    val r = right.select(
+      (key.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side"))
+        ++ valueCols.map(col): _*)
+    val lAligned = l.select(
+      (l.columns.filterNot(c => valueCols.contains(c)).map(col).toSeq
+        ++ valueCols.map(c => lit(null).cast(r.schema(c).dataType).as(c))): _*)
+    val unioned = lAligned.unionByName(
+      r.select(lAligned.columns.map(c =>
+        if (r.columns.contains(c)) col(c)
+        else lit(null).cast(lAligned.schema(c).dataType).as(c)): _*))
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val swept = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    swept.filter(col("__side") === 1).drop("__side", "__ts")
+  }
+}

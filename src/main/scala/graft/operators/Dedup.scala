@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Every fuzzy method
+  * follows the same shape — per-doc signature (map-only) → bucket key
+  * (band/chunk) → self-join *within buckets* (shuffle on bucket key) →
+  * candidate verification. At 100 TB the bucket join is the only shuffle
+  * and the candidate set is orders of magnitude smaller than n².
+  */
+object Dedup {
+
+  /** Canonical normalized text: lowercase, collapse whitespace. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup by normalized-text hash: one hash-aggregation. Returns one
+    * row per distinct content: canonical (min) id + duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normText(col(textCol))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep only canonical rows (min id per content hash) — the filtering
+    * side of exact dedup, as a window so payload columns survive.
+    */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(normText(text), " ")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => when(size(toks) >= k,
+          concat_ws(" ", slice(toks, i + 1, lit(k)))).otherwise(lit(null))),
+      s => s.isNotNull))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum `xxhash64(seed, shingle)` over the doc's shingle set.
+    * Map-only; signature size is constant per doc.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * bands × rowsPerBand hashes; docs agreeing on all hashes of any band
+    * land in the same bucket. Returns candidate pairs (id_a < id_b) with
+    * their estimated Jaccard (fraction of matching signature positions).
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+                 minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
+    * ±1 per bit, weighted by term frequency; fingerprint bit b is 1 when
+    * the vote is positive. Computed bit-parallel with integer ops only.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(normText(col(textCol)), " ")
+    // per-doc: explode tokens → 64 bit-vote sums → reassemble fingerprint
+    val tok = df.select(col(idCol).as("id"), explode(toks).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = tok.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
+    * the pigeonhole band trick: split 64 bits into `chunks` chunks; any
+    * pair within distance maxHamming ≤ chunks-1 must agree on ≥1 chunk →
+    * bucket-join on (chunk_id, chunk_value), verify with bit_count.
+    */
+  def simHashPairs(sim: DataFrame, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = 64 / chunks
+    val chunked = sim.select(
+      col("id"), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * bits)
+            .bitwiseAND((1L << bits) - 1).as("cv"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
+    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
+    * shingle (inverted-index join — never all-pairs). Returns pairs with
+    * jaccard ≥ threshold.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = inv.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = inv.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs. Candidate generation by
+    * random-hyperplane LSH over the embedding (sign-bit bucket of
+    * `numPlanes` fixed pseudo-random hyperplanes derived from xxhash64 —
+    * fully deterministic), verification with the native cosine expression.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double = 0.95, numPlanes: Int = 8,
+                       numTables: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // deterministic pseudo-random hyperplane component for (table, plane, dim):
+    // xxhash64 of the triple, mapped to [-1, 1]
+    def planeComponent(t: Int, p: Int, dim: Column): Column =
+      (xxhash64(lit(t), lit(p), dim).cast("double") / lit(Long.MaxValue.toDouble))
+    val bucketed = base.select(
+      col("id"), col("v"),
+      explode(array((0 until numTables).map { t =>
+        val bits = (0 until numPlanes).map { p =>
+          val proj = aggregate(
+            zip_with(col("v"),
+              transform(sequence(lit(0), size(col("v")) - 1), d => planeComponent(t, p, d)),
+              (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+        }.reduce((x, y) => x.bitwiseOR(y))
+        struct(lit(t).as("tbl"), bits.as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+      .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

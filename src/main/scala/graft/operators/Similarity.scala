@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact baseline — queries × corpus scored with the
+  *   native cosine expression, per-query top-k by window. Correct at any
+  *   recall target; cost O(|Q|·|C|). At 100 TB this is the fallback for
+  *   small query sets: the corpus scan parallelizes perfectly and the
+  *   small query side is broadcast, so there is NO shuffle of the corpus —
+  *   only the tiny top-k aggregation moves.
+  * - `ivfTopK`: IVF-style scale path — corpus is pre-clustered into
+  *   `nCells` Voronoi cells (deterministic seeded k-means-ish assignment),
+  *   each query probes its `nProbe` closest centroids and scores only
+  *   those cells: cost drops by ~nCells/nProbe with recall controlled by
+  *   nProbe.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cosine, rank); self-pairs excluded.
+    * Ties broken by neighbor id for determinism. `roundTo` decimals are
+    * applied to the ranking cosine so result order is reproducible across
+    * engines' float summation.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic centroids: `nCells` corpus vectors sampled by id hash
+    * (stable across runs), used as IVF cell centers.
+    */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val w = Window.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+    corpus.select(col(idCol).as("cid0"), col(vecCol).as("centroid"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nCells)
+      .select((col("r") - 1).as("cell_id"), col("centroid"))
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast centroids → no
+    * corpus shuffle beyond the final partition-by-cell).
+    */
+  def assignCells(vecs: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+                  nProbe: Int = 1): DataFrame = {
+    val scored = vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFunctions.cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id").asc)
+    scored.withColumn("cr", row_number().over(w))
+      .filter(col("cr") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF ANN: probe the `nProbe` nearest cells per query. Recall < 1 by
+    * design; deterministic for fixed parameters.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, nCells)
+    val corpusCells = assignCells(corpus, cents, idCol, vecCol, nProbe = 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell_id"))
+    val queryCells = assignCells(queries, cents, idCol, vecCol, nProbe = nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.silver
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality check operators (SURVEY.md §2.8).
+  *
+  * The reference's declared dbt test surface (readme.md:189-224) — each
+  * check compiles to a query that must return zero rows. Here each is a
+  * first-class operator returning the *violations* DataFrame, so a test is
+  * `assert(check.isEmpty)` and production can route violations to a
+  * quarantine sink.
+  *
+  * Scale: every check is a single scan + (for key checks) one hash
+  * aggregation or broadcast-able anti-join — nothing quadratic, and filters
+  * are Catalyst-pushed into the Parquet scan.
+  */
+object Quality {
+
+  /** dbt `unique`: rows whose key occurs more than once. */
+  def unique(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_dupes"))
+      .filter(col("n_dupes") > 1)
+
+  /** dbt `not_null`: rows with a NULL in `column`. */
+  def notNull(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNull)
+
+  /** dbt custom `positive_amount` (mirrors CHECK amount > 0,
+    * postgres/schema.sql:27): non-positive or null amounts.
+    */
+  def positive(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column) <= 0 || col(column).isNull)
+
+  /** dbt `accepted_values`: rows outside the allowed set. */
+  def acceptedValues(df: DataFrame, column: String, allowed: Seq[String]): DataFrame =
+    df.filter(!col(column).isin(allowed: _*) || col(column).isNull)
+
+  /** dbt `relationships` (FK): child rows whose key has no parent
+    * (readme.md:204-208). Anti-join; parent side is distinct-projected so a
+    * small dimension broadcasts.
+    */
+  def relationships(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String): DataFrame =
+    child.join(
+      parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
+  /** `assert_unique_current_records` (readme.md:218-224): more than one
+    * current SCD2 row per key.
+    */
+  def uniqueCurrent(dim: DataFrame, keys: Seq[String], effectiveTo: String = "effective_to"): DataFrame =
+    unique(dim.filter(col(effectiveTo).isNull), keys)
+
+  /** Generic predicate check: rows violating `invariant`. */
+  def expect(df: DataFrame, invariant: Column): DataFrame =
+    df.filter(!coalesce(invariant, lit(false)))
+
+  /** Aggregate reconciliation with z-score anomaly detection
+    * (readme.md:250-252): groups whose aggregated `measure` deviates more
+    * than `k` sample standard deviations from the mean of group totals.
+    */
+  def zscoreAnomalies(df: DataFrame, groupKeys: Seq[String], measure: String, k: Double = 3.0): DataFrame = {
+    val totals = df.groupBy(groupKeys.map(col): _*)
+      .agg(sum(col(measure)).as("group_total"))
+    val stats = totals.agg(
+      avg(col("group_total")).as("mu"),
+      stddev_samp(col("group_total")).as("sigma"))
+    totals.crossJoin(broadcast(stats))
+      .withColumn("zscore", abs(col("group_total") - col("mu")) / col("sigma"))
+      .filter(col("zscore") > k)
+      .drop("mu", "sigma")
+  }
+
+  /** Run a suite of named checks and return one row per check:
+    * (check_name, n_violations). The dbt `dbt test` summary as a DataFrame.
+    */
+  def summary(checks: Seq[(String, DataFrame)]): DataFrame =
+    checks.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }.reduce(_ unionByName _)
+}

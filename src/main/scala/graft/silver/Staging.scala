@@ -1,0 +1,42 @@
+package graft.silver
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Silver-layer staging operators (SURVEY.md §2 rows 12-18).
+  *
+  * The reference dedups replayed CDC events latest-wins with
+  * `row_number() OVER (PARTITION BY v:id ORDER BY v:created_at DESC)` then
+  * `WHERE rn = 1` (stg_customers.sql:11-14,26; stg_accounts.sql:12-15,28).
+  *
+  * Scale notes: the window is a single hash-partition shuffle on the key —
+  * the minimum possible for ordered latest-wins. Tie-break columns are
+  * mandatory (CDC replays produce identical version timestamps; without a
+  * total order the result is nondeterministic across runs/partitionings).
+  */
+object Staging {
+
+  /** Latest-wins dedup: keep exactly one row per `keys`, the maximum by
+    * `ordering` (e.g. version timestamp desc, then a unique id desc as
+    * tie-break).
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], ordering: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The reference's high-watermark incremental filter
+    * (readme.md:144-151): keep only rows strictly newer than the sink's
+    * current max. Batch form of a streaming watermark; the sink-side max is
+    * read once (tiny agg) and pushed into the scan as a literal filter so
+    * Parquet row-group stats prune (SURVEY.md §2 row 20).
+    */
+  def newerThanWatermark(incoming: DataFrame, existing: DataFrame, tsCol: String): DataFrame = {
+    val hw = existing.agg(max(col(tsCol))).head().get(0)
+    if (hw == null) incoming
+    else incoming.filter(col(tsCol) > lit(hw))
+  }
+}

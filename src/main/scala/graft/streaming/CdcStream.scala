@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming entry points (SURVEY.md §2.7).
+  *
+  * The reference's continuous path is Kafka → consumer → micro-batched
+  * Parquet (consumer/kafka_to_minio.py) on an at-least-once contract with
+  * per-account ordering (readme.md:74-82, 127-132). Spark collapses the
+  * whole chain into one checkpointed `StreamingQuery` — exactly-once to
+  * file sinks, strictly stronger than the reference — while the downstream
+  * dedup/merge operators stay, because the *pipeline contract* is
+  * at-least-once input.
+  *
+  * `fromJsonFiles` is the offline-testable source shape; `fromKafka` is the
+  * production shape (same downstream plan — the source is the only
+  * difference, which is the point of declaring the plan).
+  */
+object CdcStream {
+
+  /** File-based stream of Debezium-envelope JSON lines (offline tests /
+    * object-store landing zones).
+    */
+  def fromJsonFiles(spark: SparkSession, path: String, afterSchema: StructType,
+                    maxFilesPerTrigger: Int = 16): DataFrame = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path)
+    graft.cdc.Envelope.parse(raw, "value", afterSchema)
+  }
+
+  /** Kafka multi-topic CDC source (SURVEY.md §2 row 2): production shape.
+    * Not exercised in tests (no broker in the harness) but kept to one
+    * code path after the source.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topics: Seq[String],
+                afterSchema: StructType): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("value"))
+    graft.cdc.Envelope.parse(raw, "value", afterSchema)
+  }
+
+  /** Bronze sink: checkpointed, date-partitioned Parquet append — the
+    * reference's consumer+loader collapsed to one exactly-once stream.
+    */
+  def toBronze(parsed: DataFrame, path: String, checkpoint: String,
+               tsCol: String = "created_at",
+               trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed
+      .withColumn(graft.bronze.Bronze.PartitionCol, to_date(col(tsCol)))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(graft.bronze.Bronze.PartitionCol)
+      .trigger(trigger)
+      .start()
+
+  /** Silver→Gold maintenance as a `foreachBatch` stream: per micro-batch,
+    * dedup latest-wins then upsert into the Parquet fact — the streaming
+    * form of the reference's incremental merge (readme.md:142-151). The
+    * checkpoint makes replays idempotent together with the keyed upsert.
+    */
+  def upsertStream(parsed: DataFrame, sinkPath: String, checkpoint: String,
+                   keys: Seq[String], orderCol: String,
+                   trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.gold.UpsertByKey.intoParquet(
+          batch.sparkSession, batch.toDF(), sinkPath, keys,
+          Seq(col(orderCol).desc) ++ keys.map(col(_).desc))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Event-time windowed aggregation with watermark (the §7.5 extension
+    * surface): tumbling `windowDur` counts/sums per key, late data beyond
+    * `lateness` dropped.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowDur: String = "1 hour",
+                  lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("total_value"))
+}
