@@ -302,7 +302,220 @@ object Queries {
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment, o_orderpriority"""))
+        GROUP BY c_mktsegment, o_orderpriority""")),
+
+    // ── §2.5 R5: aggregate reconciliation + z-score anomaly detection ──
+    Q("q15_zscore_anomaly",
+      (s, d) => Quality.zscoreAnomalies(
+          Tables.events(s, d).withColumn("value", dec2(col("value"))),
+          Seq("user_id", "event_type"), "value", k = 2.0)
+        .select(col("user_id"), col("event_type"),
+          col("group_total").cast("double").as("group_total"),
+          round(col("zscore"), 4).as("zscore")),
+      Some("""
+        WITH totals AS (
+          SELECT user_id, event_type,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS gt
+          FROM events GROUP BY 1, 2),
+        stats AS (
+          SELECT avg(CAST(gt AS DOUBLE)) AS mu,
+                 stddev_samp(CAST(gt AS DOUBLE)) AS sigma FROM totals)
+        SELECT user_id, event_type, CAST(gt AS DOUBLE) AS group_total,
+               round(abs(CAST(gt AS DOUBLE) - mu) / sigma, 4) AS zscore
+        FROM totals, stats
+        WHERE abs(CAST(gt AS DOUBLE) - mu) / sigma > 2.0""")),
+
+    // ── north-star: exact dedup by normalized content hash ──
+    Q("q16_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+      Some("""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+               MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // ── north-star: text quality scoring ──
+    Q("q17_text_quality",
+      (s, d) => TextAnalysis.quality(Tables.documents(s, d), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "n_unique_tokens",
+          "mean_token_len", "stopword_ratio", "punct_ratio", "upper_ratio"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars_m,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+          CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+            / len(toks) AS mean_token_len,
+          CAST(len(list_filter(toks, tk -> list_contains(
+            [${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}], tk))) AS DOUBLE)
+            / len(toks) AS stopword_ratio,
+          CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+            / length(text) AS upper_ratio
+        FROM t""")),
+
+    // ── north-star: heuristic language ID (marker-token profiles) ──
+    Q("q18_langid",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d), "text")
+        .select("doc_id", "lang", "score_de", "score_en", "score_es",
+          "score_fr", "score_zh", "lang_pred"),
+      Some {
+        val profiles = TextAnalysis.LangProfiles
+        val scoreCols = profiles.map { case (l, vocab) =>
+          s"CAST(len(list_filter(toks, tk -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], tk))) AS INTEGER) AS score_$l"
+        }.mkString(", ")
+        val langs = profiles.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH t AS (SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        scored AS (SELECT doc_id, lang, $scoreCols FROM t)
+        SELECT *, CASE $cases ELSE '${langs.last}' END AS lang_pred FROM scored"""
+      }),
+
+    // ── north-star: token counting (whitespace + BPE-ish regex) ──
+    Q("q19_token_counts",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens"),
+      Some(s"""
+        SELECT doc_id,
+          CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS INTEGER) AS n_bpe_tokens
+        FROM documents""")),
+
+    // ── north-star: rolling-hash document fingerprint ──
+    Q("q20_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some(s"""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                tk -> CAST(length(tk) + 7 * ascii(tk[1]) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % ${TextAnalysis.FingerprintMod}) AS fp
+        FROM documents""")),
+
+    // ── north-star: MinHash+LSH near-dup candidates (no SQL oracle:
+    //    xxhash64 signatures; verified by property tests instead) ──
+    Q("q21_minhash_lsh",
+      (s, d) => Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+        bands = 16, rowsPerBand = 2, minEstJaccard = 0.25),
+      None),
+
+    // ── north-star: SimHash fingerprints (no SQL oracle: xxhash64) ──
+    Q("q22_simhash",
+      (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
+      None),
+
+    // ── north-star: exact n-gram Jaccard over inverted-index candidates ──
+    Q("q23_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.01),
+      Some("""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+        FROM pairs
+        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.01""")),
+
+    // ── north-star: brute-force cosine top-k similarity search ──
+    Q("q24_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 round(list_dot_product(qv, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 5""")),
+
+    // ── north-star: embedding near-dup via hyperplane LSH (no oracle:
+    //    xxhash64-derived planes; recall checked in tests vs brute force) ──
+    Q("q25_embedding_neardup",
+      (s, d) => graft.operators.Dedup.embeddingNearDup(
+        Tables.embeddings(s, d), "vec_id", "embedding", minCosine = 0.3),
+      None),
+
+    // ── north-star: multimodal binary column + batch feature extraction ──
+    Q("q26_multimodal_meta",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.asPayload(Tables.documents(s, d), "text"))
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.checksum").as("checksum"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height")),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+            CAST(length(text) AS INTEGER) AS n_bytes,
+            CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+              i -> ascii(text[i]) * i)) AS BIGINT) AS checksum
+          FROM documents)
+        SELECT doc_id, n_bytes, checksum,
+               CAST(64 + checksum % 1024 AS INTEGER) AS width,
+               CAST(64 + (checksum // 1024) % 1024 AS INTEGER) AS height
+        FROM c""")),
+
+    // ── north-star: frame sampling over binary payloads ──
+    Q("q27_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.asPayload(Tables.documents(s, d), "text"),
+          frameBytes = 256, everyNth = 4)
+        .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+          length(col("frame")).as("frame_bytes")),
+      Some("""
+        SELECT doc_id, CAST(f.i AS BIGINT) AS frame_id,
+               CAST(least(256, length(text) - f.i * 256) AS INTEGER) AS frame_bytes
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, (length(text) - 1) // 256 + 1)) AS i) f
+        WHERE f.i % 4 = 0""")),
+
+    // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
+    Q("q28_bronze_partition",
+      (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")
+        .groupBy(col("ingest_date"))
+        .agg(count(lit(1)).as("n_rows"), sumMoney(col("value")).as("total_value")),
+      Some("""
+        SELECT CAST(ts AS DATE) AS ingest_date,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -79,7 +79,7 @@ object Multimodal {
                    frameBytes: Int = 256, everyNth: Int = 4): DataFrame =
     df.withColumn("frame_id",
         explode(sequence(lit(0),
-          greatest((length(col(payloadCol)) - 1) / frameBytes, lit(0)))))
+          greatest(floor((length(col(payloadCol)) - 1) / frameBytes).cast("int"), lit(0)))))
       .filter(col("frame_id") % everyNth === 0)
       .withColumn("frame",
         col(payloadCol).substr(
