@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hash-sketch expressions for the fuzzy-dedup / ANN operators.
+  *
+  * Why native: the declarative forms (32 × `transform`+`array_min` HOFs per
+  * row, or 32 hyperplane projections as `zip_with`/`aggregate` chains) are
+  * interpreted per element — at 100 TB the sketch computation dominates the
+  * scan. These expressions do the whole sketch in one tight JVM loop per
+  * row: one FNV-64 pass per shingle + Carter-Wegman double hashing for all
+  * `numHashes` MinHash slots (2 hashes instead of k per shingle), one
+  * multiply-accumulate sweep for all LSH hyperplanes.
+  *
+  * All hashing is deterministic and versioned here (FNV-1a 64 +
+  * splitmix64 finalizer — both public-domain constructions), so sketches
+  * are stable across runs, partitions, and Spark versions.
+  */
+object HashFunctions {
+
+  @inline final def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes, with a seed folded in and a splitmix64
+    * finalizer for avalanche.
+    */
+  final def hashBytes(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001B3L
+      i += 1
+    }
+    splitmix64(h)
+  }
+
+  private def co(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)
+
+  /** MinHash signature of an array<string> shingle set. */
+  def minhash(shingles: Column, numHashes: Int): Column =
+    co(MinHashSignature(ex(shingles), numHashes))
+
+  /** Distinct word k-shingles of normalized text (lowercase, whitespace
+    * runs collapsed), joined with single spaces. Semantics match the
+    * declarative form `array_distinct(transform(sequence…, slice+concat_ws))`
+    * over `split(normText, " ")` — but one pass, no intermediate arrays.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    co(WordShingles(ex(text), k))
+
+  /** Per-table hyperplane-LSH bucket ids of an array<float> vector. */
+  def lshBuckets(vec: Column, numTables: Int, numPlanes: Int): Column =
+    co(HyperplaneBuckets(ex(vec), numTables, numPlanes))
+
+  /** 64-bit SimHash of an array<string> token list (term-frequency
+    * weighted bit votes).
+    */
+  def simhash64(tokens: Column): Column =
+    co(SimHash64(ex(tokens)))
+}
+
+/** text → array<string> of distinct word k-shingles. One tight loop:
+  * lowercase, split on whitespace runs, join k-grams, dedupe preserving
+  * first occurrence.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<string> → array<long> of `numHashes` MinHash slots.
+  * Double hashing: g_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher), so each
+  * shingle is hashed twice regardless of k.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h1 = HashFunctions.hashBytes(s, 0x1234567887654321L)
+        val h2 = HashFunctions.hashBytes(s, 0x0F0E0D0C0B0A0908L) | 1L
+        var i = 0
+        var g = h1
+        while (i < numHashes) {
+          if (g < mins(i)) mins(i) = g
+          g += h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<float> → array<int> of one bucket id per LSH table. Bucket bit p
+  * is the sign of the projection onto a fixed pseudo-random hyperplane;
+  * component (t,p,d) = splitmix64 of the triple, mapped to [-1,1].
+  */
+case class HyperplaneBuckets(child: Expression, numTables: Int, numPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    val buckets = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        var proj = 0.0
+        var d = 0
+        val base = (t.toLong << 32) | (p.toLong << 16)
+        while (d < dims) {
+          val w = HashFunctions.splitmix64(base | d).toDouble / Long.MaxValue.toDouble
+          proj += v.getFloat(d) * w
+          d += 1
+        }
+        if (proj >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<string> → 64-bit SimHash (bit b set when the tf-weighted vote of
+  * token-hash bit b is positive).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = HashFunctions.hashBytes(s, 0x5132697801234567L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -35,24 +35,19 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word k-shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(normText(text), " ")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => when(size(toks) >= k,
-          concat_ws(" ", slice(toks, i + 1, lit(k)))).otherwise(lit(null))),
-      s => s.isNotNull))
-  }
+  /** Distinct word k-shingles of the normalized text (native one-pass
+    * expression; see functions.WordShingles for the declarative
+    * equivalent it matches).
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.HashFunctions.wordShingles(text, k)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum `xxhash64(seed, shingle)` over the doc's shingle set.
-    * Map-only; signature size is constant per doc.
+  /** MinHash signature over the doc's shingle set: native one-pass
+    * expression (2 hashes per shingle via double hashing — see
+    * functions.MinHashSignature). Map-only; signature size constant/doc.
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.functions.HashFunctions.minhash(shingleCol, numHashes)
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -90,23 +85,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
-    * ±1 per bit, weighted by term frequency; fingerprint bit b is 1 when
-    * the vote is positive. Computed bit-parallel with integer ops only.
+    * ±1 per bit (term-frequency weighted); fingerprint bit b is 1 when the
+    * vote is positive. Native one-pass expression — map-only, no shuffle
+    * (the declarative form needs an explode + 64-column groupBy).
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(normText(col(textCol)), " ")
-    // per-doc: explode tokens → 64 bit-vote sums → reassemble fingerprint
-    val tok = df.select(col(idCol).as("id"), explode(toks).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val votes = tok.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("id"), fp.as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.HashFunctions.simhash64(
+        split(normText(col(textCol)), " ")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * the pigeonhole band trick: split 64 bits into `chunks` chunks; any
@@ -142,7 +128,10 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
-    val inv = docs.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // join on 64-bit shingle hashes, not strings: ~8× less shuffle volume
+    // (collision odds across a doc pair are ~|sh|²/2⁶⁴ — immaterial)
+    val inv = docs.select(col("id"), col("n_sh"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
     val a = inv.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = inv.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("s"))
@@ -163,26 +152,13 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        minCosine: Double = 0.95, numPlanes: Int = 8,
                        numTables: Int = 4): DataFrame = {
-    import graft.functions.VectorFunctions
+    import graft.functions.{HashFunctions, VectorFunctions}
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // deterministic pseudo-random hyperplane component for (table, plane, dim):
-    // xxhash64 of the triple, mapped to [-1, 1]
-    def planeComponent(t: Int, p: Int, dim: Column): Column =
-      (xxhash64(lit(t), lit(p), dim).cast("double") / lit(Long.MaxValue.toDouble))
-    val bucketed = base.select(
-      col("id"), col("v"),
-      explode(array((0 until numTables).map { t =>
-        val bits = (0 until numPlanes).map { p =>
-          val proj = aggregate(
-            zip_with(col("v"),
-              transform(sequence(lit(0), size(col("v")) - 1), d => planeComponent(t, p, d)),
-              (x, w) => x.cast("double") * w),
-            lit(0.0), (acc, x) => acc + x)
-          when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-        }.reduce((x, y) => x.bitwiseOR(y))
-        struct(lit(t).as("tbl"), bits.as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    // native one-pass bucket computation per table (fixed pseudo-random
+    // hyperplanes from splitmix64 — deterministic across runs/partitions)
+    val bucketed = base
+      .withColumn("bkts", HashFunctions.lshBuckets(col("v"), numTables, numPlanes))
+      .select(col("id"), col("v"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("tbl", "bucket"))
