@@ -506,6 +506,16 @@ object Queries {
              LATERAL (SELECT unnest(range(0, (length(text) - 1) // 256 + 1)) AS i) f
         WHERE f.i % 4 = 0""")),
 
+    // ── north-star: IVF-style ANN (scale path; recall<1 by design, no
+    //    oracle — recall vs brute force asserted in OperatorsSpec) ──
+    Q("q29_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      },
+      None),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")

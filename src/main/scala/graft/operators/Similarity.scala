@@ -45,8 +45,9 @@ object Similarity {
     * (stable across runs), used as IVF cell centers.
     */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
-    val w = Window.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+    val w = Window.orderBy(col("__h").asc, col("cid0").asc)
     corpus.select(col(idCol).as("cid0"), col(vecCol).as("centroid"))
+      .withColumn("__h", xxhash64(col("cid0")))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= nCells)
       .select((col("r") - 1).as("cell_id"), col("centroid"))

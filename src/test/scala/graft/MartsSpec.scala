@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gold.Marts
+
+class MartsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("enrich keeps orphans with null dim columns; enrichCurrent drops them") {
+    val fact = Seq((1L, 10), (2L, 99)).toDF("txn_id", "account_id")
+    val dim = Seq((10, "alice", true), (11, "bob", false))
+      .toDF("account_id", "owner", "is_current")
+    val e = Marts.enrich(fact, dim, Seq("account_id")).collect()
+    assert(e.length == 2)
+    assert(e.find(_.getAs[Long]("txn_id") == 2L).get.isNullAt(2))
+    val c = Marts.enrichCurrent(fact, dim, Seq("account_id")).collect()
+    assert(c.length == 1 && c.head.getAs[String]("owner") == "alice")
+  }
+
+  test("asOfJoin attaches the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, 100, ts("2024-01-01 10:00:00")),
+      (2L, 100, ts("2024-01-01 12:00:00")),
+      (3L, 100, ts("2024-01-01 08:00:00")),  // before any right row
+      (4L, 200, ts("2024-01-01 12:00:00")))  // exactly-simultaneous right row
+      .toDF("txn_id", "account_id", "ts")
+    val right = Seq(
+      (100, ts("2024-01-01 09:00:00"), 1.0),
+      (100, ts("2024-01-01 11:00:00"), 2.0),
+      (200, ts("2024-01-01 12:00:00"), 9.0))
+      .toDF("account_id", "rts", "rate")
+    val out = Marts.asOfJoin(left, right, Seq("account_id"), "ts", "rts", Seq("rate"))
+      .collect().map(r => r.getAs[Long]("txn_id") ->
+        (if (r.isNullAt(r.fieldIndex("rate"))) None else Some(r.getAs[Double]("rate")))).toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(9.0)))
+  }
+}

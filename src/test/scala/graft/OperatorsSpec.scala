@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+/** Extension operators: fuzzy dedup, similarity search, text analysis,
+  * multimodal plumbing.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),          // near dup of 1
+    (4L, "completely different content about spark engines here"),
+    (5L, "THE  Quick   Brown Fox Jumps Over The Lazy Dog"))       // dup modulo case/ws
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates under the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 3).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+    assert(out.length == 3) // {1,2,5}, {3}, {4}
+    assert(Dedup.exactKeepFirst(docs, "doc_id", "text").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, minEstJaccard = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("identical docs have identical simhash; near dups are close in hamming") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) == fp(5L))
+    val hammingNear = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val hammingFar = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(hammingNear < hammingFar)
+    val close = Dedup.simHashPairs(Dedup.simHash(docs, "doc_id", "text"),
+      maxHamming = 0).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(close == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("ngram jaccard: exact value for a constructed pair") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // 3-shingles: {a b c, b c d} vs {a b c, b c e} → jaccard 1/3
+    val out = Dedup.ngramJaccard(two, "doc_id", "text", k = 3, threshold = 0.0).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("cosine expression matches the HOF form and handles edge cases") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (3L, Array(1.0f, 2.0f), Array(2.0f, 4.0f)))
+      .toDF("id", "a", "b")
+    val rows = vs.select($"id",
+      VectorFunctions.cosine($"a", $"b").as("c"),
+      VectorFunctions.cosineHof($"a", $"b").as("ch")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("c") - r.getAs[Double]("ch")) < 1e-12)
+    }
+    assert(math.abs(rows.find(_.getLong(0) == 1L).get.getAs[Double]("c")) < 1e-12)
+    assert(math.abs(rows.find(_.getLong(0) == 3L).get.getAs[Double]("c") - 1.0) < 1e-12)
+    // zero vector → null, mismatched lengths → null
+    val edge = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("z", "m")
+    assert(edge.select(VectorFunctions.cosine($"z", $"z")).head().isNullAt(0))
+    assert(edge.select(VectorFunctions.cosine($"z", $"m")).head().isNullAt(0))
+  }
+
+  test("brute-force top-k: correct neighbors, ranks, and self-exclusion") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2).collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("neighbor_id") == 1L)
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+  }
+
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("embedding near-dup finds an identical-vector pair") {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val dup = base.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
+    val out = Dedup.embeddingNearDup(base.unionByName(dup), "vec_id", "embedding",
+      minCosine = 0.999)
+    assert(out.collect().exists(r =>
+      r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 9999L))
+  }
+
+  test("text analysis: tokens, stopwords, fingerprint determinism") {
+    val df = Seq((1L, "The quick fox and the lazy dog")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df, "text").head()
+    assert(q.getAs[Int]("n_tokens") == 7)
+    assert(q.getAs[Int]("n_unique_tokens") == 6)  // 'the' twice
+    assert(math.abs(q.getAs[Double]("stopword_ratio") - 3.0 / 7.0) < 1e-12) // the, and, the
+    val counts = TextAnalysis.tokenCounts(
+      Seq((1L, "ab2c, x-1!")).toDF("doc_id", "text"), "text").head()
+    assert(counts.getAs[Int]("n_ws_tokens") == 2)
+    // [ab][2][c][,] [x][-][1][!]
+    assert(counts.getAs[Int]("n_bpe_tokens") == 8)
+    val fp1 = df.select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    val fp2 = df.select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    assert(fp1 == fp2 && fp1 >= 0)
+  }
+
+  test("langId predicts via marker profiles with deterministic tie-break") {
+    val df = Seq(
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "the cat and the dog is in that house"),
+      (3L, "xyz qqq www")) // no markers → tie → first profile (de)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en")
+    assert(out(3L) == "de")
+  }
+
+  test("multimodal: payload bytes, metadata extraction, frame sampling") {
+    val df = Multimodal.asPayload(
+      Seq((1L, "x" * 600), (2L, "ab")).toDF("doc_id", "text"), "text")
+    val meta = Multimodal.extractFeatures(df).select($"doc_id", $"media_meta.*").collect()
+    val m1 = meta.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(m1.getAs[Int]("n_bytes") == 600)
+    assert(m1.getAs[Int]("width") >= 64 && m1.getAs[Int]("width") < 64 + 1024)
+    // checksum of "ab" = 'a'*1 + 'b'*2 = 97 + 196
+    assert(meta.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Long]("checksum") == 293L)
+    val frames = Multimodal.sampleFrames(df, frameBytes = 256, everyNth = 1)
+      .filter($"doc_id" === 1L)
+      .select($"frame_id", length($"frame").as("n")).collect()
+    assert(frames.length == 3)  // 600 bytes → frames of 256/256/88
+    assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.silver.{Quality, Staging}
+import graft.gold.UpsertByKey
+
+/** Staging dedup, watermark, incremental upsert, and the DQ check suite
+  * (FIXTURES.md §A.5: each check must flag exactly the planted violations).
+  */
+class SilverSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupLatest keeps the max-ordered row per key, deterministic on ties") {
+    val df = Seq(
+      (1, ts("2024-01-01 00:00:00"), 100L, "a"),
+      (1, ts("2024-01-02 00:00:00"), 101L, "b"),   // latest ts wins
+      (2, ts("2024-01-01 00:00:00"), 102L, "c"),
+      (2, ts("2024-01-01 00:00:00"), 103L, "d"))   // tie: higher id wins
+      .toDF("id", "created_at", "seq", "v")
+    val out = Staging.dedupLatest(df, Seq("id"),
+      Seq($"created_at".desc, $"seq".desc)).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Int]("id") == 1).get.getAs[String]("v") == "b")
+    assert(out.find(_.getAs[Int]("id") == 2).get.getAs[String]("v") == "d")
+  }
+
+  test("newerThanWatermark filters at the sink's max; empty sink passes all") {
+    val existing = Seq((1, ts("2024-01-05 00:00:00"))).toDF("id", "ts")
+    val incoming = Seq(
+      (2, ts("2024-01-04 00:00:00")),
+      (3, ts("2024-01-05 00:00:00")),
+      (4, ts("2024-01-06 00:00:00"))).toDF("id", "ts")
+    assert(Staging.newerThanWatermark(incoming, existing, "ts")
+      .collect().map(_.getAs[Int]("id")).toSet == Set(4))
+    assert(Staging.newerThanWatermark(incoming, existing.limit(0), "ts").count() == 3)
+  }
+
+  test("UpsertByKey: incoming wins, replay is idempotent, batch dedups itself") {
+    val existing = Seq((1L, "old", 1), (2L, "keep", 1)).toDF("id", "v", "ver")
+    val incoming = Seq((1L, "new1", 2), (1L, "new2", 3), (3L, "ins", 1))
+      .toDF("id", "v", "ver")
+    val ord = Seq($"ver".desc)
+    val merged = UpsertByKey(existing, incoming, Seq("id"), ord)
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(byId == Map(1L -> "new2", 2L -> "keep", 3L -> "ins"))
+    val again = UpsertByKey(merged, incoming, Seq("id"), ord)
+    assert(again.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap == byId)
+  }
+
+  test("UpsertByKey.intoParquet: atomic swap roundtrip") {
+    val path = tmpDir("upsert") + "/fact"
+    val ord = Seq($"ver".desc)
+    UpsertByKey.intoParquet(spark, Seq((1L, "a", 1)).toDF("id", "v", "ver"), path, Seq("id"), ord)
+    UpsertByKey.intoParquet(spark, Seq((1L, "b", 2), (2L, "c", 1)).toDF("id", "v", "ver"), path, Seq("id"), ord)
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1L -> "b", 2L -> "c"))
+  }
+
+  test("DQ checks flag exactly the planted violations") {
+    val txns = Seq(
+      (1L, 10, "DEPOSIT", 100.0),
+      (1L, 10, "DEPOSIT", 100.0),        // dup transaction_id
+      (2L, 10, "WITHDRAWAL", -5.0),      // non-positive amount
+      (3L, 99, "TRANSFER", 50.0),        // orphan account
+      (4L, 11, "BOGUS", 20.0),           // bad txn_type
+      (5L, 11, "DEPOSIT", 0.0))          // zero amount
+      .toDF("transaction_id", "account_id", "txn_type", "amount")
+    val accounts = Seq(10, 11).toDF("account_id")
+
+    assert(Quality.unique(txns, Seq("transaction_id")).collect()
+      .map(_.getAs[Long]("transaction_id")).toSet == Set(1L))
+    assert(Quality.positive(txns, "amount").collect()
+      .map(_.getAs[Long]("transaction_id")).toSet == Set(2L, 5L))
+    assert(Quality.acceptedValues(txns, "txn_type",
+      Seq("DEPOSIT", "WITHDRAWAL", "TRANSFER")).collect()
+      .map(_.getAs[Long]("transaction_id")).toSet == Set(4L))
+    assert(Quality.relationships(txns, "account_id", accounts, "account_id")
+      .collect().map(_.getAs[Long]("transaction_id")).toSet == Set(3L))
+    assert(Quality.notNull(txns, "amount").count() == 0)
+
+    val summary = Quality.summary(Seq(
+      "dup" -> Quality.unique(txns, Seq("transaction_id")),
+      "pos" -> Quality.positive(txns, "amount")))
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(summary == Map("dup" -> 1L, "pos" -> 2L))
+  }
+
+  test("uniqueCurrent flags keys with two open SCD2 rows") {
+    val dim = Seq(
+      (1, ts("2024-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]),
+      (1, ts("2024-01-02 00:00:00"), null.asInstanceOf[java.sql.Timestamp]),
+      (2, ts("2024-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("account_id", "effective_from", "effective_to")
+    assert(Quality.uniqueCurrent(dim, Seq("account_id")).collect()
+      .map(_.getAs[Int]("account_id")).toSet == Set(1))
+  }
+
+  test("zscoreAnomalies surfaces only extreme groups") {
+    val df = (Seq.fill(20)(("normal", 10.0)) :+ (("spike", 10000.0)))
+      .zipWithIndex.map { case ((g, v), i) => (s"$g$i", v) }
+      .toDF("grp", "value")
+    val out = Quality.zscoreAnomalies(df, Seq("grp"), "value", k = 3.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("grp").startsWith("spike"))
+  }
+}
