@@ -516,6 +516,38 @@ object Queries {
       },
       None),
 
+    // ── §2.1 rows 8-9: table registry + view materialization + SQL API ──
+    Q("q30_sql_views",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""
+          SELECT n_name,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nation_revenue,
+                 COUNT(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name""")
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS nation_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    // ── §2.9: sort + limit (the reference's top-k ops query shape) ──
+    Q("q31_topk_orders",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")

@@ -88,10 +88,13 @@ object TextAnalysis {
           / length(t))
   }
 
-  /** Token counts under both tokenizers. */
+  /** Token counts under both tokenizers. `regexp_count` instead of
+    * `size(regexp_extract_all(…))` — counts matches without materializing
+    * the token array (same result, no per-row allocation).
+    */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_ws_tokens", size(tokens(col(textCol))))
-      .withColumn("n_bpe_tokens", size(bpeTokens(col(textCol))))
+      .withColumn("n_bpe_tokens", regexp_count(col(textCol), lit(BpePattern)))
 
   /** Polynomial rolling-hash fingerprint over whitespace tokens:
     * h = fold(h * 31 + tokenValue) mod p, tokenValue = length + 7 ·

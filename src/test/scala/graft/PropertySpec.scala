@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.gold.{Scd2Merge, UpsertByKey}
+import graft.silver.Staging
+
+/** Property-based invariants (SURVEY.md §5.5): SCD2 structural invariants
+  * under arbitrary epoch sequences; upsert and dedup idempotence /
+  * determinism under replays and reorderings. (scalatest + scalacheck Gen
+  * sampled with fixed seeds — the scalatestplus bridge isn't available in
+  * the offline cache.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val epochsGen: Gen[List[List[(Int, String, Double)]]] =
+    Gen.listOfN(4, Gen.listOf(for {
+      id <- Gen.choose(1, 6)
+      tpe <- Gen.oneOf("SAVINGS", "CHECKING")
+      bal <- Gen.choose(0, 3).map(_ * 100.0)
+    } yield (id, tpe, bal)))
+
+  test("SCD2: <=1 current row per key and contiguous intervals, for any epoch sequence") {
+    samples(epochsGen, 8).foreach { epochs =>
+      var snap = Scd2Merge.emptySnapshot(
+        Seq.empty[(Int, String, Double)].toDF("id", "account_type", "balance"))
+      epochs.zipWithIndex.foreach { case (rows, i) =>
+        if (rows.nonEmpty) {
+          val batch = Staging.dedupLatest(
+            rows.toDF("id", "account_type", "balance"),
+            Seq("id"), Seq($"balance".desc, $"account_type".desc))
+          snap = Scd2Merge(snap, batch, Seq("id"),
+            Seq("account_type", "balance"), ts(f"2024-01-${i + 1}%02d 00:00:00"))
+        }
+      }
+      val rows = snap.collect()
+      rows.groupBy(_.getAs[Int]("id")).foreach { case (_, vs) =>
+        assert(vs.count(_.getAs[java.sql.Timestamp]("effective_to") == null) == 1)
+        vs.sortBy(_.getAs[java.sql.Timestamp]("effective_from").getTime)
+          .sliding(2).foreach {
+            case Array(a, b) =>
+              assert(a.getAs[java.sql.Timestamp]("effective_to") ==
+                b.getAs[java.sql.Timestamp]("effective_from"))
+            case _ =>
+          }
+      }
+    }
+  }
+
+  private val batchGen: Gen[List[(Long, Int, Double)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(1L, 8L)
+      ver <- Gen.choose(1, 5)
+      v <- Gen.choose(0, 100).map(_.toDouble)
+    } yield (id, ver, v))
+
+  private def canon(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(x => x).toSeq
+
+  test("upsert: replaying any batch is a no-op; result independent of input order") {
+    val rnd = new scala.util.Random(7)
+    samples(Gen.zip(batchGen, batchGen), 8).foreach { case (b1, b2) =>
+      if (b1.nonEmpty || b2.nonEmpty) {
+        val ord = Seq($"ver".desc, $"v".desc)
+        val base = Seq.empty[(Long, Int, Double)].toDF("id", "ver", "v")
+        def df(b: List[(Long, Int, Double)]) = b.toDF("id", "ver", "v")
+        val once = UpsertByKey(UpsertByKey(base, df(b1), Seq("id"), ord),
+          df(b2), Seq("id"), ord)
+        val onceRows = canon(once)
+        assert(canon(UpsertByKey(once, df(b2), Seq("id"), ord)) == onceRows)
+        val shuffled = UpsertByKey(UpsertByKey(base,
+          df(rnd.shuffle(b1)), Seq("id"), ord),
+          df(rnd.shuffle(b2)), Seq("id"), ord)
+        assert(canon(shuffled) == onceRows)
+      }
+    }
+  }
+
+  test("dedupLatest is deterministic under repartitioning") {
+    samples(batchGen, 8).foreach { b =>
+      if (b.nonEmpty) {
+        val df = b.toDF("id", "ver", "v")
+        val a = Staging.dedupLatest(df.repartition(1), Seq("id"), Seq($"ver".desc, $"v".desc))
+        val c = Staging.dedupLatest(df.repartition(7), Seq("id"), Seq($"ver".desc, $"v".desc))
+        assert(canon(a) == canon(c))
+      }
+    }
+  }
+}
