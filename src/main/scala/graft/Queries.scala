@@ -175,14 +175,18 @@ object Queries {
     Q("q09_dq_suite",
       (s, d) => {
         val ev = Tables.events(s, d)
-        Quality.summary(Seq(
+        // row-level checks share ONE scan; key/FK checks need their own
+        // shuffle/join and run separately
+        val rowLevel = Quality.summaryOnePass(ev, Seq(
+          "null_value" -> col("value").isNull,
+          "nonpositive_value" -> (col("value") <= 0 || col("value").isNull),
+          "bad_event_type" -> (!col("event_type")
+            .isin("click", "view", "purchase", "signup") || col("event_type").isNull)))
+        val keyed = Quality.summary(Seq(
           "dup_event_id" -> Quality.unique(ev, Seq("event_id")),
-          "null_value" -> Quality.notNull(ev, "value"),
-          "nonpositive_value" -> Quality.positive(ev, "value"),
-          "bad_event_type" -> Quality.acceptedValues(ev, "event_type",
-            Seq("click", "view", "purchase", "signup")),
           "orphan_user" -> Quality.relationships(
             ev, "user_id", Tables.customer(s, d), "c_custkey")))
+        rowLevel.unionByName(keyed)
       },
       Some("""
         SELECT 'dup_event_id' AS check_name, CAST((SELECT COUNT(*) FROM (
@@ -537,6 +541,19 @@ object Queries {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""")),
+
+    // ── §2.2 row 12 (Spark 4 form): VARIANT path extraction — the
+    //    Snowflake `v:field::type` idiom via parse_json + variant_get ──
+    Q("q32_variant_extract",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "int").as("prop_k"),
+        try_variant_get(parse_json(col("props")), "$.missing", "string").as("prop_missing")),
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+               json_extract_string(props, '$.missing') AS prop_missing
+        FROM events""")),
 
     // ── §2.9: sort + limit (the reference's top-k ops query shape) ──
     Q("q31_topk_orders",

@@ -80,4 +80,22 @@ object Quality {
       df.agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check_name"), col("n_violations"))
     }.reduce(_ unionByName _)
+
+  /** One-scan summary for row-level predicate checks: each named predicate
+    * describes a VIOLATION; all counts come from a single aggregate over
+    * one pass of `df`. At scale this replaces N full scans with one —
+    * use for not_null/positive/accepted-values-style checks; key-based
+    * checks (unique, relationships) still need their own shuffle and go
+    * through `summary`.
+    */
+  def summaryOnePass(df: DataFrame, violations: Seq[(String, Column)]): DataFrame = {
+    val aggs = violations.map { case (name, cond) =>
+      sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(map(
+      violations.flatMap { case (name, _) =>
+        Seq(lit(name), coalesce(col(name), lit(0L))) }: _*))
+      .as(Seq("check_name", "n_violations")))
+  }
 }
