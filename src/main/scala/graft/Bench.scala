@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: session/codegen/file-index init otherwise lands on
+    // whichever query happens to run first and skews its number
+    Tables.names.foreach { n =>
+      try {
+        val df = if (n == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, n)
+        df.count()
+      } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -42,6 +42,15 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "q19") {
+      val q = Queries.queries("q19_token_counts")
+      time("docs-count-only")(docs.count())
+      time("q19-run1")(q(spark, d).count())
+      time("q19-run2")(q(spark, d).count())
+      time("q19-bpe-only")(docs.select(
+        regexp_count(col("text"), lit(operators.TextAnalysis.BpePattern)).as("n"))
+        .agg(sum(col("n"))).head().getLong(0))
+    }
     spark.stop()
   }
 }

@@ -61,6 +61,13 @@ object HashFunctions {
   def wordShingles(text: Column, k: Int): Column =
     co(WordShingles(ex(text), k))
 
+  /** Normalized text: lowercase, trim, whitespace runs collapsed to one
+    * space — native equivalent of
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")` (ASCII whitespace,
+    * matching Java regex `\s` semantics).
+    */
+  def normText(text: Column): Column = co(NormalizeText(ex(text)))
+
   /** Per-table hyperplane-LSH bucket ids of an array<float> vector. */
   def lshBuckets(vec: Column, numTables: Int, numPlanes: Int): Column =
     co(HyperplaneBuckets(ex(vec), numTables, numPlanes))
@@ -70,6 +77,34 @@ object HashFunctions {
     */
   def simhash64(tokens: Column): Column =
     co(SimHash64(ex(tokens)))
+}
+
+/** Lowercase + trim + collapse whitespace runs, one pass, no regex engine.
+  * `\s` in Java regex (no UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r] —
+  * reproduced exactly.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** text → array<string> of distinct word k-shingles. One tight loop:

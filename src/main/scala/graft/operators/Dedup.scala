@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Canonical normalized text: lowercase, collapse whitespace. */
+  /** Canonical normalized text: lowercase, trim, collapse whitespace —
+    * native one-pass form of `regexp_replace(lower(trim(text)), "\\s+", " ")`.
+    */
   def normText(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    graft.functions.HashFunctions.normText(text)
 
   /** Exact dedup by normalized-text hash: one hash-aggregation. Returns one
     * row per distinct content: canonical (min) id + duplicate count.
