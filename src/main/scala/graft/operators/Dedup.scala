@@ -73,17 +73,38 @@ object Dedup {
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
+    // one shuffle on the bucket key; pairs generated inside each bucket.
+    // (A self-join would compute the signatures twice and, worse, Spark
+    // would broadcast the whole exploded index — a corpus-sized build side
+    // at scale.)
+    val pairs = bucketPairs(banded, Seq("band", "bucket"),
+      struct(col("id"), col("sig")))
+    pairs
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Within-bucket candidate-pair generation: group rows by `bucketKeys`,
+    * collect the (small) member list, emit ordered pairs (a < b by the
+    * struct's sort order). Buckets with one member vanish. The pair
+    * explosion is bounded by Σ|bucket|² — callers control bucket size via
+    * their banding/chunking parameters.
+    */
+  private[operators] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
+                                     member: Column): DataFrame = {
+    val buckets = df
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(sort_array(collect_list(member)).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms")) - i - 1),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
@@ -111,11 +132,9 @@ object Dedup {
             .bitwiseAND((1L << bits) - 1).as("cv"))
       }: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
-    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+    bucketPairs(chunked, Seq("chunk", "cv"), struct(col("id"), col("simhash")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.simhash")).as("h_a"), first(col("b.simhash")).as("h_b"))
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -130,15 +149,15 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
-    // join on 64-bit shingle hashes, not strings: ~8× less shuffle volume
-    // (collision odds across a doc pair are ~|sh|²/2⁶⁴ — immaterial)
+    // shuffle on 64-bit shingle hashes, not strings: ~8× less volume
+    // (collision odds across a doc pair are ~|sh|²/2⁶⁴ — immaterial);
+    // pairs come from within-bucket generation, not a self-join — the
+    // postings are computed once and never broadcast
     val inv = docs.select(col("id"), col("n_sh"),
       explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-    val a = inv.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = inv.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    bucketPairs(inv, Seq("s"), struct(col("id"), col("n_sh")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
@@ -161,11 +180,9 @@ object Dedup {
     val bucketed = base
       .withColumn("bkts", HashFunctions.lshBuckets(col("v"), numTables, numPlanes))
       .select(col("id"), col("v"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+    bucketPairs(bucketed, Seq("tbl", "bucket"), struct(col("id"), col("v")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.v")).as("v_a"), first(col("b.v")).as("v_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
