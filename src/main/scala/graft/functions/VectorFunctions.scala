@@ -46,11 +46,34 @@ object VectorFunctions {
 
 /** cos(a,b) over two float arrays; null if either input is null or lengths
   * differ. Accumulates in double, index order — same result as the HOF
-  * left-fold form.
+  * left-fold form. Implements doGenCode so the scoring loop participates
+  * in whole-stage codegen (no per-row virtual dispatch in the ANN path).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val dn = ctx.freshName("dn")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = (double) $a.getFloat($i);
+            double $yi = (double) $b.getFloat($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          double $dn = Math.sqrt($nx) * Math.sqrt($ny);
+          if ($dn == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $dn; }
+        }"""
+    })
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -80,8 +103,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $dot;
+        }"""
+    })
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
