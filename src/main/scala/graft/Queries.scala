@@ -565,6 +565,30 @@ object Queries {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
 
+    // ── §2.5 breadth: rollup (hierarchical totals in one pass) ──
+    Q("q33_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // ── §2.5 breadth: distinct aggregation ──
+    Q("q34_distinct_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders")),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority""")),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")
