@@ -13,8 +13,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Catalog cache: a loaded table is an immutable logical plan, so reuse
+  // it per (session, path) — repeated `spark.read.parquet` calls otherwise
+  // re-read footers and re-infer schema on every query invocation.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -29,13 +37,16 @@ object Tables {
     * microsecond timestamp with integer arithmetic (the data is µs-aligned;
     * double division would lose precision at 1e18 ns).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(s), s"$d/events.parquet#converted"),
+      _ => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/events.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      })
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
