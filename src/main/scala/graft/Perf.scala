@@ -42,6 +42,28 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "scd2stream") {
+      // end-to-end drive of the streaming SCD2 maintenance path
+      import java.nio.file.{Files, Paths}
+      val in = Files.createTempDirectory("scd-in").toString
+      val snap = Files.createTempDirectory("scd-out").toString + "/dim"
+      val ckpt = Files.createTempDirectory("scd-ckpt").toString
+      def env(id: Int, bal: Double, ts: String, lsn: Long) =
+        s"""{"payload":{"before":null,"after":{"id":$id,"customer_id":1,"account_type":"SAVINGS","balance":$bal,"currency":"USD","created_at":"$ts"},"source":{"table":"accounts","lsn":$lsn,"ts_ms":$lsn},"op":"c","ts_ms":$lsn}}"""
+      Files.writeString(Paths.get(s"$in/b1.json"),
+        env(1, 100.0, "2024-01-01T10:00:00Z", 1) + "\n" + env(2, 50.0, "2024-01-01T10:00:00Z", 2))
+      val q = streaming.CdcStream.scd2Stream(
+        streaming.CdcStream.fromJsonFiles(spark, in, model.Schemas.accounts, maxFilesPerTrigger = 1)
+          .drop(cdc.Envelope.CorruptCol).drop("op", "ts_ms"),
+        snap, ckpt, Seq("id"), Seq("customer_id", "account_type", "balance"),
+        "created_at", Seq("created_at"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      q.processAllAvailable()
+      Files.writeString(Paths.get(s"$in/b2.json"), env(1, 999.0, "2024-01-02T10:00:00Z", 3))
+      q.processAllAvailable(); q.stop()
+      println("SCD2 snapshot after 2 epochs:")
+      spark.read.parquet(snap).orderBy("id", "effective_from").show(10, false)
+    }
     if (what == "q19") {
       val q = Queries.queries("q19_token_counts")
       time("docs-count-only")(docs.count())

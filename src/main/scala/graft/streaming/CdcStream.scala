@@ -81,6 +81,39 @@ object CdcStream {
       .trigger(trigger)
       .start()
 
+  /** Streaming SCD2 maintenance: per micro-batch, dedup latest-wins then
+    * run the check-strategy merge against the persisted snapshot — the
+    * streaming form of the daily dbt-snapshot cadence
+    * (docker/dags/scd_snapshots.py), at micro-batch granularity. The
+    * batch's asOf timestamp is its max `asOfCol` (deterministic under
+    * replay), and persistence is the crash-safe atomic swap.
+    */
+  def scd2Stream(parsed: DataFrame, snapshotPath: String, checkpoint: String,
+                 keys: Seq[String], checkCols: Seq[String], asOfCol: String,
+                 orderCols: Seq[String],
+                 trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val staged = graft.silver.Staging.dedupLatest(
+          batch.toDF(), keys, orderCols.map(col(_).desc))
+        val asOfRow = staged.agg(max(col(asOfCol))).head()
+        if (!asOfRow.isNullAt(0)) {
+          val asOf = asOfRow.getTimestamp(0)
+          val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val snapshot =
+            if (fs.exists(new org.apache.hadoop.fs.Path(snapshotPath)))
+              spark.read.parquet(snapshotPath)
+            else graft.gold.Scd2Merge.emptySnapshot(staged)
+          val merged = graft.gold.Scd2Merge(snapshot, staged, keys, checkCols, asOf)
+          graft.gold.UpsertByKey.writeAtomic(merged, snapshotPath)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Event-time windowed aggregation with watermark (the §7.5 extension
     * surface): tumbling `windowDur` counts/sums per key, late data beyond
     * `lateness` dropped.

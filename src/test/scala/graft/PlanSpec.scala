@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties the operators rely on
+  * (broadcast dims, pruned scans, pushed filters, no accidental cartesian
+  * products) asserted against the optimized physical plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Queries.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("fact enrichment broadcasts the dimension side") {
+    val p = plan("q03_fact_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("star rollup uses broadcast joins, not cartesian products") {
+    val p = plan("q14_star_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scans are column-pruned and filters pushed to parquet") {
+    val p = plan("q06_agg_pricing")
+    // Q1-shape reads exactly the 5 needed columns
+    val scanCols = ("FileScan parquet \\[([^\\]]*)\\]".r).findFirstMatchIn(p).get.group(1)
+    assert(scanCols.split(",").map(_.takeWhile(_ != '#')).toSeq ==
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus"),
+      scanCols)
+    val topk = plan("q24_cosine_topk")
+    assert(topk.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]"), topk)
+  }
+
+  test("brute-force ANN broadcasts the query side, never shuffles the corpus for scoring") {
+    val p = plan("q24_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the only exchange is the per-query top-k window partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("LSH dedup computes the index once (no duplicate scan subtrees)") {
+    val p = plan("q21_minhash_lsh")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("latest-wins dedup is a single shuffle on the key") {
+    val p = plan("q01_dedup_latest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+}

@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1 -> 150.0, 2 -> 75.0))
   }
 
+  test("streaming SCD2 maintains versioned snapshot across micro-batches") {
+    val in = tmpDir("scd-in"); val snap = tmpDir("scd") + "/dim"; val ckpt = tmpDir("scd-ckpt")
+    Files.writeString(Paths.get(s"$in/b1.json"),
+      Seq(
+        envelope(1, 100.0, "c", "2024-01-01T10:00:00Z", 1),
+        envelope(2, 50.0, "c", "2024-01-01T10:00:00Z", 2)).mkString("\n"))
+    def start() = CdcStream.scd2Stream(
+      CdcStream.fromJsonFiles(spark, in, Schemas.accounts, maxFilesPerTrigger = 1)
+        .drop(Envelope.CorruptCol).drop("op", "ts_ms"),
+      snap, ckpt,
+      keys = Seq("id"), checkCols = Seq("customer_id", "account_type", "balance"),
+      asOfCol = "created_at", orderCols = Seq("created_at"),
+      trigger = Trigger.ProcessingTime(0))
+    val q = start(); q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.json"),
+      envelope(1, 999.0, "u", "2024-01-02T10:00:00Z", 3))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(snap)
+    assert(out.count() == 3)  // 2 current + 1 closed history row
+    val current = out.filter(col("effective_to").isNull).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[Double]("balance")).toMap
+    assert(current == Map(1 -> 999.0, 2 -> 50.0))
+    val closed = out.filter(col("effective_to").isNotNull).head()
+    assert(closed.getAs[Int]("id") == 1 && closed.getAs[Double]("balance") == 100.0)
+  }
+
   test("windowed aggregation with watermark over the events table (batch-check)") {
     // batch DataFrames accept the same plan: verifies shape + column names
     val agg = CdcStream.windowedAgg(
