@@ -589,6 +589,47 @@ object Queries {
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY o_orderpriority""")),
 
+    // ── north-star: composed corpus-cleaning pipeline
+    //    (dedup → quality filter → language tagging, one fused plan) ──
+    Q("q35_corpus_pipeline",
+      (s, d) => graft.pipelines.CorpusPipeline.clean(
+          Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "lang", "n_tokens", "stopword_ratio", "lang_pred"),
+      Some {
+        val stop = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+        val scoreCols = TextAnalysis.LangProfiles.map { case (l, vocab) =>
+          s"len(list_filter(toks, tk -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], tk))) AS score_$l"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH canon AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM documents) WHERE rn = 1),
+        toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM canon),
+        feat AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(len(list_filter(toks, tk -> list_contains([$stop], tk))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+                 $scoreCols
+          FROM toks)
+        SELECT doc_id, lang, n_tokens, stopword_ratio,
+               CASE $cases ELSE '${langs.last}' END AS lang_pred
+        FROM feat
+        WHERE n_tokens >= 30 AND stopword_ratio <= 0.9"""
+      }),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")
