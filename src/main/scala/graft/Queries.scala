@@ -630,6 +630,27 @@ object Queries {
         WHERE n_tokens >= 30 AND stopword_ratio <= 0.9"""
       }),
 
+    // ── native expressions surfaced as SQL functions (GraftExtensions) ──
+    Q("q36_sql_functions",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.registerAll(s, d)
+        s.sql("""
+          SELECT doc_id,
+                 length(norm_text(text)) AS normed_len,
+                 size(word_shingles(text, 3)) AS n_shingles
+          FROM documents""")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS INTEGER) AS normed_len,
+          CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS INTEGER) AS n_shingles
+        FROM t""")),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")

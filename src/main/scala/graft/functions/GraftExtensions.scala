@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   cosine_similarity(a, b), dot_product(a, b), word_shingles(text, k),
+  *   minhash_signature(shingles, k), simhash64(tokens),
+  *   norm_text(text), lsh_buckets(vec, tables, planes)
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or config `spark.sql.extensions=graft.functions.GraftExtensions`;
+  * for an already-built session use `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "k"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "numHashes"))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "norm_text" -> (es => NormalizeText(es(0))),
+    "lsh_buckets" -> (es => HyperplaneBuckets(es(0),
+      intArg(es(1), "numTables"), intArg(es(2), "numPlanes"))))
+
+  /** Register into an already-built session (tests, spark-shell). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+}

@@ -29,6 +29,22 @@ object UpsertByKey {
       .unionByName(deduped)
   }
 
+  /** CDC-aware merge: like `apply`, but the incoming batch carries a
+    * Debezium op column; a key whose LATEST event is a delete (`op='d'`)
+    * is removed from the result (tombstone), otherwise the latest
+    * after-image wins. This implements the delete capture the reference
+    * declares but drops (readme.md:69 vs kafka_to_minio.py:67-70).
+    */
+  def applyCdc(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+               ordering: Seq[Column], opCol: String = "op"): DataFrame = {
+    val latest = graft.silver.Staging.dedupLatest(incoming, keys, ordering)
+    val deletes = latest.filter(col(opCol) === "d").select(keys.map(col): _*)
+    val upserts = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
+    existing
+      .join(latest.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(upserts.join(deletes, keys, "left_anti"))
+  }
+
   /** Atomic swap-overwrite: write to `<path>.__tmp`, then rename over the
     * target. Readers see either the old or the new table, never a partial
     * write.
