@@ -42,6 +42,20 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "ann") {
+      val emb = Tables.embeddings(spark, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val exact = operators.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq(0, 1, 2).foreach { it =>
+        val t0 = System.nanoTime()
+        val approx = operators.Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4, refineIters = it)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact & approx).size.toDouble / exact.size
+        println(f"PERF ivf refineIters=$it: recall=$recall%.3f time=${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
     if (what == "scd2stream") {
       // end-to-end drive of the streaming SCD2 maintenance path
       import java.nio.file.{Files, Paths}

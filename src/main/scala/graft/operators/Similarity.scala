@@ -67,12 +67,40 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 
+  /** One-or-more Lloyd iterations over the corpus, fully declarative:
+    * assign → per-(cell, dim) mean via posexplode → reassemble centroid
+    * vectors. Each iteration is one broadcast-assign pass + one
+    * aggregation shuffle of (cell, dim) pairs — O(corpus · dims) rows
+    * shuffled, no driver-side math, so it scales like any aggregation.
+    */
+  def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame, iters: Int): DataFrame = {
+    var c = cents
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, c, idCol, vecCol, nProbe = 1)
+      c = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(avg(col("x")).as("x"))
+        .groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("x")))),
+          s => s.getField("x").cast("float")).as("centroid"))
+    }
+    c
+  }
+
   /** IVF ANN: probe the `nProbe` nearest cells per query. Recall < 1 by
-    * design; deterministic for fixed parameters.
+    * design; deterministic for fixed parameters (with `refineIters` > 0,
+    * centroids are Lloyd-refined first).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCells: Int = 16, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nCells)
+              k: Int, nCells: Int = 16, nProbe: Int = 4, roundTo: Int = 6,
+              refineIters: Int = 0): DataFrame = {
+    val seeded = centroids(corpus, idCol, vecCol, nCells)
+    val cents =
+      if (refineIters > 0) kmeansRefine(corpus, idCol, vecCol, seeded, refineIters)
+      else seeded
     val corpusCells = assignCells(corpus, cents, idCol, vecCol, nProbe = 1)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell_id"))
     val queryCells = assignCells(queries, cents, idCol, vecCol, nProbe = nProbe)

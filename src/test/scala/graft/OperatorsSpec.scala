@@ -106,6 +106,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("k-means refinement keeps centroid shape and IVF recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeded = Similarity.centroids(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding", seeded, iters = 1)
+    val rows = refined.collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Seq[Float]]("centroid").length == 64))
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4, refineIters = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined IVF recall too low: $recall")
+  }
+
   test("embedding near-dup finds an identical-vector pair") {
     val base = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val dup = base.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))

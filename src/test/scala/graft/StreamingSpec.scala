@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.cdc.Envelope
 import graft.model.Schemas
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, StatefulOps}
 
 /** End-to-end golden flow (SURVEY.md §5.3): Debezium-envelope JSON files →
   * streaming Bronze sink → streaming keyed upsert → SCD2 over two epochs.
@@ -90,6 +90,38 @@ class StreamingSpec extends SparkSpec {
     assert(current == Map(1 -> 999.0, 2 -> 50.0))
     val closed = out.filter(col("effective_to").isNotNull).head()
     assert(closed.getAs[Int]("id") == 1 && closed.getAs[Double]("balance") == 100.0)
+  }
+
+  test("flatMapGroupsWithState keeps per-key latest and emits only changes") {
+    val in = tmpDir("state-in")
+    Files.writeString(Paths.get(s"$in/b1.json"),
+      Seq(
+        """{"key":1,"version":1,"value":10.0}""",
+        """{"key":1,"version":2,"value":20.0}""",
+        """{"key":2,"version":5,"value":50.0}""").mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = StatefulOps.latestByKeyDf(stream, "key", "version", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    // batch 2: a replay (stale version 1) and a real update
+    Files.writeString(Paths.get(s"$in/b2.json"),
+      Seq(
+        """{"key":1,"version":1,"value":10.0}""",
+        """{"key":2,"version":6,"value":60.0}""").mkString("\n"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT * FROM state_out").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("version"),
+        r.getAs[String]("change"))).toSet
+    // batch1 emits inserts with the per-batch winners; batch2: replay of
+    // key 1 emits nothing, key 2 emits one update
+    assert(out == Set((1L, 2L, "insert"), (2L, 5L, "insert"), (2L, 6L, "update")))
   }
 
   test("windowed aggregation with watermark over the events table (batch-check)") {
