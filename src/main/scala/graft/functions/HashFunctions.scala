@@ -77,6 +77,63 @@ object HashFunctions {
     */
   def simhash64(tokens: Column): Column =
     co(SimHash64(ex(tokens)))
+
+  /** All ordered pairs (i < j) of an array, as array<struct<a,b>>. */
+  def orderedPairs(arr: Column): Column = co(OrderedPairs(ex(arr)))
+}
+
+/** array<T> → array<struct<a: T, b: T>> of all index-ordered pairs —
+  * the within-bucket candidate-pair generator. One allocation-tight loop
+  * per row instead of a nested `transform`/`slice` HOF chain (which is
+  * interpreted and O(n) slice copies per element).
+  */
+case class OrderedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // materialize (and defensively copy) elements once — ArrayData.get may
+    // return views into a reused buffer
+    val elems = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      elems(i) = arr.get(i, elemType) match {
+        case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+        case s: UTF8String => s.clone()
+        case a: ArrayData => a.copy()
+        case v => v
+      }
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(elems(i), elems(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_pairs needs an array argument, got $other")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Lowercase + trim + collapse whitespace runs, one pass, no regex engine.

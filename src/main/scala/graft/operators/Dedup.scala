@@ -101,9 +101,8 @@ object Dedup {
       .groupBy(bucketKeys.map(col): _*)
       .agg(sort_array(collect_list(member)).as("ms"))
       .filter(size(col("ms")) > 1)
-    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
-      transform(slice(col("ms"), i + 2, size(col("ms")) - i - 1),
-        y => struct(x.as("a"), y.as("b")))))).as("p"))
+    buckets.select(explode(
+        graft.functions.HashFunctions.orderedPairs(col("ms"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
