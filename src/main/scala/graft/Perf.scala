@@ -42,6 +42,31 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "scale") {
+      // 10M-row synthetic CDC stress of the core stateful operators —
+      // validates the shuffle/plan shapes hold beyond the sf0.1 testdata
+      val n = 10000000L
+      val txns = sources.Synthetic.transactions(spark, n, nAccounts = 1000000)
+      time("scale-generate-count")(txns.count())
+      time("scale-dedup-latest") {
+        silver.Staging.dedupLatest(txns, Seq("account_id"),
+          Seq(col("created_at").desc, col("id").desc)).count()
+      }
+      time("scale-upsert") {
+        val existing = txns.filter(col("id") % 2 === 0)
+        val incoming = txns.filter(col("id") % 3 === 0)
+        gold.UpsertByKey(existing, incoming, Seq("id"), Seq(col("created_at").desc)).count()
+      }
+      time("scale-scd2-changelog") {
+        gold.Scd2Merge.fromChangeLog(
+          txns.limit(2000000), Seq("account_id"), "created_at", Seq("id")).count()
+      }
+      time("scale-agg") {
+        txns.groupBy(col("account_id")).agg(
+          sum(col("amount").cast("decimal(18,2)")).as("t"), count(lit(1)).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+    }
     if (what == "ann") {
       val emb = Tables.embeddings(spark, d)
       val queries = emb.filter(col("vec_id") < 20)
