@@ -42,6 +42,30 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "stream") {
+      // end-to-end streaming ingest throughput: envelope JSON → parse →
+      // date-partitioned bronze parquet with checkpoint (the reference's
+      // whole Kafka→consumer→MinIO path, readme baseline: 100 msg/s)
+      import java.nio.file.{Files, Paths}
+      val n = 500000L
+      val in = Files.createTempDirectory("st-in").toString
+      val bronze = Files.createTempDirectory("st-bronze").toString + "/tx"
+      val ckpt = Files.createTempDirectory("st-ckpt").toString
+      sources.Synthetic.asEnvelopes(
+          sources.Synthetic.transactions(spark, n, nAccounts = 10000), "transactions")
+        .repartition(20)
+        .write.mode("overwrite").text(in)
+      val t0 = System.nanoTime()
+      val q = streaming.CdcStream.toBronze(
+        streaming.CdcStream.fromJsonFiles(spark, in, model.Schemas.transactions,
+          maxFilesPerTrigger = 4).drop(cdc.Envelope.CorruptCol),
+        bronze, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      q.processAllAvailable(); q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(bronze).count()
+      println(f"PERF stream-ingest: $rows rows in $secs%.1f s = ${rows / secs}%.0f rows/s")
+    }
     if (what == "scale") {
       // 10M-row synthetic CDC stress of the core stateful operators —
       // validates the shuffle/plan shapes hold beyond the sf0.1 testdata
