@@ -132,6 +132,28 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 9999L))
   }
 
+  test("orderedPairs: all i<j pairs, sorted input, degenerate sizes") {
+    import graft.functions.HashFunctions
+    val df = Seq(
+      (1, Seq("c", "a", "b")),
+      (2, Seq("x")),
+      (3, Seq.empty[String]))
+      .toDF("id", "xs")
+    val out = df.select($"id",
+      HashFunctions.orderedPairs(sort_array($"xs")).as("ps")).collect()
+    val p1 = out.find(_.getInt(0) == 1).get.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(p1 == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out.find(_.getInt(0) == 2).get.getSeq[Any](1).isEmpty)
+    assert(out.find(_.getInt(0) == 3).get.getSeq[Any](1).isEmpty)
+    // struct elements survive the defensive copy
+    val sdf = Seq((Seq((1L, "x"), (2L, "y"), (3L, "z")))).toDF("xs")
+    val pairs = sdf.select(explode(HashFunctions.orderedPairs($"xs")).as("p"))
+      .select($"p.a._1".as("a"), $"p.b._1".as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("text analysis: tokens, stopwords, fingerprint determinism") {
     val df = Seq((1L, "The quick fox and the lazy dog")).toDF("doc_id", "text")
     val q = TextAnalysis.quality(df, "text").head()
