@@ -42,6 +42,15 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "q35") {
+      time("q35-dedup-only")(operators.Dedup.exactKeepFirst(docs, "doc_id", "text").count())
+      time("q35-quality-only")(operators.TextAnalysis.quality(docs, "text")
+        .agg(sum(col("n_tokens"))).head().getLong(0))
+      time("q35-langid-only")(operators.TextAnalysis.langId(docs, "text")
+        .groupBy(col("lang_pred")).count().count())
+      time("q35-full")(Queries.queries("q35_corpus_pipeline")(spark, d).count())
+      time("q35-full-again")(Queries.queries("q35_corpus_pipeline")(spark, d).count())
+    }
     if (what == "stream") {
       // end-to-end streaming ingest throughput: envelope JSON → parse →
       // date-partitioned bronze parquet with checkpoint (the reference's
