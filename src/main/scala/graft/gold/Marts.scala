@@ -37,9 +37,14 @@ object Marts {
     *
     * @param valueCols right-side columns to carry (must not collide with left)
     */
+  /** @param rightTieBreak extra right-side ordering columns: when several
+    *   right rows share (key, ts), the greatest by these columns wins —
+    *   without them that choice is partition-order-dependent.
+    */
   def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftTs: String, rightTs: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
     val l = left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))
     val r = right.select(
       (key.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side"))
@@ -51,8 +56,11 @@ object Marts {
       r.select(lAligned.columns.map(c =>
         if (r.columns.contains(c)) col(c)
         else lit(null).cast(lAligned.schema(c).dataType).as(c)): _*))
+    require(rightTieBreak.forall(valueCols.contains),
+      "rightTieBreak columns must be carried in valueCols")
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy((col("__ts").asc +: col("__side").asc +:
+        rightTieBreak.map(col(_).asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val swept = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

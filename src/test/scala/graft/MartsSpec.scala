@@ -34,4 +34,17 @@ class MartsSpec extends SparkSpec {
         (if (r.isNullAt(r.fieldIndex("rate"))) None else Some(r.getAs[Double]("rate")))).toMap
     assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(9.0)))
   }
+
+  test("asOfJoin tie-break picks the greatest right row among equal timestamps") {
+    val left = Seq((1L, 100, ts("2024-01-01 12:00:00"))).toDF("txn_id", "account_id", "ts")
+    val right = Seq(
+      (100, ts("2024-01-01 10:00:00"), 1.0, 7L),
+      (100, ts("2024-01-01 10:00:00"), 2.0, 9L),   // same ts: higher seq wins
+      (100, ts("2024-01-01 10:00:00"), 3.0, 8L))
+      .toDF("account_id", "rts", "rate", "seq")
+    val out = Marts.asOfJoin(left, right, Seq("account_id"), "ts", "rts",
+      Seq("rate", "seq"), rightTieBreak = Seq("seq")).head()
+    assert(out.getAs[Double]("rate") == 2.0)
+    assert(out.getAs[Long]("seq") == 9L)
+  }
 }
