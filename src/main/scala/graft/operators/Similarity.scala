@@ -45,11 +45,17 @@ object Similarity {
     * (stable across runs), used as IVF cell centers.
     */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
-    val w = Window.orderBy(col("__h").asc, col("cid0").asc)
-    corpus.select(col(idCol).as("cid0"), col(vecCol).as("centroid"))
+    // orderBy().limit(n) plans as distributed TakeOrdered (per-partition
+    // top-n + tree merge) — a bare Window.orderBy here would funnel the
+    // whole corpus through one reducer at scale. The row_number window
+    // then runs over ≤ nCells rows only.
+    val top = corpus.select(col(idCol).as("cid0"), col(vecCol).as("centroid"))
       .withColumn("__h", xxhash64(col("cid0")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= nCells)
+      .orderBy(col("__h").asc, col("cid0").asc)
+      .limit(nCells)
+    top
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("__h").asc, col("cid0").asc)))
       .select((col("r") - 1).as("cell_id"), col("centroid"))
   }
 
