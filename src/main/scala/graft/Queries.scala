@@ -289,6 +289,21 @@ object Queries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM y GROUP BY user_id, sess_id""")),
 
+    // ── §2.7 extension: sliding (hopping) window aggregation ──
+    Q("q37_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value")),
+      Some("""
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - to_minutes(CAST(i.i * 15 AS BIGINT)) AS window_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events, LATERAL (SELECT unnest(range(0, 4)) AS i) i
+        GROUP BY 1, 2""")),
+
     // ── §2.3 R2 + §2.5: star-schema revenue rollup (chained broadcast joins) ──
     Q("q14_star_revenue",
       (s, d) => Tables.lineitem(s, d)
