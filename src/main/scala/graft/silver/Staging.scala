@@ -28,6 +28,27 @@ object Staging {
       .drop("__rn")
   }
 
+  /** Typed extraction with cast-error quarantine (SURVEY.md §2 row R1:
+    * "type casting errors logged and quarantined", readme.md:240-247).
+    * Applies `casts` (column → target type); a row is quarantined when any
+    * source value is present but its cast comes back null (the `try_cast`
+    * failure signature). Returns (clean-with-casts, quarantined-originals).
+    */
+  def castOrQuarantine(df: DataFrame,
+                       casts: Map[String, String]): (DataFrame, DataFrame) = {
+    // try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+    // malformed cast throws instead of returning null
+    val bad = casts.map { case (c, t) =>
+      col(c).isNotNull && col(c).try_cast(t).isNull
+    }.reduce(_ || _)
+    // split on the ORIGINAL columns first, then apply the casts — casting
+    // before filtering would make the predicate see the replaced columns
+    val clean = casts.foldLeft(df.filter(!coalesce(bad, lit(false)))) {
+      case (d, (c, t)) => d.withColumn(c, col(c).try_cast(t))
+    }
+    (clean, df.filter(coalesce(bad, lit(false))))
+  }
+
   /** The reference's high-watermark incremental filter
     * (readme.md:144-151): keep only rows strictly newer than the sink's
     * current max. Batch form of a streaming watermark; the sink-side max is

@@ -35,6 +35,19 @@ class SilverSpec extends SparkSpec {
     assert(Staging.newerThanWatermark(incoming, existing.limit(0), "ts").count() == 3)
   }
 
+  test("castOrQuarantine splits rows with unparseable values, keeps nulls clean") {
+    val df = Seq(
+      ("1", "100.5"), ("2", "oops"), ("3", null.asInstanceOf[String]), ("x", "7"))
+      .toDF("id", "amount")
+    val (clean, bad) = Staging.castOrQuarantine(df,
+      Map("id" -> "int", "amount" -> "double"))
+    assert(clean.collect().map(r => (r.getAs[Int]("id"),
+      Option(r.get(r.fieldIndex("amount"))))).toSet ==
+      Set((1, Some(100.5)), (3, None)))
+    // quarantine keeps ORIGINAL values for the dead-letter sink
+    assert(bad.collect().map(_.getAs[String]("id")).toSet == Set("2", "x"))
+  }
+
   test("UpsertByKey: incoming wins, replay is idempotent, batch dedups itself") {
     val existing = Seq((1L, "old", 1), (2L, "keep", 1)).toDF("id", "v", "ver")
     val incoming = Seq((1L, "new1", 2), (1L, "new2", 3), (3L, "ins", 1))
