@@ -58,8 +58,11 @@ object Envelope {
 
   /** Typed extraction out of a JSON-string column — the Snowflake
     * `v:field::type` staging idiom (stg_customers.sql:5-9) on Spark:
-    * `get_json_object` + cast, fully codegen'd.
+    * `get_json_object` + try_cast, fully codegen'd. try_cast because
+    * Spark 4 ANSI mode would otherwise kill the job on one malformed
+    * value — dirty fields surface as nulls for the quarantine checks
+    * instead (readme.md:240-247 semantics).
     */
   def jsonField(jsonCol: Column, path: String, castTo: String): Column =
-    get_json_object(jsonCol, s"$$.$path").cast(castTo)
+    get_json_object(jsonCol, s"$$.$path").try_cast(castTo)
 }
