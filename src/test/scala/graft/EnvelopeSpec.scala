@@ -40,6 +40,16 @@ class EnvelopeSpec extends SparkSpec {
     assert(Envelope.afterImages(clean, "id", keepDeletes = true).count() == 2)
   }
 
+  test("typed entity facade round-trips parsed after-images") {
+    val raw = Seq(good).toDF("value")
+    val (clean, _) = Envelope.quarantine(Envelope.parse(raw, "value", Schemas.transactions))
+    val txns = graft.model.Entities.transactions(Envelope.afterImages(clean, "id"))
+    val t = txns.collect().head
+    assert(t.id == 7L && t.amount == 412.55 && t.related_account_id.contains(9))
+    // typed aggregation compiles against fields
+    assert(txns.filter(_.txn_type == "TRANSFER").count() == 1)
+  }
+
   test("jsonField extracts typed values from a JSON string column") {
     val df = Seq("""{"k": 42, "name": "x"}""").toDF("props")
     val row = df.select(
