@@ -666,6 +666,106 @@ object Queries {
             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS INTEGER) AS n_shingles
         FROM t""")),
 
+    // ── §2.5 breadth: cube (all grouping-set combinations) ──
+    Q("q38_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    // ── breadth: pivot (conditional aggregation into columns) ──
+    Q("q39_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sumMoney(col("value")))
+        .na.fill(0.0, Seq("click", "view", "purchase", "signup", "error")),
+      Some("""
+        SELECT user_id,
+               COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE), 0.0) AS click,
+               COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE), 0.0) AS view,
+               COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0.0) AS purchase,
+               COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE), 0.0) AS signup,
+               COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE), 0.0) AS error
+        FROM events GROUP BY user_id""")),
+
+    // ── breadth: analytic window functions (lag/lead/rank/ntile/frames) ──
+    Q("q40_analytics",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          // exact decimal sum / count, divided in double — Spark's decimal
+          // avg() rounds at 6 places, which DuckDB's double avg doesn't
+          (sum(dec2(col("value"))).over(w.rowsBetween(-2, 0)).cast("double")
+            / count(lit(1)).over(w.rowsBetween(-2, 0))).as("move_avg"))
+      },
+      Some("""
+        SELECT event_id, user_id, ts, value,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER
+                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS move_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
+    // ── breadth: string function library ──
+    Q("q41_string_funcs",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_upper"),
+        length(replace(col("text"), lit(" "), lit(""))).as("n_nonspace"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        reverse(col("source")).as("src_rev"),
+        substring_index(col("text"), " ", 2).as("first_two_words")),
+      Some("""
+        SELECT doc_id,
+               upper(substring(text, 1, 10)) AS head_upper,
+               CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_nonspace,
+               concat_ws('|', lang, source) AS tag,
+               lpad(lang, 5, '_') AS lang_pad,
+               reverse(source) AS src_rev,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS first_two_words
+        FROM documents""")),
+
+    // ── breadth: date/time function library ──
+    Q("q42_date_funcs",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2026-01-01").cast("date"), col("o_orderdate")).as("days_ago"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS days_ago,
+               CAST(o_orderdate AS DATE) + 30 AS due_date
+        FROM orders""")),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")
