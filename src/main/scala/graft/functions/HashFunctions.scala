@@ -80,6 +80,55 @@ object HashFunctions {
 
   /** All ordered pairs (i < j) of an array, as array<struct<a,b>>. */
   def orderedPairs(arr: Column): Column = co(OrderedPairs(ex(arr)))
+
+  /** Per-vocabulary membership counts of a token array, one pass. */
+  def tokenSetCounts(tokens: Column, vocabularies: Seq[Seq[String]]): Column =
+    co(TokenSetCounts(ex(tokens), vocabularies))
+}
+
+/** array<string> tokens → array<int> of per-vocabulary hit counts
+  * (occurrence-counted, like `size(filter(toks, isin(vocab)))`), computed
+  * in ONE pass: tokens hash to a precomputed membership bitmask, so k
+  * vocabularies cost one map lookup per token instead of k interpreted
+  * filter passes.
+  */
+case class TokenSetCounts(child: Expression, vocabularies: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(vocabularies.nonEmpty && vocabularies.size <= 32)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val masks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocabularies.zipWithIndex.foreach { case (vocab, i) =>
+      vocab.foreach { w =>
+        val prev = m.getOrDefault(w, Integer.valueOf(0))
+        m.put(w, Integer.valueOf(prev.intValue() | (1 << i)))
+      }
+    }
+    m
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](vocabularies.size)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val mask = masks.get(s.toString)
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            val b = java.lang.Integer.numberOfTrailingZeros(m)
+            counts(b) += 1
+            m &= m - 1
+          }
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(counts)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** array<T> → array<struct<a: T, b: T>> of all index-ordered pairs —

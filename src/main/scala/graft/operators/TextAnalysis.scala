@@ -41,9 +41,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
     "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men"))
 
-  /** Count how many tokens of `toks` are in `vocab`. */
+  /** Count how many tokens of `toks` are in `vocab` — one-pass native
+    * counter (same semantics as `size(filter(toks, isin(vocab)))`).
+    */
   private def hitCount(toks: Column, vocab: Seq[String]): Column =
-    size(filter(toks, t => t.isin(vocab: _*)))
+    graft.functions.HashFunctions.tokenSetCounts(toks, Seq(vocab))(0)
 
   /** Heuristic language ID: (doc_id-preserving) adds `lang_pred` plus the
     * per-language scores. Greatest-score-wins with lexicographic tie-break
@@ -51,9 +53,13 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val scored = LangProfiles.foldLeft(df) { case (d, (lang, vocab)) =>
-      d.withColumn(s"score_$lang", hitCount(toks, vocab))
-    }
+    // all profile scores from ONE token pass (native bitmask counter)
+    val allScores = graft.functions.HashFunctions.tokenSetCounts(
+      toks, LangProfiles.map(_._2))
+    val scored = LangProfiles.zipWithIndex.foldLeft(
+      df.withColumn("__scores", allScores)) { case (d, ((lang, _), i)) =>
+      d.withColumn(s"score_$lang", col("__scores")(i))
+    }.drop("__scores")
     // argmax via chained CASE: strictly-greater beats, ties keep earlier
     val pred = LangProfiles.tail.foldLeft(
       (lit(LangProfiles.head._1), col(s"score_${LangProfiles.head._1}"))) {
