@@ -85,6 +85,10 @@ object Perf {
         silver.Staging.dedupLatest(txns, Seq("account_id"),
           Seq(col("created_at").desc, col("id").desc)).count()
       }
+      time("scale-dedup-maxby") {
+        silver.Staging.dedupLatestByMax(txns, Seq("account_id"),
+          Seq("created_at", "id")).count()
+      }
       time("scale-upsert") {
         val existing = txns.filter(col("id") % 2 === 0)
         val incoming = txns.filter(col("id") % 3 === 0)

@@ -28,6 +28,26 @@ object Staging {
       .drop("__rn")
   }
 
+  /** Hash-aggregate latest-wins dedup: `max_by(payload, ordering-struct)`
+    * per key. Same result as `dedupLatest` when the ordering is
+    * "greatest (orderCols) lexicographically wins", but as a hash
+    * aggregation: partial (map-side) combine, NO sort — at scale this
+    * replaces the window's sort-shuffle with a combiner shuffle whose
+    * volume is one row per key per map partition. Prefer this form in
+    * high-volume paths; the window form remains for arbitrary mixed-order
+    * semantics.
+    */
+  def dedupLatestByMax(df: DataFrame, keys: Seq[String],
+                       orderCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val winner = max_by(
+      struct(payload.map(col): _*),
+      struct(orderCols.map(col): _*))
+    df.groupBy(keys.map(col): _*)
+      .agg(winner.as("__w"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
   /** Typed extraction with cast-error quarantine (SURVEY.md §2 row R1:
     * "type casting errors logged and quarantined", readme.md:240-247).
     * Applies `casts` (column → target type); a row is quarantined when any

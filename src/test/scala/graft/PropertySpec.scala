@@ -81,6 +81,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLatestByMax (hash-agg) equals dedupLatest (window) for desc ordering") {
+    samples(batchGen, 8).foreach { b =>
+      if (b.nonEmpty) {
+        val df = b.toDF("id", "ver", "v")
+        val win = Staging.dedupLatest(df, Seq("id"), Seq($"ver".desc, $"v".desc))
+        val agg = Staging.dedupLatestByMax(df, Seq("id"), Seq("ver", "v"))
+        assert(canon(agg.select("id", "ver", "v")) == canon(win.select("id", "ver", "v")))
+      }
+    }
+  }
+
   test("dedupLatest is deterministic under repartitioning") {
     samples(batchGen, 8).foreach { b =>
       if (b.nonEmpty) {
