@@ -29,6 +29,17 @@ object UpsertByKey {
       .unionByName(deduped)
   }
 
+  /** Fast-path merge for "greatest (orderCols) wins" semantics: the
+    * incoming dedup is the hash-aggregate `dedupLatestByMax` (map-side
+    * combine, no sort) instead of the window form.
+    */
+  def byMax(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+            orderCols: Seq[String]): DataFrame = {
+    val deduped = graft.silver.Staging.dedupLatestByMax(incoming, keys, orderCols)
+    existing.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(deduped, allowMissingColumns = false)
+  }
+
   /** CDC-aware merge: like `apply`, but the incoming batch carries a
     * Debezium op column; a key whose LATEST event is a delete (`op='d'`)
     * is removed from the result (tombstone), otherwise the latest

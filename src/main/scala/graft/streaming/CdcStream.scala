@@ -73,9 +73,16 @@ object CdcStream {
                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.gold.UpsertByKey.intoParquet(
-          batch.sparkSession, batch.toDF(), sinkPath, keys,
-          Seq(col(orderCol).desc) ++ keys.map(col(_).desc))
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(sinkPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val incoming = batch.toDF()
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(sinkPath)))
+            graft.gold.UpsertByKey.byMax(
+              spark.read.parquet(sinkPath), incoming, keys, Seq(orderCol))
+          else graft.silver.Staging.dedupLatestByMax(incoming, keys, Seq(orderCol))
+        graft.gold.UpsertByKey.writeAtomic(merged, sinkPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -95,8 +102,8 @@ object CdcStream {
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val staged = graft.silver.Staging.dedupLatest(
-          batch.toDF(), keys, orderCols.map(col(_).desc))
+        val staged = graft.silver.Staging.dedupLatestByMax(
+          batch.toDF(), keys, orderCols)
         val asOfRow = staged.agg(max(col(asOfCol))).head()
         if (!asOfRow.isNullAt(0)) {
           val asOf = asOfRow.getTimestamp(0)
