@@ -52,6 +52,18 @@ object Queries {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1""")),
 
+    // ── row 18 scale path: same dedup as a sort-free hash aggregation ──
+    Q("q43_dedup_maxby",
+      (s, d) => Staging.dedupLatestByMax(
+        Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select("user_id", "event_type", "event_id", "ts", "value"),
+      Some("""
+        SELECT user_id, event_type, event_id, ts, value FROM (
+          SELECT user_id, event_type, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1""")),
+
     // ── §2.2 rows 12-15: typed JSON extraction, rename, CASE, audit date ──
     Q("q02_envelope_extract",
       (s, d) => Tables.events(s, d).select(
