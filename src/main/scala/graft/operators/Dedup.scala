@@ -30,11 +30,15 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Keep only canonical rows (min id per content hash) — the filtering
-    * side of exact dedup, as a window so payload columns survive.
+    * side of exact dedup. Hash aggregation (`min_by`), not a window: the
+    * per-hash winner reduces map-side, no sort.
     */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val payload = df.columns.toSeq
+    df.withColumn("__h", md5(normText(col(textCol))))
+      .groupBy(col("__h"))
+      .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("__w"))
+      .select(payload.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   /** Distinct word k-shingles of the normalized text (native one-pass
