@@ -121,6 +121,19 @@ object CdcStream {
       .trigger(trigger)
       .start()
 
+  /** Bounded-state streaming dedup: exact duplicates (same keys) arriving
+    * within the watermark delay are dropped; state for a key is evicted
+    * once the watermark passes it, so state size is bounded by the delay
+    * window — the streaming form of the at-least-once replay guard that
+    * doesn't grow forever (contrast: plain `dropDuplicates` keeps all
+    * keys; `StatefulOps.latestByKey` keeps one row per key).
+    */
+  def dedupStream(parsed: DataFrame, keys: Seq[String], tsCol: String,
+                  delay: String = "10 minutes"): DataFrame =
+    parsed
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Event-time windowed aggregation with watermark (the §7.5 extension
     * surface): tumbling `windowDur` counts/sums per key, late data beyond
     * `lateness` dropped.

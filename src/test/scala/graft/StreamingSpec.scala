@@ -92,6 +92,27 @@ class StreamingSpec extends SparkSpec {
     assert(closed.getAs[Int]("id") == 1 && closed.getAs[Double]("balance") == 100.0)
   }
 
+  test("dedupStream drops replays within the watermark window") {
+    val in = tmpDir("dd-in")
+    Files.writeString(Paths.get(s"$in/b1.json"),
+      Seq(
+        """{"id":1,"v":10.0,"ts":"2024-01-01T10:00:00Z"}""",
+        """{"id":1,"v":10.0,"ts":"2024-01-01T10:00:30Z"}""",
+        """{"id":2,"v":20.0,"ts":"2024-01-01T10:01:00Z"}""").mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = CdcStream.dedupStream(stream, Seq("id"), "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT id FROM dd_out").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
   test("flatMapGroupsWithState keeps per-key latest and emits only changes") {
     val in = tmpDir("state-in")
     Files.writeString(Paths.get(s"$in/b1.json"),
