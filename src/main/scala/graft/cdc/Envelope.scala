@@ -23,16 +23,27 @@ object Envelope {
 
   /** Parse a DataFrame with a JSON-string `value` column holding Debezium
     * envelopes into columns: after.*, op, ts_ms, _corrupt_record.
+    *
+    * Delete events carry `after: null` on the wire; their row image (and in
+    * particular the key) lives in `before`. For op='d' rows with a null
+    * after-image we surface the before-image columns instead, so tombstones
+    * reach downstream merges with a real key — the capability the reference
+    * declares but silently drops (readme.md:69 vs kafka_to_minio.py:67-70).
+    * Updates never fall back to `before` (their after-image nulls are
+    * legitimate values).
     */
   def parse(raw: DataFrame, valueCol: String, afterSchema: StructType): DataFrame = {
     val env = graft.model.Schemas.envelope(afterSchema)
       .add(CorruptCol, org.apache.spark.sql.types.StringType)
+    val isDelete = col("e.payload.op") === lit("d") && col("e.payload.after").isNull
     raw
       .withColumn("e", from_json(
         col(valueCol), env,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
       .select(
-        (afterSchema.fieldNames.toSeq.map(f => col(s"e.payload.after.$f").as(f)) ++
+        (afterSchema.fieldNames.toSeq.map(f =>
+          when(isDelete, col(s"e.payload.before.$f"))
+            .otherwise(col(s"e.payload.after.$f")).as(f)) ++
           Seq(
             col("e.payload.op").as("op"),
             col("e.payload.ts_ms").as("ts_ms"),

@@ -41,15 +41,20 @@ object Scd2Merge {
     val closed = snapshot.filter(col(EffectiveTo).isNotNull)
     val current = snapshot.filter(col(EffectiveTo).isNull)
 
+    // presence flags come from non-nullable markers added before the join,
+    // not from key-null checks: the join is null-safe (<=>), so a
+    // legitimately-null key column must not read as "row absent"
     val b = batch.select((key ++ payloadCols).map(c => col(c).as(s"b_$c")): _*)
+      .withColumn("__in_batch", lit(true))
     val joinCond = key.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _)
-    val joined = current.join(b, joinCond, "full_outer")
+    val joined = current.withColumn("__in_current", lit(true))
+      .join(b, joinCond, "full_outer")
 
     val changed: Column = checkCols
       .map(c => !(col(c) <=> col(s"b_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val inBatch = col(s"b_${key.head}").isNotNull
-    val inCurrent = col(key.head).isNotNull
+    val inBatch = col("__in_batch").isNotNull
+    val inCurrent = col("__in_current").isNotNull
 
     val keep = key ++ payloadCols
 

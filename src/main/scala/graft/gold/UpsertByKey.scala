@@ -40,6 +40,43 @@ object UpsertByKey {
       .unionByName(deduped, allowMissingColumns = false)
   }
 
+  /** CDC-aware fast-path merge: `byMax` dedup (hash aggregation, no window
+    * sort) plus tombstone semantics — a key whose latest event is op='d' is
+    * removed, otherwise the latest after-image wins. Null-key rows (a
+    * malformed envelope that lost even its before-image) are dropped rather
+    * than merged as junk. This is the streaming-sink form of `applyCdc`.
+    */
+  def byMaxCdc(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+               orderCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val keyed = incoming.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val latest = graft.silver.Staging.dedupLatestByMax(keyed, keys, orderCols)
+    val upserts = latest.filter(col(opCol) =!= "d" || col(opCol).isNull)
+    existing.join(latest.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** One micro-batch merge step shared by the streaming sinks: dedup the
+    * batch latest-wins (hash aggregation) and merge into `existing`
+    * (`None` = first write). With `opCol` set, tombstones delete and
+    * null-key rows are dropped.
+    */
+  def mergeBatch(existing: Option[DataFrame], incoming: DataFrame,
+                 keys: Seq[String], orderCols: Seq[String],
+                 opCol: Option[String]): DataFrame =
+    (existing, opCol) match {
+      case (Some(ex), Some(op)) => byMaxCdc(ex, incoming, keys, orderCols, op)
+      case (Some(ex), None)     => byMax(ex, incoming, keys, orderCols)
+      case (None, opt) =>
+        val keyed = if (opt.isDefined)
+          incoming.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        else incoming
+        val deduped = graft.silver.Staging.dedupLatestByMax(keyed, keys, orderCols)
+        opt match {
+          case Some(op) => deduped.filter(col(op) =!= "d" || col(op).isNull)
+          case None     => deduped
+        }
+    }
+
   /** CDC-aware merge: like `apply`, but the incoming batch carries a
     * Debezium op column; a key whose LATEST event is a delete (`op='d'`)
     * is removed from the result (tombstone), otherwise the latest
@@ -59,11 +96,21 @@ object UpsertByKey {
   /** Atomic swap-overwrite: write to `<path>.__tmp`, then rename over the
     * target. Readers see either the old or the new table, never a partial
     * write.
+    *
+    * Crash window: between `rename(target, old)` and `rename(tmp, target)`
+    * the table exists only at `<path>.__old`. `recoverDangling` (called on
+    * entry here and usable from readers) rolls that state back, so no run
+    * can mistake it for a first write and discard the merged history.
+    * Limitation: directory rename is atomic on HDFS/POSIX but not on object
+    * stores (S3 renames are copy+delete) — there, use the partitioned sinks
+    * (`PartitionedUpsert`), whose commit goes through Spark's output
+    * committer instead of a rename swap.
     */
   def writeAtomic(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    recoverDangling(fs, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".__old")
@@ -73,6 +120,24 @@ object UpsertByKey {
     if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)
     fs.delete(old, true)
+  }
+
+  /** Roll back a swap interrupted between its two renames: if the target is
+    * missing but `<path>.__old` exists, rename it back. Also used by
+    * `exists` so callers' first-write checks see the recovered table.
+    */
+  def recoverDangling(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+  }
+
+  /** Existence check that first recovers any dangling swap. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDangling(fs, path)
+    fs.exists(new org.apache.hadoop.fs.Path(path))
   }
 
   /** Read-modify-swap convenience: upsert `incoming` into the Parquet table

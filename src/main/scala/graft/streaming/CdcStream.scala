@@ -67,22 +67,45 @@ object CdcStream {
     * dedup latest-wins then upsert into the Parquet fact — the streaming
     * form of the reference's incremental merge (readme.md:142-151). The
     * checkpoint makes replays idempotent together with the keyed upsert.
+    *
+    * `orderCols` must form a total order per key — CDC replays produce
+    * identical version timestamps, so include a unique id (lsn, event id)
+    * as the final tie-break or the merged sink is nondeterministic across
+    * replays.
+    *
+    * With `partCol` set (a batch column that is STABLE per key, e.g.
+    * `to_date(created_at)`), the sink is Hive-partitioned and each batch
+    * rewrites only the partitions it touches — O(touched partitions) I/O
+    * instead of O(table) (see PartitionedUpsert). Without it, the sink is a
+    * single directory swapped atomically per batch — only appropriate for
+    * dimension-sized tables.
+    *
+    * With `opCol` set, Debezium tombstones (op='d') delete their key from
+    * the sink instead of merging a junk row — streaming and batch CDC
+    * semantics match (`UpsertByKey.applyCdc`).
     */
   def upsertStream(parsed: DataFrame, sinkPath: String, checkpoint: String,
-                   keys: Seq[String], orderCol: String,
+                   keys: Seq[String], orderCols: Seq[String],
+                   partCol: Option[String] = None,
+                   opCol: Option[String] = None,
                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(sinkPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val incoming = batch.toDF()
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(sinkPath)))
-            graft.gold.UpsertByKey.byMax(
-              spark.read.parquet(sinkPath), incoming, keys, Seq(orderCol))
-          else graft.silver.Staging.dedupLatestByMax(incoming, keys, Seq(orderCol))
-        graft.gold.UpsertByKey.writeAtomic(merged, sinkPath)
+        partCol match {
+          case Some(pc) =>
+            graft.gold.PartitionedUpsert.upsert(
+              spark, incoming, sinkPath, keys, orderCols, pc, opCol)
+          case None =>
+            val existing =
+              if (graft.gold.UpsertByKey.exists(spark, sinkPath))
+                Some(spark.read.parquet(sinkPath))
+              else None
+            graft.gold.UpsertByKey.writeAtomic(
+              graft.gold.UpsertByKey.mergeBatch(existing, incoming, keys, orderCols, opCol),
+              sinkPath)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -93,11 +116,15 @@ object CdcStream {
     * streaming form of the daily dbt-snapshot cadence
     * (docker/dags/scd_snapshots.py), at micro-batch granularity. The
     * batch's asOf timestamp is its max `asOfCol` (deterministic under
-    * replay), and persistence is the crash-safe atomic swap.
+    * replay). By default the snapshot uses the pruned `scd_part` layout —
+    * per-batch I/O is O(current rows + today's closures) regardless of how
+    * deep the closed history grows; `partitioned=false` keeps the
+    * whole-table atomic swap for small dims.
     */
   def scd2Stream(parsed: DataFrame, snapshotPath: String, checkpoint: String,
                  keys: Seq[String], checkCols: Seq[String], asOfCol: String,
                  orderCols: Seq[String],
+                 partitioned: Boolean = true,
                  trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -107,14 +134,20 @@ object CdcStream {
         val asOfRow = staged.agg(max(col(asOfCol))).head()
         if (!asOfRow.isNullAt(0)) {
           val asOf = asOfRow.getTimestamp(0)
-          val fs = new org.apache.hadoop.fs.Path(snapshotPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val snapshot =
-            if (fs.exists(new org.apache.hadoop.fs.Path(snapshotPath)))
-              spark.read.parquet(snapshotPath)
-            else graft.gold.Scd2Merge.emptySnapshot(staged)
-          val merged = graft.gold.Scd2Merge(snapshot, staged, keys, checkCols, asOf)
-          graft.gold.UpsertByKey.writeAtomic(merged, snapshotPath)
+          if (partitioned)
+            // pruned layout: the batch reads/writes only the `current`
+            // partition and its own close-date partition — history stays
+            // untouched on disk (PartitionedUpsert.scd2)
+            graft.gold.PartitionedUpsert.scd2(
+              spark, staged, snapshotPath, keys, checkCols, asOf)
+          else {
+            val snapshot =
+              if (graft.gold.UpsertByKey.exists(spark, snapshotPath))
+                spark.read.parquet(snapshotPath)
+              else graft.gold.Scd2Merge.emptySnapshot(staged)
+            val merged = graft.gold.Scd2Merge(snapshot, staged, keys, checkCols, asOf)
+            graft.gold.UpsertByKey.writeAtomic(merged, snapshotPath)
+          }
         }
       }
       .option("checkpointLocation", checkpoint)

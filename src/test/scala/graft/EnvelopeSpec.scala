@@ -27,9 +27,11 @@ class EnvelopeSpec extends SparkSpec {
     assert(c.getAs[Long]("id") == 7L)
     assert(c.getAs[Double]("amount") == 412.55)
     assert(c.getAs[Long]("ts_ms") == 1765530902500L)
-    // TRANSFER with null related id parses; delete has null after-image
+    // delete (after=null) falls back to the before-image: the key and row
+    // image survive for downstream tombstone merges
     val del = rows.find(_.getAs[String]("op") == "d").get
-    assert(del.isNullAt(del.fieldIndex("id")))
+    assert(del.getAs[Long]("id") == 8L)
+    assert(del.getAs[String]("txn_type") == "DEPOSIT")
   }
 
   test("afterImages drops deletes by default, keeps them on request") {
