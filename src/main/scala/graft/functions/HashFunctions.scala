@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,6 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * row: one FNV-64 pass per shingle + Carter-Wegman double hashing for all
   * `numHashes` MinHash slots (2 hashes instead of k per shingle), one
   * multiply-accumulate sweep for all LSH hyperplanes.
+  *
+  * Codegen: every expression implements `doGenCode` as a single static call
+  * into `SketchKernels` (the pattern of Spark's own `StaticInvoke`), so a
+  * sketch projection no longer breaks its stage out of whole-stage codegen
+  * the way `CodegenFallback` did — the scan → sketch → explode pipeline
+  * stays one generated loop.
   *
   * All hashing is deterministic and versioned here (FNV-1a 64 +
   * splitmix64 finalizer — both public-domain constructions), so sketches
@@ -86,69 +92,160 @@ object HashFunctions {
     co(TokenSetCounts(ex(tokens), vocabularies))
 }
 
-/** array<string> tokens → array<int> of per-vocabulary hit counts
-  * (occurrence-counted, like `size(filter(toks, isin(vocab)))`), computed
-  * in ONE pass: tokens hash to a precomputed membership bitmask, so k
-  * vocabularies cost one map lookup per token instead of k interpreted
-  * filter passes.
+/** Per-row sketch kernels, written as static-forwardable methods so
+  * generated code can call them directly (`SketchKernels.minhash(arr, 32)`).
+  * Keeping the loops here instead of inlined Janino source keeps the
+  * generated classes small (Janino has a 64KB method limit) while the
+  * JIT still sees one monomorphic static call per row.
   */
-case class TokenSetCounts(child: Expression, vocabularies: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
-  require(vocabularies.nonEmpty && vocabularies.size <= 32)
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  @transient private lazy val masks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    vocabularies.zipWithIndex.foreach { case (vocab, i) =>
-      vocab.foreach { w =>
-        val prev = m.getOrDefault(w, Integer.valueOf(0))
-        m.put(w, Integer.valueOf(prev.intValue() | (1 << i)))
+object SketchKernels {
+
+  /** Lowercase + trim + collapse whitespace runs, one pass, no regex
+    * engine. `\s` in Java regex (no UNICODE_CHARACTER_CLASS) =
+    * [ \t\n\x0B\f\r]. Lowercasing delegates to `UTF8String.toLowerCase` —
+    * the exact code path of Spark's `lower()` — so special code points
+    * (e.g. 'İ' → "i̇", a two-char expansion) normalize identically to the
+    * declarative form; whitespace is collapsed first (case mappings never
+    * produce whitespace, so the order is immaterial to the result).
+    */
+  def normalize(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
       }
+      i += 1
     }
-    m
+    UTF8String.fromString(sb.toString).toLowerCase
   }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](vocabularies.size)
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** text → distinct word k-shingles. Same `UTF8String.toLowerCase`
+    * lowercasing as `normalize`, so shingles of raw text and of
+    * `normText(text)` agree.
+    */
+  def wordShingles(input: UTF8String, k: Int): ArrayData = {
+    val text = input.toLowerCase.toString
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** array<string> → `numHashes` MinHash slots via Kirsch–Mitzenmacher
+    * double hashing: g_i(s) = h1(s) + i·h2(s).
+    */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
       if (s != null) {
-        val mask = masks.get(s.toString)
-        if (mask != null) {
-          var m = mask.intValue()
-          while (m != 0) {
-            val b = java.lang.Integer.numberOfTrailingZeros(m)
-            counts(b) += 1
-            m &= m - 1
-          }
+        val h1 = HashFunctions.hashBytes(s, 0x1234567887654321L)
+        val h2 = HashFunctions.hashBytes(s, 0x0F0E0D0C0B0A0908L) | 1L
+        var i = 0
+        var g = h1
+        while (i < numHashes) {
+          if (g < mins(i)) mins(i) = g
+          g += h2
+          i += 1
         }
       }
       j += 1
     }
-    new GenericArrayData(counts)
+    new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
 
-/** array<T> → array<struct<a: T, b: T>> of all index-ordered pairs —
-  * the within-bucket candidate-pair generator. One allocation-tight loop
-  * per row instead of a nested `transform`/`slice` HOF chain (which is
-  * interpreted and O(n) slice copies per element).
-  */
-case class OrderedPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  private lazy val elemType: DataType =
-    child.dataType.asInstanceOf[ArrayType].elementType
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
-    containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** array<string> → 64-bit SimHash (bit b set when the tf-weighted vote
+    * of token-hash bit b is positive).
+    */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = HashFunctions.hashBytes(s, 0x5132697801234567L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** array<float> → one bucket id per LSH table; bucket bit p is the sign
+    * of the projection onto a fixed pseudo-random hyperplane whose
+    * component (t,p,d) is splitmix64 of the triple mapped to [-1,1].
+    */
+  def hyperplaneBuckets(v: ArrayData, numTables: Int, numPlanes: Int): ArrayData = {
+    val dims = v.numElements()
+    val buckets = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        var proj = 0.0
+        var d = 0
+        val base = (t.toLong << 32) | (p.toLong << 16)
+        while (d < dims) {
+          val w = HashFunctions.splitmix64(base | d).toDouble / Long.MaxValue.toDouble
+          proj += v.getFloat(d) * w
+          d += 1
+        }
+        if (proj >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  /** array<T> → all index-ordered pairs as array<struct<a,b>>. Elements are
+    * defensively copied once (ArrayData.get may return views into a reused
+    * buffer).
+    */
+  def orderedPairs(arr: ArrayData, elemType: DataType): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    // materialize (and defensively copy) elements once — ArrayData.get may
-    // return views into a reused buffer
     val elems = new Array[Any](n)
     var i = 0
     while (i < n) {
@@ -174,6 +271,79 @@ case class OrderedPairs(child: Expression)
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass membership counting: each token looks up a bitmask of the
+    * vocabularies containing it; set bits bump their counters.
+    */
+  def tokenSetCounts(arr: ArrayData, masks: java.util.HashMap[String, Integer],
+                     numVocabs: Int): ArrayData = {
+    val counts = new Array[Int](numVocabs)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val mask = masks.get(s.toString)
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            val b = java.lang.Integer.numberOfTrailingZeros(m)
+            counts(b) += 1
+            m &= m - 1
+          }
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/** array<string> tokens → array<int> of per-vocabulary hit counts
+  * (occurrence-counted, like `size(filter(toks, isin(vocab)))`) in ONE
+  * pass over the tokens regardless of how many vocabularies are scored.
+  */
+case class TokenSetCounts(child: Expression, vocabularies: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(vocabularies.nonEmpty && vocabularies.size <= 32)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val masks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    vocabularies.zipWithIndex.foreach { case (vocab, i) =>
+      vocab.foreach { w =>
+        val prev = m.getOrDefault(w, Integer.valueOf(0))
+        m.put(w, Integer.valueOf(prev.intValue() | (1 << i)))
+      }
+    }
+    m
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.tokenSetCounts(input.asInstanceOf[ArrayData], masks, vocabularies.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val masksRef = ctx.addReferenceObj("masks", masks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.tokenSetCounts($a, $masksRef, ${vocabularies.size});")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<T> → array<struct<a: T, b: T>> of all index-ordered pairs —
+  * the within-bucket candidate-pair generator.
+  */
+case class OrderedPairs(child: Expression) extends UnaryExpression {
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.orderedPairs(input.asInstanceOf[ArrayData], elemType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val typeRef = ctx.addReferenceObj("elemType", elemType,
+      "org.apache.spark.sql.types.DataType")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.orderedPairs($a, $typeRef);")
+  }
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case _: ArrayType =>
@@ -185,165 +355,61 @@ case class OrderedPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Lowercase + trim + collapse whitespace runs, one pass, no regex engine.
-  * `\s` in Java regex (no UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r] —
-  * reproduced exactly.
+/** Lowercase + trim + collapse whitespace runs (see SketchKernels.normalize
+  * for the exact `lower()`-parity contract).
   */
-case class NormalizeText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    var pendingSpace = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (isWs(c)) { if (sb.length() > 0) pendingSpace = true }
-      else {
-        if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(Character.toLowerCase(c))
-      }
-      i += 1
-    }
-    UTF8String.fromString(sb.toString)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.normalize($a);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** text → array<string> of distinct word k-shingles. One tight loop:
-  * lowercase, split on whitespace runs, join k-grams, dedupe preserving
-  * first occurrence.
-  */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+/** text → array<string> of distinct word k-shingles. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
-    val toks = text.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i <= toks.length - k) {
-      sb.setLength(0)
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var n = 0
-    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.wordShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.wordShingles($a, $k);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** array<string> → array<long> of `numHashes` MinHash slots.
-  * Double hashing: g_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher), so each
-  * shingle is hashed twice regardless of k.
-  */
+/** array<string> → array<long> of `numHashes` MinHash slots. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    val n = arr.numElements()
-    var j = 0
-    while (j < n) {
-      val s = arr.getUTF8String(j)
-      if (s != null) {
-        val h1 = HashFunctions.hashBytes(s, 0x1234567887654321L)
-        val h2 = HashFunctions.hashBytes(s, 0x0F0E0D0C0B0A0908L) | 1L
-        var i = 0
-        var g = h1
-        while (i < numHashes) {
-          if (g < mins(i)) mins(i) = g
-          g += h2
-          i += 1
-        }
-      }
-      j += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.minhash($a, $numHashes);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** array<float> → array<int> of one bucket id per LSH table. Bucket bit p
-  * is the sign of the projection onto a fixed pseudo-random hyperplane;
-  * component (t,p,d) = splitmix64 of the triple, mapped to [-1,1].
-  */
+/** array<float> → array<int> of one bucket id per LSH table. */
 case class HyperplaneBuckets(child: Expression, numTables: Int, numPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val dims = v.numElements()
-    val buckets = new Array[Int](numTables)
-    var t = 0
-    while (t < numTables) {
-      var bucket = 0
-      var p = 0
-      while (p < numPlanes) {
-        var proj = 0.0
-        var d = 0
-        val base = (t.toLong << 32) | (p.toLong << 16)
-        while (d < dims) {
-          val w = HashFunctions.splitmix64(base | d).toDouble / Long.MaxValue.toDouble
-          proj += v.getFloat(d) * w
-          d += 1
-        }
-        if (proj >= 0) bucket |= (1 << p)
-        p += 1
-      }
-      buckets(t) = bucket
-      t += 1
-    }
-    new GenericArrayData(buckets)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.hyperplaneBuckets(input.asInstanceOf[ArrayData], numTables, numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.hyperplaneBuckets($a, $numTables, $numPlanes);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** array<string> → 64-bit SimHash (bit b set when the tf-weighted vote of
-  * token-hash bit b is positive).
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** array<string> → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    val n = arr.numElements()
-    var j = 0
-    while (j < n) {
-      val s = arr.getUTF8String(j)
-      if (s != null) {
-        val h = HashFunctions.hashBytes(s, 0x5132697801234567L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      j += 1
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) fp |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(fp)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.simhash(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash($a);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
