@@ -64,6 +64,42 @@ object Queries {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1""")),
 
+    // ── delete capture (readme.md:69): CDC merge with tombstones — a key
+    //    whose latest incoming event is op='d' is removed from the sink ──
+    Q("q44_cdc_tombstone",
+      (s, d) => {
+        val src = Tables.events(s, d)
+          .withColumn("op",
+            when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+          .select("user_id", "event_id", "ts", "event_type", "value", "op")
+        val keys = Seq("user_id")
+        val ord = Seq(col("ts").desc, col("event_id").desc)
+        val existing = Staging.dedupLatest(
+          src.filter(col("ts") < lit(Split).cast("timestamp")), keys, ord)
+        val incoming = src.filter(col("ts") >= lit(Split).cast("timestamp"))
+        UpsertByKey.applyCdc(existing, incoming, keys, ord)
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+          FROM events),
+        existing AS (
+          SELECT user_id, event_id, ts, event_type, value, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src WHERE ts < TIMESTAMP '$Split')
+          WHERE rn = 1),
+        latest AS (
+          SELECT user_id, event_id, ts, event_type, value, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src WHERE ts >= TIMESTAMP '$Split')
+          WHERE rn = 1)
+        SELECT e.* FROM existing e WHERE NOT EXISTS (
+          SELECT 1 FROM latest l WHERE l.user_id = e.user_id)
+        UNION ALL SELECT * FROM latest WHERE op <> 'd'""")),
+
     // ── §2.2 rows 12-15: typed JSON extraction, rename, CASE, audit date ──
     Q("q02_envelope_extract",
       (s, d) => Tables.events(s, d).select(
@@ -316,11 +352,13 @@ object Queries {
         FROM events, LATERAL (SELECT unnest(range(0, 4)) AS i) i
         GROUP BY 1, 2""")),
 
-    // ── §2.3 R2 + §2.5: star-schema revenue rollup (chained broadcast joins) ──
+    // ── §2.3 R2 + §2.5: star-schema revenue rollup ──
     Q("q14_star_revenue",
       (s, d) => Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        // no broadcast hint: customer is unbounded (15M rows at TPC-H
+        // sf100) — AQE's size-based decision picks the join strategy
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(
           sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -450,7 +488,7 @@ object Queries {
     // ── north-star: exact n-gram Jaccard over inverted-index candidates ──
     Q("q23_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-        k = 3, threshold = 0.01),
+        k = 3, threshold = 0.2),
       Some("""
         WITH t AS (SELECT doc_id,
             list_distinct(list_transform(
@@ -471,7 +509,7 @@ object Queries {
         SELECT id_a, id_b,
                CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
         FROM pairs
-        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.01""")),
+        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2""")),
 
     // ── north-star: brute-force cosine top-k similarity search ──
     Q("q24_cosine_topk",

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.3): CDC-style
-    * events → JSON props extraction → latest-wins dedup → broadcast dim
-    * join → segment rollup. Driver smoke-checks rows > 0.
+    * events → JSON props extraction → latest-wins dedup → dim join →
+    * segment rollup. Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -18,7 +18,8 @@ object SparkEntry {
       Seq("user_id", "event_type"),
       Seq(col("ts").desc, col("event_id").desc))
     deduped
-      .join(broadcast(Tables.customer(spark, d)), col("user_id") === col("c_custkey"))
+      // customer is unbounded at scale — leave the join strategy to AQE
+      .join(Tables.customer(spark, d), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_current"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),

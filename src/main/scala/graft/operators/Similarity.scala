@@ -54,8 +54,11 @@ object Similarity {
       .orderBy(col("__h").asc, col("cid0").asc)
       .limit(nCells)
     top
+      // constant partition key: same single-partition execution over the
+      // ≤ nCells rows, but with an explicit spec so WindowExec doesn't log
+      // its unpartitioned-window warning on every run
       .withColumn("r", row_number().over(
-        Window.orderBy(col("__h").asc, col("cid0").asc)))
+        Window.partitionBy(lit(0)).orderBy(col("__h").asc, col("cid0").asc)))
       .select((col("r") - 1).as("cell_id"), col("centroid"))
   }
 

@@ -18,6 +18,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("star rollup uses broadcast joins, not cartesian products") {
+    // q14 carries NO broadcast() hint (customer is unbounded at scale —
+    // 15M rows at TPC-H sf100 would OOM the driver); the broadcast here is
+    // the planner's own size-based choice, which flips to shuffle join
+    // when the dim outgrows the threshold
     val p = plan("q14_star_revenue")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
