@@ -1,19 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata, batch-decoded per partition.
+  * `binary` columns with typed metadata.
   *
-  * The real decode (JPEG/PNG/audio codec) needs native libraries that are
-  * not in this container, so `decodeStub` is a clearly-marked deterministic
-  * fake — but everything Spark-side is real and tested: the schema shape
-  * (binary payload + metadata struct), the batch iteration
-  * (`mapPartitions`, so a codec context is initialized once per partition,
-  * not per row), the partition sizing, and the projection pushdown (the
-  * binary column is only read when the decode projection needs it).
+  * The decode is two-tier:
+  *  - `MediaHeaders` is a REAL pure-JVM container-header parser — JPEG
+  *    (SOF marker scan), PNG (IHDR), GIF (logical screen descriptor) —
+  *    needing no native codecs: width/height come from the actual byte
+  *    structure of the payload.
+  *  - payloads that are not a recognized image container fall back to
+  *    `decodeStub`, a clearly-marked deterministic fake (full pixel decode
+  *    of arbitrary media needs codec libraries not in this container).
+  *
+  * Metadata extraction is a native Catalyst expression (`MediaMeta`), not a
+  * `mapPartitions` pass: pass-through columns are never deserialized and
+  * the stage stays inside whole-stage codegen. `extractFeaturesBatch`
+  * keeps the per-partition batch shape for decoders that need a real codec
+  * context (init once per partition, not per row).
   *
   * At 100 TB: payloads dominate size, so the layout keeps metadata in
   * separate (pushdown-prunable) columns; filters on metadata never touch
@@ -27,7 +38,8 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
 
   /** Wrap a string column as a binary payload (UTF-8) — the test stand-in
     * for reading real media bytes.
@@ -35,27 +47,53 @@ object Multimodal {
   def asPayload(df: DataFrame, srcCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
 
-  /** STUB — deterministic fake decode. A real build replaces the body with
-    * a codec call (e.g. TwelveMonkeys ImageIO / JavaCV); the signature,
-    * batching, and output schema are the production shape.
-    * "width"/"height" are derived from payload bytes so tests exercise
-    * real data flow.
+  /** STUB — deterministic fake decode for non-image payloads. A real build
+    * replaces this tier with a codec call (e.g. an ImageIO plugin /
+    * JavaCV); "width"/"height" are derived from payload bytes so tests
+    * exercise real data flow.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Long, Int, Int) = {
-    var sum = 0L
-    var i = 0
-    val n = math.min(bytes.length, 64)
-    while (i < n) { sum += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+    val sum = checksum64(bytes)
     val w = 64 + (sum % 1024).toInt
     val h = 64 + ((sum / 1024) % 1024).toInt
     (bytes.length, sum, w, h)
   }
 
-  /** Batch feature extraction over the payload column: one decoder
-    * "context" per partition, metadata struct per row. Non-payload columns
-    * pass through untouched.
+  /** Position-weighted sum of the first 64 bytes — the cheap content
+    * fingerprint both decode tiers report.
     */
-  def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+  def checksum64(bytes: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    val n = math.min(bytes.length, 64)
+    while (i < n) { sum += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+    sum
+  }
+
+  private def co(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)
+
+  /** Metadata struct for a payload column (native expression; see
+    * MediaMeta).
+    */
+  def mediaMeta(payload: Column): Column = co(MediaMeta(ex(payload)))
+
+  /** Feature extraction over the payload column, as a projection: real
+    * header-derived dimensions for JPEG/PNG/GIF payloads, stub tier
+    * otherwise. Non-payload columns pass through untouched (and never
+    * leave columnar/codegen form).
+    */
+  def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("media_meta", mediaMeta(col(payloadCol)))
+
+  /** Batch form: one decoder context per partition (the shape a real codec
+    * needs — init buffers/handles once, stream rows through). Same output
+    * as `extractFeatures`; prefer the expression form unless the decoder
+    * genuinely holds per-partition state.
+    */
+  def extractFeaturesBatch(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     val outSchema = inSchema.add(StructField("media_meta", MetaSchema))
@@ -64,9 +102,15 @@ object Multimodal {
       // per-partition decoder init would go here (codec context, buffers)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val (n, ck, w, h) =
-          if (bytes == null) (0, 0L, 0, 0) else decodeStub(bytes)
-        Row.fromSeq(r.toSeq :+ Row(n, ck, w, h))
+        val meta =
+          if (bytes == null) Row(0, 0L, 0, 0, "none")
+          else MediaHeaders.parse(bytes) match {
+            case Some((w, h, fmt)) => Row(bytes.length, checksum64(bytes), w, h, fmt)
+            case None =>
+              val (n, ck, w, h) = decodeStub(bytes)
+              Row(n, ck, w, h, "unknown")
+          }
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc)
   }
@@ -84,4 +128,111 @@ object Multimodal {
       .withColumn("frame",
         col(payloadCol).substr(
           (col("frame_id") * frameBytes + 1).cast("int"), lit(frameBytes)))
+}
+
+/** Pure-JVM image container header parsing — no codecs, no native libs:
+  * dimensions come straight from the byte layout each format publishes.
+  */
+object MediaHeaders {
+
+  /** (width, height, format) when `bytes` starts with a recognized image
+    * container, else None.
+    */
+  def parse(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val png = pngDims(bytes)
+    if (png != null) return Some((png(0), png(1), "png"))
+    val jpg = jpegDims(bytes)
+    if (jpg != null) return Some((jpg(0), jpg(1), "jpeg"))
+    val gif = gifDims(bytes)
+    if (gif != null) return Some((gif(0), gif(1), "gif"))
+    None
+  }
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  @inline private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  @inline private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  @inline private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first): 4-byte
+    * length, "IHDR", width (BE32 at 16), height (BE32 at 20).
+    */
+  def pngDims(b: Array[Byte]): Array[Int] = {
+    if (b.length < 24) return null
+    if (u8(b, 0) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G' ||
+        u8(b, 4) != 0x0D || u8(b, 5) != 0x0A || u8(b, 6) != 0x1A || u8(b, 7) != 0x0A)
+      return null
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return null
+    Array(be32(b, 16), be32(b, 20))
+  }
+
+  /** JPEG: FF D8, then marker segments; dimensions live in the first SOFn
+    * segment (FF C0..CF excluding C4/C8/CC): [len16][precision8]
+    * [height16][width16].
+    */
+  def jpegDims(b: Array[Byte]): Array[Int] = {
+    if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return null
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return null
+      // skip fill bytes (FF FF ... FF marker)
+      var j = i
+      while (j + 1 < b.length && u8(b, j + 1) == 0xFF) j += 1
+      val marker = u8(b, j + 1)
+      if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+        if (j + 8 >= b.length) return null
+        return Array(be16(b, j + 7), be16(b, j + 5))  // width, height
+      }
+      if (marker == 0xD9 || marker == 0xDA) return null  // EOI / scan data: no SOF seen
+      if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) i = j + 2
+      else {
+        if (j + 3 >= b.length) return null
+        i = j + 2 + be16(b, j + 2)
+      }
+    }
+    null
+  }
+
+  /** GIF87a/89a: logical screen width (LE16 at 6) and height (LE16 at 8). */
+  def gifDims(b: Array[Byte]): Array[Int] = {
+    if (b.length < 10) return null
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    Array(le16(b, 6), le16(b, 8))
+  }
+
+  /** Kernel for the MediaMeta expression (static-forwardable for codegen). */
+  def mediaMeta(bytes: Array[Byte]): InternalRow =
+    parse(bytes) match {
+      case Some((w, h, fmt)) =>
+        InternalRow(bytes.length, Multimodal.checksum64(bytes), w, h,
+          UTF8String.fromString(fmt))
+      case None =>
+        val (n, ck, w, h) = Multimodal.decodeStub(bytes)
+        InternalRow(n, ck, w, h, UTF8String.fromString("unknown"))
+    }
+}
+
+/** binary payload → struct<n_bytes, checksum, width, height, format>;
+  * header-real for JPEG/PNG/GIF, stub tier otherwise. Codegen is a single
+  * static kernel call, so metadata projection stays in whole-stage codegen
+  * and pass-through columns are never materialized.
+  */
+case class MediaMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Multimodal.MetaSchema
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.mediaMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.operators.MediaHeaders.mediaMeta($a);")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"media_meta needs a binary argument, got $other")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

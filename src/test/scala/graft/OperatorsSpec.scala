@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaHeaders, Multimodal, Similarity, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /** Extension operators: fuzzy dedup, similarity search, text analysis,
@@ -197,5 +197,39 @@ class OperatorsSpec extends SparkSpec {
       .select($"frame_id", length($"frame").as("n")).collect()
     assert(frames.length == 3)  // 600 bytes → frames of 256/256/88
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
+  }
+
+  test("media headers: real JPEG/PNG/GIF dimensions parsed from payload bytes") {
+    // minimal PNG: 8-byte signature, IHDR length=13, "IHDR", w=640, h=480
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xE0).map(_.toByte)
+    // minimal JPEG: SOI, APP0 (len 4), SOF0 (precision 8, h=256, w=200)
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x01, 0x00, 0x00, 0xC8, 0x01,
+      0x00, 0x00, 0x00).map(_.toByte)
+    // GIF89a logical screen: w=0x0120 (LE), h=0x00F0 (LE)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x20, 0x01, 0xF0, 0x00).map(_.toByte))
+    assert(MediaHeaders.parse(png).contains((640, 480, "png")))
+    assert(MediaHeaders.parse(jpeg).contains((200, 256, "jpeg")))
+    assert(MediaHeaders.parse(gif).contains((288, 240, "gif")))
+    assert(MediaHeaders.parse("plain text".getBytes("UTF-8")).isEmpty)
+
+    // expression form over a DataFrame, and the batch (mapPartitions)
+    // form, must agree — header-real for images, stub tier otherwise
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif),
+      (4L, "plain".getBytes("UTF-8"))).toDF("id", "payload")
+    def collect(out: org.apache.spark.sql.DataFrame) =
+      out.select($"id", $"media_meta.*").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("format"))))
+        .toMap
+    val viaExpr = collect(Multimodal.extractFeatures(df))
+    assert(viaExpr(1L) == ((640, 480, "png")))
+    assert(viaExpr(2L) == ((200, 256, "jpeg")))
+    assert(viaExpr(3L) == ((288, 240, "gif")))
+    assert(viaExpr(4L)._3 == "unknown")
+    assert(collect(Multimodal.extractFeaturesBatch(df)) == viaExpr)
   }
 }
