@@ -64,6 +64,34 @@ object Queries {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1""")),
 
+    // ── base+delta layout: append-only micro-batches + merge-on-read must
+    //    equal a global latest-wins dedup regardless of how the stream was
+    //    batched (the O(batch)-write upsert story; gold/BaseDelta.scala) ──
+    Q("q45_base_delta",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q45-bd").toString + "/t"
+        val table = graft.gold.BaseDelta.Table(
+          root, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        val ev = Tables.events(s, d)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+        // three uneven micro-batches by time range, appended out of order
+        val cut1 = lit("2024-01-10 00:00:00").cast("timestamp")
+        val cut2 = lit(Split).cast("timestamp")
+        graft.gold.BaseDelta.append(s, table, ev.filter(col("ts") >= cut2), 2L)
+        graft.gold.BaseDelta.append(s, table, ev.filter(col("ts") < cut1), 0L)
+        graft.gold.BaseDelta.append(s, table,
+          ev.filter(col("ts") >= cut1 && col("ts") < cut2), 1L)
+        graft.gold.BaseDelta.compact(s, table)
+        graft.gold.BaseDelta.read(s, table)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, ts, value FROM (
+          SELECT user_id, event_type, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1""")),
+
     // ── delete capture (readme.md:69): CDC merge with tombstones — a key
     //    whose latest incoming event is op='d' is removed from the sink ──
     Q("q44_cdc_tombstone",

@@ -1,0 +1,113 @@
+package graft.gold
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Base+delta keyed table: the O(batch)-write merge story for
+  * high-frequency CDC at 100 TB (SURVEY.md §2 row 25 taken past
+  * per-partition rewrite).
+  *
+  * Even the partition-pruned sink (PartitionedUpsert) rewrites every
+  * touched partition per micro-batch — with a minute-level trigger and
+  * scattered keys that converges to rewriting the hot end of the table
+  * 1440× a day. Here a micro-batch only APPENDS its (deduped) rows:
+  *
+  * {{{
+  * <path>/base/…parquet             compacted snapshot (may not exist yet)
+  * <path>/delta/batch=<id>/…parquet immutable per-batch appends
+  * }}}
+  *
+  *  - `append` is O(batch) I/O — nothing existing is read or rewritten.
+  *  - `read` is merge-on-read: base ∪ deltas → `max_by` latest-wins per
+  *    key → tombstones dropped. One hash-aggregate shuffle, no sort; the
+  *    same plan shape Delta Lake/Iceberg merge-on-read readers use.
+  *  - `compact` folds the deltas into a new base (atomic swap) and clears
+  *    them, bounding read amplification; `appendAndMaybeCompact` runs it
+  *    automatically past `maxDeltas` outstanding batches.
+  *
+  * Idempotence/crash safety: delta dirs are written by overwrite keyed on
+  * the caller's batch id, so a replayed micro-batch overwrites its own
+  * delta instead of duplicating it. A crash between the base swap and the
+  * delta cleanup leaves stale deltas behind — reapplying them over the new
+  * base is a no-op (latest-wins on the same `orderCols`, and a re-dropped
+  * tombstone stays dropped), so the view never regresses.
+  *
+  * The ordering contract is the usual one: `orderCols` must totally order
+  * versions of a key (include a unique id as the final tie-break).
+  */
+object BaseDelta {
+
+  /** Table handle: merge semantics + layout root. With `opCol` set, a key
+    * whose latest row has op='d' is absent from `read` (Debezium
+    * tombstone).
+    */
+  case class Table(path: String, keys: Seq[String], orderCols: Seq[String],
+                   opCol: Option[String] = None) {
+    def basePath = s"$path/base"
+    def deltaRoot = s"$path/delta"
+    def deltaPath(batchId: Long) = s"$deltaRoot/batch=$batchId"
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Outstanding delta batch ids (unsorted). */
+  def deltaBatches(spark: SparkSession, t: Table): Seq[Long] = {
+    val f = fs(spark, t.deltaRoot)
+    val root = new Path(t.deltaRoot)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** Append one micro-batch as an immutable delta — O(batch) I/O. The
+    * batch is pre-deduped (latest-wins) so a delta holds one row per key;
+    * `batchId` keys the delta dir, making replays overwrite themselves.
+    */
+  def append(spark: SparkSession, t: Table, incoming: DataFrame, batchId: Long): Unit =
+    graft.silver.Staging.dedupLatestByMax(incoming, t.keys, t.orderCols)
+      .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
+
+  /** Merge-on-read view: latest row per key across base and all deltas,
+    * tombstoned keys absent. One hash-aggregate shuffle (map-side
+    * combine), no sort, no window.
+    */
+  def read(spark: SparkSession, t: Table): DataFrame = {
+    val f = fs(spark, t.path)
+    val hasBase = f.exists(new Path(t.basePath))
+    val deltas = deltaBatches(spark, t).map(id => spark.read.parquet(t.deltaPath(id)))
+    val parts = (if (hasBase) Seq(spark.read.parquet(t.basePath)) else Seq.empty) ++ deltas
+    require(parts.nonEmpty, s"BaseDelta.read: empty table at ${t.path}")
+    val all = parts.reduce(_.unionByName(_))
+    val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
+    t.opCol match {
+      case Some(op) => merged.filter(col(op) =!= "d" || col(op).isNull)
+      case None     => merged
+    }
+  }
+
+  /** Fold deltas into a new base (atomic swap) and clear them. Tombstoned
+    * keys are physically removed here. Stale deltas surviving a crash
+    * between the swap and the cleanup re-merge as no-ops.
+    */
+  def compact(spark: SparkSession, t: Table): Unit = {
+    val ids = deltaBatches(spark, t)
+    if (ids.isEmpty && fs(spark, t.basePath).exists(new Path(t.basePath))) return
+    UpsertByKey.writeAtomic(read(spark, t), t.basePath)
+    val f = fs(spark, t.deltaRoot)
+    ids.foreach(id => f.delete(new Path(t.deltaPath(id)), true))
+  }
+
+  /** Streaming-sink step: append, then compact once the outstanding delta
+    * count passes `maxDeltas` — read amplification stays bounded while
+    * steady-state writes stay O(batch).
+    */
+  def appendAndMaybeCompact(spark: SparkSession, t: Table, incoming: DataFrame,
+                            batchId: Long, maxDeltas: Int = 16): Unit = {
+    append(spark, t, incoming, batchId)
+    if (deltaBatches(spark, t).size > maxDeltas) compact(spark, t)
+  }
+}

@@ -111,6 +111,31 @@ object CdcStream {
       .trigger(trigger)
       .start()
 
+  /** Base+delta streaming upsert: each micro-batch APPENDS an immutable
+    * per-batch delta (O(batch) I/O — nothing existing is read or
+    * rewritten) and compaction folds deltas into the base once `maxDeltas`
+    * are outstanding. Readers use `BaseDelta.read` (merge-on-read,
+    * latest-wins + tombstones). This is the high-frequency form: where
+    * `upsertStream` rewrites touched partitions every trigger, this sink's
+    * steady-state write cost is independent of table size AND key spread.
+    * Replay safety: the delta dir is keyed on the micro-batch id, so a
+    * replayed batch overwrites its own delta.
+    */
+  def upsertStreamDelta(parsed: DataFrame, sinkPath: String, checkpoint: String,
+                        keys: Seq[String], orderCols: Seq[String],
+                        opCol: Option[String] = None, maxDeltas: Int = 16,
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    val table = graft.gold.BaseDelta.Table(sinkPath, keys, orderCols, opCol)
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.gold.BaseDelta.appendAndMaybeCompact(
+          batch.sparkSession, table, batch.toDF(), batchId, maxDeltas)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming SCD2 maintenance: per micro-batch, dedup latest-wins then
     * run the check-strategy merge against the persisted snapshot — the
     * streaming form of the daily dbt-snapshot cadence

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.gold.{BaseDelta, UpsertByKey}
+
+/** Base+delta keyed table: append-only micro-batches, merge-on-read,
+  * periodic compaction (the O(batch)-write upsert layout).
+  */
+class BaseDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(path: String, opAware: Boolean = false) =
+    BaseDelta.Table(path, Seq("id"), Seq("ver", "id"),
+      if (opAware) Some("op") else None)
+
+  private def snap(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Int)] =
+    df.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[String]("v"), r.getAs[Int]("ver")))).toMap
+
+  test("merge-on-read equals iterated mergeBatch over the same batches") {
+    val path = tmpDir("bd-eq") + "/t"
+    val table = t(path)
+    // deterministic pseudo-random batches: key collisions, replays, ties
+    val batches = (0 until 6).map { b =>
+      (0 until 40).map { i =>
+        val id = (b * 7 + i * 13) % 25L
+        (id, s"v$b-$i", b * 100 + i)
+      }.toDF("id", "v", "ver")
+    }
+    batches.zipWithIndex.foreach { case (df, i) =>
+      BaseDelta.append(spark, table, df, i.toLong)
+    }
+    val expected = batches.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (acc, df) => Some(UpsertByKey.mergeBatch(acc, df, Seq("id"), Seq("ver", "id"), None))
+    }.get
+    assert(snap(BaseDelta.read(spark, table)) == snap(expected))
+    // compaction preserves the view and clears the deltas
+    BaseDelta.compact(spark, table)
+    assert(BaseDelta.deltaBatches(spark, table).isEmpty)
+    assert(snap(BaseDelta.read(spark, table)) == snap(expected))
+  }
+
+  test("tombstones: latest op='d' hides the key; compaction removes it physically") {
+    val path = tmpDir("bd-del") + "/t"
+    val table = t(path, opAware = true)
+    BaseDelta.append(spark, table,
+      Seq((1L, "a", 1, "u"), (2L, "b", 1, "u")).toDF("id", "v", "ver", "op"), 0L)
+    BaseDelta.append(spark, table,
+      Seq((1L, "x", 2, "d")).toDF("id", "v", "ver", "op"), 1L)
+    assert(snap(BaseDelta.read(spark, table)) == Map(2L -> (("b", 1))))
+    BaseDelta.compact(spark, table)
+    // base holds only the surviving key
+    assert(spark.read.parquet(table.basePath).count() == 1)
+    // re-insert after delete wins (newer version)
+    BaseDelta.append(spark, table,
+      Seq((1L, "back", 3, "u")).toDF("id", "v", "ver", "op"), 2L)
+    assert(snap(BaseDelta.read(spark, table)) == Map(1L -> (("back", 3)), 2L -> (("b", 1))))
+  }
+
+  test("replayed batch id overwrites its own delta; stale deltas re-merge as no-ops") {
+    val path = tmpDir("bd-replay") + "/t"
+    val table = t(path)
+    val b0 = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ver")
+    BaseDelta.append(spark, table, b0, 0L)
+    BaseDelta.append(spark, table, b0, 0L)  // replay: same batch id
+    assert(BaseDelta.deltaBatches(spark, table) == Seq(0L))
+    assert(snap(BaseDelta.read(spark, table)) == Map(1L -> (("a", 1)), 2L -> (("b", 1))))
+    // crash shape: base already compacted, an old delta survives cleanup
+    BaseDelta.compact(spark, table)
+    BaseDelta.append(spark, table, b0, 0L)  // stale replay after compaction
+    assert(snap(BaseDelta.read(spark, table)) == Map(1L -> (("a", 1)), 2L -> (("b", 1))))
+  }
+
+  test("streaming base+delta sink: appends per trigger, compacts past maxDeltas") {
+    val in = tmpDir("bd-in"); val sink = tmpDir("bd-sink") + "/t"; val ckpt = tmpDir("bd-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.IntegerType)))
+    Files.writeString(Paths.get(s"$in/b1.json"),
+      Seq("""{"id":1,"v":"a","ver":1}""", """{"id":2,"v":"b","ver":1}""").mkString("\n"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    val q = graft.streaming.CdcStream.upsertStreamDelta(
+      stream, sink, ckpt, keys = Seq("id"), orderCols = Seq("ver", "id"),
+      maxDeltas = 1, trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    Files.writeString(Paths.get(s"$in/b2.json"),
+      Seq("""{"id":1,"v":"a2","ver":2}""", """{"id":3,"v":"c","ver":1}""").mkString("\n"))
+    q.processAllAvailable(); q.stop()
+    val table = BaseDelta.Table(sink, Seq("id"), Seq("ver", "id"))
+    // two batches with maxDeltas=1 → at least one compaction ran
+    assert(Files.exists(Paths.get(s"$sink/base")))
+    assert(snap(BaseDelta.read(spark, table)) ==
+      Map(1L -> (("a2", 2)), 2L -> (("b", 1)), 3L -> (("c", 1))))
+  }
+}
