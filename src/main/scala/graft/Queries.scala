@@ -723,6 +723,30 @@ object Queries {
         WHERE n_tokens >= 30 AND stopword_ratio <= 0.9"""
       }),
 
+    // ── training-data assembly: deterministic stratified sampling + split
+    //    assignment (hash-of-key membership — reproducible across runs,
+    //    retries, and engines; operators/Sampling.scala) ──
+    Q("q46_stratified_sample",
+      (s, d) => operators.Sampling.split(
+          operators.Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
+            Map("en" -> 0.3, "zh" -> 0.8, "es" -> 0.5, "de" -> 1.0, "fr" -> 0.25)),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split"),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                   / 4294967296.0 AS hf
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN hf < 0.8 THEN 'train'
+                    WHEN hf < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f
+        WHERE hf < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8
+                             WHEN 'es' THEN 0.5 WHEN 'de' THEN 1.0
+                             WHEN 'fr' THEN 0.25 ELSE 0.0 END""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -66,9 +66,15 @@ object BaseDelta {
   /** Append one micro-batch as an immutable delta — O(batch) I/O. The
     * batch is pre-deduped (latest-wins) so a delta holds one row per key;
     * `batchId` keys the delta dir, making replays overwrite themselves.
+    * The post-aggregation shuffle partitioning (often 32+ near-empty
+    * splits for a micro-batch) is coalesced to `deltaFiles` so deltas
+    * don't explode the file count — at minute-level triggers a delta is
+    * batch-sized, so a handful of files is the right granularity.
     */
-  def append(spark: SparkSession, t: Table, incoming: DataFrame, batchId: Long): Unit =
+  def append(spark: SparkSession, t: Table, incoming: DataFrame, batchId: Long,
+             deltaFiles: Int = 4): Unit =
     graft.silver.Staging.dedupLatestByMax(incoming, t.keys, t.orderCols)
+      .coalesce(deltaFiles)
       .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
 
   /** Merge-on-read view: latest row per key across base and all deltas,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines:
+  * hash-based rates, stratified mixes, and train/val/test splits.
+  *
+  * Why hash-based instead of `df.sample()`: RNG sampling is not
+  * reproducible across retries, partitionings, or engines — a failed task
+  * re-draws different rows, and an audit query in another engine can't
+  * reproduce the set. Here membership is a pure function of the key:
+  * md5(key) → first 32 bits → fraction in [0,1), compared to the rate.
+  * Same rows every run, every engine (the DuckDB oracle reproduces the
+  * sample exactly), and survives speculative execution at 100 TB.
+  *
+  * All operators are map-only projections/filters — no shuffle, fully
+  * codegen'd (md5 + substring + conv are built-ins), linear scale-out.
+  * md5 is used as a mixer, not for security.
+  */
+object Sampling {
+
+  /** Deterministic [0,1) fraction from a key: first 8 md5 hex digits as a
+    * 32-bit integer over 2^32. Dyadic rational → exact in IEEE double, so
+    * cross-engine comparisons are bit-stable.
+    */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Keep a deterministic `fraction` of rows by key. */
+  def sample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashFraction(col(keyCol)) < fraction)
+
+  /** Stratified sample: per-stratum keep rates (e.g. language balancing in
+    * a corpus mix), `default` for unlisted strata. One scan, no shuffle —
+    * the declarative form of "downsample en to 30%, keep de/fr".
+    */
+  def stratified(df: DataFrame, keyCol: String, strataCol: String,
+                 fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val rate = fractions.foldLeft(lit(default)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(keyCol)) < rate)
+  }
+
+  /** Assign each row to a named split by cumulative fraction boundaries:
+    * `splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` puts the
+    * hash-fraction ranges [0, .8) / [.8, .9) / [.9, 1.0) in those splits.
+    * Deterministic: a document never migrates between splits across runs —
+    * the leakage guarantee a training pipeline needs.
+    */
+  def split(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+            outCol: String = "split"): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val f = hashFraction(col(keyCol))
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(f < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, assign)
+  }
+
+  /** Weighted corpus mixture: sample each source at its rate and union —
+    * the "data mixing" step of corpus assembly. Sources must be
+    * union-compatible by name.
+    */
+  def mixture(sources: Seq[(DataFrame, Double)], keyCol: String): DataFrame =
+    sources.map { case (df, rate) => sample(df, keyCol, rate) }
+      .reduce(_.unionByName(_))
+}

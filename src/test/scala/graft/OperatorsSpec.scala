@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, MediaHeaders, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaHeaders, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /** Extension operators: fuzzy dedup, similarity search, text analysis,
@@ -197,6 +197,31 @@ class OperatorsSpec extends SparkSpec {
       .select($"frame_id", length($"frame").as("n")).collect()
     assert(frames.length == 3)  // 600 bytes → frames of 256/256/88
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
+  }
+
+  test("sampling: deterministic membership, nested rates, leak-free splits") {
+    val df = spark.range(1, 2001).toDF("id")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val half1 = ids(Sampling.sample(df, "id", 0.5))
+    val half2 = ids(Sampling.sample(df, "id", 0.5))
+    assert(half1 == half2)  // same rows every run — hash membership, no RNG
+    assert(math.abs(half1.size / 2000.0 - 0.5) < 0.05)
+    // rates nest: the 25% sample is a subset of the 50% sample
+    assert(ids(Sampling.sample(df, "id", 0.25)).subsetOf(half1))
+    // splits partition the data and never move a key between splits
+    val sp = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500L && counts("val") > 100L && counts("test") > 100L)
+    val sp2 = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(sp.collect().toSet == sp2.collect().toSet)
+    // stratified: rate 0 strata vanish, rate 1 strata survive whole
+    val g = df.withColumn("grp", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val strat = Sampling.stratified(g, "id", "grp", Map("even" -> 1.0, "odd" -> 0.0))
+    assert(strat.count() == 1000L)
+    assert(strat.filter(col("grp") === "odd").count() == 0L)
   }
 
   test("media headers: real JPEG/PNG/GIF dimensions parsed from payload bytes") {
