@@ -104,6 +104,45 @@ object Perf {
           .agg(sum(col("n"))).head().getLong(0)
       }
     }
+    if (what == "sinks") {
+      // per-micro-batch merge cost of the three sink tiers, same 5M-row
+      // fact spread over 30 date partitions, same 50k-row batch touching
+      // exactly ONE partition: whole-table swap is O(table), the pruned
+      // sink O(touched partition), base+delta O(batch)
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("sinks").toString
+      val n = 5000000L
+      val fact = sources.Synthetic.transactions(spark, n, nAccounts = 500000)
+        .withColumn("part_date", to_date(
+          date_add(lit("2024-01-01").cast("date"), pmod(col("id"), lit(30)).cast("int"))))
+      val batch = fact.filter(col("part_date") === lit("2024-01-01").cast("date"))
+        .limit(50000)
+        .withColumn("amount", col("amount") + 1.0)
+      batch.cache().count()
+      val keys = Seq("id"); val ord = Seq("created_at", "id")
+      // tier 1: whole-table atomic swap
+      val whole = root + "/whole"
+      fact.write.parquet(whole)
+      time("sink-whole-table") {
+        gold.UpsertByKey.writeAtomic(
+          gold.UpsertByKey.byMax(spark.read.parquet(whole), batch, keys, ord), whole)
+        spark.read.parquet(whole).count()
+      }
+      // tier 2: partition-pruned dynamic overwrite
+      val pruned = root + "/pruned"
+      gold.PartitionedUpsert.writeDynamic(fact, pruned, "part_date")
+      time("sink-partition-pruned") {
+        gold.PartitionedUpsert.upsert(spark, batch, pruned, keys, ord, "part_date")
+        1L
+      }
+      // tier 3: base+delta append (write cost) + merge-on-read (read cost)
+      val bdTable = gold.BaseDelta.Table(root + "/bd", keys, ord)
+      gold.UpsertByKey.writeAtomic(fact, bdTable.basePath)
+      time("sink-basedelta-append") {
+        gold.BaseDelta.append(spark, bdTable, batch, 1L); 1L
+      }
+      time("sink-basedelta-read")(gold.BaseDelta.read(spark, bdTable).count())
+    }
     if (what == "ann") {
       val emb = Tables.embeddings(spark, d)
       val queries = emb.filter(col("vec_id") < 20)
