@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   *   cosine_similarity(a, b), dot_product(a, b), word_shingles(text, k),
   *   minhash_signature(shingles, k), simhash64(tokens),
-  *   norm_text(text), lsh_buckets(vec, tables, planes)
+  *   norm_text(text), lsh_buckets(vec, tables, planes),
+  *   ordered_pairs(arr), media_meta(payload)
   *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or config `spark.sql.extensions=graft.functions.GraftExtensions`;
@@ -41,7 +42,9 @@ object GraftExtensions {
     "simhash64" -> (es => SimHash64(es(0))),
     "norm_text" -> (es => NormalizeText(es(0))),
     "lsh_buckets" -> (es => HyperplaneBuckets(es(0),
-      intArg(es(1), "numTables"), intArg(es(2), "numPlanes"))))
+      intArg(es(1), "numTables"), intArg(es(2), "numPlanes"))),
+    "ordered_pairs" -> (es => OrderedPairs(es(0))),
+    "media_meta" -> (es => graft.operators.MediaMeta(es(0))))
 
   /** Register into an already-built session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

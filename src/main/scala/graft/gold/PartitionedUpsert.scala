@@ -65,9 +65,16 @@ object PartitionedUpsert {
              opCol: Option[String] = None): Unit = {
     val parts = touched(incoming, partCol)
     if (parts.isEmpty) return
+    // null partition values land in Hive's default partition; isin(null)
+    // never matches, so null must be pruned with an explicit isNull or the
+    // default partition's existing rows would be missed (→ duplicate keys)
+    val nonNull = parts.filter(_ != null)
+    val prune =
+      if (nonNull.size < parts.size) col(partCol).isin(nonNull: _*) || col(partCol).isNull
+      else col(partCol).isin(parts: _*)
     val existing =
       if (UpsertByKey.exists(spark, path))
-        Some(spark.read.parquet(path).filter(col(partCol).isin(parts: _*)))
+        Some(spark.read.parquet(path).filter(prune))
       else None
     writeDynamic(
       UpsertByKey.mergeBatch(existing, incoming, keys, orderCols, opCol),

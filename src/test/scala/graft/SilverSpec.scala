@@ -70,6 +70,36 @@ class SilverSpec extends SparkSpec {
     assert(out == Map(1L -> "b", 2L -> "c"))
   }
 
+  test("writeAtomic recovers the table from a crash between the swap renames") {
+    val path = tmpDir("recover") + "/fact"
+    UpsertByKey.writeAtomic(Seq((1L, "a")).toDF("id", "v"), path)
+    // simulate the crash window: target renamed away, tmp never renamed in
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".__old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // exists() must recover the dangling state, not report a first write
+    assert(UpsertByKey.exists(spark, path))
+    assert(spark.read.parquet(path).collect().map(_.getAs[String]("v")).toSeq == Seq("a"))
+  }
+
+  test("PartitionedUpsert merges null partition values against the default partition") {
+    import graft.gold.PartitionedUpsert
+    val path = tmpDir("pu-null") + "/t"
+    val b1 = Seq((1L, "a", 1, Some("2024-01-01")), (2L, "b", 1, None))
+      .toDF("id", "v", "ver", "pd").withColumn("pd", col("pd").cast("date"))
+    PartitionedUpsert.upsert(spark, b1, path, Seq("id"), Seq("ver", "id"), "pd")
+    val b2 = Seq((2L, "b2", 2, None: Option[String]))
+      .toDF("id", "v", "ver", "pd").withColumn("pd", col("pd").cast("date"))
+    PartitionedUpsert.upsert(spark, b2, path, Seq("id"), Seq("ver", "id"), "pd")
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    // the null-partition key was merged, not duplicated
+    assert(out == Map(1L -> "a", 2L -> "b2"))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("DQ checks flag exactly the planted violations") {
     val txns = Seq(
       (1L, 10, "DEPOSIT", 100.0),
