@@ -81,8 +81,12 @@ object TextAnalysis {
     df.withColumn("n_chars_m", length(t))
       .withColumn("n_tokens", size(toks))
       .withColumn("n_unique_tokens", size(array_distinct(toks)))
+      // sum of token lengths == non-whitespace chars of the lowered text:
+      // one codegen'd regex pass instead of an interpreted aggregate() HOF
+      // over the token array (same value; lower() can change char counts on
+      // special code points, so it must run before the length)
       .withColumn("mean_token_len",
-        aggregate(toks, lit(0), (acc, tk) => acc + length(tk)).cast("double")
+        length(regexp_replace(lower(trim(t)), "\\s+", "")).cast("double")
           / size(toks))
       .withColumn("stopword_ratio",
         hitCount(toks, Stopwords).cast("double") / size(toks))
