@@ -747,6 +747,69 @@ object Queries {
                              WHEN 'es' THEN 0.5 WHEN 'de' THEN 1.0
                              WHEN 'fr' THEN 0.25 ELSE 0.0 END""")),
 
+    // ── training-data quality: intra-document repetition filters
+    //    (Gopher-style duplicate-token / heaviest-token char mass) ──
+    Q("q47_repetition",
+      (s, d) => operators.TextAnalysis.repetition(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          round(col("dup_token_ratio"), 6).as("dup_token_ratio"),
+          round(col("top_token_char_ratio"), 6).as("top_token_char_ratio")),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        per AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(COUNT(*) * length(tok) AS BIGINT) AS chars
+          FROM tk WHERE length(tok) > 0 GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                 round(CAST(MAX(chars) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE), 6)
+                   AS top_token_char_ratio
+          FROM per GROUP BY 1)
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+               round(CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens, 6)
+                 AS dup_token_ratio,
+               top_token_char_ratio
+        FROM agg""")),
+
+    // ── training-data scrubbing: PII redaction (emails + phone numbers),
+    //    exercised on deterministically injected PII so the operator has
+    //    real matches to remove; oracle replays the same injection ──
+    Q("q48_pii_redact",
+      (s, d) => {
+        val injected = Tables.documents(s, d)
+          .withColumn("text_pii",
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" contact user"), col("doc_id"),
+                lit("@mail.example.com or +1 555-000-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(col("text")))
+        injected.select(col("doc_id"),
+          operators.TextAnalysis.piiCount(col("text_pii")).as("n_pii"),
+          operators.TextAnalysis.redactPii(col("text_pii")).as("clean_text"))
+      },
+      Some(s"""
+        WITH injected AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   text || ' contact user' || doc_id::VARCHAR ||
+                   '@mail.example.com or +1 555-000-' ||
+                   lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE text END AS text_pii
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text_pii, '${TextAnalysis.EmailPattern}'))
+                  + len(regexp_extract_all(text_pii, '${TextAnalysis.PhonePattern}'))
+                 AS INTEGER) AS n_pii,
+               regexp_replace(
+                 regexp_replace(text_pii, '${TextAnalysis.EmailPattern}', '[PII]', 'g'),
+                 '${TextAnalysis.PhonePattern}', '[PII]', 'g') AS clean_text
+        FROM injected""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

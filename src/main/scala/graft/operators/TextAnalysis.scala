@@ -98,6 +98,48 @@ object TextAnalysis {
           / length(t))
   }
 
+  /** Repetition metrics (the Gopher/RefinedWeb-style intra-document
+    * repetition filters): duplicate-token ratio and the char mass of the
+    * heaviest single token. Highly repetitive documents (boilerplate,
+    * keyword stuffing, degenerate generations) score high and get
+    * filtered before training.
+    *
+    * Shape: explode tokens → count per (doc, token) → per-doc aggregate.
+    * Two hash-aggregate shuffles with map-side combine — the inverted-index
+    * build shape, linear in corpus token count, no per-row quadratic work.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("cnt") * length(col("tok")))
+    perTok.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_distinct_tokens"),
+      (max(col("chars")).cast("double") / sum(col("chars")).cast("double"))
+        .as("top_token_char_ratio"))
+      .withColumn("dup_token_ratio",
+        (col("n_tokens") - col("n_distinct_tokens")).cast("double") / col("n_tokens"))
+  }
+
+  /** PII scrubbing: redact emails and international-format phone numbers
+    * with a placeholder token. Patterns are RE2-compatible (no backrefs /
+    * lookaround) so the DuckDB oracle applies byte-identical replacement;
+    * map-only, codegen'd, linear.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+  def redactPii(text: Column, token: String = "[PII]"): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, token),
+      PhonePattern, token)
+
+  /** Count of PII matches (pre-redaction audit metric). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)) + regexp_count(text, lit(PhonePattern))
+
   /** Token counts under both tokenizers. `regexp_count` instead of
     * `size(regexp_extract_all(…))` — counts matches without materializing
     * the token array (same result, no per-row allocation).

@@ -199,6 +199,26 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
   }
 
+  test("repetition metrics score planted repetition; PII redaction scrubs") {
+    val df = Seq(
+      (1L, "aa aa aa aa b"),
+      (2L, "all tokens unique here")).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetition(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct_tokens"),
+          r.getAs[Double]("dup_token_ratio"), r.getAs[Double]("top_token_char_ratio"))))
+      .toMap
+    // doc 1: aa×4 + b → 5 tokens, 2 distinct, dup 3/5, 'aa' holds 8/9 chars
+    assert(rep(1L) == ((5L, 2L, 0.6, 8.0 / 9.0)))
+    assert(rep(2L)._3 == 0.0)
+    val clean = Seq((1L, "mail bob@x.co or +1 555-123-4567 now"))
+      .toDF("id", "t")
+      .select(TextAnalysis.piiCount(col("t")).as("n"),
+        TextAnalysis.redactPii(col("t")).as("c")).head()
+    assert(clean.getAs[Int]("n") == 2)
+    assert(clean.getAs[String]("c") == "mail [PII] or [PII] now")
+  }
+
   test("sampling: deterministic membership, nested rates, leak-free splits") {
     val df = spark.range(1, 2001).toDF("id")
     def ids(d: org.apache.spark.sql.DataFrame) =
