@@ -54,4 +54,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("q01_dedup_latest")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("sampling is a map-only pruned scan (no shuffle, two columns read)") {
+    val p = plan("q46_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+    val scanCols = ("FileScan parquet \\[([^\\]]*)\\]".r).findFirstMatchIn(p).get.group(1)
+    assert(scanCols.split(",").map(_.takeWhile(_ != '#')).toSeq == Seq("doc_id", "lang"),
+      scanCols)
+  }
+
+  test("repetition metrics are two hash aggregations with map-side combine") {
+    val p = plan("q47_repetition")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
