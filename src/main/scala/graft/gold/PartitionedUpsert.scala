@@ -107,8 +107,13 @@ object PartitionedUpsert {
   def scd2(spark: SparkSession, staged: DataFrame, path: String,
            keys: Seq[String], checkCols: Seq[String],
            asOf: java.sql.Timestamp): Unit = {
-    // same formatting path as scdPart: session-local date of the timestamp
-    val asOfPart = "closed_" + asOf.toLocalDateTime.toLocalDate.toString
+    // derive the close-date partition in the SESSION timezone — the same
+    // zone date_format uses inside scdPart. Using the driver JVM's default
+    // zone here would read the wrong closed partition whenever the two
+    // disagree (e.g. UTC session on a non-UTC driver), silently dropping
+    // same-day closures on the second batch of a day.
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val asOfPart = "closed_" + asOf.toInstant.atZone(zone).toLocalDate.toString
     val snapshot =
       if (UpsertByKey.exists(spark, path))
         spark.read.parquet(path)
