@@ -60,7 +60,9 @@ object BaseDelta {
     else f.listStatus(root).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
+      .map(_.stripPrefix("batch="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))  // ignore foreign dirs
+      .map(_.toLong)
   }
 
   /** Append one micro-batch as an immutable delta — O(batch) I/O. The

@@ -185,7 +185,8 @@ object MediaHeaders {
         return Array(be16(b, j + 7), be16(b, j + 5))  // width, height
       }
       if (marker == 0xD9 || marker == 0xDA) return null  // EOI / scan data: no SOF seen
-      if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) i = j + 2
+      // standalone markers carry no length field: RST0-7, TEM, (stray) SOI
+      if ((marker >= 0xD0 && marker <= 0xD8) || marker == 0x01) i = j + 2
       else {
         if (j + 3 >= b.length) return null
         i = j + 2 + be16(b, j + 2)

@@ -37,12 +37,16 @@ object CdcStream {
     * code path after the source.
     */
   def fromKafka(spark: SparkSession, bootstrap: String, topics: Seq[String],
-                afterSchema: StructType): DataFrame = {
-    val raw = spark.readStream.format("kafka")
+                afterSchema: StructType,
+                maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics.mkString(","))
       .option("startingOffsets", "earliest")
-      .load()
+    // count-based micro-batching (SURVEY §2 row 4): bound records/trigger
+    val bounded = maxOffsetsPerTrigger
+      .map(n => reader.option("maxOffsetsPerTrigger", n)).getOrElse(reader)
+    val raw = bounded.load()
       .select(col("value").cast("string").as("value"))
     graft.cdc.Envelope.parse(raw, "value", afterSchema)
   }
