@@ -103,7 +103,7 @@ object BaseDelta {
     */
   def compact(spark: SparkSession, t: Table): Unit = {
     val ids = deltaBatches(spark, t)
-    if (ids.isEmpty && fs(spark, t.basePath).exists(new Path(t.basePath))) return
+    if (ids.isEmpty) return  // nothing to fold (also covers an empty table)
     UpsertByKey.writeAtomic(read(spark, t), t.basePath)
     val f = fs(spark, t.deltaRoot)
     ids.foreach(id => f.delete(new Path(t.deltaPath(id)), true))
