@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *
   * The ordering contract is the usual one: `orderCols` must totally order
   * versions of a key (include a unique id as the final tie-break).
+  *
+  * Concurrency: single writer (the streaming sink serializes batches).
+  * A reader that lists deltas while a concurrent compaction deletes them
+  * can hit a vanished path — full snapshot isolation needs a manifest
+  * file the way table formats do it; out of scope here, so schedule
+  * compaction in the write path (as `appendAndMaybeCompact` does), where
+  * it is serialized with the writes.
   */
 object BaseDelta {
 
