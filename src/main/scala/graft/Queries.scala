@@ -736,11 +736,13 @@ object Queries {
         WITH f AS (
           SELECT doc_id, lang,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
-                   / 4294967296.0 AS hf
+                   / 4294967296.0 AS hf,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS hs
           FROM documents)
         SELECT doc_id, lang,
-               CASE WHEN hf < 0.8 THEN 'train'
-                    WHEN hf < 0.9 THEN 'val'
+               CASE WHEN hs < 0.8 THEN 'train'
+                    WHEN hs < 0.9 THEN 'val'
                     ELSE 'test' END AS split
         FROM f
         WHERE hf < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8
@@ -809,6 +811,79 @@ object Queries {
                  regexp_replace(text_pii, '${TextAnalysis.EmailPattern}', '[PII]', 'g'),
                  '${TextAnalysis.PhonePattern}', '[PII]', 'g') AS clean_text
         FROM injected""")),
+
+    // ── the full corpus-assembly flow, composed end to end: exact dedup →
+    //    quality filter → language ID → repetition filter → deterministic
+    //    50% sample → train/val split. One declarative plan; every stage
+    //    is an already-oracled operator and the composition is re-checked
+    //    value-exact against DuckDB ──
+    Q("q49_corpus_assembly",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cleaned = graft.pipelines.CorpusPipeline.clean(docs, "doc_id", "text")
+          .select("doc_id", "lang", "n_tokens", "lang_pred")
+        val keep = operators.TextAnalysis.repetition(docs, "doc_id", "text")
+          .filter(col("dup_token_ratio") <= 0.6).select("doc_id")
+        operators.Sampling.split(
+          operators.Sampling.sample(cleaned.join(keep, "doc_id"), "doc_id", 0.5),
+          "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+          .select("doc_id", "lang", "n_tokens", "lang_pred", "split")
+      },
+      Some {
+        val stop = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+        val scoreCols = TextAnalysis.LangProfiles.map { case (l, vocab) =>
+          s"len(list_filter(toks, tk -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], tk))) AS score_$l"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangProfiles.map(_._1)
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"score_$l >= score_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH canon AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM documents) WHERE rn = 1),
+        toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM canon),
+        feat AS (
+          SELECT doc_id, lang, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(len(list_filter(toks, tk -> list_contains([$stop], tk))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+                 $scoreCols
+          FROM toks),
+        cleaned AS (
+          SELECT doc_id, lang, n_tokens,
+                 CASE $cases ELSE '${langs.last}' END AS lang_pred
+          FROM feat WHERE n_tokens >= 30 AND stopword_ratio <= 0.9),
+        tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        per AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tk WHERE length(tok) > 0 GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_ratio
+          FROM per GROUP BY 1),
+        sampled AS (
+          SELECT c.doc_id, c.lang, c.n_tokens, c.lang_pred,
+                 ('0x' || substr(md5(c.doc_id::VARCHAR || 'split'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS hs
+          FROM cleaned c JOIN rep r ON c.doc_id = r.doc_id
+          WHERE r.dup_ratio <= 0.6
+            AND ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 8))::UBIGINT
+                  / 4294967296.0 < 0.5)
+        SELECT doc_id, lang, n_tokens, lang_pred,
+               CASE WHEN hs < 0.9 THEN 'train' ELSE 'val' END AS split
+        FROM sampled"""
+      }),
 
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",

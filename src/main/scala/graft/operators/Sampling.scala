@@ -22,26 +22,32 @@ object Sampling {
 
   /** Deterministic [0,1) fraction from a key: first 8 md5 hex digits as a
     * 32-bit integer over 2^32. Dyadic rational → exact in IEEE double, so
-    * cross-engine comparisons are bit-stable.
+    * cross-engine comparisons are bit-stable. `salt` decorrelates
+    * independent decisions over the same key — sampling and splitting MUST
+    * use different salts, or sampling at 50% then splitting 90/10 would
+    * put every surviving row in the first split (both predicates would
+    * read the same hash).
     */
-  def hashFraction(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+  def hashFraction(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long") / lit(4294967296.0)
 
   /** Keep a deterministic `fraction` of rows by key. */
-  def sample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
-    df.filter(hashFraction(col(keyCol)) < fraction)
+  def sample(df: DataFrame, keyCol: String, fraction: Double,
+             salt: String = ""): DataFrame =
+    df.filter(hashFraction(col(keyCol), salt) < fraction)
 
   /** Stratified sample: per-stratum keep rates (e.g. language balancing in
     * a corpus mix), `default` for unlisted strata. One scan, no shuffle —
     * the declarative form of "downsample en to 30%, keep de/fr".
     */
   def stratified(df: DataFrame, keyCol: String, strataCol: String,
-                 fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+                 fractions: Map[String, Double], default: Double = 0.0,
+                 salt: String = ""): DataFrame = {
     val rate = fractions.foldLeft(lit(default)) { case (acc, (stratum, f)) =>
       when(col(strataCol) === stratum, lit(f)).otherwise(acc)
     }
-    df.filter(hashFraction(col(keyCol)) < rate)
+    df.filter(hashFraction(col(keyCol), salt) < rate)
   }
 
   /** Assign each row to a named split by cumulative fraction boundaries:
@@ -51,9 +57,9 @@ object Sampling {
     * the leakage guarantee a training pipeline needs.
     */
   def split(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
-            outCol: String = "split"): DataFrame = {
+            outCol: String = "split", salt: String = "split"): DataFrame = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
-    val f = hashFraction(col(keyCol))
+    val f = hashFraction(col(keyCol), salt)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
     val assign = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), acc) => when(f < hi, lit(name)).otherwise(acc)

@@ -237,6 +237,14 @@ class OperatorsSpec extends SparkSpec {
     assert(counts("train") > 1500L && counts("val") > 100L && counts("test") > 100L)
     val sp2 = Sampling.split(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     assert(sp.collect().toSet == sp2.collect().toSet)
+    // split is decorrelated from sampling: a 50% sample then a 80/10/10
+    // split must still produce all three splits (same hash would put every
+    // survivor in 'train')
+    val sampledSplit = Sampling.split(Sampling.sample(df, "id", 0.5), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(sampledSplit.keySet == Set("train", "val", "test"))
     // stratified: rate 0 strata vanish, rate 1 strata survive whole
     val g = df.withColumn("grp", when(col("id") % 2 === 0, "even").otherwise("odd"))
     val strat = Sampling.stratified(g, "id", "grp", Map("even" -> 1.0, "odd" -> 0.0))
