@@ -89,14 +89,20 @@ object BaseDelta {
   /** Merge-on-read view: latest row per key across base and all deltas,
     * tombstoned keys absent. One hash-aggregate shuffle (map-side
     * combine), no sort, no window.
+    *
+    * `allowSchemaEvolution=true` tolerates a CDC stream that grew columns
+    * mid-stream (upstream ALTER TABLE): deltas written before the change
+    * surface the new columns as null. Off by default so an accidental
+    * schema drift fails loudly instead of null-filling.
     */
-  def read(spark: SparkSession, t: Table): DataFrame = {
+  def read(spark: SparkSession, t: Table,
+           allowSchemaEvolution: Boolean = false): DataFrame = {
     val f = fs(spark, t.path)
     val hasBase = f.exists(new Path(t.basePath))
     val deltas = deltaBatches(spark, t).map(id => spark.read.parquet(t.deltaPath(id)))
     val parts = (if (hasBase) Seq(spark.read.parquet(t.basePath)) else Seq.empty) ++ deltas
     require(parts.nonEmpty, s"BaseDelta.read: empty table at ${t.path}")
-    val all = parts.reduce(_.unionByName(_))
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
     val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
     t.opCol match {
       case Some(op) => merged.filter(col(op) =!= "d" || col(op).isNull)
@@ -108,10 +114,11 @@ object BaseDelta {
     * keys are physically removed here. Stale deltas surviving a crash
     * between the swap and the cleanup re-merge as no-ops.
     */
-  def compact(spark: SparkSession, t: Table): Unit = {
+  def compact(spark: SparkSession, t: Table,
+              allowSchemaEvolution: Boolean = false): Unit = {
     val ids = deltaBatches(spark, t)
     if (ids.isEmpty) return  // nothing to fold (also covers an empty table)
-    UpsertByKey.writeAtomic(read(spark, t), t.basePath)
+    UpsertByKey.writeAtomic(read(spark, t, allowSchemaEvolution), t.basePath)
     val f = fs(spark, t.deltaRoot)
     ids.foreach(id => f.delete(new Path(t.deltaPath(id)), true))
   }

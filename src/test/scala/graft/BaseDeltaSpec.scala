@@ -73,6 +73,27 @@ class BaseDeltaSpec extends SparkSpec {
     assert(snap(BaseDelta.read(spark, table)) == Map(1L -> (("a", 1)), 2L -> (("b", 1))))
   }
 
+  test("schema evolution: a column added mid-stream null-fills older rows on read") {
+    val path = tmpDir("bd-evo") + "/t"
+    val table = t(path)
+    BaseDelta.append(spark, table,
+      Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
+    // upstream ALTER TABLE: later deltas carry an extra column
+    BaseDelta.append(spark, table,
+      Seq((2L, "b", 1, "eu")).toDF("id", "v", "ver", "region"), 1L)
+    // strict read fails loudly on the drift
+    intercept[org.apache.spark.sql.AnalysisException] {
+      BaseDelta.read(spark, table).collect()
+    }
+    val out = BaseDelta.read(spark, table, allowSchemaEvolution = true).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("region"))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("eu")))
+    // compaction under evolution folds to the widened schema
+    BaseDelta.compact(spark, table, allowSchemaEvolution = true)
+    assert(spark.read.parquet(table.basePath).columns.contains("region"))
+    assert(BaseDelta.read(spark, table).count() == 2)
+  }
+
   test("streaming base+delta sink: appends per trigger, compacts past maxDeltas") {
     val in = tmpDir("bd-in"); val sink = tmpDir("bd-sink") + "/t"; val ckpt = tmpDir("bd-ckpt")
     val schema = org.apache.spark.sql.types.StructType(Seq(
