@@ -885,6 +885,53 @@ object Queries {
         FROM sampled"""
       }),
 
+    // ── embedding storage: symmetric int8 quantization (4× cut), exploded
+    //    per-dim so the oracle compares every quantized value exactly ──
+    Q("q50_embedding_quantize",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).select(col("vec_id"),
+          graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("qz"))
+        q.select(col("vec_id"), col("qz.scale").as("scale"),
+            posexplode(col("qz.qvec")).as(Seq("dim", "q")))
+          .select(col("vec_id"), col("dim"), col("q"), col("scale"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS am
+          FROM embeddings)
+        SELECT vec_id, CAST(d.i AS INTEGER) AS dim,
+               CAST(CASE WHEN am = 0 THEN 0
+                         ELSE floor(v[d.i + 1] * 127.0 / am + 0.5) END AS INTEGER) AS q,
+               am / 127.0 AS scale
+        FROM b, LATERAL (SELECT unnest(range(len(v))) AS i) d""")),
+
+    // ── training-shard assembly: greedy contiguous sequence packing into
+    //    fixed token budgets, sharded so no global sort exists ──
+    Q("q51_sequence_packing",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          size(operators.TextAnalysis.tokens(col("text"))).as("n_tokens"))
+        operators.Packing.packSummary(
+          operators.Packing.packSequences(docs, "doc_id", "n_tokens",
+            budget = 512, nShards = 8), "n_tokens")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+          FROM documents),
+        pre AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_tokens
+          FROM t)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(pre_tokens // 512 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM pre GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

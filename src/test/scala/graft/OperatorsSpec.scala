@@ -199,6 +199,57 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
   }
 
+  test("int8 quantization: values in [-127,127], dequant error ≤ scale/2") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("qz"))
+    val rows = q.collect().map(r => r.getAs[Long]("vec_id") -> r.getStruct(1)).toMap
+    val r1 = rows(1L)
+    val scale = r1.getAs[Double]("scale")
+    val qv = r1.getAs[scala.collection.Seq[Int]]("qvec")
+    assert(scale == 1.0 / 127.0)
+    assert(qv == Seq(64, -127, 32, 0))  // floor(x*127/absmax + .5)
+    assert(qv.forall(v => v >= -127 && v <= 127))
+    // zero vector quantizes to zeros with zero scale, no NaN/div-by-zero
+    assert(rows(2L).getAs[scala.collection.Seq[Int]]("qvec") == Seq(0, 0, 0, 0))
+    // dequantization reconstructs within half a quantization step
+    val err = df.select(col("embedding"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("embedding"),
+        VectorFunctions.dequantizeInt8(col("qz.qvec"), col("qz.scale")).as("back"),
+        col("qz.scale").as("s"))
+      .collect().flatMap { r =>
+        val a = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val b = r.getAs[scala.collection.Seq[Float]]("back")
+        val s = r.getAs[Double]("s")
+        a.zip(b).map { case (x, y) => math.abs(x - y) - s / 2 - 1e-6 }
+      }
+    assert(err.forall(_ <= 0))
+  }
+
+  test("sequence packing: deterministic sharded bins, token mass conserved") {
+    val docs = spark.range(1, 201).toDF("doc_id")
+      .withColumn("n_tokens", (col("doc_id") % 40 + 10).cast("int"))
+    val packed = graft.operators.Packing.packSequences(
+      docs, "doc_id", "n_tokens", budget = 100, nShards = 4)
+    // every doc assigned exactly once; shards are id-determined
+    assert(packed.count() == 200)
+    assert(packed.select("shard").distinct().count() == 4)
+    // bin boundaries: a doc's bin is its preceding-total window
+    val bad = packed.filter(col("bin") =!= floor(col("pre_tokens") / 100)).count()
+    assert(bad == 0)
+    // token mass is conserved through the summary
+    val summary = graft.operators.Packing.packSummary(packed, "n_tokens")
+    assert(summary.agg(sum("total_tokens")).head().getLong(0) ==
+      docs.agg(sum("n_tokens")).head().getLong(0))
+    // deterministic across runs
+    val again = graft.operators.Packing.packSequences(
+      docs, "doc_id", "n_tokens", budget = 100, nShards = 4)
+    assert(packed.collect().toSet == again.collect().toSet)
+  }
+
   test("repetition metrics score planted repetition; PII redaction scrubs") {
     val df = Seq(
       (1L, "aa aa aa aa b"),
