@@ -932,6 +932,28 @@ object Queries {
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM pre GROUP BY 1, 2""")),
 
+    // ── event-time interval join (batch form of the stream-stream join:
+    //    same plan, watermark a no-op on bounded input) ──
+    Q("q52_interval_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+        graft.streaming.CdcStream.intervalJoin(
+            purchases, errors, "user_id", "ts", "ts", tolerance = "30 minutes")
+          .select(col("l_user_id").as("user_id"),
+            col("l_purchase_id").as("purchase_id"),
+            col("r_error_id").as("error_id"))
+      },
+      Some("""
+        SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS error_id
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+          AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE
+                       AND a.ts + INTERVAL 30 MINUTE""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

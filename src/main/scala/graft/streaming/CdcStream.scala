@@ -196,6 +196,27 @@ object CdcStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream event-time interval join: rows from two streams with
+    * the same key match when their event times are within `tolerance` of
+    * each other. Both sides are watermarked so the join state is bounded —
+    * Spark can discard buffered rows once the other side's watermark
+    * passes the tolerance window (unbounded state is the failure mode of
+    * naive stream joins at scale). Input columns are prefixed `l_`/`r_`
+    * to keep the output schema unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   tolerance: String = "10 minutes"): DataFrame = {
+    val l = left.toDF(left.columns.map("l_" + _): _*)
+      .withWatermark(s"l_$leftTs", tolerance)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark(s"r_$rightTs", tolerance)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$rightTs") >= col(s"l_$leftTs") - expr(s"INTERVAL $tolerance") &&
+        col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $tolerance"))
+  }
+
   /** Event-time windowed aggregation with watermark (the §7.5 extension
     * surface): tumbling `windowDur` counts/sums per key, late data beyond
     * `lateness` dropped.

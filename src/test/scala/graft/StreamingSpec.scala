@@ -281,6 +281,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_.getAs[String](Envelope.CorruptCol) != null) == 1)
   }
 
+  test("stream-stream interval join matches events within tolerance, bounded state") {
+    val inL = tmpDir("ssj-l"); val inR = tmpDir("ssj-r")
+    val schemaL = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("acct", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val schemaR = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("acct", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    Files.writeString(Paths.get(s"$inL/a.json"), Seq(
+      """{"acct":1,"amt":100.0,"ts":"2024-01-01T10:00:00Z"}""",
+      """{"acct":2,"amt":50.0,"ts":"2024-01-01T10:00:00Z"}""").mkString("\n"))
+    Files.writeString(Paths.get(s"$inR/b.json"), Seq(
+      """{"acct":1,"flag":"review","ts":"2024-01-01T10:05:00Z"}""",
+      """{"acct":2,"flag":"late","ts":"2024-01-01T11:00:00Z"}""").mkString("\n"))
+    val joined = CdcStream.intervalJoin(
+      spark.readStream.schema(schemaL).json(inL),
+      spark.readStream.schema(schemaR).json(inR),
+      "acct", "ts", "ts", tolerance = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT l_acct, r_flag FROM ssj_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // acct 1 joins within 5 min; acct 2's flag is 60 min late → no match
+    assert(out.toSeq == Seq((1L, "review")))
+  }
+
   test("windowed aggregation with watermark over the events table (batch-check)") {
     // batch DataFrames accept the same plan: verifies shape + column names
     val agg = CdcStream.windowedAgg(
