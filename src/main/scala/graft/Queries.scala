@@ -954,6 +954,28 @@ object Queries {
           AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE
                        AND a.ts + INTERVAL 30 MINUTE""")),
 
+    // ── group-level similarity via MinHash-union Aggregator: one 32-slot
+    //    signature per source, pairwise Jaccard estimated from slot
+    //    agreement — corpus-vs-corpus similarity with no document join.
+    //    No SQL oracle (custom FNV hashing); union law + estimate accuracy
+    //    are property-tested in FunctionsSpec ──
+    Q("q53_group_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sigs = docs.select(col("source"),
+            graft.functions.HashFunctions.minhash(
+              graft.functions.HashFunctions.wordShingles(col("text"), 3), 32).as("sig"))
+          .groupBy(col("source"))
+          .agg(graft.functions.MinHashUnion.column(32)(col("sig")).as("usig"))
+        val a = sigs.select(col("source").as("source_a"), col("usig").as("sig_a"))
+        val b = sigs.select(col("source").as("source_b"), col("usig").as("sig_b"))
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            graft.functions.MinHashUnion.estJaccard(col("sig_a"), col("sig_b"))
+              .as("est_jaccard"))
+      },
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -199,6 +199,37 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
   }
 
+  test("MinHash union aggregator: elementwise min IS the union's signature") {
+    import graft.functions.{HashFunctions, MinHashUnion}
+    val docs = Seq(
+      (1L, "g1", "the quick brown fox jumps over the dog"),
+      (2L, "g1", "a different second document entirely here now"),
+      (3L, "g2", "the quick brown fox jumps over the dog")).toDF("id", "grp", "text")
+    val sigs = docs.select(col("id"), col("grp"),
+      HashFunctions.minhash(HashFunctions.wordShingles(col("text"), 3), 32).as("sig"))
+    // union law: aggregating g1's signatures == signature over the union
+    // of g1's shingle arrays (MinHash slot = min over the shingle set)
+    val agg = sigs.filter(col("grp") === "g1")
+      .groupBy(col("grp")).agg(MinHashUnion.column(32)(col("sig")).as("usig"))
+      .head().getAs[scala.collection.Seq[Long]]("usig")
+    val direct = docs.filter(col("grp") === "g1")
+      .select(HashFunctions.wordShingles(col("text"), 3).as("sh"))
+      .agg(flatten(collect_list(col("sh"))).as("all"))
+      .select(HashFunctions.minhash(array_distinct(col("all")), 32).as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(agg == direct)
+    // estJaccard: identical corpora → 1.0; overlapping ones in (0, 1]
+    val bySrc = sigs.groupBy(col("grp")).agg(MinHashUnion.column(32)(col("sig")).as("u"))
+    val j = bySrc.select(col("grp"), col("u")).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[scala.collection.Seq[Long]]("u")).toMap
+    val same = Seq((j("g2"), j("g2"))).toDF("a", "b")
+      .select(MinHashUnion.estJaccard(col("a"), col("b"))).head().getDouble(0)
+    assert(same == 1.0)
+    val cross = Seq((j("g1"), j("g2"))).toDF("a", "b")
+      .select(MinHashUnion.estJaccard(col("a"), col("b"))).head().getDouble(0)
+    assert(cross > 0.0 && cross < 1.0)  // g2 ⊂ g1's content but g1 has more
+  }
+
   test("int8 quantization: values in [-127,127], dequant error ≤ scale/2") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
