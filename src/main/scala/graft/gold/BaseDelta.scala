@@ -81,10 +81,18 @@ object BaseDelta {
     * batch-sized, so a handful of files is the right granularity.
     */
   def append(spark: SparkSession, t: Table, incoming: DataFrame, batchId: Long,
-             deltaFiles: Int = 4): Unit =
-    graft.silver.Staging.dedupLatestByMax(incoming, t.keys, t.orderCols)
+             deltaFiles: Int = 4): Unit = {
+    // CDC mode: a malformed envelope that lost even its before-image has
+    // null keys — drop it rather than store a junk null-key row (same
+    // contract as UpsertByKey.byMaxCdc)
+    val keyed =
+      if (t.opCol.isDefined)
+        incoming.filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
+      else incoming
+    graft.silver.Staging.dedupLatestByMax(keyed, t.keys, t.orderCols)
       .coalesce(deltaFiles)
       .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
+  }
 
   /** Merge-on-read view: latest row per key across base and all deltas,
     * tombstoned keys absent. One hash-aggregate shuffle (map-side
@@ -105,8 +113,12 @@ object BaseDelta {
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
     val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
     t.opCol match {
-      case Some(op) => merged.filter(col(op) =!= "d" || col(op).isNull)
-      case None     => merged
+      case Some(op) =>
+        // tombstoned keys absent; null-key junk dropped even if a delta
+        // predating the CDC contract carried one
+        merged.filter(col(op) =!= "d" || col(op).isNull)
+          .filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
+      case None => merged
     }
   }
 

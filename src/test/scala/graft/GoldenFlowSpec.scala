@@ -18,6 +18,51 @@ class GoldenFlowSpec extends SparkSpec {
   private def txnEnv(id: Long, acct: Int, amt: Double, created: String, lsn: Long): String =
     s"""{"payload":{"before":null,"after":{"id":$id,"account_id":$acct,"txn_type":"DEPOSIT","amount":$amt,"related_account_id":null,"status":"COMPLETED","created_at":"$created"},"source":{"table":"transactions","lsn":$lsn,"ts_ms":$lsn},"op":"c","ts_ms":$lsn}}"""
 
+  test("streaming medallion flow: partitioned bronze + base+delta gold with tombstones") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.CdcStream
+    val in = tmpDir("gf2-in")
+    val bronze = tmpDir("gf2-bronze") + "/raw"; val ckptB = tmpDir("gf2-ckb")
+    val gold = tmpDir("gf2-gold") + "/accounts"; val ckptG = tmpDir("gf2-ckg")
+    def deleteEnv(id: Int, created: String, lsn: Long): String =
+      s"""{"payload":{"before":{"id":$id,"customer_id":1,"account_type":"SAVINGS","balance":0.0,"currency":"USD","created_at":"$created"},"after":null,"source":{"table":"accounts","lsn":$lsn,"ts_ms":$lsn},"op":"d","ts_ms":$lsn}}"""
+    // epoch 1: creates, a replayed event, and a corrupt line
+    Files.writeString(Paths.get(s"$in/b1.json"), Seq(
+      accountEnv(10, 1, 100.0, "2024-01-01T00:00:00Z", 1),
+      accountEnv(10, 1, 100.0, "2024-01-01T00:00:00Z", 1),
+      accountEnv(11, 1, 50.0, "2024-01-02T00:00:00Z", 2),
+      """{"payload": {"after": {"id": broken""").mkString("\n"))
+    def parsed() = CdcStream.fromJsonFiles(spark, in, Schemas.accounts)
+    val qB = CdcStream.toBronze(
+      parsed().filter(col(Envelope.CorruptCol).isNull).drop(Envelope.CorruptCol),
+      bronze, ckptB, trigger = Trigger.ProcessingTime(0))
+    val qG = CdcStream.upsertStreamDelta(
+      parsed().drop(Envelope.CorruptCol), gold, ckptG,
+      keys = Seq("id"), orderCols = Seq("ts_ms"), opCol = Some("op"),
+      maxDeltas = 1, trigger = Trigger.ProcessingTime(0))
+    qB.processAllAvailable(); qG.processAllAvailable()
+    // epoch 2: update 10, tombstone 11
+    Files.writeString(Paths.get(s"$in/b2.json"), Seq(
+      accountEnv(10, 1, 999.0, "2024-01-01T00:00:00Z", 3),
+      deleteEnv(11, "2024-01-02T00:00:00Z", 4)).mkString("\n"))
+    qB.processAllAvailable(); qG.processAllAvailable()
+    qB.stop(); qG.stop()
+    // bronze: date-partitioned, corrupt row quarantined (not landed)
+    val rawOut = spark.read.parquet(bronze)
+    assert(rawOut.count() == 5)  // 3 + replay lands in raw (immutable log) + delete
+    assert(rawOut.select("ingest_date").distinct().count() == 2)
+    // gold (merge-on-read): replay collapsed, tombstone removed key 11,
+    // the corrupt row's null key never became a junk row
+    val table = graft.gold.BaseDelta.Table(gold, Seq("id"), Seq("ts_ms"), Some("op"))
+    val current = graft.gold.BaseDelta.read(spark, table)
+    val out = current.collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[Double]("balance")).toMap
+    assert(out == Map(10 -> 999.0))
+    // DQ over the maintained gold table: key uniqueness green
+    assert(Quality.unique(current, Seq("id")).count() == 0)
+  }
+
   test("two-epoch medallion flow with SCD2 versioning and green DQ suite") {
     // ── epoch 1: bronze ingest (with a duplicate CDC replay) ──
     val e1 = Seq(
