@@ -22,7 +22,12 @@ class MinHashUnion(numHashes: Int)
     extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
-    if (sig != null && sig.length == numHashes) {
+    if (sig != null) {
+      // a wrong-width signature is a caller bug (e.g. 64-slot signatures
+      // into column(32)) — silently skipping it would yield an empty-set
+      // signature that estJaccard reads as spuriously similar
+      require(sig.length == numHashes,
+        s"minhash_union(numHashes=$numHashes) got a ${sig.length}-slot signature")
       var i = 0
       while (i < numHashes) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }
     }
@@ -43,9 +48,17 @@ object MinHashUnion {
   def column(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MinHashUnion(numHashes), ExpressionEncoder[Seq[Long]]())
 
-  /** Estimated Jaccard between two signatures: fraction of agreeing slots. */
+  /** Estimated Jaccard between two signatures: fraction of agreeing slots.
+    * Null when either side is the empty-set signature (untouched
+    * Long.MaxValue slots — a group whose docs produced no shingles):
+    * Jaccard against an empty set is undefined, and counting MaxValue
+    * agreement would report unrelated empty corpora as identical.
+    */
   def estJaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
-    size(filter(zip_with(a, b, (x, y) => x === y), c => c)).cast("double") / size(a)
+    val est =
+      size(filter(zip_with(a, b, (x, y) => x === y), c => c)).cast("double") / size(a)
+    when(element_at(a, 1) === Long.MaxValue || element_at(b, 1) === Long.MaxValue,
+      lit(null).cast("double")).otherwise(est)
   }
 }

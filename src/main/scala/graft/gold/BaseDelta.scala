@@ -106,6 +106,11 @@ object BaseDelta {
   def read(spark: SparkSession, t: Table,
            allowSchemaEvolution: Boolean = false): DataFrame = {
     val f = fs(spark, t.path)
+    // a compact() that crashed between writeAtomic's two renames leaves
+    // the base only at base.__old — restore it BEFORE the existence check,
+    // or the view silently loses all compacted history (and the next
+    // compaction would delete it for good)
+    UpsertByKey.recoverDangling(f, t.basePath)
     val hasBase = f.exists(new Path(t.basePath))
     val deltas = deltaBatches(spark, t).map(id => spark.read.parquet(t.deltaPath(id)))
     val parts = (if (hasBase) Seq(spark.read.parquet(t.basePath)) else Seq.empty) ++ deltas
@@ -140,8 +145,10 @@ object BaseDelta {
     * steady-state writes stay O(batch).
     */
   def appendAndMaybeCompact(spark: SparkSession, t: Table, incoming: DataFrame,
-                            batchId: Long, maxDeltas: Int = 16): Unit = {
+                            batchId: Long, maxDeltas: Int = 16,
+                            allowSchemaEvolution: Boolean = false): Unit = {
     append(spark, t, incoming, batchId)
-    if (deltaBatches(spark, t).size > maxDeltas) compact(spark, t)
+    if (deltaBatches(spark, t).size > maxDeltas)
+      compact(spark, t, allowSchemaEvolution)
   }
 }

@@ -63,22 +63,45 @@ object PartitionedUpsert {
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
              keys: Seq[String], orderCols: Seq[String], partCol: String,
              opCol: Option[String] = None): Unit = {
-    val parts = touched(incoming, partCol)
-    if (parts.isEmpty) return
-    // null partition values land in Hive's default partition; isin(null)
-    // never matches, so null must be pruned with an explicit isNull or the
-    // default partition's existing rows would be missed (→ duplicate keys)
-    val nonNull = parts.filter(_ != null)
-    val prune =
-      if (nonNull.size < parts.size) col(partCol).isin(nonNull: _*) || col(partCol).isNull
-      else col(partCol).isin(parts: _*)
-    val existing =
-      if (UpsertByKey.exists(spark, path))
-        Some(spark.read.parquet(path).filter(prune))
-      else None
-    writeDynamic(
-      UpsertByKey.mergeBatch(existing, incoming, keys, orderCols, opCol),
-      path, partCol)
+    // the batch is walked twice (touched partitions, then the merge) —
+    // cache it so the source lineage doesn't recompute per trigger
+    val batch = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = touched(batch, partCol)
+      if (parts.isEmpty) return
+      // null partition values land in Hive's default partition; isin(null)
+      // never matches, so null must be pruned with an explicit isNull or the
+      // default partition's existing rows would be missed (→ duplicate keys)
+      val nonNull = parts.filter(_ != null)
+      val prune =
+        if (nonNull.size < parts.size) col(partCol).isin(nonNull: _*) || col(partCol).isNull
+        else col(partCol).isin(parts: _*)
+      val existing =
+        if (UpsertByKey.exists(spark, path))
+          Some(spark.read.parquet(path).filter(prune))
+        else None
+      val merged = UpsertByKey.mergeBatch(existing, batch, keys, orderCols, opCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        writeDynamic(merged, path, partCol)
+        // dynamic overwrite only replaces partitions PRESENT in the output:
+        // a tombstone batch that empties a partition produces no rows for
+        // it, so its stale files must be deleted explicitly or the deleted
+        // keys would resurrect on the next read
+        val outParts = touched(merged, partCol).toSet
+        val emptied = parts.toSet -- outParts
+        if (emptied.nonEmpty) {
+          val f = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptied.foreach { v =>
+            val dirName =
+              if (v == null) s"$partCol=__HIVE_DEFAULT_PARTITION__"
+              else s"$partCol=$v"
+            f.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+          }
+        }
+      } finally merged.unpersist()
+    } finally batch.unpersist()
   }
 
   // --- SCD2 on a pruned layout ---------------------------------------------
@@ -114,14 +137,30 @@ object PartitionedUpsert {
     // same-day closures on the second batch of a day.
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val asOfPart = "closed_" + asOf.toInstant.atZone(zone).toLocalDate.toString
+    val exists = UpsertByKey.exists(spark, path)
+    // a snapshot written by the non-partitioned path has no scd_part
+    // column: migrate it wholesale this batch (read all, write
+    // partitioned) instead of failing on the pruning filter
+    val legacy = exists &&
+      !spark.read.parquet(path).columns.contains(ScdPartCol)
     val snapshot =
-      if (UpsertByKey.exists(spark, path))
+      if (legacy) spark.read.parquet(path)
+      else if (exists)
         spark.read.parquet(path)
           .filter(col(ScdPartCol).isin(ScdCurrent, asOfPart))
           .drop(ScdPartCol)
       else Scd2Merge.emptySnapshot(staged)
     val merged = Scd2Merge(snapshot, staged, keys, checkCols, asOf)
-    writeDynamic(merged.withColumn(ScdPartCol, scdPart), path, ScdPartCol)
+      .withColumn(ScdPartCol, scdPart)
+    if (legacy) {
+      // full rewrite through a tmp+swap: static overwrite of the old flat
+      // layout, atomic for readers
+      val tmp = path + ".__migrate"
+      writeDynamic(merged, tmp, ScdPartCol)
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      UpsertByKey.writeSwap(f, tmp, path)
+    } else writeDynamic(merged, path, ScdPartCol)
   }
 
   /** Read the full SCD2 table back (partition column dropped — it is

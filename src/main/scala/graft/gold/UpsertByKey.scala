@@ -111,11 +111,20 @@ object UpsertByKey {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     recoverDangling(fs, path)
-    val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".__old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    writeSwap(fs, tmp.toString, path)
+  }
+
+  /** Swap an already-written directory over the target — the rename tail
+    * of `writeAtomic`, shared by layout migrations.
+    */
+  def writeSwap(fs: org.apache.hadoop.fs.FileSystem, tmpPath: String,
+                path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)

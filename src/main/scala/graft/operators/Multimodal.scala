@@ -102,8 +102,9 @@ object Multimodal {
       // per-partition decoder init would go here (codec context, buffers)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
+        // null payload → null struct, matching the expression form exactly
         val meta =
-          if (bytes == null) Row(0, 0L, 0, 0, "none")
+          if (bytes == null) null
           else MediaHeaders.parse(bytes) match {
             case Some((w, h, fmt)) => Row(bytes.length, checksum64(bytes), w, h, fmt)
             case None =>
@@ -178,6 +179,7 @@ object MediaHeaders {
       // skip fill bytes (FF FF ... FF marker)
       var j = i
       while (j + 1 < b.length && u8(b, j + 1) == 0xFF) j += 1
+      if (j + 1 >= b.length) return null  // truncated: ends in FF padding
       val marker = u8(b, j + 1)
       if (marker >= 0xC0 && marker <= 0xCF &&
           marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
@@ -195,12 +197,20 @@ object MediaHeaders {
     null
   }
 
-  /** GIF87a/89a: logical screen width (LE16 at 6) and height (LE16 at 8). */
+  /** GIF87a/89a: logical screen width (LE16 at 6) and height (LE16 at 8).
+    * Caveat: unlike PNG/JPEG, the GIF magic is printable ASCII, so a text
+    * payload beginning "GIF89a" collides — inherent to magic-byte
+    * sniffing (the `file` utility shares it). The nonzero-dimension check
+    * rejects part of that space; callers handling untrusted text corpora
+    * should additionally gate on a media-typed column.
+    */
   def gifDims(b: Array[Byte]): Array[Int] = {
     if (b.length < 10) return null
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
         (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
-    Array(le16(b, 6), le16(b, 8))
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w == 0 || h == 0) return null
+    Array(w, h)
   }
 
   /** Kernel for the MediaMeta expression (static-forwardable for codegen). */

@@ -128,12 +128,14 @@ object CdcStream {
   def upsertStreamDelta(parsed: DataFrame, sinkPath: String, checkpoint: String,
                         keys: Seq[String], orderCols: Seq[String],
                         opCol: Option[String] = None, maxDeltas: Int = 16,
+                        allowSchemaEvolution: Boolean = false,
                         trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
     val table = graft.gold.BaseDelta.Table(sinkPath, keys, orderCols, opCol)
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.gold.BaseDelta.appendAndMaybeCompact(
-          batch.sparkSession, table, batch.toDF(), batchId, maxDeltas)
+          batch.sparkSession, table, batch.toDF(), batchId, maxDeltas,
+          allowSchemaEvolution)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

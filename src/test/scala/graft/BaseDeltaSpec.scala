@@ -73,6 +73,26 @@ class BaseDeltaSpec extends SparkSpec {
     assert(snap(BaseDelta.read(spark, table)) == Map(1L -> (("a", 1)), 2L -> (("b", 1))))
   }
 
+  test("read recovers a base left dangling by a crashed compaction") {
+    val path = tmpDir("bd-dangle") + "/t"
+    val table = t(path)
+    BaseDelta.append(spark, table, Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
+    BaseDelta.compact(spark, table)
+    BaseDelta.append(spark, table, Seq((2L, "b", 1)).toDF("id", "v", "ver"), 1L)
+    // crash window: base renamed to .__old, replacement never landed
+    val fs = new org.apache.hadoop.fs.Path(table.basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(table.basePath),
+      new org.apache.hadoop.fs.Path(table.basePath + ".__old"))
+    // read must restore the base, not silently return deltas only
+    assert(snap(BaseDelta.read(spark, table)) ==
+      Map(1L -> (("a", 1)), 2L -> (("b", 1))))
+    // and the follow-up compaction keeps the full history
+    BaseDelta.compact(spark, table)
+    assert(snap(BaseDelta.read(spark, table)) ==
+      Map(1L -> (("a", 1)), 2L -> (("b", 1))))
+  }
+
   test("schema evolution: a column added mid-stream null-fills older rows on read") {
     val path = tmpDir("bd-evo") + "/t"
     val table = t(path)

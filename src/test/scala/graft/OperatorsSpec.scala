@@ -350,6 +350,12 @@ class OperatorsSpec extends SparkSpec {
     assert(MediaHeaders.parse(jpeg).contains((200, 256, "jpeg")))
     assert(MediaHeaders.parse(gif).contains((288, 240, "gif")))
     assert(MediaHeaders.parse("plain text".getBytes("UTF-8")).isEmpty)
+    // truncated JPEG ending in FF fill bytes must fall back, not crash
+    assert(MediaHeaders.parse(
+      Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)).isEmpty)
+    // GIF magic followed by a zero-dimension screen descriptor is rejected
+    assert(MediaHeaders.gifDims(
+      "GIF89a".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)) == null)
 
     // expression form over a DataFrame, and the batch (mapPartitions)
     // form, must agree — header-real for images, stub tier otherwise

@@ -100,6 +100,45 @@ class SilverSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("PartitionedUpsert: a tombstone batch that empties a partition removes its files") {
+    import graft.gold.PartitionedUpsert
+    val path = tmpDir("pu-empty") + "/t"
+    val b1 = Seq((1L, "a", 1, "u", Some("2024-01-01")), (2L, "b", 1, "u", Some("2024-01-02")))
+      .toDF("id", "v", "ver", "op", "pd").withColumn("pd", col("pd").cast("date"))
+    PartitionedUpsert.upsert(spark, b1, path, Seq("id"), Seq("ver", "id"), "pd", Some("op"))
+    // delete the ONLY key of the 2024-01-01 partition
+    val b2 = Seq((1L, "a", 2, "d", Some("2024-01-01")))
+      .toDF("id", "v", "ver", "op", "pd").withColumn("pd", col("pd").cast("date"))
+    PartitionedUpsert.upsert(spark, b2, path, Seq("id"), Seq("ver", "id"), "pd", Some("op"))
+    // dynamic overwrite alone would leave the stale files; the emptied
+    // partition must be gone so the deleted key cannot resurrect
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pd=2024-01-01")))
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(2L -> "b"))
+  }
+
+  test("PartitionedUpsert.scd2 migrates a legacy non-partitioned snapshot in place") {
+    import graft.gold.{PartitionedUpsert, Scd2Merge, UpsertByKey}
+    val path = tmpDir("scd-legacy") + "/dim"
+    // legacy layout: whole-table swap, no scd_part column
+    val staged1 = Seq((1, "x", 10.0), (2, "y", 20.0)).toDF("id", "name", "bal")
+    val snap1 = Scd2Merge(Scd2Merge.emptySnapshot(staged1), staged1,
+      Seq("id"), Seq("name", "bal"), ts("2024-01-01 06:00:00"))
+    UpsertByKey.writeAtomic(snap1, path)
+    assert(!spark.read.parquet(path).columns.contains("scd_part"))
+    // next batch through the partitioned path: auto-migrates + merges
+    val staged2 = Seq((1, "x", 99.0)).toDF("id", "name", "bal")
+    PartitionedUpsert.scd2(spark, staged2, path,
+      Seq("id"), Seq("name", "bal"), ts("2024-01-02 06:00:00"))
+    val out = PartitionedUpsert.readScd2(spark, path)
+    assert(out.count() == 3)  // 2 current + 1 closed
+    assert(spark.read.parquet(path).columns.contains("scd_part"))
+    val current = out.filter(col("effective_to").isNull).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[Double]("bal")).toMap
+    assert(current == Map(1 -> 99.0, 2 -> 20.0))
+  }
+
   test("DQ checks flag exactly the planted violations") {
     val txns = Seq(
       (1L, 10, "DEPOSIT", 100.0),
