@@ -68,4 +68,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("int8 quantization is a shuffle-free map stage") {
+    val p = plan("q50_embedding_quantize")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("sequence packing runs on ONE shuffle: shard partitioning feeds both the window and the summary") {
+    val p = plan("q51_sequence_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("MinHash-union aggregator gets partial (map-side) aggregation") {
+    val p = plan("q53_group_minhash")
+    // partial + final ObjectHashAggregate around the group exchange, and
+    // the self-join of the tiny per-source frame broadcasts
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
