@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,8 +12,25 @@ import org.apache.spark.sql.functions._
   * (band/chunk) → self-join *within buckets* (shuffle on bucket key) →
   * candidate verification. At 100 TB the bucket join is the only shuffle
   * and the candidate set is orders of magnitude smaller than n².
+  *
+  * Hot buckets: a feature shared by a huge number of documents (a
+  * boilerplate shingle like "terms of service", an LSH bucket that a
+  * templated corpus collapses into) would otherwise materialize one
+  * corpus-sized array on one executor and explode |bucket|² pairs. Every
+  * fuzzy operator therefore takes a `maxBucket` document-frequency cut:
+  * buckets larger than it are dropped whole — standard MinHash-at-scale
+  * practice (an ultra-common feature carries no similarity signal), with
+  * executor memory bounded at O(maxBucket) by construction
+  * (see functions.BoundedCollectList) and the dropped-bucket count
+  * observable via the `audit` hook.
   */
 object Dedup {
+
+  /** Default document-frequency cut for bucketed candidate generation.
+    * 4096² ≈ 17M is the worst-case pair fan-out of one surviving bucket —
+    * large but bounded; a bucket this common is noise for similarity.
+    */
+  val DefaultMaxBucket: Int = 4096
 
   /** Canonical normalized text: lowercase, trim, collapse whitespace —
     * native one-pass form of `regexp_replace(lower(trim(text)), "\\s+", " ")`.
@@ -30,15 +47,21 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Keep only canonical rows (min id per content hash) — the filtering
-    * side of exact dedup. Hash aggregation (`min_by`), not a window: the
-    * per-hash winner reduces map-side, no sort.
+    * side of exact dedup. Requires `idCol` to be unique per row (a doc id).
+    *
+    * Shuffle shape: the winner election groups (16-byte hash, id) only —
+    * a `min` aggregation with map-side combine, no sort — and the full
+    * rows then semi-join against the winner ids. The document text rides
+    * exactly one shuffle (the semi-join), instead of twice (inside both
+    * the hash key's source row and a `min_by` struct payload).
     */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val payload = df.columns.toSeq
-    df.withColumn("__h", md5(normText(col(textCol))))
+    val winners = df
+      .select(md5(normText(col(textCol))).as("__h"), col(idCol))
       .groupBy(col("__h"))
-      .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("__w"))
-      .select(payload.map(c => col(s"__w.$c").as(c)): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
   }
 
   /** Distinct word k-shingles of the normalized text (native one-pass
@@ -63,7 +86,9 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
-                 minEstJaccard: Double = 0.5): DataFrame = {
+                 minEstJaccard: Double = 0.5,
+                 maxBucket: Int = DefaultMaxBucket,
+                 audit: Option[Observation] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = df
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
@@ -82,7 +107,7 @@ object Dedup {
     // would broadcast the whole exploded index — a corpus-sized build side
     // at scale.)
     val pairs = bucketPairs(banded, Seq("band", "bucket"),
-      struct(col("id"), col("sig")))
+      struct(col("id"), col("sig")), maxBucket, audit)
     pairs
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
@@ -94,19 +119,35 @@ object Dedup {
   }
 
   /** Within-bucket candidate-pair generation: group rows by `bucketKeys`,
-    * collect the (small) member list, emit ordered pairs (a < b by the
-    * struct's sort order). Buckets with one member vanish. The pair
-    * explosion is bounded by Σ|bucket|² — callers control bucket size via
-    * their banding/chunking parameters.
+    * collect the member list, emit ordered pairs (a < b by the struct's
+    * sort order). Buckets with one member vanish; buckets with more than
+    * `maxBucket` members are dropped whole (document-frequency prune —
+    * see the object scaladoc). Pair explosion is bounded by
+    * Σ min(|bucket|, maxBucket)² and per-group aggregation memory by
+    * O(maxBucket), no matter how hot a key gets.
+    *
+    * `audit`, when given, observes `dropped_buckets` / `total_buckets`
+    * counts on the bucket stream (Spark's CollectMetrics — zero extra
+    * pass; read them after an action via `Observation.get`).
     */
   private[operators] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
-                                     member: Column): DataFrame = {
-    val buckets = df
+                                     member: Column,
+                                     maxBucket: Int = DefaultMaxBucket,
+                                     audit: Option[Observation] = None): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val grouped = df
       .groupBy(bucketKeys.map(col): _*)
-      .agg(sort_array(collect_list(member)).as("ms"))
-      .filter(size(col("ms")) > 1)
-    buckets.select(explode(
-        graft.functions.HashFunctions.orderedPairs(col("ms"))).as("p"))
+      .agg(graft.functions.BoundedCollectList.column(member, maxBucket).as("ms"))
+    val observed = audit match {
+      case Some(obs) => grouped.observe(obs,
+        sum(when(col("ms").isNull, 1L).otherwise(0L)).as("dropped_buckets"),
+        count(lit(1)).as("total_buckets"))
+      case None => grouped
+    }
+    observed
+      .filter(col("ms").isNotNull && size(col("ms")) > 1)
+      .select(explode(graft.functions.HashFunctions.orderedPairs(
+        sort_array(col("ms")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
@@ -125,7 +166,9 @@ object Dedup {
     * pair within distance maxHamming ≤ chunks-1 must agree on ≥1 chunk →
     * bucket-join on (chunk_id, chunk_value), verify with bit_count.
     */
-  def simHashPairs(sim: DataFrame, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(sim: DataFrame, chunks: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket,
+                   audit: Option[Observation] = None): DataFrame = {
     val bits = 64 / chunks
     val chunked = sim.select(
       col("id"), col("simhash"),
@@ -135,7 +178,8 @@ object Dedup {
             .bitwiseAND((1L << bits) - 1).as("cv"))
       }: _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
-    bucketPairs(chunked, Seq("chunk", "cv"), struct(col("id"), col("simhash")))
+    bucketPairs(chunked, Seq("chunk", "cv"), struct(col("id"), col("simhash")),
+        maxBucket, audit)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(first(col("a.simhash")).as("h_a"), first(col("b.simhash")).as("h_b"))
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
@@ -148,7 +192,9 @@ object Dedup {
     * jaccard ≥ threshold.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, threshold: Double = 0.2): DataFrame = {
+                   k: Int = 3, threshold: Double = 0.2,
+                   maxBucket: Int = DefaultMaxBucket,
+                   audit: Option[Observation] = None): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
@@ -158,7 +204,7 @@ object Dedup {
     // postings are computed once and never broadcast
     val inv = docs.select(col("id"), col("n_sh"),
       explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-    bucketPairs(inv, Seq("s"), struct(col("id"), col("n_sh")))
+    bucketPairs(inv, Seq("s"), struct(col("id"), col("n_sh")), maxBucket, audit)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -175,7 +221,9 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        minCosine: Double = 0.95, numPlanes: Int = 8,
-                       numTables: Int = 4): DataFrame = {
+                       numTables: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket,
+                       audit: Option[Observation] = None): DataFrame = {
     import graft.functions.{HashFunctions, VectorFunctions}
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // native one-pass bucket computation per table (fixed pseudo-random
@@ -183,7 +231,8 @@ object Dedup {
     val bucketed = base
       .withColumn("bkts", HashFunctions.lshBuckets(col("v"), numTables, numPlanes))
       .select(col("id"), col("v"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
-    bucketPairs(bucketed, Seq("tbl", "bucket"), struct(col("id"), col("v")))
+    bucketPairs(bucketed, Seq("tbl", "bucket"), struct(col("id"), col("v")),
+        maxBucket, audit)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(first(col("a.v")).as("v_a"), first(col("b.v")).as("v_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))

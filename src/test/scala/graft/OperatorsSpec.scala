@@ -51,6 +51,61 @@ class OperatorsSpec extends SparkSpec {
     assert(close == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("bounded collect: collect_list parity under the cap, NULL above it") {
+    import graft.functions.BoundedCollectList
+    // many partitions → exercises partial buffers + serialize/merge paths
+    val df = spark.range(0, 100, 1, 7)
+      .select((col("id") % 10).as("k"), struct(col("id"), lit("x").as("s")).as("m"))
+    val bounded = df.groupBy($"k")
+      .agg(sort_array(BoundedCollectList.column($"m", 10)).as("b"))
+    val plain = df.groupBy($"k")
+      .agg(sort_array(collect_list($"m")).as("b"))
+    assert(bounded.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // cap below group size (10 members each) → every group NULL
+    val over = df.groupBy($"k").agg(BoundedCollectList.column($"m", 9).as("b"))
+    assert(over.collect().forall(_.isNullAt(1)))
+    // cap exactly at group size → intact
+    val exact = df.groupBy($"k").agg(BoundedCollectList.column($"m", 10).as("b"))
+    assert(exact.collect().forall(_.getSeq[Any](1).length == 10))
+  }
+
+  test("hot-bucket guard: mega-bucket pairs are dropped, audited, and a generous cap changes nothing") {
+    import org.apache.spark.sql.Observation
+    // 60 docs sharing one boilerplate 3-shingle ("terms of service apply"),
+    // plus the two genuinely similar docs — with maxBucket below 60, the
+    // boilerplate bucket must produce NO pairs instead of 60²/2.
+    val boiler = (10L until 70L)
+      .map(i => (i, s"terms of service apply unique$i filler$i content$i"))
+    val similar = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+    val df = (similar ++ boiler).toDF("doc_id", "text")
+    val obs = new Observation("ngram-audit")
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", k = 3, threshold = 0.1,
+        maxBucket = 50, audit = Some(obs))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // (1,2) share shingles in buckets of size 2 → survive; no boilerplate pair
+    assert(pairs == Set((1L, 2L)))
+    val metrics = obs.get
+    assert(metrics("dropped_buckets").asInstanceOf[Long] >= 1L)
+    assert(metrics("total_buckets").asInstanceOf[Long] >
+      metrics("dropped_buckets").asInstanceOf[Long])
+    // generous cap: identical pair set to the unguarded semantics, and the
+    // boilerplate pairs reappear (proving the cap, not the threshold, bound)
+    val generous = Dedup.ngramJaccard(df, "doc_id", "text", k = 3, threshold = 0.1,
+        maxBucket = Dedup.DefaultMaxBucket)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(generous.contains((1L, 2L)) && generous.size > 1)
+    // minhash path: same guard (one band bucket holds all 60 boilerplate
+    // docs only if their signatures agree — instead prove the plumbing by
+    // running with the default cap and asserting unchanged results)
+    val guarded = Dedup.minHashLsh(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, minEstJaccard = 0.4, maxBucket = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(guarded == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("ngram jaccard: exact value for a constructed pair") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // 3-shingles: {a b c, b c d} vs {a b c, b c e} → jaccard 1/3

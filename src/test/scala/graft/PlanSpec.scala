@@ -79,6 +79,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("exact-dedup winner election shuffles (hash,id) only; rows semi-join back") {
+    val docs = Tables.documents(spark, d)
+    val p = graft.operators.Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // winners = min(id) per content hash — no full-row min_by struct ever
+    // rides the shuffle; full rows rejoin via a semi join on the id
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("min_by"), p)
+    assert(p.contains("min(doc_id"), p)
+  }
+
   test("MinHash-union aggregator gets partial (map-side) aggregation") {
     val p = plan("q53_group_minhash")
     // partial + final ObjectHashAggregate around the group exchange, and
