@@ -28,11 +28,19 @@ object Bench {
         .join(broadcast(w.select(col("k")).distinct()), Seq("k"))
         .groupBy(col("k")).agg(sum(col("id"))).count()
     } catch { case _: Throwable => }
-    // deterministic execution order → reproducible per-query numbers
+    // deterministic execution order → reproducible per-query numbers.
+    // Each query runs 3× and reports its MEDIAN: a single-shot number on a
+    // co-tenant box can read 3× slow (or fast) from load alone, which is
+    // indistinguishable from a code regression; the median of three is
+    // robust to one contended run and to first-run warmup effects.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

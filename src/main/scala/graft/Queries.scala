@@ -918,7 +918,9 @@ object Queries {
       },
       Some("""
         WITH t AS (
-          SELECT doc_id, doc_id % 8 AS shard,
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack-shard'), 1, 8))
+                   AS UBIGINT) % 8 AS BIGINT) AS shard,
                  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
           FROM documents),
         pre AS (

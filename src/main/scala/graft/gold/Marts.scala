@@ -18,16 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Marts {
 
-  /** Left equi-join fact enrichment (row 17a): orphan facts survive with
-    * null dim columns. `dim` is broadcast.
+  /** Max estimated dim size that still gets a forced broadcast hint. Above
+    * this, the hint is omitted and the planner/AQE chooses from runtime
+    * sizes — a forced broadcast of an unbounded dim (15M customers at
+    * TPC-H sf100) would OOM the driver no matter what the planner knows.
     */
-  def enrich(fact: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
-    fact.join(broadcast(dim), key, "left")
+  val MaxBroadcastBytes: Long = 64L << 20
+
+  /** Broadcast only when Catalyst's size estimate says the dim is small;
+    * estimate comes from plan statistics (file sizes / filter
+    * selectivity) — driver-side, no job.
+    */
+  private def hinted(dim: DataFrame, maxBytes: Long): DataFrame =
+    if (dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(dim)
+    else dim
+
+  /** Left equi-join fact enrichment (row 17a): orphan facts survive with
+    * null dim columns. A small `dim` is broadcast (size-guarded — see
+    * `MaxBroadcastBytes`); a large one joins however AQE decides.
+    */
+  def enrich(fact: DataFrame, dim: DataFrame, key: Seq[String],
+             maxBroadcastBytes: Long = MaxBroadcastBytes): DataFrame =
+    fact.join(hinted(dim, maxBroadcastBytes), key, "left")
 
   /** Readme-variant fact (R2): inner joins to current dim rows only. */
   def enrichCurrent(fact: DataFrame, dim: DataFrame, key: Seq[String],
-                    isCurrent: String = "is_current"): DataFrame =
-    fact.join(broadcast(dim.filter(col(isCurrent))), key, "inner")
+                    isCurrent: String = "is_current",
+                    maxBroadcastBytes: Long = MaxBroadcastBytes): DataFrame =
+    fact.join(hinted(dim.filter(col(isCurrent)), maxBroadcastBytes), key, "inner")
 
   /** As-of join: for each left row, attach the latest right row with
     * `right.ts <= left.ts` for the same key. Implemented as

@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Deterministic shard of a document id: first 32 bits of md5 of the
+    * id's string form (salted so it can't correlate with Sampling's
+    * hash decisions over the same key), mod `nShards`. Works for ANY id
+    * type — a raw `pmod(id, n)` would throw on string ids under ANSI mode
+    * (or worse, null-cast them all into one shard) and inherits whatever
+    * distribution the id space has; the hash spreads arbitrary keys
+    * uniformly. md5 is a mixer here, not security.
+    */
+  def shardOf(id: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit("pack-shard"))), 1, 8),
+      16, 10).cast("long"), lit(nShards.toLong))
+
   /** Adds `shard`, `pre_tokens` (running total before this doc) and
     * `bin` (pack index within the shard) to `df`.
     */
@@ -31,7 +43,7 @@ object Packing {
                     budget: Int, nShards: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+    df.withColumn("shard", shardOf(col(idCol), nShards))
       .withColumn("pre_tokens",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("pre_tokens") / lit(budget)).cast("long"))

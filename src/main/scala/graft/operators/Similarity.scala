@@ -53,13 +53,18 @@ object Similarity {
       .withColumn("__h", xxhash64(col("cid0")))
       .orderBy(col("__h").asc, col("cid0").asc)
       .limit(nCells)
-    top
-      // constant partition key: same single-partition execution over the
-      // ≤ nCells rows, but with an explicit spec so WindowExec doesn't log
-      // its unpartitioned-window warning on every run
-      .withColumn("r", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("__h").asc, col("cid0").asc)))
-      .select((col("r") - 1).as("cell_id"), col("centroid"))
+    // rank assignment WITHOUT a window: an unpartitioned row_number would
+    // run (and warn) as a single-task WindowExec, and partitionBy(lit(0))
+    // is constant-folded back to the same thing. Instead the ≤ nCells
+    // hashes — bounded by the parameter, never the data — come to the
+    // driver once and rank is their position in that sorted literal array.
+    val hs: Seq[Long] = top.select(col("__h")).collect().map(_.getLong(0)).toSeq
+    require(hs.distinct.length == hs.length,
+      "xxhash64 collision among centroid seeds (astronomically unlikely); " +
+        "choose a different nCells")
+    top.withColumn("cell_id",
+        (array_position(typedlit(hs), col("__h")) - 1).cast("int"))
+      .select(col("cell_id"), col("centroid"))
   }
 
   /** Assign each vector to its nearest centroid (broadcast centroids → no

@@ -334,6 +334,14 @@ class OperatorsSpec extends SparkSpec {
     val again = graft.operators.Packing.packSequences(
       docs, "doc_id", "n_tokens", budget = 100, nShards = 4)
     assert(packed.collect().toSet == again.collect().toSet)
+    // string ids shard too (hash sharding — a raw pmod would throw under
+    // ANSI mode or collapse every row into the null shard without it),
+    // and they spread across shards instead of piling into one
+    val sdocs = docs.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val spacked = graft.operators.Packing.packSequences(
+      sdocs, "doc_id", "n_tokens", budget = 100, nShards = 4)
+    assert(spacked.count() == 200)
+    assert(spacked.select("shard").distinct().count() == 4)
   }
 
   test("repetition metrics score planted repetition; PII redaction scrubs") {

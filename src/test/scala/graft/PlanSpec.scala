@@ -79,6 +79,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("enrich drops the broadcast hint when the dim's size estimate is large") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+    // 10M × 8B ≈ 80MB estimated — over the guard, must NOT force broadcast
+    val bigDim = spark.range(10000000L).select(col("id").as("k"), col("id").as("d"))
+    val p = graft.gold.Marts.enrich(fact, bigDim, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p.take(800))
+    // and a genuinely small dim still gets the hint
+    val smallDim = spark.range(10).select(col("id").as("k"), col("id").as("d"))
+    val ps = graft.gold.Marts.enrich(fact, smallDim, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastHashJoin"), ps.take(800))
+  }
+
   test("exact-dedup winner election shuffles (hash,id) only; rows semi-join back") {
     val docs = Tables.documents(spark, d)
     val p = graft.operators.Dedup.exactKeepFirst(docs, "doc_id", "text")
