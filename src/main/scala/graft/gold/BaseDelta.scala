@@ -1,6 +1,6 @@
 package graft.gold
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,34 +14,50 @@ import org.apache.spark.sql.functions._
   * 1440× a day. Here a micro-batch only APPENDS its (deduped) rows:
   *
   * {{{
-  * <path>/base/…parquet             compacted snapshot (may not exist yet)
+  * <path>/_manifest                 {"generation":N,"deltas":[ids…]} — the
+  *                                  commit point readers resolve through
+  * <path>/base_g<N>/…parquet        compacted snapshot, one dir per
+  *                                  generation (never mutated in place)
   * <path>/delta/batch=<id>/…parquet immutable per-batch appends
   * }}}
   *
   *  - `append` is O(batch) I/O — nothing existing is read or rewritten.
-  *  - `read` is merge-on-read: base ∪ deltas → `max_by` latest-wins per
-  *    key → tombstones dropped. One hash-aggregate shuffle, no sort; the
-  *    same plan shape Delta Lake/Iceberg merge-on-read readers use.
-  *  - `compact` folds the deltas into a new base (atomic swap) and clears
-  *    them, bounding read amplification; `appendAndMaybeCompact` runs it
+  *  - `read` is merge-on-read: base ∪ live deltas → `max_by` latest-wins
+  *    per key → tombstones dropped. One hash-aggregate shuffle, no sort;
+  *    the same plan shape Delta Lake/Iceberg merge-on-read readers use.
+  *  - `compact` folds the live deltas into base generation N+1 and commits
+  *    by atomically replacing `_manifest`; `appendAndMaybeCompact` runs it
   *    automatically past `maxDeltas` outstanding batches.
+  *
+  * Snapshot isolation (the manifest move table formats make): a reader
+  * resolves `_manifest` once and then touches only immutable paths, so a
+  * compaction that commits concurrently cannot pull files out from under
+  * it — the previous base generation and its delta dirs are RETAINED for
+  * one full compaction cycle and retired only by the next `compact`. A
+  * reader is therefore safe against any single concurrent compaction; only
+  * a read still running after TWO compactions can lose files (the same
+  * bounded-retention compromise as Delta's `VACUUM`).
+  *
+  * Reads never mutate the layout (a reader racing a writer must not rename
+  * directories — see the legacy fallback in `read`); crash recovery is the
+  * write path's job.
   *
   * Idempotence/crash safety: delta dirs are written by overwrite keyed on
   * the caller's batch id, so a replayed micro-batch overwrites its own
-  * delta instead of duplicating it. A crash between the base swap and the
-  * delta cleanup leaves stale deltas behind — reapplying them over the new
-  * base is a no-op (latest-wins on the same `orderCols`, and a re-dropped
-  * tombstone stays dropped), so the view never regresses.
+  * delta. A crash inside `compact` before the manifest replace leaves at
+  * most an orphaned `base_g<N+1>` dir that the next compaction overwrites;
+  * the table keeps serving generation N. Stale deltas re-merge as no-ops
+  * (latest-wins on the same `orderCols`, and a re-dropped tombstone stays
+  * dropped), so the view never regresses.
+  *
+  * Legacy layout (pre-manifest: flat `<path>/base` + all deltas on disk)
+  * reads and appends keep working; the first `compact` migrates to the
+  * manifest protocol.
   *
   * The ordering contract is the usual one: `orderCols` must totally order
   * versions of a key (include a unique id as the final tie-break).
-  *
-  * Concurrency: single writer (the streaming sink serializes batches).
-  * A reader that lists deltas while a concurrent compaction deletes them
-  * can hit a vanished path — full snapshot isolation needs a manifest
-  * file the way table formats do it; out of scope here, so schedule
-  * compaction in the write path (as `appendAndMaybeCompact` does), where
-  * it is serialized with the writes.
+  * Concurrency contract: single WRITER (the streaming sink serializes
+  * batches); any number of concurrent readers.
   */
 object BaseDelta {
 
@@ -51,16 +67,68 @@ object BaseDelta {
     */
   case class Table(path: String, keys: Seq[String], orderCols: Seq[String],
                    opCol: Option[String] = None) {
+    /** Legacy (pre-manifest) flat base location. */
     def basePath = s"$path/base"
+    def baseGenPath(gen: Long) = s"$path/base_g$gen"
     def deltaRoot = s"$path/delta"
     def deltaPath(batchId: Long) = s"$deltaRoot/batch=$batchId"
+    def manifestPath = s"$path/_manifest"
   }
+
+  /** Committed table state: base generation (0 = no compacted base yet /
+    * legacy flat base) + live delta batch ids.
+    */
+  case class Manifest(generation: Long, deltas: Seq[Long])
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Outstanding delta batch ids (unsorted). */
-  def deltaBatches(spark: SparkSession, t: Table): Seq[Long] = {
+  /** The committed manifest, or None for a legacy/empty table. */
+  def readManifest(spark: SparkSession, t: Table): Option[Manifest] = {
+    val f = fs(spark, t.path)
+    val p = new Path(t.manifestPath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val gen = "\"generation\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"corrupt manifest at ${t.manifestPath}: $s"))
+        .group(1).toLong
+      val ds = "\"deltas\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"corrupt manifest at ${t.manifestPath}: $s"))
+        .group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      Some(Manifest(gen, ds))
+    }
+  }
+
+  /** Atomically replace the manifest (write tmp, FileContext rename with
+    * OVERWRITE — atomic on HDFS and POSIX local FS, so a reader sees either
+    * the old or the new manifest, never a missing one).
+    */
+  private def writeManifest(spark: SparkSession, t: Table, m: Manifest): Unit = {
+    val f = fs(spark, t.path)
+    f.mkdirs(new Path(t.path))
+    val tmp = new Path(t.manifestPath + ".__tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""{"generation":${m.generation},"deltas":[${m.deltas.sorted.mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(new Path(t.path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(t.manifestPath), Options.Rename.OVERWRITE)
+  }
+
+  /** Delta dirs present on disk (live + retained) — cleanup's view, not the
+    * reader's.
+    */
+  private def diskDeltas(spark: SparkSession, t: Table): Seq[Long] = {
     val f = fs(spark, t.deltaRoot)
     val root = new Path(t.deltaRoot)
     if (!f.exists(root)) Seq.empty
@@ -72,6 +140,40 @@ object BaseDelta {
       .map(_.toLong)
   }
 
+  /** Outstanding (live, unfolded) delta batch ids. */
+  def deltaBatches(spark: SparkSession, t: Table): Seq[Long] =
+    readManifest(spark, t) match {
+      case Some(m) => m.deltas
+      case None => diskDeltas(spark, t)
+    }
+
+  /** Resolve one consistent snapshot: (base dir if any, live delta ids).
+    * The manifest is read exactly ONCE — resolving it twice could tear
+    * across a concurrent compaction commit (old base + new empty delta
+    * list = silently missing data). Legacy tables resolve by listing, with
+    * a non-mutating fallback to a dangling `base.__old` left by a crashed
+    * legacy compaction — a reader must not rename directories a writer may
+    * be touching; the write path recovers via `UpsertByKey.recoverDangling`.
+    */
+  def resolveSnapshot(spark: SparkSession, t: Table): (Option[String], Seq[Long]) =
+    readManifest(spark, t) match {
+      case Some(m) =>
+        (if (m.generation > 0) Some(t.baseGenPath(m.generation)) else None,
+          m.deltas)
+      case None =>
+        val f = fs(spark, t.path)
+        val base =
+          if (f.exists(new Path(t.basePath))) Some(t.basePath)
+          else if (f.exists(new Path(t.basePath + ".__old")))
+            Some(t.basePath + ".__old")
+          else None
+        (base, diskDeltas(spark, t))
+    }
+
+  /** The active base directory, if a compacted base exists. */
+  def currentBasePath(spark: SparkSession, t: Table): Option[String] =
+    resolveSnapshot(spark, t)._1
+
   /** Append one micro-batch as an immutable delta — O(batch) I/O. The
     * batch is pre-deduped (latest-wins) so a delta holds one row per key;
     * `batchId` keys the delta dir, making replays overwrite themselves.
@@ -79,6 +181,10 @@ object BaseDelta {
     * splits for a micro-batch) is coalesced to `deltaFiles` so deltas
     * don't explode the file count — at minute-level triggers a delta is
     * batch-sized, so a handful of files is the right granularity.
+    *
+    * On a manifest table the delta becomes visible only through the
+    * manifest update (commit point); a crash in between leaves an
+    * invisible delta dir that the replayed batch overwrites.
     */
   def append(spark: SparkSession, t: Table, incoming: DataFrame, batchId: Long,
              deltaFiles: Int = 4): Unit = {
@@ -92,11 +198,17 @@ object BaseDelta {
     graft.silver.Staging.dedupLatestByMax(keyed, t.keys, t.orderCols)
       .coalesce(deltaFiles)
       .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
+    readManifest(spark, t).foreach { m =>
+      if (!m.deltas.contains(batchId))
+        writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId))
+    }
   }
 
-  /** Merge-on-read view: latest row per key across base and all deltas,
+  /** Merge-on-read view: latest row per key across base and live deltas,
     * tombstoned keys absent. One hash-aggregate shuffle (map-side
-    * combine), no sort, no window.
+    * combine), no sort, no window. Resolves the manifest once; the
+    * resulting plan touches only immutable paths (snapshot isolation
+    * against one concurrent compaction — see the object scaladoc).
     *
     * `allowSchemaEvolution=true` tolerates a CDC stream that grew columns
     * mid-stream (upstream ALTER TABLE): deltas written before the change
@@ -105,15 +217,9 @@ object BaseDelta {
     */
   def read(spark: SparkSession, t: Table,
            allowSchemaEvolution: Boolean = false): DataFrame = {
-    val f = fs(spark, t.path)
-    // a compact() that crashed between writeAtomic's two renames leaves
-    // the base only at base.__old — restore it BEFORE the existence check,
-    // or the view silently loses all compacted history (and the next
-    // compaction would delete it for good)
-    UpsertByKey.recoverDangling(f, t.basePath)
-    val hasBase = f.exists(new Path(t.basePath))
-    val deltas = deltaBatches(spark, t).map(id => spark.read.parquet(t.deltaPath(id)))
-    val parts = (if (hasBase) Seq(spark.read.parquet(t.basePath)) else Seq.empty) ++ deltas
+    val (baseOpt, deltaIds) = resolveSnapshot(spark, t)
+    val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
+      deltaIds.map(id => spark.read.parquet(t.deltaPath(id)))
     require(parts.nonEmpty, s"BaseDelta.read: empty table at ${t.path}")
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
     val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
@@ -127,17 +233,39 @@ object BaseDelta {
     }
   }
 
-  /** Fold deltas into a new base (atomic swap) and clear them. Tombstoned
-    * keys are physically removed here. Stale deltas surviving a crash
-    * between the swap and the cleanup re-merge as no-ops.
+  /** Fold live deltas into base generation N+1 and commit via the manifest.
+    * Tombstoned keys are physically removed here. Retention: the previous
+    * generation's base and delta dirs survive one more cycle for in-flight
+    * readers; anything older is retired now. The first compaction of a
+    * legacy (pre-manifest) table migrates it to the manifest layout, and
+    * the legacy write path's dangling-swap recovery runs here — in the
+    * writer, never in `read`.
     */
   def compact(spark: SparkSession, t: Table,
               allowSchemaEvolution: Boolean = false): Unit = {
-    val ids = deltaBatches(spark, t)
-    if (ids.isEmpty) return  // nothing to fold (also covers an empty table)
-    UpsertByKey.writeAtomic(read(spark, t, allowSchemaEvolution), t.basePath)
-    val f = fs(spark, t.deltaRoot)
-    ids.foreach(id => f.delete(new Path(t.deltaPath(id)), true))
+    val f = fs(spark, t.path)
+    val mOpt = readManifest(spark, t)
+    if (mOpt.isEmpty)
+      // legacy crash recovery (writer-side): restore a base left dangling
+      // between writeAtomic's two renames before reading it
+      UpsertByKey.recoverDangling(f, t.basePath)
+    val live = mOpt.map(_.deltas).getOrElse(diskDeltas(spark, t))
+    if (live.isEmpty) return  // nothing to fold (also covers an empty table)
+    val gen = mOpt.map(_.generation).getOrElse(0L)
+    val newBase = new Path(t.baseGenPath(gen + 1))
+    if (f.exists(newBase)) f.delete(newBase, true)  // crashed earlier attempt
+    read(spark, t, allowSchemaEvolution)
+      .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
+    writeManifest(spark, t, Manifest(gen + 1, Seq.empty))  // ← commit point
+    // retire everything no longer referenced by the PREVIOUS generation:
+    // readers may still hold (gen, live); older state is unreachable
+    if (gen >= 1) {
+      f.delete(new Path(t.basePath), true)
+      f.delete(new Path(t.basePath + ".__old"), true)
+    }
+    (1L until gen).foreach(g => f.delete(new Path(t.baseGenPath(g)), true))
+    (diskDeltas(spark, t).toSet -- live.toSet)
+      .foreach(id => f.delete(new Path(t.deltaPath(id)), true))
   }
 
   /** Streaming-sink step: append, then compact once the outstanding delta

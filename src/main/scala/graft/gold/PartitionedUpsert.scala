@@ -83,20 +83,32 @@ object PartitionedUpsert {
       val merged = UpsertByKey.mergeBatch(existing, batch, keys, orderCols, opCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // partition values as STRINGS (Spark's cast-to-string is what the
+        // writer formats into directory names), computed BEFORE the
+        // overwrite: afterwards, a lost cache block would force `merged`'s
+        // lineage to re-read the path it just overwrote — a stale listing
+        // at best, a failed batch at worst
+        val partStr = (d: DataFrame) =>
+          d.select(col(partCol).cast("string")).distinct()
+            .collect().map(r => Option(r.getString(0))).toSet
+        val inParts = partStr(batch)
+        val outParts = partStr(merged)
         writeDynamic(merged, path, partCol)
         // dynamic overwrite only replaces partitions PRESENT in the output:
         // a tombstone batch that empties a partition produces no rows for
         // it, so its stale files must be deleted explicitly or the deleted
-        // keys would resurrect on the next read
-        val outParts = touched(merged, partCol).toSet
-        val emptied = parts.toSet -- outParts
+        // keys would resurrect on the next read. Directory names go through
+        // Spark's own escaping (getPartitionPathString percent-encodes
+        // ':', '/', ' '… exactly like the writer; null/empty → the Hive
+        // default partition) — a raw s"$partCol=$v" would miss the real
+        // directory for any value the writer escapes.
+        val emptied = inParts -- outParts
         if (emptied.nonEmpty) {
           val f = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           emptied.foreach { v =>
-            val dirName =
-              if (v == null) s"$partCol=__HIVE_DEFAULT_PARTITION__"
-              else s"$partCol=$v"
+            val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(partCol, v.orNull)
             f.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
           }
         }

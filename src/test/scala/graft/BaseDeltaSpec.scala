@@ -52,7 +52,8 @@ class BaseDeltaSpec extends SparkSpec {
     assert(snap(BaseDelta.read(spark, table)) == Map(2L -> (("b", 1))))
     BaseDelta.compact(spark, table)
     // base holds only the surviving key
-    assert(spark.read.parquet(table.basePath).count() == 1)
+    assert(spark.read.parquet(
+      BaseDelta.currentBasePath(spark, table).get).count() == 1)
     // re-insert after delete wins (newer version)
     BaseDelta.append(spark, table,
       Seq((1L, "back", 3, "u")).toDF("id", "v", "ver", "op"), 2L)
@@ -73,24 +74,53 @@ class BaseDeltaSpec extends SparkSpec {
     assert(snap(BaseDelta.read(spark, table)) == Map(1L -> (("a", 1)), 2L -> (("b", 1))))
   }
 
-  test("read recovers a base left dangling by a crashed compaction") {
+  test("legacy dangling base: read falls back WITHOUT mutating; the writer recovers") {
+    // legacy layout = what pre-manifest code wrote: flat base, no _manifest
     val path = tmpDir("bd-dangle") + "/t"
     val table = t(path)
-    BaseDelta.append(spark, table, Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
-    BaseDelta.compact(spark, table)
+    UpsertByKey.writeAtomic(Seq((1L, "a", 1)).toDF("id", "v", "ver"), table.basePath)
     BaseDelta.append(spark, table, Seq((2L, "b", 1)).toDF("id", "v", "ver"), 1L)
-    // crash window: base renamed to .__old, replacement never landed
     val fs = new org.apache.hadoop.fs.Path(table.basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_manifest"), false)  // stay legacy
+    // crash window: base renamed to .__old, replacement never landed
     fs.rename(new org.apache.hadoop.fs.Path(table.basePath),
       new org.apache.hadoop.fs.Path(table.basePath + ".__old"))
-    // read must restore the base, not silently return deltas only
+    // read sees the full history through .__old but must NOT rename it —
+    // a reader racing a writer's compact would otherwise drop the writer's
+    // new base inside the restored directory (reader-as-mutator bug)
     assert(snap(BaseDelta.read(spark, table)) ==
       Map(1L -> (("a", 1)), 2L -> (("b", 1))))
-    // and the follow-up compaction keeps the full history
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table.basePath)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(table.basePath + ".__old")))
+    // the WRITE path recovers the dangling swap and migrates to a manifest
     BaseDelta.compact(spark, table)
+    assert(BaseDelta.readManifest(spark, table).exists(_.generation == 1))
     assert(snap(BaseDelta.read(spark, table)) ==
       Map(1L -> (("a", 1)), 2L -> (("b", 1))))
+  }
+
+  test("snapshot isolation: a read planned before compact() still collects correctly") {
+    val path = tmpDir("bd-iso") + "/t"
+    val table = t(path)
+    BaseDelta.append(spark, table, Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
+    BaseDelta.compact(spark, table)  // generation 1
+    BaseDelta.append(spark, table, Seq((1L, "a2", 2), (2L, "b", 1)).toDF("id", "v", "ver"), 1L)
+    // reader resolves the manifest now: (base_g1, [1])
+    val snapshotDf = BaseDelta.read(spark, table)
+    // writer compacts to generation 2 concurrently; retention must keep
+    // generation 1 and delta 1 alive for the in-flight reader
+    BaseDelta.compact(spark, table)
+    assert(BaseDelta.readManifest(spark, table).exists(_.generation == 2))
+    assert(snap(snapshotDf) == Map(1L -> (("a2", 2)), 2L -> (("b", 1))))
+    // post-compaction readers resolve the new generation and agree
+    assert(snap(BaseDelta.read(spark, table)) ==
+      Map(1L -> (("a2", 2)), 2L -> (("b", 1))))
+    // the cycle AFTER retires generation 1 (bounded retention, not a leak)
+    BaseDelta.append(spark, table, Seq((3L, "c", 1)).toDF("id", "v", "ver"), 2L)
+    BaseDelta.compact(spark, table)  // generation 3
+    assert(!Files.exists(Paths.get(table.baseGenPath(1))))
+    assert(Files.exists(Paths.get(table.baseGenPath(2))))
   }
 
   test("schema evolution: a column added mid-stream null-fills older rows on read") {
@@ -110,7 +140,8 @@ class BaseDeltaSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some("eu")))
     // compaction under evolution folds to the widened schema
     BaseDelta.compact(spark, table, allowSchemaEvolution = true)
-    assert(spark.read.parquet(table.basePath).columns.contains("region"))
+    assert(spark.read.parquet(BaseDelta.currentBasePath(spark, table).get)
+      .columns.contains("region"))
     assert(BaseDelta.read(spark, table).count() == 2)
   }
 
@@ -133,7 +164,7 @@ class BaseDeltaSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val table = BaseDelta.Table(sink, Seq("id"), Seq("ver", "id"))
     // two batches with maxDeltas=1 → at least one compaction ran
-    assert(Files.exists(Paths.get(s"$sink/base")))
+    assert(BaseDelta.readManifest(spark, table).exists(_.generation >= 1))
     assert(snap(BaseDelta.read(spark, table)) ==
       Map(1L -> (("a2", 2)), 2L -> (("b", 1)), 3L -> (("c", 1))))
   }

@@ -118,6 +118,28 @@ class SilverSpec extends SparkSpec {
     assert(out == Map(2L -> "b"))
   }
 
+  test("PartitionedUpsert: emptied-partition cleanup finds escaped directory names") {
+    import graft.gold.PartitionedUpsert
+    // 'US/West' and a timestamp-like 'T12:30:00' are percent-encoded by the
+    // writer (pd=US%2FWest, …%3A…); cleanup must hit those real dirs, not
+    // the raw-interpolated names, or tombstoned keys resurrect on read
+    for (hot <- Seq("US/West", "2024-01-01T12:30:00")) {
+      val path = tmpDir("pu-esc") + "/t"
+      val b1 = Seq((1L, "a", 1, "u", hot), (2L, "b", 1, "u", "plain"))
+        .toDF("id", "v", "ver", "op", "pd")
+      PartitionedUpsert.upsert(spark, b1, path, Seq("id"), Seq("ver", "id"), "pd", Some("op"))
+      // delete the only key of the escaped partition
+      val b2 = Seq((1L, "a", 2, "d", hot)).toDF("id", "v", "ver", "op", "pd")
+      PartitionedUpsert.upsert(spark, b2, path, Seq("id"), Seq("ver", "id"), "pd", Some("op"))
+      val out = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(out == Map(2L -> "b"), s"partition value '$hot' resurrected: $out")
+      // and the escaped directory itself is gone
+      val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("pd="))
+      assert(dirs.toSeq == Seq("pd=plain"), dirs.mkString(","))
+    }
+  }
+
   test("PartitionedUpsert.scd2 migrates a legacy non-partitioned snapshot in place") {
     import graft.gold.{PartitionedUpsert, Scd2Merge, UpsertByKey}
     val path = tmpDir("scd-legacy") + "/dim"
