@@ -397,6 +397,34 @@ class OperatorsSpec extends SparkSpec {
     assert(strat.filter(col("grp") === "odd").count() == 0L)
   }
 
+  test("pixel tier: a real PNG decodes to exact pixel dimensions through the batch path") {
+    // render a real 7×5 PNG with known pixels via the same JDK ImageIO the
+    // decoder uses: all-white top row, all-black rest
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 7; y <- 0 until 5)
+      img.setRGB(x, y, if (y == 0) 0xFFFFFF else 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val realPng = baos.toByteArray
+    // corrupt body: valid PNG header, garbage after IHDR — header tier
+    // still reads dimensions, pixel tier must return null, not crash
+    val corrupt = realPng.take(24) ++ Array.fill[Byte](16)(0x7F)
+    val df = Seq((1L, realPng), (2L, corrupt), (3L, "plain".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.extractFeaturesBatch(df)
+      .select($"id", $"media_meta.format", $"pixel_meta").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("format"), r.getAs[org.apache.spark.sql.Row]("pixel_meta"))))
+      .toMap
+    val (fmt1, px1) = out(1L)
+    assert(fmt1 == "png")
+    assert(px1.getAs[Int]("px_width") == 7 && px1.getAs[Int]("px_height") == 5)
+    // 7 of 35 pixels are white (luma 255), the rest black → mean = 255/5
+    assert(math.abs(px1.getAs[Double]("mean_luma") - 255.0 / 5.0) < 1e-9)
+    assert(out(2L)._1 == "png" && out(2L)._2 == null)
+    assert(out(3L)._1 == "unknown" && out(3L)._2 == null)
+  }
+
   test("media headers: real JPEG/PNG/GIF dimensions parsed from payload bytes") {
     // minimal PNG: 8-byte signature, IHDR length=13, "IHDR", w=640, h=480
     val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
