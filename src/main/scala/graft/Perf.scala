@@ -42,6 +42,27 @@ object Perf {
     if (what == "all" || what == "q23")
       time("q23-full")(operators.Dedup.ngramJaccard(docs, "doc_id", "text",
         k = 3, threshold = 0.01).count())
+    if (what == "bcl") {
+      // isolate BoundedCollectList vs plain collect_list on the q23 bucket shape
+      val inv = docs.select(col("doc_id").as("id"),
+          operators.Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0).withColumn("n_sh", size(col("sh")))
+        .select(col("id"), col("n_sh"), explode(expr("transform(sh, s -> xxhash64(s))")).as("s"))
+      for (rep <- 1 to 2) {
+        time(s"collect_list-r$rep")(inv.groupBy(col("s"))
+          .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
+          .filter(size(col("ms")) > 1).select(sum(size(col("ms")))).head().getLong(0))
+        time(s"bounded-r$rep")(inv.groupBy(col("s"))
+          .agg(sort_array(graft.functions.BoundedCollectList.column(
+            struct(col("id"), col("n_sh")), 4096)).as("ms"))
+          .filter(col("ms").isNotNull && size(col("ms")) > 1)
+          .select(sum(size(col("ms")))).head().getLong(0))
+      }
+    }
+    if (what == "q23cmp")
+      for (t <- Seq(0.2, 0.01); pf <- Seq(true, false); rep <- 1 to 2)
+        time(s"q23-t$t-prefix$pf-r$rep")(operators.Dedup.ngramJaccard(
+          docs, "doc_id", "text", k = 3, threshold = t, prefixFilter = pf).count())
     if (what == "q35") {
       time("q35-dedup-only")(operators.Dedup.exactKeepFirst(docs, "doc_id", "text").count())
       time("q35-quality-only")(operators.TextAnalysis.quality(docs, "text")

@@ -187,31 +187,104 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
-    * shingle (inverted-index join — never all-pairs). Returns pairs with
-    * jaccard ≥ threshold.
+  /** Exact n-gram Jaccard similarity over inverted-index candidates —
+    * never all-pairs. With `prefixFilter`, never even all-postings:
+    * prefix filtering (the ppjoin family's candidate cut) indexes only
+    * each doc's rarest `⌈(1−t)·|sh|⌉+1` shingles.
+    *
+    * Why the prefix cut is lossless: fix any global total order on
+    * shingles (here: ascending document frequency, ties by hash). If
+    * J(A,B) ≥ t then |A∩B| ≥ t·|A|, so A's intersection elements cannot
+    * all hide in A's last ⌈t·|A|⌉−1 positions — at least one falls in the
+    * first |A|−⌈t·|A|⌉+1 (same for B). Indexing only those prefixes keeps
+    * every qualifying pair reachable, while the hot head of the frequency
+    * distribution (boilerplate shingles that drive Σ|bucket|² candidate
+    * cost) sits in docs' suffixes and never enters the index; candidates
+    * are then verified exactly, so both paths return identical results.
+    *
+    * Which path to pick (measured, sf0.1, local[32]): the default
+    * counting path for low-duplication corpora or thresholds ≲0.3 — the
+    * prefix machinery's fixed costs outweigh its cut there; the prefix
+    * path for templated/boilerplate corpora or high thresholds, where the
+    * candidate set collapses by orders of magnitude.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxBucket: Int = DefaultMaxBucket,
-                   audit: Option[Observation] = None): DataFrame = {
+                   audit: Option[Observation] = None,
+                   prefixFilter: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
+    if (!prefixFilter) {
+      // counting path: n_shared falls out of bucket co-occurrence over the
+      // FULL index — no verification join. Fastest when the candidate set
+      // is naturally small (low-duplication corpus, or a low threshold
+      // where the prefix cut ⌈t·|sh|⌉ is tiny anyway): measured at sf0.1 /
+      // t=0.2 this runs ~2 s where the prefix path's fixed costs (document-
+      // frequency join + per-doc rank + verify joins) total ~8 s.
+      val inv = docs.select(col("id"), col("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+      bucketPairs(inv, Seq("s"), struct(col("id"), col("n_sh")), maxBucket, audit)
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // prefix path: candidates from the rarest-shingle prefixes only,
+      // verified exactly on the full (hashed) shingle sets. Use when the
+      // corpus is templated/boilerplate-heavy or the threshold is high —
+      // there the candidate collapse (OperatorsSpec shows >100× on a
+      // templated corpus) dwarfs the fixed verification cost.
+      val cand = ngramCandidates(docs, threshold, maxBucket, audit, prefixFilter = true)
+      val hashed = docs.withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      // verify on hash arrays, not strings: same semantics as the counting
+      // path (shared-hash count), ~2.5× less join payload
+      val a = hashed.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n_sh").as("n_a"))
+      val b = hashed.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .withColumn("n_shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+  }
+
+  /** Candidate (id_a, id_b) pairs sharing ≥1 indexed shingle. Exposed for
+    * the candidate-count comparison in specs; `ngramJaccard` is the
+    * verified product form.
+    */
+  private[graft] def ngramCandidates(docs: DataFrame, threshold: Double,
+                                     maxBucket: Int, audit: Option[Observation],
+                                     prefixFilter: Boolean): DataFrame = {
     // shuffle on 64-bit shingle hashes, not strings: ~8× less volume
-    // (collision odds across a doc pair are ~|sh|²/2⁶⁴ — immaterial);
-    // pairs come from within-bucket generation, not a self-join — the
-    // postings are computed once and never broadcast
-    val inv = docs.select(col("id"), col("n_sh"),
+    // (collision odds across a doc pair are ~|sh|²/2⁶⁴, and a collision
+    // only ADDS a candidate that exact verification rejects); postings are
+    // computed once and never broadcast
+    val post = docs.select(col("id"), col("n_sh"),
       explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-    bucketPairs(inv, Seq("s"), struct(col("id"), col("n_sh")), maxBucket, audit)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("jaccard",
-        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val indexed =
+      if (!prefixFilter) post.select(col("id"), col("s"))
+      else {
+        val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        // ceil with a tiny downward nudge: if t·n is exactly integral,
+        // float error rounding it UP would shorten the prefix below the
+        // pigeonhole bound (a correctness bug); one element too long is
+        // merely a few extra candidates
+        val p = (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
+        post.join(dfreq, Seq("s"))
+          .withColumn("__rnk", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("__df").asc, col("s").asc)))
+          .filter(col("__rnk") <= p)
+          .select(col("id"), col("s"))
+      }
+    bucketPairs(indexed, Seq("s"), struct(col("id")), maxBucket, audit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs. Candidate generation by

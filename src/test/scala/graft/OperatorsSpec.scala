@@ -106,6 +106,34 @@ class OperatorsSpec extends SparkSpec {
     assert(guarded == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("prefix filtering: identical pairs, order-of-magnitude fewer candidates") {
+    // real corpus: prefix-filtered result must be value-identical
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(prefix: Boolean) =
+      Dedup.ngramJaccard(corpus, "doc_id", "text", k = 3, threshold = 0.2,
+        prefixFilter = prefix).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    assert(pairs(prefix = true) == pairs(prefix = false))
+    // templated corpus: the hot boilerplate shingles sit in every doc's
+    // frequency-ordered suffix, so prefix indexing skips their buckets —
+    // candidates collapse from ~60²/2 to the one genuine pair
+    val boiler = (10L until 70L)
+      .map(i => (i, s"terms of service apply unique$i filler$i content$i"))
+    val similar = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"))
+    val docs = (similar ++ boiler).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0).withColumn("n_sh", size(col("sh")))
+    val cFull = Dedup.ngramCandidates(docs, 0.5, Dedup.DefaultMaxBucket, None,
+      prefixFilter = false).count()
+    val cPref = Dedup.ngramCandidates(docs, 0.5, Dedup.DefaultMaxBucket, None,
+      prefixFilter = true).count()
+    assert(cPref < cFull / 100, s"prefix $cPref vs full $cFull")
+    assert(cPref >= 1)  // the genuine near-dup pair survives the cut
+  }
+
   test("ngram jaccard: exact value for a constructed pair") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // 3-shingles: {a b c, b c d} vs {a b c, b c e} → jaccard 1/3
