@@ -125,6 +125,79 @@ object Perf {
           .agg(sum(col("n"))).head().getLong(0)
       }
     }
+    // synthetic 10M-doc corpus for the LLM-operator stress: ~10% exact
+    // duplicates (so LSH finds real pairs), two boilerplate shingles per
+    // doc ("terms of service", "of service apply" — the realistic hot-
+    // bucket shape the DF cut must absorb), and key-derived tokens
+    // interleaved so the remaining shingles are doc-specific
+    def syntheticDocs(n: Long) = {
+      val key = when(col("id") < n / 10, col("id") % (n / 20)).otherwise(col("id"))
+      spark.range(n).select(col("id"),
+        concat_ws(" ", lit("terms of service apply"), key,
+          lit("alpha"), pmod(key, lit(9973L)), lit("beta"), pmod(key, lit(97L)),
+          lit("gamma"), pmod(key, lit(13L))).as("text"))
+    }
+    if (what == "docsdist") {
+      // natural-corpus bucket maxima: how hot do shingle/band buckets get
+      // on the harness documents table (bounds a safe DefaultMaxBucket)
+      val inv = docs.select(col("doc_id"),
+        explode(operators.Dedup.shingles(col("text"), 3)).as("sh"))
+      println("DOCSDIST max-shingle-df: " + inv.groupBy(col("sh")).count()
+        .agg(max(col("count"))).head().getLong(0))
+      val sigs = docs.select(col("doc_id"),
+        graft.functions.HashFunctions.minhash(
+          operators.Dedup.shingles(col("text"), 3), 32).as("sig"))
+      val banded = sigs.select(col("doc_id"), explode(array((0 until 16).map { b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * 2 + 1, 2)).as("bucket"))
+      }: _*)).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      println("DOCSDIST max-band-bucket: " + banded.groupBy(col("band"), col("bucket"))
+        .count().agg(max(col("count"))).head().getLong(0))
+    }
+    if (what == "lshdist") {
+      // bucket-size histogram of the banded LSH index — calibrates the
+      // pair volume the synthetic corpus generates before running 10M
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "1000000").toLong
+      val sdocs = syntheticDocs(n)
+      val sigs = sdocs.select(col("id"),
+        graft.functions.HashFunctions.minhash(
+          operators.Dedup.shingles(col("text"), 3), 32).as("sig"))
+      val banded = sigs.select(col("id"), explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * 4 + 1, 4)).as("bucket"))
+      }: _*)).as("bb")).select(col("id"), col("bb.band"), col("bb.bucket"))
+      val sizes = banded.groupBy(col("band"), col("bucket")).count()
+      val hist = sizes.groupBy(ceil(log2(col("count"))).as("log2_size"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+        .orderBy(col("log2_size"))
+      hist.collect().foreach(r => println(s"LSHDIST log2<=${r.get(0)}: " +
+        s"buckets=${r.get(1)} pairs=${r.get(2)}"))
+    }
+    if (what == "scalellm-minhash") {
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      time(s"minhash-only-$n")(
+        operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
+    }
+    if (what == "scalellm") {
+      // 10M-doc / 10M-vector stress of the LLM-pipeline operators — the
+      // same linear-plan evidence `scale` gives the CDC operators.
+      val n = 10000000L
+      val sdocs = syntheticDocs(n)
+      time("scalellm-docs-count")(sdocs.count())
+      time("scalellm-exact-dedup")(
+        operators.Dedup.exactKeepFirst(sdocs, "id", "text").count())
+      time("scalellm-minhash-lsh")(
+        operators.Dedup.minHashLsh(sdocs, "id", "text",
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
+      time("scalellm-repetition")(
+        operators.TextAnalysis.repetition(sdocs, "id", "text").count())
+      val vecs = spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (pmod(xxhash64(col("id") * 64 + d), lit(2000L)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+      time("scalellm-quantize")(
+        vecs.select(graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+          .select(sum(element_at(col("q.qvec"), 1).cast("long"))).head().getLong(0))
+    }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
       // fact spread over 30 date partitions, same 50k-row batch touching

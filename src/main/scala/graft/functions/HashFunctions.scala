@@ -84,8 +84,19 @@ object HashFunctions {
   def simhash64(tokens: Column): Column =
     co(SimHash64(ex(tokens)))
 
-  /** All ordered pairs (i < j) of an array, as array<struct<a,b>>. */
+  /** All ordered pairs (i < j) of an array, as array<struct<a,b>>.
+    * MATERIALIZES the n(n−1)/2 array — fine for small n; for bucket-scale
+    * arrays use `orderedPairsGen`, which streams.
+    */
   def orderedPairs(arr: Column): Column = co(OrderedPairs(ex(arr)))
+
+  /** All ordered pairs (i < j) of an array as a GENERATOR (two output
+    * columns `a`, `b`): pairs are yielded lazily into the downstream
+    * operator, so a bucket of b members costs O(b) memory, not the
+    * O(b²) a materialized pair array would (a 4096-member bucket is ~8M
+    * pairs — half a GB as an array, a streamed trickle as a generator).
+    */
+  def orderedPairsGen(arr: Column): Column = co(OrderedPairsGen(ex(arr)))
 
   /** Per-vocabulary membership counts of a token array, one pass. */
   def tokenSetCounts(tokens: Column, vocabularies: Seq[Seq[String]]): Column =
@@ -351,6 +362,62 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"ordered_pairs needs an array argument, got $other")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Streaming ordered-pair generator: array<T> → rows (a: T, b: T) for all
+  * i < j, yielded lazily (see HashFunctions.orderedPairsGen). Interpreted
+  * generator (CodegenFallback) — the stage it runs in is shuffle-bound, so
+  * codegen of the pair loop is immaterial, while NOT materializing the
+  * pair array is what keeps hot-bucket memory O(bucket).
+  */
+case class OrderedPairsGen(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", elemType), StructField("b", elemType)))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    // one defensive copy of the members (ArrayData.get may return views
+    // into a reused buffer); pairs themselves are never materialized
+    val elems = new Array[Any](n)
+    var c = 0
+    while (c < n) {
+      elems(c) = arr.get(c, elemType) match {
+        case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+        case s: UTF8String => s.clone()
+        case a: ArrayData => a.copy()
+        case x => x
+      }
+      c += 1
+    }
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val out = org.apache.spark.sql.catalyst.InternalRow(elems(i), elems(j))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        out
+      }
+    }
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_pairs_gen needs an array argument, got $other")
     }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

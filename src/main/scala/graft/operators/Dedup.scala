@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Default document-frequency cut for bucketed candidate generation.
-    * 4096² ≈ 17M is the worst-case pair fan-out of one surviving bucket —
-    * large but bounded; a bucket this common is noise for similarity.
+    * Sized by candidate economics, not just memory: one surviving bucket
+    * of b members fans out b²/2 pairs into the verification shuffle, so
+    * the cap is what keeps a templated corpus's heavy bucket tail from
+    * turning into billions of candidates (measured: the 10M-doc stress
+    * corpus generates multi-GB spills with a 4096 cap and runs cleanly at
+    * 256 ≈ 32k pairs/bucket). A feature shared by >256 documents is a
+    * template artifact, not a similarity signal — the same reasoning as
+    * stopword removal. The harness documents corpus maxes out at
+    * bucket size 25 (sf0.1), so the default never binds on clean data;
+    * callers with legitimately hot features raise it explicitly.
     */
-  val DefaultMaxBucket: Int = 4096
+  val DefaultMaxBucket: Int = 256
 
   /** Canonical normalized text: lowercase, trim, collapse whitespace —
     * native one-pass form of `regexp_replace(lower(trim(text)), "\\s+", " ")`.
@@ -95,22 +103,32 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
       .select(col("id"), col("sig"))
+    // band rows carry (id, band, bucket) ONLY — carrying the signature
+    // here would duplicate it `bands`× through the bucket shuffle (at 10M
+    // docs that is a ~20 GB shuffle of redundant bytes and an executor
+    // OOM, measured in Perf scalellm); instead candidate ids join the
+    // signature table back afterwards, so each signature crosses the wire
+    // once per join side. The signature lineage is recomputed per use —
+    // at corpus scale re-running the codegen'd sketch kernel is far
+    // cheaper than shuffling its output multiplied by the band count.
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
     // one shuffle on the bucket key; pairs generated inside each bucket.
-    // (A self-join would compute the signatures twice and, worse, Spark
+    // (A self-join would compute the buckets twice and, worse, Spark
     // would broadcast the whole exploded index — a corpus-sized build side
     // at scale.)
-    val pairs = bucketPairs(banded, Seq("band", "bucket"),
-      struct(col("id"), col("sig")), maxBucket, audit)
-    pairs
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
+    val cand = bucketPairs(banded, Seq("band", "bucket"),
+      struct(col("id")), maxBucket, audit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / numHashes)
@@ -144,11 +162,13 @@ object Dedup {
         count(lit(1)).as("total_buckets"))
       case None => grouped
     }
+    // pairs are GENERATED lazily (orderedPairsGen), not materialized as an
+    // n²/2 array first: a bucket at the cap would otherwise allocate ~8M
+    // pair structs in a single row — O(cap²) executor memory that an
+    // explode-over-array cannot avoid
     observed
       .filter(col("ms").isNotNull && size(col("ms")) > 1)
-      .select(explode(graft.functions.HashFunctions.orderedPairs(
-        sort_array(col("ms")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(graft.functions.HashFunctions.orderedPairsGen(sort_array(col("ms"))))
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
@@ -300,14 +320,19 @@ object Dedup {
     import graft.functions.{HashFunctions, VectorFunctions}
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // native one-pass bucket computation per table (fixed pseudo-random
-    // hyperplanes from splitmix64 — deterministic across runs/partitions)
+    // hyperplanes from splitmix64 — deterministic across runs/partitions).
+    // Bucket rows carry ids only — the embedding would otherwise ride the
+    // bucket shuffle numTables× (same OOM shape minHashLsh had at 10M
+    // docs); candidates join the vectors back once per side instead.
     val bucketed = base
       .withColumn("bkts", HashFunctions.lshBuckets(col("v"), numTables, numPlanes))
-      .select(col("id"), col("v"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
-    bucketPairs(bucketed, Seq("tbl", "bucket"), struct(col("id"), col("v")),
+      .select(col("id"), posexplode(col("bkts")).as(Seq("tbl", "bucket")))
+    bucketPairs(bucketed, Seq("tbl", "bucket"), struct(col("id")),
         maxBucket, audit)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(first(col("a.v")).as("v_a"), first(col("b.v")).as("v_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))

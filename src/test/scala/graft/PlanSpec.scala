@@ -45,9 +45,15 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
-  test("LSH dedup computes the index once (no duplicate scan subtrees)") {
+  test("LSH dedup: band rows carry ids only, signatures join back per side") {
     val p = plan("q21_minhash_lsh")
-    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // the banding aggregate must NOT carry the 32-slot signature through
+    // the bucket shuffle — that duplicates it bands× and OOMs at 10M docs
+    // (Perf scalellm); instead candidates join the signature table back,
+    // re-running the cheap codegen'd sketch per join side (3 scans)
+    assert(!p.contains("bounded_collect_list(struct(id, id") ||
+      !p.matches("(?s).*bounded_collect_list\\(struct\\([^)]*sig.*"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
   }
 
   test("latest-wins dedup is a single shuffle on the key") {
