@@ -26,6 +26,10 @@ object Similarity {
     * Ties broken by neighbor id for determinism. `roundTo` decimals are
     * applied to the ranking cosine so result order is reproducible across
     * engines' float summation.
+    *
+    * The query side is broadcast unconditionally — this operator's
+    * contract is |Q| small (a query batch, not a corpus); for large |Q|
+    * use `ivfTopK`, whose join degrades gracefully to cluster-by-cell.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
@@ -104,13 +108,31 @@ object Similarity {
     c
   }
 
+  /** Max estimated size of the query side that still gets a broadcast
+    * hint in `ivfTopK`. Below it, every corpus cell partition scores its
+    * probing queries with zero query shuffle; above it, both sides
+    * cluster by `cell_id` in a shuffle join — the very-large-|Q| path
+    * (e.g. corpus-vs-corpus ANN), where broadcasting |Q|·nProbe vectors
+    * to every executor would OOM before the join even starts.
+    */
+  val MaxBroadcastQueryBytes: Long = 64L << 20
+
   /** IVF ANN: probe the `nProbe` nearest cells per query. Recall < 1 by
     * design; deterministic for fixed parameters (with `refineIters` > 0,
     * centroids are Lloyd-refined first).
+    *
+    * Sizing notes for 100 TB: `nCells` should grow ~√corpus (cost per
+    * query scan is |corpus|·nProbe/nCells vectors); centroid assignment
+    * broadcasts `nCells` centroid vectors, so nCells is bounded by what
+    * one executor comfortably holds (10⁵–10⁶ at 64–1024 dims), which
+    * covers corpora well past 10¹⁰ vectors. The query side is broadcast
+    * only while its size estimate stays under `MaxBroadcastQueryBytes` —
+    * past that the join degrades gracefully to cluster-by-cell.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCells: Int = 16, nProbe: Int = 4, roundTo: Int = 6,
-              refineIters: Int = 0): DataFrame = {
+              refineIters: Int = 0,
+              maxBroadcastQueryBytes: Long = MaxBroadcastQueryBytes): DataFrame = {
     val seeded = centroids(corpus, idCol, vecCol, nCells)
     val cents =
       if (refineIters > 0) kmeansRefine(corpus, idCol, vecCol, seeded, refineIters)
@@ -119,7 +141,11 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell_id"))
     val queryCells = assignCells(queries, cents, idCol, vecCol, nProbe = nProbe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cell_id"))
+    val joinedQueries =
+      if (queryCells.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= maxBroadcastQueryBytes) broadcast(queryCells)
+      else queryCells
+    val scored = corpusCells.join(joinedQueries, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(VectorFunctions.cosine(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy(col("query_id"))
