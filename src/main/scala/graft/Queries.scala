@@ -978,6 +978,77 @@ object Queries {
       },
       None),
 
+    // ── training prep: fixed-token-window chunking with overlap (chunk
+    //    budget 32 tokens, overlap 8 → stride 24) ──
+    Q("q54_chunking",
+      (s, d) => TextAnalysis.chunk(
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("n_chunk_tokens")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0),
+        n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+        c AS (
+          SELECT doc_id, tk, n,
+                 unnest(range(GREATEST(CAST(ceil((n - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+          FROM n)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
+               CAST(LEAST(32, n - chunk_id * 24) AS INTEGER) AS n_chunk_tokens
+        FROM c""")),
+
+    // ── training prep: benchmark decontamination — drop corpus docs that
+    //    share any 5-gram with the benchmark set (source 'src0' stands in
+    //    for the eval benchmark) ──
+    Q("q55_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.decontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 5)
+          .select("doc_id", "lang", "source")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source, unnest(list_transform(range(1, len(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS s
+          FROM t),
+        dirty AS (
+          SELECT DISTINCT c.doc_id
+          FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE source = 'src0') b
+            ON c.s = b.s
+          WHERE c.source <> 'src0')
+        SELECT doc_id, lang, source FROM documents
+        WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM dirty)""")),
+
+    // ── text analysis: per-doc top-3 tokens by tf·idf ──
+    Q("q56_tfidf",
+      (s, d) => TextAnalysis.tfIdf(
+        Tables.documents(s, d), "doc_id", "text", topK = 3),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+        scored AS (
+          SELECT doc_id, token, round(tf * ln(nd / df), 6) AS score
+          FROM tf JOIN dfq USING (token), n)
+        SELECT doc_id, token, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 3""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

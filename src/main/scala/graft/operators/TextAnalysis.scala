@@ -159,4 +159,78 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31L + tokVal(t).cast("long")) % FingerprintMod)
   }
+
+  /** Fixed-token-window chunking with overlap — the "split documents into
+    * model-context-sized pieces" step of RAG / pre-training prep. Chunk c
+    * starts at token c·(chunkTokens − overlap); chunks are emitted while
+    * their start lies before `n − overlap` (plus always one chunk), so
+    * every token is covered and no chunk is a suffix of the previous one.
+    * Map-only (tokenize + sequence-explode + slice): no shuffle, linear
+    * scale-out, chunk count per doc = ⌈(n − overlap)/stride⌉.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    df.filter(length(trim(col(textCol))) > 0)
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(ceil((col("__n") - lit(overlap.toLong)).cast("double") / stride)
+          .cast("long") - 1, lit(0L)))))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens))))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_id") * stride).cast("int"))
+      .drop("__toks", "__n")
+  }
+
+  /** Benchmark decontamination: drop every corpus doc sharing at least one
+    * word k-shingle with the benchmark set — the standard "remove eval-set
+    * contamination from training data" sweep.
+    *
+    * Scale shape: corpus postings shuffle on 64-bit shingle hashes (8×
+    * smaller than strings; a collision only flags an extra doc, the safe
+    * direction for decontamination); the benchmark side is aggregated to
+    * distinct hashes first, so it is typically small enough that AQE
+    * broadcasts the semi-join build side. Cost is one pass over each side
+    * plus an id-level anti-join — no pairwise work anywhere.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int = 5): DataFrame = {
+    val hashes = (d: DataFrame) => d.select(col(idCol),
+      explode(transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))).as("__sh"))
+    val benchHashes = hashes(benchmark).select(col("__sh")).distinct()
+    val dirtyIds = hashes(corpus)
+      .join(benchHashes, Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(dirtyIds, Seq(idCol), "left_anti")
+  }
+
+  /** Per-doc top-k tokens by tf·idf (idf = ln(N/df), N = docs with ≥1
+    * token). Scores are rounded to 6 decimals BEFORE ranking so order is
+    * reproducible across engines; ties break by token.
+    *
+    * Scale shape: tf is a map-side-combinable hash agg; df aggregates the
+    * (already tiny) per-doc term rows; N rides in as a broadcast scalar;
+    * the final window partitions by doc — no unpartitioned window, no
+    * driver-side vocabulary.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
 }

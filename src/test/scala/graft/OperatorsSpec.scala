@@ -282,6 +282,48 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
   }
 
+  test("chunking: full coverage, overlap stitching, short-doc degenerate") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect()
+    val c1 = out.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Long]("chunk_id"))
+    // stride 3 → starts 0,3,6: every token appears, boundaries share 1 token
+    assert(c1.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(c1.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(4, 4, 4))
+    // short doc → exactly one (short) chunk; blank doc → no chunks
+    assert(out.filter(_.getAs[Long]("doc_id") == 2L)
+      .map(_.getAs[String]("chunk_text")).toSeq == Seq("a b"))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 3L))
+  }
+
+  test("decontamination drops exactly the docs sharing a benchmark 5-gram") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today"),  // contains benchmark 5-gram
+      (2L, "completely unrelated training document content here now"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "answer: the quick brown fox jumps high")).toDF("doc_id", "text")
+    val clean = TextAnalysis.decontaminate(corpus, benchmark, "doc_id", "text", k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("tf-idf: exact scores and deterministic ranks on a tiny corpus") {
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text", topK = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        ((r.getAs[Double]("score"), r.getAs[Int]("rank")))).toMap
+    val ln2 = math.round(2.0 * math.log(2.0) * 1e6) / 1e6
+    assert(out((1L, "x")) == ((ln2, 1)))     // tf=2, df=1, N=2 → 2·ln2
+    assert(out((1L, "y")) == ((0.0, 2)))     // df=N → idf 0
+    assert(out((2L, "z"))._2 == 1)
+    assert(out((2L, "y")) == ((0.0, 2)))
+  }
+
   test("MinHash union aggregator: elementwise min IS the union's signature") {
     import graft.functions.{HashFunctions, MinHashUnion}
     val docs = Seq(
