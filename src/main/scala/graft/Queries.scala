@@ -1049,6 +1049,42 @@ object Queries {
         FROM scored
         QUALIFY rank <= 3""")),
 
+    // ── fuzzy dedup, closed end-to-end: candidate pairs → connected-
+    //    component clusters (min-label propagation; oracle = recursive CTE
+    //    transitive closure over the same pair set) ──
+    Q("q57_dedup_clusters",
+      (s, d) => Dedup.resolveClusters(
+          Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+            k = 3, threshold = 0.2))
+        .select(col("id").as("doc_id"), col("cluster_id")),
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
+        SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM cc GROUP BY id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

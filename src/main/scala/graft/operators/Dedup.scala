@@ -171,6 +171,60 @@ object Dedup {
       .select(graft.functions.HashFunctions.orderedPairsGen(sort_array(col("ms"))))
   }
 
+  /** Resolve near-dup candidate pairs into clusters: connected components
+    * over the pair graph by iterative min-label propagation. Every node
+    * gets `cluster_id` = the smallest id reachable from it, so "keep one
+    * doc per near-dup cluster" becomes `filter(id === cluster_id)` (or an
+    * anti-join for the drop list).
+    *
+    * Scale shape: per iteration, one join of the edge list against the
+    * current labels + one min-aggregation — both hash-partitioned on node
+    * id, no sort. Iteration count is the cluster diameter, and near-dup
+    * clusters are dense (a duplicate family pairs up densely through
+    * shared buckets), so convergence is typically 2–4 rounds; `maxIter`
+    * bounds the pathological chain. The driver-side loop does ONLY
+    * convergence control (one count per round — the same shape as
+    * GraphX/Pregel iteration), never data.
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String = "id_a",
+                      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round's result is localCheckpoint'ed (eager): iterative plans
+    // otherwise embed the previous round's lineage 2-3× per iteration —
+    // an exponentially growing logical plan that blows up analysis and
+    // the per-action plan-string rendering long before data does. This is
+    // the standard Pregel-loop shape; on a multi-node cluster prefer
+    // `sc.setCheckpointDir` + reliable checkpoints for fault tolerance
+    // (localCheckpoint blocks die with an executor).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // each node adopts the min of its own and its neighbors' labels
+        val proposals = edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("cluster_id"))
+        val next = labels.unionByName(proposals)
+          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged, s"resolveClusters did not converge in $maxIter iterations " +
+        "(a near-dup cluster with that diameter indicates a degenerate pair graph)")
+      labels
+    } finally edges.unpersist()
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
     * ±1 per bit (term-frequency weighted); fingerprint bit b is 1 when the
     * vote is positive. Native one-pass expression — map-only, no shuffle

@@ -282,6 +282,21 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("n")).sorted.toSeq == Seq(88, 256, 256))
   }
 
+  test("cluster resolution: transitive chains merge, separate clusters stay apart") {
+    // chain 1-2-3 (1~2, 2~3 but never 1~3 directly) + island 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    // keep-one-per-cluster falls out as id === cluster_id
+    assert(out.filter { case (id, c) => id == c }.keySet == Set(1L, 8L))
+    // a longer chain still converges within the iteration bound
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chained = Dedup.resolveClusters(chain).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(chained == Set(1L))
+  }
+
   test("chunking: full coverage, overlap stitching, short-doc degenerate") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
