@@ -1085,6 +1085,28 @@ object Queries {
         SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM cc GROUP BY id""")),
 
+    // ── text analysis: bigram-LM negative log-likelihood (perplexity-
+    //    style quality score; add-one smoothing, corpus-trained) ──
+    Q("q58_bigram_nll",
+      (s, d) => TextAnalysis.bigramNll(Tables.documents(s, d), "doc_id", "text"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        big AS (
+          SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+          FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) x),
+        bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS b FROM big GROUP BY 1),
+        ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS u
+                 FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ucnt),
+        terms AS (
+          SELECT doc_id, CAST(round(ln((b + 1.0) / (u + v)), 6) AS DECIMAL(18,6)) AS t
+          FROM big JOIN bcnt USING (bg) JOIN ucnt ON big.w1 = ucnt.w, v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(-(CAST(SUM(t) AS DOUBLE) / COUNT(*)), 6) AS nll
+        FROM terms GROUP BY doc_id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

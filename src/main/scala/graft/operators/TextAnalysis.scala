@@ -208,6 +208,49 @@ object TextAnalysis {
     corpus.join(dirtyIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-doc bigram-LM negative log-likelihood — the perplexity-style
+    * quality score: train add-one-smoothed bigram statistics on the corpus
+    * itself, score each doc by −mean ln P(w₂|w₁) over its bigram
+    * occurrences (docs with <2 tokens drop out). High nll = improbable
+    * token transitions = gibberish/boilerplate candidates.
+    *
+    * Float discipline for the oracle: each term is rounded to 6 decimals
+    * and summed as DECIMAL (exact, order-independent — a double sum would
+    * depend on partition order), then one double division + final round.
+    *
+    * Scale shape: two corpus-count aggregations (map-side combinable) +
+    * two joins on token/bigram keys + one per-doc aggregation; vocabulary
+    * size rides in as a broadcast scalar. Nothing driver-side, nothing
+    * pairwise.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // bigram OCCURRENCES (with multiplicity — unlike the shingle SET).
+    // Docs with <2 tokens are filtered BEFORE the index sequence is built:
+    // sequence(1, n−1) with n=1 is the DESCENDING [1,0], whose element_at
+    // lookups throw under ANSI mode.
+    val big = df.select(col(idCol), toks.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__tk")) - 1),
+        i => concat_ws(" ",
+          element_at(col("__tk"), i), element_at(col("__tk"), i + 1)))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ", 2)(0))
+    val bcnt = big.groupBy(col("bg")).agg(count(lit(1)).as("b"))
+    val ucnt = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u"))
+    val vocab = ucnt.agg(count(lit(1)).as("v"))
+    big
+      .join(bcnt, Seq("bg"))
+      .join(ucnt.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("t", round(log((col("b") + lit(1.0)) / (col("u") + col("v"))), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("t")).cast("double") / count(lit(1))), 6).as("nll"))
+  }
+
   /** Per-doc top-k tokens by tf·idf (idf = ln(N/df), N = docs with ≥1
     * token). Scores are rounded to 6 decimals BEFORE ranking so order is
     * reproducible across engines; ties break by token.

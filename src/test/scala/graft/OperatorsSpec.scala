@@ -339,6 +339,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out((2L, "y")) == ((0.0, 2)))
   }
 
+  test("bigram NLL: hand-computed smoothed probability on a tiny corpus") {
+    // unigrams: a:2 b:2 x:1 → V=3; bigram "a b":2
+    // P(b|a) = (2+1)/(u(a)+V) = 3/5 → per-doc nll = -ln(0.6) ≈ 0.510826
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll")))).toMap
+    val expected = math.round(-math.log(3.0 / 5.0) * 1e6) / 1e6
+    assert(out == Map(1L -> ((1L, expected)), 2L -> ((1L, expected))))
+  }
+
   test("MinHash union aggregator: elementwise min IS the union's signature") {
     import graft.functions.{HashFunctions, MinHashUnion}
     val docs = Seq(
