@@ -197,6 +197,19 @@ object Perf {
       time("scalellm-quantize")(
         vecs.select(graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("q"))
           .select(sum(element_at(col("q.qvec"), 1).cast("long"))).head().getLong(0))
+      time("scalellm-chunking")(
+        operators.TextAnalysis.chunk(sdocs, "id", "text",
+          chunkTokens = 8, overlap = 2).count())
+      time("scalellm-decontaminate")(
+        operators.TextAnalysis.decontaminate(
+          sdocs.filter(col("id") % 100L =!= 0L),
+          sdocs.filter(col("id") % 100L === 0L), "id", "text", k = 5).count())
+      time("scalellm-clusters")(
+        operators.Dedup.resolveClusters(
+          operators.Dedup.minHashLsh(sdocs, "id", "text",
+            bands = 8, rowsPerBand = 4, minEstJaccard = 0.9)).count())
+      time("scalellm-bigram-nll")(
+        operators.TextAnalysis.bigramNll(sdocs.limit(2000000), "id", "text").count())
     }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
