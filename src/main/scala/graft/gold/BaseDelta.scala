@@ -1,6 +1,6 @@
 package graft.gold
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * 1440× a day. Here a micro-batch only APPENDS its (deduped) rows:
   *
   * {{{
-  * <path>/_manifest                 {"generation":N,"deltas":[ids…]} — the
+  * <path>/_manifests/v<V>           {"generation":N,"deltas":[ids…]} — the
   *                                  commit point readers resolve through
+  *                                  (highest version wins; commits are
+  *                                  rename-to-new-name, atomic everywhere)
   * <path>/base_g<N>/…parquet        compacted snapshot, one dir per
   *                                  generation (never mutated in place)
   * <path>/delta/batch=<id>/…parquet immutable per-batch appends
@@ -72,7 +74,7 @@ object BaseDelta {
     def baseGenPath(gen: Long) = s"$path/base_g$gen"
     def deltaRoot = s"$path/delta"
     def deltaPath(batchId: Long) = s"$deltaRoot/batch=$batchId"
-    def manifestPath = s"$path/_manifest"
+    def manifestRoot = s"$path/_manifests"
   }
 
   /** Committed table state: base generation (0 = no compacted base yet /
@@ -83,13 +85,32 @@ object BaseDelta {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed manifest, or None for a legacy/empty table. */
-  def readManifest(spark: SparkSession, t: Table): Option[Manifest] = {
-    val f = fs(spark, t.path)
-    val p = new Path(t.manifestPath)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
+  private def manifestFile(t: Table, v: Long) =
+    new Path(t.manifestRoot, f"v$v%020d")
+
+  /** Committed manifest versions present on disk, ascending. */
+  private def manifestVersions(spark: SparkSession, t: Table): Seq[Long] = {
+    val f = fs(spark, t.manifestRoot)
+    val root = new Path(t.manifestRoot)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }.sorted
+  }
+
+  /** The committed manifest, or None for a legacy/empty table.
+    *
+    * Commits are NEW files `_manifests/v<N>` renamed into place — a rename
+    * to a nonexistent target, atomic on HDFS and POSIX alike (a replacing
+    * rename is not: local FS implements overwrite as delete-then-rename,
+    * whose window would dump readers into the legacy path and silently
+    * lose all compacted history). Readers take the highest version; stale
+    * versions are retained one commit and retired by the next write.
+    */
+  def readManifest(spark: SparkSession, t: Table): Option[Manifest] =
+    manifestVersions(spark, t).lastOption.map { v =>
+      val f = fs(spark, t.path)
+      val in = f.open(manifestFile(t, v))
       val s = try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
@@ -98,31 +119,31 @@ object BaseDelta {
         new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
       val gen = "\"generation\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"corrupt manifest at ${t.manifestPath}: $s"))
+        .getOrElse(sys.error(s"corrupt manifest ${manifestFile(t, v)}: $s"))
         .group(1).toLong
       val ds = "\"deltas\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"corrupt manifest at ${t.manifestPath}: $s"))
+        .getOrElse(sys.error(s"corrupt manifest ${manifestFile(t, v)}: $s"))
         .group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-      Some(Manifest(gen, ds))
+      Manifest(gen, ds)
     }
-  }
 
-  /** Atomically replace the manifest (write tmp, FileContext rename with
-    * OVERWRITE — atomic on HDFS and POSIX local FS, so a reader sees either
-    * the old or the new manifest, never a missing one).
+  /** Commit a manifest as the next version file (see readManifest for the
+    * atomicity argument) and retire versions older than the previous one.
+    * Single-writer, so the version counter cannot race.
     */
   private def writeManifest(spark: SparkSession, t: Table, m: Manifest): Unit = {
     val f = fs(spark, t.path)
-    f.mkdirs(new Path(t.path))
-    val tmp = new Path(t.manifestPath + ".__tmp")
+    f.mkdirs(new Path(t.manifestRoot))
+    val versions = manifestVersions(spark, t)
+    val next = versions.lastOption.getOrElse(0L) + 1
+    val tmp = new Path(t.manifestRoot, f".v$next%020d.tmp")
     val out = f.create(tmp, true)
     try out.write(
       s"""{"generation":${m.generation},"deltas":[${m.deltas.sorted.mkString(",")}]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = FileContext.getFileContext(new Path(t.path).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(t.manifestPath), Options.Rename.OVERWRITE)
+    f.rename(tmp, manifestFile(t, next))
+    versions.dropRight(1).foreach(v => f.delete(manifestFile(t, v), false))
   }
 
   /** Delta dirs present on disk (live + retained) — cleanup's view, not the

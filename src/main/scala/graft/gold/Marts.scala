@@ -23,16 +23,10 @@ object Marts {
     * sizes — a forced broadcast of an unbounded dim (15M customers at
     * TPC-H sf100) would OOM the driver no matter what the planner knows.
     */
-  val MaxBroadcastBytes: Long = 64L << 20
+  val MaxBroadcastBytes: Long = graft.functions.PlanHints.DefaultMaxBroadcastBytes
 
-  /** Broadcast only when Catalyst's size estimate says the dim is small;
-    * estimate comes from plan statistics (file sizes / filter
-    * selectivity) — driver-side, no job.
-    */
   private def hinted(dim: DataFrame, maxBytes: Long): DataFrame =
-    if (dim.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
-      broadcast(dim)
-    else dim
+    graft.functions.PlanHints.broadcastIfSmall(dim, maxBytes)
 
   /** Left equi-join fact enrichment (row 17a): orphan facts survive with
     * null dim columns. A small `dim` is broadcast (size-guarded — see

@@ -178,13 +178,14 @@ object Dedup {
     * anti-join for the drop list).
     *
     * Scale shape: per iteration, one join of the edge list against the
-    * current labels + one min-aggregation — both hash-partitioned on node
-    * id, no sort. Iteration count is the cluster diameter, and near-dup
-    * clusters are dense (a duplicate family pairs up densely through
-    * shared buckets), so convergence is typically 2–4 rounds; `maxIter`
-    * bounds the pathological chain. The driver-side loop does ONLY
-    * convergence control (one count per round — the same shape as
-    * GraphX/Pregel iteration), never data.
+    * current labels, one min-aggregation, and one label-to-label jump
+    * (pointer doubling) — all hash-partitioned on node id, no sort.
+    * Pointer doubling halves the distance to each cluster's minimum every
+    * round, so convergence is O(log diameter): dense near-dup families
+    * finish in 2–3 rounds and even a chain-shaped cluster of a million
+    * versions fits comfortably inside the default `maxIter`. The
+    * driver-side loop does ONLY convergence control (one count per round —
+    * the same shape as GraphX/Pregel iteration), never data.
     */
   def resolveClusters(pairs: DataFrame, aCol: String = "id_a",
                       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -206,12 +207,22 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // each node adopts the min of its own and its neighbors' labels
+        // each node adopts the min of its own and its neighbors' labels…
         val proposals = edges
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("cluster_id"))
-        val next = labels.unionByName(proposals)
+        val propagated = labels.unionByName(proposals)
           .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        // …then jumps to its label's label (pointer doubling): labels are
+        // monotone (label(x) <= x), so the jump only improves, and the
+        // effective distance to the cluster minimum halves per round —
+        // O(log diameter) rounds instead of O(diameter), which is what
+        // lets maxIter=20 cover even chain-shaped clusters of ~10⁶ docs
+        val next = propagated
+          .join(propagated
+              .select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
+            Seq("cluster_id"))
+          .select(col("id"), col("__jump").as("cluster_id"))
           .localCheckpoint(true)
         val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
           .filter(col("cluster_id") =!= col("old")).count()
@@ -219,8 +230,7 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
-      require(converged, s"resolveClusters did not converge in $maxIter iterations " +
-        "(a near-dup cluster with that diameter indicates a degenerate pair graph)")
+      require(converged, s"resolveClusters did not converge in $maxIter iterations")
       labels
     } finally edges.unpersist()
   }
@@ -274,13 +284,24 @@ object Dedup {
     * every qualifying pair reachable, while the hot head of the frequency
     * distribution (boilerplate shingles that drive Σ|bucket|² candidate
     * cost) sits in docs' suffixes and never enters the index; candidates
-    * are then verified exactly, so both paths return identical results.
+    * are then verified exactly on the FULL shingle sets.
     *
-    * Which path to pick (measured, sf0.1, local[32]): the default
-    * counting path for low-duplication corpora or thresholds ≲0.3 — the
-    * prefix machinery's fixed costs outweigh its cut there; the prefix
-    * path for templated/boilerplate corpora or high thresholds, where the
-    * candidate set collapses by orders of magnitude.
+    * Cap semantics differ when `maxBucket` BINDS (never on a corpus whose
+    * max document frequency stays under it — then the paths are
+    * identical): the counting path's n_shared counts only surviving
+    * buckets, i.e. it computes jaccard with >maxBucket-frequency shingles
+    * treated as stopwords (their contribution to the numerator is
+    * dropped), while the prefix path verifies against full sets and keeps
+    * the template shingles in the score. Stopword-discounted similarity
+    * is usually what dedup wants on templated corpora; pick the prefix
+    * path when the raw score must be exact there.
+    *
+    * Which path to pick for cost (measured, sf0.1, local[32]): the
+    * default counting path for low-duplication corpora or thresholds
+    * ≲0.3 — the prefix machinery's fixed costs outweigh its cut there;
+    * the prefix path for templated/boilerplate corpora or high
+    * thresholds, where the candidate set collapses by orders of
+    * magnitude.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,

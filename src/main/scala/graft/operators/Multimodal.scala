@@ -116,9 +116,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       // per-partition codec context: ImageIO readers are created once here
       // and reused across the partition's rows (reader init dwarfs per-row
-      // work for small payloads), disposed when the partition is exhausted
+      // work for small payloads). Disposal hangs off task COMPLETION, not
+      // iterator exhaustion — a limit()/take() or a downstream failure
+      // never drains the iterator, and native-backed readers would leak.
       val decoder = new PixelDecoder
-      val mapped = rows.map { r =>
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+      rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         // null payload → null structs, matching the expression form exactly
         val (meta, pixel) =
@@ -133,14 +137,6 @@ object Multimodal {
               (Row(n, ck, w, h, "unknown"), null)
           }
         Row.fromSeq(r.toSeq :+ meta :+ pixel)
-      }
-      new Iterator[Row] {
-        override def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h) decoder.close()
-          h
-        }
-        override def next(): Row = mapped.next()
       }
     }(enc)
   }

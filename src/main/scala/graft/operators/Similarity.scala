@@ -61,13 +61,18 @@ object Similarity {
     // run (and warn) as a single-task WindowExec, and partitionBy(lit(0))
     // is constant-folded back to the same thing. Instead the ≤ nCells
     // hashes — bounded by the parameter, never the data — come to the
-    // driver once and rank is their position in that sorted literal array.
+    // driver once and join back as a broadcast (hash, rank) index: O(n)
+    // per row, unlike an array_position scan over a literal of all
+    // hashes, which is O(nCells) per row and quadratic overall at the
+    // 10⁵–10⁶ cells ivfTopK documents as supported.
     val hs: Seq[Long] = top.select(col("__h")).collect().map(_.getLong(0)).toSeq
     require(hs.distinct.length == hs.length,
       "xxhash64 collision among centroid seeds (astronomically unlikely); " +
         "choose a different nCells")
-    top.withColumn("cell_id",
-        (array_position(typedlit(hs), col("__h")) - 1).cast("int"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = hs.zipWithIndex.toDF("__h", "cell_id")
+    top.join(broadcast(idx), Seq("__h"))
       .select(col("cell_id"), col("centroid"))
   }
 
@@ -115,7 +120,7 @@ object Similarity {
     * (e.g. corpus-vs-corpus ANN), where broadcasting |Q|·nProbe vectors
     * to every executor would OOM before the join even starts.
     */
-  val MaxBroadcastQueryBytes: Long = 64L << 20
+  val MaxBroadcastQueryBytes: Long = graft.functions.PlanHints.DefaultMaxBroadcastBytes
 
   /** IVF ANN: probe the `nProbe` nearest cells per query. Recall < 1 by
     * design; deterministic for fixed parameters (with `refineIters` > 0,
@@ -141,11 +146,9 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell_id"))
     val queryCells = assignCells(queries, cents, idCol, vecCol, nProbe = nProbe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
-    val joinedQueries =
-      if (queryCells.queryExecution.optimizedPlan.stats.sizeInBytes
-          <= maxBroadcastQueryBytes) broadcast(queryCells)
-      else queryCells
-    val scored = corpusCells.join(joinedQueries, Seq("cell_id"))
+    val scored = corpusCells.join(
+        graft.functions.PlanHints.broadcastIfSmall(queryCells, maxBroadcastQueryBytes),
+        Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(VectorFunctions.cosine(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy(col("query_id"))

@@ -199,10 +199,12 @@ object TextAnalysis {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, k: Int = 5): DataFrame = {
-    val hashes = (d: DataFrame) => d.select(col(idCol),
-      explode(transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))).as("__sh"))
-    val benchHashes = hashes(benchmark).select(col("__sh")).distinct()
-    val dirtyIds = hashes(corpus)
+    val shingleHashes =
+      explode(transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))).as("__sh")
+    // benchmark side needs ONLY its text — demanding idCol there would
+    // reject a raw eval set that has no such column
+    val benchHashes = benchmark.select(shingleHashes).distinct()
+    val dirtyIds = corpus.select(col(idCol), shingleHashes)
       .join(benchHashes, Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(dirtyIds, Seq(idCol), "left_anti")

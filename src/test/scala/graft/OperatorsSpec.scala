@@ -320,8 +320,8 @@ class OperatorsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over a lazy dog today"),  // contains benchmark 5-gram
       (2L, "completely unrelated training document content here now"),
       (3L, "too short")).toDF("doc_id", "text")
-    val benchmark = Seq(
-      (100L, "answer: the quick brown fox jumps high")).toDF("doc_id", "text")
+    // benchmark carries ONLY text — a raw eval set has no corpus id column
+    val benchmark = Seq("answer: the quick brown fox jumps high").toDF("text")
     val clean = TextAnalysis.decontaminate(corpus, benchmark, "doc_id", "text", k = 5)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(clean == Set(2L, 3L))

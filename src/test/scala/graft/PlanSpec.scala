@@ -51,8 +51,8 @@ class PlanSpec extends SparkSpec {
     // the bucket shuffle — that duplicates it bands× and OOMs at 10M docs
     // (Perf scalellm); instead candidates join the signature table back,
     // re-running the cheap codegen'd sketch per join side (3 scans)
-    assert(!p.contains("bounded_collect_list(struct(id, id") ||
-      !p.matches("(?s).*bounded_collect_list\\(struct\\([^)]*sig.*"), p)
+    assert(!p.matches("(?s).*bounded_collect_list\\(struct\\([^)]*sig.*"), p)
+    assert(p.contains("bounded_collect_list"), p)  // …and the guard IS in the plan
     assert("Scan parquet".r.findAllIn(p).size == 3, p)
   }
 
