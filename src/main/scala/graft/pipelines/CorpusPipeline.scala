@@ -2,6 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.{Dedup, TextAnalysis}
 
 /** Composed training-data cleaning pipeline over a document corpus:
@@ -27,4 +28,42 @@ object CorpusPipeline {
         col("stopword_ratio") <= t.maxStopwordRatio)
     TextAnalysis.langId(scored, textCol)
   }
+
+  /** Streaming corpus assembly: documents arrive as a stream, pass the
+    * quality gate map-side, and land in a BaseDelta table KEYED BY CONTENT
+    * HASH — so exact duplicates collapse across micro-batches and across
+    * the whole history of the stream, not just within a batch. First-seen
+    * wins (max of −id = min id — the same canonical choice as
+    * `Dedup.exactKeepFirst`), so replays and re-crawls are no-ops.
+    * Per-trigger cost is O(batch) (BaseDelta append); the dedup itself is
+    * merge-on-read + periodic compaction, never a stream-wide state store.
+    */
+  def streamAssemble(docs: DataFrame, sinkPath: String, checkpoint: String,
+                     idCol: String, textCol: String,
+                     t: Thresholds = Thresholds(), maxDeltas: Int = 16,
+                     trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    val gated = TextAnalysis.quality(docs, textCol)
+      .filter(col("n_tokens") >= t.minTokens &&
+        col("stopword_ratio") <= t.maxStopwordRatio)
+      .withColumn("content_hash", md5(Dedup.normText(col(textCol))))
+      .withColumn("__first", -col(idCol))
+    val table = graft.gold.BaseDelta.Table(sinkPath,
+      keys = Seq("content_hash"), orderCols = Seq("__first"))
+    gated.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.gold.BaseDelta.appendAndMaybeCompact(
+          batch.sparkSession, table, batch.toDF(), batchId, maxDeltas)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Read the streaming-assembled corpus back (one row per distinct
+    * content, bookkeeping columns dropped).
+    */
+  def readAssembled(spark: org.apache.spark.sql.SparkSession, sinkPath: String): DataFrame =
+    graft.gold.BaseDelta.read(spark,
+        graft.gold.BaseDelta.Table(sinkPath, Seq("content_hash"), Seq("__first")))
+      .drop("__first")
 }

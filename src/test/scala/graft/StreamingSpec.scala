@@ -14,6 +14,32 @@ import graft.streaming.{CdcStream, StatefulOps}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming corpus assembly dedups by content across micro-batches, first id wins") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("corpus-in"); val sink = tmpDir("corpus-sink") + "/t"
+    val ckpt = tmpDir("corpus-ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val longText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Files.writeString(Paths.get(s"$in/b1.json"), Seq(
+      s"""{"doc_id":1,"text":"$longText"}""",
+      s"""{"doc_id":2,"text":"too short"}""").mkString("\n"))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+    val q = graft.pipelines.CorpusPipeline.streamAssemble(
+      stream, sink, ckpt, "doc_id", "text", trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    // batch 2: doc 1's content re-crawled under a NEW id + one fresh doc
+    val longText2 = (1 to 35).map(i => s"new$i").mkString(" ")
+    Files.writeString(Paths.get(s"$in/b2.json"), Seq(
+      s"""{"doc_id":9,"text":"$longText"}""",
+      s"""{"doc_id":5,"text":"$longText2"}""").mkString("\n"))
+    q.processAllAvailable(); q.stop()
+    val out = graft.pipelines.CorpusPipeline.readAssembled(spark, sink)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // dup content collapsed to its first-seen id; the short doc never landed
+    assert(out == Set(1L, 5L))
+  }
+
   private def envelope(id: Int, balance: Double, opCode: String, tsStr: String, lsn: Long): String =
     s"""{"payload":{"before":null,"after":{"id":$id,"customer_id":1,"account_type":"SAVINGS","balance":$balance,"currency":"USD","created_at":"$tsStr"},"source":{"table":"accounts","lsn":$lsn,"ts_ms":$lsn},"op":"$opCode","ts_ms":$lsn}}"""
 
