@@ -102,4 +102,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunking reconstructs the token stream for any doc and chunk geometry") {
+    val geomGen = for {
+      nToks <- Gen.choose(1, 40)
+      chunk <- Gen.choose(2, 12)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (nToks, chunk, overlap)
+    samples(geomGen, 25).foreach { case (n, c, o) =>
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = graft.operators.TextAnalysis.chunk(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", c, o)
+        .orderBy("chunk_id").collect()
+      // dropping each successor chunk's `overlap` leading tokens and
+      // concatenating must reproduce the original token stream exactly
+      val stitched = out.zipWithIndex.flatMap { case (r, i) =>
+        val toks = r.getAs[String]("chunk_text").split(" ").toSeq
+        if (i == 0) toks else toks.drop(o)
+      }.toSeq
+      assert(stitched == (1 to n).map(i => s"w$i"),
+        s"n=$n chunk=$c overlap=$o → $stitched")
+      // declared sizes match the text
+      out.foreach(r => assert(
+        r.getAs[String]("chunk_text").split(" ").length == r.getAs[Int]("n_chunk_tokens")))
+    }
+  }
+
+  test("cluster resolution matches reference union-find on random graphs") {
+    val graphGen = Gen.listOf(for {
+      a <- Gen.choose(1L, 20L)
+      b <- Gen.choose(1L, 20L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(graphGen, 12).foreach { edges =>
+      if (edges.nonEmpty) {
+        // reference: driver-side union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(k => k -> find(k)).toMap
+        val got = graft.operators.Dedup.resolveClusters(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
+  test("bigram NLL is invariant under repartitioning (DECIMAL term sums)") {
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "b c d"), (3L, "a a a a"), (4L, "c d a b c"))
+      .toDF("doc_id", "text")
+    val one = graft.operators.TextAnalysis.bigramNll(docs.repartition(1), "doc_id", "text")
+    val many = graft.operators.TextAnalysis.bigramNll(docs.repartition(7), "doc_id", "text")
+    assert(one.collect().map(_.toString).sorted.toSeq ==
+      many.collect().map(_.toString).sorted.toSeq)
+  }
 }
