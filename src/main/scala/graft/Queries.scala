@@ -1041,7 +1041,8 @@ object Queries {
         dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
         scored AS (
-          SELECT doc_id, token, round(tf * ln(nd / df), 6) AS score
+          SELECT doc_id, token,
+                 floor(tf * ln(nd / df) * 1000000 + 0.5) / 1000000 AS score
           FROM tf JOIN dfq USING (token), n)
         SELECT doc_id, token, score,
                CAST(row_number() OVER (PARTITION BY doc_id
@@ -1101,10 +1102,11 @@ object Queries {
                  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ucnt),
         terms AS (
-          SELECT doc_id, CAST(round(ln((b + 1.0) / (u + v)), 6) AS DECIMAL(18,6)) AS t
+          SELECT doc_id, CAST(floor(ln((b + 1.0) / (u + v)) * 1000000 + 0.5) / 1000000
+            AS DECIMAL(18,6)) AS t
           FROM big JOIN bcnt USING (bg) JOIN ucnt ON big.w1 = ucnt.w, v)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               round(-(CAST(SUM(t) AS DOUBLE) / COUNT(*)), 6) AS nll
+               floor(-(CAST(SUM(t) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS nll
         FROM terms GROUP BY doc_id""")),
 
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──

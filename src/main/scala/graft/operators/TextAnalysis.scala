@@ -210,6 +210,15 @@ object TextAnalysis {
     corpus.join(dirtyIds, Seq(idCol), "left_anti")
   }
 
+  /** Cross-engine-exact 6-decimal rounding: `floor(x·10⁶ + 0.5)/10⁶`
+    * computed in plain IEEE doubles is bit-identical in any engine
+    * (Spark's `round` converts the double to exact BigDecimal HALF_UP
+    * while DuckDB rounds the scaled double — they disagree on half-ulp
+    * boundaries, observed as a 1e-6 diff at sf0.1).
+    */
+  private def round6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Per-doc bigram-LM negative log-likelihood — the perplexity-style
     * quality score: train add-one-smoothed bigram statistics on the corpus
     * itself, score each doc by −mean ln P(w₂|w₁) over its bigram
@@ -246,11 +255,11 @@ object TextAnalysis {
       .join(bcnt, Seq("bg"))
       .join(ucnt.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("t", round(log((col("b") + lit(1.0)) / (col("u") + col("v"))), 6)
+      .withColumn("t", round6(log((col("b") + lit(1.0)) / (col("u") + col("v"))))
         .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-(sum(col("t")).cast("double") / count(lit(1))), 6).as("nll"))
+        round6(-(sum(col("t")).cast("double") / count(lit(1)))).as("nll"))
   }
 
   /** Per-doc top-k tokens by tf·idf (idf = ln(N/df), N = docs with ≥1
@@ -273,7 +282,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
     tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 6))
+      .withColumn("score", round6(col("tf") * log(col("__n") / col("df"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("token"), col("score"), col("rank"))
