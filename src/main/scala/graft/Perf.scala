@@ -177,6 +177,13 @@ object Perf {
         operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
           bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
     }
+    if (what == "scalellm-clusters") {
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      time(s"clusters-only-$n")(
+        operators.Dedup.resolveClusters(
+          operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
+            bands = 8, rowsPerBand = 4, minEstJaccard = 0.9)).count())
+    }
     if (what == "scalellm") {
       // 10M-doc / 10M-vector stress of the LLM-pipeline operators — the
       // same linear-plan evidence `scale` gives the CDC operators.

@@ -1109,6 +1109,117 @@ object Queries {
                floor(-(CAST(SUM(t) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS nll
         FROM terms GROUP BY doc_id""")),
 
+    // ── substring-level dedup audit: fraction of each doc's 8-token
+    //    windows that also appear in ≥2 distinct docs (window hashes on
+    //    the Spark side, window strings in the oracle — same no-collision
+    //    equivalence as q55) ──
+    Q("q59_window_dedup",
+      (s, d) => Dedup.windowDupStats(
+        Tables.documents(s, d), "doc_id", "text", k = 8, minDocFreq = 2),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+              FROM t WHERE len(tk) >= 8),
+        w AS (
+          SELECT doc_id, unnest(list_transform(range(1, n - 6),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                tk[i+4], tk[i+5], tk[i+6], tk[i+7]))) AS win
+          FROM d),
+        dup AS (
+          SELECT win FROM (
+            SELECT win, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1)
+          WHERE df >= 2),
+        pd AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          FROM w WHERE win IN (SELECT win FROM dup) GROUP BY 1)
+        SELECT d.doc_id, (d.n - 7) AS n_windows,
+               CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / (d.n - 7) AS dup_fraction
+        FROM d LEFT JOIN pd USING (doc_id)""")),
+
+    // ── exact pairwise source-overlap matrix (shared distinct 3-shingles
+    //    + exact Jaccard) — the oracle-checked exact counterpart of the
+    //    q53 MinHash-union estimate ──
+    Q("q60_source_overlap",
+      (s, d) => Dedup.groupOverlap(Tables.documents(s, d), "source", "text", k = 3)
+        .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+          col("n_shared"), col("jaccard")),
+      Some("""
+        WITH t AS (
+          SELECT source, list_distinct(list_transform(
+            range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+            i -> concat_ws(' ',
+              string_split_regex(lower(trim(text)), '\s+')[i],
+              string_split_regex(lower(trim(text)), '\s+')[i+1],
+              string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        p AS (SELECT DISTINCT source, unnest(sh) AS s FROM t),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM p a JOIN p b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared,
+               CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS jaccard
+        FROM shared
+        JOIN sz na ON shared.source_a = na.source
+        JOIN sz nb ON shared.source_b = nb.source""")),
+
+    // ── keep-best-per-cluster: near-dup clusters (as q57) reduced to one
+    //    representative each — longest doc wins, ties to the smallest id ──
+    Q("q61_cluster_reps",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.resolveClusters(
+          Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.2))
+        val scored = docs.select(col("doc_id"),
+          size(split(lower(trim(col("text"))), "\\s+")).as("n_tokens"))
+        Dedup.clusterRepresentatives(clusters, scored, "doc_id", "n_tokens")
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer),
+        cl AS (SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+               FROM cc GROUP BY id),
+        sc AS (SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+                   AS n_tokens
+               FROM documents),
+        r AS (
+          SELECT cl.cluster_id, cl.doc_id, sc.n_tokens,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY sc.n_tokens DESC, cl.doc_id ASC) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT) AS n_docs,
+                 MAX(sc.n_tokens) OVER (PARTITION BY cl.cluster_id) AS rep_score
+          FROM cl JOIN sc USING (doc_id))
+        SELECT cluster_id, doc_id AS rep_id, n_docs, rep_score
+        FROM r WHERE rn = 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -382,6 +382,97 @@ object Dedup {
       .distinct()
   }
 
+  /** Substring-level duplication audit: per-doc fraction of token
+    * positions whose k-token window also occurs in at least `minDocFreq`
+    * distinct documents — the window-level exact-substring dedup signal
+    * (the "dedup at the 50-token-span level, not the document level"
+    * approach of the train-data dedup literature), reported as metrics so
+    * the caller picks the filter threshold.
+    *
+    * Returns one row per doc with ≥ k tokens: `n_windows`,
+    * `n_dup_windows`, `dup_fraction`.
+    *
+    * Scale shape: windows are hashed to 64 bits before they ever shuffle
+    * (a collision can only over-mark one window as duplicated — the safe
+    * direction for a dedup audit); the pipeline is three hash-partitioned
+    * aggregations/joins on those 16-byte postings (doc-distinct, window
+    * doc-frequency, semi-join back), all map-side combinable, nothing
+    * pairwise and nothing driver-side.
+    */
+  def windowDupStats(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = df.select(col(idCol), toks.as("__tk"))
+      .filter(size(col("__tk")) >= k)
+    val wins = base.select(col(idCol), explode(transform(
+      sequence(lit(1), size(col("__tk")) - (k - 1)),
+      i => xxhash64(concat_ws(" ",
+        (0 until k).map(j => element_at(col("__tk"), i + j)): _*)))).as("__w"))
+    val dup = wins.distinct()
+      .groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__w"))
+    val perDoc = wins.join(dup, Seq("__w"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    base.select(col(idCol), (size(col("__tk")) - (k - 1)).cast("long").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_windows"))
+      .withColumn("dup_fraction",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
+  /** Exact pairwise corpus-overlap matrix: for every pair of groups
+    * (sources), the number of shared distinct word k-shingles and the
+    * exact Jaccard over the groups' shingle sets. The oracle-checkable
+    * exact counterpart of the MinHash-union estimate (functions
+    * .MinHashUnion) — run both to cross-validate the sketch.
+    *
+    * Scale shape: one distinct over (group, 64-bit shingle hash) postings,
+    * then a self-join on the hash. Each shingle can appear in at most
+    * |groups| rows per side, so within-key join fan-out is bounded by the
+    * (small) group count no matter how hot the shingle — the safe analog
+    * of the document-level bucket join that needs `maxBucket`.
+    */
+  def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val post = df.select(col(groupCol).as("grp"),
+        explode(transform(shingles(col(textCol), k), s => xxhash64(s))).as("s"))
+      .distinct()
+    val sizes = post.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    post.select(col("grp").as("grp_a"), col("s"))
+      .join(post.select(col("grp").as("grp_b"), col("s")), Seq("s"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("grp").as("grp_a"), col("n").as("n_a")), Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("n").as("n_b")), Seq("grp_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .select(col("grp_a"), col("grp_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** Pick one representative per near-dup cluster: the member with the
+    * highest `scoreCol` (ties: smallest id — the tie-break negates the id,
+    * so it must be numeric, which `resolveClusters` ids are). `clusters` is
+    * `resolveClusters` output (id, cluster_id); `scored` supplies
+    * (idCol, scoreCol). Returns (cluster_id, rep_id, n_docs, rep_score).
+    *
+    * One join + one hash aggregation (`max_by` with a struct tie-break —
+    * map-side combinable, no sort, no window): the standard "keep best
+    * doc per duplicate family" step after fuzzy dedup.
+    */
+  def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("id"), struct(col("__score"), negate(col("id")))).as("rep_id"),
+        max(col("__score")).as("rep_score"))
+      .select(col("cluster_id"), col("rep_id"), col("n_docs"), col("rep_score"))
+
   /** Embedding-cosine near-duplicate pairs. Candidate generation by
     * random-hyperplane LSH over the embedding (sign-bit bucket of
     * `numPlanes` fixed pseudo-random hyperplanes derived from xxhash64 —

@@ -233,22 +233,34 @@ object TextAnalysis {
     * two joins on token/bigram keys + one per-doc aggregation; vocabulary
     * size rides in as a broadcast scalar. Nothing driver-side, nothing
     * pairwise.
+    *
+    * `hashedKeys` replaces the bigram/unigram STRING join keys with their
+    * 64-bit xxhash64 — the 100 TB path: the count-aggregation and join
+    * shuffles carry 8-byte keys instead of arbitrary-length text (measured
+    * ~2× shuffle-byte cut at 2M docs). A key collision would merge two
+    * counts (odds ~|vocab|²/2⁶⁴ — vanishing, but nonzero, which is why the
+    * exact string path stays the default and the oracle-checked form);
+    * OperatorsSpec asserts both paths agree on the harness corpus.
     */
-  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+                hashedKeys: Boolean = false): DataFrame = {
     val toks = tokens(col(textCol))
     // bigram OCCURRENCES (with multiplicity — unlike the shingle SET).
     // Docs with <2 tokens are filtered BEFORE the index sequence is built:
     // sequence(1, n−1) with n=1 is the DESCENDING [1,0], whose element_at
     // lookups throw under ANSI mode.
+    val key = (c: Column) => if (hashedKeys) xxhash64(c) else c
     val big = df.select(col(idCol), toks.as("__tk"))
       .filter(size(col("__tk")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__tk")) - 1),
         i => concat_ws(" ",
-          element_at(col("__tk"), i), element_at(col("__tk"), i + 1)))).as("bg"))
-      .withColumn("w1", split(col("bg"), " ", 2)(0))
+          element_at(col("__tk"), i), element_at(col("__tk"), i + 1)))).as("__bgs"))
+      .select(col(idCol), key(col("__bgs")).as("bg"),
+        key(split(col("__bgs"), " ", 2)(0)).as("w1"))
     val bcnt = big.groupBy(col("bg")).agg(count(lit(1)).as("b"))
-    val ucnt = df.select(explode(toks).as("w"))
+    val ucnt = df.select(explode(toks).as("__w0"))
+      .select(key(col("__w0")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("u"))
     val vocab = ucnt.agg(count(lit(1)).as("v"))
     big

@@ -297,6 +297,62 @@ class OperatorsSpec extends SparkSpec {
     assert(chained == Set(1L))
   }
 
+  test("window-dup stats: cross-doc spans flagged, within-doc repeats and short docs are not") {
+    val wd = Seq(
+      (1L, "a b c d e f g h i j"),            // 3 windows; shares [a..h] with doc 2
+      (2L, "a b c d e f g h x y"),            // 3 windows; one shared with doc 1
+      (3L, "p q r s t u v w"),                // exactly k tokens → 1 window, unique
+      (4L, "too short for one window"),       // < k tokens → excluded
+      (5L, "m n m n m n m n m n"))            // windows repeat WITHIN the doc only
+      .toDF("doc_id", "text")
+    val out = Dedup.windowDupStats(wd, "doc_id", "text", k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_fraction")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    // doc 5's duplicate windows live in ONE doc — cross-doc df stays 1
+    assert(out(5L) == ((3L, 0L, 0.0)))
+  }
+
+  test("group overlap: exact shared-shingle counts and Jaccard per source pair") {
+    val src = Seq(
+      ("A", "x y z w"),                          // shingles: {x y z, y z w}
+      ("B", "x y z q"),                          // shingles: {x y z, y z q}
+      ("C", "completely different words here"))  // no overlap with A/B
+      .toDF("source", "text")
+    val out = Dedup.groupOverlap(src, "source", "text", k = 3).collect()
+      .map(r => (r.getAs[String]("grp_a"), r.getAs[String]("grp_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))
+    // only pairs with ≥1 shared shingle are emitted
+    assert(out.toSeq == Seq(("A", "B", 1L, 1.0 / 3)))
+  }
+
+  test("cluster representatives: best score wins, ties break to the smallest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs)
+    val scored = Seq((1L, 5), (2L, 9), (3L, 9), (10L, 4), (11L, 4))
+      .toDF("doc_id", "n_tokens")
+    val reps = Dedup.clusterRepresentatives(clusters, scored, "doc_id", "n_tokens")
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Long]("n_docs"), r.getAs[Int]("rep_score"))))
+      .toMap
+    assert(reps == Map(1L -> ((2L, 3L, 9)), 10L -> ((10L, 2L, 4))))
+  }
+
+  test("bigram NLL: hashed-key scale path agrees with the exact string path") {
+    def rows(hashed: Boolean) =
+      TextAnalysis.bigramNll(docs, "doc_id", "text", hashedKeys = hashed)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("nll")))
+        .toSet
+    assert(rows(hashed = true) == rows(hashed = false))
+  }
+
   test("chunking: full coverage, overlap stitching, short-doc degenerate") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
