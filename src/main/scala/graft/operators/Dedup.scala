@@ -454,24 +454,34 @@ object Dedup {
   }
 
   /** Pick one representative per near-dup cluster: the member with the
-    * highest `scoreCol` (ties: smallest id — the tie-break negates the id,
-    * so it must be numeric, which `resolveClusters` ids are). `clusters` is
+    * highest `scoreCol` (ties: smallest id). `clusters` is
     * `resolveClusters` output (id, cluster_id); `scored` supplies
     * (idCol, scoreCol). Returns (cluster_id, rep_id, n_docs, rep_score).
     *
-    * One join + one hash aggregation (`max_by` with a struct tie-break —
-    * map-side combinable, no sort, no window): the standard "keep best
-    * doc per duplicate family" step after fuzzy dedup.
+    * Two-phase election so every aggregate stays a HashAggregate over
+    * primitive buffers: per-cluster max score + member count first, then
+    * min id among the members at the max. The single-agg
+    * `max_by(id, struct(score, -id))` form would be one shuffle fewer but
+    * its struct-typed buffer forces a SortAggregate (per-partition sort of
+    * the full membership — the expensive shape at corpus scale, caught by
+    * PlanSpec); the per-cluster frame joined back here is small and
+    * AQE-broadcastable. The standard "keep best doc per duplicate family"
+    * step after fuzzy dedup.
     */
   def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
-                             idCol: String, scoreCol: String): DataFrame =
-    clusters
+                             idCol: String, scoreCol: String): DataFrame = {
+    val members = clusters
       .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val perCluster = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__score")).as("rep_score"))
+    members.join(perCluster, Seq("cluster_id"))
+      .filter(col("__score") === col("rep_score"))
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        max_by(col("id"), struct(col("__score"), negate(col("id")))).as("rep_id"),
-        max(col("__score")).as("rep_score"))
+      .agg(min(col("id")).as("rep_id"),
+        first(col("n_docs")).as("n_docs"),
+        first(col("rep_score")).as("rep_score"))
       .select(col("cluster_id"), col("rep_id"), col("n_docs"), col("rep_score"))
+  }
 
   /** Embedding-cosine near-duplicate pairs. Candidate generation by
     * random-hyperplane LSH over the embedding (sign-bit bucket of

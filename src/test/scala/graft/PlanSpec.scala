@@ -118,4 +118,45 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("window-dup audit: hashed windows as keys, hash aggs only, pruned scans") {
+    val p = plan("q59_window_dedup")
+    // windows are hashed to 64 bits BEFORE any exchange — the window text
+    // itself never rides a shuffle — and every aggregation is hash-based
+    assert(p.contains("xxhash64"), p.take(800))
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(scans.nonEmpty &&
+      scans.forall(_.split(",").map(_.takeWhile(_ != '#')).toSet ==
+        Set("doc_id", "text")), scans.mkString("; "))
+  }
+
+  test("source-overlap matrix: postings join on shingle hashes, no cartesian") {
+    val p = plan("q60_source_overlap")
+    assert(p.contains("xxhash64"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(scans.nonEmpty &&
+      scans.forall(_.split(",").map(_.takeWhile(_ != '#')).toSet ==
+        Set("source", "text")), scans.mkString("; "))
+  }
+
+  test("cluster representatives: hash aggregations only — no sort agg, no window") {
+    val docs = Tables.documents(spark, d)
+    val clusters = spark.range(10)
+      .selectExpr("id", "id % 3 as cluster_id").toDF("id", "cluster_id")
+    val scored = docs.selectExpr("doc_id", "n_chars as score")
+    val p = graft.operators.Dedup
+      .clusterRepresentatives(clusters, scored, "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    // a max_by(id, struct(score, -id)) single-agg form would sneak a
+    // SortAggregate in (struct buffers aren't hash-aggregable) — the
+    // two-phase election must keep every aggregate hash-based
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
