@@ -177,6 +177,29 @@ object Perf {
         operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
           bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
     }
+    if (what == "scalellm-r3b") {
+      // late-round-3 operators at stress scale: window-dup audit over 10M
+      // docs, exact source-overlap over 8 synthetic sources, bigram-NLL
+      // exact vs hashed join keys at 2M docs
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val sdocs = syntheticDocs(n)
+      time(s"windowdup-$n") {
+        operators.Dedup.windowDupStats(sdocs, "id", "text", k = 8)
+          .agg(sum(col("n_dup_windows"))).head()
+        n
+      }
+      time(s"groupoverlap-$n")(
+        operators.Dedup.groupOverlap(
+          sdocs.withColumn("src", concat(lit("src"), pmod(col("id"), lit(8L)))),
+          "src", "text").count())
+      val m = 2000000
+      time(s"bigram-exact-$m")(
+        operators.TextAnalysis.bigramNll(sdocs.limit(m), "id", "text",
+          hashedKeys = false).count())
+      time(s"bigram-hashed-$m")(
+        operators.TextAnalysis.bigramNll(sdocs.limit(m), "id", "text",
+          hashedKeys = true).count())
+    }
     if (what == "scalellm-clusters") {
       val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
       time(s"clusters-only-$n")(

@@ -1176,7 +1176,7 @@ object Queries {
         val clusters = Dedup.resolveClusters(
           Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.2))
         val scored = docs.select(col("doc_id"),
-          size(split(lower(trim(col("text"))), "\\s+")).as("n_tokens"))
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
         Dedup.clusterRepresentatives(clusters, scored, "doc_id", "n_tokens")
       },
       Some("""

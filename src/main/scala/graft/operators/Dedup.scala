@@ -394,40 +394,54 @@ object Dedup {
     *
     * Scale shape: windows are hashed to 64 bits before they ever shuffle
     * (a collision can only over-mark one window as duplicated — the safe
-    * direction for a dedup audit); the pipeline is three hash-partitioned
-    * aggregations/joins on those 16-byte postings (doc-distinct, window
-    * doc-frequency, semi-join back), all map-side combinable, nothing
-    * pairwise and nothing driver-side.
+    * direction for a dedup audit). Information flow needs two passes over
+    * the window postings — a global per-window document frequency, and the
+    * per-doc attribution of that frequency — so the explode+hash map stage
+    * is instantiated twice (Catalyst specializes each copy: distinct-only
+    * for the df side, counted for the attribution side, which also defeats
+    * exchange reuse between them). At corpus scale recomputing the
+    * codegen'd explode is deliberately preferred over persisting a
+    * corpus-sized postings frame — the same recompute-over-materialize
+    * trade `minHashLsh` makes for signatures. Everything else is
+    * map-side-combinable hash aggregation and one hash join on the window
+    * key; nothing pairwise, nothing driver-side.
     */
   def windowDupStats(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minDocFreq: Int = 2): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val base = df.select(col(idCol), toks.as("__tk"))
+    val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= k)
-    val wins = base.select(col(idCol), explode(transform(
-      sequence(lit(1), size(col("__tk")) - (k - 1)),
-      i => xxhash64(concat_ws(" ",
-        (0 until k).map(j => element_at(col("__tk"), i + j)): _*)))).as("__w"))
-    val dup = wins.distinct()
-      .groupBy(col("__w")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocFreq)
-      .select(col("__w"))
-    val perDoc = wins.join(dup, Seq("__w"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
-    base.select(col(idCol), (size(col("__tk")) - (k - 1)).cast("long").as("n_windows"))
-      .join(perDoc, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_dup_windows"))
+    // per-(doc, window) occurrence counts; row count per window across
+    // docs = its document frequency, Σ__cnt per doc = total positions
+    val counts = base.select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__tk")) - (k - 1)),
+        i => xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(col("__tk"), i + j)): _*)))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__cnt"))
+    val dfreq = counts.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    // annotate every (doc, window) posting with its document frequency and
+    // fold both metrics in ONE per-doc aggregation — every doc with ≥ k
+    // tokens appears (join key __w always matches), so no outer join or
+    // null fill is needed
+    counts.join(dfreq, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_windows"),
+        sum(when(col("__df") >= minDocFreq, col("__cnt")).otherwise(0L))
+          .as("n_dup_windows"))
       .withColumn("dup_fraction",
         col("n_dup_windows").cast("double") / col("n_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"), col("dup_fraction"))
   }
 
-  /** Exact pairwise corpus-overlap matrix: for every pair of groups
-    * (sources), the number of shared distinct word k-shingles and the
-    * exact Jaccard over the groups' shingle sets. The oracle-checkable
-    * exact counterpart of the MinHash-union estimate (functions
-    * .MinHashUnion) — run both to cross-validate the sketch.
+  /** Pairwise corpus-overlap matrix: for every pair of groups (sources),
+    * the number of shared distinct word k-shingles and the Jaccard over
+    * the groups' shingle sets — exact up to 64-bit hashing of the
+    * shingles (a cross-group collision adds phantom overlap, a
+    * within-group one shrinks a set size; odds ~|shingles|²/2⁶⁴, same
+    * no-collision equivalence the q55/q59 oracles rely on). The
+    * oracle-checkable counterpart of the MinHash-union estimate
+    * (functions.MinHashUnion) — run both to cross-validate the sketch.
     *
     * Scale shape: one distinct over (group, 64-bit shingle hash) postings,
     * then a self-join on the hash. Each shingle can appear in at most
@@ -470,12 +484,19 @@ object Dedup {
     */
   def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
                              idCol: String, scoreCol: String): DataFrame = {
+    // LEFT join: a member missing from `scored` (e.g. scores computed only
+    // for docs passing some gate) must still count toward n_docs and must
+    // not silently erase its whole cluster. Unscored members carry a null
+    // score, which max() ignores — they can only win if NO member is
+    // scored (then rep_score is null and the null-safe <=> keeps them in
+    // the election, falling through to the min-id tie-break).
     val members = clusters
-      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        Seq("id"), "left")
     val perCluster = members.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("__score")).as("rep_score"))
     members.join(perCluster, Seq("cluster_id"))
-      .filter(col("__score") === col("rep_score"))
+      .filter(col("__score") <=> col("rep_score"))
       .groupBy(col("cluster_id"))
       .agg(min(col("id")).as("rep_id"),
         first(col("n_docs")).as("n_docs"),

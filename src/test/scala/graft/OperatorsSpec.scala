@@ -343,6 +343,22 @@ class OperatorsSpec extends SparkSpec {
     assert(reps == Map(1L -> ((2L, 3L, 9)), 10L -> ((10L, 2L, 4))))
   }
 
+  test("cluster representatives: unscored members still count; unscored clusters survive") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs)
+    // doc 3 passed no quality gate (no score row); cluster {10,11} is
+    // entirely unscored — n_docs must still count every member, and the
+    // unscored cluster must elect its min id rather than vanish
+    val scored = Seq((1L, 5), (2L, 9)).toDF("doc_id", "n_tokens")
+    val reps = Dedup.clusterRepresentatives(clusters, scored, "doc_id", "n_tokens")
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Long]("n_docs"),
+          Option(r.get(r.fieldIndex("rep_score"))))))
+      .toMap
+    assert(reps == Map(1L -> ((2L, 3L, Some(9))), 10L -> ((10L, 2L, None))))
+  }
+
   test("bigram NLL: hashed-key scale path agrees with the exact string path") {
     def rows(hashed: Boolean) =
       TextAnalysis.bigramNll(docs, "doc_id", "text", hashedKeys = hashed)
