@@ -1220,6 +1220,35 @@ object Queries {
         SELECT cluster_id, doc_id AS rep_id, n_docs, rep_score
         FROM r WHERE rn = 1""")),
 
+    // ── per-source corpus profile: counts, token totals, discrete
+    //    percentiles off a token-count histogram (integer-exact — no
+    //    cross-engine interpolation hazard) ──
+    Q("q62_corpus_stats",
+      (s, d) => TextAnalysis.corpusStats(Tables.documents(s, d), "source", "text"),
+      Some("""
+        WITH b AS (
+          SELECT source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+                   AS n_tok
+          FROM documents),
+        hist AS (
+          SELECT source, n_tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT source, n_tok, c,
+                 SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cumc
+          FROM hist),
+        s AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(SUM(CAST(n_tok AS BIGINT) * c) AS BIGINT) AS total_tokens
+          FROM hist GROUP BY 1)
+        SELECT cum.source, s.n_docs, s.total_tokens,
+               CAST(s.total_tokens AS DOUBLE) / s.n_docs AS mean_tokens,
+               MIN(CASE WHEN cumc >= ceil(0.5 * s.n_docs) THEN n_tok END) AS p50_tokens,
+               MIN(CASE WHEN cumc >= ceil(0.9 * s.n_docs) THEN n_tok END) AS p90_tokens
+        FROM cum JOIN s USING (source)
+        GROUP BY cum.source, s.n_docs, s.total_tokens""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

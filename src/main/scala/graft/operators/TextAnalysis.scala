@@ -274,6 +274,46 @@ object TextAnalysis {
         round6(-(sum(col("t")).cast("double") / count(lit(1)))).as("nll"))
   }
 
+  /** Per-group corpus profile: doc count, total/mean token count, and
+    * discrete token-count percentiles (the value at rank ⌈p·n⌉ — a real
+    * member of the distribution, no interpolation). Interpolated
+    * percentiles are deliberately avoided: Spark and DuckDB build the
+    * interpolation from different expression trees, so the last ulp can
+    * differ, while the discrete form is integer-exact in any engine.
+    *
+    * Scale shape: one hash aggregation to a (group, token-count)
+    * histogram — linear, map-side combinable — then the cumulative sum
+    * and rank selection run over histogram rows only (bounded by the
+    * number of distinct document lengths per group, NOT by corpus size),
+    * so the window sort never sees more than ~max-doc-length rows per
+    * group. No corpus-wide sort anywhere.
+    */
+  def corpusStats(df: DataFrame, groupCol: String, textCol: String,
+                  percentiles: Seq[(String, Double)] =
+                    Seq("p50_tokens" -> 0.5, "p90_tokens" -> 0.9)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percentiles.nonEmpty && percentiles.forall { case (_, p) => p > 0 && p <= 1 },
+      s"percentiles must lie in (0, 1], got $percentiles")
+    val hist = df
+      .select(col(groupCol).as("grp"), size(tokens(col(textCol))).as("n_tok"))
+      .groupBy(col("grp"), col("n_tok")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(col("grp")).orderBy(col("n_tok"))))
+    val sizes = hist.groupBy(col("grp")).agg(
+      sum(col("__c")).as("n_docs"),
+      sum(col("n_tok").cast("long") * col("__c")).as("total_tokens"))
+    val pickCols = percentiles.map { case (name, p) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("n_docs")), col("n_tok"))).as(name)
+    }
+    cum.join(sizes, Seq("grp"))
+      .groupBy(col("grp"), col("n_docs"), col("total_tokens"))
+      .agg(pickCols.head, pickCols.tail: _*)
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .select(col("grp").as(groupCol) +: col("n_docs") +: col("total_tokens") +:
+        col("mean_tokens") +: percentiles.map(p => col(p._1)): _*)
+  }
+
   /** Per-doc top-k tokens by tf·idf (idf = ln(N/df), N = docs with ≥1
     * token). Scores are rounded to 6 decimals BEFORE ranking so order is
     * reproducible across engines; ties break by token.

@@ -369,6 +369,26 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(hashed = true) == rows(hashed = false))
   }
 
+  test("corpus stats: hand-computed discrete percentiles, single-doc and tied groups") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = (Seq(1, 2, 3, 4, 5).map(n => ("g1", words(n))) ++
+        Seq(("g2", words(7))) ++
+        Seq(2, 2, 2, 5).map(n => ("g3", words(n))))
+      .toDF("source", "text")
+    val out = TextAnalysis.corpusStats(df, "source", "text").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("mean_tokens"),
+          r.getAs[Int]("p50_tokens"), r.getAs[Int]("p90_tokens"))))
+      .toMap
+    // g1 = [1..5]: p50 at rank ⌈2.5⌉=3 → 3, p90 at rank ⌈4.5⌉=5 → 5
+    assert(out("g1") == ((5L, 15L, 3.0, 3, 5)))
+    // single doc: every percentile IS the doc
+    assert(out("g2") == ((1L, 7L, 7.0, 7, 7)))
+    // ties: [2,2,2,5] → p50 rank 2 → 2, p90 rank ⌈3.6⌉=4 → 5
+    assert(out("g3") == ((4L, 11L, 2.75, 2, 5)))
+  }
+
   test("chunking: full coverage, overlap stitching, short-doc degenerate") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
