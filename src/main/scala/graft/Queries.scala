@@ -1249,6 +1249,55 @@ object Queries {
         FROM cum JOIN s USING (source)
         GROUP BY cum.source, s.n_docs, s.total_tokens""")),
 
+    // ── two-stage dedup composition, the canonical training-data order:
+    //    document-level exact dedup first, then the substring-level window
+    //    gate over the surviving canon (docs too short for one window pass
+    //    the gate by definition) ──
+    Q("q63_dedup_two_stage",
+      (s, d) => {
+        val canon = Dedup.exactKeepFirst(Tables.documents(s, d), "doc_id", "text")
+        val stats = Dedup.windowDupStats(canon, "doc_id", "text", k = 8)
+        canon.join(stats, Seq("doc_id"), "left")
+          .filter(col("dup_fraction").isNull || col("dup_fraction") <= lit(1.0 / 3))
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("dup_fraction"), lit(0.0)).as("dup_fraction"))
+      },
+      Some("""
+        WITH canon AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM documents) WHERE rn = 1),
+        t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM canon),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+              FROM t WHERE len(tk) >= 8),
+        w AS (
+          SELECT doc_id, unnest(list_transform(range(1, n - 6),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                tk[i+4], tk[i+5], tk[i+6], tk[i+7]))) AS win
+          FROM d),
+        dup AS (
+          SELECT win FROM (
+            SELECT win, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1)
+          WHERE df >= 2),
+        pd AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          FROM w WHERE win IN (SELECT win FROM dup) GROUP BY 1),
+        stats AS (
+          SELECT d.doc_id, (d.n - 7) AS n_windows,
+                 CAST(COALESCE(pd.n_dup, 0) AS DOUBLE) / (d.n - 7) AS dup_fraction
+          FROM d LEFT JOIN pd USING (doc_id))
+        SELECT c.doc_id, c.source,
+               CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+               COALESCE(s.dup_fraction, 0.0) AS dup_fraction
+        FROM canon c LEFT JOIN stats s USING (doc_id)
+        WHERE s.dup_fraction IS NULL OR s.dup_fraction <= 1.0/3""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
