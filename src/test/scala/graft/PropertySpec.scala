@@ -163,4 +163,59 @@ class PropertySpec extends SparkSpec {
     assert(one.collect().map(_.toString).sorted.toSeq ==
       many.collect().map(_.toString).sorted.toSeq)
   }
+
+  private val corpusGen: Gen[List[(Long, List[String])]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n,
+      Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))))
+  } yield docs.zipWithIndex.map { case (tk, i) => (i.toLong, tk) }
+
+  test("window-dup stats match a driver-side reference on random tiny-vocab corpora") {
+    val (k, minDf) = (3, 2)
+    samples(corpusGen, 6).foreach { corpus =>
+      val eligible = corpus.filter(_._2.size >= k)
+      if (eligible.nonEmpty) {
+        val wins = eligible.map { case (id, tk) =>
+          id -> tk.sliding(k).map(_.mkString(" ")).toList }
+        val docFreq = wins.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+        val expected = wins.map { case (id, ws) =>
+          val nDup = ws.count(w => docFreq(w) >= minDf)
+          id -> ((ws.size.toLong, nDup.toLong, nDup.toDouble / ws.size))
+        }.toMap
+        val got = graft.operators.Dedup.windowDupStats(
+            corpus.map { case (id, tk) => (id, tk.mkString(" ")) }.toDF("doc_id", "text"),
+            "doc_id", "text", k = k, minDocFreq = minDf)
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+              r.getAs[Double]("dup_fraction")))).toMap
+        assert(got == expected, s"corpus=$corpus")
+      }
+    }
+  }
+
+  test("corpus-stats percentiles match a sort-based reference on random groups") {
+    val gen: Gen[List[(String, Int)]] = Gen.nonEmptyListOf(for {
+      grp <- Gen.oneOf("g1", "g2", "g3")
+      len <- Gen.choose(1, 20)
+    } yield (grp, len))
+    samples(gen, 6).foreach { rows =>
+      val expected = rows.groupBy(_._1).map { case (grp, xs) =>
+        val lens = xs.map(_._2).sorted
+        def pick(p: Double) = lens(math.ceil(p * lens.size).toInt - 1)
+        grp -> ((lens.size.toLong, lens.map(_.toLong).sum,
+          lens.sum.toDouble / lens.size, pick(0.5), pick(0.9)))
+      }
+      val got = graft.operators.TextAnalysis.corpusStats(
+          rows.map { case (g, n) => (g, Seq.fill(n)("w").mkString(" ")) }
+            .toDF("source", "text"),
+          "source", "text")
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+            r.getAs[Double]("mean_tokens"),
+            r.getAs[Int]("p50_tokens"), r.getAs[Int]("p90_tokens")))).toMap
+      assert(got == expected, s"rows=$rows")
+    }
+  }
 }
