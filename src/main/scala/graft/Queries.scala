@@ -1298,6 +1298,40 @@ object Queries {
         FROM canon c LEFT JOIN stats s USING (doc_id)
         WHERE s.dup_fraction IS NULL OR s.dup_fraction <= 1.0/3""")),
 
+    // ── contamination audit (report form of q55): per-doc shared-shingle
+    //    counts vs the benchmark source, before anything is dropped ──
+    Q("q64_contamination_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.decontaminateReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", k = 5)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, list_distinct(list_transform(
+            range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 3),
+            i -> concat_ws(' ',
+              string_split_regex(lower(trim(text)), '\s+')[i],
+              string_split_regex(lower(trim(text)), '\s+')[i+1],
+              string_split_regex(lower(trim(text)), '\s+')[i+2],
+              string_split_regex(lower(trim(text)), '\s+')[i+3],
+              string_split_regex(lower(trim(text)), '\s+')[i+4]))) AS sh
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS s FROM t WHERE source = 'src0'),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+          FROM (SELECT doc_id, unnest(sh) AS s FROM t WHERE source <> 'src0') p
+          WHERE s IN (SELECT s FROM bench)
+          GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               CAST(COALESCE(h.n_contaminated, 0) > 0 AS INTEGER) AS contaminated
+        FROM t LEFT JOIN hits h USING (doc_id)
+        WHERE t.source <> 'src0'""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

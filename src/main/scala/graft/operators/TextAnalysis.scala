@@ -210,6 +210,32 @@ object TextAnalysis {
     corpus.join(dirtyIds, Seq(idCol), "left_anti")
   }
 
+  /** Report form of [[decontaminate]]: every corpus doc with its distinct
+    * k-shingle count, the number of those shared with the benchmark set,
+    * and a 0/1 contamination flag — the "audit before you drop" pass that
+    * sizes the blast radius of a decontamination sweep (and, aggregated,
+    * gives the benchmark-overlap rate per source). Same hashed-shingle
+    * semi-join shape and collision direction as the dropping form; one
+    * extra per-doc hash aggregation, still nothing pairwise.
+    */
+  def decontaminateReport(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                          textCol: String, k: Int = 5): DataFrame = {
+    val shingleHashes =
+      explode(transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))).as("__sh")
+    val benchHashes = benchmark.select(shingleHashes).distinct()
+    // shingles() is already the DISTINCT shingle set per doc, so the count
+    // of surviving postings is the distinct contaminated-shingle count
+    val hits = corpus.select(col(idCol), shingleHashes)
+      .join(benchHashes, Seq("__sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    corpus
+      .select(col(idCol),
+        size(Dedup.shingles(col(textCol), k)).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
+  }
+
   /** Cross-engine-exact 6-decimal rounding: `floor(x·10⁶ + 0.5)/10⁶`
     * computed in plain IEEE doubles is bit-identical in any engine
     * (Spark's `round` converts the double to exact BigDecimal HALF_UP

@@ -417,6 +417,15 @@ class OperatorsSpec extends SparkSpec {
     val clean = TextAnalysis.decontaminate(corpus, benchmark, "doc_id", "text", k = 5)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(clean == Set(2L, 3L))
+    // report form: doc 1 (10 tokens → 6 shingles) shares exactly ONE
+    // 5-gram with the benchmark ("the quick brown fox jumps"); doc 3 is
+    // too short for any shingle and must still appear, uncontaminated
+    val report = TextAnalysis.decontaminateReport(corpus, benchmark, "doc_id", "text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Int]("contaminated")))).toMap
+    assert(report == Map(
+      1L -> ((6L, 1L, 1)), 2L -> ((3L, 0L, 0)), 3L -> ((0L, 0L, 0))))
   }
 
   test("tf-idf: exact scores and deterministic ranks on a tiny corpus") {
