@@ -1332,6 +1332,35 @@ object Queries {
         FROM t LEFT JOIN hits h USING (doc_id)
         WHERE t.source <> 'src0'""")),
 
+    // ── embedding-space outlier scoring: cosine of each vector to its own
+    //    label centroid, DECIMAL-accumulated so both engines agree
+    //    bit-for-bit ──
+    Q("q65_embedding_outlier",
+      (s, d) => operators.Similarity.centroidCosine(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label"),
+      Some("""
+        WITH comp AS (
+          SELECT label, vec_id, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS DECIMAL(18,6)) AS vd
+          FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) x),
+        cent AS (
+          SELECT label, i,
+                 CAST(floor((CAST(SUM(vd) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                   / 1000000 AS DECIMAL(18,6)) AS c
+          FROM comp GROUP BY 1, 2),
+        sc AS (
+          SELECT vec_id, label,
+                 CAST(SUM(vd * c) AS DOUBLE) AS dot,
+                 CAST(SUM(vd * vd) AS DOUBLE) AS na,
+                 CAST(SUM(c * c) AS DOUBLE) AS nc
+          FROM comp JOIN cent USING (label, i) GROUP BY 1, 2)
+        SELECT vec_id, label,
+               CASE WHEN na = 0 OR nc = 0 THEN 0.0
+                    ELSE floor(dot / sqrt(na * nc) * 1000000 + 0.5) / 1000000
+               END AS cos_to_centroid
+        FROM sc""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

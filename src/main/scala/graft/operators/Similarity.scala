@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -43,6 +43,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-space outlier scoring: each vector's cosine to the mean
+    * vector (centroid) of its own label group — low scores mark mislabeled
+    * or off-distribution embeddings, the embedding-side analog of the
+    * text-quality filters in corpus assembly.
+    *
+    * Float discipline for cross-engine exactness: every component is
+    * rounded to 6 decimals and summed as DECIMAL (order-independent — a
+    * double sum would depend on partition order), the centroid re-rounds,
+    * and dot/norm accumulation reuses the same DECIMAL products, so the
+    * DuckDB oracle reproduces every score bit-for-bit. Zero vectors (or a
+    * zero centroid) score 0.0 by definition rather than NaN/Inf, which the
+    * two engines would disagree on.
+    *
+    * Scale shape: posexplode → one (label, dim) hash agg for centroids —
+    * output is |labels|·dims rows, tiny — then a join back on (label, dim)
+    * and one per-vector hash agg. Linear in |vectors|·dims; nothing
+    * pairwise, no window, nothing driver-side.
+    */
+  def centroidCosine(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val comp = df.select(col(labelCol).as("__lbl"), col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .withColumn("__vd", round6(col("__v").cast("double")).cast("decimal(18,6)"))
+    val cent = comp.groupBy(col("__lbl"), col("__pos"))
+      .agg(round6(sum(col("__vd")).cast("double") / count(lit(1)))
+        .cast("decimal(18,6)").as("__c"))
+    comp.join(cent, Seq("__lbl", "__pos"))
+      .groupBy(col("__id"), col("__lbl"))
+      .agg(sum(col("__vd") * col("__c")).cast("double").as("__dot"),
+        sum(col("__vd") * col("__vd")).cast("double").as("__na"),
+        sum(col("__c") * col("__c")).cast("double").as("__nc"))
+      .withColumn("cos_to_centroid",
+        when(col("__na") === 0 || col("__nc") === 0, lit(0.0))
+          .otherwise(round6(col("__dot") / sqrt(col("__na") * col("__nc")))))
+      .select(col("__id").as(idCol), col("__lbl").as(labelCol),
+        col("cos_to_centroid"))
   }
 
   /** Deterministic centroids: `nCells` corpus vectors sampled by id hash

@@ -163,6 +163,21 @@ class OperatorsSpec extends SparkSpec {
     assert(edge.select(VectorFunctions.cosine($"z", $"m")).head().isNullAt(0))
   }
 
+  test("centroid cosine: hand-computed scores, singleton label, zero-vector guard") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f), "A"), (2L, Seq(0f, 1f), "A"),   // centroid (.5, .5)
+      (3L, Seq(2f, 0f), "B"),                           // singleton → cos 1.0
+      (4L, Seq(0f, 0f), "C"))                           // zero vector → 0.0
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidCosine(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_to_centroid"))
+      .toMap
+    // cos((1,0),(.5,.5)) = .5/(1·√.5) = 0.7071067…, round6 → 0.707107
+    assert(out(1L) == 0.707107 && out(2L) == 0.707107)
+    assert(out(3L) == 1.0)
+    assert(out(4L) == 0.0)
+  }
+
   test("brute-force top-k: correct neighbors, ranks, and self-exclusion") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
