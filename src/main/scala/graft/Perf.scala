@@ -200,6 +200,18 @@ object Perf {
         operators.TextAnalysis.bigramNll(sdocs.limit(m), "id", "text",
           hashedKeys = true).count())
     }
+    if (what == "scalellm-centroid") {
+      // 10M×64 vectors → 640M exploded components through the two hash aggs
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val vecs = spark.range(n).select(col("id"),
+        concat(lit("lbl"), pmod(col("id"), lit(16L))).as("label"),
+        transform(sequence(lit(0), lit(63)), dd =>
+          (pmod(xxhash64(col("id") * 64 + dd), lit(2000L)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+      time(s"centroid-cosine-$n")(
+        operators.Similarity.centroidCosine(vecs, "id", "embedding", "label")
+          .agg(sum(col("cos_to_centroid"))).head(); n)
+    }
     if (what == "scalellm-clusters") {
       val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
       time(s"clusters-only-$n")(
