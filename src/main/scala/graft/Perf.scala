@@ -208,9 +208,10 @@ object Perf {
         transform(sequence(lit(0), lit(63)), dd =>
           (pmod(xxhash64(col("id") * 64 + dd), lit(2000L)).cast("double") / 1000.0 - 1.0)
             .cast("float")).as("embedding"))
-      time(s"centroid-cosine-$n")(
+      time(s"centroid-cosine-$n") {
         operators.Similarity.centroidCosine(vecs, "id", "embedding", "label")
-          .agg(sum(col("cos_to_centroid"))).head(); n)
+          .agg(sum(col("cos_to_centroid"))).head(); n
+      }
     }
     if (what == "scalellm-clusters") {
       val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
