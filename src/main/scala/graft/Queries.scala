@@ -1361,6 +1361,125 @@ object Queries {
                END AS cos_to_centroid
         FROM sc""")),
 
+    // ── semantic dedup (SemDeDup): deterministic seed clusters, then drop
+    //    near-identical members within each cluster. τ=0.4 sits at ~p99.9
+    //    of the within-cluster pair-cosine distribution on this corpus, so
+    //    both kept=1 and kept=0 paths are exercised. Per-pair cosine is a
+    //    fixed-order double fold on both engines (q24's proven
+    //    equivalence), floor-round6 before every comparison. ──
+    Q("q66_semdedup",
+      (s, d) => operators.Dedup.semDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        // maxCluster must exceed the largest cluster (sf0.1: ~292 members
+        // over 8 seeds) or capped clusters silently skip the prune pass
+        nClusters = 8, minCosine = 0.4, maxCluster = 4096),
+      Some("""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        seeds AS (SELECT vec_id AS sid, ev AS sv FROM v ORDER BY vec_id LIMIT 8),
+        scored AS (
+          SELECT v.vec_id, s.sid,
+                 CASE WHEN list_dot_product(v.ev, v.ev) = 0
+                       OR list_dot_product(s.sv, s.sv) = 0 THEN 0.0
+                      ELSE floor(list_dot_product(v.ev, s.sv) /
+                           (sqrt(list_dot_product(v.ev, v.ev)) *
+                            sqrt(list_dot_product(s.sv, s.sv)))
+                           * 1000000 + 0.5) / 1000000 END AS c
+          FROM v CROSS JOIN seeds s),
+        mx AS (SELECT vec_id, max(c) AS mc FROM scored GROUP BY 1),
+        asg AS (SELECT scored.vec_id, min(sid) AS cluster_id
+                FROM scored JOIN mx
+                  ON scored.vec_id = mx.vec_id AND scored.c = mx.mc
+                GROUP BY 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          JOIN v va ON va.vec_id = a.vec_id
+          JOIN v vb ON vb.vec_id = b.vec_id
+          WHERE CASE WHEN list_dot_product(va.ev, va.ev) = 0
+                      OR list_dot_product(vb.ev, vb.ev) = 0 THEN 0.0
+                     ELSE floor(list_dot_product(va.ev, vb.ev) /
+                          (sqrt(list_dot_product(va.ev, va.ev)) *
+                           sqrt(list_dot_product(vb.ev, vb.ev)))
+                          * 1000000 + 0.5) / 1000000 END >= 0.4)
+        SELECT asg.vec_id, cluster_id,
+               CAST(asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS INTEGER) AS kept
+        FROM asg""")),
+
+    // ── DSIR-style importance weights: score raw docs by unigram
+    //    log-likelihood ratio against the src0 target domain (add-one
+    //    smoothing over the joint vocab; DECIMAL-summed per-word terms so
+    //    both engines agree bit-for-bit) ──
+    Q("q67_importance_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.importanceWeights(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+      },
+      Some("""
+        WITH rt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                    FROM documents WHERE source <> 'src0'),
+        tt AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+               FROM documents WHERE source = 'src0'),
+        rw AS (SELECT doc_id, unnest(tk) AS w FROM rt),
+        tw AS (SELECT unnest(tk) AS w FROM tt),
+        cr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM rw GROUP BY 1),
+        ct AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tw GROUP BY 1),
+        vocab AS (SELECT w FROM cr UNION SELECT w FROM ct),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM rw),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tw),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        term AS (
+          SELECT vocab.w,
+                 CAST(floor(ln(((COALESCE(ct.ct, 0) + 1.0) / (nt.nt + v.v)) /
+                               ((COALESCE(cr.cr, 0) + 1.0) / (nr.nr + v.v)))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t
+          FROM vocab LEFT JOIN cr USING (w) LEFT JOIN ct USING (w), nr, nt, v),
+        dc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM rw GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * t) AS DOUBLE) AS score
+        FROM dc JOIN term USING (w) GROUP BY 1""")),
+
+    // ── span-level dedup as a TRANSFORM: drop every token position covered
+    //    by an 8-token window shared by ≥2 docs, re-join survivors into
+    //    cleaned text (window hashes on the Spark side, window strings in
+    //    the oracle — q59's no-collision equivalence) ──
+    Q("q68_remove_dup_spans",
+      (s, d) => Dedup.removeDupWindows(
+        Tables.documents(s, d), "doc_id", "text", k = 8, minDocFreq = 2),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+        w AS (
+          SELECT doc_id, i, concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                           tk[i+4], tk[i+5], tk[i+6], tk[i+7]) AS win
+          FROM d, LATERAL (SELECT unnest(range(1, n - 6)) AS i) x
+          WHERE n >= 8),
+        dup AS (
+          SELECT win FROM (
+            SELECT win, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1)
+          WHERE df >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, i + j AS p
+          FROM w, LATERAL (SELECT unnest(range(0, 8)) AS j) y
+          WHERE win IN (SELECT win FROM dup)),
+        tok AS (
+          SELECT doc_id, p, tk[p] AS tok
+          FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS p) z),
+        kept AS (
+          SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS nk,
+                 string_agg(tok, ' ' ORDER BY tok.p) AS txt
+          FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+          WHERE cov.p IS NULL GROUP BY 1)
+        SELECT d.doc_id, d.n AS n_tokens,
+               d.n - COALESCE(kept.nk, 0) AS n_removed,
+               COALESCE(kept.txt, '') AS cleaned_text
+        FROM d LEFT JOIN kept USING (doc_id)""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

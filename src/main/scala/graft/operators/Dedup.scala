@@ -434,6 +434,60 @@ object Dedup {
       .select(col(idCol), col("n_windows"), col("n_dup_windows"), col("dup_fraction"))
   }
 
+  /** The transformation [[windowDupStats]] audits: REMOVE every token
+    * position covered by a k-token window that occurs in ≥ `minDocFreq`
+    * distinct documents (span-level exact dedup — the "drop the duplicated
+    * 50-token span, keep the rest of the doc" move of the train-data dedup
+    * literature), and re-join the survivors into cleaned text.
+    *
+    * Output: one row per input doc — (idCol, n_tokens, n_removed,
+    * cleaned_text), where cleaned_text is the kept tokens joined by a
+    * single space (text is whitespace-normalized by construction; docs
+    * losing every token yield "").
+    *
+    * Scale shape: window hashes (64-bit — a collision only over-removes a
+    * span, the safe direction for dedup) → one document-frequency agg →
+    * a semi-join marking duplicated postings → position explode of ONLY
+    * the duplicated windows (k× amplification of the dup subset, not the
+    * corpus) → per-doc anti-join + ordered reassembly. The reassembly
+    * `collect_list` is bounded by single-document length — the same bound
+    * any per-doc text row already carries.
+    */
+  def removeDupWindows(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+    val wins = base.filter(col("__n") >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), col("__n") - (k - 1)),
+        i => struct(i.as("i"), xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(col("__tk"), i + j)): _*)).as("w"))))
+        .as("__win"))
+      .select(col(idCol), col("__win.i").as("__i"), col("__win.w").as("__w"))
+    val dup = wins.groupBy(col("__w"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__w"))
+    val covered = wins.join(dup, Seq("__w"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__i"), col("__i") + (k - 1))).as("__p"))
+      .distinct()
+    val kept = base
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("__p0", "__tok")))
+      .withColumn("__p", col("__p0") + 1)
+      .join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__txt"))
+    base.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("__n").cast("long").as("n_tokens"),
+        (col("__n").cast("long") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
+        coalesce(col("__txt"), lit("")).as("cleaned_text"))
+  }
+
   /** Pairwise corpus-overlap matrix: for every pair of groups (sources),
     * the number of shared distinct word k-shingles and the Jaccard over
     * the groups' shingle sets — exact up to 64-bit hashing of the
@@ -533,5 +587,69 @@ object Dedup {
       .withColumn("cosine", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Semantic dedup, cluster-then-prune (the SemDeDup recipe: partition the
+    * embedding space into clusters, then drop near-identical members within
+    * each cluster — pairwise cost collapses from corpus² to Σ cluster²).
+    * Reference capability: the near-dup screens its readme declares for
+    * document feeds (reference readme.md:69); this is the embedding-space
+    * form for training-data curation.
+    *
+    * Deterministic contract (reproducible across runs AND engines):
+    *   - cluster seeds = the `nClusters` corpus vectors with the smallest
+    *     ids (no RNG — swap in `Similarity.kmeansRefine` output when seed
+    *     quality matters more than replayability);
+    *   - assignment = argmax cosine to seed, ties to the smallest seed id
+    *     (two-phase hash-agg election — a struct max_by would degrade to
+    *     SortAggregate);
+    *   - prune = member b is dropped iff some same-cluster member a < b
+    *     has cosine(a, b) ≥ `minCosine`; cosines round to 6 decimals
+    *     before every comparison so float summation order can't flip a
+    *     boundary pair.
+    *
+    * Scale shape: seeds are O(nClusters) via distributed TakeOrdered and
+    * broadcast; assignment is one map-side crossJoin against that
+    * broadcast + two hash aggs — the corpus never shuffles for scoring.
+    * The within-cluster self-join shuffles (cluster_id, id) pairs only
+    * (vectors join back per side) and is bounded by `maxCluster` with the
+    * standard dropped-bucket `audit` hook; size `nClusters` ∝ corpus (the
+    * SemDeDup paper runs ~10⁵ clusters at 10⁹ docs) so Σ cluster² stays
+    * linear-ish. Zero-norm vectors score 0.0 (not null/NaN) by definition.
+    *
+    * Output: one row per input vector — (idCol, cluster_id, kept 1|0).
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int = 8, minCosine: Double = 0.95,
+               maxCluster: Int = DefaultMaxBucket,
+               audit: Option[Observation] = None): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val cos6 = (a: Column, b: Column) =>
+      round6(coalesce(VectorFunctions.cosine(a, b), lit(0.0)))
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // orderBy().limit(n) plans as distributed TakeOrdered — same reasoning
+    // as Similarity.centroids
+    val seeds = base.orderBy(col("id").asc).limit(nClusters)
+      .select(col("id").as("sid"), col("v").as("sv"))
+    val scored = base.crossJoin(broadcast(seeds))
+      .withColumn("c", cos6(col("v"), col("sv")))
+      .select(col("id"), col("sid"), col("c"))
+    val best = scored.groupBy(col("id")).agg(max(col("c")).as("mc"))
+    val asg = scored.join(best, Seq("id"))
+      .filter(col("c") === col("mc"))
+      .groupBy(col("id")).agg(min(col("sid")).as("cluster_id"))
+    val dropped = bucketPairs(asg.select(col("cluster_id"), col("id")),
+        Seq("cluster_id"), struct(col("id")), maxCluster, audit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .filter(cos6(col("v_a"), col("v_b")) >= lit(minCosine))
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__drop", lit(1))
+    asg.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster_id"),
+        when(col("__drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
 }

@@ -300,6 +300,52 @@ object TextAnalysis {
         round6(-(sum(col("t")).cast("double") / count(lit(1)))).as("nll"))
   }
 
+  /** Data-selection importance weights (the DSIR recipe): score every
+    * corpus doc by how much its unigram distribution looks like a target
+    * domain — score(d) = Σ_w count_d(w) · ln(p_target(w) / p_raw(w)) with
+    * add-one smoothing over the joint vocabulary. High scores mark docs
+    * worth up-sampling when assembling a domain-tuned training mix; the
+    * caller follows with `Sampling` (top-k, or rate ∝ score rank).
+    *
+    * Float discipline (same recipe as [[bigramNll]]): the per-word log
+    * ratio rounds to 6 decimals and becomes DECIMAL(18,6); per-doc sums
+    * multiply by exact occurrence counts and accumulate as DECIMAL —
+    * order-independent, so the score is bit-identical across engines and
+    * partitionings.
+    *
+    * Scale shape: two corpus-count aggregations (map-side combinable) +
+    * one full-outer word-stats join + one join of per-(doc, word) postings
+    * against the |vocab|-sized stats table on the word key + one per-doc
+    * aggregation — all linear, nothing pairwise, nothing driver-side; the
+    * three scalar totals ride in as broadcast one-row joins.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // token OCCURRENCES (with multiplicity), not distinct sets: the DSIR
+    // feature is the unigram count vector
+    val rawPost = corpus.select(col(idCol), explode(toks).as("w"))
+    val tgtPost = target.select(explode(toks).as("w"))
+    val cr = rawPost.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val ct = tgtPost.groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val word = cr.join(ct, Seq("w"), "full_outer").na.fill(0L, Seq("cr", "ct"))
+    val nr = rawPost.agg(count(lit(1)).as("nr"))
+    val nt = tgtPost.agg(count(lit(1)).as("nt"))
+    val v = word.agg(count(lit(1)).as("v"))
+    val term = word
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt)).crossJoin(broadcast(v))
+      .withColumn("t",
+        round6(log(((col("ct") + lit(1.0)) / (col("nt") + col("v"))) /
+                   ((col("cr") + lit(1.0)) / (col("nr") + col("v")))))
+          .cast("decimal(18,6)"))
+      .select(col("w"), col("t"))
+    rawPost.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .join(term, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("t")).cast("double").as("score"))
+  }
+
   /** Per-group corpus profile: doc count, total/mean token count, and
     * discrete token-count percentiles (the value at rank ⌈p·n⌉ — a real
     * member of the distribution, no interpolation). Interpolated

@@ -230,6 +230,65 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 9999L))
   }
 
+  test("semDedup: seed assignment, greedy prune, tie and cap semantics") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),        // seed 0
+      (1L, Seq(0f, 1f, 0f)),        // seed 1
+      (2L, Seq(1f, 0.01f, 0f)),     // cluster 0, near-dup of 0 → dropped
+      (3L, Seq(0.9f, 0.5f, 0f)),    // cluster 0, cos≈0.874 → kept
+      (4L, Seq(0f, 1f, 0.001f)),    // cluster 1, near-dup of 1 → dropped
+      (5L, Seq(0f, 0f, 1f)))        // orthogonal to both seeds: tie → cluster 0, kept
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding",
+      nClusters = 2, minCosine = 0.95).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("kept"))).toMap
+    assert(out == Map(
+      0L -> (0L, 1), 2L -> (0L, 0), 3L -> (0L, 1), 5L -> (0L, 1),
+      1L -> (1L, 1), 4L -> (1L, 0)))
+    // cap binds: cluster 0 has 4 members > maxCluster=3 → prune pass skips
+    // it whole (everyone kept) and the audit observes the dropped bucket
+    val obs = new org.apache.spark.sql.Observation()
+    val capped = Dedup.semDedup(vecs, "vec_id", "embedding",
+      nClusters = 2, minCosine = 0.95, maxCluster = 3, audit = Some(obs))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("kept")).toMap
+    assert(capped(2L) == 1 && capped(4L) == 0)
+    assert(obs.get("dropped_buckets") == 1L)
+  }
+
+  test("removeDupWindows: drops cross-doc spans, keeps within-doc repeats") {
+    val df = Seq(
+      (1L, "a b c d e"),             // "a b c" shared with 2 and 4
+      (2L, "x y a b c z"),
+      (3L, "short"),                 // n < k: untouched
+      (4L, "a b c"),                 // whole doc is the dup span
+      (5L, "p q r p q r p q r"))     // repeats only WITHIN one doc: df=1
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupWindows(df, "doc_id", "text", k = 3, minDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text")))).toMap
+    assert(out(1L) == ((5L, 3L, "d e")))
+    assert(out(2L) == ((6L, 3L, "x y z")))
+    assert(out(3L) == ((1L, 0L, "short")))
+    assert(out(4L) == ((3L, 3L, "")))
+    assert(out(5L) == ((9L, 0L, "p q r p q r p q r")))
+  }
+
+  test("importanceWeights: target-like docs score above off-domain docs") {
+    val target = Seq((100L, "apple banana apple")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "apple banana"),
+      (2L, "zebra quokka")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 2L)
+    assert(out(1L)._2 > 0.0, s"in-domain doc should score positive: ${out(1L)._2}")
+    assert(out(2L)._2 < 0.0, s"off-domain doc should score negative: ${out(2L)._2}")
+  }
+
   test("orderedPairs: all i<j pairs, sorted input, degenerate sizes") {
     import graft.functions.HashFunctions
     val df = Seq(
