@@ -254,6 +254,32 @@ object Perf {
       time("scalellm-bigram-nll")(
         operators.TextAnalysis.bigramNll(sdocs.limit(2000000), "id", "text").count())
     }
+    if (what == "scalellm-r4") {
+      // stress for the round-4 operators: semantic dedup (2M×64 vectors,
+      // 1024 seed clusters — assignment is the O(n·k·d) broadcast pass,
+      // prune bounded by the default cluster cap), DSIR weights (2M docs),
+      // span-removal transform (full 10M docs)
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val sdocs = syntheticDocs(n)
+      val nv = 2000000L
+      val vecs = spark.range(nv).select(col("id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (pmod(xxhash64(col("id") * 64 + d), lit(2000L)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+      time(s"semdedup-$nv")(
+        operators.Dedup.semDedup(vecs, "id", "embedding",
+          nClusters = 1024, minCosine = 0.9)
+          .agg(sum(col("kept")).cast("long")).head().getLong(0))
+      time("importance-weights-2M")(
+        operators.TextAnalysis.importanceWeights(
+          sdocs.limit(2000000).filter(col("id") % 100L =!= 0L),
+          sdocs.limit(2000000).filter(col("id") % 100L === 0L),
+          "id", "text").count())
+      time(s"remove-dup-spans-$n") {
+        operators.Dedup.removeDupWindows(sdocs, "id", "text",
+          k = 4, minDocFreq = 2).agg(sum(col("n_removed"))).head(); n
+      }
+    }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
       // fact spread over 30 date partitions, same 50k-row batch touching
