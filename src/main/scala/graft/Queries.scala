@@ -1480,6 +1480,90 @@ object Queries {
                COALESCE(kept.txt, '') AS cleaned_text
         FROM d LEFT JOIN kept USING (doc_id)""")),
 
+    // ── decontamination, 100 TB form: broadcast Bloom prefilter kills
+    //    clean postings map-side, exact semi-join confirms the survivors —
+    //    row-identical to q55 (no false negatives by construction), so it
+    //    shares q55's oracle ──
+    Q("q69_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.bloomDecontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 5)
+          .select("doc_id", "lang", "source")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source, unnest(list_transform(range(1, len(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS s
+          FROM t),
+        dirty AS (
+          SELECT DISTINCT c.doc_id
+          FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE source = 'src0') b
+            ON c.s = b.s
+          WHERE c.source <> 'src0')
+        SELECT doc_id, lang, source FROM documents
+        WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM dirty)""")),
+
+    // ── tokenizer prep: corpus vocabulary (top-k tokens by count, min-df
+    //    floor, distributed TakeOrdered — no global sort) ──
+    Q("q70_vocab",
+      (s, d) => TextAnalysis.vocabulary(
+        Tables.documents(s, d), "text", minCount = 2L, topK = 100),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE length(token) > 0
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY cnt DESC, token ASC LIMIT 100""")),
+
+    // ── text analysis: bigram collocations by PMI (three hash aggs + two
+    //    vocabulary-sized joins; PMI rounded to 6 decimals before the
+    //    deterministic top-k cut) ──
+    Q("q71_collocations",
+      (s, d) => TextAnalysis.collocations(
+        Tables.documents(s, d), "text", minCount = 5L, topK = 100),
+      Some("""
+        WITH t AS (
+          SELECT string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        bg AS (
+          SELECT tk[i] AS w1, tk[i+1] AS w2
+          FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i) x
+          WHERE len(tk) >= 2),
+        bgf AS (SELECT w1, w2 FROM bg WHERE length(w1) > 0 AND length(w2) > 0),
+        pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bgf GROUP BY 1, 2),
+        lc AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pc GROUP BY 1),
+        rc AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pc GROUP BY 1),
+        n AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS nn FROM pc)
+        SELECT w1, w2, n_ab,
+               floor(ln(CAST(n_ab AS DOUBLE) * nn /
+                 (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * 1000000 + 0.5)
+                 / 1000000 AS pmi
+        FROM pc JOIN lc USING (w1) JOIN rc USING (w2), n
+        WHERE n_ab >= 5
+        ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 100""")),
+
+    // ── sampling: exactly-n-per-stratum deterministic pick (hash-ranked
+    //    per-group top-n; WindowGroupLimit keeps map-side state at n) ──
+    Q("q72_sample_n",
+      (s, d) => operators.Sampling.sampleN(
+          Tables.documents(s, d), "doc_id", "lang", n = 20)
+        .select("doc_id", "lang", "source"),
+      Some("""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'samplen'), 1, 8))::UBIGINT
+                              / 4294967296.0 ASC,
+                            doc_id ASC) AS rn
+          FROM documents) WHERE rn <= 20""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -74,4 +74,32 @@ object Sampling {
   def mixture(sources: Seq[(DataFrame, Double)], keyCol: String): DataFrame =
     sources.map { case (df, rate) => sample(df, keyCol, rate) }
       .reduce(_.unionByName(_))
+
+  /** Exactly-n-per-stratum deterministic sample: rank rows within each
+    * stratum by (hash(key), key) and keep the first `n` — the fixed-size
+    * eval-split / few-shot-pool primitive, where a FRACTION won't do
+    * because the consumer needs exactly n rows per language/source.
+    *
+    * Deterministic and engine-reproducible for the same reason as
+    * [[hashFraction]]: rank order is a pure function of the key (hash
+    * first, key as total-order tie-break), so retries, repartitioning,
+    * and the DuckDB oracle all pick the identical rows.
+    *
+    * Scale shape: one shuffle on the stratum + a per-stratum window —
+    * the standard top-n-per-group plan (`WindowGroupLimit` pushes the
+    * rank filter into a per-partition streaming top-n before the final
+    * sort at n this small). Skew bound: a mega-stratum sorts only its
+    * own partition, and the pushed group-limit means each map task
+    * retains at most n rows per stratum it sees.
+    */
+  def sampleN(df: DataFrame, keyCol: String, strataCol: String, n: Int,
+              salt: String = "samplen"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashFraction(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.BloomFunctions
+
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting.
   *
@@ -236,6 +238,39 @@ object TextAnalysis {
       .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
   }
 
+  /** [[decontaminate]] with a broadcast Bloom prefilter — the 100 TB form.
+    *
+    * The exact form's corpus postings list (one row per doc per shingle)
+    * is the dominant shuffle at scale even though the semi-join build side
+    * is tiny. Here the benchmark's shingle hashes aggregate into a
+    * fixed-size Bloom bitset (partial aggregation, one ~MiB array on the
+    * driver) that rides the probe expression as a reference object, so
+    * ~every clean posting dies INSIDE the scan stage — map-side, before
+    * the exchange — and only Bloom survivors (true hits + fp·|postings|
+    * false alarms) shuffle into the exact semi-join confirm. False
+    * negatives are impossible, so the result is row-identical to
+    * [[decontaminate]]; the confirm join rejects the false positives.
+    *
+    * This is Spark's own runtime-filter move (InjectRuntimeFilter /
+    * BloomFilterMightContain) surfaced as an operator primitive, because
+    * the optimizer's version only fires on equi-join shapes it can prove,
+    * and we know the set side is benchmark-small by construction.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, k: Int = 5,
+                         numBits: Int = BloomFunctions.DefaultNumBits,
+                         numHashes: Int = BloomFunctions.DefaultNumHashes): DataFrame = {
+    val shingleHashes =
+      explode(transform(Dedup.shingles(col(textCol), k), s => xxhash64(s))).as("__sh")
+    val benchHashes = benchmark.select(shingleHashes).distinct()
+    val bits = BloomFunctions.build(benchHashes, "__sh", numBits, numHashes)
+    val dirtyIds = corpus.select(col(idCol), shingleHashes)
+      .filter(BloomFunctions.mightContain(col("__sh"), bits, numHashes))
+      .join(benchHashes, Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(dirtyIds, Seq(idCol), "left_anti")
+  }
+
   /** Cross-engine-exact 6-decimal rounding: `floor(x·10⁶ + 0.5)/10⁶`
     * computed in plain IEEE doubles is bit-identical in any engine
     * (Spark's `round` converts the double to exact BigDecimal HALF_UP
@@ -410,5 +445,70 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
+
+  /** Corpus vocabulary: the `topK` most frequent tokens with counts,
+    * keeping only tokens seen at least `minCount` times — the tokenizer-
+    * training / vocab-pruning primitive.
+    *
+    * Scale shape: explode → map-side-combinable hash aggregation on the
+    * token (vocabulary-sized, not corpus-sized, after partial agg), then
+    * a distributed TakeOrdered for the top-k — no global sort, no
+    * single-partition window, nothing driver-side beyond the k rows.
+    * Ordering is total (count desc, token asc) so the cut is
+    * deterministic and cross-engine-stable.
+    */
+  def vocabulary(df: DataFrame, textCol: String,
+                 minCount: Long = 2L, topK: Int = 1000): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+
+  /** Bigram collocations by pointwise mutual information:
+    * `pmi = ln(n(ab)·N / (n(a·)·n(·b)))` over adjacent token pairs, where
+    * n(a·) / n(·b) count the bigram POSITIONS with that left / right word
+    * (so the marginals sum to N exactly and PMI is a true log-ratio of
+    * empirical probabilities). Pairs below `minCount` are dropped before
+    * scoring — the standard noise floor, and it also bounds the scored
+    * frame to the distinct-bigram vocabulary.
+    *
+    * Scale shape: one explode pass → three hash aggregations (bigram,
+    * left-marginal, right-marginal — each map-side-combinable), two
+    * equi-joins on single-word keys (vocabulary-sized build sides that
+    * AQE broadcasts), one scalar N broadcast. PMI is rounded to 6
+    * decimals before the deterministic (pmi desc, bigram asc) top-k cut,
+    * which is a distributed TakeOrdered.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 1000): DataFrame = {
+    // docs with <2 tokens are filtered BEFORE the index sequence is
+    // built: sequence(1, n−1) with n=1 is the DESCENDING [1,0], whose
+    // element_at lookups throw under ANSI mode (same guard as bigramNll)
+    val bigrams = df.select(tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__tk")) - 1),
+        i => struct(element_at(col("__tk"), i).as("w1"),
+          element_at(col("__tk"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val leftCounts = pairCounts.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val rightCounts = pairCounts.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+    val total = pairCounts.agg(sum(col("n_ab")).cast("double").as("__n"))
+    pairCounts.filter(col("n_ab") >= minCount)
+      .join(leftCounts, Seq("w1"))
+      .join(rightCounts, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round6(log(
+        col("n_ab").cast("double") * col("__n") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
   }
 }

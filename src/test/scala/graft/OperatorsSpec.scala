@@ -735,4 +735,91 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExpr(4L)._3 == "unknown")
     assert(collect(Multimodal.extractFeaturesBatch(df)) == viaExpr)
   }
+
+  test("bloom kernels: zero false negatives, false positives under the design bound") {
+    import graft.functions.{BloomFunctions, BloomKernels, HashFunctions}
+    val numBits = 1 << 20
+    val k = 4
+    val bits = new Array[Long](numBits / 64)
+    val n = 10000
+    val present = (0 until n).map(i => HashFunctions.splitmix64(i.toLong))
+    present.foreach(h => BloomKernels.set(bits, k, h))
+    assert(present.forall(h => BloomKernels.probe(bits, k, h)),
+      "a Bloom filter must never produce a false negative")
+    val absent = (0 until 100000).map(i => HashFunctions.splitmix64(1000000L + i))
+    val fp = absent.count(h => BloomKernels.probe(bits, k, h)).toDouble / absent.size
+    // design bound (1 − e^(−kn/m))^k ≈ 2e-6 at these parameters; 1e-3
+    // leaves 500× slack for hash-quality variance without masking a bug
+    assert(fp < 1e-3, s"false-positive rate $fp exceeds the design bound")
+    // distributed build agrees with the driver-side kernel build
+    val built = BloomFunctions.build(
+      spark.createDataset(present).toDF("h").repartition(7), "h", numBits, k)
+    assert(built.sameElements(bits))
+  }
+
+  test("bloom decontaminate is row-identical to exact, even when the filter saturates") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val exact = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = TextAnalysis.bloomDecontaminate(corpus, bench, "doc_id", "text", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    // a deliberately undersized filter (64 bits for thousands of shingles →
+    // ~every probe is a false positive) must still be exact: the confirm
+    // join rejects everything the saturated prefilter lets through
+    val saturated = TextAnalysis.bloomDecontaminate(corpus, bench, "doc_id", "text",
+      k = 5, numBits = 64, numHashes = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(saturated == exact)
+    // empty benchmark → all-zero filter → nothing dropped
+    val noBench = TextAnalysis.bloomDecontaminate(corpus, bench.limit(0),
+      "doc_id", "text", k = 5)
+    assert(noBench.count() == corpus.count())
+  }
+
+  test("vocabulary: exact counts, min-count floor, deterministic top-k cut") {
+    val df = Seq("a b b c", "b c d", "A  b").toDF("text")
+    val out = TextAnalysis.vocabulary(df, "text", minCount = 2L, topK = 2)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+    // counts: a=2 (case-folded), b=4, c=2, d=1 (dropped by minCount)
+    assert(out.toSeq == Seq(("b", 4L), ("a", 2L)),
+      s"expected top-2 of (b,4),(a,2),(c,2) with token tie-break: ${out.toSeq}")
+  }
+
+  test("collocations: hand-computed PMI, noise floor, tie-break order") {
+    // 6 bigram positions: (x,y)×3, (y,x)×2, (y,z)×1
+    val df = Seq("x y x y x y", "z y z").toDF("text")
+    // marginals over positions: n(x·)=3, n(y·)=2+1=... compute: bigrams
+    // doc1: (x,y),(y,x),(x,y),(y,x),(x,y)  doc2: (z,y),(y,z)
+    // pairs: (x,y)=3 (y,x)=2 (z,y)=1 (y,z)=1, N=7
+    // left: x=3, y=3, z=1 ; right: y=4, x=2, z=1
+    val out = TextAnalysis.collocations(df, "text", minCount = 2L, topK = 10)
+      .collect().map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("pmi")))).toMap
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    assert(out(("x", "y"))._1 == 3L)
+    def pmi6(nab: Double, na: Double, nb: Double) =
+      math.floor(math.log(nab * 7.0 / (na * nb)) * 1e6 + 0.5) / 1e6
+    assert(out(("x", "y"))._2 == pmi6(3, 3, 4))
+    assert(out(("y", "x"))._2 == pmi6(2, 3, 2))
+  }
+
+  test("sampleN: exactly n per stratum, short strata survive whole, deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.sampleN(docs, "doc_id", "lang", n = 7)
+    val perStratum = out.groupBy($"lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val full = docs.groupBy($"lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    full.foreach { case (lang, total) =>
+      assert(perStratum(lang) == math.min(7L, total),
+        s"stratum $lang: got ${perStratum(lang)} of $total")
+    }
+    // identical pick under a different physical partitioning
+    val again = Sampling.sampleN(docs.repartition(13), "doc_id", "lang", n = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
