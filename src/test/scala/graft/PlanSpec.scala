@@ -159,4 +159,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("bloom decontaminate probes map-side: the filter sits in the scan stage, under every exchange") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // pre-execution: the initial plan
+        case other                    => other
+      }
+      here +: here.children.flatMap(walk)
+    }
+    val root = Queries.queries("q69_bloom_decontaminate")(spark, d)
+      .queryExecution.executedPlan
+    val all = walk(root)
+    val probes = all.collect {
+      case f: FilterExec
+        if f.condition.find(_.isInstanceOf[graft.functions.BloomContains]).isDefined => f
+    }
+    assert(probes.nonEmpty, s"no Bloom probe filter in the plan:\n$root")
+    // the whole point of the prefilter: clean postings die BEFORE the
+    // shuffle, so no exchange may sit between the probe and its scan
+    probes.foreach { f =>
+      assert(!walk(f).tail.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"Bloom probe has an exchange below it — it is not map-side:\n$f")
+    }
+  }
+
+  test("vocabulary and collocations: hash aggs only, distributed top-k (no global sort)") {
+    val v = plan("q70_vocab")
+    assert(v.contains("TakeOrderedAndProject"), v)
+    assert(v.contains("HashAggregate"), v)
+    assert(!v.contains("SortAggregate"), v)
+    val c = plan("q71_collocations")
+    assert(c.contains("TakeOrderedAndProject"), c)
+    assert(!c.contains("SortAggregate"), c)
+    assert(!c.contains("CartesianProduct"), c)
+  }
+
+  test("sampleN pushes the rank cut into a per-partition group limit") {
+    val p = plan("q72_sample_n")
+    // WindowGroupLimit = map tasks keep at most n rows per stratum before
+    // the shuffle; without it every row of a mega-stratum hits one reducer
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
