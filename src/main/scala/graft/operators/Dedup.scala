@@ -72,6 +72,31 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup: the production shape, where a NEW batch
+    * dedups against an already-ingested corpus without recomputing
+    * anything corpus-pairwise. Drops batch docs whose normalized content
+    * already exists in `index`, then keeps one winner (min id) per
+    * content within the batch — so appending the result to the corpus
+    * preserves the corpus-wide exactly-one-copy invariant.
+    *
+    * Shuffle shape: the index side reduces to DISTINCT 16-byte content
+    * hashes before anything moves (hash agg, map-side combine — document
+    * text never leaves the index scan); batch (hash, id) pairs anti-join
+    * those hashes and elect winners; full batch rows then ride exactly
+    * one shuffle (the id semi-join). In steady state `index` is itself
+    * just the accumulated hash column — pass it pre-projected and the
+    * distinct collapses to a scan.
+    */
+  def incrementalExact(batch: DataFrame, index: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val idxHashes = index.select(md5(normText(col(textCol))).as("__h")).distinct()
+    val fresh = batch.select(md5(normText(col(textCol))).as("__h"), col(idCol))
+      .join(idxHashes, Seq("__h"), "left_anti")
+    val winners = fresh.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    batch.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Distinct word k-shingles of the normalized text (native one-pass
     * expression; see functions.WordShingles for the declarative
     * equivalent it matches).

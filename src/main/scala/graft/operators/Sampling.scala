@@ -92,6 +92,36 @@ object Sampling {
     * own partition, and the pushed group-limit means each map task
     * retains at most n rows per stratum it sees.
     */
+  /** Deterministic training-order assignment WITHOUT a global sort:
+    * every row gets a `(shard, pos)` coordinate — shard = salted hash of
+    * the key mod `nShards`, pos = rank within the shard by a second,
+    * independent hash — and the global training order is defined as
+    * round-robin across shards by position (read file `shard` at step
+    * `pos`). This is how you shuffle a 100 TB corpus for training: a true
+    * global ORDER BY needs a range exchange over everything and yields
+    * one totally-ordered file set, while this shape sorts only within
+    * shards (each ~1/nShards of the data, the write-side parallelism) and
+    * is exactly reproducible across runs, retries, and engines, because
+    * both coordinates are pure functions of the key.
+    *
+    * The two salts are independent, so shard assignment cannot correlate
+    * with within-shard position (same reason [[hashFraction]] separates
+    * sampling from splitting).
+    */
+  def trainingOrder(df: DataFrame, keyCol: String, nShards: Int,
+                    salt: String = "order"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shard = pmod(
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt + "-shard"))),
+        1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashFraction(col(keyCol), salt + "-pos").asc, col(keyCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   def sampleN(df: DataFrame, keyCol: String, strataCol: String, n: Int,
               salt: String = "samplen"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -467,6 +467,86 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Feature-hashing bucket of a token: first 32 md5 bits (salted) mod
+    * `dim` — the hashing-trick index (Weinberger et al.'s feature
+    * hashing / the fastText input layer) that maps an unbounded token
+    * space onto a fixed-width weight vector with no vocabulary dictionary
+    * to build, broadcast, or keep consistent across batches.
+    */
+  def featureHash(token: Column, dim: Int, salt: String = "fh"): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    pmod(conv(substring(md5(concat(token, lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+  }
+
+  /** Linear text-classifier scoring over a hashed bag of words: each
+    * token occurrence maps to a bucket in a `dim`-wide weight vector and
+    * the doc's score is the sum of its bucket weights — the
+    * fastText/Vowpal-Wabbit-shaped quality/topic filter, scorable at
+    * corpus scale with one explode and one hash aggregation (map-side
+    * combinable; no vocabulary join, no model table shuffle).
+    *
+    * Weights here are a deterministic hash of the bucket index (uniform
+    * in [-1, 1) — exactly representable doubles, so cross-engine-exact);
+    * a trained model swaps in a real `weightOf` without touching the
+    * plan shape, riding the expression as a broadcast array. Per-token
+    * weights round to 6 decimals and accumulate as DECIMAL, so the score
+    * is order-independent and bit-identical across engines.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1 << 20, salt: String = "hlm"): DataFrame = {
+    val post = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket", featureHash(col("tok"), dim, salt))
+    val weight = conv(substring(md5(concat(lit("w"),
+        col("bucket").cast("string"))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0) * lit(2.0) - lit(1.0)
+    post.withColumn("t", round6(weight).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("t")).cast("double").as("score"))
+  }
+
+  /** BM25 relevance of every document against a bag of query terms:
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * classic `idf = ln((N − df + ½)/(df + ½) + 1)` — the retrieval
+    * scorer to [[tfIdfTopTerms]]'s term extractor (RAG retrieval / CC
+    * query-relevance mining over a corpus).
+    *
+    * Scale shape: corpus statistics (dl, N, avgdl) are one hash agg; the
+    * term-frequency frame is prefiltered to the query terms BEFORE its
+    * aggregation, so everything after the stats pass is query-sized, and
+    * df/stats ride broadcasts. Per-term scores round to 6 decimals and
+    * sum as DECIMAL (order-independent, cross-engine-exact; ln and IEEE
+    * division agree across engines, established by q56/q58/q67).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val post = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val docLen = post.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = post.filter(col("tok").isin(queryTerms.distinct: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("t", round6(
+        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))) /
+          (col("tf").cast("double") +
+            lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+        .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("t")).cast("double").as("score"))
+  }
+
   /** Bigram collocations by pointwise mutual information:
     * `pmi = ln(n(ab)·N / (n(a·)·n(·b)))` over adjacent token pairs, where
     * n(a·) / n(·b) count the bigram POSITIONS with that left / right word

@@ -806,6 +806,96 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("y", "x"))._2 == pmi6(2, 3, 2))
   }
 
+  test("bucketed colocated join matches the plain join bit for bit") {
+    import graft.sources.Bucketing
+    val tmp = tmpDir("bucket-spec")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+    Bucketing.writeBucketed(orders, "spec_orders", s"$tmp/o", "o_custkey", 4)
+    Bucketing.writeBucketed(customer, "spec_customer", s"$tmp/c", "c_custkey", 4)
+    val viaBuckets = Bucketing.colocatedJoin(
+        Bucketing.table(spark, "spec_orders"),
+        Bucketing.table(spark, "spec_customer"), "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = orders.join(customer, $"o_custkey" === $"c_custkey")
+      .select("o_orderkey", "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaBuckets == plain && plain.nonEmpty)
+    // re-registering under the same name replaces both metadata and data
+    Bucketing.writeBucketed(orders.limit(10), "spec_orders", s"$tmp/o2", "o_custkey", 4)
+    assert(Bucketing.table(spark, "spec_orders").count() == 10)
+  }
+
+  test("hashedLinearScore: occurrence-weighted, deterministic, exact doubling") {
+    val df = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 2L && out(3L)._1 == 2L)
+    // same token twice adds its weight exactly twice (DECIMAL accumulation
+    // of 6-dp terms — no float-order slack)
+    assert(out(2L)._2 == out(1L)._2 * 2)
+    // score bounded by n_tokens (every weight is in [-1, 1))
+    out.values.foreach { case (n, s) => assert(math.abs(s) <= n.toDouble) }
+    // collisions aside, different tokens get different weights
+    assert(out(3L)._2 != out(2L)._2)
+  }
+
+  test("bm25: hand-computed scores on a two-doc corpus") {
+    val df = Seq((1L, "bank data bank"), (2L, "cash flow")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "doc_id", "text", Seq("bank", "data"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // only d1 matches; dl=3, N=2, avgdl=2.5, df(bank)=df(data)=1, idf=ln 2
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 2L)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val idf = math.log((2.0 - 1.0 + 0.5) / (1.0 + 0.5) + 1.0)
+    def term(tf: Double) =
+      r6((idf * (tf * (1.2 + 1.0))) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (3.0 / 2.5))))
+    val expected = (BigDecimal(term(2.0)).setScale(6) +
+      BigDecimal(term(1.0)).setScale(6)).toDouble
+    assert(out(1L)._2 == expected)
+  }
+
+  test("incrementalExact: index hits drop, in-batch dups elect min id, append keeps the invariant") {
+    val index = Seq((100L, "already ingested"), (101L, "old news")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already  INGESTED "), // normalizes to an index hit → dropped
+      (2L, "fresh content"),
+      (3L, "fresh content"),      // in-batch dup → loses to id 2
+      (4L, "unique piece")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L))
+    // appending survivors to the index preserves exactly-one-copy:
+    // rerunning the batch against the grown index drops everything
+    val grown = index.unionByName(batch.filter($"doc_id".isin(2L, 4L)))
+    assert(Dedup.incrementalExact(batch, grown, "doc_id", "text").count() == 0)
+  }
+
+  test("trainingOrder: contiguous positions per shard, partitioning-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.trainingOrder(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    // per shard: positions are exactly 1..count (a total order, no gaps)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // pure function of the key: identical under a different layout
+    val again = Sampling.trainingOrder(docs.repartition(13), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("sampleN: exactly n per stratum, short strata survive whole, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Sampling.sampleN(docs, "doc_id", "lang", n = 7)

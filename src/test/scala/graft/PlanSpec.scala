@@ -204,4 +204,16 @@ class PlanSpec extends SparkSpec {
     // the shuffle; without it every row of a mega-stratum hits one reducer
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("bucketed join + bucket-key aggregation run with ZERO exchanges") {
+    val p = plan("q73_bucketed_join")
+    // the layout's whole value: sort-merge join AND group-by on the
+    // bucket key with no shuffle and no broadcast — the exchange was
+    // paid once at write time
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Exchange"), p)
+    // the sorts the planner keeps are within-partition, not global
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
+  }
 }
