@@ -280,6 +280,39 @@ object Perf {
           k = 4, minDocFreq = 2).agg(sum(col("n_removed"))).head(); n
       }
     }
+    if (what == "scalellm-r4b") {
+      // stress for the round-4b operators at 10M docs; the headline is
+      // exact vs Bloom-prefiltered decontamination on the identical split
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val sdocs = syntheticDocs(n)
+      val corpus = sdocs.filter(col("id") % 100L =!= 0L)
+      val bench = sdocs.filter(col("id") % 100L === 0L)
+      time(s"r4b-decontaminate-exact-$n")(
+        operators.TextAnalysis.decontaminate(corpus, bench, "id", "text", k = 5).count())
+      time(s"r4b-decontaminate-bloom-$n")(
+        operators.TextAnalysis.bloomDecontaminate(corpus, bench, "id", "text", k = 5).count())
+      time(s"r4b-incremental-dedup-$n")(
+        operators.Dedup.incrementalExact(
+          sdocs.filter(col("id") % 10L =!= 0L),
+          sdocs.filter(col("id") % 10L === 0L), "id", "text").count())
+      time(s"r4b-training-order-$n")(
+        operators.Sampling.trainingOrder(sdocs, "id", nShards = 64)
+          .agg(max(col("pos"))).head().getLong(0))
+      time(s"r4b-sample-n-$n")(
+        operators.Sampling.sampleN(
+          sdocs.withColumn("lang", pmod(col("id"), lit(20L)).cast("string")),
+          "id", "lang", n = 1000).count())
+      time(s"r4b-hashed-linear-$n")(
+        operators.TextAnalysis.hashedLinearScore(sdocs, "id", "text").count())
+      time(s"r4b-bm25-$n")(
+        operators.TextAnalysis.bm25(sdocs, "id", "text",
+          Seq("alpha", "beta", "gamma", "service")).count())
+      time(s"r4b-vocabulary-$n")(
+        operators.TextAnalysis.vocabulary(sdocs, "text", minCount = 2L, topK = 1000).count())
+      time("r4b-collocations-2M")(
+        operators.TextAnalysis.collocations(sdocs.limit(2000000), "text",
+          minCount = 5L, topK = 1000).count())
+    }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
       // fact spread over 30 date partitions, same 50k-row batch touching

@@ -1687,6 +1687,47 @@ object Queries {
                row_number() OVER (PARTITION BY shard ORDER BY r ASC, doc_id ASC) AS pos
         FROM s""")),
 
+    // ── Z-order layout key: Morton interleave of two 16-bit range ranks
+    //    (map-side bit ops; the layout's range exchange is the only
+    //    shuffle and replaces the one a plain sorted write pays) ──
+    Q("q78_zorder_key",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+        val bounds = o.agg(
+          min(col("o_totalprice")).as("plo"), max(col("o_totalprice")).as("phi"),
+          min(col("o_custkey")).cast("double").as("clo"),
+          max(col("o_custkey")).cast("double").as("chi"))
+        o.crossJoin(broadcast(bounds))
+          .select(col("o_orderkey"),
+            sources.ZOrder.zValue(
+              col("o_totalprice"), col("plo"), col("phi"),
+              col("o_custkey").cast("double"), col("clo"), col("chi")).as("zval"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(o_totalprice) AS plo, MAX(o_totalprice) AS phi,
+                 CAST(MIN(o_custkey) AS DOUBLE) AS clo,
+                 CAST(MAX(o_custkey) AS DOUBLE) AS chi
+          FROM orders),
+        r AS (
+          SELECT o_orderkey,
+                 CASE WHEN phi = plo THEN 0 ELSE
+                   LEAST(GREATEST(CAST(floor((o_totalprice - plo) / (phi - plo)
+                     * 65535.0) AS BIGINT), 0), 65535) END AS ra,
+                 CASE WHEN chi = clo THEN 0 ELSE
+                   LEAST(GREATEST(CAST(floor((CAST(o_custkey AS DOUBLE) - clo)
+                     / (chi - clo) * 65535.0) AS BIGINT), 0), 65535) END AS rb
+          FROM orders, b),
+        sa AS (SELECT o_orderkey, ((ra | (ra << 8)) & 16711935) AS a1,
+                      ((rb | (rb << 8)) & 16711935) AS b1 FROM r),
+        sb AS (SELECT o_orderkey, ((a1 | (a1 << 4)) & 252645135) AS a2,
+                      ((b1 | (b1 << 4)) & 252645135) AS b2 FROM sa),
+        sc AS (SELECT o_orderkey, ((a2 | (a2 << 2)) & 858993459) AS a3,
+                      ((b2 | (b2 << 2)) & 858993459) AS b3 FROM sb),
+        sd AS (SELECT o_orderkey, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+                      ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM sc)
+        SELECT o_orderkey, ((a4 << 1) | b4) AS zval FROM sd""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -896,6 +896,65 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSet == out.toSet)
   }
 
+  test("zValue: rank bounds, known Morton codes, degenerate range") {
+    import graft.sources.ZOrder
+    val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (65535.0, 0.0),
+      (65535.0, 65535.0)).toDF("a", "b")
+    // lo=0, hi=65535 makes rank16 the identity on integral inputs
+    val z = df.select(ZOrder.zValue(
+      $"a", lit(0.0), lit(65535.0), $"b", lit(0.0), lit(65535.0)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a-bits land at odd positions, b-bits at even
+    assert(z == Seq(0L, 2L, 1L, 0xAAAAAAAAL, 0xFFFFFFFFL), z)
+    // degenerate lo=hi range ranks everything 0 instead of dividing by zero
+    val degenerate = df.select(ZOrder.zValue(
+      $"a", lit(5.0), lit(5.0), $"b", lit(0.0), lit(65535.0)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(degenerate == Seq(0L, 0L, 1L, 0L, 0xAAAAAAAAL >> 1), degenerate)
+  }
+
+  test("z-order layout tightens per-file footer stats in BOTH dims; plain sort only in one") {
+    import graft.sources.ZOrder
+    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val bounds = o.agg(
+      min($"o_totalprice").as("plo"), max($"o_totalprice").as("phi"),
+      min($"o_custkey").cast("double").as("clo"),
+      max($"o_custkey").cast("double").as("chi"))
+    val Array(plo, phi, clo, chi) = bounds.collect()
+      .flatMap(r => Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val z = ZOrder.zValue($"o_totalprice", lit(plo), lit(phi),
+      $"o_custkey".cast("double"), lit(clo), lit(chi))
+    val zDir = tmpDir("zorder")
+    val sortDir = tmpDir("plainsort")
+    ZOrder.layout(o, z, numFiles = 16).write.mode("overwrite").parquet(zDir)
+    o.repartitionByRange(16, $"o_totalprice").sortWithinPartitions($"o_totalprice")
+      .write.mode("overwrite").parquet(sortDir)
+    // normalized (max-min) span of each dimension per FILE — the exact
+    // quantity parquet row-group pruning keys off
+    def spans(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length == 16, s"expected 16 files, got ${files.length}")
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          (max($"o_totalprice") - min($"o_totalprice")) / (phi - plo),
+          (max($"o_custkey").cast("double") - min($"o_custkey")) / (chi - clo)
+        ).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      (perFile.map(_._1).sum / perFile.length, perFile.map(_._2).sum / perFile.length)
+    }
+    val (zPrice, zCust) = spans(zDir)
+    val (sPrice, sCust) = spans(sortDir)
+    // plain sort: near-perfect on the sort key, useless on the other dim
+    assert(sPrice < 0.2, s"plain sort price span $sPrice")
+    assert(sCust > 0.8, s"plain sort custkey span $sCust")
+    // z-order: BOTH dims well under the full range (~1/sqrt(16) ideal)
+    assert(zPrice < 0.6, s"z-order price span $zPrice")
+    assert(zCust < 0.6, s"z-order custkey span $zCust")
+  }
+
   test("sampleN: exactly n per stratum, short strata survive whole, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Sampling.sampleN(docs, "doc_id", "lang", n = 7)
