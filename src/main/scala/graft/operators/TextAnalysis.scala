@@ -513,38 +513,57 @@ object TextAnalysis {
     * scorer to [[tfIdfTopTerms]]'s term extractor (RAG retrieval / CC
     * query-relevance mining over a corpus).
     *
-    * Scale shape: corpus statistics (dl, N, avgdl) are one hash agg; the
-    * term-frequency frame is prefiltered to the query terms BEFORE its
-    * aggregation, so everything after the stats pass is query-sized, and
-    * df/stats ride broadcasts. Per-term scores round to 6 decimals and
-    * sum as DECIMAL (order-independent, cross-engine-exact; ln and IEEE
-    * division agree across engines, established by q56/q58/q67).
+    * Scale shape: NO posting explode anywhere. Per-doc term frequencies
+    * and the doc length are array-fold expressions inside the scan
+    * (query-sized work per row), so the corpus pass is ONE single-row
+    * aggregate (N, Σdl, per-term document frequencies together), and
+    * scoring is a map-only pass against that broadcast row — the
+    * document text never shuffles. Per-term scores round to 6 decimals
+    * and accumulate as DECIMAL (order-independent, cross-engine-exact;
+    * ln and IEEE division agree across engines, established by
+    * q56/q58/q67). Docs matching no term are dropped, and docs with
+    * zero tokens count toward neither N nor avgdl — identical semantics
+    * to the posting-list formulation the oracle runs.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val post = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val docLen = post.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = docLen.agg(
+    val terms = queryTerms.distinct
+    val tk = tokens(col(textCol))
+    // after trim, split on \s+ emits an empty token ONLY for empty text,
+    // so the non-empty token count needs no per-token filter pass
+    val dl = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(tk).cast("long"))
+    // all K term frequencies in ONE native pass over the token array
+    // (each query term is its own single-word vocabulary)
+    val withTf = df.select(col(idCol), dl.as("dl"),
+        graft.functions.HashFunctions.tokenSetCounts(tk, terms.map(Seq(_))).as("tfs"))
+      .filter(col("dl") > 0)
+    val stats = withTf.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val tf = post.filter(col("tok").isin(queryTerms.distinct: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dfreq), Seq("tok"))
-      .join(docLen, Seq(idCol))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("t", round6(
-        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))) /
-          (col("tf").cast("double") +
-            lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")
+        +: terms.indices.map(i =>
+          sum((element_at(col("tfs"), i + 1) > 0).cast("long"))
+            .cast("double").as(s"df_$i")): _*)
+    val termScores = terms.indices.map { i =>
+      val tf = element_at(col("tfs"), i + 1).cast("double")
+      val dfd = col(s"df_$i")
+      val idf = log((col("n_docs") - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+      when(tf > 0, round6(
+        (idf * (tf * lit(k1 + 1.0))) /
+          (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
         .cast("decimal(18,6)"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"), sum(col("t")).cast("double").as("score"))
+    }
+    val zero = lit(0).cast("decimal(18,6)")
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("n_terms",
+        terms.indices.map(i => (element_at(col("tfs"), i + 1) > 0).cast("long"))
+          .reduce(_ + _))
+      .filter(col("n_terms") > 0)
+      .withColumn("score",
+        termScores.map(coalesce(_, zero)).reduce(_ + _).cast("double"))
+      .select(col(idCol), col("n_terms"), col("score"))
   }
 
   /** Bigram collocations by pointwise mutual information:
