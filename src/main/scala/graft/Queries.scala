@@ -1728,6 +1728,36 @@ object Queries {
                       ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM sc)
         SELECT o_orderkey, ((a4 << 1) | b4) AS zval FROM sd""")),
 
+    // ── record linkage: blocked fuzzy self-join (block → length-bound
+    //    prune → Levenshtein verify); blocking is the contract, so the
+    //    result is oracle-exact ──
+    Q("q79_fuzzy_pairs",
+      (s, d) => operators.Linkage.fuzzyPairsBlocked(
+        s.read.parquet(s"$d/customer.parquet"),
+        "c_custkey", "c_name", Seq("c_nationkey"), maxDist = 2),
+      Some("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        WHERE a.c_custkey < b.c_custkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2""")),
+
+    // ── skew-proof two-phase aggregation: partial on (key, salt), final
+    //    on key — DECIMAL accumulation makes the salting invisible ──
+    Q("q80_salted_agg",
+      (s, d) => operators.Skew.saltedAggregate(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_returnflag"),
+          Map("sum_qty" -> col("l_quantity").cast("decimal(18,2)")),
+          saltFactor = 8)
+        .withColumn("sum_qty", col("sum_qty").cast("double")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

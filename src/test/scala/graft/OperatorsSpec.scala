@@ -955,6 +955,22 @@ class OperatorsSpec extends SparkSpec {
     assert(zCust < 0.6, s"z-order custkey span $zCust")
   }
 
+  test("fuzzyPairsBlocked: within-block edit-distance pairs, cross-block excluded") {
+    import graft.operators.Linkage
+    val df = Seq(
+      (1L, "acme corp", "west"), (2L, "acme corp.", "west"), // dist 1
+      (3L, "acme cord", "west"),                             // dist 1 to #1, 2 to #2
+      (4L, "zenith llc", "west"),                            // far from all
+      (5L, "acme corp", "east")                              // exact dup, WRONG block
+    ).toDF("id", "name", "region")
+    val out = Linkage.fuzzyPairsBlocked(df, "id", "name", Seq("region"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), out)
+    assert(out((1L, 2L)) == 1 && out((1L, 3L)) == 1 && out((2L, 3L)) == 2)
+    // maxDist 0 degenerates to within-block exact matching
+    assert(Linkage.fuzzyPairsBlocked(df, "id", "name", Seq("region"), 0).count() == 0)
+  }
+
   test("sampleN: exactly n per stratum, short strata survive whole, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Sampling.sampleN(docs, "doc_id", "lang", n = 7)

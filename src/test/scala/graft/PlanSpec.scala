@@ -205,6 +205,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bm25 never explodes postings: no Generate, no hash-partitioned exchange") {
+    val p = plan("q75_bm25")
+    // term frequencies are in-scan array folds; the only aggregation is
+    // the one-row corpus stats pass (SinglePartition + its broadcast) —
+    // document text never rides a shuffle
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("bucketed join + bucket-key aggregation run with ZERO exchanges") {
     val p = plan("q73_bucketed_join")
     // the layout's whole value: sort-merge join AND group-by on the
