@@ -1758,6 +1758,22 @@ object Queries {
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem GROUP BY 1""")),
 
+    // ── temperature (α=0.5) source rebalancing: keep-rate √(n_min/n_s)
+    //    per source — map-side filter, corpus never shuffles ──
+    Q("q81_temperature_sample",
+      (s, d) => operators.Sampling.temperatureSample(
+          Tables.documents(s, d), "doc_id", "source")
+        .select("doc_id", "lang", "source"),
+      Some("""
+        WITH c AS (
+          SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        m AS (SELECT MIN(n) AS nmin FROM c),
+        r AS (SELECT source, sqrt(nmin / n) AS rate FROM c, m)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r USING (source)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'), 1, 8))::UBIGINT
+                / 4294967296.0 < r.rate""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

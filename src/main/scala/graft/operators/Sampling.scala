@@ -92,6 +92,34 @@ object Sampling {
     * own partition, and the pushed group-limit means each map task
     * retains at most n rows per stratum it sees.
     */
+  /** Square-root temperature rebalancing of a multi-source corpus: each
+    * stratum keeps rate √(n_min/n_s), so kept counts are ∝ √n_s — the
+    * α = 0.5 point of the standard n^α temperature-mixing family, which
+    * flattens source imbalance without discarding any small source (the
+    * smallest stratum keeps 100%). Deterministic per key, like every
+    * sampler here.
+    *
+    * α is pinned at 0.5 deliberately: √ of a count ratio is a correctly-
+    * rounded IEEE operation, identical in any engine (the DuckDB oracle
+    * reproduces the exact row set), while a general pow(x, α) is NOT
+    * correctly rounded and may differ across libm implementations.
+    *
+    * Scale shape: one count aggregation (stratum-sized result) broadcast
+    * back as a rate column; the keep decision is then a map-side filter —
+    * the corpus itself never shuffles.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .select(col(strataCol), sqrt(col("__nmin") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashFraction(col(keyCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Deterministic training-order assignment WITHOUT a global sort:
     * every row gets a `(shard, pos)` coordinate — shard = salted hash of
     * the key mod `nShards`, pos = rank within the shard by a second,

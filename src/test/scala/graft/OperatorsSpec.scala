@@ -955,6 +955,29 @@ class OperatorsSpec extends SparkSpec {
     assert(zCust < 0.6, s"z-order custkey span $zCust")
   }
 
+  test("temperatureSample: smallest source kept whole, kept counts flatten toward sqrt") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val before = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.temperatureSample(docs, "doc_id", "source")
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min.toDouble
+    before.foreach { case (src, n) =>
+      val expected = math.sqrt(nMin * n) // n · √(n_min/n)
+      val got = after.getOrElse(src, 0L).toDouble
+      // hash-thinning binomial noise: allow 4σ around the expected count
+      val sigma = math.sqrt(expected * (1.0 - expected / n)) max 1.0
+      assert(math.abs(got - expected) <= 4 * sigma,
+        s"$src: kept $got, expected ~$expected ± ${4 * sigma}")
+    }
+    // deterministic: same rows on a rerun
+    val again = Sampling.temperatureSample(docs.repartition(7), "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == Sampling.temperatureSample(docs, "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("fuzzyPairsBlocked: within-block edit-distance pairs, cross-block excluded") {
     import graft.operators.Linkage
     val df = Seq(
