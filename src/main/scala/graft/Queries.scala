@@ -1774,6 +1774,84 @@ object Queries {
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'), 1, 8))::UBIGINT
                 / 4294967296.0 < r.rate""")),
 
+    // ── corpus assembly v2: the round-4 operator chain end to end —
+    //    exact dedup → Bloom-prefiltered decontamination → temperature
+    //    rebalance → deterministic training order. Every stage is
+    //    individually oracle-proven; this proves the COMPOSITION (stage
+    //    boundaries, population each stage computes its stats on) ──
+    Q("q82_assembly_v2",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("source") =!= "src0")
+        val bench = docs.filter(col("source") === "src0")
+        val deduped = Dedup.exactKeepFirst(corpus, "doc_id", "text")
+        val clean = TextAnalysis.bloomDecontaminate(deduped, bench,
+          "doc_id", "text", k = 5)
+        val balanced = operators.Sampling.temperatureSample(
+          clean, "doc_id", "source")
+        operators.Sampling.trainingOrder(balanced, "doc_id", nShards = 4)
+          .select("doc_id", "source", "shard", "pos")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, source, text,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+          FROM documents WHERE source <> 'src0'),
+        dedup AS (
+          SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY nt),
+        surv AS (
+          SELECT c.* FROM corpus c JOIN dedup USING (doc_id)),
+        tok AS (
+          SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS s
+          FROM tok),
+        bsh AS (
+          SELECT DISTINCT s FROM sh
+          WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+        dirty AS (
+          SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s)
+          WHERE sh.doc_id IN (SELECT doc_id FROM surv)),
+        clean AS (
+          SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        cnt AS (
+          SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM clean GROUP BY 1),
+        mn AS (SELECT MIN(n) AS nmin FROM cnt),
+        rate AS (SELECT source, sqrt(nmin / n) AS rate FROM cnt, mn),
+        bal AS (
+          SELECT c.doc_id, c.source FROM clean c JOIN rate USING (source)
+          WHERE ('0x' || substr(md5(c.doc_id::VARCHAR || 'temp'), 1, 8))::UBIGINT
+                  / 4294967296.0 < rate.rate),
+        coord AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR || 'order-shard'), 1, 8))::UBIGINT
+                        % 4 AS BIGINT) AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'order-pos'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS r
+          FROM bal)
+        SELECT doc_id, source, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY r ASC, doc_id ASC) AS pos
+        FROM coord""")),
+
+    // ── sketch profiling: HLL++ distinct counts + quantile sketch per
+    //    source — mergeable partial aggregation, so corpus profiling at
+    //    100 TB is one pass with bounded per-group state. No DuckDB
+    //    oracle (different sketch impls); OperatorsSpec bounds the error
+    //    against exact answers ──
+    Q("q83_approx_profile",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lens = TextAnalysis.quality(docs, "text")
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+        lens.groupBy(col("source")).agg(
+          approx_count_distinct(col("doc_id"), rsd = 0.02).as("approx_docs"),
+          percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("p90_tokens"))
+      },
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

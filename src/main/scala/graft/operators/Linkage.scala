@@ -40,8 +40,11 @@ object Linkage {
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded (banded) Levenshtein: O(len·maxDist) per pair instead
+      // of O(len²), returning -1 as soon as the band exceeds the bound —
+      // the verify step is the hot loop, so the band matters at scale
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

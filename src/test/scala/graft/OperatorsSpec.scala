@@ -978,6 +978,27 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("approx profile: HLL distinct within its rsd bound, quantiles within rank windows") {
+    val d = "/root/testdata/sf0.01"
+    val out = Queries.queries("q83_approx_profile")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    val docs = Tables.documents(spark, d)
+    val exact = docs.select($"source", size(TextAnalysis.tokens($"text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sorted }
+    assert(out.keySet == exact.keySet)
+    exact.foreach { case (src, lens) =>
+      val (approxDocs, p50, p90) = out(src)
+      // doc_ids are unique, so exact distinct = group size; HLL rsd=2%,
+      // allow 4x that
+      assert(math.abs(approxDocs - lens.length).toDouble / lens.length < 0.08,
+        s"$src: HLL $approxDocs vs ${lens.length}")
+      def valueAt(q: Double) = lens((q * (lens.length - 1)).toInt)
+      assert(p50 >= valueAt(0.40) && p50 <= valueAt(0.60), s"$src p50=$p50")
+      assert(p90 >= valueAt(0.80) && p90 <= valueAt(0.99), s"$src p90=$p90")
+    }
+  }
+
   test("fuzzyPairsBlocked: within-block edit-distance pairs, cross-block excluded") {
     import graft.operators.Linkage
     val df = Seq(
