@@ -261,6 +261,10 @@ object Perf {
       // span-removal transform (full 10M docs)
       val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
       val sdocs = syntheticDocs(n)
+      // 2M×64 / 1024 clusters: before the packed-key election this spilled
+      // ~80 GB (the join-back election shuffled all n·k candidate rows)
+      // and filled the disk; with the one-aggregation election the n·k
+      // frame collapses map-side and the pass is compute-bound
       val nv = 2000000L
       val vecs = spark.range(nv).select(col("id"),
         transform(sequence(lit(0), lit(63)), d =>

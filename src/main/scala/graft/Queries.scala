@@ -1852,6 +1852,29 @@ object Queries {
       },
       None),
 
+    // ── curriculum order: easy-to-hard (token count) within shards,
+    //    hash tie-breaks keep equal-difficulty rows interleaved ──
+    Q("q84_curriculum_order",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Sampling.curriculumOrder(docs, "doc_id",
+            size(TextAnalysis.tokens(col("text"))), nShards = 8)
+          .select("doc_id", "shard", "pos")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS diff,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR || 'order-shard'), 1, 8))::UBIGINT
+                        % 8 AS BIGINT) AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'order-pos'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS r
+          FROM documents)
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY diff ASC, r ASC, doc_id ASC) AS pos
+        FROM s""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

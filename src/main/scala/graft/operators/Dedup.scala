@@ -658,13 +658,29 @@ object Dedup {
     // as Similarity.centroids
     val seeds = base.orderBy(col("id").asc).limit(nClusters)
       .select(col("id").as("sid"), col("v").as("sv"))
-    val scored = base.crossJoin(broadcast(seeds))
-      .withColumn("c", cos6(col("v"), col("sv")))
-      .select(col("id"), col("sid"), col("c"))
-    val best = scored.groupBy(col("id")).agg(max(col("c")).as("mc"))
-    val asg = scored.join(best, Seq("id"))
-      .filter(col("c") === col("mc"))
-      .groupBy(col("id")).agg(min(col("sid")).as("cluster_id"))
+    // dense seed rank 0..k−1 (constant-partition window over k rows — k is
+    // a user constant, so the single partition is bounded by construction)
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("sid").asc)
+    val seedsIdx = seeds.withColumn("sidx",
+      row_number().over(seedW).cast("long") - 1)
+    // argmax-cosine election in ONE aggregation: pack (cosine micro-units,
+    // inverted seed rank) into a single orderable long — max key ⇒ max
+    // rounded cosine, then min seed id among exact 6-dp ties. The n·k
+    // scored frame is computed once and collapses map-side in the partial
+    // aggregate; a join-back election would shuffle all n·k rows (~80 GB
+    // of spill at 2M×1024 — measured before this fix).
+    val kk = lit((nClusters + 1).toLong)
+    val c6i = floor(coalesce(VectorFunctions.cosine(col("v"), col("sv")), lit(0.0))
+      * lit(1e6) + lit(0.5)).cast("long")
+    val elected = base.crossJoin(broadcast(seedsIdx))
+      .select(col("id"),
+        (c6i * kk + (lit(nClusters.toLong) - col("sidx"))).as("key"))
+      .groupBy(col("id")).agg(max(col("key")).as("mk"))
+    val asg = elected
+      .select(col("id"), (lit(nClusters.toLong) - pmod(col("mk"), kk)).as("sidx"))
+      .join(broadcast(seedsIdx.select(col("sidx"), col("sid"))), Seq("sidx"))
+      .select(col("id"), col("sid").as("cluster_id"))
     val dropped = bucketPairs(asg.select(col("cluster_id"), col("id")),
         Seq("cluster_id"), struct(col("id")), maxCluster, audit)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

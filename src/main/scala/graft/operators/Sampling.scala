@@ -150,6 +150,28 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** [[trainingOrder]] with a difficulty axis: within each shard, rows
+    * order by `difficulty` first (curriculum learning's easy-to-hard
+    * schedule), with the salted hash + key only breaking ties — so equal-
+    * difficulty rows still interleave pseudo-randomly and the coordinate
+    * stays a pure function of (difficulty, key). Same scale shape as
+    * [[trainingOrder]]: shard-local sorts, no global range exchange.
+    */
+  def curriculumOrder(df: DataFrame, keyCol: String, difficulty: Column,
+                      nShards: Int, salt: String = "order"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shard = pmod(
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt + "-shard"))),
+        1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(difficulty.asc, hashFraction(col(keyCol), salt + "-pos").asc,
+        col(keyCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   def sampleN(df: DataFrame, keyCol: String, strataCol: String, n: Int,
               salt: String = "samplen"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

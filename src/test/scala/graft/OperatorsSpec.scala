@@ -878,6 +878,20 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.incrementalExact(batch, grown, "doc_id", "text").count() == 0)
   }
 
+  test("curriculumOrder: difficulty is monotone along each shard's schedule") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.curriculumOrder(docs, "doc_id",
+        size(TextAnalysis.tokens($"text")), nShards = 4)
+      .select(col("shard"), col("pos"), size(TextAnalysis.tokens($"text")).as("diff"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val byPos = rows.sortBy(_._2).map(_._3)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+        s"shard $shard schedule is not easy-to-hard")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("trainingOrder: contiguous positions per shard, partitioning-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Sampling.trainingOrder(docs, "doc_id", nShards = 8)
