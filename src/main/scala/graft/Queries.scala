@@ -1875,6 +1875,124 @@ object Queries {
                                   ORDER BY diff ASC, r ASC, doc_id ASC) AS pos
         FROM s""")),
 
+    // ── semantic benchmark decontamination: drop corpus embeddings whose
+    //    cosine to ANY benchmark (label-9) vector reaches 0.3 — LEFT ANTI
+    //    broadcast nested-loop on the non-equi predicate; the corpus never
+    //    shuffles and the anti-join short-circuits on first contamination ──
+    Q("q85_semantic_decontam",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDecontaminate(
+            emb.filter(col("label") =!= 9), emb.filter(col("label") === 9),
+            "vec_id", "embedding", minCosine = 0.3)
+          .select(col("vec_id"), col("label"))
+      },
+      Some("""
+        WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE label = 9)
+        SELECT vec_id, label FROM embeddings c
+        WHERE label <> 9 AND NOT EXISTS (
+          SELECT 1 FROM b
+          WHERE round(list_cosine_similarity(c.embedding::DOUBLE[], b.bv), 6) >= 0.3)""")),
+
+    // ── hybrid retrieval: BM25 top-20 + embedding-cosine top-20 fused by
+    //    reciprocal rank (k0=60). Both lists are TakeOrdered top-N frames,
+    //    so fusion runs on 2·N rows regardless of corpus size ──
+    Q("q86_hybrid_rrf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val lex = Similarity.topNRanked(
+          TextAnalysis.bm25(docs, "doc_id", "text",
+            Seq("data", "bank", "account", "risk")),
+          "doc_id", "score", n = 20)
+        val sem = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(lex, sem, "doc_id")
+      },
+      Some("""
+        WITH post AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        p2 AS (SELECT doc_id, tok FROM post WHERE length(tok) > 0),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM p2 GROUP BY 1),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+               FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM p2 WHERE tok IN ('data', 'bank', 'account', 'risk')
+               GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        t AS (
+          SELECT tf.doc_id,
+                 floor(((ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))) /
+                        (CAST(tf.tf AS DOUBLE) +
+                          1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+                       * 1000000 + 0.5) / 1000000 AS t6
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st),
+        bm AS (
+          SELECT doc_id, CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
+          FROM t GROUP BY 1),
+        lex AS (
+          SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank_a
+          FROM bm QUALIFY rank_a <= 20),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sem0 AS (
+          SELECT vec_id AS doc_id,
+                 round(list_dot_product(qv, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> 0),
+        sem AS (
+          SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS rank_b
+          FROM sem0 QUALIFY rank_b <= 20),
+        fused AS (
+          SELECT doc_id, rank_a, rank_b,
+                 round(coalesce(1.0 / (60 + rank_a), 0.0) +
+                       coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+          FROM lex FULL OUTER JOIN sem USING (doc_id))
+        SELECT doc_id, rank_a, rank_b, rrf,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER)
+                 AS fused_rank
+        FROM fused""")),
+
+    // ── §4 skew: salted equi-join — key space spread over saltFactor
+    //    tasks, small side replicated; result identical to the plain join ──
+    Q("q87_salted_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+        graft.operators.Skew.saltedJoin(ev, users, Seq("user_id"),
+          saltFactor = 8)
+      },
+      Some("""
+        WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+                   FROM events GROUP BY 1)
+        SELECT e.event_id, e.user_id, e.value, u.user_events
+        FROM events e JOIN u USING (user_id)""")),
+
+    // ── matryoshka truncation: first-8-dims prefix, L2-renormalized —
+    //    the MRL cheap-retrieval trick (score at m dims, rerank at full
+    //    width); map-only, zero shuffle ──
+    Q("q88_matryoshka",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.matryoshka(col("embedding"), 8)))
+        .toDF("vec_id", "dim", "v"),
+      Some("""
+        WITH p AS (
+          SELECT vec_id, list_transform(embedding[1:8], x -> x::DOUBLE) AS pre
+          FROM embeddings),
+        n AS (SELECT vec_id, pre, sqrt(list_dot_product(pre, pre)) AS nrm FROM p)
+        SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim,
+               round(CASE WHEN nrm = 0 THEN 0.0 ELSE pre[u.i] / nrm END, 6) AS v
+        FROM n, LATERAL (SELECT unnest(range(1, len(pre) + 1)) AS i) u""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -59,6 +59,20 @@ object VectorFunctions {
   /** Reconstruct approximate float values from an int8 quantized vector. */
   def dequantizeInt8(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale).cast("float"))
+
+  /** Matryoshka truncation: keep the first `m` dims and L2-renormalize —
+    * the standard cheap-retrieval trick for MRL-trained embeddings (score
+    * at m dims, rerank at full width; m/d of the scan bytes). Map-only,
+    * declarative (slice + one fold); per-component output rounded to
+    * `roundTo` decimals so downstream cosines are engine-reproducible.
+    * A zero-norm prefix returns the zero vector rather than NaN.
+    */
+  def matryoshka(vec: Column, m: Int, roundTo: Int = 6): Column = {
+    val pre = slice(vec, 1, m)
+    val n = normHof(pre)
+    transform(pre, x =>
+      round(when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n), roundTo))
+  }
 }
 
 /** cos(a,b) over two float arrays; null if either input is null or lengths

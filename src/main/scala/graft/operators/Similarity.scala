@@ -196,4 +196,69 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Embedding-space benchmark decontamination: drop every corpus vector
+    * whose cosine to ANY benchmark vector reaches `minCosine` — the
+    * semantic analog of the shingle-overlap `TextAnalysis.decontaminate`
+    * (paraphrased eval questions share no k-gram but land nearby in
+    * embedding space).
+    *
+    * Plan shape: LEFT ANTI broadcast nested-loop join on the non-equi
+    * cosine predicate. The benchmark side (an eval set — thousands of
+    * rows, not a corpus) is broadcast; the corpus never shuffles, and the
+    * anti-join short-circuits per corpus row on the first contaminated
+    * match, so the common clean row pays the full |bench| scan only when
+    * it IS clean. Cosines are rounded to `roundTo` decimals before the
+    * compare so the keep/drop frontier is reproducible across engines.
+    * For corpus-sized "benchmark" sides, pre-bucket with
+    * `Dedup.embeddingNearDup`'s hyperplane LSH instead.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCosine: Double, roundTo: Int = 6): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("__bv")))
+    corpus.join(b,
+      round(VectorFunctions.cosine(col(vecCol), col("__bv")), roundTo)
+        >= lit(minCosine),
+      "left_anti")
+  }
+
+  /** Rank a scored frame's top `n` rows: (idCol, rank) with rank 1 = best.
+    * `orderBy().limit(n)` plans as a distributed TakeOrdered — per-
+    * partition streaming top-n, then an n-row merge on one task — so no
+    * global sort ever materializes; the rank window then runs over ≤ n
+    * rows (bounded by construction, same pattern as `centroids`).
+    */
+  def topNRanked(scored: DataFrame, idCol: String, scoreCol: String,
+                 n: Int): DataFrame = {
+    val top = scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(n)
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists (the standard
+    * hybrid-retrieval combiner for a lexical BM25 list + an embedding
+    * cosine list): score = Σ 1/(k0 + rank), summed over the lists that
+    * retrieved the id; ids missing from a list contribute 0 for it.
+    * Both inputs are (idCol, rank) frames — top-N lists, so this whole
+    * operator runs on 2·N rows regardless of corpus size; the fused
+    * score is rounded to 6 decimals so the final ordering is engine-
+    * independent.
+    */
+  def rrfFuse(rankedA: DataFrame, rankedB: DataFrame, idCol: String,
+              k0: Int = 60): DataFrame = {
+    val a = rankedA.select(col(idCol), col("rank").as("rank_a"))
+    val b = rankedB.select(col(idCol), col("rank").as("rank_b"))
+    val fused = a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)), 6))
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .select(col(idCol), col("rank_a"), col("rank_b"), col("rrf"),
+        col("fused_rank"))
+  }
 }

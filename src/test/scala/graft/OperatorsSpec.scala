@@ -1045,4 +1045,59 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("semanticDecontaminate drops exactly the vectors near a benchmark vector") {
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, mk(Seq(1.0, 0.0, 0.0))),   // cos 1.0 to bench #10 → dropped
+      (2L, mk(Seq(0.9, 0.1, 0.0))),   // cos ≈ 0.994 → dropped
+      (3L, mk(Seq(0.0, 1.0, 0.0))),   // cos 0 to both → kept
+      (4L, mk(Seq(0.0, 0.0, 1.0)))    // cos 1.0 to bench #11 → dropped
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, mk(Seq(1.0, 0.0, 0.0))),
+      (11L, mk(Seq(0.0, 0.0, 1.0)))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(corpus, bench,
+      "vec_id", "embedding", minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // empty benchmark keeps everything
+    assert(Similarity.semanticDecontaminate(corpus, bench.limit(0),
+      "vec_id", "embedding", 0.9).count() == 4)
+  }
+
+  test("rrfFuse: both-list ids outrank single-list ids; ranks carried through") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(a, b, "doc_id", k0 = 60).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rrf"), r.getAs[Int]("fused_rank"))).toMap
+    // doc 2: 1/62 + 1/61 ≈ 0.032524 — the only both-list id, must lead
+    assert(out(2L)._2 == 1)
+    assert(math.abs(out(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // single-list ids score 1/(60+rank); doc 1 (rank 1) beats doc 4 (rank 2)
+    assert(out(1L)._2 == 2 && out(4L)._2 == 3 && out(3L)._2 == 4)
+    assert(out.size == 4)
+  }
+
+  test("topNRanked: dense ranks over the top-n cut with deterministic ties") {
+    val scored = Seq((1L, 5.0), (2L, 7.0), (3L, 7.0), (4L, 1.0))
+      .toDF("doc_id", "score")
+    val out = Similarity.topNRanked(scored, "doc_id", "score", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    // ties broken by id: 2 before 3; doc 4 cut
+    assert(out == Map(2L -> 1, 3L -> 2, 1L -> 3))
+  }
+
+  test("matryoshka: prefix is unit-norm after truncation; zero prefix → zero vector") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 9.9f, -8.8f)),  // prefix (3,4) → (0.6, 0.8)
+      (2L, Array(0.0f, 0.0f, 5.0f, 5.0f))    // zero prefix → (0, 0)
+    ).toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+        VectorFunctions.matryoshka($"embedding", 2).as("m"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+  }
 }

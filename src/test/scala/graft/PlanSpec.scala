@@ -225,4 +225,19 @@ class PlanSpec extends SparkSpec {
     // the sorts the planner keeps are within-partition, not global
     assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
   }
+
+  test("semantic decontamination: anti broadcast-NLJ, corpus never shuffles") {
+    val p = plan("q85_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hybrid RRF fusion runs on top-N frames: TakeOrdered, no global sort of the corpus") {
+    val p = plan("q86_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // every Sort the planner keeps is within-partition (the rank windows
+    // over ≤ n rows and the join's local sorts), never a global range sort
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
+  }
 }
