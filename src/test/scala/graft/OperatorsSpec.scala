@@ -1046,6 +1046,32 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("levWithin agrees with Spark's thresholded levenshtein on random string pairs") {
+    import graft.operators.Linkage
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde ñ日"  // multi-byte codepoints included
+    def randStr() = (0 until rnd.nextInt(12)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    // include shared-prefix/suffix pairs (the strip path) and identical pairs
+    val pairs = (1 to 300).map { _ =>
+      val base = randStr()
+      rnd.nextInt(3) match {
+        case 0 => (randStr(), randStr())
+        case 1 => (base + randStr(), base + randStr())
+        case 2 => (randStr() + base, randStr() + base)
+      }
+    } :+ (("", "")) :+ (("abc", "abc"))
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 5)) {
+      val bad = df.select(
+          Linkage.levWithin($"a", $"b", k).as("mine"),
+          levenshtein($"a", $"b", k).as("ref"))
+        .filter($"mine" =!= $"ref")
+      assert(bad.count() == 0,
+        s"k=$k: ${bad.take(5).mkString(", ")}")
+    }
+  }
+
   test("semanticDecontaminate drops exactly the vectors near a benchmark vector") {
     val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
     val corpus = Seq(
