@@ -1993,6 +1993,21 @@ object Queries {
                round(CASE WHEN nrm = 0 THEN 0.0 ELSE pre[u.i] / nrm END, 6) AS v
         FROM n, LATERAL (SELECT unnest(range(1, len(pre) + 1)) AS i) u""")),
 
+    // ── perceptual image dedup: text → REAL PNG encode → javax.imageio
+    //    decode → 64-bit dHash → pigeonhole hamming near-dup. The encode/
+    //    decode round-trip exercises the genuine codec path (testdata has
+    //    no image payloads); exact-dup texts give identical rasters →
+    //    hamming 0. No DuckDB oracle (codec output isn't SQL-expressible);
+    //    OperatorsSpec covers golden images, tweaks, and corrupt payloads ──
+    Q("q89_image_neardup",
+      (s, d) => {
+        val withPng = Tables.documents(s, d)
+          .select(col("doc_id"),
+            Multimodal.pngPayload(col("text")).as("payload"))
+        Multimodal.dhashNearDup(withPng, "doc_id", maxHamming = 6)
+      },
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -141,6 +141,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual-hash column over image payloads: per-partition codec
+    * context (same lifecycle as `extractFeaturesBatch`), 64-bit dHash per
+    * decodable payload, null otherwise. Map-only — payload bytes never
+    * ride a shuffle; downstream dedup moves only (id, 8-byte hash).
+    */
+  def dhashFrame(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema(idIdx), StructField("dhash", org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val decoder = new PixelDecoder
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val h: Any =
+          if (bytes == null) null
+          else MediaHeaders.parse(bytes) match {
+            case Some((_, _, fmt)) => decoder.dhash(bytes, fmt).orNull
+            case None => null
+          }
+        Row(r.get(idIdx), h)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by perceptual hash: dHash each payload,
+    * then the same pigeonhole bucket join as SimHash text dedup (a pair
+    * within `maxHamming` of 64 bits must agree exactly on one of
+    * maxHamming+1 chunks). Undecodable payloads drop out (null hash).
+    * Output: (id_a, id_b, hamming).
+    */
+  def dhashNearDup(df: DataFrame, idCol: String, payloadCol: String = "payload",
+                   maxHamming: Int = 6): DataFrame = {
+    val chunks = math.min(maxHamming + 1, 8)
+    val hashed = dhashFrame(df, idCol, payloadCol)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash").as("simhash"))
+    Dedup.simHashPairs(hashed, chunks = chunks, maxHamming = maxHamming)
+  }
+
+  /** Deterministic grayscale PNG encoding of a byte seed (16×16, pixel =
+    * seed byte, cyclic): the encode half of the round-trip the harness
+    * data lacks real image payloads for. PNG is lossless, so decode
+    * recovers the exact pixel grid on any JVM — the dHash downstream sees
+    * real codec output, not the seed bytes.
+    */
+  def pngFromBytes(seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 256) {
+      val v = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      raster.setSample(i % 16, i / 16, 0, v)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** `pngFromBytes` as a column over a string/binary column (UDF tier —
+    * encode is demo plumbing, not a hot path).
+    */
+  def pngPayload(src: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null else pngFromBytes(s.getBytes("UTF-8")))
+    f(src)
+  }
+
   /** Frame-sampling shape for video-like payloads: split the payload into
     * fixed-size "frames" and explode — demonstrates the row-explosion
     * pattern (and its partition-size impact) without a real codec.
@@ -171,22 +245,11 @@ final class PixelDecoder {
     * body fails to decode (truncated/corrupt image with a valid header).
     */
   def decode(bytes: Array[Byte], fmt: String): Option[(Int, Int, Double)] =
-    try {
-      val reader = readers.getOrElse(fmt, {
-        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-        if (!it.hasNext) return None
-        val r = it.next()
-        readers.update(fmt, r)
-        r
-      })
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        reader.setInput(iis)
-        val img = reader.read(0)
-        val w = img.getWidth
-        val h = img.getHeight
-        if (w <= 0 || h <= 0) return None
+    readImage(bytes, fmt).flatMap { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) None
+      else {
         // getRGB handles every color model uniformly; a throughput-tuned
         // build would read the raster buffer directly per model
         var sum = 0.0
@@ -202,8 +265,72 @@ final class PixelDecoder {
           y += 1
         }
         Some((w, h, sum / (w.toLong * h)))
+      }
+    }
+
+  /** Full raster decode to a BufferedImage, None on unknown format or
+    * corrupt body.
+    */
+  def readImage(bytes: Array[Byte], fmt: String): Option[java.awt.image.BufferedImage] =
+    try {
+      val reader = readers.getOrElse(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext) return None
+        val r = it.next()
+        readers.update(fmt, r)
+        r
+      })
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        if (img.getWidth <= 0 || img.getHeight <= 0) None else Some(img)
       } finally iis.close()
     } catch { case _: Exception => None }
+
+  /** Perceptual difference hash (dHash) over the decoded raster: box-
+    * sample the luminance plane to a 9×8 grid (explicit area averaging —
+    * NOT Graphics2D scaling, whose interpolation is implementation-
+    * defined; this is deterministic across JVMs), then bit (r,c) = 1 iff
+    * cell(r,c) > cell(r,c+1). 64 bits; near-identical images differ in a
+    * few bits, so hamming distance is the dedup radius. None when the
+    * payload doesn't decode.
+    */
+  def dhash(bytes: Array[Byte], fmt: String): Option[Long] =
+    readImage(bytes, fmt).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val cells = Array.ofDim[Double](8, 9)
+      val counts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val r = math.min((y.toLong * 8 / h).toInt, 7)
+        var x = 0
+        while (x < w) {
+          val c = math.min((x.toLong * 9 / w).toInt, 8)
+          val rgb = img.getRGB(x, y)
+          cells(r)(c) += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          counts(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val l = if (counts(r)(c) == 0) 0.0 else cells(r)(c) / counts(r)(c)
+          val rt = if (counts(r)(c + 1) == 0) 0.0 else cells(r)(c + 1) / counts(r)(c + 1)
+          if (l > rt) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
 
   def close(): Unit = {
     readers.values.foreach(_.dispose())

@@ -1046,6 +1046,46 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("dhash: identical rasters collide, one-pixel tweak stays near, inversion is far") {
+    val base = Array.tabulate(256)(i => (i % 251).toByte)
+    val tweak = base.clone(); tweak(40) = (tweak(40) + 120).toByte
+    val inverted = base.map(b => (~b).toByte)
+    val png = Multimodal.pngFromBytes(base)
+    val png2 = Multimodal.pngFromBytes(base.clone())
+    val pngTweak = Multimodal.pngFromBytes(tweak)
+    val pngInv = Multimodal.pngFromBytes(inverted)
+    val dec = new graft.operators.PixelDecoder
+    try {
+      val h = dec.dhash(png, "png").get
+      assert(dec.dhash(png2, "png").get == h)       // deterministic round-trip
+      val ht = dec.dhash(pngTweak, "png").get
+      val hi = dec.dhash(pngInv, "png").get
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(ham(h, ht) <= 6, s"tweak moved ${ham(h, ht)} bits")
+      assert(ham(h, hi) > 20, s"inversion only moved ${ham(h, hi)} bits")
+      assert(dec.dhash("not an image".getBytes, "png").isEmpty)
+    } finally dec.close()
+  }
+
+  test("dhashNearDup pairs near-identical images; corrupt payloads drop out") {
+    val base = Array.tabulate(256)(i => (i * 7 % 253).toByte)
+    val tweak = base.clone(); tweak(10) = (tweak(10) + 100).toByte
+    val far = Array.tabulate(256)(i => (255 - i * 13 % 256).toByte)
+    val rows = Seq(
+      (1L, Multimodal.pngFromBytes(base)),
+      (2L, Multimodal.pngFromBytes(base.clone())),   // identical raster
+      (3L, Multimodal.pngFromBytes(tweak)),          // near dup
+      (4L, Multimodal.pngFromBytes(far)),            // unrelated
+      (5L, "corrupt bytes, no container".getBytes)   // undecodable → null hash
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.dhashNearDup(rows, "doc_id", maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("levWithin agrees with Spark's thresholded levenshtein on random string pairs") {
     import graft.operators.Linkage
     val rnd = new scala.util.Random(7)
