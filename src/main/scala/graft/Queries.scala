@@ -2008,6 +2008,36 @@ object Queries {
       },
       None),
 
+    // ── bucketized range join: points-in-intervals as a hash equi-join on
+    //    domain chunks + residual BETWEEN, instead of the BNLJ/cartesian
+    //    Spark plans for a bare non-equi predicate. Intervals: each user's
+    //    first two hours of activity; points: every event. PlanSpec pins
+    //    the no-nested-loop property. ──
+    Q("q90_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("pt"), col("value"))
+        val iv = Tables.events(s, d)
+          .groupBy(col("user_id").as("iv_user"))
+          .agg(min(unix_timestamp(col("ts"))).as("lo"))
+          .withColumn("hi", col("lo") + 7200L)
+        operators.RangeJoin.pointInInterval(ev, "pt", iv, "lo", "hi",
+            bucketWidth = 3600L)
+          .groupBy(col("iv_user"))
+          .agg(count(lit(1)).as("n_hits"), sumMoney(col("value")).as("sum_value"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id AS iv_user,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) + 7200 AS hi
+          FROM events GROUP BY 1)
+        SELECT iv_user, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN iv
+          ON CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN iv.lo AND iv.hi
+        GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

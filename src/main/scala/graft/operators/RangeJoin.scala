@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed range (point-in-interval) join.
+  *
+  * Spark's planner has no equi-key to hash on for
+  * `points JOIN intervals ON p BETWEEN lo AND hi`, so it falls back to a
+  * broadcast nested-loop join — or, when neither side fits in memory, a
+  * cartesian product that is quadratic in the data and unrunnable at
+  * 100 TB. The standard fix (used by every warehouse's range-join
+  * optimization, e.g. the published interval-join designs in Flink and
+  * the range-join hints in Photon/Databricks) is to discretize the
+  * domain into fixed-width buckets:
+  *
+  *  - each point lands in exactly one bucket: `floor(p / width)`;
+  *  - each interval is exploded into every bucket it overlaps
+  *    (`sequence(floor(lo/w), floor(hi/w))`);
+  *  - the join becomes a plain shuffled/broadcast HASH equi-join on the
+  *    bucket id, with the exact `BETWEEN` kept as a residual predicate.
+  *
+  * Cost: the interval side is replicated by its average span/width
+  * (caller picks `bucketWidth` ≈ the typical interval length, so the
+  * replication factor is a small constant), and each point joins only
+  * against intervals overlapping its own bucket — the quadratic
+  * all-pairs comparison collapses to per-bucket locality. Both sides
+  * shuffle by bucket, so the operator scales out with executors instead
+  * of funneling through a nested loop.
+  *
+  * Skew: a single interval spanning `k` buckets produces `k` replicas —
+  * bounded by `span / bucketWidth`, not by the corpus. Extremely long
+  * intervals should be capped or handled by a coarser second tier
+  * (documented contract: `require` guards a replication blow-up).
+  *
+  * Reference anchor: the reference's analyst queries band transactions
+  * into time windows with BETWEEN predicates (readme.md's analyst-query
+  * examples); this is the shape that keeps those joins off the
+  * nested-loop path at scale.
+  */
+object RangeJoin {
+
+  private val Bucket = "__rj_bucket"
+
+  /** Join `points` (numeric column `pointCol`) to `intervals`
+    * (`[loCol, hiCol]`, inclusive both ends — SQL BETWEEN semantics) as
+    * an equi-join on domain buckets of `bucketWidth` plus the residual
+    * range predicate. Columns of both inputs are preserved; empty
+    * intervals (hi < lo) match nothing, exactly like BETWEEN.
+    *
+    * `maxBucketsPerInterval` guards runaway replication: an interval
+    * spanning more than that many buckets fails fast (resize
+    * `bucketWidth` rather than silently exploding the interval side).
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains(Bucket) && !intervals.columns.contains(Bucket))
+    val p = points.withColumn(Bucket,
+      floor(col(pointCol).cast("double") / bucketWidth).cast("long"))
+    val loB = floor(col(loCol).cast("double") / bucketWidth).cast("long")
+    val hiB = floor(col(hiCol).cast("double") / bucketWidth).cast("long")
+    val iv = intervals
+      // hi < lo matches nothing under BETWEEN; dropping it here also keeps
+      // sequence() from generating a *descending* bucket range
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn(Bucket, explode(sequence(loB,
+        // fail fast instead of materializing an unbounded replica set
+        when(hiB - loB < lit(maxBucketsPerInterval.toLong), hiB)
+          .otherwise(raise_error(concat(
+            lit(s"range-join interval spans more than $maxBucketsPerInterval " +
+              s"buckets at width $bucketWidth: lo="), col(loCol).cast("string"),
+            lit(" hi="), col(hiCol).cast("string")))))))
+    p.join(iv, Seq(Bucket))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(Bucket)
+  }
+}

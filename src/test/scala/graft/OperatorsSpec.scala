@@ -1166,4 +1166,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == Seq(0.6, 0.8))
     assert(out(2L) == Seq(0.0, 0.0))
   }
+
+  test("range join: equals the naive cross+filter, inclusive ends, empty intervals") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 30L), (5L, 100L))
+      .toDF("pid", "p")
+    val ivs = Seq(
+      (10L, 10L, 20L),   // [10,20]  — both ends inclusive: pid 2 and 3
+      (11L, 0L, 6L),     // [0,6]    — pid 1
+      (12L, 50L, 40L),   // hi<lo    — matches nothing (BETWEEN semantics)
+      (13L, 4L, 31L)     // spans several width-8 buckets: pids 1,2,3,4
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bucketWidth = 8L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.crossJoin(ivs)
+      .where($"p" >= $"lo" && $"p" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want == Set((2L, 10L), (3L, 10L), (1L, 11L),
+      (1L, 13L), (2L, 13L), (3L, 13L), (4L, 13L)))
+    // exact boundary points are kept on both ends
+    assert(got.contains((2L, 10L)) && got.contains((3L, 10L)))
+  }
+
+  test("range join: an interval wider than the replication guard fails fast") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val ivs = Seq((10L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi",
+        bucketWidth = 1L, maxBucketsPerInterval = 16).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -240,4 +240,14 @@ class PlanSpec extends SparkSpec {
     // over ≤ n rows and the join's local sorts), never a global range sort
     assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
   }
+
+  test("range join plans as a hash equi-join on buckets, never a nested loop") {
+    val p = plan("q90_range_join")
+    // the whole point of the bucketization: the non-equi BETWEEN predicate
+    // rides a hash join (broadcast at this SF, shuffled at scale) instead
+    // of BNLJ/cartesian, which are quadratic at 100 TB
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
 }
