@@ -2038,6 +2038,27 @@ object Queries {
           ON CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN iv.lo AND iv.hi
         GROUP BY 1""")),
 
+    // ── one-pass distributed Gramian (X^T X upper triangle) in integer
+    //    micro-units: the tall-skinny PCA reduction — a single map-side-
+    //    combinable aggregation carries a fixed d(d+1)/2 buffer per task;
+    //    the d×d eigensolve then runs driver-side (functions.Pca.fit).
+    //    Integer term rounding makes the sum order-independent, so the
+    //    partition-parallel Spark agg and DuckDB's serial one agree
+    //    bit-for-bit. ──
+    Q("q91_gramian",
+      (s, d) => graft.functions.Pca.gramian(Tables.embeddings(s, d), "embedding", 64),
+      Some("""
+        WITH m AS (
+          SELECT vec_id, CAST(u.i AS INTEGER) - 1 AS i,
+                 CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS mi
+          FROM embeddings,
+               LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u)
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(floor((a.mi * b.mi + 500000) / 1000000.0) AS BIGINT))
+                 AS BIGINT) AS g_micro
+        FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
