@@ -2059,6 +2059,33 @@ object Queries {
         FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY 1, 2""")),
 
+    // ── hard-negative mining: per anchor, the top-k nearest DIFFERENT-
+    //    label vectors (contrastive near-miss negatives). Broadcast-anchor
+    //    BNLJ — the corpus never shuffles for scoring, same contract as
+    //    q24. ──
+    Q("q92_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        operators.Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", "label", k = 5)
+      },
+      Some("""
+        WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                          label AS anchor_label
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT anchor_id, vec_id AS neg_id, label AS neg_label,
+                 round(list_dot_product(av, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(av, av)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM embeddings, a
+          WHERE label <> anchor_label AND vec_id <> anchor_id)
+        SELECT anchor_id, neg_id, neg_label, cosine,
+               CAST(row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cosine DESC, neg_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 5""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -45,6 +45,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-similar vectors whose label DIFFERS — the near-miss
+    * negatives that carry the training signal (random negatives are too
+    * easy; same-label neighbors are positives, not negatives).
+    *
+    * Same scale contract as `bruteForceTopK`: the anchor batch is
+    * broadcast (|A| small — a training micro-batch), the corpus is
+    * scored in place and never shuffles for scoring; the only exchange
+    * is the per-anchor top-k, which Spark 4 runs as a streaming
+    * `WindowGroupLimit` (each map task holds ≤ k rows per anchor). For
+    * corpus-sized anchor sets, pre-bucket with `ivfTopK`'s cells and run
+    * this within cells.
+    *
+    * Self-pairs are excluded by id, not only by label, so an anchor
+    * whose label appears once still never pairs with itself.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("av"),
+      col(labelCol).as("anchor_label"))
+    val c = corpus.select(col(idCol).as("neg_id"), col(vecCol).as("nv"),
+      col(labelCol).as("neg_label"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("anchor_label") =!= col("neg_label") &&
+        col("anchor_id") =!= col("neg_id"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("av"), col("nv")), roundTo))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+        col("cosine"), col("rank"))
+  }
+
   /** Embedding-space outlier scoring: each vector's cosine to the mean
     * vector (centroid) of its own label group — low scores mark mislabeled
     * or off-distribution embeddings, the embedding-side analog of the

@@ -1167,6 +1167,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == Seq(0.0, 0.0))
   }
 
+  test("hard negatives: nearest different-label only, self excluded, ties by id") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.14f), "a"),   // same label — never a negative of 1
+      (3L, Array(0.9f, 0.44f), "b"),    // closest different-label to 1
+      (4L, Array(0.0f, 1.0f), "b"),     // orthogonal to 1
+      (5L, Array(1.0f, 0.0f), "c")      // identical direction, different label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      emb.filter($"vec_id" === 1), emb, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getAs[Long]("neg_id"), r.getAs[Int]("rank")))
+    // rank 1 = id 5 (cos 1.0), rank 2 = id 3; id 2 (same label) and id 4 cut
+    assert(out.toSet == Set((5L, 1), (3L, 2)))
+    // anchor with a unique label: everything else is a candidate except itself
+    val solo = Similarity.hardNegatives(
+      emb.filter($"vec_id" === 5), emb, "vec_id", "embedding", "label", k = 10)
+      .collect().map(_.getAs[Long]("neg_id")).toSet
+    assert(solo == Set(1L, 2L, 3L, 4L))
+  }
+
   test("range join: equals the naive cross+filter, inclusive ends, empty intervals") {
     import graft.operators.RangeJoin
     val pts = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 30L), (5L, 100L))
