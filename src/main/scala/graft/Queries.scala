@@ -2086,6 +2086,32 @@ object Queries {
         FROM scored
         QUALIFY rank <= 5""")),
 
+    // ── batch gap-based sessionization: the classic clickstream operator —
+    //    lag → boundary flag → running sum, ONE shuffle on the key, no
+    //    global sort (the batch counterpart of q13's session_window). ──
+    Q("q93_sessionize",
+      (s, d) => operators.Sessionize.summarize(
+        Tables.events(s, d), "user_id", "ts",
+        gapSeconds = 1800L, tieCols = Seq("event_id")),
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                        OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM o)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        FROM s GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

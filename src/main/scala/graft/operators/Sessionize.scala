@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch gap-based sessionization: group a key's events into sessions
+  * separated by inactivity gaps — the batch counterpart of the streaming
+  * `session_window` aggregation (q13), and the classic clickstream /
+  * user-journey operator the reference's analyst layer implies
+  * (readme.md:144-155 "analyst query" tier) but never ships.
+  *
+  * A new session starts at a key's first event and whenever the time since
+  * the key's previous event exceeds `gapSeconds` (strictly greater —
+  * an event exactly `gapSeconds` later still extends the session, matching
+  * Structured Streaming's `session_window` inclusive-gap semantics).
+  *
+  * Scale shape: ONE shuffle on the key (the window partition), per-key
+  * in-partition sort, two window passes over the same partitioning
+  * (lag → boundary flag → running sum); Catalyst fuses them into a single
+  * Window exec with one sort. No global sort, no driver state. Skew bound:
+  * a hot key sorts only its own events — the same bound any per-key window
+  * carries; keys are users/accounts, so per-key cardinality is naturally
+  * bounded at 100 TB (a key with millions of events is an upstream bug, not
+  * a plan hazard).
+  */
+object Sessionize {
+
+  /** Annotate each row with `session_seq` (1-based index of the session
+    * within its key) and `session_event_seq` (1-based index of the event
+    * within its session). Ordering within a key is (tsCol, tieCols...) —
+    * pass a unique tie-break column to make the assignment total and
+    * engine-reproducible when timestamps collide.
+    */
+  def assign(df: DataFrame, keyCol: String, tsCol: String,
+             gapSeconds: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    // seconds since the key's previous event; first event → null
+    val gap = unix_timestamp(col(tsCol)) -
+      lag(unix_timestamp(col(tsCol)), 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("session_seq", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_event_seq", row_number().over(
+        Window.partitionBy(col(keyCol), col("session_seq")).orderBy(order: _*)).cast("long"))
+      .drop("__new")
+  }
+
+  /** Per-session rollup: event count, span, bounds. One additional hash
+    * aggregation over the assigned frame (map-side combinable).
+    */
+  def summarize(df: DataFrame, keyCol: String, tsCol: String,
+                gapSeconds: Long, tieCols: Seq[String] = Nil): DataFrame =
+    assign(df, keyCol, tsCol, gapSeconds, tieCols)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_sec"))
+}

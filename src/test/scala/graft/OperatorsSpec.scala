@@ -1219,4 +1219,39 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("sessionize: gap boundary, exact-gap continuation, per-key independence") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      // user 1: events at 0s, 100s (same session), 2000s (> 1800 gap → new),
+      // 3800s (exactly 1800 after 2000 → SAME session, inclusive gap)
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-01 00:01:40"), 1L),
+      (3L, ts("2024-01-01 00:33:20"), 1L),
+      (4L, ts("2024-01-01 01:03:20"), 1L),
+      // user 2: one event — its own session
+      (5L, ts("2024-01-01 00:00:30"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = Sessionize.assign(ev, "user_id", "ts", 1800L, Seq("event_id"))
+      .select("event_id", "session_seq", "session_event_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 1L), (2L, 1L, 2L),          // first session of user 1
+      (3L, 2L, 1L), (4L, 2L, 2L),          // second session; 1800s gap extends
+      (5L, 1L, 1L)))                       // user 2 independent
+    val sum = Sessionize.summarize(ev, "user_id", "ts", 1800L, Seq("event_id"))
+    val s2 = sum.where($"user_id" === 1L && $"session_seq" === 2L).collect()(0)
+    assert(s2.getAs[Long]("n_events") == 2L)
+    assert(s2.getAs[Long]("duration_sec") == 1800L)
+  }
+
+  test("sessionize: timestamp ties are ordered by the tie-break column") {
+    import graft.operators.Sessionize
+    val t0 = ts("2024-01-01 00:00:00")
+    val ev = Seq((20L, t0, 1L), (10L, t0, 1L)).toDF("event_id", "ts", "user_id")
+    val got = Sessionize.assign(ev, "user_id", "ts", 60L, Seq("event_id"))
+      .select("event_id", "session_event_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (20L, 2L)))
+  }
 }
