@@ -2112,6 +2112,24 @@ object Queries {
                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
         FROM s GROUP BY 1, 2""")),
 
+    // ── count–min-sketch prefiltered heavy hitters: a fixed-size mergeable
+    //    sketch pass + a codegen'd estimate probe kill tail tokens inside
+    //    the scan stage, and the exact count only aggregates survivors.
+    //    CMS never undercounts → lossless prefilter → byte-identical to
+    //    the exact SQL (q70's plan would shuffle every distinct tail token
+    //    at corpus scale; this one shuffles candidates only). ──
+    Q("q94_heavy_hitters",
+      (s, d) => TextAnalysis.heavyHitters(
+        Tables.documents(s, d), "text", minCount = 50L, topK = 100),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE length(token) > 0
+        GROUP BY 1 HAVING COUNT(*) >= 50
+        ORDER BY cnt DESC, token ASC LIMIT 100""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

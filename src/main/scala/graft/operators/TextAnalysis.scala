@@ -467,6 +467,41 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Heavy hitters: tokens with true count >= `minCount`, top-k by count
+    * — [[vocabulary]]'s output, computed the way a 100 TB corpus needs.
+    * A count–min sketch over the full token stream (one fixed-size
+    * mergeable aggregation — [[graft.functions.CountMinFunctions]]) rides
+    * a codegen'd probe back over the stream, and only tokens whose
+    * ESTIMATE reaches `minCount` enter the exact count. CMS never
+    * undercounts, so the prefilter is lossless: output is byte-identical
+    * to the exact form (the DuckDB oracle checks against plain SQL).
+    *
+    * Why it matters at scale: a web corpus has billions of distinct tail
+    * tokens (typos, ids, urls). The exact plan's map-side combine
+    * degenerates — the hash table exceeds task memory and the whole tail
+    * spills into the shuffle. The probe kills tail tokens inside the scan
+    * stage (estimate < minCount), so the aggregation only ever sees heavy
+    * candidates: shuffle volume drops from |distinct tokens| to
+    * |candidates| ≈ |true heavy hitters| + collision noise (bounded by
+    * 2N/width per the CMS guarantee — size `width` so 2N/width << minCount).
+    */
+  def heavyHitters(df: DataFrame, textCol: String,
+                   minCount: Long = 2L, topK: Int = 1000,
+                   width: Int = graft.functions.CountMinFunctions.DefaultWidth,
+                   depth: Int = graft.functions.CountMinFunctions.DefaultDepth): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val sketch = graft.functions.CountMinFunctions.build(
+      toks.select(xxhash64(col("token")).as("h")), "h", width, depth)
+    toks.filter(graft.functions.CountMinFunctions.estimate(
+        xxhash64(col("token")), sketch, depth) >= minCount)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Feature-hashing bucket of a token: first 32 md5 bits (salted) mod
     * `dim` — the hashing-trick index (Weinberger et al.'s feature
     * hashing / the fastText input layer) that maps an unbounded token

@@ -1220,6 +1220,47 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("count-min sketch: never undercounts, overestimate bounded, merge-invariant") {
+    import graft.functions.CountMinFunctions
+    // 1000 tokens over a small vocab with known counts
+    val rows = (1 to 1000).map(i => s"tok${i % 37}")
+    val df = rows.toDF("t").repartition(7) // partial-agg merge must not change counts
+    val hashes = df.select(xxhash64($"t").as("h"))
+    val sketch = CountMinFunctions.build(hashes, "h", width = 1 << 10, depth = 4)
+    val est = df.select($"t", CountMinFunctions.estimate(xxhash64($"t"), sketch, 4).as("e"))
+      .groupBy($"t").agg(max($"e").as("e"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("e"), r.getAs[Long]("n")))
+    est.foreach { case (e, n) =>
+      assert(e >= n, s"CMS undercounted: est $e < true $n")
+      // width 1024 >> 37 distinct tokens: overestimate should be tiny
+      assert(e <= n + 20, s"overestimate $e vs $n beyond slack")
+    }
+  }
+
+  test("heavy hitters: byte-identical to the exact computation") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b d"), (3L, "a e e e b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "text", minCount = 3L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val exact = TextAnalysis.vocabulary(docs, "text", minCount = 3L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == exact)
+    assert(got == List(("a", 5L), ("b", 4L), ("e", 3L)))
+  }
+
+  test("heavy hitters: a tiny width still loses nothing (only over-admits)") {
+    import graft.operators.TextAnalysis
+    val docs = (1 to 200).map(i => (i.toLong, s"common tok$i")).toDF("doc_id", "text")
+    // width 64 with 201 distinct tokens → heavy collision noise, but the
+    // exact confirm keeps output identical
+    val got = TextAnalysis.heavyHitters(docs, "text", minCount = 100L, topK = 5,
+        width = 64, depth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("common", 200L)))
+  }
+
   test("sessionize: gap boundary, exact-gap continuation, per-key independence") {
     import graft.operators.Sessionize
     val ev = Seq(
