@@ -2130,6 +2130,32 @@ object Queries {
         GROUP BY 1 HAVING COUNT(*) >= 50
         ORDER BY cnt DESC, token ASC LIMIT 100""")),
 
+    // ── fractional-epoch resampling: "src0 ×2.5, src1 ×0.4" data mixing —
+    //    floor(w) copies + one more iff hashFraction < frac(w); map-only
+    //    sequence explode, per-key deterministic, w<1 degenerates to
+    //    subsampling. The oracle reproduces the exact copy set. ──
+    Q("q95_epoch_upsample",
+      (s, d) => operators.Sampling.epochUpsample(
+          Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 3.0), default = 1.0)
+        .select("doc_id", "source", "copy_seq"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                             WHEN 'src2' THEN 3.0 ELSE 1.0 END AS ew,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'epoch'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS hf
+          FROM documents),
+        n AS (
+          SELECT doc_id, source,
+                 CAST(floor(ew) AS BIGINT) +
+                 CASE WHEN hf < ew - floor(ew) THEN 1 ELSE 0 END AS nc
+          FROM w)
+        SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_seq
+        FROM n, LATERAL (SELECT unnest(range(1, nc + 1)) AS c) u
+        WHERE nc > 0""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

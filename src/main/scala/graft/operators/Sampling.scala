@@ -75,6 +75,39 @@ object Sampling {
     sources.map { case (df, rate) => sample(df, keyCol, rate) }
       .reduce(_.unionByName(_))
 
+  /** Fractional-epoch resampling: repeat (or thin) each stratum to a
+    * target epoch count — the "wiki ×3.2, web ×0.6" data-mixing move of
+    * LLM corpus recipes, where high-quality sources are seen several
+    * times per training run and low-quality ones less than once.
+    *
+    * Each row emits `floor(w)` copies plus one more iff
+    * `hashFraction(key, salt) < frac(w)` — so a stratum's expected
+    * multiplicity is exactly `w`, the decision is per-KEY deterministic
+    * (stable across runs, retries, partitionings, and engines), and
+    * `w < 1` degenerates to plain deterministic subsampling. Output rows
+    * carry `copy_seq` (1-based) so downstream shuffling/sharding can
+    * treat copies as distinct examples.
+    *
+    * Scale shape: map-only — a rate lookup (a CASE over the stratum
+    * literal) and a `sequence` explode whose amplification IS the target
+    * epoch factor; no shuffle, no join, nothing driver-side.
+    */
+  def epochUpsample(df: DataFrame, keyCol: String, strataCol: String,
+                    epochs: Map[String, Double], default: Double = 1.0,
+                    salt: String = "epoch"): DataFrame = {
+    require((epochs.values ++ Seq(default)).forall(w => w >= 0.0 && w <= 1000.0),
+      "epoch weights must be in [0, 1000]")
+    val w = epochs.foldLeft(lit(default)) { case (acc, (stratum, v)) =>
+      when(col(strataCol) === stratum, lit(v)).otherwise(acc)
+    }
+    val nCopies = floor(w).cast("long") +
+      when(hashFraction(col(keyCol), salt) < (w - floor(w)), 1L).otherwise(0L)
+    df.withColumn("__nc", nCopies)
+      .filter(col("__nc") > 0L)
+      .withColumn("copy_seq", explode(sequence(lit(1L), col("__nc"))))
+      .drop("__nc")
+  }
+
   /** Exactly-n-per-stratum deterministic sample: rank rows within each
     * stratum by (hash(key), key) and keep the first `n` — the fixed-size
     * eval-split / few-shot-pool primitive, where a FRACTION won't do

@@ -1220,6 +1220,35 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("epoch upsample: integer weights repeat exactly, fractional part is per-key stable") {
+    import graft.operators.Sampling
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val up = Sampling.epochUpsample(df, "id", "src",
+      Map("a" -> 3.0, "b" -> 0.5), default = 1.0)
+    // integer weight: every 'a' row appears exactly 3 times, copy_seq 1..3
+    val aCounts = up.filter($"src" === "a").groupBy($"id")
+      .agg(count(lit(1)).as("n"), max($"copy_seq").as("mx"))
+      .collect()
+    assert(aCounts.length == 200)
+    assert(aCounts.forall(r => r.getAs[Long]("n") == 3L && r.getAs[Long]("mx") == 3L))
+    // fractional-only weight: subset of 'b' rows, one copy each, ~half kept
+    val b = up.filter($"src" === "b")
+    val bIds = b.select($"id").collect().map(_.getLong(0)).toSet
+    assert(b.count() == bIds.size) // no duplicates at w < 1
+    assert(bIds.size > 60 && bIds.size < 140) // ~100 of 200 at 0.5
+    // determinism: same call → same exact row set
+    val again = Sampling.epochUpsample(df, "id", "src",
+      Map("a" -> 3.0, "b" -> 0.5), default = 1.0)
+      .filter($"src" === "b").select($"id").collect().map(_.getLong(0)).toSet
+    assert(again == bIds)
+    // mixed weight 2.5: every row has 2 or 3 copies
+    val m = Sampling.epochUpsample(df, "id", "src", Map(), default = 2.5)
+      .groupBy($"id").agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(m.forall(n => n == 2L || n == 3L))
+    assert(m.count(_ == 3L) > 120 && m.count(_ == 3L) < 280) // ~half of 400
+  }
+
   test("count-min sketch: never undercounts, overestimate bounded, merge-invariant") {
     import graft.functions.CountMinFunctions
     // 1000 tokens over a small vocab with known counts
