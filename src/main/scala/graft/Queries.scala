@@ -2156,6 +2156,41 @@ object Queries {
         FROM n, LATERAL (SELECT unnest(range(1, nc + 1)) AS c) u
         WHERE nc > 0""")),
 
+    // ── interval-overlap join: each user's first-2h window × each event
+    //    type's first-hour window, as a bucketized hash equi-join with a
+    //    canonical-bucket residual (one emission per pair, no distinct) —
+    //    the nested-loop-free session-correlation shape. ──
+    Q("q96_interval_overlap",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ua = ev.groupBy(col("user_id").as("u_id"))
+          .agg(min(unix_timestamp(col("ts"))).as("u_lo"))
+          .withColumn("u_hi", col("u_lo") + 7200L)
+        val tb = ev.groupBy(col("event_type").as("t_type"))
+          .agg(min(unix_timestamp(col("ts"))).as("t_lo"))
+          .withColumn("t_hi", col("t_lo") + 3600L)
+        operators.RangeJoin.intervalOverlap(
+            ua, "u_lo", "u_hi", tb, "t_lo", "t_hi", bucketWidth = 3600L)
+          .select(col("u_id"), col("t_type"),
+            greatest(col("u_lo"), col("t_lo")).as("overlap_start"),
+            least(col("u_hi"), col("t_hi")).as("overlap_end"))
+      },
+      Some("""
+        WITH ua AS (
+          SELECT user_id AS u_id,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS u_lo,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) + 7200 AS u_hi
+          FROM events GROUP BY 1),
+        tb AS (
+          SELECT event_type AS t_type,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS t_lo,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) + 3600 AS t_hi
+          FROM events GROUP BY 1)
+        SELECT u_id, t_type,
+               greatest(u_lo, t_lo) AS overlap_start,
+               least(u_hi, t_hi) AS overlap_end
+        FROM ua JOIN tb ON u_lo <= t_hi AND t_lo <= u_hi""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -77,4 +77,48 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(Bucket)
   }
+
+  /** Interval–interval OVERLAP join: pairs (a, b) with
+    * `a.lo <= b.hi AND b.lo <= a.hi` (inclusive ends — the session-stitch /
+    * time-window-correlation predicate), as a hash equi-join on domain
+    * buckets instead of the nested loop Spark plans for the bare
+    * conjunction.
+    *
+    * Both sides explode into the buckets they cover; a pair that overlaps
+    * shares every bucket its overlap region touches, so to emit it ONCE
+    * the residual keeps only the bucket containing the overlap START
+    * (`greatest(a.lo, b.lo)`) — a canonical bucket both sides cover by
+    * construction. No post-join distinct, so nothing corpus-sized
+    * deduplicates.
+    *
+    * Column names of the two inputs must be disjoint (the join preserves
+    * all of them). Replication bound and `maxBucketsPerInterval` guard as
+    * in [[pointInInterval]].
+    */
+  def intervalOverlap(a: DataFrame, aLoCol: String, aHiCol: String,
+                      b: DataFrame, bLoCol: String, bHiCol: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty, s"input column names must be disjoint, shared: $shared")
+
+    def buckets(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+      val loB = floor(col(loCol).cast("double") / bucketWidth).cast("long")
+      val hiB = floor(col(hiCol).cast("double") / bucketWidth).cast("long")
+      df.filter(col(hiCol) >= col(loCol))
+        .withColumn(Bucket, explode(sequence(loB,
+          when(hiB - loB < lit(maxBucketsPerInterval.toLong), hiB)
+            .otherwise(raise_error(concat(
+              lit(s"overlap-join interval spans more than $maxBucketsPerInterval " +
+                s"buckets at width $bucketWidth: lo="), col(loCol).cast("string"),
+              lit(" hi="), col(hiCol).cast("string")))))))
+    }
+
+    buckets(a, aLoCol, aHiCol).join(buckets(b, bLoCol, bHiCol), Seq(Bucket))
+      .where(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol) &&
+        col(Bucket) === floor(greatest(col(aLoCol), col(bLoCol))
+          .cast("double") / bucketWidth).cast("long"))
+      .drop(Bucket)
+  }
 }

@@ -1220,6 +1220,39 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("interval overlap join: equals naive cross+filter, one emission per pair") {
+    import graft.operators.RangeJoin
+    val as = Seq(
+      (1L, 0L, 10L),     // overlaps b1, b2
+      (2L, 15L, 40L),    // spans several width-8 buckets; overlaps b2, b3
+      (3L, 100L, 90L)    // empty (hi < lo) — matches nothing
+    ).toDF("aid", "a_lo", "a_hi")
+    val bs = Seq(
+      (10L, 5L, 9L),     // inside a1
+      (11L, 10L, 20L),   // touches a1 at exactly 10 (inclusive), overlaps a2
+      (12L, 39L, 60L),   // touches a2 at 39..40
+      (13L, 70L, 80L)    // overlaps nothing
+    ).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(as, "a_lo", "a_hi", bs, "b_lo", "b_hi",
+        bucketWidth = 8L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per overlapping pair — no multi-bucket double emission
+    assert(got.length == got.toSet.size)
+    val want = as.crossJoin(bs)
+      .where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi" && $"a_hi" >= $"a_lo")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+    assert(want == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)))
+  }
+
+  test("interval overlap join: shared column names are rejected") {
+    import graft.operators.RangeJoin
+    val x = Seq((1L, 2L)).toDF("lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(x, "lo", "hi", x, "lo", "hi", 8L)
+    }
+  }
+
   test("epoch upsample: integer weights repeat exactly, fractional part is per-key stable") {
     import graft.operators.Sampling
     val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
