@@ -2191,6 +2191,53 @@ object Queries {
                least(u_hi, t_hi) AS overlap_end
         FROM ua JOIN tb ON u_lo <= t_hi AND t_lo <= u_hi""")),
 
+    // ── product quantization: 4-subspace codebook from the 8 smallest-id
+    //    vectors, map-only encode, broadcast per-anchor ADC LUTs — the
+    //    corpus scans in code space (m bytes/vector at scale) and never
+    //    shuffles for scoring. Integer micro-unit distances → the oracle
+    //    reproduces encode+ADC bit-for-bit. ──
+    Q("q97_pq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        operators.Pq.adcTopK(
+          emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+          m = 4, k = 8, topK = 10)
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code,
+                 embedding
+          FROM embeddings ORDER BY vec_id LIMIT 8),
+        cent AS (
+          SELECT (u.i - 1) // 16 AS sub, code, (u.i - 1) % 16 AS t,
+                 CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS c
+          FROM seeds, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+        vel AS (
+          SELECT vec_id, (u.i - 1) // 16 AS sub, (u.i - 1) % 16 AS t,
+                 CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+          FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+        dist AS (
+          SELECT v.vec_id, v.sub, c.code, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+          FROM vel v JOIN cent c ON v.sub = c.sub AND v.t = c.t
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        alut AS (
+          SELECT vec_id AS anchor_id, sub, code, d2 FROM dist WHERE vec_id < 3),
+        est AS (
+          SELECT a.anchor_id, c.vec_id AS neighbor_id, SUM(a.d2) AS adc_dist
+          FROM codes c JOIN alut a ON a.sub = c.sub AND a.code = c.code
+          WHERE c.vec_id <> a.anchor_id
+          GROUP BY 1, 2)
+        SELECT anchor_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+               CAST(row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM est QUALIFY rank <= 10""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** Product quantization (PQ) for embedding columns — the classic ANN
+  * compression (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): split d dims into `m` subspaces, learn a small
+  * per-subspace codebook, store each vector as `m` small codes, and score
+  * queries against codes via an additive lookup table (ADC) instead of
+  * touching raw floats.
+  *
+  * Storage: d·4 bytes → m·(1–2) bytes per vector (64× at d=64, m=4) — at
+  * 100 TB the scan reads code columns only; raw vectors stay in cold
+  * storage for optional exact re-ranking of the top candidates.
+  *
+  * Determinism/oracle: codebook entries are the `k` smallest-id corpus
+  * vectors' subvectors (the same seed rule as `Dedup.semDedup` — swap in
+  * `Similarity.kmeansRefine` per subspace when seed quality matters), and
+  * ALL distances are computed in integer micro-units (elements rounded to
+  * 1e-6 exactly like `functions.Pca.gramian`), so encode, LUT, and ADC
+  * are bit-identical across engines and row orders.
+  *
+  * Scale shape: codebook = one distributed TakeOrdered of k rows (k·d
+  * floats — driver-bounded by parameters, never the corpus); encode is a
+  * map-only codegen'd expression over the corpus; ADC scoring joins the
+  * code frame against BROADCAST per-anchor LUTs (m·k longs each) — the
+  * corpus never shuffles for scoring, the same contract as q24/q92.
+  */
+object Pq {
+
+  private def co(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)
+
+  /** Codebook in integer micro-units, flattened as
+    * `[sub][code][t] -> cents(sub·k·dsub + code·dsub + t)`: the `k`
+    * smallest-id vectors' subvectors. Bounded collect (k·d values).
+    */
+  def codebookMicro(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int): Array[Long] = {
+    require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codes, got m=$m k=$k")
+    val rows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol).asc).limit(k) // distributed TakeOrdered, k rows
+      .collect()
+    require(rows.length == k, s"corpus has fewer than k=$k vectors")
+    val d = rows.head.getSeq[Float](1).length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val cents = new Array[Long](m * k * dsub)
+    for (j <- 0 until k) {
+      val v = rows(j).getSeq[Float](1)
+      require(v.length == d, "ragged embedding widths in codebook seeds")
+      for (s <- 0 until m; t <- 0 until dsub)
+        cents(s * k * dsub + j * dsub + t) = PqKernels.micro(v(s * dsub + t).toDouble)
+    }
+    cents
+  }
+
+  /** Map-only PQ encoding: `array<int>` of `m` codes per vector. */
+  def encode(vec: Column, cents: Array[Long], m: Int, k: Int): Column =
+    co(PqEncode(ex(vec), cents, m, k))
+
+  /** Per-anchor ADC lookup table: `array<bigint>` of m·k partial squared
+    * distances (`lut[s·k + j]` = ‖anchor_s − c_{s,j}‖² in micro²-units).
+    */
+  def lut(vec: Column, cents: Array[Long], m: Int, k: Int): Column =
+    co(PqLut(ex(vec), cents, m, k))
+
+  /** ADC distance estimate: Σ_s lut[s·k + codes(s)]. */
+  def adc(codes: Column, lutCol: Column, k: Int): Column =
+    co(PqAdc(ex(codes), ex(lutCol), k))
+
+  /** Approximate top-k nearest corpus vectors per anchor by ADC distance
+    * (ascending; ties by neighbor id). Anchors must be small (they ride a
+    * broadcast); the corpus is scanned map-only in code space.
+    */
+  def adcTopK(anchors: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, topK: Int): DataFrame = {
+    val cents = codebookMicro(corpus, idCol, vecCol, m, k)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), cents, m, k).as("__codes"))
+    val luts = anchors.select(col(idCol).as("anchor_id"),
+      lut(col(vecCol), cents, m, k).as("__lut"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(luts))
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adc(col("__codes"), col("__lut"), k))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("anchor_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+}
+
+/** Static kernels (callable from generated code). Distances are exact
+  * BIGINT math over micro-unit elements: |x| ≤ ~1e6 micro → squared diff
+  * ≤ 4e12, × dsub ≤ ~1e15 per subspace — no overflow anywhere near Long.
+  */
+object PqKernels {
+
+  def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** Squared L2 between subvector s of `v` and code j of `cents`. */
+  @inline private def subDist(v: ArrayData, cents: Array[Long],
+                              m: Int, k: Int, dsub: Int, s: Int, j: Int): Long = {
+    var acc = 0L
+    var t = 0
+    while (t < dsub) {
+      val diff = micro(v.getFloat(s * dsub + t).toDouble) -
+        cents(s * k * dsub + j * dsub + t)
+      acc += diff * diff
+      t += 1
+    }
+    acc
+  }
+
+  def encode(v: ArrayData, cents: Array[Long], m: Int, k: Int): ArrayData = {
+    val dsub = cents.length / (m * k)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < k) {
+        val dist = subDist(v, cents, m, k, dsub, s, j)
+        if (dist < bestD) { bestD = dist; best = j } // strict < → smallest j wins ties
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  def lut(v: ArrayData, cents: Array[Long], m: Int, k: Int): ArrayData = {
+    val dsub = cents.length / (m * k)
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        out(s * k + j) = subDist(v, cents, m, k, dsub, s, j)
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def adc(codes: ArrayData, lutArr: ArrayData, k: Int): Long = {
+    val m = codes.numElements()
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      acc += lutArr.getLong(s * k + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
+/** array<float> → array<int> PQ codes; `cents` rides as a reference object. */
+case class PqEncode(child: Expression, cents: Array[Long], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PqKernels.encode(input.asInstanceOf[ArrayData], cents, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", cents, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.operators.PqKernels.encode($v, $ref, $m, $k);")
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode needs array<float>, got $other")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<float> → array<bigint> per-anchor ADC lookup table. */
+case class PqLut(child: Expression, cents: Array[Long], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    PqKernels.lut(input.asInstanceOf[ArrayData], cents, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", cents, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.operators.PqKernels.lut($v, $ref, $m, $k);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (codes array<int>, lut array<bigint>) → bigint ADC distance. */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(PqKernels.adc(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.operators.PqKernels.adc($a, $b, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1220,6 +1220,46 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("pq: codebook seeds encode to their own code with zero subspace distance") {
+    import graft.operators.Pq
+    // 4 vectors, d=4, m=2 subspaces, k=2 codes: seeds are ids 0 and 1
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.1f, 0.9f, 0.0f)),   // sub0 ~seed0, sub1 ~seed1
+      (3L, Seq(0.0f, 0.9f, 0.1f, 0.9f))    // sub0 ~seed1, sub1 ~seed0
+    ).toDF("vec_id", "embedding")
+    val cents = Pq.codebookMicro(vecs, "vec_id", "embedding", m = 2, k = 2)
+    val codes = vecs.select($"vec_id",
+        Pq.encode($"embedding", cents, 2, 2).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codes(0L) == List(0, 0) && codes(1L) == List(1, 1))
+    assert(codes(2L) == List(0, 1) && codes(3L) == List(1, 0))
+    // ADC distance from anchor 0 to itself (via its own codes) is 0
+    val self = vecs.filter($"vec_id" === 0L)
+      .select(Pq.adc(Pq.encode($"embedding", cents, 2, 2),
+        Pq.lut($"embedding", cents, 2, 2), 2).as("d"))
+      .head().getLong(0)
+    assert(self == 0L)
+  }
+
+  test("pq adcTopK: ranks the planted near-twin first") {
+    import graft.operators.Pq
+    val base = (0 until 16).map(_.toFloat / 16f)
+    val vecs = (0L to 9L).map { i =>
+      // vector i = base shifted by i/10 — id 1 is closest to id 0 in L2
+      (i, base.map(x => x + i.toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val got = Pq.adcTopK(vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", m = 4, k = 4, topK = 3)
+      .orderBy($"rank").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("neighbor_id") == 1L)
+    // distances are non-decreasing with rank
+    val dists = got.map(_.getAs[Long]("adc_dist"))
+    assert(dists.sorted.toSeq == dists.toSeq)
+  }
+
   test("interval overlap join: equals naive cross+filter, one emission per pair") {
     import graft.operators.RangeJoin
     val as = Seq(
