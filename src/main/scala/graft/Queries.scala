@@ -2238,6 +2238,33 @@ object Queries {
                  ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
         FROM est QUALIFY rank <= 10""")),
 
+    // ── quality-threshold retention sweep: per (source, threshold) the
+    //    fraction of docs whose stopword ratio clears the cut — ONE hash
+    //    agg computes the whole grid as conditional sums (no corpus
+    //    explode, no join); the unpivot runs on the group-sized result. ──
+    Q("q98_retention_curve",
+      (s, d) => TextAnalysis.retentionCurve(
+        TextAnalysis.quality(Tables.documents(s, d), "text"),
+        "source", col("stopword_ratio"),
+        Seq(0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3)),
+      Some(s"""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   tk -> list_contains(
+                     [${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}], tk)))
+                   AS DOUBLE)
+                   / len(string_split_regex(lower(trim(text)), '\\s+')) AS sr
+          FROM documents),
+        grid AS (SELECT unnest([0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3]) AS threshold)
+        SELECT source, threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE sr >= threshold) AS BIGINT) AS n_retained,
+               CAST(COUNT(*) FILTER (WHERE sr >= threshold) AS DOUBLE) / COUNT(*)
+                 AS retention
+        FROM t CROSS JOIN grid
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

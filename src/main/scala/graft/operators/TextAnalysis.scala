@@ -467,6 +467,33 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Filter-threshold retention sweep: for each group and each threshold
+    * in the grid, the fraction of rows whose `score` is >= the threshold —
+    * the calibration curve a pipeline owner reads before picking a quality
+    * cutoff ("0.3 keeps 82% of web but only 41% of forums").
+    *
+    * Scale shape: ONE map-side-combinable hash aggregation computes every
+    * threshold's count as a separate conditional-sum column (the grid is a
+    * fixed small literal — no corpus-side explode, no join); the unpivot
+    * back to (group, threshold) rows happens on the group-sized result.
+    */
+  def retentionCurve(df: DataFrame, groupCol: String, score: Column,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "threshold grid must be non-empty")
+    val cnts = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(score >= t, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"), cnts: _*)
+    val pairs = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"__c$i").as("n_retained"))
+    }
+    g.select(col(groupCol), col("n_total"), explode(array(pairs: _*)).as("__p"))
+      .select(col(groupCol), col("__p.threshold").as("threshold"),
+        col("n_total"), col("__p.n_retained").as("n_retained"))
+      .withColumn("retention", col("n_retained").cast("double") / col("n_total"))
+  }
+
   /** Heavy hitters: tokens with true count >= `minCount`, top-k by count
     * — [[vocabulary]]'s output, computed the way a 100 TB corpus needs.
     * A count–min sketch over the full token stream (one fixed-size

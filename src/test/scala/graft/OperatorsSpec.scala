@@ -1220,6 +1220,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("retention curve: exact counts per threshold, monotone non-increasing") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("a", 0.1), ("a", 0.3), ("a", 0.5), ("a", 0.7),
+      ("b", 0.0), ("b", 0.9)
+    ).toDF("src", "score")
+    val got = TextAnalysis.retentionCurve(df, "src", $"score", Seq(0.0, 0.4, 0.8))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("a", 0.0)) == ((4L, 4L, 1.0)))
+    assert(got(("a", 0.4)) == ((4L, 2L, 0.5)))
+    assert(got(("a", 0.8)) == ((4L, 0L, 0.0)))
+    assert(got(("b", 0.4)) == ((2L, 1L, 0.5)))
+    assert(got(("b", 0.8)) == ((2L, 1L, 0.5)))
+    // retention is non-increasing in the threshold for every group
+    got.keys.map(_._1).toSet.foreach { g: String =>
+      val curve = Seq(0.0, 0.4, 0.8).map(t => got((g, t))._3)
+      assert(curve.zip(curve.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("pq: codebook seeds encode to their own code with zero subspace distance") {
     import graft.operators.Pq
     // 4 vectors, d=4, m=2 subspaces, k=2 codes: seeds are ids 0 and 1
