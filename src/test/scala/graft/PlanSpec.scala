@@ -250,4 +250,71 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("HashJoin"), p)
   }
+
+  test("interval-overlap join is also a bucket hash join, never a nested loop") {
+    val p = plan("q96_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("sessionize: the lag/flag/sum windows and the rollup share ONE key shuffle") {
+    val p = plan("q93_sessionize")
+    // everything partitions by user_id: the window chain and the final
+    // (user_id, session_seq) hash agg reuse the same exchange — a second
+    // hashpartitioning would mean the rollup re-shuffles the whole frame
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p) // no global sort
+  }
+
+  test("heavy hitters: the CMS probe filter sits under the aggregation exchange") {
+    val p = Queries.queries("q94_heavy_hitters")(spark, d)
+      .queryExecution.executedPlan
+    def walk(x: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = x.children ++ (x match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Seq.empty
+      })
+      x +: kids.flatMap(walk)
+    }
+    // find the probe filter node; no Exchange may appear BELOW it — the
+    // tail-token kill must happen map-side, inside the scan stage
+    val nodes = walk(p)
+    val probeFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("CountMinEstimate") ||
+           f.condition.toString.contains("cmsCounts") ||
+           f.condition.toString.toLowerCase.contains("countmin") => f
+    }
+    assert(probeFilters.nonEmpty,
+      s"no CMS probe filter found in:\n${p.toString.take(2000)}")
+    probeFilters.foreach { f =>
+      val below = walk(f).drop(1)
+      assert(!below.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+        "CMS probe runs above an exchange — the prefilter lost its point")
+    }
+  }
+
+  test("pq adc scoring: corpus never shuffles — broadcast LUTs, one window exchange") {
+    val p = plan("q97_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the only hash exchange is the per-anchor top-k window partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("retention curve: one aggregation pass, grid unpivot above it") {
+    val p = plan("q98_retention_curve")
+    // one exchange for the group-by; the explode (Generate) must sit ABOVE
+    // the aggregation — a corpus-side explode would multiply the scan by
+    // the grid size
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"explode should be above the final aggregate (gen=$genIdx agg=$aggIdx)")
+  }
 }
