@@ -317,6 +317,50 @@ object Perf {
         operators.TextAnalysis.collocations(sdocs.limit(2000000), "text",
           minCount = 5L, topK = 1000).count())
     }
+    if (what == "scalellm-r4c") {
+      // stress for the late-round-4 operators: sessionization over 10M
+      // events / 1M users, CMS-prefiltered vs exact heavy hitters on 10M
+      // docs, fractional-epoch upsampling of 10M rows, interval-overlap
+      // join of 1M×100k interval sets, PQ encode of 10M×64 vectors +
+      // ADC top-k against 8 anchors
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val ev = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("user_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit(7L)), lit(30L * 86400L))).as("ts"))
+      time(s"r4c-sessionize-$n")(
+        operators.Sessionize.summarize(ev, "user_id", "ts", 1800L, Seq("id")).count())
+      val sdocs = syntheticDocs(n)
+      time(s"r4c-heavy-hitters-exact-$n")(
+        operators.TextAnalysis.vocabulary(sdocs, "text",
+          minCount = 1000L, topK = 1000).count())
+      time(s"r4c-heavy-hitters-cms-$n")(
+        operators.TextAnalysis.heavyHitters(sdocs, "text",
+          minCount = 1000L, topK = 1000, width = 1 << 20).count())
+      time(s"r4c-heavy-hitters-cms-d2-$n")(
+        operators.TextAnalysis.heavyHitters(sdocs, "text",
+          minCount = 1000L, topK = 1000, width = 1 << 21, depth = 2).count())
+      time(s"r4c-epoch-upsample-$n")(
+        operators.Sampling.epochUpsample(
+          sdocs.withColumn("src", pmod(col("id"), lit(20L)).cast("string")),
+          "id", "src", Map("0" -> 2.5, "1" -> 0.4, "2" -> 3.0)).count())
+      val ivA = spark.range(1000000L).select(col("id").as("a_id"),
+        pmod(xxhash64(col("id")), lit(100000000L)).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 5000L)
+      val ivB = spark.range(100000L).select(col("id").as("b_id"),
+        pmod(xxhash64(col("id"), lit(3L)), lit(100000000L)).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 20000L)
+      time("r4c-interval-overlap-1Mx100k")(
+        operators.RangeJoin.intervalOverlap(ivA, "a_lo", "a_hi",
+          ivB, "b_lo", "b_hi", bucketWidth = 10000L).count())
+      val vecs = spark.range(n).select(col("id"),
+        transform(sequence(lit(0), lit(63)), dd =>
+          (pmod(xxhash64(col("id") * 64 + dd), lit(2000L)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+      time(s"r4c-pq-adc-topk-$n")(
+        operators.Pq.adcTopK(vecs.filter(col("id") < 8L), vecs,
+          "id", "embedding", m = 4, k = 16, topK = 10).count())
+    }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
       // fact spread over 30 date partitions, same 50k-row batch touching
