@@ -2265,6 +2265,45 @@ object Queries {
         FROM t CROSS JOIN grid
         GROUP BY 1, 2""")),
 
+    // ── sparse tf·idf cosine pairs: idf-weighted trigram vectors, exact
+    //    milli-unit integer weights → BIGINT norms/dots (order-independent,
+    //    engine-exact); inverted-index join on 64-bit shingle hashes with
+    //    the df > maxDf hot-term cut. Complements Jaccard (q23) and dense
+    //    cosine (q24/q66). ──
+    Q("q99_tfidf_cosine",
+      (s, d) => operators.Dedup.tfidfCosinePairs(
+        Tables.documents(s, d), "doc_id", "text", k = 3, minCosine = 0.2),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+                   FROM documents),
+        tf AS (
+          SELECT doc_id, concat_ws(' ', tk[u.i], tk[u.i+1], tk[u.i+2]) AS term,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+          FROM t, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) u
+          WHERE len(tk) >= 3
+          GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1 HAVING COUNT(*) <= 256),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+        w AS (SELECT doc_id, term,
+                     CAST(floor(tf * ln(nd / df) * 1000 + 0.5) AS BIGINT) AS w
+              FROM tf JOIN dfq USING (term), n),
+        nrm AS (SELECT doc_id, SUM(w * w) AS nsq
+                FROM w GROUP BY 1 HAVING SUM(w * w) > 0),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        cosd AS (
+          SELECT id_a, id_b,
+                 floor(CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000 AS cosine
+          FROM dots
+          JOIN nrm na ON na.doc_id = dots.id_a
+          JOIN nrm nb ON nb.doc_id = dots.id_b)
+        SELECT id_a, id_b, cosine FROM cosd WHERE cosine >= 0.2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

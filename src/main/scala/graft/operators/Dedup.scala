@@ -513,6 +513,64 @@ object Dedup {
         coalesce(col("__txt"), lit("")).as("cleaned_text"))
   }
 
+  /** Sparse tf·idf cosine pair similarity: document pairs whose
+    * idf-weighted k-shingle term vectors have cosine >= `minCosine` —
+    * the classic sparse-vector near-dup/similarity measure (SPLADE-style
+    * lexical retrieval, near-dup mining where Jaccard's set semantics
+    * lose term-frequency signal). Complements q23 (unweighted Jaccard)
+    * and q24/q66 (dense embeddings): no embedding model needed, but
+    * repeated and rare terms weigh in.
+    *
+    * Exactness across engines: weights quantize to integer MILLI-units
+    * (`floor(tf·ln(N/df)·1e3 + 0.5)` — ln and IEEE division agree across
+    * engines, the q56/q58/q67 precedent), so norms and dots are exact
+    * BIGINT sums (order-independent); the final cosine divides exact
+    * longs in double and rounds to 6 decimals before the threshold.
+    * Range: Σw² stays far under 2^63 for any document under ~10⁶ tokens
+    * regardless of corpus size (w ≤ tf·ln(N)·10³).
+    *
+    * Scale shape: the inverted-index plan — postings shuffle on 64-bit
+    * shingle hashes (never shingle text), document frequencies prune
+    * terms with df > `maxDf` (the object-scaladoc hot-bucket economics:
+    * an ultra-common term carries no similarity signal but fans out df²
+    * join rows), pair cost is Σ df² over surviving terms. Three hash
+    * aggregations + one self-join; nothing driver-side except the 1-row
+    * corpus count.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, minCosine: Double = 0.5,
+                       maxDf: Int = DefaultMaxBucket): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val base = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+    val tf = base.select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__tk")) - (k - 1)),
+        i => xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(col("__tk"), i + j)): _*)))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val nd = tf.agg(countDistinct(col("id")).cast("double").as("nd"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfreq, Seq("t")).crossJoin(broadcast(nd))
+      .withColumn("w", floor(col("tf") * log(col("nd") / col("df")) * 1e3 + 0.5)
+        .cast("long"))
+    val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("nsq"))
+      .filter(col("nsq") > 0)
+    val dots = w.select(col("id").as("id_a"), col("t"), col("w").as("w_a"))
+      .join(w.select(col("id").as("id_b"), col("t"), col("w").as("w_b")), Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("w_a") * col("w_b")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), Seq("id_b"))
+      .withColumn("cosine", floor(col("dot").cast("double") /
+          (sqrt(col("nsq_a").cast("double")) * sqrt(col("nsq_b").cast("double")))
+          * 1e6 + 0.5) / 1e6)
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Pairwise corpus-overlap matrix: for every pair of groups (sources),
     * the number of shared distinct word k-shingles and the Jaccard over
     * the groups' shingle sets — exact up to 64-bit hashing of the

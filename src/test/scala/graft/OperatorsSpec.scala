@@ -1220,6 +1220,39 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("tfidf cosine pairs: identical docs score 1.0, disjoint docs never pair") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),       // identical to 1 → cosine 1.0
+      (3L, "alpha beta gamma epsilon"),     // shares 2 of 3 trigram slots? (1 shared trigram)
+      (4L, "zeta eta theta iota")           // disjoint → no pair
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", k = 3, minCosine = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) > 0.0 && got((1L, 3L)) < 1.0)
+    assert(got((1L, 3L)) == got((2L, 3L))) // symmetric by content
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("tfidf cosine pairs: tf weighting separates repetition, maxDf kills hot terms") {
+    import graft.operators.Dedup
+    // doc 2 repeats the shared phrase: with tf weighting, cos(1,2) < 1
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c a b c a b c d e"),
+      (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfidfCosinePairs(docs, "doc_id", "text", k = 3, minCosine = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) > 0.0 && got((1L, 2L)) < 1.0)
+    // maxDf = 1: every shared term (df >= 2) is cut → no pairs at all
+    val cut = Dedup.tfidfCosinePairs(docs, "doc_id", "text", k = 3,
+      minCosine = 0.0, maxDf = 1)
+    assert(cut.count() == 0)
+  }
+
   test("retention curve: exact counts per threshold, monotone non-increasing") {
     import graft.operators.TextAnalysis
     val df = Seq(
