@@ -2304,6 +2304,16 @@ object Queries {
           JOIN nrm nb ON nb.doc_id = dots.id_b)
         SELECT id_a, id_b, cosine FROM cosd WHERE cosine >= 0.2""")),
 
+    // ── BPE merge training: learn the subword merge table from the corpus
+    //    — one corpus-sized word-count pass, then nMerges iterations over
+    //    the capped vocabulary frame (pair-count agg + 1-row argmax +
+    //    map-only merge kernel). No SQL oracle (iterative argmax);
+    //    OperatorsSpec pins the exact merge sequence on a known corpus. ──
+    Q("q100_bpe_train",
+      (s, d) => operators.Bpe.train(
+        Tables.documents(s, d), "text", nMerges = 12),
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

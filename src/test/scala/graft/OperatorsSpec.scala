@@ -1220,6 +1220,37 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("bpe train: the textbook merge sequence on a known corpus") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair counts: (l,o)=5 (o,w)=5 → lexicographic tie-break picks (l,o);
+    // then (lo,w)=5, then (low,e)=2; after that "lower"=[lowe,r] and
+    // "lowest"=[lowe,s,t] → (lowe,r)=(lowe,s)=(s,t)=1 → (lowe,r) by order
+    assert(merges.toList == List(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+  }
+
+  test("bpe segment: learned merges re-tokenize text, spaces never fuse") {
+    import graft.operators.Bpe
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = Seq("low lower")
+      .toDF("text").select(Bpe.segment($"text", merges).as("s"))
+      .head().getSeq[String](0).toList
+    assert(got == List("low", " ", "low", "e", "r"))
+  }
+
+  test("bpe train: stops early when every word is fully merged") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 10).collect()
+    assert(merges.length == 1) // only (a,b) exists; then nothing left to merge
+    assert(merges.head.getString(1) == "a" && merges.head.getString(2) == "b")
+  }
+
   test("tfidf cosine pairs: identical docs score 1.0, disjoint docs never pair") {
     import graft.operators.Dedup
     val docs = Seq(
