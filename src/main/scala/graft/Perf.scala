@@ -360,6 +360,14 @@ object Perf {
       time(s"r4c-pq-adc-topk-$n")(
         operators.Pq.adcTopK(vecs.filter(col("id") < 8L), vecs,
           "id", "embedding", m = 4, k = 16, topK = 10).count())
+      // tfidf cosine on the templated corpus: the df cut (256) is what
+      // keeps the "terms of service apply" trigrams from fanning out
+      // (n/20)² join rows — without it the posting self-join is unrunnable
+      time(s"r4c-tfidf-cosine-$n")(
+        operators.Dedup.tfidfCosinePairs(sdocs, "id", "text",
+          k = 3, minCosine = 0.5).count())
+      time(s"r4c-bpe-train-$n")(
+        operators.Bpe.train(sdocs, "text", nMerges = 8).count())
     }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
