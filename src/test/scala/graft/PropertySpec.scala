@@ -195,6 +195,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionize matches a fold-based reference on random event streams") {
+    val gen: Gen[List[(Int, Int)]] = Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1, 4)
+      t <- Gen.choose(0, 5000)
+    } yield (user, t))
+    samples(gen, 6).foreach { raw =>
+      // unique (user, ts) pairs so (ts, event_id) ordering is unambiguous
+      // regardless of generator duplicates; event_id = index
+      val rows = raw.distinct.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, new java.sql.Timestamp(1700000000000L + t * 1000L))
+      }
+      val gap = 600L
+      val expected = rows.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        var seq = 0L
+        var prev = Long.MinValue
+        sorted.map { e =>
+          val t = e._3.getTime / 1000L
+          if (prev == Long.MinValue || t - prev > gap) seq += 1
+          prev = t
+          e._1 -> seq
+        }
+      }
+      val got = graft.operators.Sessionize.assign(
+          rows.toDF("event_id", "user_id", "ts"), "user_id", "ts", gap, Seq("event_id"))
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq"))
+        .toMap
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("epoch upsample: per-key copy counts obey the floor/ceil law and repartition-invariance") {
+    val gen: Gen[(List[Int], Double)] = for {
+      ids <- Gen.nonEmptyListOf(Gen.choose(1, 500))
+      w <- Gen.oneOf(0.3, 1.0, 1.7, 2.0, 3.4)
+    } yield (ids, w)
+    samples(gen, 6).foreach { case (ids0, w) =>
+      val ids = ids0.distinct
+      val df = ids.map(i => (i.toLong, "s")).toDF("id", "src")
+      val counts = graft.operators.Sampling.epochUpsample(df, "id", "src", Map(), default = w)
+        .groupBy($"id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+      val lo = math.floor(w).toLong
+      ids.foreach { i =>
+        val n = counts.getOrElse(i.toLong, 0L)
+        assert(n == lo || n == lo + 1, s"id=$i n=$n w=$w")
+      }
+      // deterministic under repartitioning
+      val again = graft.operators.Sampling.epochUpsample(
+          df.repartition(7), "id", "src", Map(), default = w)
+        .groupBy($"id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+      assert(again == counts.filter(_._2 > 0))
+    }
+  }
+
+  test("tfidf cosine pairs match a brute-force reference on random corpora") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val gen: Gen[List[String]] =
+      Gen.listOfN(6, Gen.listOfN(8, wordGen).map(_.mkString(" ")))
+    samples(gen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val k = 3
+      // reference: trigram tf vectors, milli-unit weights, exact cosine
+      val tf = docs.map { case (id, t) =>
+        val toks = t.split("\\s+").toSeq
+        id -> toks.sliding(k).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+      }.toMap
+      val nd = tf.count(_._2.nonEmpty).toDouble
+      val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size }
+      val w = tf.map { case (id, m) =>
+        id -> m.map { case (t, c) =>
+          t -> math.floor(c * math.log(nd / dfreq(t)) * 1e3 + 0.5).toLong }
+      }
+      val nsq = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        if nsq(a) > 0 && nsq(b) > 0
+        dot = w(a).keySet.intersect(w(b).keySet).toSeq
+          .map(t => w(a)(t) * w(b)(t)).sum
+        cos = math.floor(dot.toDouble /
+          (math.sqrt(nsq(a).toDouble) * math.sqrt(nsq(b).toDouble)) * 1e6 + 0.5) / 1e6
+        if cos >= 0.1
+      } yield (a, b) -> cos).toMap
+      val got = graft.operators.Dedup.tfidfCosinePairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k = k, minCosine = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected, s"texts=$texts")
+    }
+  }
+
   test("corpus-stats percentiles match a sort-based reference on random groups") {
     val gen: Gen[List[(String, Int)]] = Gen.nonEmptyListOf(for {
       grp <- Gen.oneOf("g1", "g2", "g3")
