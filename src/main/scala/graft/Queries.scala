@@ -2314,6 +2314,28 @@ object Queries {
         Tables.documents(s, d), "text", nMerges = 12),
       None),
 
+    // ── phrase-blocklist screening: replace-length occurrence counting,
+    //    one codegen'd scalar chain per phrase, map-only (the blocklist
+    //    rides the expression tree — no join, no shuffle). ──
+    Q("q101_blocklist",
+      (s, d) => TextAnalysis.blocklistScreen(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("slow batch", "key agg", "merge batch")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+          FROM documents)
+        SELECT doc_id,
+               CAST((length(nt) - length(replace(nt, 'slow batch', ''))) / 10
+                  + (length(nt) - length(replace(nt, 'key agg', ''))) / 7
+                  + (length(nt) - length(replace(nt, 'merge batch', ''))) / 11
+                 AS BIGINT) AS n_blocked,
+               ((length(nt) - length(replace(nt, 'slow batch', '')))
+                  + (length(nt) - length(replace(nt, 'key agg', '')))
+                  + (length(nt) - length(replace(nt, 'merge batch', '')))) = 0 AS clean
+        FROM t""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

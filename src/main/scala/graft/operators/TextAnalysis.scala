@@ -467,6 +467,34 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Phrase-blocklist screening — the bad-content filter step of a corpus
+    * pipeline (profanity/PII-phrase/spam-template lists): per doc, the
+    * number of (non-overlapping, case-insensitive, whitespace-normalized)
+    * occurrences of each blocklist phrase, a total, and a `clean` flag.
+    *
+    * Counting is replace-length arithmetic —
+    * `(len(text) − len(replace(text, phrase))) / len(phrase)` — one
+    * codegen'd scalar chain per phrase, no regex compilation, identical
+    * semantics in any SQL engine. Map-only: the blocklist rides the
+    * expression tree (phrases are literals), nothing joins, nothing
+    * shuffles; at 100 TB this is a pure scan-stage filter like the PII
+    * redaction pass (q48). For blocklists beyond a few hundred phrases,
+    * switch to the shingle-hash semi-join shape ([[decontaminate]]) —
+    * expression-tree size grows linearly with the phrase count.
+    */
+  def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
+                      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    require(phrases.forall(_.trim.nonEmpty), "blocklist phrases must be non-blank")
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val hits = phrases.map { p =>
+      val np = p.trim.toLowerCase.replaceAll("\\s+", " ")
+      ((length(norm) - length(replace(norm, lit(np)))) / np.length).cast("long")
+    }
+    val total = hits.reduce(_ + _)
+    df.select(col(idCol), total.as("n_blocked"), (total === 0L).as("clean"))
+  }
+
   /** Filter-threshold retention sweep: for each group and each threshold
     * in the grid, the fraction of rows whose `score` is >= the threshold —
     * the calibration curve a pipeline owner reads before picking a quality

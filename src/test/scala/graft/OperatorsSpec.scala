@@ -1220,6 +1220,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("blocklist screen: exact occurrence counts, normalization, clean flag") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Bad  Phrase here and bad phrase there"), // case + multi-space → 2 hits
+      (2L, "totally fine text"),
+      (3L, "bad phrase bad phrase bad phrase"),      // 3 non-overlapping hits
+      (4L, "")                                       // empty text is clean
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(docs, "doc_id", "text",
+        Seq("bad phrase", "never occurs"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((2L, false)))
+    assert(got(2L) == ((0L, true)))
+    assert(got(3L) == ((3L, false)))
+    assert(got(4L) == ((0L, true)))
+  }
+
   test("bpe train: the textbook merge sequence on a known corpus") {
     import graft.operators.Bpe
     val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
