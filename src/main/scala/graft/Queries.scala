@@ -2336,6 +2336,47 @@ object Queries {
                   + (length(nt) - length(replace(nt, 'merge batch', '')))) = 0 AS clean
         FROM t""")),
 
+    // ── token-label chi-square: feature-selection / shortcut-leakage
+    //    detection — presence/absence contingency per token against the
+    //    language label; per-cell terms round6→DECIMAL (order-independent,
+    //    engine-exact), absent cells from a token×label scaffold. ──
+    Q("q102_chi2_tokens",
+      (s, d) => TextAnalysis.chiSquareTokens(
+        Tables.documents(s, d), "doc_id", "text", "lang", topK = 50),
+      Some("""
+        WITH post AS (
+          SELECT DISTINCT doc_id, lang, token FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents) u
+          WHERE length(token) > 0),
+        ctl AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM post GROUP BY 1, 2),
+        nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+               FROM documents GROUP BY 1),
+        nall AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all FROM documents),
+        dft AS (SELECT token, SUM(c) AS df_t FROM ctl GROUP BY 1),
+        cells AS (
+          SELECT d.token, n.lang, d.df_t, n.n_l, COALESCE(c.c, 0) AS c, a.n_all
+          FROM dft d CROSS JOIN nl n CROSS JOIN nall a
+          LEFT JOIN ctl c ON c.token = d.token AND c.lang = n.lang),
+        terms AS (
+          SELECT token, df_t,
+            CAST(CASE WHEN df_t * n_l / n_all > 0 THEN
+              floor((c - df_t * n_l / n_all) * (c - df_t * n_l / n_all)
+                / (df_t * n_l / n_all) * 1000000 + 0.5) / 1000000
+              ELSE 0 END AS DECIMAL(28,6)) AS t1,
+            CAST(CASE WHEN (n_all - df_t) * n_l / n_all > 0 THEN
+              floor(((n_l - c) - (n_all - df_t) * n_l / n_all)
+                * ((n_l - c) - (n_all - df_t) * n_l / n_all)
+                / ((n_all - df_t) * n_l / n_all) * 1000000 + 0.5) / 1000000
+              ELSE 0 END AS DECIMAL(28,6)) AS t0
+          FROM cells)
+        SELECT token, CAST(MIN(df_t) AS BIGINT) AS df_t,
+               CAST(SUM(t1) + SUM(t0) AS DOUBLE) AS chi2
+        FROM terms GROUP BY 1
+        ORDER BY chi2 DESC, token ASC LIMIT 50""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -467,6 +467,54 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Token–label chi-square association: for every token, the χ² statistic
+    * of its presence/absence contingency against a label column — the
+    * feature-selection / SHORTCUT-LEAKAGE detector for labeled corpora
+    * (a token with huge χ² against the label is either a great feature or
+    * a leak, e.g. the label name embedded in the text).
+    *
+    * χ²_t = Σ_label [ (c_tl − E₁)²/E₁ + ((n_l − c_tl) − E₀)²/E₀ ] with
+    * E₁ = df_t·n_l/N, E₀ = (N − df_t)·n_l/N; cells with zero expectation
+    * contribute 0 (the standard convention — happens only when a token is
+    * in every/no doc or a label is empty). Per-cell terms round to 6
+    * decimals and accumulate as DECIMAL, so the statistic is
+    * order-independent and engine-exact.
+    *
+    * Scale shape: distinct (doc, token) postings → one join against the
+    * doc's label (projected, not the text) → a (token, label) count
+    * aggregation; the absent cells come from a token×label scaffold
+    * (|tokens|·|labels| rows — labels are few) left-joined against the
+    * counts. Label marginals are a broadcast 1-row/label frame. Top-k by
+    * (χ², token) via distributed TakeOrdered — no global sort.
+    */
+  def chiSquareTokens(df: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, topK: Int = 100): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val post = df.select(col(idCol).as("__d"), col(labelCol).as("__l"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+    val ctl = post.groupBy(col("token"), col("__l")).agg(count(lit(1)).as("c"))
+    val nl = df.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("n_l"))
+    val nTot = nl.agg(sum(col("n_l")).cast("double").as("n_all"))
+    val dft = ctl.groupBy(col("token")).agg(sum(col("c")).as("df_t"))
+    val scaffold = dft.crossJoin(broadcast(nl)).crossJoin(broadcast(nTot))
+    val cells = scaffold.join(ctl, Seq("token", "__l"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val e1 = col("df_t") * col("n_l") / col("n_all")
+    val e0 = (col("n_all") - col("df_t")) * col("n_l") / col("n_all")
+    val term = (o: Column, e: Column) =>
+      when(e > 0.0, round6((o - e) * (o - e) / e)).otherwise(lit(0.0))
+        .cast("decimal(28,6)")
+    cells
+      .withColumn("__t1", term(col("c").cast("double"), e1))
+      .withColumn("__t0", term((col("n_l") - col("c")).cast("double"), e0))
+      .groupBy(col("token"))
+      .agg(first(col("df_t")).as("df_t"),
+        (sum(col("__t1")) + sum(col("__t0"))).cast("double").as("chi2"))
+      .orderBy(col("chi2").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Phrase-blocklist screening — the bad-content filter step of a corpus
     * pipeline (profanity/PII-phrase/spam-template lists): per doc, the
     * number of (non-overlapping, case-insensitive, whitespace-normalized)

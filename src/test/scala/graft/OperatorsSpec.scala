@@ -1220,6 +1220,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("chi-square tokens: the perfectly label-correlated token dominates") {
+    import graft.operators.TextAnalysis
+    // "leak" appears in every 'a' doc and no 'b' doc — a perfect shortcut;
+    // "common" appears everywhere (chi2 = 0); "rare" in one doc only
+    val docs = Seq(
+      (1L, "leak common", "a"), (2L, "leak common", "a"),
+      (3L, "common rare", "b"), (4L, "common", "b")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.chiSquareTokens(docs, "doc_id", "text", "lang", topK = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // leak: 2×2 table (2,0 / 0,2) → chi2 = N = 4
+    assert(got("leak")._1 == 2L && math.abs(got("leak")._2 - 4.0) < 1e-6)
+    // common: observed == expected everywhere → chi2 = 0
+    assert(got("common") == ((4L, 0.0)))
+    // rare: df 1, in a 'b' doc → chi2 = 4/3 (hand-computed)
+    assert(math.abs(got("rare")._2 - 4.0 / 3.0) < 2e-6)
+    // ranking: leak first
+    val top = TextAnalysis.chiSquareTokens(docs, "doc_id", "text", "lang", topK = 1)
+      .head().getString(0)
+    assert(top == "leak")
+  }
+
   test("blocklist screen: exact occurrence counts, normalization, clean flag") {
     import graft.operators.TextAnalysis
     val docs = Seq(
