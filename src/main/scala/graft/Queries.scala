@@ -2377,6 +2377,35 @@ object Queries {
         FROM terms GROUP BY 1
         ORDER BY chi2 DESC, token ASC LIMIT 50""")),
 
+    // ── asymmetric containment pairs: |A∩B| / min(|A|,|B|) — the excerpt/
+    //    quote duplication Jaccard misses (a snippet inside a page scores
+    //    ~0 Jaccard but 1.0 containment); same single-shuffle inverted
+    //    index as q23. ──
+    Q("q103_containment",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.5),
+      Some("""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, n_shared,
+               CAST(n_shared AS DOUBLE) / least(n_a, n_b) AS containment
+        FROM pairs
+        WHERE CAST(n_shared AS DOUBLE) / least(n_a, n_b) >= 0.5""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

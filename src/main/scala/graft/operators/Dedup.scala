@@ -513,6 +513,37 @@ object Dedup {
         coalesce(col("__txt"), lit("")).as("cleaned_text"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: `|A∩B| / min(|A|, |B|)` ≥
+    * threshold — the excerpt/quote detector Jaccard misses. A 50-shingle
+    * snippet fully embedded in a 5000-shingle page has Jaccard ≈ 0.01
+    * (invisible at any usable threshold) but containment 1.0; dedup
+    * pipelines run BOTH: Jaccard for same-size near-dups, containment for
+    * subset duplication (syndicated quotes, boilerplate-wrapped reposts).
+    *
+    * Same inverted-index plan as [[ngramJaccard]]'s counting path — one
+    * shuffle on 64-bit shingle hashes, `maxBucket` hot-bucket economics,
+    * co-occurrence counting, no verification join. Emits both directed
+    * containments plus the symmetric max.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8,
+                       maxBucket: Int = DefaultMaxBucket,
+                       audit: Option[Observation] = None): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs.select(col("id"), col("n_sh"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+    bucketPairs(inv, Seq("s"), struct(col("id"), col("n_sh")), maxBucket, audit)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+  }
+
   /** Sparse tf·idf cosine pair similarity: document pairs whose
     * idf-weighted k-shingle term vectors have cosine >= `minCosine` —
     * the classic sparse-vector near-dup/similarity measure (SPLADE-style

@@ -1220,6 +1220,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("containment pairs: an embedded snippet scores 1.0 where Jaccard sees ~nothing") {
+    import graft.operators.Dedup
+    val page = (1 to 60).map(i => s"w$i").mkString(" ")    // 58 trigram shingles
+    val snippet = (10 to 16).map(i => s"w$i").mkString(" ") // 5 shingles, all in page
+    val docs = Seq((1L, page), (2L, snippet), (3L, "x y z q r")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((5L, 1.0)))
+    // the same pair is invisible to Jaccard at any usable threshold
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.2)
+    assert(jac.count() == 0)
+  }
+
   test("chi-square tokens: the perfectly label-correlated token dominates") {
     import graft.operators.TextAnalysis
     // "leak" appears in every 'a' doc and no 'b' doc — a perfect shortcut;
