@@ -2406,6 +2406,21 @@ object Queries {
         FROM pairs
         WHERE CAST(n_shared AS DOUBLE) / least(n_a, n_b) >= 0.5""")),
 
+    // ── compression-ratio quality proxy: deflate length ratio per doc +
+    //    per-source aggregate — the model-free repetitiveness filter
+    //    (CCNet/RefinedWeb family); map-only codegen'd kernel. No DuckDB
+    //    oracle (no deflate there) — spec-pinned behavior. ──
+    Q("q104_compression_ratio",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          TextAnalysis.compressionRatio(col("text")).as("cr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("cr")).as("mean_ratio"),
+          min(col("cr")).as("min_ratio"),
+          max(col("cr")).as("max_ratio")),
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

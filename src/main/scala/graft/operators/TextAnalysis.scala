@@ -467,6 +467,20 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Compression-ratio quality proxy: deflate(text).length / text.length —
+    * the CCNet/RefinedWeb-family repetitiveness signal. Templated,
+    * keyword-stuffed, or degenerate text compresses far below natural
+    * prose, and the signal needs no token model, no vocabulary, and no
+    * language assumption. Map-only codegen'd kernel (one deflate per row,
+    * JDK zlib — no native deps); empty text scores 1.0. No SQL oracle
+    * (DuckDB has no deflate) — behavior pinned by spec: repetitive ≪
+    * diverse, bounds, determinism.
+    */
+  def compressionRatio(text: Column): Column = {
+    val ex = org.apache.spark.sql.graftbridge.ColumnBridge.expr(text)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(DeflateRatio(ex))
+  }
+
   /** Token–label chi-square association: for every token, the χ² statistic
     * of its presence/absence contingency against a label column — the
     * feature-selection / SHORTCUT-LEAKAGE detector for labeled corpora
@@ -756,4 +770,41 @@ object TextAnalysis {
       .limit(topK)
       .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
   }
+}
+
+object TextKernels {
+  /** deflate(utf8 bytes).length / byteLength; 1.0 for empty input.
+    * A fresh Deflater per call — cheap relative to the compression
+    * itself, and thread-safe under whole-stage codegen by construction.
+    */
+  def deflateRatio(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / raw.length
+    } finally d.end()
+  }
+}
+
+/** string → double deflate compression ratio (see TextAnalysis.compressionRatio). */
+case class DeflateRatio(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.operators.TextKernels.deflateRatio($s);")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): DeflateRatio = copy(child = c)
 }

@@ -1220,6 +1220,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("compression ratio: repetitive text scores far below diverse text; bounds hold") {
+    import graft.operators.TextAnalysis
+    val rep = Seq.fill(200)("spam").mkString(" ")
+    val div = (1 to 200).map(i => s"w${i * 7919 % 100000}").mkString(" ")
+    val docs = Seq((1L, rep), (2L, div), (3L, "")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.compressionRatio($"text").as("cr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.1, s"repetitive ratio ${got(1L)}")
+    assert(got(2L) > 3 * got(1L), s"diverse ${got(2L)} vs repetitive ${got(1L)}")
+    assert(got(3L) == 1.0)
+    got.values.foreach(v => assert(v > 0.0 && v < 1.5))
+    // deterministic across evaluations
+    val again = docs.select($"doc_id",
+        TextAnalysis.compressionRatio($"text").as("cr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("containment pairs: an embedded snippet scores 1.0 where Jaccard sees ~nothing") {
     import graft.operators.Dedup
     val page = (1 to 60).map(i => s"w$i").mkString(" ")    // 58 trigram shingles
