@@ -2421,6 +2421,36 @@ object Queries {
           max(col("cr")).as("max_ratio")),
       None),
 
+    // ── Jensen–Shannon drift matrix between language groups' unigram
+    //    distributions — the distribution-level complement of q60's
+    //    set-overlap matrix; per-term contributions round6→DECIMAL, the
+    //    (token × group) scaffold bounds join fan-out at |groups|². ──
+    Q("q105_js_divergence",
+      (s, d) => TextAnalysis.jsDivergence(Tables.documents(s, d), "lang", "text"),
+      Some("""
+        WITH counts AS (
+          SELECT lang AS grp, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents) u
+          WHERE length(token) > 0 GROUP BY 1, 2),
+        totals AS (SELECT grp, SUM(n) AS tot FROM counts GROUP BY 1),
+        grid AS (
+          SELECT t.token, g.grp, COALESCE(c.n, 0) / CAST(g.tot AS DOUBLE) AS p
+          FROM (SELECT DISTINCT token FROM counts) t
+          CROSS JOIN totals g
+          LEFT JOIN counts c ON c.token = t.token AND c.grp = g.grp),
+        terms AS (
+          SELECT a.grp AS grp_a, b.grp AS grp_b,
+            CAST(floor((
+              CASE WHEN a.p > 0
+                THEN a.p * ln(a.p / ((a.p + b.p) / 2)) / ln(2) * 0.5 ELSE 0 END +
+              CASE WHEN b.p > 0
+                THEN b.p * ln(b.p / ((a.p + b.p) / 2)) / ln(2) * 0.5 ELSE 0 END
+              ) * 1000000 + 0.5) / 1000000 AS DECIMAL(28,6)) AS term
+          FROM grid a JOIN grid b ON a.token = b.token AND a.grp < b.grp)
+        SELECT grp_a, grp_b, CAST(SUM(term) AS DOUBLE) AS jsd_bits
+        FROM terms GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

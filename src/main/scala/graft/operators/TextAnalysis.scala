@@ -467,6 +467,51 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Pairwise Jensen–Shannon divergence between the unigram distributions
+    * of corpus groups (sources) — the distribution-level drift monitor
+    * that complements the set-level overlap matrix (`Dedup.groupOverlap`):
+    * two sources can share every token yet have wildly different usage.
+    * JSD ∈ [0, 1] in bits; 0 = identical distributions, 1 = disjoint
+    * support. Symmetric, always finite (unlike KL).
+    *
+    * JSD(P,Q) = Σ_t ½·p·log₂(p/m) + ½·q·log₂(q/m), m = (p+q)/2, with
+    * 0·log(·) = 0. Per-term contributions round to 6 decimals and
+    * accumulate as DECIMAL — order-independent and engine-exact (ln and
+    * IEEE division agree across engines; the q56/q67 precedent).
+    *
+    * Scale shape: one (group, token) count aggregation; a (token × group)
+    * scaffold fills absent cells with 0 (vocab·|groups| rows — groups are
+    * few); the pair frame self-joins the scaffold on the token, so
+    * per-token fan-out is bounded by |groups|², never the corpus — the
+    * groupOverlap bound. Output is the |groups|²/2-row matrix.
+    */
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
+    // complete (token, grp) grid so absent tokens carry p = 0
+    val grid = counts.select(col("token")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("token", "grp"), "left")
+      .withColumn("p", coalesce(col("n"), lit(0L)).cast("double") / col("tot"))
+      .select(col("token"), col("grp"), col("p"))
+    val ln2 = math.log(2.0)
+    val a = grid.select(col("token"), col("grp").as("grp_a"), col("p").as("pa"))
+    val b = grid.select(col("token"), col("grp").as("grp_b"), col("p").as("pb"))
+    val half = (p: Column, m: Column) =>
+      when(p > 0.0, p * log(p / m) / lit(ln2) * 0.5).otherwise(lit(0.0))
+    a.join(b, Seq("token")).filter(col("grp_a") < col("grp_b"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("__term",
+        round6(half(col("pa"), col("m")) + half(col("pb"), col("m")))
+          .cast("decimal(28,6)"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(sum(col("__term")).cast("double").as("jsd_bits"))
+  }
+
   /** Compression-ratio quality proxy: deflate(text).length / text.length —
     * the CCNet/RefinedWeb-family repetitiveness signal. Templated,
     * keyword-stuffed, or degenerate text compresses far below natural

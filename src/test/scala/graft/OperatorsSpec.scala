@@ -1220,6 +1220,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("js divergence: 0 for identical distributions, 1 for disjoint, symmetric-bounded") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x x y"),   // identical distributions → 0
+      ("c", "p q r")                    // disjoint from both → 1 bit
+    ).toDF("src", "text")
+    val got = TextAnalysis.jsDivergence(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", "b")) == 0.0)
+    assert(math.abs(got(("a", "c")) - 1.0) < 1e-5)
+    assert(math.abs(got(("b", "c")) - 1.0) < 1e-5)
+    // all pairs present, bounded in [0, 1] up to per-term rounding slack
+    // (each 6-dp term rounds half-up → sum can exceed 1.0 by ≤ terms·5e-7)
+    assert(got.size == 3)
+    got.values.foreach(v => assert(v >= 0.0 && v <= 1.0 + 1e-5))
+  }
+
   test("compression ratio: repetitive text scores far below diverse text; bounds hold") {
     import graft.operators.TextAnalysis
     val rep = Seq.fill(200)("spam").mkString(" ")
