@@ -2451,6 +2451,27 @@ object Queries {
         SELECT grp_a, grp_b, CAST(SUM(term) AS DOUBLE) AS jsd_bits
         FROM terms GROUP BY 1, 2""")),
 
+    // ── capstone tokenizer→batches composition: learn BPE merges on the
+    //    corpus, segment every doc with the learned table (map-only merge
+    //    kernels), then pack the tokenized docs into fixed token budgets
+    //    (q51's sharded cumulative sum). The full "raw text → training
+    //    batches" path as one plan; rows-only (iterative merges have no
+    //    SQL oracle), each stage spec'd/oracled individually. ──
+    Q("q106_tokenize_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = operators.Bpe.train(docs, "text", nMerges = 8)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val tokenized = docs.select(col("doc_id"),
+          size(operators.Bpe.segment(col("text"), merges)).cast("long").as("n_tokens"))
+        operators.Packing.packSummary(
+          operators.Packing.packSequences(tokenized, "doc_id", "n_tokens",
+            budget = 4096, nShards = 8),
+          "n_tokens")
+      },
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

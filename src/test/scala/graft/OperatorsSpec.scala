@@ -1220,6 +1220,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("tokenize->pack composition: token mass is conserved through the pipeline") {
+    import graft.operators.{Bpe, Packing}
+    val docs = (1L to 40L).map(i => (i, s"alpha beta gamma doc$i")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+      .orderBy($"rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val tokenized = docs.select($"doc_id",
+      size(Bpe.segment($"text", merges)).cast("long").as("n_tokens"))
+    val totalIn = tokenized.agg(sum($"n_tokens")).head().getLong(0)
+    val packed = Packing.packSummary(
+      Packing.packSequences(tokenized, "doc_id", "n_tokens", budget = 64, nShards = 4),
+      "n_tokens")
+    val totalOut = packed.agg(sum($"total_tokens")).head().getLong(0)
+    val docsOut = packed.agg(sum($"n_docs")).head().getLong(0)
+    assert(totalOut == totalIn)
+    assert(docsOut == 40L)
+  }
+
   test("js divergence: 0 for identical distributions, 1 for disjoint, symmetric-bounded") {
     import graft.operators.TextAnalysis
     val docs = Seq(
