@@ -2472,6 +2472,35 @@ object Queries {
       },
       None),
 
+    // ── join-based blocklist matching (q101's scale path for big phrase
+    //    lists): per phrase length, one token-aligned L-gram explode +
+    //    broadcast hash join; corpus shuffles once (final per-doc agg). ──
+    Q("q107_blocklist_join",
+      (s, d) => TextAnalysis.blocklistScreenJoin(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("slow batch", "key agg", "merge batch", "vector")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        g1 AS (
+          SELECT doc_id, tk[u.i] AS gram
+          FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u),
+        g2 AS (
+          SELECT doc_id, concat_ws(' ', tk[u.i], tk[u.i+1]) AS gram
+          FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i) u
+          WHERE len(tk) >= 2),
+        hits AS (
+          SELECT doc_id FROM g2
+          WHERE gram IN ('slow batch', 'key agg', 'merge batch')
+          UNION ALL
+          SELECT doc_id FROM g1 WHERE gram = 'vector'),
+        n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocked
+              FROM hits GROUP BY 1)
+        SELECT t.doc_id, COALESCE(n.n_blocked, 0) AS n_blocked,
+               COALESCE(n.n_blocked, 0) = 0 AS clean
+        FROM t LEFT JOIN n ON t.doc_id = n.doc_id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -526,6 +526,48 @@ object TextAnalysis {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(DeflateRatio(ex))
   }
 
+  /** Join-based blocklist matching — [[blocklistScreen]]'s scale path for
+    * LARGE phrase lists (expression trees grow linearly with phrases; a
+    * 100k-phrase list needs a join, not literals). Phrases are grouped by
+    * word count L; for each L the corpus explodes token-aligned L-gram
+    * hashes ONCE and inner-joins the (tiny, broadcast) phrase-hash frame.
+    * Matching is token-aligned (a phrase can't match inside a longer
+    * word — stricter than [[blocklistScreen]]'s substring arithmetic).
+    *
+    * Scale shape: Σ_L one explode + one broadcast join per distinct
+    * phrase length (usually 1–3 lengths), then one per-doc aggregation;
+    * the corpus shuffles once (the final group-by), phrase frames never
+    * exceed the blocklist size.
+    */
+  def blocklistScreenJoin(df: DataFrame, idCol: String, textCol: String,
+                          phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    val norm = phrases.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+      .filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "blocklist phrases must be non-blank")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = tokens(col(textCol))
+    val byLen = norm.groupBy(_.split(" ").length)
+    val hitFrames = byLen.toSeq.map { case (l, ps) =>
+      // size guard first: sequence(1, n) with n <= 0 DESCENDS in Spark —
+      // it would fabricate out-of-range grams, not an empty list
+      val grams = df.filter(size(toks) >= l)
+        .select(col(idCol), explode(transform(
+          sequence(lit(1), size(toks) - (l - 1)),
+          i => xxhash64(concat_ws(" ",
+            (0 until l).map(j => element_at(toks, i + j)): _*)))).as("__g"))
+      val phraseHashes = ps.toDF("__p").select(xxhash64(col("__p")).as("__g"))
+      grams.join(broadcast(phraseHashes), Seq("__g"))
+        .select(col(idCol))
+    }
+    val hits = hitFrames.reduce(_.unionByName(_))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_blocked"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("clean", col("n_blocked") === 0L)
+  }
+
   /** Token–label chi-square association: for every token, the χ² statistic
     * of its presence/absence contingency against a label column — the
     * feature-selection / SHORTCUT-LEAKAGE detector for labeled corpora

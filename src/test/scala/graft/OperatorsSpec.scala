@@ -1220,6 +1220,29 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("blocklist join path: equals the literal path on aligned text, stricter on substrings") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "bad phrase here bad phrase"),
+      (2L, "clean text only"),
+      (3L, "xbad phrasey"),            // substring-visible, not token-aligned
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("bad phrase", "solo")
+    val joined = TextAnalysis.blocklistScreenJoin(docs, "doc_id", "text", phrases)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(joined(1L) == ((2L, false)))
+    assert(joined(2L) == ((0L, true)))
+    assert(joined(4L) == ((1L, false)))
+    // token-aligned: "xbad phrasey" does NOT match (the literal path would)
+    assert(joined(3L) == ((0L, true)))
+    val literal = TextAnalysis.blocklistScreen(docs, "doc_id", "text", phrases)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(literal(3L) == 1L) // substring arithmetic sees it — documented difference
+    // on token-aligned docs the two paths agree
+    assert(Seq(1L, 2L, 4L).forall(id => literal(id) == joined(id)._1))
+  }
+
   test("tokenize->pack composition: token mass is conserved through the pipeline") {
     import graft.operators.{Bpe, Packing}
     val docs = (1L to 40L).map(i => (i, s"alpha beta gamma doc$i")).toDF("doc_id", "text")

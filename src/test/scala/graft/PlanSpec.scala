@@ -306,6 +306,40 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("tfidf cosine: inverted-index hash joins only — no cartesian, no nested loop") {
+    val p = plan("q99_tfidf_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only NLJ shape is the 1-row corpus-count crossJoin, instantiated
+    // once per reference of the weight frame (norms ×2 + both dot sides);
+    // each is 1-row-broadcast × posting-frame, and the expensive posting
+    // aggregation underneath dedupes via ReusedExchange at execution
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("literal blocklist screen is a map-only scan (zero exchanges)") {
+    val p = plan("q101_blocklist")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("chi-square tokens: distributed TakeOrdered, no global sort") {
+    val p = plan("q102_chi2_tokens")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
+  }
+
+  test("compression ratio rollup: one aggregation exchange, nothing else") {
+    val p = plan("q104_compression_ratio")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Generate"), p) // per-doc kernel, no explode anywhere
+  }
+
+  test("join blocklist: phrase frames broadcast; corpus shuffles only for the final agg") {
+    val p = plan("q107_blocklist_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("retention curve: one aggregation pass, grid unpivot above it") {
     val p = plan("q98_retention_curve")
     // one exchange for the group-by; the explode (Generate) must sit ABOVE
