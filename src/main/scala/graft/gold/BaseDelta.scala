@@ -254,6 +254,36 @@ object BaseDelta {
     }
   }
 
+  /** Time-travel read: the table as of `asOfBatch` — the merge-on-read
+    * view over the base plus only the live deltas with id <= asOfBatch
+    * (batch ids are the commit timeline; the streaming sink assigns them
+    * monotonically). Same plan shape as [[read]].
+    *
+    * Retention bound (the VACUUM compromise every base+delta format
+    * makes): a compaction FOLDS deltas into the base, so as-of points at
+    * or before the last fold all resolve to the fold state — history
+    * inside the base is not separable. Usable as-of window = everything
+    * since the last compaction; size it via `maxDeltas` (a larger window
+    * costs read amplification, not write cost).
+    */
+  def readAt(spark: SparkSession, t: Table, asOfBatch: Long,
+             allowSchemaEvolution: Boolean = false): DataFrame = {
+    val (baseOpt, deltaIds) = resolveSnapshot(spark, t)
+    val visible = deltaIds.filter(_ <= asOfBatch)
+    val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
+      visible.map(id => spark.read.parquet(t.deltaPath(id)))
+    require(parts.nonEmpty,
+      s"BaseDelta.readAt: nothing committed at or before batch $asOfBatch at ${t.path}")
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
+    val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
+    t.opCol match {
+      case Some(op) =>
+        merged.filter(col(op) =!= "d" || col(op).isNull)
+          .filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
+      case None => merged
+    }
+  }
+
   /** Fold live deltas into base generation N+1 and commit via the manifest.
     * Tombstoned keys are physically removed here. Retention: the previous
     * generation's base and delta dirs survive one more cycle for in-flight

@@ -42,6 +42,36 @@ class BaseDeltaSpec extends SparkSpec {
     assert(snap(BaseDelta.read(spark, table)) == snap(expected))
   }
 
+  test("time travel: readAt(b) reproduces each prefix state; compaction floors the window") {
+    val path = tmpDir("bd-tt") + "/t"
+    val table = t(path)
+    val batches = Seq(
+      Seq((1L, "a1", 1), (2L, "b1", 1)),
+      Seq((1L, "a2", 2), (3L, "c1", 1)),
+      Seq((2L, "b2", 2))
+    ).map(_.toDF("id", "v", "ver"))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      BaseDelta.append(spark, table, df, i.toLong)
+    }
+    // as-of each batch equals the iterated-merge prefix state
+    assert(snap(BaseDelta.readAt(spark, table, 0L)) ==
+      Map(1L -> (("a1", 1)), 2L -> (("b1", 1))))
+    assert(snap(BaseDelta.readAt(spark, table, 1L)) ==
+      Map(1L -> (("a2", 2)), 2L -> (("b1", 1)), 3L -> (("c1", 1))))
+    assert(snap(BaseDelta.readAt(spark, table, 2L)) ==
+      snap(BaseDelta.read(spark, table)))
+    // a future as-of point sees the latest state
+    assert(snap(BaseDelta.readAt(spark, table, 99L)) ==
+      snap(BaseDelta.read(spark, table)))
+    // compaction folds history: pre-fold as-of points floor to the fold state
+    BaseDelta.compact(spark, table)
+    BaseDelta.append(spark, table, Seq((1L, "a3", 3)).toDF("id", "v", "ver"), 3L)
+    assert(snap(BaseDelta.readAt(spark, table, 2L)) ==
+      Map(1L -> (("a2", 2)), 2L -> (("b2", 2)), 3L -> (("c1", 1))))
+    assert(snap(BaseDelta.readAt(spark, table, 3L)) ==
+      Map(1L -> (("a3", 3)), 2L -> (("b2", 2)), 3L -> (("c1", 1))))
+  }
+
   test("tombstones: latest op='d' hides the key; compaction removes it physically") {
     val path = tmpDir("bd-del") + "/t"
     val table = t(path, opAware = true)
