@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   cosine_similarity(a, b), dot_product(a, b), word_shingles(text, k),
   *   minhash_signature(shingles, k), simhash64(tokens),
   *   norm_text(text), lsh_buckets(vec, tables, planes),
-  *   ordered_pairs(arr), media_meta(payload)
+  *   ordered_pairs(arr), media_meta(payload), deflate_ratio(text),
+  *   quantize_int8(vec), bpe_merge(symbols, 'l', 'r')
   *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or config `spark.sql.extensions=graft.functions.GraftExtensions`;
@@ -44,7 +45,17 @@ object GraftExtensions {
     "lsh_buckets" -> (es => HyperplaneBuckets(es(0),
       intArg(es(1), "numTables"), intArg(es(2), "numPlanes"))),
     "ordered_pairs" -> (es => OrderedPairs(es(0))),
-    "media_meta" -> (es => graft.operators.MediaMeta(es(0))))
+    "media_meta" -> (es => graft.operators.MediaMeta(es(0))),
+    "deflate_ratio" -> (es => graft.operators.DeflateRatio(es(0))),
+    "quantize_int8" -> (es => QuantizeInt8(es(0))),
+    "bpe_merge" -> (es => graft.operators.BpeApplyMerge(es(0),
+      strArg(es(1), "left"), strArg(es(2), "right"))))
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
 
   /** Register into an already-built session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

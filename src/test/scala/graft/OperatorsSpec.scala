@@ -1220,6 +1220,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("new SQL functions: deflate_ratio, quantize_int8, bpe_merge register and run") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql("""
+      SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dr,
+             quantize_int8(array(cast(1.0 as float), cast(-0.5 as float))).qvec AS qv,
+             bpe_merge(array('l', 'o', 'w'), 'l', 'o') AS merged
+    """).head()
+    assert(row.getAs[Double]("dr") < 0.5)
+    assert(row.getSeq[Int](1) == Seq(127, -63)) // floor(-63.5 + 0.5) = -63
+    assert(row.getSeq[String](2) == Seq("lo", "w"))
+  }
+
   test("blocklist join path: equals the literal path on aligned text, stricter on substrings") {
     import graft.operators.TextAnalysis
     val docs = Seq(
