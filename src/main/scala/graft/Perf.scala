@@ -369,6 +369,38 @@ object Perf {
       time(s"r4c-bpe-train-$n")(
         operators.Bpe.train(sdocs, "text", nMerges = 8).count())
     }
+    if (what == "scalellm-r4d") {
+      // stress for the last round-4 operators: chi2/JSD scaffolds multiply
+      // |tokens|·|labels|, blocklist literal-vs-join, containment pairs
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val sdocs = syntheticDocs(n)
+      val labeled = sdocs.withColumn("lbl", pmod(col("id"), lit(16L)).cast("string"))
+      time(s"r4d-chi2-$n")(
+        operators.TextAnalysis.chiSquareTokens(labeled, "id", "text", "lbl",
+          topK = 100).count())
+      time(s"r4d-chi2-mindf2-$n")(
+        operators.TextAnalysis.chiSquareTokens(labeled, "id", "text", "lbl",
+          topK = 100, minDf = 2L).count())
+      val grouped = sdocs.withColumn("src", pmod(col("id"), lit(8L)).cast("string"))
+      time(s"r4d-jsdiv-$n")(
+        operators.TextAnalysis.jsDivergence(grouped, "src", "text").count())
+      time(s"r4d-blocklist-literal-$n")(
+        operators.TextAnalysis.blocklistScreen(sdocs, "id", "text",
+          Seq("terms of service", "alpha 7 beta", "gamma 12")).count())
+      time(s"r4d-blocklist-join-$n")(
+        operators.TextAnalysis.blocklistScreenJoin(sdocs, "id", "text",
+          Seq("terms of service", "alpha 7 beta", "gamma 12")).count())
+      // 0.4, not 0.8: the maxBucket cut discounts the shingles shared
+      // corpus-wide (documented stopword-discount semantics), so the
+      // planted full-dup pairs score 4/9 ≈ 0.44 at this n (5/9 at 1M —
+      // one more bucket survives the 256 cap there)
+      time(s"r4d-containment-$n")(
+        operators.Dedup.containmentPairs(sdocs, "id", "text",
+          k = 3, threshold = 0.4).count())
+      time(s"r4d-compression-$n")(
+        sdocs.select(operators.TextAnalysis.compressionRatio(col("text")).as("cr"))
+          .agg(avg(col("cr"))).count())
+    }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
       // fact spread over 30 date partitions, same 50k-row batch touching

@@ -587,9 +587,18 @@ object TextAnalysis {
     * (|tokens|·|labels| rows — labels are few) left-joined against the
     * counts. Label marginals are a broadcast 1-row/label frame. Top-k by
     * (χ², token) via distributed TakeOrdered — no global sort.
+    *
+    * `minDf` is the scale lever (sklearn's `min_df`, the standard
+    * feature-selection floor): a web corpus's distinct-token tail is
+    * mostly hapax noise (ids, typos) whose χ² is statistically
+    * meaningless anyway; dropping df < minDf tokens shrinks the scaffold
+    * from |tokens|·|labels| to |recurring tokens|·|labels| — measured
+    * 131 s → 31 s at 10M docs / 9.5M distinct tokens / 16 labels with
+    * minDf=2 (Perf scalellm-r4d).
     */
   def chiSquareTokens(df: DataFrame, idCol: String, textCol: String,
-                      labelCol: String, topK: Int = 100): DataFrame = {
+                      labelCol: String, topK: Int = 100,
+                      minDf: Long = 1L): DataFrame = {
     val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val post = df.select(col(idCol).as("__d"), col(labelCol).as("__l"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
@@ -598,6 +607,7 @@ object TextAnalysis {
     val nl = df.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("n_l"))
     val nTot = nl.agg(sum(col("n_l")).cast("double").as("n_all"))
     val dft = ctl.groupBy(col("token")).agg(sum(col("c")).as("df_t"))
+      .filter(col("df_t") >= minDf)
     val scaffold = dft.crossJoin(broadcast(nl)).crossJoin(broadcast(nTot))
     val cells = scaffold.join(ctl, Seq("token", "__l"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
