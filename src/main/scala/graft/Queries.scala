@@ -2501,6 +2501,57 @@ object Queries {
                COALESCE(n.n_blocked, 0) = 0 AS clean
         FROM t LEFT JOIN n ON t.doc_id = n.doc_id""")),
 
+    // ── leakage-free split under near-duplication: split assignment
+    //    hashes the near-dup CLUSTER id (q57's components), so a
+    //    paraphrase can never land in train while its twin sits in test;
+    //    singletons fall back to their own id. ──
+    Q("q108_cluster_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.resolveClusters(
+          Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.2))
+        operators.Sampling.splitByCluster(docs, "doc_id", clusters,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "cluster_id", "split")
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer),
+        cl AS (SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+               FROM cc GROUP BY id),
+        assigned AS (
+          SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+                 ('0x' || substr(md5(COALESCE(cl.cluster_id, d.doc_id)::VARCHAR
+                    || 'split'), 1, 8))::UBIGINT / 4294967296.0 AS hs
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN hs < 0.8 THEN 'train'
+                    WHEN hs < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -67,6 +67,29 @@ object Sampling {
     df.withColumn(outCol, assign)
   }
 
+  /** Leakage-free split under NEAR-duplication: assign splits by the
+    * near-dup CLUSTER id, not the document id — [[split]]'s per-key
+    * guarantee stops leaking the moment two near-identical documents
+    * carry different keys (the classic eval-contamination bug: a
+    * paraphrase of a test doc lands in train). Feed it
+    * `Dedup.resolveClusters` output; documents absent from `clusters`
+    * (singletons — pair generation only emits connected docs) fall back
+    * to their own id. Every member of a cluster hashes the same key, so
+    * a cluster can never straddle splits.
+    *
+    * Scale shape: one left join against the (doc, cluster) frame, then
+    * the same map-only hash assignment as [[split]].
+    */
+  def splitByCluster(df: DataFrame, keyCol: String, clusters: DataFrame,
+                     splits: Seq[(String, Double)], outCol: String = "split",
+                     salt: String = "split"): DataFrame = {
+    val cl = clusters.select(col("id").as(keyCol), col("cluster_id").as("__cl"))
+    val withKey = df.join(cl, Seq(keyCol), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col(keyCol)))
+      .drop("__cl")
+    split(withKey, "cluster_id", splits, outCol, salt)
+  }
+
   /** Weighted corpus mixture: sample each source at its rate and union —
     * the "data mixing" step of corpus assembly. Sources must be
     * union-compatible by name.

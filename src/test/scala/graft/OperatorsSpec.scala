@@ -1220,6 +1220,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("cluster split: near-dup members always share a split; singletons still split") {
+    import graft.operators.{Dedup, Sampling}
+    // 30 clusters of 3 near-identical docs + 60 singletons
+    val docs = ((0 until 30).flatMap { c =>
+      (0 until 3).map { i =>
+        // cluster-specific filler — no trigram is shared ACROSS clusters
+        val base = (0 to 7).map(j => s"c${c}w$j").mkString(" ")
+        ((c * 3 + i).toLong, if (i == 0) base else base + s" tail$i")
+      }
+    } ++ (0 until 60).map { i =>
+      ((100 + i).toLong, (0 to 7).map(j => s"u${i}w$j").mkString(" "))
+    }).toDF("doc_id", "text")
+    val clusters = Dedup.resolveClusters(
+      Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.2))
+    val out = Sampling.splitByCluster(docs, "doc_id", clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every cluster is entirely inside ONE split
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .collect().map(_.getAs[Long]("n_splits"))
+    assert(perCluster.forall(_ == 1L))
+    // all docs assigned, and more than one split is actually used
+    assert(out.count() == docs.count())
+    assert(out.select($"split").distinct().count() >= 2)
+    // the 3-doc clusters really did cluster (not vacuous)
+    assert(out.groupBy($"cluster_id").count().filter($"count" === 3).count() == 30)
+  }
+
   test("new SQL functions: deflate_ratio, quantize_int8, bpe_merge register and run") {
     graft.functions.GraftExtensions.register(spark)
     val row = spark.sql("""
