@@ -2552,6 +2552,30 @@ object Queries {
                     ELSE 'test' END AS split
         FROM assigned""")),
 
+    // ── ordered funnel: view → click → purchase per user, each stage
+    //    strictly after the previous stage's reached time; per stage one
+    //    pushed-filter scan + one key join + one min agg — no windows, no
+    //    per-key sorting. Micro-second compare on both engines. ──
+    Q("q109_funnel",
+      (s, d) => operators.Funnel.funnel(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        f1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN f1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        f3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN f2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        SELECT f1.user_id, t1, t2, t3,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         ELSE 1 END AS INTEGER) AS stage_reached
+        FROM f1
+        LEFT JOIN f2 ON f1.user_id = f2.user_id
+        LEFT JOIN f3 ON f1.user_id = f3.user_id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

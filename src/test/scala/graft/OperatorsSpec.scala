@@ -1220,6 +1220,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("funnel: strict ordering gates each stage; out-of-order events don't convert") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:01:00")),
+      (1L, "purchase", ts("2024-01-01 00:02:00")),
+      // user 2: purchase BEFORE view/click → only stage 2
+      (2L, "purchase", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:01:00")),
+      (2L, "click", ts("2024-01-01 00:02:00")),
+      // user 3: click exactly AT the view time → strict > fails, stage 1
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      // user 4: never viewed → absent
+      (4L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("stage_reached")).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    // earliest-qualifying times: user 1's funnel timestamps ascend strictly
+    val u1 = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .filter($"user_id" === 1L).head()
+    assert(u1.getLong(1) < u1.getLong(2) && u1.getLong(2) < u1.getLong(3))
+  }
+
   test("cluster split: near-dup members always share a split; singletons still split") {
     import graft.operators.{Dedup, Sampling}
     // 30 clusters of 3 near-identical docs + 60 singletons
