@@ -2576,6 +2576,35 @@ object Queries {
         LEFT JOIN f2 ON f1.user_id = f2.user_id
         LEFT JOIN f3 ON f1.user_id = f3.user_id""")),
 
+    // ── weekly retention cohorts: cohort = ISO week of a user's first
+    //    event, cell (cohort, weeks-since) = distinct active users — two
+    //    hash aggs + one key join, the standard retention matrix. ──
+    Q("q110_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+        val active = ev.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+        active.join(cohort, Seq("user_id"))
+          .withColumn("week_offset",
+            (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""
+        WITH cohort AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY 1),
+        active AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
