@@ -2605,6 +2605,68 @@ object Queries {
         FROM active a JOIN cohort c ON a.user_id = c.user_id
         GROUP BY 1, 2""")),
 
+    // ── A/B experiment readout: deterministic hash assignment (the same
+    //    md5 recipe as every sampler), per-variant conversion to
+    //    'purchase', pooled two-proportion z-score — one user-level agg,
+    //    one variant agg, one-row combine; z rounds to 6 for the exact
+    //    cross-engine compare. ──
+    Q("q111_ab_test",
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          // conversion = any HIGH-VALUE purchase — partial conversion at
+          // every SF (plain "any purchase" saturates: pooled rate 1.0 has
+          // zero variance and an undefined z)
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0,
+            1L).otherwise(0L)).as("converted"))
+          .withColumn("variant",
+            when(operators.Sampling.hashFraction(col("user_id"), "ab") < 0.5, "A")
+              .otherwise("B"))
+        val byVariant = perUser.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        val a = byVariant.filter(col("variant") === "A")
+          .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        val b = byVariant.filter(col("variant") === "B")
+          .select(col("n").as("n_b"), col("conv").as("conv_b"))
+        a.crossJoin(b)
+          .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+          .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+          .withColumn("pooled",
+            (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+          // pooled 0 or 1 → zero variance → z undefined; report 0 (no
+          // evidence of difference) instead of dividing by zero
+          .withColumn("z", when(col("pooled") === 0.0 || col("pooled") === 1.0, 0.0)
+            .otherwise(floor((col("rate_a") - col("rate_b")) /
+              sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))) * 1e6 + 0.5) / 1e6))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            col("rate_a"), col("rate_b"), col("z"))
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' AND value > 90.0
+                          THEN 1 ELSE 0 END) AS converted,
+                 CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 8))::UBIGINT
+                        / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS variant
+          FROM events GROUP BY 1),
+        bv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(converted) AS BIGINT) AS conv
+               FROM pu GROUP BY 1),
+        a AS (SELECT n AS n_a, conv AS conv_a FROM bv WHERE variant = 'A'),
+        b AS (SELECT n AS n_b, conv AS conv_b FROM bv WHERE variant = 'B')
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+               CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+               CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) IN (0.0, 1.0)
+                    THEN 0.0
+                    ELSE floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+                      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                        (1.0 / n_a + 1.0 / n_b)) * 1000000 + 0.5) / 1000000
+               END AS z
+        FROM a CROSS JOIN b""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
