@@ -2667,6 +2667,51 @@ object Queries {
                END AS z
         FROM a CROSS JOIN b""")),
 
+    // ── event co-occurrence lift (market-basket pairs): distinct
+    //    (user, type) → self-join on the user (fan-out bounded by the
+    //    tiny type count) → pair support + lift vs independence; lift
+    //    rounds to 6 for the exact compare. ──
+    Q("q112_event_lift",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = Tables.events(s, d)
+          .agg(countDistinct(col("user_id")).cast("double").as("n_users"))
+        val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+        ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(marg.select(col("event_type").as("type_a"), col("n_t").as("n_a")),
+            Seq("type_a"))
+          .join(marg.select(col("event_type").as("type_b"), col("n_t").as("n_b")),
+            Seq("type_b"))
+          .crossJoin(broadcast(nUsers))
+          .withColumn("lift", floor(col("n_both").cast("double") * col("n_users") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) * 1e6 + 0.5) / 1e6)
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            col("n_a"), col("n_b"), col("lift"))
+      },
+      Some("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+        marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_both, ma.n_t AS n_a, mb.n_t AS n_b,
+               floor(CAST(n_both AS DOUBLE) * n_users /
+                 (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)) * 1000000 + 0.5)
+                 / 1000000 AS lift
+        FROM pairs
+        JOIN marg ma ON ma.event_type = type_a
+        JOIN marg mb ON mb.event_type = type_b, n""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
