@@ -340,6 +340,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("funnel: no windows, no global sort — filtered scans, key joins, min aggs only") {
+    val p = plan("q109_funnel")
+    assert(!p.contains("Window"), p)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("retention cohorts and event lift: hash joins and aggs, nothing quadratic") {
+    Seq("q110_retention_cohorts", "q112_event_lift").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), s"$q: $p")
+    }
+  }
+
   test("retention curve: one aggregation pass, grid unpivot above it") {
     val p = plan("q98_retention_curve")
     // one exchange for the group-by; the explode (Generate) must sit ABOVE
