@@ -401,6 +401,47 @@ object Perf {
         sdocs.select(operators.TextAnalysis.compressionRatio(col("text")).as("cr"))
           .agg(avg(col("cr"))).count())
     }
+    if (what == "scalellm-r4e") {
+      // analyst-tier stress: funnel / cohorts / lift / rolling WAU over
+      // 10M events, 1M users, 5 types, 90 days
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val types = array(lit("view"), lit("click"), lit("purchase"),
+        lit("signup"), lit("error"))
+      val ev = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("user_id"),
+        element_at(types, (pmod(xxhash64(col("id"), lit(5L)), lit(5L)) + 1).cast("int"))
+          .as("event_type"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit(7L)), lit(90L * 86400L))).as("ts"))
+      time(s"r4e-funnel-$n")(
+        operators.Funnel.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).count())
+      time(s"r4e-cohorts-$n") {
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+        val active = ev.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+        active.join(cohort, Seq("user_id"))
+          .withColumn("week_offset",
+            (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active")).count()
+      }
+      time(s"r4e-event-lift-$n") {
+        val ut = ev.select(col("user_id"), col("event_type")).distinct()
+        ut.select(col("user_id"), col("event_type").as("a"))
+          .join(ut.select(col("user_id"), col("event_type").as("b")), Seq("user_id"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1))).count()
+      }
+      time(s"r4e-rolling-wau-$n") {
+        val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        ud.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("we"))
+          .distinct().groupBy(col("we"))
+          .agg(countDistinct(col("user_id"))).count()
+      }
+    }
     if (what == "sinks") {
       // per-micro-batch merge cost of the three sink tiers, same 5M-row
       // fact spread over 30 date partitions, same 50k-row batch touching

@@ -2712,6 +2712,29 @@ object Queries {
         JOIN marg ma ON ma.event_type = type_a
         JOIN marg mb ON mb.event_type = type_b, n""")),
 
+    // ── rolling 7-day active users (WAU): each (user, day) covers the 7
+    //    window-ends it belongs to — a ×7 explode of the DAY-level frame
+    //    (already distinct-collapsed, so amplification is bounded by the
+    //    calendar, not the event count), then one distinct count. ──
+    Q("q113_rolling_wau",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        ud.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("window_end"))
+          .distinct()
+          .groupBy(col("window_end"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cover AS (
+          SELECT DISTINCT user_id, CAST(u.w AS DATE) AS window_end
+          FROM ud, LATERAL (SELECT unnest(generate_series(day, day + 6,
+            INTERVAL 1 DAY)) AS w) u)
+        SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM cover GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
