@@ -11,7 +11,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the one-line JSON result below must be the only
+    // thing this main emits near shutdown — a WARN between it and process
+    // exit can push it out of the driver's bounded output capture
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: session/codegen/file-index init otherwise lands on
     // whichever query happens to run first and skews its number
     Tables.names.foreach { n =>
@@ -44,10 +47,15 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond resolution keeps the line ~3× shorter than raw doubles —
+    // the full 113-query map must survive the driver's bounded tail capture
+    // intact (round 4 lost q01–q38 to truncation)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

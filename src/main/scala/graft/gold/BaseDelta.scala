@@ -78,9 +78,14 @@ object BaseDelta {
   }
 
   /** Committed table state: base generation (0 = no compacted base yet /
-    * legacy flat base) + live delta batch ids.
+    * legacy flat base) + live delta batch ids. `foldedThrough` is the
+    * highest batch id ever folded into a base by `compact` — the time-
+    * travel floor: as-of points below it are not separable from the fold
+    * state, and `readAt` refuses them rather than silently serving newer
+    * data (None on tables that never compacted, or pre-upgrade manifests).
     */
-  case class Manifest(generation: Long, deltas: Seq[Long])
+  case class Manifest(generation: Long, deltas: Seq[Long],
+                      foldedThrough: Option[Long] = None)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,7 +129,9 @@ object BaseDelta {
       val ds = "\"deltas\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
         .getOrElse(sys.error(s"corrupt manifest ${manifestFile(t, v)}: $s"))
         .group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-      Manifest(gen, ds)
+      val folded = "\"folded_through\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+      Manifest(gen, ds, folded)
     }
 
   /** Commit a manifest as the next version file (see readManifest for the
@@ -138,8 +145,10 @@ object BaseDelta {
     val next = versions.lastOption.getOrElse(0L) + 1
     val tmp = new Path(t.manifestRoot, f".v$next%020d.tmp")
     val out = f.create(tmp, true)
+    val foldedJson = m.foldedThrough.map(b => s""","folded_through":$b""").getOrElse("")
     try out.write(
-      s"""{"generation":${m.generation},"deltas":[${m.deltas.sorted.mkString(",")}]}"""
+      (s"""{"generation":${m.generation},"deltas":[${m.deltas.sorted.mkString(",")}]""" +
+        foldedJson + "}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     f.rename(tmp, manifestFile(t, next))
@@ -260,14 +269,27 @@ object BaseDelta {
     * monotonically). Same plan shape as [[read]].
     *
     * Retention bound (the VACUUM compromise every base+delta format
-    * makes): a compaction FOLDS deltas into the base, so as-of points at
-    * or before the last fold all resolve to the fold state — history
-    * inside the base is not separable. Usable as-of window = everything
-    * since the last compaction; size it via `maxDeltas` (a larger window
-    * costs read amplification, not write cost).
+    * makes): a compaction FOLDS deltas into the base, so history inside
+    * the base is not separable. The manifest records the fold boundary
+    * (`folded_through` = highest batch id ever folded), and an `asOfBatch`
+    * BELOW it throws rather than silently serving the newer fold state —
+    * the same contract as Delta/Iceberg failing on a vacuumed version.
+    * `asOfBatch == folded_through` is exactly the fold state and is
+    * served. Usable as-of window = everything since the last compaction;
+    * size it via `maxDeltas` (a larger window costs read amplification,
+    * not write cost). Probe the floor first via [[timeTravelFloor]].
+    * Pre-upgrade manifests (no recorded boundary) keep the old silent-
+    * floor behavior — the floor is simply unknown.
     */
   def readAt(spark: SparkSession, t: Table, asOfBatch: Long,
              allowSchemaEvolution: Boolean = false): DataFrame = {
+    timeTravelFloor(spark, t).foreach { floor =>
+      require(asOfBatch >= floor,
+        s"BaseDelta.readAt: asOfBatch $asOfBatch predates the compaction " +
+          s"fold boundary $floor at ${t.path} — that state was folded into " +
+          s"the base and is no longer separable (compact less often or " +
+          s"raise maxDeltas to widen the time-travel window)")
+    }
     val (baseOpt, deltaIds) = resolveSnapshot(spark, t)
     val visible = deltaIds.filter(_ <= asOfBatch)
     val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
@@ -283,6 +305,14 @@ object BaseDelta {
       case None => merged
     }
   }
+
+  /** The oldest batch id `readAt` can still separate, if known: the max
+    * batch id ever folded into a base. None = never compacted under the
+    * manifest protocol (every batch is separable) or a pre-upgrade
+    * manifest (floor unknown — `readAt` then floors silently, as before).
+    */
+  def timeTravelFloor(spark: SparkSession, t: Table): Option[Long] =
+    readManifest(spark, t).flatMap(_.foldedThrough)
 
   /** Fold live deltas into base generation N+1 and commit via the manifest.
     * Tombstoned keys are physically removed here. Retention: the previous
@@ -307,7 +337,12 @@ object BaseDelta {
     if (f.exists(newBase)) f.delete(newBase, true)  // crashed earlier attempt
     read(spark, t, allowSchemaEvolution)
       .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
-    writeManifest(spark, t, Manifest(gen + 1, Seq.empty))  // ← commit point
+    // fold boundary: everything up to the highest live batch is now
+    // inseparable from the base — recorded so readAt can refuse, monotone
+    // across compactions (a fold can only raise the floor)
+    val folded = (mOpt.flatMap(_.foldedThrough).toSeq ++ live).max
+    writeManifest(spark, t,
+      Manifest(gen + 1, Seq.empty, Some(folded)))  // ← commit point
     // retire everything no longer referenced by the PREVIOUS generation:
     // readers may still hold (gen, live); older state is unreachable
     if (gen >= 1) {

@@ -209,50 +209,69 @@ object Dedup {
     * round, so convergence is O(log diameter): dense near-dup families
     * finish in 2–3 rounds and even a chain-shaped cluster of a million
     * versions fits comfortably inside the default `maxIter`. The
-    * driver-side loop does ONLY convergence control (one count per round —
-    * the same shape as GraphX/Pregel iteration), never data.
+    * driver-side loop does ONLY convergence control, never data — and the
+    * convergence signal rides the round's own plan: the pre-jump label is
+    * tagged through the min-aggregation, so "did anything change" is a
+    * column in the checkpointed frame and costs one scan of the already-
+    * materialized blocks, not an extra join+count pass per round.
+    *
+    * `reliableCheckpoint = true` switches the per-round truncation from
+    * `localCheckpoint` (executor-local blocks — fast, but a lost executor
+    * kills the lineage mid-run) to reliable `checkpoint` files; callers
+    * must have set `sc.setCheckpointDir` to a fault-tolerant path. That is
+    * the right trade on a 1000-executor cluster where a multi-hour
+    * clustering job should survive preemption.
     */
   def resolveClusters(pairs: DataFrame, aCol: String = "id_a",
-                      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                      bCol: String = "id_b", maxIter: Int = 20,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each round's result is localCheckpoint'ed (eager): iterative plans
+    // each round's result is checkpoint'ed (eager): iterative plans
     // otherwise embed the previous round's lineage 2-3× per iteration —
     // an exponentially growing logical plan that blows up analysis and
     // the per-action plan-string rendering long before data does. This is
-    // the standard Pregel-loop shape; on a multi-node cluster prefer
-    // `sc.setCheckpointDir` + reliable checkpoints for fault tolerance
-    // (localCheckpoint blocks die with an executor).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+    // the standard Pregel-loop shape.
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
     try {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // each node adopts the min of its own and its neighbors' labels…
+        // each node adopts the min of its own and its neighbors' labels;
+        // the node's OWN pre-round label rides the same aggregation under
+        // a tag (each id has exactly one own row, so min(own) = old) —
+        // that is what lets the convergence check below read a column
+        // instead of re-joining against the previous round
         val proposals = edges
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("cluster_id"))
-        val propagated = labels.unionByName(proposals)
-          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        val propagated = labels.withColumn("__own", lit(true))
+          .unionByName(proposals.withColumn("__own", lit(false)))
+          .groupBy(col("id"))
+          .agg(min(col("cluster_id")).as("cluster_id"),
+            min(when(col("__own"), col("cluster_id"))).as("__old"))
         // …then jumps to its label's label (pointer doubling): labels are
         // monotone (label(x) <= x), so the jump only improves, and the
         // effective distance to the cluster minimum halves per round —
         // O(log diameter) rounds instead of O(diameter), which is what
         // lets maxIter=20 cover even chain-shaped clusters of ~10⁶ docs
-        val next = propagated
+        val next = truncate(propagated
           .join(propagated
               .select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
             Seq("cluster_id"))
-          .select(col("id"), col("__jump").as("cluster_id"))
-          .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-          .filter(col("cluster_id") =!= col("old")).count()
-        labels = next
-        converged = changed == 0
+          .select(col("id"), col("__jump").as("cluster_id"),
+            (col("__jump") =!= col("__old")).as("__chg")))
+        // one cheap scan over the blocks the checkpoint just materialized —
+        // no join, no recompute
+        val changed = next
+          .agg(coalesce(sum(col("__chg").cast("long")), lit(0L))).head.getLong(0)
+        labels = next.drop("__chg")
+        converged = changed == 0L
         iter += 1
       }
       require(converged, s"resolveClusters did not converge in $maxIter iterations")
@@ -522,8 +541,11 @@ object Dedup {
     *
     * Same inverted-index plan as [[ngramJaccard]]'s counting path — one
     * shuffle on 64-bit shingle hashes, `maxBucket` hot-bucket economics,
-    * co-occurrence counting, no verification join. Emits both directed
-    * containments plus the symmetric max.
+    * co-occurrence counting, no verification join. Output is
+    * (id_a, id_b, n_a, n_b, n_shared, containment): the symmetric max
+    * `n_shared / min(n_a, n_b)` is thresholded, and the per-side set
+    * sizes are kept so both directed containments (`n_shared / n_a`,
+    * `n_shared / n_b`) are recoverable downstream.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, threshold: Double = 0.8,
@@ -541,7 +563,9 @@ object Dedup {
       .withColumn("containment",
         col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("containment"))
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("n_shared"), col("containment"))
   }
 
   /** Sparse tf·idf cosine pair similarity: document pairs whose
@@ -557,8 +581,14 @@ object Dedup {
     * engines, the q56/q58/q67 precedent), so norms and dots are exact
     * BIGINT sums (order-independent); the final cosine divides exact
     * longs in double and rounds to 6 decimals before the threshold.
-    * Range: Σw² stays far under 2^63 for any document under ~10⁶ tokens
-    * regardless of corpus size (w ≤ tf·ln(N)·10³).
+    * Overflow contract: per-doc norms Σw² are computed in DECIMAL(38,0)
+    * (exact at any magnitude; a per-doc aggregation, off the pair-join
+    * hot path) and the operator RAISES if any doc's Σw² exceeds 2⁶²
+    * instead of wrapping — a doc that hot needs ~10⁵+ copies of one
+    * shingle, a repetition artifact to clean upstream, not score. Below
+    * that bound every long product and partial sum in the dot path is
+    * safe by Cauchy–Schwarz (w_a·w_b ≤ max(w_a², w_b²) ≤ Σw² and
+    * Σ w_a·w_b ≤ √(Σw_a²·Σw_b²), all weights non-negative).
     *
     * Scale shape: the inverted-index plan — postings shuffle on 64-bit
     * shingle hashes (never shingle text), document frequencies prune
@@ -586,7 +616,17 @@ object Dedup {
     val w = tf.join(dfreq, Seq("t")).crossJoin(broadcast(nd))
       .withColumn("w", floor(col("tf") * log(col("nd") / col("df")) * 1e3 + 0.5)
         .cast("long"))
-    val norms = w.groupBy(col("id")).agg(sum(col("w") * col("w")).as("nsq"))
+    // exact decimal norm + loud overflow guard — see the scaladoc contract
+    val wDec = col("w").cast("decimal(19,0)")
+    val norms = w.groupBy(col("id"))
+      .agg(sum(wDec * wDec).as("__nsq_dec"))
+      .withColumn("nsq", when(col("__nsq_dec") <= lit(1L << 62),
+          col("__nsq_dec").cast("long"))
+        .otherwise(raise_error(concat(
+          lit("tfidfCosinePairs: Σw² overflow for doc id="), col("id").cast("string"),
+          lit(" (norm "), col("__nsq_dec").cast("string"),
+          lit(" > 2^62) — pathologically repetitive document; dedup/clean it upstream")))))
+      .select(col("id"), col("nsq"))
       .filter(col("nsq") > 0)
     val dots = w.select(col("id").as("id_a"), col("t"), col("w").as("w_a"))
       .join(w.select(col("id").as("id_b"), col("t"), col("w").as("w_b")), Seq("t"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
@@ -25,21 +25,58 @@ import org.apache.spark.unsafe.types.UTF8String
   * any distance is computed, and the O(len²) verify runs only on
   * survivors. Block granularity is the user's skew lever: pair cost is
   * Σ|block|², so blocks should be chosen ~thousands of rows, the same
-  * sizing discipline as [[Dedup]]'s LSH buckets.
+  * sizing discipline as [[Dedup]]'s LSH buckets — and, exactly like
+  * those buckets, blocks larger than `maxBlock` are dropped WHOLE
+  * (document-frequency prune): a block the size of a whole region
+  * carries no linkage signal, only quadratic pair cost. The drop is
+  * observable via the `audit` hook (`dropped_blocks`/`total_blocks`),
+  * so a mis-sized block key fails loudly in monitoring rather than
+  * silently stalling the cluster.
   */
 object Linkage {
 
+  /** Default block-size cut. Blocks are USER-CHOSEN keys sized
+    * ~thousands (unlike [[Dedup.DefaultMaxBucket]]'s feature buckets at
+    * 256), so the default admits well-sized blocks and only cuts the
+    * pathological tail: 4096² / 2 ≈ 8.4M pairs is the most one surviving
+    * block may fan out — bounded work per block, no matter how skewed
+    * the key. The pre-join size scan shuffles block KEYS only (map-side
+    * combined counts), never rows.
+    */
+  val DefaultMaxBlock: Int = 4096
+
   /** All within-block pairs (id_a < id_b) whose `strCol` values are
-    * within `maxDist` Levenshtein edits.
+    * within `maxDist` Levenshtein edits. Blocks with more than
+    * `maxBlock` members are dropped whole (see object scaladoc); below
+    * the cap the result is identical to the uncapped join.
     */
   def fuzzyPairsBlocked(df: DataFrame, idCol: String, strCol: String,
-                        blockCols: Seq[String], maxDist: Int): DataFrame = {
+                        blockCols: Seq[String], maxDist: Int,
+                        maxBlock: Int = DefaultMaxBlock,
+                        audit: Option[Observation] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     require(blockCols.nonEmpty,
       "blockCols must be non-empty: unblocked fuzzy join is all-pairs")
-    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a")
+    // block-size scan: count per block key (keys only move — map-side
+    // combine), keep blocks with 2..maxBlock members. Singleton blocks
+    // can't pair and oversized blocks are template artifacts; both are
+    // cut BEFORE the self-join so Σ|block|² is bounded by construction.
+    val sizes = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val observed = audit match {
+      case Some(obs) => sizes.observe(obs,
+        sum(when(col("__bn") > maxBlock, 1L).otherwise(0L)).as("dropped_blocks"),
+        count(lit(1)).as("total_blocks"))
+      case None => sizes
+    }
+    val keep = observed
+      .filter(col("__bn") > 1 && col("__bn") <= maxBlock)
+      .select(blockCols.map(col): _*)
+    val pruned = df.join(keep, blockCols, "left_semi")
+    val a = pruned.select(blockCols.map(col) :+ col(idCol).as("id_a")
       :+ col(strCol).as("s_a"): _*)
-    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b")
+    val b = pruned.select(blockCols.map(col) :+ col(idCol).as("id_b")
       :+ col(strCol).as("s_b"): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))

@@ -84,6 +84,13 @@ object RangeJoin {
     * buckets instead of the nested loop Spark plans for the bare
     * conjunction.
     *
+    * Malformed rows with `hi < lo` are treated as EMPTY intervals and
+    * excluded from both sides — even though a few of them (e.g. a=[5,3]
+    * vs b=[0,10]) would satisfy the raw conjunction above. An inverted
+    * interval overlaps nothing under interval semantics; callers who mean
+    * the bare conjunction on unordered endpoint pairs should normalize
+    * with least/greatest first.
+    *
     * Both sides explode into the buckets they cover; a pair that overlaps
     * shares every bucket its overlap region touches, so to emit it ONCE
     * the residual keeps only the bucket containing the overlap START

@@ -63,13 +63,24 @@ class BaseDeltaSpec extends SparkSpec {
     // a future as-of point sees the latest state
     assert(snap(BaseDelta.readAt(spark, table, 99L)) ==
       snap(BaseDelta.read(spark, table)))
-    // compaction folds history: pre-fold as-of points floor to the fold state
+    // compaction folds history THROUGH batch 2: the manifest records the
+    // boundary, as-of points below it now throw instead of silently
+    // serving the fold state; the boundary itself is the fold state
+    assert(BaseDelta.timeTravelFloor(spark, table).isEmpty) // never compacted
     BaseDelta.compact(spark, table)
     BaseDelta.append(spark, table, Seq((1L, "a3", 3)).toDF("id", "v", "ver"), 3L)
+    assert(BaseDelta.timeTravelFloor(spark, table) == Some(2L))
     assert(snap(BaseDelta.readAt(spark, table, 2L)) ==
       Map(1L -> (("a2", 2)), 2L -> (("b2", 2)), 3L -> (("c1", 1))))
     assert(snap(BaseDelta.readAt(spark, table, 3L)) ==
       Map(1L -> (("a3", 3)), 2L -> (("b2", 2)), 3L -> (("c1", 1))))
+    val refused = intercept[IllegalArgumentException] {
+      BaseDelta.readAt(spark, table, 1L)
+    }
+    assert(refused.getMessage.contains("fold boundary 2"), refused.getMessage)
+    // the floor is monotone across further compactions
+    BaseDelta.compact(spark, table)
+    assert(BaseDelta.timeTravelFloor(spark, table) == Some(3L))
   }
 
   test("tombstones: latest op='d' hides the key; compaction removes it physically") {

@@ -1029,6 +1029,29 @@ class OperatorsSpec extends SparkSpec {
     assert(Linkage.fuzzyPairsBlocked(df, "id", "name", Seq("region"), 0).count() == 0)
   }
 
+  test("fuzzyPairsBlocked: oversized blocks dropped whole, audited; no-op below cap") {
+    import graft.operators.Linkage
+    import org.apache.spark.sql.Observation
+    // "hot" block: 6 near-identical names; "cold" block: one close pair
+    val hot = (1L to 6L).map(i => (i, s"acme corp $i", "hot"))
+    val cold = Seq((10L, "zenith llc", "cold"), (11L, "zenith llc.", "cold"))
+    val df = (hot ++ cold).toDF("id", "name", "region")
+    val obs = Observation()
+    val capped = Linkage.fuzzyPairsBlocked(df, "id", "name", Seq("region"),
+      maxDist = 2, maxBlock = 4, audit = Some(obs)).collect()
+    // the hot block (6 > 4) vanishes WHOLE; the cold pair survives
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
+    assert(obs.get("dropped_blocks") == 1L, obs.get)
+    assert(obs.get("total_blocks") == 2L, obs.get)
+    // below the cap the result is identical to the uncapped join
+    val uncapped = Linkage.fuzzyPairsBlocked(df, "id", "name", Seq("region"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val roomy = Linkage.fuzzyPairsBlocked(df, "id", "name", Seq("region"),
+      maxDist = 2, maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(roomy == uncapped && uncapped.size > 1)
+  }
+
   test("sampleN: exactly n per stratum, short strata survive whole, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Sampling.sampleN(docs, "doc_id", "lang", n = 7)
@@ -1370,10 +1393,15 @@ class OperatorsSpec extends SparkSpec {
     val snippet = (10 to 16).map(i => s"w$i").mkString(" ") // 5 shingles, all in page
     val docs = Seq((1L, page), (2L, snippet), (3L, "x y z q r")).toDF("doc_id", "text")
     val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getDouble(3)))).toMap
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("containment")))).toMap
     assert(got.keySet == Set((1L, 2L)))
-    assert(got((1L, 2L)) == ((5L, 1.0)))
+    val (nA, nB, nShared, cont) = got((1L, 2L))
+    assert((nA, nB, nShared, cont) == ((58L, 5L, 5L, 1.0)))
+    // both DIRECTED containments are recoverable from the per-side sizes
+    assert(nShared.toDouble / nB == 1.0)                 // snippet ⊆ page
+    assert(nShared.toDouble / nA < 0.1)                  // page ⊄ snippet
     // the same pair is invisible to Jaccard at any usable threshold
     val jac = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.2)
     assert(jac.count() == 0)

@@ -355,6 +355,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy linkage: maxBlock semi-join prune below the self-join, nothing quadratic") {
+    val p = plan("q79_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the block-size df-cut must reach the plan as a semi-join against the
+    // surviving block keys — that is what bounds Σ|block|² by construction
+    assert(p.contains("LeftSemi"), p)
+    // the banded verify runs as the native codegen'd expression, not a UDF
+    assert(p.toLowerCase.contains("levwithin"), p)
+  }
+
   test("retention curve: one aggregation pass, grid unpivot above it") {
     val p = plan("q98_retention_curve")
     // one exchange for the group-by; the explode (Generate) must sit ABOVE
