@@ -220,6 +220,38 @@ object Perf {
           operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
             bands = 8, rowsPerBand = 4, minEstJaccard = 0.9)).count())
     }
+    if (what == "scalellm-r5") {
+      // round-5 stress: (1) fuzzy linkage on a pathologically skewed block
+      // key — 25 blocks over n rows is Σ(n/25)² pair work uncapped, a
+      // scale-killer; with the maxBlock df-cut every block drops WHOLE
+      // (audited) and the run is a fast key scan; (2) the q79-shaped
+      // composite key (nation, name-prefix) — block sizes bounded by the
+      // key, pair work linear in n·|block|; (3) resolveClusters at 10M
+      // docs after the convergence-fold (round-4 measurement: 104 s).
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val nL = math.min(n, 1000000L)
+      val named = spark.range(nL).select(col("id"),
+        concat(lit("Customer#"), lpad(col("id").cast("string"), 12, "0")).as("name"),
+        pmod(col("id"), lit(25L)).as("nation"))
+        .withColumn("pfx", substring(col("name"), 1, 17))
+      val obs = org.apache.spark.sql.Observation()
+      time(s"linkage-skew-capped-$nL") {
+        operators.Linkage.fuzzyPairsBlocked(named, "id", "name",
+          Seq("nation"), maxDist = 2, audit = Some(obs)).count()
+      }
+      // all 25 blocks exceed the cap → empty result; AQE collapses the
+      // empty plan before CollectMetrics reports, so an empty map IS the
+      // all-dropped signal (Linkage scaladoc)
+      println(s"PERF linkage-skew audit (empty map = every block dropped): ${obs.get}")
+      time(s"linkage-composite-$nL") {
+        operators.Linkage.fuzzyPairsBlocked(named, "id", "name",
+          Seq("nation", "pfx"), maxDist = 2).count()
+      }
+      time(s"clusters-fold-$n")(
+        operators.Dedup.resolveClusters(
+          operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
+            bands = 8, rowsPerBand = 4, minEstJaccard = 0.9)).count())
+    }
     if (what == "scalellm") {
       // 10M-doc / 10M-vector stress of the LLM-pipeline operators — the
       // same linear-plan evidence `scale` gives the CDC operators.

@@ -630,6 +630,19 @@ object Queries {
       },
       None),
 
+    // ── the composed 100 TB ANN shape: IVF coarse routing → PQ-ADC code
+    //    scan within probed cells → exact re-rank of the shortlist.
+    //    Recall<1 by design, no oracle — recall vs brute force + plan
+    //    shape asserted in OperatorsSpec/PlanSpec ──
+    Q("q115_ivf_pq_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+          m = 8, kCodes = 16, shortlist = 64)
+      },
+      None),
+
     // ── §2.1 rows 8-9: table registry + view materialization + SQL API ──
     Q("q30_sql_views",
       (s, d) => {
@@ -2755,6 +2768,62 @@ object Queries {
             INTERVAL 1 DAY)) AS w) u)
         SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
         FROM cover GROUP BY 1""")),
+
+    // ── DECIMAL(18,2) money fidelity end-to-end (reference
+    //    schema.sql:17,27): silver re-types the double wire values as
+    //    exact cents, per-line discount/tax round to cents (banking
+    //    semantics: money rounds at each line item, not at the total),
+    //    and the fact rollup SUMs stay DECIMAL to the output — no double
+    //    anywhere past the staging boundary, so the result is bit-exact
+    //    and order-independent across engines. Oracle uses ROUND (half
+    //    away from zero = Spark's HALF_UP cast on non-negative amounts);
+    //    DuckDB's own narrowing decimal CAST truncates. ──
+    Q("q114_decimal_money",
+      (s, d) => {
+        val li = Staging.moneyStaging(
+          s.read.parquet(s"$d/lineitem.parquet")
+            .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax"),
+          amountCols = Seq("l_extendedprice"),
+          rateCols = Seq("l_discount", "l_tax"))
+          .withColumn("disc_amt",
+            (col("l_extendedprice") * col("l_discount")).cast("decimal(18,2)"))
+          .withColumn("tax_amt",
+            ((col("l_extendedprice") - col("disc_amt")) * col("l_tax"))
+              .cast("decimal(18,2)"))
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select("c_custkey", "c_mktsegment")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(col("l_extendedprice")).cast("decimal(18,2)").as("sum_base"),
+            sum(col("l_extendedprice") - col("disc_amt") + col("tax_amt"))
+              .cast("decimal(18,2)").as("sum_charge"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+                 CAST(l_discount AS DECIMAL(4,2)) AS disc,
+                 CAST(l_tax AS DECIMAL(4,2)) AS tax
+          FROM lineitem),
+        amt AS (
+          SELECT l_orderkey, price,
+                 CAST(ROUND(price * disc, 2) AS DECIMAL(18,2)) AS disc_amt,
+                 CAST(ROUND((price - CAST(ROUND(price * disc, 2) AS DECIMAL(18,2)))
+                   * tax, 2) AS DECIMAL(18,2)) AS tax_amt
+          FROM li)
+        SELECT c_mktsegment,
+               CAST(SUM(price) AS DECIMAL(18,2)) AS sum_base,
+               CAST(SUM(price - disc_amt + tax_amt) AS DECIMAL(18,2)) AS sum_charge,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM amt
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""")),
 
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",

@@ -31,8 +31,13 @@ object Envelope {
     * declares but silently drops (readme.md:69 vs kafka_to_minio.py:67-70).
     * Updates never fall back to `before` (their after-image nulls are
     * legitimate values).
+    *
+    * `passthrough` columns of the raw frame (e.g. the Kafka `topic` for
+    * multi-topic routing) are carried into the output unchanged, ahead of
+    * the envelope columns.
     */
-  def parse(raw: DataFrame, valueCol: String, afterSchema: StructType): DataFrame = {
+  def parse(raw: DataFrame, valueCol: String, afterSchema: StructType,
+            passthrough: Seq[String] = Nil): DataFrame = {
     val env = graft.model.Schemas.envelope(afterSchema)
       .add(CorruptCol, org.apache.spark.sql.types.StringType)
     val isDelete = col("e.payload.op") === lit("d") && col("e.payload.after").isNull
@@ -41,7 +46,8 @@ object Envelope {
         col(valueCol), env,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
       .select(
-        (afterSchema.fieldNames.toSeq.map(f =>
+        (passthrough.map(col) ++
+          afterSchema.fieldNames.toSeq.map(f =>
           when(isDelete, col(s"e.payload.before.$f"))
             .otherwise(col(s"e.payload.after.$f")).as(f)) ++
           Seq(

@@ -210,10 +210,12 @@ object Dedup {
     * finish in 2–3 rounds and even a chain-shaped cluster of a million
     * versions fits comfortably inside the default `maxIter`. The
     * driver-side loop does ONLY convergence control, never data — and the
-    * convergence signal rides the round's own plan: the pre-jump label is
-    * tagged through the min-aggregation, so "did anything change" is a
-    * column in the checkpointed frame and costs one scan of the already-
-    * materialized blocks, not an extra join+count pass per round.
+    * convergence check is one tiny aggregate over the blocks the round's
+    * checkpoint just materialized, not an extra join+count pass: labels
+    * are MONOTONE (every update is a min, so a label only ever
+    * decreases), hence a round changed something iff the exact sum of all
+    * labels strictly decreased. The sum runs in DECIMAL(38,0), exact at
+    * any id magnitude and count.
     *
     * `reliableCheckpoint = true` switches the per-round truncation from
     * `localCheckpoint` (executor-local blocks — fast, but a lost executor
@@ -236,25 +238,30 @@ object Dedup {
     // the standard Pregel-loop shape.
     def truncate(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    // exact label sum — the monotone convergence witness (see scaladoc);
+    // a cheap scan of already-checkpointed blocks, no join, no recompute
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+      .head.getDecimal(0)
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
+    var prevSum = labelSum(labels)
     try {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // each node adopts the min of its own and its neighbors' labels;
-        // the node's OWN pre-round label rides the same aggregation under
-        // a tag (each id has exactly one own row, so min(own) = old) —
-        // that is what lets the convergence check below read a column
-        // instead of re-joining against the previous round
+        // each node adopts the min of its own and its neighbors' labels…
         val proposals = edges
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .select(col("src").as("id"), col("cluster_id"))
-        val propagated = labels.withColumn("__own", lit(true))
-          .unionByName(proposals.withColumn("__own", lit(false)))
-          .groupBy(col("id"))
-          .agg(min(col("cluster_id")).as("cluster_id"),
-            min(when(col("__own"), col("cluster_id"))).as("__old"))
+        // persisted because the jump is a SELF-join: unmaterialized, the
+        // propagate join+aggregation would execute twice per round (the
+        // two join inputs are identical subtrees; exchange reuse shares
+        // only the shuffle files under them, not the aggregation work)
+        val propagated = labels.unionByName(proposals)
+          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // …then jumps to its label's label (pointer doubling): labels are
         // monotone (label(x) <= x), so the jump only improves, and the
         // effective distance to the cluster minimum halves per round —
@@ -264,14 +271,12 @@ object Dedup {
           .join(propagated
               .select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
             Seq("cluster_id"))
-          .select(col("id"), col("__jump").as("cluster_id"),
-            (col("__jump") =!= col("__old")).as("__chg")))
-        // one cheap scan over the blocks the checkpoint just materialized —
-        // no join, no recompute
-        val changed = next
-          .agg(coalesce(sum(col("__chg").cast("long")), lit(0L))).head.getLong(0)
-        labels = next.drop("__chg")
-        converged = changed == 0L
+          .select(col("id"), col("__jump").as("cluster_id")))
+        propagated.unpersist() // next is already materialized (eager checkpoint)
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0 // any change strictly lowers the sum
+        prevSum = s
+        labels = next
         iter += 1
       }
       require(converged, s"resolveClusters did not converge in $maxIter iterations")

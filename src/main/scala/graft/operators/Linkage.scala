@@ -49,6 +49,12 @@ object Linkage {
     * within `maxDist` Levenshtein edits. Blocks with more than
     * `maxBlock` members are dropped whole (see object scaladoc); below
     * the cap the result is identical to the uncapped join.
+    *
+    * Audit caveat: when EVERY block is dropped or singleton, AQE's
+    * empty-relation propagation can collapse the plan before the
+    * CollectMetrics node reports, so the Observation reads as an empty
+    * map — treat "result empty + audit empty" as the all-dropped signal
+    * (the mixed case always reports real counts; OperatorsSpec pins it).
     */
   def fuzzyPairsBlocked(df: DataFrame, idCol: String, strCol: String,
                         blockCols: Seq[String], maxDist: Int,

@@ -232,6 +232,70 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Composed IVF + PQ-ADC ANN with exact re-rank — the shape a real
+    * 100 TB vector pipeline actually runs (neither half alone is): the
+    * IVF coarse quantizer routes each query to its `nProbe` nearest
+    * cells, PQ codes are scored by additive lookup (ADC) WITHIN those
+    * cells only, and the resulting `shortlist` per query is re-ranked
+    * with exact cosine over raw vectors. Cost per query:
+    * |corpus|·nProbe/nCells code scans (each m byte-codes, not d floats)
+    * + `shortlist` exact distances — against `bruteForceTopK`'s |corpus|
+    * full-vector scans.
+    *
+    * Scale contract (plan-guarded): the corpus never shuffles for
+    * scoring. Cell routing broadcasts nCells centroids; ADC joins the
+    * code frame against BROADCAST per-query LUTs on cell_id; the exact
+    * re-rank joins raw vectors against a BROADCAST of the
+    * |Q|·shortlist-row shortlist — three broadcast joins, zero
+    * corpus-sized exchanges beyond the per-query top-k windows (which
+    * Spark 4 runs as streaming WindowGroupLimit). Recall < 1 by design,
+    * controlled by nProbe (cells missed) and shortlist (ADC
+    * quantization error recovered by the re-rank); determinism as in
+    * [[ivfTopK]]/[[Pq]] (seeded centroids, integer micro-unit ADC,
+    * id tie-breaks everywhere).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, kCodes: Int = 16, shortlist: Int = 64,
+                roundTo: Int = 6, refineIters: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val seeded = centroids(corpus, idCol, vecCol, nCells)
+    val cents =
+      if (refineIters > 0) kmeansRefine(corpus, idCol, vecCol, seeded, refineIters)
+      else seeded
+    val cb = Pq.codebookMicro(corpus, idCol, vecCol, m, kCodes)
+    // corpus side: one cell per vector + m-byte PQ codes, computed map-only
+    val codes = assignCells(corpus, cents, idCol, vecCol, nProbe = 1)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"),
+        Pq.encode(col(vecCol), cb, m, kCodes).as("__codes"))
+    // query side: nProbe cells + one ADC lookup table per query
+    val luts = assignCells(queries, cents, idCol, vecCol, nProbe = nProbe)
+      .select(col(idCol).as("query_id"), col("cell_id"),
+        Pq.lut(col(vecCol), cb, m, kCodes).as("__lut"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val short = codes.join(broadcast(luts), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", Pq.adc(col("__codes"), col("__lut"), kCodes))
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only: raw vectors stay on the scan
+    // side of two broadcast joins
+    val reranked = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-space benchmark decontamination: drop every corpus vector
     * whose cosine to ANY benchmark vector reaches `minCosine` — the
     * semantic analog of the shingle-overlap `TextAnalysis.decontaminate`

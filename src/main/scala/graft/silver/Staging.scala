@@ -69,6 +69,30 @@ object Staging {
     (clean, df.filter(coalesce(bad, lit(false))))
   }
 
+  /** DECIMAL money-fidelity staging (reference postgres/schema.sql:17,27:
+    * `balance/amount NUMERIC(18,2)`): the CDC wire format serializes money
+    * as IEEE double (`decimal.handling.mode=double`,
+    * generate_and_post_connector.py:29), which is exact for 2-dp values
+    * but makes every downstream SUM order-dependent and drift-prone.
+    * This restores the exact cents type at the silver boundary — amount
+    * columns re-type to DECIMAL(18,2) (the source schema's type), rate
+    * columns (discount/tax fractions) to DECIMAL(4,2) — so every
+    * downstream join, per-line rounding step, and aggregation is
+    * penny-exact and order-independent all the way to the fact table.
+    *
+    * Map-only (a cast per column, codegen'd, no shuffle). Overflow fails
+    * loudly under Spark 4's ANSI mode instead of truncating — a value
+    * that doesn't fit NUMERIC(18,2) is upstream corruption, not data.
+    * For streams where malformed values are expected, run
+    * [[castOrQuarantine]] with decimal targets instead.
+    */
+  def moneyStaging(df: DataFrame, amountCols: Seq[String],
+                   rateCols: Seq[String] = Nil): DataFrame = {
+    val a = amountCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("decimal(18,2)")))
+    rateCols.foldLeft(a)((d, c) => d.withColumn(c, col(c).cast("decimal(4,2)")))
+  }
+
   /** The reference's high-watermark incremental filter
     * (readme.md:144-151): keep only rows strictly newer than the sink's
     * current max. Batch form of a streaming watermark; the sink-side max is

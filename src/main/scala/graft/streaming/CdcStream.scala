@@ -51,6 +51,62 @@ object CdcStream {
     graft.cdc.Envelope.parse(raw, "value", afterSchema)
   }
 
+  /** Multi-topic production shape WITH per-topic routing: one Kafka
+    * subscription over all `topics`, the parsed frame carrying the source
+    * `topic` column — the consumer's actual shape (one consumer, three
+    * topics, three destination tables; reference
+    * consumer/kafka_to_minio.py:54-75). Feed the result to
+    * [[routeToBronze]]. The single subscription matters at scale: one
+    * consumer group, one offset checkpoint, one source admission loop —
+    * not N independent streams competing for trigger capacity.
+    */
+  def fromKafkaRouted(spark: SparkSession, bootstrap: String, topics: Seq[String],
+                      afterSchema: StructType,
+                      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+    val bounded = maxOffsetsPerTrigger
+      .map(n => reader.option("maxOffsetsPerTrigger", n)).getOrElse(reader)
+    val raw = bounded.load()
+      .select(col("topic"), col("value").cast("string").as("value"))
+    graft.cdc.Envelope.parse(raw, "value", afterSchema, passthrough = Seq("topic"))
+  }
+
+  /** Route one multi-topic CDC stream into one bronze table per topic —
+    * the downstream half of [[fromKafkaRouted]]. Per micro-batch, the
+    * (cached) batch splits by topic and each split lands date-partitioned
+    * under `<route>/batch=<id>`: the batch-keyed directory is OVERWRITTEN
+    * on replay, so a restarted stream rewrites its own output instead of
+    * duplicating it — exactly-once table contents on an at-least-once
+    * source, the same replay contract as [[gold.BaseDelta.append]].
+    * Readers `spark.read.parquet(route)` and see `batch`/`ingest_date` as
+    * partition columns (prune on either).
+    *
+    * Topics without a route are dropped (subscribe only to what you
+    * route); a route whose topic produced no rows this batch writes an
+    * empty dir, keeping batch ids aligned across tables.
+    */
+  def routeToBronze(parsed: DataFrame, routes: Map[String, String],
+                    checkpoint: String, tsCol: String = "created_at",
+                    topicCol: String = "topic",
+                    trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        try routes.foreach { case (topic, path) =>
+          b.filter(col(topicCol) === topic).drop(topicCol)
+            .withColumn(graft.bronze.Bronze.PartitionCol, to_date(col(tsCol)))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy(graft.bronze.Bronze.PartitionCol)
+            .parquet(s"$path/batch=$batchId")
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Bronze sink: checkpointed, date-partitioned Parquet append — the
     * reference's consumer+loader collapsed to one exactly-once stream.
     */

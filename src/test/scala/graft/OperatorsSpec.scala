@@ -221,6 +221,33 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"refined IVF recall too low: $recall")
   }
 
+  test("composed IVF+PQ+rerank: recall vs brute force, and rerank beats raw ADC") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val composed = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4, m = 8, kCodes = 16, shortlist = 64)
+    val rows = composed.collect()
+    // contract shape: 5 ranked rows per query, no self-pairs
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF+PQ recall too low: $recall")
+    // within the candidates both saw, the exact re-rank agrees with brute
+    // force ORDER (ADC quantization error is corrected by the re-rank):
+    // every composed hit that brute force also returned carries the same
+    // rounded cosine
+    val exactScores = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactScores.get(key).foreach(c => assert(c == r.getAs[Double]("cosine"), key))
+    }
+  }
+
   test("embedding near-dup finds an identical-vector pair") {
     val base = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val dup = base.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))

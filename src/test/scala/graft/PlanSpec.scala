@@ -355,6 +355,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("composed IVF+PQ: all scoring joins broadcast, corpus never shuffles for scoring") {
+    val p = plan("q115_ivf_pq_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // cell routing + ADC LUT join + shortlist re-rank all ride broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("fuzzy linkage: maxBlock semi-join prune below the self-join, nothing quadratic") {
     val p = plan("q79_fuzzy_pairs")
     assert(!p.contains("CartesianProduct"), p)

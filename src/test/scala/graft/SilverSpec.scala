@@ -200,6 +200,23 @@ class SilverSpec extends SparkSpec {
       .map(_.getAs[Int]("account_id")).toSet == Set(1))
   }
 
+  test("moneyStaging re-types wire doubles as exact cents; sums are order-independent") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq((1L, 10.10, 0.07), (2L, 0.01, 0.00), (3L, 99999999.99, 0.10))
+      .toDF("id", "amount", "rate")
+    val typed = Staging.moneyStaging(df, Seq("amount"), Seq("rate"))
+    assert(typed.schema("amount").dataType == DecimalType(18, 2))
+    assert(typed.schema("rate").dataType == DecimalType(4, 2))
+    // the classic double-sum failure: 0.1+0.2 != 0.3 in IEEE; in cents it is
+    val cents = Staging.moneyStaging(
+      Seq(0.1, 0.2).toDF("amount"), Seq("amount"))
+    assert(cents.agg(org.apache.spark.sql.functions.sum($"amount"))
+      .head.getDecimal(0) == new java.math.BigDecimal("0.30"))
+    // values survive the re-type exactly (2-dp doubles are exact in IEEE)
+    assert(typed.filter($"id" === 3L).head.getDecimal(1) ==
+      new java.math.BigDecimal("99999999.99"))
+  }
+
   test("zscoreAnomalies surfaces only extreme groups") {
     val df = (Seq.fill(20)(("normal", 10.0)) :+ (("spike", 10000.0)))
       .zipWithIndex.map { case ((g, v), i) => (s"$g$i", v) }

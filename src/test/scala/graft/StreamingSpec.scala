@@ -307,6 +307,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_.getAs[String](Envelope.CorruptCol) != null) == 1)
   }
 
+  test("multi-topic routing: one stream, three topics, three bronze tables; replay rewrites, not duplicates") {
+    // the full consumer shape (one subscription, N destination tables) on
+    // fromKafkaRouted's post-source plan: (topic, value) rows through
+    // Envelope.parse with topic passthrough, then routeToBronze
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val routes = Seq("t_accounts", "t_cards", "t_loans")
+      .map(t => t -> (tmpDir(s"route-$t") + "/bronze")).toMap
+    val ckpt = tmpDir("route-ckpt")
+
+    def runAll(checkpoint: String): Unit = {
+      val ms = MemoryStream[(String, String)]
+      val parsed = Envelope.parse(
+        ms.toDF().toDF("topic", "value"), "value", Schemas.accounts,
+        passthrough = Seq("topic"))
+      val q = CdcStream.routeToBronze(parsed, routes, checkpoint,
+        trigger = Trigger.ProcessingTime(0))
+      ms.addData(
+        ("t_accounts", envelope(1, 10.0, "c", "2024-01-01T10:00:00Z", 1)),
+        ("t_accounts", envelope(2, 20.0, "c", "2024-01-01T11:00:00Z", 2)),
+        ("t_cards",    envelope(31, 30.0, "c", "2024-01-02T09:00:00Z", 3)))
+      q.processAllAvailable()
+      ms.addData(
+        ("t_cards", envelope(32, 40.0, "c", "2024-01-02T10:00:00Z", 4)),
+        ("t_loans", envelope(61, 50.0, "c", "2024-01-03T08:00:00Z", 5)))
+      q.processAllAvailable(); q.stop()
+    }
+    runAll(ckpt)
+
+    def ids(path: String): Set[Int] =
+      spark.read.parquet(path).select("id").collect().map(_.getInt(0)).toSet
+    assert(ids(routes("t_accounts")) == Set(1, 2))
+    assert(ids(routes("t_cards")) == Set(31, 32))
+    assert(ids(routes("t_loans")) == Set(61))
+    // rows route by topic, and the date partitioning is intact per table
+    val cards = spark.read.parquet(routes("t_cards"))
+    assert(cards.select(graft.bronze.Bronze.PartitionCol).distinct().count() == 1)
+
+    // replay idempotence: wipe the checkpoint and re-consume EVERYTHING —
+    // the batch-keyed dirs are overwritten, so tables end up identical
+    runAll(tmpDir("route-ckpt2"))
+    assert(ids(routes("t_accounts")) == Set(1, 2))
+    assert(ids(routes("t_cards")) == Set(31, 32))
+    assert(ids(routes("t_loans")) == Set(61))
+  }
+
   test("stream-stream interval join matches events within tolerance, bounded state") {
     val inL = tmpDir("ssj-l"); val inR = tmpDir("ssj-r")
     val schemaL = org.apache.spark.sql.types.StructType(Seq(
