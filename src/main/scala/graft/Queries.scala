@@ -2825,6 +2825,95 @@ object Queries {
         JOIN customer ON o_custkey = c_custkey
         GROUP BY 1""")),
 
+    // ── Gopher-style quality-rule bundle: word-count bounds, mean word
+    //    length bounds, stopword floor, top-token dominance ceiling — all
+    //    thresholds compared as INTEGER cross-products so both engines
+    //    agree on every boundary case ──
+    Q("q116_quality_rules",
+      (s, d) => TextAnalysis.qualityRules(Tables.documents(s, d),
+        "doc_id", "text", minWords = 30, maxWords = 500,
+        minMeanLenDeci = 30, maxMeanLenDeci = 60,
+        minStopPct = 1, maxTopTokenPct = 20),
+      Some("""
+        WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+               WHERE length(w) > 0 GROUP BY 1, 2),
+        st AS (SELECT doc_id,
+                 CAST(SUM(tf) AS BIGINT) AS n_words,
+                 CAST(MAX(tf) AS BIGINT) AS top_tf,
+                 CAST(SUM(tf * length(w)) AS BIGINT) AS sum_len,
+                 CAST(SUM(CASE WHEN w IN ('the','a','an','and','or','of','to',
+                   'in','is','it','that','for','on','with','as','at','by','be')
+                   THEN tf ELSE 0 END) AS BIGINT) AS n_stop
+               FROM tf GROUP BY 1)
+        SELECT doc_id, n_words,
+               floor(CAST(sum_len AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000
+                 AS mean_word_len,
+               floor(CAST(top_tf AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000
+                 AS top_token_frac,
+               floor(CAST(n_stop AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000
+                 AS stopword_frac,
+               (n_words >= 30 AND n_words <= 500) AS pass_words,
+               (sum_len * 10 >= 30 * n_words AND sum_len * 10 <= 60 * n_words)
+                 AS pass_mean_len,
+               (n_stop * 100 >= 1 * n_words) AS pass_stopwords,
+               (top_tf * 100 <= 20 * n_words) AS pass_top_token,
+               ((n_words >= 30 AND n_words <= 500)
+                 AND (sum_len * 10 >= 30 * n_words AND sum_len * 10 <= 60 * n_words)
+                 AND (n_stop * 100 >= 1 * n_words)
+                 AND (top_tf * 100 <= 20 * n_words)) AS pass
+        FROM st""")),
+
+    // ── dataset-version diff by content hash: added / removed / changed /
+    //    unchanged between two corpus snapshots — the release audit and
+    //    the input to incremental re-processing ──
+    Q("q117_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(col("doc_id") % 7 =!= 0)
+        val nw = docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" revised"))).otherwise(col("text")))
+        Dedup.corpusDiff(old, nw, "doc_id", "text")
+      },
+      Some("""
+        WITH o AS (SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 7 <> 0),
+        n AS (SELECT doc_id, md5(regexp_replace(lower(trim(
+            CASE WHEN doc_id % 11 = 0 THEN text || ' revised' ELSE text END)),
+            '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""")),
+
+    // ── exact tail trim without a global sort: value-histogram cumulative
+    //    cuts (whole value-classes drop together — deterministic, engine-
+    //    exact, and the shuffle carries (value, count) pairs only) ──
+    Q("q118_trim_outliers",
+      (s, d) => TextAnalysis.trimOutliers(Tables.documents(s, d),
+          "n_chars", lowPct = 5, highPct = 5)
+        .select("doc_id", "n_chars"),
+      Some("""
+        WITH c AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY 1),
+        cum AS (SELECT n_chars,
+                 CAST(SUM(cnt) OVER (ORDER BY n_chars ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lo,
+                 CAST(SUM(cnt) OVER (ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+                FROM c),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        k AS (SELECT n_chars FROM cum, t
+              WHERE lo * 100 > 5 * n AND hi * 100 > 5 * n)
+        SELECT d.doc_id, d.n_chars FROM documents d JOIN k USING (n_chars)""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -97,6 +97,31 @@ object Dedup {
     batch.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Dataset-version diff by content: classify every doc id across two
+    * corpus snapshots as added / removed / changed / unchanged — the audit
+    * every training-data release pipeline runs between crawls ("what moved
+    * since v1?") and the input to incremental re-processing (only `added`
+    * + `changed` need re-scoring/re-embedding; `removed` ids invalidate
+    * downstream caches).
+    *
+    * Scale shape: each side reduces to (id, 16-byte content hash) at the
+    * scan — document text never leaves it — then one full-outer hash join
+    * on id. Change detection is hash equality over the same normalized
+    * form `exact` dedups on, so "changed" means content-changed, not
+    * whitespace-jittered.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(normText(col(textCol))).as("__oh"))
+    val n = newDf.select(col(idCol), md5(normText(col(textCol))).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Distinct word k-shingles of the normalized text (native one-pass
     * expression; see functions.WordShingles for the declarative
     * equivalent it matches).

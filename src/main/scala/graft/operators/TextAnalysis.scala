@@ -131,6 +131,103 @@ object TextAnalysis {
     * lookaround) so the DuckDB oracle applies byte-identical replacement;
     * map-only, codegen'd, linear.
     */
+  /** Gopher-style document quality-rule bundle (Rae et al. 2021 §A1.1 —
+    * the repetition/length/stopword gates every web-corpus pipeline runs
+    * before training): per doc, word count bounds, mean word length
+    * bounds, a stopword-presence floor, and a top-token dominance
+    * ceiling, plus the overall AND. Emits the stats alongside the flags
+    * so threshold tuning reads the same frame the filter does.
+    *
+    * Engine-exact thresholds: every rule compares INTEGER cross-products
+    * (`top_tf · 100 <= pct · n_words`, `Σlen · 10 <> deci · n_words`) —
+    * no float division anywhere near a boundary, so Spark and the DuckDB
+    * oracle agree on every edge case bit-for-bit. The reported
+    * fractional stats are display-only (rounded to 6 decimals).
+    *
+    * Scale shape: one explode → (doc, token) hash agg → (doc) hash agg —
+    * the q56/q58 inverted-index cost, linear in corpus tokens, no
+    * windows, nothing driver-side.
+    *
+    * Bounds are deci-units/percent so they stay integers: `meanLen`
+    * bounds in tenths of a character, fractions in whole percent.
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 10, maxWords: Int = 1000000,
+                   minMeanLenDeci: Int = 20, maxMeanLenDeci: Int = 100,
+                   minStopPct: Int = 1, maxTopTokenPct: Int = 20,
+                   stopwords: Seq[String] = Stopwords): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_words"),
+        max(col("__tf")).as("__top_tf"),
+        sum(col("__tf") * length(col("__w"))).as("__sum_len"),
+        sum(when(col("__w").isin(stopwords: _*), col("__tf"))
+          .otherwise(lit(0L))).as("__n_stop"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        round6(col("__sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        round6(col("__top_tf").cast("double") / col("n_words")).as("top_token_frac"),
+        round6(col("__n_stop").cast("double") / col("n_words")).as("stopword_frac"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("pass_words"),
+        (col("__sum_len") * 10 >= lit(minMeanLenDeci.toLong) * col("n_words") &&
+          col("__sum_len") * 10 <= lit(maxMeanLenDeci.toLong) * col("n_words"))
+          .as("pass_mean_len"),
+        (col("__n_stop") * 100 >= lit(minStopPct.toLong) * col("n_words"))
+          .as("pass_stopwords"),
+        (col("__top_tf") * 100 <= lit(maxTopTokenPct.toLong) * col("n_words"))
+          .as("pass_top_token"))
+      .withColumn("pass",
+        col("pass_words") && col("pass_mean_len") &&
+          col("pass_stopwords") && col("pass_top_token"))
+  }
+
+  /** Exact distribution-tail trim WITHOUT a global sort: drop the lowest
+    * `lowPct`% and highest `highPct`% of rows by an integer `metricCol`,
+    * with VALUE-based cuts derived from a cumulative histogram over the
+    * metric's DISTINCT values. A row-rank trim (`row_number` over the
+    * corpus) would funnel 100 TB through one sort task; the histogram
+    * shuffles only (value, count) pairs — cardinality bounded by the
+    * metric's domain (a length in chars/tokens: ≤ ~10⁶ values no matter
+    * how many rows), and the tiny cumulative window runs over that
+    * bounded frame (the `centroids` pattern).
+    *
+    * Cut semantics (deterministic, engine-exact, all integer): with n
+    * total rows, a row is dropped as low-tail iff cumCount(<= its value)
+    * · 100 <= lowPct · n, and as high-tail iff cumCount(>= its value) ·
+    * 100 <= highPct · n. Whole value-classes drop together — ties never
+    * split across the cut, so the result is independent of row order and
+    * identical in any engine.
+    */
+  def trimOutliers(df: DataFrame, metricCol: String,
+                   lowPct: Int = 1, highPct: Int = 1): DataFrame = {
+    require(lowPct >= 0 && highPct >= 0 && lowPct + highPct < 100,
+      s"invalid trim percents ($lowPct, $highPct)")
+    val counts = df.groupBy(col(metricCol)).agg(count(lit(1)).as("__c"))
+    // unpartitioned windows over DISTINCT metric values only — bounded by
+    // the value domain, never the corpus (see scaladoc)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col(metricCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col(metricCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("__cumLo", sum(col("__c")).over(wAsc))
+      .withColumn("__cumHi", sum(col("__c")).over(wDesc))
+    val tot = cum.groupBy()
+      .agg(sum(col("__c")).as("__n")) // 1-row frame, broadcast below
+    val keep = cum.crossJoin(broadcast(tot))
+      .filter(col("__cumLo") * 100 > lit(lowPct.toLong) * col("__n") &&
+        col("__cumHi") * 100 > lit(highPct.toLong) * col("__n"))
+      .select(col(metricCol))
+    df.join(broadcast(keep), Seq(metricCol), "left_semi")
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{3}-[0-9]{4}"
   def redactPii(text: Column, token: String = "[PII]"): Column =

@@ -1434,6 +1434,63 @@ class OperatorsSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("qualityRules: each gate trips independently; a clean doc passes all") {
+    import graft.operators.TextAnalysis
+    val clean = ((1 to 40).map(i => s"word$i") :+ "the").mkString(" ")
+    val tooShort = "the tiny one"
+    val noStop = (1 to 40).map(i => s"word$i").mkString(" ")
+    val dominated = (Seq.fill(30)("spam") ++ (1 to 10).map(i => s"w$i") :+ "the")
+      .mkString(" ")
+    val longWords = (Seq.fill(39)("extraordinarily") :+ "the").mkString(" ")
+    val docs = Seq((1L, clean), (2L, tooShort), (3L, noStop),
+      (4L, dominated), (5L, longWords)).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(docs, "doc_id", "text",
+        minWords = 30, maxWords = 500, minMeanLenDeci = 30, maxMeanLenDeci = 60,
+        minStopPct = 1, maxTopTokenPct = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("pass_words"), r.getAs[Boolean]("pass_mean_len"),
+          r.getAs[Boolean]("pass_stopwords"), r.getAs[Boolean]("pass_top_token"),
+          r.getAs[Boolean]("pass"))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)            // word-count floor
+    assert(out(3L)._1 && !out(3L)._3)             // stopword floor
+    assert(!out(4L)._4 && !out(4L)._5)            // top-token dominance
+    assert(!out(5L)._2 && !out(5L)._5)            // mean word length ceiling
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged; whitespace jitter is unchanged") {
+    import graft.operators.Dedup
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "gamma delta REVISED"), (3L, "  kept   text "),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("trimOutliers: value-classes drop whole at the cuts; middle survives intact") {
+    import graft.operators.TextAnalysis
+    // 100 rows: metric 1 (5 rows), 2 (5), 10 (80), 99 (5), 100 (5)
+    val rows = (Seq.fill(5)(1) ++ Seq.fill(5)(2) ++ Seq.fill(80)(10) ++
+      Seq.fill(5)(99) ++ Seq.fill(5)(100)).zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }
+    val df = rows.toDF("doc_id", "metric")
+    // 5% each side: exactly the 5-row value classes at each end drop
+    val kept5 = TextAnalysis.trimOutliers(df, "metric", 5, 5)
+      .select("metric").collect().map(_.getInt(0))
+    assert(kept5.toSet == Set(2, 10, 99) && kept5.length == 90)
+    // 7%: the next class (5 rows) does NOT split — cum(2)=10 > 7 keeps it whole
+    val kept7 = TextAnalysis.trimOutliers(df, "metric", 7, 7)
+      .select("metric").collect().map(_.getInt(0))
+    assert(kept7.toSet == Set(2, 10, 99) && kept7.length == 90)
+    // 10%: both end classes gone exactly
+    val kept10 = TextAnalysis.trimOutliers(df, "metric", 10, 10)
+      .select("metric").collect().map(_.getInt(0))
+    assert(kept10.toSet == Set(10) && kept10.length == 80)
+  }
+
   test("chi-square tokens: the perfectly label-correlated token dominates") {
     import graft.operators.TextAnalysis
     // "leak" appears in every 'a' doc and no 'b' doc — a perfect shortcut;
