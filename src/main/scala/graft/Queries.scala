@@ -2914,6 +2914,48 @@ object Queries {
               WHERE lo * 100 > 5 * n AND hi * 100 > 5 * n)
         SELECT d.doc_id, d.n_chars FROM documents d JOIN k USING (n_chars)""")),
 
+    // ── per-source ECDF score calibration: rank-normalize a quality
+    //    metric within each source so one corpus-wide threshold means the
+    //    same thing everywhere; histogram + bounded windows, corpus never
+    //    shuffles ──
+    Q("q119_score_calibration",
+      (s, d) => TextAnalysis.calibrateScores(Tables.documents(s, d),
+          "n_chars", "source")
+        .select("doc_id", "source", "n_chars", "ecdf"),
+      Some("""
+        WITH c AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY 1, 2),
+        cum AS (SELECT source, n_chars,
+                 CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+                FROM c),
+        t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1)
+        SELECT d.doc_id, d.source, d.n_chars,
+               floor(CAST(cm AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS ecdf
+        FROM documents d
+        JOIN cum ON d.source = cum.source AND d.n_chars = cum.n_chars
+        JOIN t ON d.source = t.source""")),
+
+    // ── greedy budgeted selection: the best docs up to a token/char
+    //    budget, whole score-classes admitted in descending order — the
+    //    final cut of a fixed-budget training run, without a global sort ──
+    Q("q120_budget_select",
+      (s, d) => TextAnalysis.selectByBudgetPct(Tables.documents(s, d),
+          "n_chars", "n_chars", budgetPct = 50)
+        .select("doc_id", "n_chars"),
+      Some("""
+        WITH c AS (SELECT n_chars, CAST(SUM(n_chars) AS BIGINT) AS cost
+                   FROM documents GROUP BY 1),
+        cum AS (SELECT n_chars,
+                 CAST(SUM(cost) OVER (ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+                FROM c),
+        t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents)
+        SELECT d.doc_id, d.n_chars FROM documents d
+        JOIN (SELECT n_chars FROM cum, t WHERE cm * 100 <= 50 * tot) k
+          USING (n_chars)""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -196,7 +196,11 @@ object Dedup {
     *
     * `audit`, when given, observes `dropped_buckets` / `total_buckets`
     * counts on the bucket stream (Spark's CollectMetrics — zero extra
-    * pass; read them after an action via `Observation.get`).
+    * pass; read them after an action via `Observation.get`). Caveat
+    * (same as `Linkage.fuzzyPairsBlocked`): when EVERY bucket drops or
+    * is singleton, AQE's empty-relation propagation can collapse the
+    * plan before CollectMetrics reports — an empty map plus an empty
+    * result IS the all-dropped signal.
     */
   private[operators] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
                                      member: Column,

@@ -228,6 +228,68 @@ object TextAnalysis {
     df.join(broadcast(keep), Seq(metricCol), "left_semi")
   }
 
+  /** Per-group ECDF score calibration: each row's score maps to its
+    * within-group cumulative fraction `P(score' <= score)` — the rank
+    * normalization that makes quality scores COMPARABLE across sources
+    * whose raw scales aren't (a 0.7 from one scorer may mean "top decile"
+    * in src0 and "median" in src3; after calibration a single corpus-wide
+    * threshold means the same thing everywhere). Ties share one ECDF
+    * value (the class's upper cumulative bound), so the output is
+    * row-order independent and engine-exact; the fraction rounds to 6
+    * decimals.
+    *
+    * Same scale shape as [[trimOutliers]]: a (group, value) histogram —
+    * cardinality bounded by the metric domain × groups, never the corpus
+    * — cumulative windows over that bounded frame, one broadcast join
+    * back. The corpus itself never shuffles.
+    */
+  def calibrateScores(df: DataFrame, scoreCol: String,
+                      groupCol: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val ecdf = cum.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col(scoreCol),
+        round6(col("__cum").cast("double") / col("__n")).as("ecdf"))
+    df.join(broadcast(ecdf), Seq(groupCol, scoreCol))
+  }
+
+  /** Greedy budgeted corpus selection: keep the highest-`scoreCol` rows
+    * whose cumulative `costCol` stays within `budgetPct`% of the total —
+    * "take the best docs up to N tokens", the final cut every
+    * fixed-token-budget training run makes. Selection is by WHOLE score
+    * class (distinct score value): classes admit in descending score
+    * order while the running cost fits, and the boundary class that
+    * would overflow is excluded entirely — deterministic, row-order
+    * independent, and identical in any engine (all-integer compares when
+    * `costCol` is integral). Per-row tie-breaking inside a class would
+    * need a global row order — exactly the 100 TB sort this avoids; make
+    * classes finer (e.g. a composite score) if the boundary matters.
+    *
+    * Scale shape: one (score, Σcost) histogram, a cumulative window over
+    * its distinct values (bounded by the score domain), a 1-row total,
+    * and a broadcast semi-join back — the corpus never shuffles.
+    */
+  def selectByBudgetPct(df: DataFrame, scoreCol: String, costCol: String,
+                        budgetPct: Int): DataFrame = {
+    require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct $budgetPct not in [0,100]")
+    val byScore = df.groupBy(col(scoreCol)).agg(sum(col(costCol)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = byScore.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = df.groupBy().agg(sum(col(costCol)).as("__tot"))
+    val keep = cum.crossJoin(broadcast(tot))
+      .filter(col("__cum") * 100 <= lit(budgetPct.toLong) * col("__tot"))
+      .select(col(scoreCol))
+    df.join(broadcast(keep), Seq(scoreCol), "left_semi")
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{3}-[0-9]{4}"
   def redactPii(text: Column, token: String = "[PII]"): Column =

@@ -1491,6 +1491,37 @@ class OperatorsSpec extends SparkSpec {
     assert(kept10.toSet == Set(10) && kept10.length == 80)
   }
 
+  test("calibrateScores: per-group ECDF, ties share a class value, groups independent") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 20), ("a", 4L, 40),
+      ("b", 5L, 100), ("b", 6L, 200)).toDF("src", "doc_id", "score")
+    val out = TextAnalysis.calibrateScores(df, "score", "src")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ecdf")).toMap
+    assert(out(1L) == 0.25)                 // 1 of 4 at or below
+    assert(out(2L) == 0.75 && out(3L) == 0.75) // tied class: upper bound 3/4
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.5 && out(6L) == 1.0)   // group b has its own scale
+  }
+
+  test("selectByBudgetPct: classes admit best-first; the overflowing class drops whole") {
+    import graft.operators.TextAnalysis
+    // scores/costs: 100→cost 100, 90→cost 100 (two rows of 50), 80→cost 100;
+    // total 300. 67% of 300 = 201: classes 100 and 90 fit (200 <= 201),
+    // class 80 would hit 300 — dropped whole.
+    val df = Seq((1L, 100, 100), (2L, 90, 50), (3L, 90, 50), (4L, 80, 100))
+      .toDF("doc_id", "score", "cost")
+    val kept = TextAnalysis.selectByBudgetPct(df, "score", "cost", 67)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // 66%: 200*100 <= 66*300=19800 fails for the 90 class (20000 > 19800)
+    val tighter = TextAnalysis.selectByBudgetPct(df, "score", "cost", 66)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tighter == Set(1L))
+    // 100% keeps everything
+    assert(TextAnalysis.selectByBudgetPct(df, "score", "cost", 100).count() == 4)
+  }
+
   test("chi-square tokens: the perfectly label-correlated token dominates") {
     import graft.operators.TextAnalysis
     // "leak" appears in every 'a' doc and no 'b' doc — a perfect shortcut;
