@@ -2956,6 +2956,28 @@ object Queries {
         JOIN (SELECT n_chars FROM cum, t WHERE cm * 100 <= 50 * tot) k
           USING (n_chars)""")),
 
+    // ── exact per-source discrete percentiles (PERCENTILE_DISC by
+    //    integer cross-compare) from a value histogram — the corpus-health
+    //    p25/p50/p75/p95 readout, exact, no global sort ──
+    Q("q121_percentiles",
+      (s, d) => TextAnalysis.percentilesExact(Tables.documents(s, d),
+          "n_chars", "source", Seq(25, 50, 75, 95)),
+      Some("""
+        WITH c AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY 1, 2),
+        cum AS (SELECT source, n_chars,
+                 CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+                FROM c),
+        t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1),
+        p AS (SELECT CAST(pct AS INTEGER) AS pct
+              FROM (VALUES (25), (50), (75), (95)) AS v(pct))
+        SELECT cum.source, p.pct, MIN(n_chars) AS value
+        FROM cum JOIN t USING (source) CROSS JOIN p
+        WHERE cm * 100 >= p.pct * n
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

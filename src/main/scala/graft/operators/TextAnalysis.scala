@@ -228,6 +228,40 @@ object TextAnalysis {
     df.join(broadcast(keep), Seq(metricCol), "left_semi")
   }
 
+  /** Exact per-group discrete percentiles WITHOUT a global sort: for each
+    * group and each requested percent `p`, the smallest value whose
+    * within-group cumulative count reaches `p`% of the group — i.e.
+    * `PERCENTILE_DISC(p/100)`, decided by the all-integer comparison
+    * `cum(v) · 100 >= p · n` (no float quantile positions, so every
+    * engine lands on the same value at boundaries; `cum >= ceil(p·n/100)`
+    * ⟺ `cum·100 >= p·n` for integer cum). The p50/p95/p99 corpus-health
+    * readout every ingest run wants, exact rather than sketched.
+    *
+    * Scale shape (the [[trimOutliers]] histogram pattern): one
+    * (group, value) count agg, a per-group cumulative window over
+    * DISTINCT values only (bounded by the metric domain, never the
+    * corpus), a broadcast of per-group totals, then a hash-agg `min` per
+    * (group, pct). The corpus is scanned once and never shuffled.
+    */
+  def percentilesExact(df: DataFrame, valueCol: String, groupCol: String,
+                       pcts: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100]: $pcts")
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    cum.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col(valueCol), col("__cum"), col("__n"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .filter(col("__cum") * 100 >= col("pct").cast("long") * col("__n"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col(valueCol)).as("value"))
+  }
+
   /** Per-group ECDF score calibration: each row's score maps to its
     * within-group cumulative fraction `P(score' <= score)` — the rank
     * normalization that makes quality scores COMPARABLE across sources

@@ -1491,6 +1491,24 @@ class OperatorsSpec extends SparkSpec {
     assert(kept10.toSet == Set(10) && kept10.length == 80)
   }
 
+  test("percentilesExact: PERCENTILE_DISC boundaries, ties, independent groups") {
+    import graft.operators.TextAnalysis
+    // group a: values 1..10 once each; group b: [10,10,10,20]
+    val df = ((1 to 10).map(v => ("a", v)) ++
+      Seq(("b", 10), ("b", 10), ("b", 10), ("b", 20))).toDF("src", "v")
+    val out = TextAnalysis.percentilesExact(df, "v", "src",
+        Seq(25, 50, 75, 76, 95, 100))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Int]("pct")) -> r.getAs[Int]("value"))
+      .toMap
+    // PERCENTILE_DISC(p): smallest v with cum >= ceil(p*n/100)
+    assert(out(("a", 25)) == 3 && out(("a", 50)) == 5 && out(("a", 75)) == 8)
+    assert(out(("a", 95)) == 10 && out(("a", 100)) == 10)
+    // tied class: cum(10)=3 of 4 → covers p75 exactly; p76 crosses to 20
+    assert(out(("b", 50)) == 10 && out(("b", 75)) == 10 && out(("b", 76)) == 20)
+    assert(out.size == 12)
+  }
+
   test("calibrateScores: per-group ECDF, ties share a class value, groups independent") {
     import graft.operators.TextAnalysis
     val df = Seq(
