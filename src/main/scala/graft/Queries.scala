@@ -2978,6 +2978,91 @@ object Queries {
         WHERE cm * 100 >= p.pct * n
         GROUP BY 1, 2""")),
 
+    // ── Benford first-digit forensic audit on transaction amounts —
+    //    per-priority-class leading-digit distribution vs log10(1+1/d),
+    //    with per-digit chi-squared contributions (banking DQ) ──
+    Q("q122_benford",
+      (s, d) => Quality.benford(Tables.orders(s, d), "o_totalprice",
+          Seq("o_orderpriority")),
+      Some {
+        // exponent form: DuckDB types bare decimal literals DECIMAL
+        // (lossy at 17 digits); an exponent makes them DOUBLE, bit-exact
+        val whens = (1 to 9)
+          .map(dd => s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}e0")
+          .mkString(" ")
+        s"""
+        WITH v AS (
+          SELECT o_orderpriority,
+                 CAST(SUBSTR(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE ABS(o_totalprice) >= 1),
+        c AS (SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM v GROUP BY 1, 2),
+        t AS (SELECT o_orderpriority, digit, n,
+                CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total,
+                CASE digit $whens END AS expected_pct
+              FROM c)
+        SELECT o_orderpriority, digit, n,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_pct,
+               expected_pct,
+               (CAST(n AS DOUBLE) - expected_pct * CAST(total AS DOUBLE))
+                 * (CAST(n AS DOUBLE) - expected_pct * CAST(total AS DOUBLE))
+                 / (expected_pct * CAST(total AS DOUBLE)) AS chi2
+        FROM t"""
+      }),
+
+    // ── point-in-time snapshot from the raw CDC change log: table state
+    //    as of T (latest-wins, deletes shadow earlier upserts) ──
+    Q("q123_snapshot_asof",
+      (s, d) => {
+        val src = Tables.events(s, d)
+          .withColumn("op",
+            when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+          .select("user_id", "event_id", "ts", "event_type", "value", "op")
+        Staging.snapshotAsOf(src, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc),
+          "ts", lit(Split).cast("timestamp"))
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+          FROM events WHERE ts <= TIMESTAMP '$Split')
+        SELECT user_id, event_id, ts, event_type, value, op FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM src)
+        WHERE rn = 1 AND op <> 'd'""")),
+
+    // ── gaps-and-islands activity spans: per-customer consecutive order
+    //    runs with the dormancy gap preceding each (churn/reactivation) ──
+    Q("q124_activity_islands",
+      (s, d) => operators.Sessionize.islands(Tables.orders(s, d),
+          "o_custkey", "o_orderdate", 180),
+      Some("""
+        WITH g AS (
+          SELECT o_custkey, o_orderdate,
+                 CASE WHEN lag(o_orderdate) OVER w IS NULL
+                       OR date_diff('day', lag(o_orderdate) OVER w, o_orderdate) > 180
+                      THEN 1 ELSE 0 END AS brk
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC)),
+        i AS (SELECT o_custkey, o_orderdate,
+                CAST(SUM(brk) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS island_seq
+              FROM g),
+        s AS (SELECT o_custkey, island_seq,
+                MIN(o_orderdate) AS start_date, MAX(o_orderdate) AS end_date,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                  AS INTEGER) + 1 AS span_days
+              FROM i GROUP BY 1, 2)
+        SELECT s.*, CAST(date_diff('day',
+                 lag(end_date) OVER (PARTITION BY o_custkey ORDER BY island_seq ASC),
+                 start_date) AS INTEGER) AS gap_before_days
+        FROM s""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -49,6 +49,45 @@ object Sessionize {
       .drop("__new")
   }
 
+  /** Gaps-and-islands over a per-key DATE activity stream: consecutive
+    * activity runs ("islands") where successive dates are at most
+    * `maxGapDays` apart, summarized one row per island with the dormancy
+    * gap that preceded it — the account-reactivation / churn-detection
+    * readout of the reference's analyst tier (which days-apart SQL can
+    * express but its dashboards never materialize). Ties on the same
+    * date are safe: tied rows can only extend an island, never start
+    * one, so the summary is total-order independent.
+    *
+    * Output per (key, island_seq): start_date, end_date, n_events,
+    * span_days (inclusive), gap_before_days (days since the previous
+    * island's end; NULL for the key's first island).
+    *
+    * Scale: ONE shuffle on the key shared by both window passes and the
+    * rollup; the trailing gap_before window runs on the already-reduced
+    * island frame (rows = islands, not events). Same skew bound as
+    * [[assign]] — a key sorts only its own activity dates.
+    */
+  def islands(df: DataFrame, keyCol: String, dateCol: String,
+              maxGapDays: Int): DataFrame = {
+    require(maxGapDays > 0, s"maxGapDays must be > 0, got $maxGapDays")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol).asc)
+    val prev = lag(col(dateCol), 1).over(w)
+    val brk = when(prev.isNull || datediff(col(dateCol), prev) > maxGapDays, 1L)
+      .otherwise(0L)
+    val assigned = df.select(col(keyCol), col(dateCol))
+      .withColumn("__brk", brk)
+      .withColumn("island_seq", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islandsDf = assigned.groupBy(col(keyCol), col("island_seq"))
+      .agg(min(col(dateCol)).as("start_date"),
+        max(col(dateCol)).as("end_date"),
+        count(lit(1)).as("n_events"),
+        (datediff(max(col(dateCol)), min(col(dateCol))) + 1).as("span_days"))
+    val wi = Window.partitionBy(col(keyCol)).orderBy(col("island_seq").asc)
+    islandsDf.withColumn("gap_before_days",
+      datediff(col("start_date"), lag(col("end_date"), 1).over(wi)))
+  }
+
   /** Per-session rollup: event count, span, bounds. One additional hash
     * aggregation over the assigned frame (map-side combinable).
     */

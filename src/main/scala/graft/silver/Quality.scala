@@ -72,6 +72,45 @@ object Quality {
       .drop("mu", "sigma")
   }
 
+  /** Benford first-significant-digit audit — the classic forensic
+    * check for fabricated or double-posted monetary amounts (a natural
+    * fit for the reference's banking transaction stream): per group, the
+    * distribution of the leading digit of |amount| vs Benford's law
+    * `P(d) = log10(1 + 1/d)`, with the per-digit chi-squared
+    * contribution so callers can threshold `sum(chi2)` per group.
+    *
+    * Only rows with |amount| >= 1 participate (the leading digit of a
+    * sub-unit amount is a scale artifact, not a signal).
+    *
+    * Scale: one scan + one (group, digit) hash aggregation; the
+    * cumulative window runs over at most 9 rows per group. Expected
+    * probabilities are compile-time literals, so the whole expression
+    * stays inside whole-stage codegen.
+    */
+  def benford(df: DataFrame, amountCol: String, groupKeys: Seq[String] = Nil): DataFrame = {
+    val gcols = groupKeys.map(col)
+    val digit = substring(floor(abs(col(amountCol))).cast("bigint").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.filter(abs(col(amountCol)) >= 1)
+      .select(gcols :+ digit.as("digit"): _*)
+      .groupBy(gcols :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+    val expected = (2 to 9).foldLeft(
+      when(col("digit") === 1, lit(math.log10(2.0)))) { (acc, d) =>
+      acc.when(col("digit") === d, lit(math.log10(1.0 + 1.0 / d)))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)
+    val withTotal = counts.withColumn("__total", sum(col("n")).over(w))
+    val nD = col("n").cast("double")
+    val totD = col("__total").cast("double")
+    val dev = nD - col("expected_pct") * totD
+    withTotal
+      .withColumn("observed_pct", nD / totD)
+      .withColumn("expected_pct", expected)
+      .withColumn("chi2", dev * dev / (col("expected_pct") * totD))
+      .drop("__total")
+  }
+
   /** Run a suite of named checks and return one row per check:
     * (check_name, n_violations). The dbt `dbt test` summary as a DataFrame.
     */

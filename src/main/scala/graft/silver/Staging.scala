@@ -93,6 +93,27 @@ object Staging {
     rateCols.foldLeft(a)((d, c) => d.withColumn(c, col(c).cast("decimal(4,2)")))
   }
 
+  /** Point-in-time snapshot from a CDC change log: the table state as of
+    * `asOf` — latest surviving row per key among events with
+    * `tsCol <= asOf`, with keys whose latest event is a delete
+    * (`opCol == deleteOp`) absent. The batch counterpart of
+    * [[graft.gold.BaseDelta.readAt]] when all you have is the raw
+    * envelope log (the reference reconstructs this state implicitly by
+    * replaying Debezium topics; here it is one declarative operator).
+    *
+    * Scale: the `asOf` predicate is pushed into the scan (Parquet
+    * row-group stats prune whole date partitions of the log), then one
+    * key-partition window — the same single-shuffle shape as
+    * [[dedupLatest]]. The delete filter runs AFTER latest-wins election,
+    * so a delete correctly shadows earlier upserts of its key.
+    */
+  def snapshotAsOf(changeLog: DataFrame, keys: Seq[String],
+                   ordering: Seq[org.apache.spark.sql.Column],
+                   tsCol: String, asOf: org.apache.spark.sql.Column,
+                   opCol: String = "op", deleteOp: String = "d"): DataFrame =
+    dedupLatest(changeLog.filter(col(tsCol) <= asOf), keys, ordering)
+      .filter(col(opCol) =!= deleteOp)
+
   /** The reference's high-watermark incremental filter
     * (readme.md:144-151): keep only rows strictly newer than the sink's
     * current max. Batch form of a streaming watermark; the sink-side max is

@@ -1491,6 +1491,26 @@ class OperatorsSpec extends SparkSpec {
     assert(kept10.toSet == Set(10) && kept10.length == 80)
   }
 
+  test("islands: gap splits runs, ties extend, dormancy gap reported") {
+    import graft.operators.Sessionize
+    import java.sql.Date
+    val df = Seq(
+      ("a", Date.valueOf("2024-01-01")), ("a", Date.valueOf("2024-01-03")),
+      ("a", Date.valueOf("2024-01-04")),
+      ("a", Date.valueOf("2024-01-20")), ("a", Date.valueOf("2024-01-20")),
+      ("a", Date.valueOf("2024-01-24")),
+      ("b", Date.valueOf("2024-06-01"))).toDF("k", "d")
+    val out = Sessionize.islands(df, "k", "d", 5).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("island_seq")) ->
+        (r.getAs[Date]("start_date").toString, r.getAs[Date]("end_date").toString,
+          r.getAs[Long]("n_events"), r.getAs[Int]("span_days"),
+          Option(r.getAs[Integer]("gap_before_days")).map(_.toInt))).toMap
+    assert(out(("a", 1L)) == ("2024-01-01", "2024-01-04", 3L, 4, None))
+    assert(out(("a", 2L)) == ("2024-01-20", "2024-01-24", 3L, 5, Some(16)))
+    assert(out(("b", 1L)) == ("2024-06-01", "2024-06-01", 1L, 1, None))
+    assert(out.size == 3)
+  }
+
   test("percentilesExact: PERCENTILE_DISC boundaries, ties, independent groups") {
     import graft.operators.TextAnalysis
     // group a: values 1..10 once each; group b: [10,10,10,20]

@@ -35,6 +35,35 @@ class SilverSpec extends SparkSpec {
     assert(Staging.newerThanWatermark(incoming, existing.limit(0), "ts").count() == 3)
   }
 
+  test("benford: leading-digit counts, sub-unit rows excluded, Benford expectation") {
+    val df = Seq(19.5, 2.0, 25.0, 0.5, 300.0, -45.0, 1.0).toDF("amount")
+    val out = Quality.benford(df, "amount").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("observed_pct"),
+          r.getAs[Double]("expected_pct"))).toMap
+    // 0.5 excluded; digits: 19.5→1, 1→1, 2→2, 25→2, 300→3, |-45|→4
+    assert(out.keySet == Set(1, 2, 3, 4))
+    assert(out(1)._1 == 2L && out(2)._1 == 2L && out(3)._1 == 1L && out(4)._1 == 1L)
+    assert(out(1)._2 == 2.0 / 6 && out(3)._2 == 1.0 / 6)
+    assert(out(1)._3 == math.log10(2.0) && out(4)._3 == math.log10(1.25))
+  }
+
+  test("snapshotAsOf: latest-wins at T, deletes shadow, later events invisible") {
+    val log = Seq(
+      (1, ts("2024-01-01 00:00:00"), 1L, "a", "u"),
+      (1, ts("2024-01-03 00:00:00"), 2L, "b", "u"),  // after asOf: invisible
+      (2, ts("2024-01-01 00:00:00"), 3L, "x", "u"),
+      (2, ts("2024-01-02 00:00:00"), 4L, "x", "d"),  // delete shadows the upsert
+      (3, ts("2024-01-01 00:00:00"), 5L, "y", "d"),
+      (3, ts("2024-01-02 00:00:00"), 6L, "z", "u"))  // re-created after delete
+      .toDF("id", "ts", "seq", "v", "op")
+    val out = Staging.snapshotAsOf(log, Seq("id"),
+        Seq($"ts".desc, $"seq".desc), "ts",
+        lit("2024-01-02 12:00:00").cast("timestamp"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1 -> "a", 3 -> "z"))
+  }
+
   test("castOrQuarantine splits rows with unparseable values, keeps nulls clean") {
     val df = Seq(
       ("1", "100.5"), ("2", "oops"), ("3", null.asInstanceOf[String]), ("x", "7"))
