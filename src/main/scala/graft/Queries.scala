@@ -3063,6 +3063,33 @@ object Queries {
                  start_date) AS INTEGER) AS gap_before_days
         FROM s""")),
 
+    // ── incremental MinHash-LSH: probe a new batch against the persisted
+    //    signature index — corpus text never re-shingled (no SQL oracle:
+    //    xxhash sketch; equivalence-to-full-LSH is spec-pinned) ──
+    Q("q125_minhash_probe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = Dedup.minHashSigs(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          numHashes = 32)
+        Dedup.minHashProbe(
+          docs.filter(col("source") === "src0"), idx, "doc_id", "text",
+          bands = 16, rowsPerBand = 2, minEstJaccard = 0.25)
+      },
+      None),
+
+    // ── equi-depth quality binning: per-source NTILE tiers over a
+    //    (metric, key) total order — curriculum buckets ──
+    Q("q126_equidepth_bins",
+      (s, d) => operators.Sampling.equiDepthBins(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", 8, "source"),
+      Some("""
+        SELECT doc_id, source, n_chars,
+               CAST(NTILE(8) OVER (PARTITION BY source
+                 ORDER BY n_chars ASC, doc_id ASC) AS INTEGER) AS bin
+        FROM documents""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -186,6 +186,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** The durable MinHash index artifact for incremental near-dup: one
+    * (id, sig) row per doc. At 100 TB this is what a pipeline persists —
+    * signatures are ~128 B/doc regardless of document size, so probing a
+    * new batch reads the sketch table, never the corpus text. Map-only.
+    */
+  def minHashSigs(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 32, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sig"))
+
+  /** Incremental MinHash-LSH: probe a NEW batch against a persisted
+    * signature index ([[minHashSigs]]) and return cross near-dup
+    * candidates (id_new, id_indexed, est_jaccard) — the "is this incoming
+    * doc a near-dup of anything already ingested" question, answered
+    * WITHOUT re-shingling the ingested corpus (its text is never read;
+    * bands re-derive from the stored signatures with a map-only
+    * slice+hash, ~1% of the corpus bytes).
+    *
+    * Both sides' band rows flow through the same capped [[bucketPairs]]
+    * machinery as [[minHashLsh]] (union with a side tag; only cross-side
+    * pairs survive), so bucket contents — and therefore the candidate
+    * set and the df-prune cap behavior — are IDENTICAL to running the
+    * full LSH over index ∪ batch and keeping the cross pairs: the
+    * incremental path trades no recall beyond what the cap already
+    * trades. Within-batch duplicates are deliberately not emitted — run
+    * [[minHashLsh]] on the (small) batch itself for those.
+    *
+    * Scale: one shuffle of (band, bucket, id, side) rows — ids only,
+    * signatures join back per side afterwards; index-side signature rows
+    * are touched once. Hot shingle-pattern buckets are bounded by
+    * `maxBucket` exactly as in the batch path.
+    */
+  def minHashProbe(batch: DataFrame, sigIndex: DataFrame,
+                   idCol: String, textCol: String,
+                   bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+                   minEstJaccard: Double = 0.5,
+                   maxBucket: Int = DefaultMaxBucket,
+                   audit: Option[Observation] = None): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newSigs = minHashSigs(batch, idCol, textCol, numHashes, k)
+    def banded(sigs: DataFrame, side: Int): DataFrame = sigs.select(
+      col("id"), lit(side).as("side"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("side"), col("bb.band"), col("bb.bucket"))
+    val cand = bucketPairs(
+      banded(newSigs, 1).unionByName(banded(sigIndex, 0)),
+      Seq("band", "bucket"), struct(col("side"), col("id")),
+      maxBucket, audit)
+      .filter(col("a.side") =!= col("b.side"))
+      .select(
+        when(col("a.side") === 1, col("a.id")).otherwise(col("b.id")).as("id_new"),
+        when(col("a.side") === 1, col("b.id")).otherwise(col("a.id")).as("id_indexed"))
+      .distinct()
+    cand
+      .join(newSigs.select(col("id").as("id_new"), col("sig").as("sig_a")), Seq("id_new"))
+      .join(sigIndex.select(col("id").as("id_indexed"), col("sig").as("sig_b")), Seq("id_indexed"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_new"), col("id_indexed"), col("est_jaccard"))
+  }
+
   /** Within-bucket candidate-pair generation: group rows by `bucketKeys`,
     * collect the member list, emit ordered pairs (a < b by the struct's
     * sort order). Buckets with one member vanish; buckets with more than

@@ -228,6 +228,26 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Equi-depth binning: per stratum, NTILE(nBins) over the
+    * (metric, key) total order — bins within a stratum hold equal row
+    * counts (±1), the curriculum-bucket / quality-tier assignment that
+    * pairs with [[curriculumOrder]] (bins as coarse difficulty stages)
+    * and [[TextAnalysis.calibrateScores]] (rank → discrete tier). The
+    * key tie-break makes assignment engine-reproducible when metric
+    * values collide.
+    *
+    * One shuffle on the stratum (the window partition) with an
+    * in-partition sort — same shape and skew bound as [[sampleN]].
+    */
+  def equiDepthBins(df: DataFrame, keyCol: String, metricCol: String,
+                    nBins: Int, strataCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(metricCol).asc, col(keyCol).asc)
+    df.withColumn("bin", ntile(nBins).over(w))
+  }
+
   def sampleN(df: DataFrame, keyCol: String, strataCol: String, n: Int,
               salt: String = "samplen"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

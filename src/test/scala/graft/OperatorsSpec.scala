@@ -37,6 +37,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minHashProbe: cross pairs match full LSH over the union; text never reprobed") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different content about spark engines here"),
+      (12L, "rain in spain falls mainly on the plain today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),   // dup of 10
+      (21L, "the quick brown fox leaps over the lazy dog"),   // near dup of 10
+      (22L, "entirely novel text with no counterpart at all"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minHashSigs(corpus, "doc_id", "text", numHashes = 32)
+    val probe = Dedup.minHashProbe(batch, idx, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, minEstJaccard = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_new"), r.getAs[Long]("id_indexed"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    // equivalence: full LSH over union, keep only (batch, corpus) pairs
+    val full = Dedup.minHashLsh(corpus.unionByName(batch), "doc_id", "text",
+      bands = 16, rowsPerBand = 2, minEstJaccard = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard")))
+      .collect { case (a, b, j) if a < 20L && b >= 20L => (b, a, j) }.toSet
+    assert(probe == full)
+    assert(probe.map(p => (p._1, p._2)).contains((20L, 10L)))
+    assert(!probe.exists(_._1 == 22L))
+  }
+
   test("identical docs have identical simhash; near dups are close in hamming") {
     val fp = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
