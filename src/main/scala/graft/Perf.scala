@@ -252,6 +252,38 @@ object Perf {
           operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
             bands = 8, rowsPerBand = 4, minEstJaccard = 0.9)).count())
     }
+    if (what == "scalellm-probe") {
+      // incremental LSH at scale: build the signature index over a 10M-doc
+      // corpus ONCE (persisted — the durable artifact), then probe a 100k
+      // batch with planted near-dups against it, vs the naive alternative
+      // of re-running full LSH over corpus ∪ batch. The probe should cost
+      // ~the batch, not ~the corpus (the corpus text is never re-read).
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val corpus = syntheticDocs(n)
+      val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+      time(s"probe-index-build-$n") {
+        operators.Dedup.minHashSigs(corpus, "id", "text", numHashes = 32)
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir).count()
+      }
+      val idx = spark.read.parquet(dir)
+      // even batch ids duplicate a corpus key (planted cross near-dup);
+      // odd ids are novel
+      // integer key both branches: Column `/` is DOUBLE division, which
+      // would render keys as "0.5"-style strings that match nothing
+      val bkey = when(pmod(col("id"), lit(2L)) === 0,
+        ((col("id") - n) / 2).cast("long")).otherwise(col("id"))
+      val batch = spark.range(n, n + 100000L).select(col("id"),
+        concat_ws(" ", lit("terms of service apply"), bkey,
+          lit("alpha"), pmod(bkey, lit(9973L)), lit("beta"), pmod(bkey, lit(97L)),
+          lit("gamma"), pmod(bkey, lit(13L))).as("text"))
+      time("probe-batch-100k")(
+        operators.Dedup.minHashProbe(batch, idx, "id", "text",
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
+      time("full-relsh-union")(
+        operators.Dedup.minHashLsh(corpus.unionByName(batch), "id", "text",
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
+    }
     if (what == "scalellm") {
       // 10M-doc / 10M-vector stress of the LLM-pipeline operators — the
       // same linear-plan evidence `scale` gives the CDC operators.

@@ -215,10 +215,16 @@ object Dedup {
     * trades. Within-batch duplicates are deliberately not emitted — run
     * [[minHashLsh]] on the (small) batch itself for those.
     *
-    * Scale: one shuffle of (band, bucket, id, side) rows — ids only,
-    * signatures join back per side afterwards; index-side signature rows
-    * are touched once. Hot shingle-pattern buckets are bounded by
-    * `maxBucket` exactly as in the batch path.
+    * Scale: the batch's (band, bucket) key set — batch-sized, tiny next
+    * to the corpus — BROADCASTS as a semi-join prefilter over the
+    * index's band rows, so index rows die map-side unless their bucket
+    * contains a batch member: the only shuffle carries batch bands plus
+    * the index rows sharing a bucket with them (ids only; signatures
+    * join back per side). This drops nothing: a bucket with no batch
+    * member can produce no cross pair, and surviving buckets keep ALL
+    * their members, so the `maxBucket` cut sees the same bucket contents
+    * as the unfiltered union. Hot shingle-pattern buckets stay bounded
+    * by `maxBucket` exactly as in the batch path.
     */
   def minHashProbe(batch: DataFrame, sigIndex: DataFrame,
                    idCol: String, textCol: String,
@@ -235,8 +241,14 @@ object Dedup {
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("side"), col("bb.band"), col("bb.bucket"))
+    val newBands = banded(newSigs, 1)
+    // map-side prefilter: only index rows whose bucket holds a batch
+    // member reach the shuffle (see scaladoc — candidate-set preserving)
+    val idxBands = banded(sigIndex, 0).join(
+      broadcast(newBands.select(col("band"), col("bucket")).distinct()),
+      Seq("band", "bucket"), "left_semi")
     val cand = bucketPairs(
-      banded(newSigs, 1).unionByName(banded(sigIndex, 0)),
+      newBands.unionByName(idxBands),
       Seq("band", "bucket"), struct(col("side"), col("id")),
       maxBucket, audit)
       .filter(col("a.side") =!= col("b.side"))
