@@ -3090,6 +3090,104 @@ object Queries {
                  ORDER BY n_chars ASC, doc_id ASC) AS INTEGER) AS bin
         FROM documents""")),
 
+    // ── one-pass column profile: per-column rows/nulls/exact-distinct
+    //    (the post-ingest "what landed" readout; drift-alert input) ──
+    Q("q127_column_profile",
+      (s, d) => Quality.profile(Tables.customer(s, d),
+          Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")),
+      Some {
+        val per = Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+          .map(c => s"""
+            SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+            FROM customer""")
+        per.mkString(" UNION ALL ")
+      }),
+
+    // ── per-key rolling z-score anomalies: an order whose amount deviates
+    //    > k·σ from the SAME customer's preceding-window history (exact
+    //    integer sums → bit-identical rolling stats across engines) ──
+    Q("q128_rolling_anomaly",
+      (s, d) => Quality.rollingAnomalies(
+          Tables.orders(s, d)
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+          window = 7, k = 2.0),
+      Some("""
+        WITH b AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM orders),
+        r AS (
+          SELECT *, CAST(COUNT(c) OVER w AS BIGINT) AS n,
+                 CAST(SUM(c) OVER w AS BIGINT) AS s,
+                 CAST(SUM(c * c) OVER w AS BIGINT) AS q
+          FROM b
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        m AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, c, n,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 SQRT(CAST(n * q - s * s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))) AS std
+          FROM r)
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               mean / 100e0 AS roll_mean, std / 100e0 AS roll_std,
+               CASE WHEN std <> 0
+                    THEN (CAST(c AS DOUBLE) - mean) / std END AS zscore
+        FROM m
+        WHERE n >= 3 AND ((std > 0 AND ABS(CAST(c AS DOUBLE) - mean) > 2e0 * std)
+                       OR (std = 0 AND CAST(c AS DOUBLE) <> mean))""")),
+
+    // ── funnel time-to-convert percentiles: q109's funnel composed with
+    //    exact discrete percentiles over transition latencies ──
+    Q("q129_funnel_latency",
+      (s, d) => {
+        val f = operators.Funnel.funnel(
+          Tables.events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        val lat = f.filter(col("t2").isNotNull)
+          .select(lit("view_to_click").as("transition"),
+            expr("(t2 - t1) div 1000000").as("lat_s"))
+          .unionByName(f.filter(col("t3").isNotNull)
+            .select(lit("click_to_purchase").as("transition"),
+              expr("(t3 - t2) div 1000000").as("lat_s")))
+        TextAnalysis.percentilesExact(lat, "lat_s", "transition",
+          Seq(50, 90, 99))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        f1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN f1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        f3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN f2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        lat AS (
+          SELECT 'view_to_click' AS transition,
+                 CAST((t2 - t1) // 1000000 AS BIGINT) AS lat_s
+          FROM f1 JOIN f2 USING (user_id)
+          UNION ALL
+          SELECT 'click_to_purchase',
+                 CAST((t3 - t2) // 1000000 AS BIGINT)
+          FROM f2 JOIN f3 USING (user_id)),
+        c AS (SELECT transition, lat_s, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lat GROUP BY 1, 2),
+        cum AS (SELECT transition, lat_s,
+                 CAST(SUM(cnt) OVER (PARTITION BY transition ORDER BY lat_s ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+                FROM c),
+        t AS (SELECT transition, CAST(COUNT(*) AS BIGINT) AS n
+              FROM lat GROUP BY 1),
+        p AS (SELECT CAST(pct AS INTEGER) AS pct
+              FROM (VALUES (50), (90), (99)) AS v(pct))
+        SELECT cum.transition, p.pct, MIN(lat_s) AS value
+        FROM cum JOIN t USING (transition) CROSS JOIN p
+        WHERE cm * 100 >= p.pct * n
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -72,6 +72,86 @@ object Quality {
       .drop("mu", "sigma")
   }
 
+  /** One-pass column profile: (col_name, n_rows, n_null, n_distinct) per
+    * profiled column — the "what landed" readout after every ingest
+    * batch, and the input to null-rate / cardinality drift alerts
+    * between snapshots.
+    *
+    * Scale: ONE aggregation over one scan. The multi-column exact
+    * `count(distinct)` plans as Spark's Expand (one input row fans to
+    * one row per distinct-aggregate before partial aggregation) — cost
+    * grows with the profiled column count, so profile the columns you
+    * alert on, not `SELECT *`; swap exact distinct for
+    * `approx_count_distinct` upstream if a sketch suffices (q83's
+    * trade).
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cs = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cs.nonEmpty, "profile needs at least one column")
+    val aggs = cs.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"))) :+ count(lit(1)).as("__total")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cs.map(c => struct(
+        lit(c).as("col_name"),
+        col("__total").as("n_rows"),
+        col(s"__nn_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Per-key rolling anomaly detection: flag a value that deviates more
+    * than `k` standard deviations from the key's OWN preceding `window`
+    * values (frame excludes the current row, so a spike can't mask
+    * itself) — the per-account velocity/fraud screen the reference's
+    * z-score reconciliation (readme.md:250-252) does only at
+    * whole-group grain. Returns the flagged rows with their rolling
+    * stats; rows whose history has fewer than `minPrior` points are
+    * never flagged (no basis).
+    *
+    * Cross-engine exactness: amounts become exact cents (DECIMAL→LONG),
+    * the window aggregates are integer SUM/SUM-of-squares/COUNT, and
+    * mean/variance derive from those integers with one double division
+    * each — every engine lands on identical bits, no streaming-variance
+    * accumulation-order hazard. Ordering is (tsCol, tieCol) total order.
+    *
+    * Scale: one key-partition shuffle + in-partition sort shared by the
+    * three window aggregates (Catalyst fuses them into one Window exec);
+    * the same shape and skew bound as any per-key window.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valueCol: String,
+                       window: Int = 7, k: Double = 3.0,
+                       minPrior: Int = 3): DataFrame = {
+    require(window >= 2 && minPrior >= 2 && minPrior <= window,
+      s"need 2 <= minPrior <= window, got window=$window minPrior=$minPrior")
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-window, -1)
+    val base = df.withColumn("__c", cents)
+      .withColumn("__n", count(col("__c")).over(w))
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__q", sum(col("__c") * col("__c")).over(w))
+    val nD = col("__n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val variance = (col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (nD * (nD - lit(1.0)))
+    val std = sqrt(variance)
+    base
+      .withColumn("roll_mean", mean / 100.0)
+      .withColumn("roll_std", std / 100.0)
+      // NULL when σ=0 (ANSI double division throws on /0; the flat-history
+      // flag below still fires — NULL zscore + flagged row IS the signal)
+      .withColumn("zscore",
+        when(std =!= 0, (col("__c").cast("double") - mean) / std))
+      .filter(col("__n") >= minPrior &&
+        ((std > 0 && abs(col("__c").cast("double") - mean) > lit(k) * std) ||
+          // flat history (σ=0): ANY deviation is anomalous (z → ±Inf)
+          (std === 0 && col("__c").cast("double") =!= mean)))
+      .drop("__c", "__n", "__s", "__q")
+  }
+
   /** Benford first-significant-digit audit — the classic forensic
     * check for fabricated or double-posted monetary amounts (a natural
     * fit for the reference's banking transaction stream): per group, the

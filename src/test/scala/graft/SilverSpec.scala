@@ -35,6 +35,39 @@ class SilverSpec extends SparkSpec {
     assert(Staging.newerThanWatermark(incoming, existing.limit(0), "ts").count() == 3)
   }
 
+  test("profile: per-column rows/nulls/exact distinct in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), Some("b")),
+      (None, Some("b")), (Some(3), None))
+      .toDF("x", "y")
+    val out = Quality.profile(df).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct")))
+      .toMap
+    assert(out("x") == (4L, 1L, 2L))  // distinct excludes null: {1, 3}
+    assert(out("y") == (4L, 1L, 2L))  // {a, b}
+  }
+
+  test("rollingAnomalies: spike vs own history; flat history flags any deviation; warmup never flags") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // key a: flat 100.00 history then a spike (σ=0 branch);
+    // key b: noisy history then a far outlier (σ>0 branch);
+    // rows 1-3 of each key are warmup (n < minPrior) — never flagged
+    val rows =
+      (1 to 7).map(i => ("a", i, d(f"2024-01-${i}%02d"), 100.0)) :+
+        ("a", 8, d("2024-01-08"), 200.0) :++
+      (Seq(100.0, 104.0, 96.0, 102.0, 98.0, 103.0, 97.0).zipWithIndex.map {
+        case (v, i) => ("b", i + 1, d(f"2024-02-${i + 1}%02d"), v) } :+
+        ("b", 8, d("2024-02-08"), 150.0))
+    val out = Quality.rollingAnomalies(rows.toDF("k", "id", "dt", "amt"),
+        "k", "dt", "id", "amt", window = 7, k = 2.0)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("id")) ->
+        Option(r.getAs[java.lang.Double]("zscore")).map(_.toDouble)).toMap
+    assert(out.keySet == Set(("a", 8), ("b", 8)))
+    assert(out(("a", 8)).isEmpty)        // flat history: flagged, z undefined
+    assert(out(("b", 8)).exists(_ > 2.0))
+  }
+
   test("benford: leading-digit counts, sub-unit rows excluded, Benford expectation") {
     val df = Seq(19.5, 2.0, 25.0, 0.5, 300.0, -45.0, 1.0).toDF("amount")
     val out = Quality.benford(df, "amount").collect()
