@@ -3188,6 +3188,37 @@ object Queries {
         WHERE cm * 100 >= p.pct * n
         GROUP BY 1, 2""")),
 
+    // ── periodic snapshot fact: per-user end-of-day state forward-filled
+    //    across quiet days, from first activity through corpus end ──
+    Q("q130_daily_snapshot",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val endD = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+        Marts.dailySnapshot(ev, Seq("user_id"), "ts",
+          Seq("event_id"), Seq("value"), lit(endD))
+      },
+      Some("""
+        WITH st AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, value,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        ds AS (SELECT user_id, day, value FROM st WHERE rn = 1),
+        mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+        sp AS (SELECT user_id,
+                 CAST(UNNEST(generate_series(CAST(f AS TIMESTAMP),
+                   CAST(mxd AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                   AS snapshot_date
+               FROM (SELECT user_id, MIN(day) AS f FROM ds GROUP BY 1), mx),
+        j AS (SELECT sp.user_id, sp.snapshot_date, ds.value
+              FROM sp LEFT JOIN ds ON ds.user_id = sp.user_id
+                                  AND ds.day = sp.snapshot_date)
+        SELECT user_id, snapshot_date,
+               LAST_VALUE(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY snapshot_date ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM j""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -80,4 +80,56 @@ object Marts {
     }
     swept.filter(col("__side") === 1).drop("__side", "__ts")
   }
+
+  /** Periodic (daily) snapshot fact from a change log: for every key and
+    * every calendar day from the key's first event through `endDate`, the
+    * value in effect at end-of-day — the key's last event that day, or
+    * the previous day's state forward-filled across quiet days. The
+    * standard balance-snapshot / state-history table a warehouse derives
+    * from CDC (the per-day generalization of [[graft.silver.Staging.snapshotAsOf]],
+    * which answers one T; this materializes ALL of them).
+    *
+    * Output: keys..., snapshot_date, valueCols... (forward-filled),
+    * one row per (key, day) from the key's first event day to `endDate`.
+    *
+    * Scale: events first reduce to one row per (key, active day) — a hash
+    * agg election, corpus-sized input but key·activeday output — then the
+    * calendar scaffold is keys × days (bounded by key count and the date
+    * range, independent of event volume), and the forward fill is one
+    * window over the scaffold partitioned by key. Two shuffles total
+    * (election, scaffold window), both on the key.
+    */
+  def dailySnapshot(log: DataFrame, keys: Seq[String], tsCol: String,
+                    tieCols: Seq[String], valueCols: Seq[String],
+                    endDate: Column): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val day = to_date(col(tsCol)).as("__day")
+    // last event per (key, day): max_by hash-agg election (no sort)
+    val ord = struct((col(tsCol) +: tieCols.map(col)): _*)
+    val dayState = log.select(
+        (keys.map(col) :+ day :+ ord.as("__ord")) ++ valueCols.map(col): _*)
+      .groupBy((keys :+ "__day").map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col("__ord")).as("__v"))
+      .select((keys :+ "__day").map(col) ++
+        valueCols.map(c => col(s"__v.$c").as(c)): _*)
+    // scaffold: each key's days from its first event day to endDate
+    val spans = dayState.groupBy(keys.map(col): _*)
+      .agg(min(col("__day")).as("__first"))
+      .select((keys.map(col) :+ explode(sequence(col("__first"), endDate,
+        expr("interval 1 day"))).as("snapshot_date")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("snapshot_date").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // spans derives from dayState — alias both sides so the self-join
+    // lineage resolves unambiguously
+    val joined = spans.as("sp").join(dayState.as("ds"),
+      keys.map(k => col(s"sp.$k") === col(s"ds.$k"))
+        .reduce(_ && _) && col("sp.snapshot_date") === col("ds.__day"),
+      "left")
+      .select((keys.map(k => col(s"sp.$k")) :+ col("sp.snapshot_date")) ++
+        valueCols.map(c => col(s"ds.$c")): _*)
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

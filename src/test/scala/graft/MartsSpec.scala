@@ -35,6 +35,26 @@ class MartsSpec extends SparkSpec {
     assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(9.0)))
   }
 
+  test("dailySnapshot: last event per day wins, quiet days forward-fill, keys start at first activity") {
+    val log = Seq(
+      ("u1", 1L, ts("2024-01-01 09:00:00"), 10.0),
+      ("u1", 2L, ts("2024-01-01 18:00:00"), 20.0),  // later same day wins
+      ("u1", 3L, ts("2024-01-03 12:00:00"), 30.0),  // day 2 quiet → fill 20
+      ("u2", 4L, ts("2024-01-02 08:00:00"), 99.0))  // starts day 2
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Marts.dailySnapshot(log, Seq("user_id"), "ts",
+        Seq("event_id"), Seq("value"), lit(java.sql.Date.valueOf("2024-01-04")))
+      .collect()
+      .map(r => (r.getAs[String]("user_id"),
+        r.getAs[java.sql.Date]("snapshot_date").toString) -> r.getAs[Double]("value"))
+      .toMap
+    assert(out == Map(
+      ("u1", "2024-01-01") -> 20.0, ("u1", "2024-01-02") -> 20.0,
+      ("u1", "2024-01-03") -> 30.0, ("u1", "2024-01-04") -> 30.0,
+      ("u2", "2024-01-02") -> 99.0, ("u2", "2024-01-03") -> 99.0,
+      ("u2", "2024-01-04") -> 99.0))
+  }
+
   test("asOfJoin tie-break picks the greatest right row among equal timestamps") {
     val left = Seq((1L, 100, ts("2024-01-01 12:00:00"))).toDF("txn_id", "account_id", "ts")
     val right = Seq(
