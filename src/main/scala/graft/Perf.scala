@@ -465,6 +465,38 @@ object Perf {
         sdocs.select(operators.TextAnalysis.compressionRatio(col("text")).as("cr"))
           .agg(avg(col("cr"))).count())
     }
+    if (what == "scalellm-r5b") {
+      // round-5 analyst/DQ tier stress: islands / rolling anomalies /
+      // Benford / exact percentiles / column profile / daily snapshot
+      // over 10M events, 1M users (snapshot scaffold: 100k keys × 90 d)
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      val ev = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("user_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit(7L)), lit(90L * 86400L))).as("ts"),
+        (pmod(xxhash64(col("id"), lit(11L)), lit(100000L)).cast("double") / 100.0)
+          .as("amount"))
+        .withColumn("day", to_date(col("ts")))
+      time(s"r5b-islands-$n")(
+        operators.Sessionize.islands(ev, "user_id", "day", 3).count())
+      time(s"r5b-rolling-anomaly-$n")(
+        silver.Quality.rollingAnomalies(ev, "user_id", "ts", "id",
+          "amount", window = 7, k = 3.0).count())
+      time(s"r5b-benford-$n")(
+        silver.Quality.benford(ev, "amount",
+          Seq("user_id")).filter(col("chi2") > 100).count())
+      time(s"r5b-percentiles-$n")(
+        operators.TextAnalysis.percentilesExact(
+          ev.withColumn("cents", (col("amount") * 100).cast("long")),
+          "cents", "day", Seq(50, 95, 99)).count())
+      time(s"r5b-profile-$n")(
+        silver.Quality.profile(ev, Seq("user_id", "amount", "day")).count())
+      time(s"r5b-daily-snapshot-$n")(
+        gold.Marts.dailySnapshot(
+          ev.filter(col("user_id") < 100000L), Seq("user_id"), "ts",
+          Seq("id"), Seq("amount"),
+          lit(java.sql.Date.valueOf("2023-12-15"))).count())
+    }
     if (what == "scalellm-r4e") {
       // analyst-tier stress: funnel / cohorts / lift / rolling WAU over
       // 10M events, 1M users, 5 types, 90 days

@@ -115,6 +115,9 @@ object Marts {
     // scaffold: each key's days from its first event day to endDate
     val spans = dayState.groupBy(keys.map(col): _*)
       .agg(min(col("__day")).as("__first"))
+      // keys born after endDate have no snapshot rows (sequence would
+      // throw on an inverted range)
+      .filter(col("__first") <= endDate)
       .select((keys.map(col) :+ explode(sequence(col("__first"), endDate,
         expr("interval 1 day"))).as("snapshot_date")): _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -40,7 +40,8 @@ class MartsSpec extends SparkSpec {
       ("u1", 1L, ts("2024-01-01 09:00:00"), 10.0),
       ("u1", 2L, ts("2024-01-01 18:00:00"), 20.0),  // later same day wins
       ("u1", 3L, ts("2024-01-03 12:00:00"), 30.0),  // day 2 quiet → fill 20
-      ("u2", 4L, ts("2024-01-02 08:00:00"), 99.0))  // starts day 2
+      ("u2", 4L, ts("2024-01-02 08:00:00"), 99.0),  // starts day 2
+      ("u3", 5L, ts("2024-02-01 08:00:00"), 7.0))   // born after end: no rows
       .toDF("user_id", "event_id", "ts", "value")
     val out = Marts.dailySnapshot(log, Seq("user_id"), "ts",
         Seq("event_id"), Seq("value"), lit(java.sql.Date.valueOf("2024-01-04")))
