@@ -3219,6 +3219,24 @@ object Queries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         FROM j""")),
 
+    // ── scoring record linkage: same blocked+capped candidate shape as
+    //    q79, verified by a native Jaro-Winkler expression (prefix-reward
+    //    name matcher) behind a lossless length-ratio prune ──
+    Q("q131_jaro_linkage",
+      (s, d) => operators.Linkage.fuzzyPairsJaro(
+        s.read.parquet(s"$d/customer.parquet")
+          .withColumn("name_pfx", substring(col("c_name"), 1, 12)),
+        "c_custkey", "c_name", Seq("c_nationkey", "name_pfx"),
+        minSim = 0.96),
+      Some("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+        WHERE a.c_custkey < b.c_custkey
+          AND round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.96""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -61,6 +61,64 @@ object Linkage {
                         maxBlock: Int = DefaultMaxBlock,
                         audit: Option[Observation] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    blockedCandidates(df, idCol, strCol, blockCols, maxBlock, audit)
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      // thresholded (banded) Levenshtein with common-affix stripping:
+      // O(stripped·maxDist) per pair, -1 as soon as the band exceeds the
+      // bound. The verify is the hot loop of the whole operator — real
+      // linkage keys (entity names, URLs, SKUs) share long literal
+      // prefixes, and edits to a shared affix contribute nothing to the
+      // distance, so stripping first shrinks the DP to the part that can
+      // actually differ (3.6× on the TPC-H name corpus, see q79)
+      .withColumn("dist", levWithin(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** All within-block pairs (id_a < id_b) with Jaro-Winkler similarity
+    * ≥ `minSim` — the scoring linkage companion to [[fuzzyPairsBlocked]]:
+    * Levenshtein counts edits (good for typo bounds), Jaro-Winkler
+    * rewards shared prefixes and tolerates transpositions (the classic
+    * person/entity-name matcher). Same blocked + capped candidate shape;
+    * the per-pair prefilter here is a LENGTH-RATIO prune: m ≤ min(|a|,|b|)
+    * bounds jaro ≤ (2 + min/max)/3, and the Winkler bonus lifts that by at
+    * most 0.4·(1−jaro), so jw ≤ 0.6·(2+r)/3 + 0.4 with r = min/max —
+    * pairs whose ratio bound already misses `minSim` never reach the
+    * O(|a|·|b|) match scan. Lossless, like the length-difference bound on
+    * the Levenshtein path.
+    *
+    * Output `jw` is rounded to 6 decimals and the threshold compares the
+    * ROUNDED value, so accept/reject decisions are reproducible across
+    * engines (the kernel itself matches DuckDB's `jaro_winkler_similarity`
+    * — same matching window, transposition count, 0.7 boost threshold,
+    * 4-char/0.1 prefix bonus; spec-pinned on the textbook vectors).
+    */
+  def fuzzyPairsJaro(df: DataFrame, idCol: String, strCol: String,
+                     blockCols: Seq[String], minSim: Double,
+                     maxBlock: Int = DefaultMaxBlock,
+                     audit: Option[Observation] = None): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    val lenA = length(col("s_a")).cast("double")
+    val lenB = length(col("s_b")).cast("double")
+    val ratio = least(lenA, lenB) / greatest(lenA, lenB)
+    val jwUpper = lit(0.6) * (lit(2.0) + ratio) / lit(3.0) + lit(0.4)
+    blockedCandidates(df, idCol, strCol, blockCols, maxBlock, audit)
+      .filter(jwUpper >= minSim - 1e-9)
+      .withColumn("jw", round(jaroWinkler(col("s_a"), col("s_b")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
+  /** Shared block-then-pair scaffold: size-scan the block keys (keys only
+    * move), drop singleton and over-`maxBlock` blocks whole (audited),
+    * semi-join the survivors back, self-join within blocks. Returns the
+    * raw (id_a < id_b, s_a, s_b) candidate frame; callers add their
+    * verify predicate.
+    */
+  private def blockedCandidates(df: DataFrame, idCol: String, strCol: String,
+                                blockCols: Seq[String], maxBlock: Int,
+                                audit: Option[Observation]): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     require(blockCols.nonEmpty,
       "blockCols must be non-empty: unblocked fuzzy join is all-pairs")
@@ -84,19 +142,7 @@ object Linkage {
       :+ col(strCol).as("s_a"): _*)
     val b = pruned.select(blockCols.map(col) :+ col(idCol).as("id_b")
       :+ col(strCol).as("s_b"): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      // thresholded (banded) Levenshtein with common-affix stripping:
-      // O(stripped·maxDist) per pair, -1 as soon as the band exceeds the
-      // bound. The verify is the hot loop of the whole operator — real
-      // linkage keys (entity names, URLs, SKUs) share long literal
-      // prefixes, and edits to a shared affix contribute nothing to the
-      // distance, so stripping first shrinks the DP to the part that can
-      // actually differ (3.6× on the TPC-H name corpus, see q79)
-      .withColumn("dist", levWithin(col("s_a"), col("s_b"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
   }
 
   /** `levenshtein(a, b) <= k ? dist : -1`, exact codepoint semantics
@@ -107,6 +153,14 @@ object Linkage {
   def levWithin(a: Column, b: Column, k: Int): Column = {
     val br = org.apache.spark.sql.graftbridge.ColumnBridge
     br.column(LevWithin(br.expr(a), br.expr(b), k))
+  }
+
+  /** Jaro-Winkler similarity in [0, 1] — Spark has no built-in, so this is
+    * a native codegen'd Expression (see [[JaroWinkler]]).
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    val br = org.apache.spark.sql.graftbridge.ColumnBridge
+    br.column(JaroWinkler(br.expr(a), br.expr(b)))
   }
 }
 
@@ -125,6 +179,30 @@ case class LevWithin(left: Expression, right: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.operators.LinkKernels.levWithin($a, $b, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Codepoint-exact Jaro-Winkler similarity (textbook parameters: matching
+  * window ⌊max/2⌋−1, transpositions = mismatched-match-positions / 2,
+  * prefix bonus p=0.1 over ≤4 shared leading codepoints, applied only when
+  * jaro > 0.7 — the same contract as DuckDB's `jaro_winkler_similarity`,
+  * which keeps the linkage queries oracle-exact).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler needs (string, string), got (${left.dataType}, ${right.dataType})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LinkKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.operators.LinkKernels.jaroWinkler($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -187,5 +265,57 @@ object LinkKernels {
       i += 1
     }
     if (prev(m) <= k) prev(m) else -1
+  }
+
+  /** Jaro-Winkler similarity over CODEPOINTS (see [[graft.operators.JaroWinkler]]).
+    * Empty-vs-empty is 1.0, empty-vs-nonempty 0.0 (DuckDB agrees).
+    */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    if (ua.equals(ub)) return 1.0
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    val n = a.length
+    val m = b.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(math.max(n, m) / 2 - 1, 0)
+    val aMatched = new Array[Boolean](n)
+    val bMatched = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val jLo = math.max(0, i - window)
+      val jHi = math.min(m - 1, i + window)
+      var j = jLo
+      var found = false
+      while (!found && j <= jHi) {
+        if (!bMatched(j) && a(i) == b(j)) {
+          aMatched(i) = true; bMatched(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: walk both matched subsequences in order; each is a
+    // permutation of the other, t = mismatched positions / 2
+    var mismatched = 0
+    var bi = 0
+    i = 0
+    while (i < n) {
+      if (aMatched(i)) {
+        while (!bMatched(bi)) bi += 1
+        if (a(i) != b(bi)) mismatched += 1
+        bi += 1
+      }
+      i += 1
+    }
+    val t = mismatched / 2
+    val md = matches.toDouble
+    val jaro = (md / n + md / m + (md - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    while (prefix < math.min(4, math.min(n, m)) && a(prefix) == b(prefix))
+      prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

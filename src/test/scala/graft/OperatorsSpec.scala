@@ -1189,6 +1189,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("jaroWinkler matches the textbook vectors (DuckDB-compatible contract)") {
+    import graft.operators.Linkage
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),   // 1 transposition + 3-char prefix
+      ("dixon", "dicksonx", 0.813333),  // jaro 0.766667 + 2-char prefix
+      ("dwayne", "duane", 0.84),
+      ("abc", "abc", 1.0),
+      ("", "", 1.0),
+      ("", "abc", 0.0),
+      ("ab", "a", 0.85),                // jaro 0.833333 + 1-char prefix
+      // shared 4-char prefix but jaro ≤ 0.7 → NO Winkler bonus
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),
+      ("abxxxxxxxx", "abyyyyyyyy", 0.466667))
+    val out = cases.toDF("a", "b", "want")
+      .select($"a", $"b", round(Linkage.jaroWinkler($"a", $"b"), 6).as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(out((a, b)) - want) < 1e-9, s"($a, $b): ${out((a, b))}")
+    }
+  }
+
+  test("fuzzyPairsJaro: blocked scoring pairs; ratio prune is lossless") {
+    import graft.operators.Linkage
+    val df = Seq(
+      (1L, "jonathan smith", "w"), (2L, "jonathon smith", "w"), // jw ≈ 0.97
+      (3L, "jon smith", "w"),                                   // short: ratio-pruned at high τ
+      (4L, "zebra quartz", "w"),                                // dissimilar
+      (5L, "jonathan smith", "e")                               // exact dup, wrong block
+    ).toDF("id", "name", "region")
+    val out = Linkage.fuzzyPairsJaro(df, "id", "name", Seq("region"), minSim = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)), out)
+    assert(out((1L, 2L)) >= 0.95 && out((1L, 2L)) <= 1.0)
+    // prune losslessness: scoring ALL within-block pairs directly finds no
+    // pair above τ that the pruned operator missed
+    val all = df.as("a").join(df.as("b"),
+        $"a.region" === $"b.region" && $"a.id" < $"b.id")
+      .select(round(Linkage.jaroWinkler($"a.name", $"b.name"), 6).as("jw"),
+        $"a.id", $"b.id")
+      .filter($"jw" >= 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(all == out.keySet)
+  }
+
   test("semanticDecontaminate drops exactly the vectors near a benchmark vector") {
     val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
     val corpus = Seq(
