@@ -3237,6 +3237,22 @@ object Queries {
         WHERE a.c_custkey < b.c_custkey
           AND round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.96""")),
 
+    // ── weight-proportional k-sample without replacement: DLT priority
+    //    sampling with exact integer-division priorities (no libm pow/log
+    //    → bit-identical across engines); map + distributed TakeOrdered ──
+    Q("q132_priority_sample",
+      (s, d) => operators.Sampling.prioritySample(
+          Tables.documents(s, d), "doc_id", "n_chars", k = 100)
+        .select("doc_id", "lang", "n_chars", "priority"),
+      Some("""
+        SELECT doc_id, lang, n_chars, priority FROM (
+          SELECT doc_id, lang, n_chars,
+                 CAST(n_chars AS DOUBLE) /
+                 CAST((('0x' || substr(md5(doc_id::VARCHAR || 'priority'), 1, 8))::UBIGINT
+                       + 1) AS DOUBLE) AS priority
+          FROM documents WHERE n_chars > 0)
+        ORDER BY priority DESC, doc_id ASC LIMIT 100""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

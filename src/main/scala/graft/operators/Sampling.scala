@@ -258,4 +258,36 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Weight-proportional sample of k rows WITHOUT replacement — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    * w / u with u a per-key uniform, and the k highest priorities win.
+    * Heavy rows are more likely to be picked, every row with w > 0 has
+    * positive inclusion probability, and the scheme supports unbiased
+    * subset-sum estimation downstream (estimate weight = max(w, τ) with τ
+    * the (k+1)-th priority).
+    *
+    * Determinism/exactness: u is the md5 32-bit integer (+1, so u ∈
+    * [1, 2^32] — never a zero divisor) and the priority is ONE division of
+    * two exact integers. IEEE requires division to be correctly rounded,
+    * so — unlike the `u^(1/w)` exponential-keys scheme, whose `pow`/`log`
+    * are libm-dependent — the priority is bit-identical across engines,
+    * runs, and retries, and the DuckDB oracle reproduces the exact sample.
+    * Ties broken by key; rows with w ≤ 0 are excluded (zero weight = zero
+    * inclusion probability; negative weights are meaningless here).
+    *
+    * Scale shape: map-side priority + distributed TakeOrdered (each task
+    * keeps its local top-k, the driver merges k-sized heaps) — no global
+    * sort, no shuffle of the corpus.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = "priority"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))),
+      1, 8), 16, 10).cast("long") + lit(1L)
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u.cast("double"))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -1123,6 +1123,32 @@ class OperatorsSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("prioritySample: exact hand-computed top-k, w<=0 excluded, partitioning-invariant") {
+    val rows = (1L to 400L).map(id => (id, if (id % 50 == 0) 0L else id % 97 + 1))
+    val df = rows.toDF("id", "w")
+    val k = 25
+    val out = Sampling.prioritySample(df, "id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length == k)
+    // recompute every priority with the same md5 math; expect the exact top-k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(id: Long): Long = {
+      val hex = md.digest(s"${id}priority".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w.toDouble / u32(id).toDouble) }
+      .sortBy { case (id, p) => (-p, id) }.take(k)
+    assert(out.toSeq == expected, s"got ${out.take(3).toSeq} want ${expected.take(3)}")
+    // zero-weight ids (multiples of 50) never appear
+    assert(out.forall(_._1 % 50 != 0))
+    // identical pick under a different physical partitioning
+    val again = Sampling.prioritySample(df.repartition(7), "id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("dhash: identical rasters collide, one-pixel tweak stays near, inversion is far") {
     val base = Array.tabulate(256)(i => (i % 251).toByte)
     val tweak = base.clone(); tweak(40) = (tweak(40) + 120).toByte

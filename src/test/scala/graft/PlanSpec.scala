@@ -328,6 +328,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
   }
 
+  test("priority sample: map + distributed TakeOrdered, zero exchanges, no global sort") {
+    val p = plan("q132_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
+  }
+
+  test("jaro linkage: one block-key join per side, no BNLJ or cartesian") {
+    val p = plan("q131_jaro_linkage")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("compression ratio rollup: one aggregation exchange, nothing else") {
     val p = plan("q104_compression_ratio")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
