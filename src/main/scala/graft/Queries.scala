@@ -3253,6 +3253,25 @@ object Queries {
           FROM documents WHERE n_chars > 0)
         ORDER BY priority DESC, doc_id ASC LIMIT 100""")),
 
+    // ── Unicode canonicalization: inject decomposed accents (e+U+0301),
+    //    NFC-compose them back — the composed/decomposed unification every
+    //    crawled corpus needs before dedup/tokenization keys agree ──
+    Q("q133_unicode_nfc",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        functions.HashFunctions.unicodeNorm(
+          regexp_replace(col("text"), "e", "e\u0301")).as("norm"),
+        length(regexp_replace(col("text"), "e", "e\u0301")).as("n_decomposed"),
+        length(functions.HashFunctions.unicodeNorm(
+          regexp_replace(col("text"), "e", "e\u0301"))).as("n_nfc")),
+      Some("""
+        SELECT doc_id,
+               nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS norm,
+               CAST(length(replace(text, 'e', 'e' || chr(769))) AS INTEGER) AS n_decomposed,
+               CAST(length(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS INTEGER)
+                 AS n_nfc
+        FROM documents""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

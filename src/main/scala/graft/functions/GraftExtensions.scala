@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   minhash_signature(shingles, k), simhash64(tokens),
   *   norm_text(text), lsh_buckets(vec, tables, planes),
   *   ordered_pairs(arr), media_meta(payload), deflate_ratio(text),
-  *   quantize_int8(vec), bpe_merge(symbols, 'l', 'r')
+  *   quantize_int8(vec), bpe_merge(symbols, 'l', 'r'),
+  *   unicode_norm(text[, 'NFC'|'NFD'|'NFKC'|'NFKD'])
   *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or config `spark.sql.extensions=graft.functions.GraftExtensions`;
@@ -49,7 +50,9 @@ object GraftExtensions {
     "deflate_ratio" -> (es => graft.operators.DeflateRatio(es(0))),
     "quantize_int8" -> (es => QuantizeInt8(es(0))),
     "bpe_merge" -> (es => graft.operators.BpeApplyMerge(es(0),
-      strArg(es(1), "left"), strArg(es(2), "right"))))
+      strArg(es(1), "left"), strArg(es(2), "right"))),
+    "unicode_norm" -> (es => UnicodeNormalize(es(0),
+      if (es.length > 1) strArg(es(1), "form") else "NFC")))
 
   private def strArg(e: Expression, name: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString

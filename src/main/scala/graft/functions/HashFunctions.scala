@@ -101,6 +101,15 @@ object HashFunctions {
   /** Per-vocabulary membership counts of a token array, one pass. */
   def tokenSetCounts(tokens: Column, vocabularies: Seq[Seq[String]]): Column =
     co(TokenSetCounts(ex(tokens), vocabularies))
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — Spark has no built-in;
+    * web-crawled corpora mix composed and decomposed forms of the same
+    * grapheme ("é" as U+00E9 vs e+U+0301), which silently splits
+    * dedup/token/vocabulary keys until canonicalized. Map-only, codegen'd;
+    * NFC output matches DuckDB's `nfc_normalize` (both implement UAX #15).
+    */
+  def unicodeNorm(text: Column, form: String = "NFC"): Column =
+    co(UnicodeNormalize(ex(text), form))
 }
 
 /** Per-row sketch kernels, written as static-forwardable methods so
@@ -138,6 +147,18 @@ object SketchKernels {
 
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Unicode normalization with an ASCII fast path: one-byte-per-char
+    * input (numBytes == numChars) is already in every normal form, so the
+    * common crawl-text case returns the input untouched — no String
+    * round-trip, no Normalizer call.
+    */
+  def unicodeNormalize(input: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    if (input.numBytes() == input.numChars()) return input
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, form)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
 
   /** text → distinct word k-shingles. Same `UTF8String.toLowerCase`
     * lowercasing as `normalize`, so shingles of raw text and of
@@ -308,6 +329,32 @@ object SketchKernels {
     }
     new GenericArrayData(counts)
   }
+}
+
+/** string → Unicode-normalized string under `form` (see
+  * [[HashFunctions.unicodeNorm]]). The fast path skips normalization for
+  * pure-ASCII input (always already in every normal form) without leaving
+  * generated code.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unknown normalization form: $form")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unicode_norm needs a string argument, got ${child.dataType}")
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.unicodeNormalize(input.asInstanceOf[UTF8String], f)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", f, "java.text.Normalizer$Form")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchKernels.unicodeNormalize($a, $formRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** array<string> tokens → array<int> of per-vocabulary hit counts

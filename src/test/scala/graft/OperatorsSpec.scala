@@ -1149,6 +1149,32 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("unicodeNorm: NFC composes, NFKC folds compatibility chars, ASCII untouched") {
+    import graft.functions.HashFunctions.unicodeNorm
+    val df = Seq(
+      ("é", "decomp"),       // e + combining acute → é
+      ("é", "comp"),          // already composed
+      ("ﬁle", "ligature"),    // ﬁle (U+FB01 ligature)
+      ("plain ascii", "ascii")
+    ).toDF("s", "tag")
+    val out = df.select($"tag", unicodeNorm($"s").as("nfc"),
+        unicodeNorm($"s", "NFKC").as("nfkc"), length(unicodeNorm($"s")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    assert(out("decomp")._1 == "\u00e9" && out("decomp")._3 == 1)
+    assert(out("comp")._1 == "\u00e9")
+    assert(out("decomp")._1 == out("comp")._1)  // forms unify
+    assert(out("ligature")._1 == "ﬁle")    // NFC keeps the ligature
+    assert(out("ligature")._2 == "file")        // NFKC folds it
+    assert(out("ascii")._1 == "plain ascii")
+    // SQL surface
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("un_t")
+    val sql = spark.sql(
+      "SELECT unicode_norm(s), unicode_norm(s, 'NFKC') FROM un_t WHERE tag = 'ligature'")
+      .head()
+    assert(sql.getString(0) == "ﬁle" && sql.getString(1) == "file")
+  }
+
   test("dhash: identical rasters collide, one-pixel tweak stays near, inversion is far") {
     val base = Array.tabulate(256)(i => (i % 251).toByte)
     val tweak = base.clone(); tweak(40) = (tweak(40) + 120).toByte
