@@ -3272,6 +3272,37 @@ object Queries {
                  AS n_nfc
         FROM documents""")),
 
+    // ── end-to-end entity resolution: blocked Jaro-Winkler linkage →
+    //    connected components → one entity id per customer cluster (the
+    //    MDM golden-record assignment, composed from spec'd operators) ──
+    Q("q134_entity_resolution",
+      (s, d) => {
+        val pairs = operators.Linkage.fuzzyPairsJaro(
+          s.read.parquet(s"$d/customer.parquet")
+            .withColumn("name_pfx", substring(col("c_name"), 1, 12)),
+          "c_custkey", "c_name", Seq("c_nationkey", "name_pfx"),
+          minSim = 0.97)
+        operators.Dedup.resolveClusters(pairs)
+          .select(col("id").as("c_custkey"), col("cluster_id").as("entity_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        pairs AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+           AND substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+          WHERE a.c_custkey < b.c_custkey
+            AND round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
+        SELECT id AS c_custkey, CAST(MIN(lbl) AS BIGINT) AS entity_id
+        FROM cc GROUP BY id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
