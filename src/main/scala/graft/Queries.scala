@@ -3303,6 +3303,96 @@ object Queries {
         SELECT id AS c_custkey, CAST(MIN(lbl) AS BIGINT) AS entity_id
         FROM cc GROUP BY id""")),
 
+    // ── RFM segmentation: recency/frequency/monetary quintile scores from
+    //    PERCENTILE_DISC boundaries (no single-partition global ntile) ──
+    Q("q135_rfm",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val asOf = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+        Marts.rfm(ev.filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", lit(asOf))
+      },
+      Some("""
+        WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS cutoff_d FROM events),
+        per0 AS (
+          SELECT user_id, MAX(CAST(ts AS DATE)) AS lastd,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        per AS (
+          SELECT user_id,
+                 CAST(date_diff('day', lastd, cutoff_d) AS BIGINT) AS recency_days,
+                 frequency, monetary_cents
+          FROM per0, mx),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+        p(pct) AS (VALUES (20), (40), (60), (80)),
+        rh AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+               (SELECT recency_days AS v, COUNT(*) AS c FROM per GROUP BY 1)),
+        rb AS (SELECT MAX(CASE WHEN pct = 20 THEN b END) AS b20,
+                      MAX(CASE WHEN pct = 40 THEN b END) AS b40,
+                      MAX(CASE WHEN pct = 60 THEN b END) AS b60,
+                      MAX(CASE WHEN pct = 80 THEN b END) AS b80
+               FROM (SELECT p.pct, MIN(v) AS b FROM rh, p, n
+                     WHERE cum * 100 >= p.pct * n.n GROUP BY 1)),
+        fh AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+               (SELECT frequency AS v, COUNT(*) AS c FROM per GROUP BY 1)),
+        fb AS (SELECT MAX(CASE WHEN pct = 20 THEN b END) AS b20,
+                      MAX(CASE WHEN pct = 40 THEN b END) AS b40,
+                      MAX(CASE WHEN pct = 60 THEN b END) AS b60,
+                      MAX(CASE WHEN pct = 80 THEN b END) AS b80
+               FROM (SELECT p.pct, MIN(v) AS b FROM fh, p, n
+                     WHERE cum * 100 >= p.pct * n.n GROUP BY 1)),
+        mh AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM
+               (SELECT monetary_cents AS v, COUNT(*) AS c FROM per GROUP BY 1)),
+        mb AS (SELECT MAX(CASE WHEN pct = 20 THEN b END) AS b20,
+                      MAX(CASE WHEN pct = 40 THEN b END) AS b40,
+                      MAX(CASE WHEN pct = 60 THEN b END) AS b60,
+                      MAX(CASE WHEN pct = 80 THEN b END) AS b80
+               FROM (SELECT p.pct, MIN(v) AS b FROM mh, p, n
+                     WHERE cum * 100 >= p.pct * n.n GROUP BY 1))
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               CAST(6 - (1 + (recency_days > rb.b20)::INT + (recency_days > rb.b40)::INT
+                           + (recency_days > rb.b60)::INT + (recency_days > rb.b80)::INT)
+                    AS INTEGER) AS r_score,
+               CAST(1 + (frequency > fb.b20)::INT + (frequency > fb.b40)::INT
+                      + (frequency > fb.b60)::INT + (frequency > fb.b80)::INT
+                    AS INTEGER) AS f_score,
+               CAST(1 + (monetary_cents > mb.b20)::INT + (monetary_cents > mb.b40)::INT
+                      + (monetary_cents > mb.b60)::INT + (monetary_cents > mb.b80)::INT
+                    AS INTEGER) AS m_score,
+               (6 - (1 + (recency_days > rb.b20)::INT + (recency_days > rb.b40)::INT
+                       + (recency_days > rb.b60)::INT + (recency_days > rb.b80)::INT))::VARCHAR
+               || (1 + (frequency > fb.b20)::INT + (frequency > fb.b40)::INT
+                     + (frequency > fb.b60)::INT + (frequency > fb.b80)::INT)::VARCHAR
+               || (1 + (monetary_cents > mb.b20)::INT + (monetary_cents > mb.b40)::INT
+                     + (monetary_cents > mb.b60)::INT + (monetary_cents > mb.b80)::INT)::VARCHAR
+                 AS segment
+        FROM per, rb, fb, mb""")),
+
+    // ── accumulating snapshot fact: first-timestamp per lifecycle
+    //    milestone + inter-milestone latencies, one hash agg ──
+    Q("q136_accumulating_snapshot",
+      (s, d) => Marts.accumulatingSnapshot(Tables.events(s, d),
+        "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase")),
+      Some("""
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_at,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_at,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS click_at,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_at,
+               CAST(epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END)) // 1000000
+                  - epoch_us(MIN(CASE WHEN event_type = 'signup' THEN ts END)) // 1000000
+                    AS BIGINT) AS signup_to_view_s,
+               CAST(epoch_us(MIN(CASE WHEN event_type = 'click' THEN ts END)) // 1000000
+                  - epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END)) // 1000000
+                    AS BIGINT) AS view_to_click_s,
+               CAST(epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000000
+                  - epoch_us(MIN(CASE WHEN event_type = 'click' THEN ts END)) // 1000000
+                    AS BIGINT) AS click_to_purchase_s
+        FROM events GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -135,4 +135,75 @@ object Marts {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Accumulating snapshot fact (the Kimball lifecycle table): ONE row per
+    * key with the FIRST timestamp of each named milestone (`<m>_at`, null
+    * until the milestone happens) and the elapsed seconds between
+    * consecutive milestones (`<a>_to_<b>_s`, null while either end is
+    * missing). The signup→activation→purchase funnel table a warehouse
+    * keeps updating in place as each entity progresses.
+    *
+    * Scale: ONE hash aggregation over the event log — `min(when(...))`
+    * per milestone is map-side combinable, so the corpus reduces to key
+    * cardinality before the single key shuffle; the latency columns are
+    * map-only arithmetic on the aggregated frame. Out-of-order lifecycles
+    * (a milestone observed before its predecessor) yield negative
+    * elapsed values — preserved, not nulled: they are data-quality
+    * signal, and a DQ rule can screen them downstream.
+    */
+  def accumulatingSnapshot(events: DataFrame, keyCol: String,
+                           milestoneCol: String, tsCol: String,
+                           milestones: Seq[String]): DataFrame = {
+    require(milestones.nonEmpty, "need at least one milestone")
+    require(milestones.distinct == milestones, s"duplicate milestones: $milestones")
+    val aggs = milestones.map(m =>
+      min(when(col(milestoneCol) === m, col(tsCol))).as(s"${m}_at"))
+    val base = events.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    milestones.sliding(2).foldLeft(base) {
+      case (df, Seq(a, b)) => df.withColumn(s"${a}_to_${b}_s",
+        col(s"${b}_at").cast("long") - col(s"${a}_at").cast("long"))
+      case (df, _) => df // single milestone: no latency columns
+    }
+  }
+
+  /** RFM segmentation — per-key Recency (days since last event, as of
+    * `asOf`), Frequency (event count), Monetary (exact cents,
+    * `floor(value·100)` per event so both engines truncate identically) —
+    * each scored 1–5 by PERCENTILE_DISC(20/40/60/80) boundaries computed
+    * over the key frame, higher = better (recency scored inverted:
+    * recent = 5). The classic CRM / churn-targeting readout.
+    *
+    * Scoring is boundary-based, NOT ntile: an exact global NTILE needs a
+    * single-partition window over every key (the scale killer), while the
+    * four quintile boundaries come from [[TextAnalysis.percentilesExact]]'s
+    * (group, value) histogram — windows over distinct metric values only —
+    * and broadcast back as literals into a map-only when-chain. Under
+    * heavy ties the populations are not exactly 20% each (every tied key
+    * lands in the same class — deterministic and engine-exact, unlike
+    * rank-tiebreak ntile).
+    */
+  def rfm(events: DataFrame, keyCol: String, tsCol: String,
+          valueCol: String, asOf: Column): DataFrame = {
+    val per = events.groupBy(col(keyCol)).agg(
+      datediff(asOf.cast("date"), max(to_date(col(tsCol)))).cast("long")
+        .as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col(valueCol) * 100).cast("long")).as("monetary_cents"))
+    def bounds(c: String): Seq[Long] =
+      graft.operators.TextAnalysis.percentilesExact(
+          per.withColumn("__g", lit(1)), c, "__g", Seq(20, 40, 60, 80))
+        .orderBy(col("pct").asc).collect().map(_.getAs[Long]("value")).toSeq
+    def scoreAsc(c: String, bs: Seq[Long]): Column =
+      bs.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col(c) > b, 1).otherwise(0)
+      }
+    val (rb, fb, mb) = (bounds("recency_days"), bounds("frequency"),
+      bounds("monetary_cents"))
+    per
+      .withColumn("r_score", lit(6) - scoreAsc("recency_days", rb))
+      .withColumn("f_score", scoreAsc("frequency", fb))
+      .withColumn("m_score", scoreAsc("monetary_cents", mb))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
 }

@@ -56,6 +56,52 @@ class MartsSpec extends SparkSpec {
       ("u2", "2024-01-04") -> 99.0))
   }
 
+  test("accumulatingSnapshot: first-ts per milestone, null until reached, negatives preserved") {
+    val ev = Seq(
+      ("u1", "signup", ts("2024-01-01 00:00:00")),
+      ("u1", "view", ts("2024-01-01 00:00:10")),
+      ("u1", "view", ts("2024-01-02 00:00:00")),   // later view ignored (first wins)
+      ("u1", "purchase", ts("2024-01-01 00:01:10")),
+      ("u2", "view", ts("2024-01-01 00:00:05")),   // out of order: view before signup
+      ("u2", "signup", ts("2024-01-01 00:00:20"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Marts.accumulatingSnapshot(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getAs[String]("user_id") -> r).toMap
+    val u1 = out("u1")
+    assert(u1.getAs[Long]("signup_to_view_s") == 10L)
+    assert(u1.getAs[Long]("view_to_purchase_s") == 60L)
+    val u2 = out("u2")
+    assert(u2.getAs[Long]("signup_to_view_s") == -15L)  // out-of-order kept
+    assert(u2.isNullAt(u2.fieldIndex("purchase_at")))   // never purchased
+    assert(u2.isNullAt(u2.fieldIndex("view_to_purchase_s")))
+  }
+
+  test("rfm: boundary-scored quintiles, recency inverted, ties share a class") {
+    // 5 users with strictly increasing F and M, and decreasing recency
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (s"u$u", ts(f"2024-01-${u}%02d 12:00:00"), u * 10.0 + i))
+    }.toDF("user_id", "ts", "value")
+    val out = Marts.rfm(ev, "user_id", "ts", "value",
+        lit(java.sql.Date.valueOf("2024-01-10")))
+      .collect().map(r => r.getAs[String]("user_id") ->
+        (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))).toMap
+    // u5: most recent (r=5), most frequent (f=5), most monetary (m=5)
+    assert(out("u5") == ((5, 5, 5)), out)
+    assert(out("u1") == ((1, 1, 1)), out)
+    // monotone scores along the constructed order
+    val fs = (1 to 5).map(u => out(s"u$u")._2)
+    assert(fs == fs.sorted, fs)
+    // all-tied metric: every key lands in ONE class (no rank tie-break)
+    val tied = (1 to 4).map(u => (s"t$u", ts("2024-01-05 12:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val tout = Marts.rfm(tied, "user_id", "ts", "value",
+        lit(java.sql.Date.valueOf("2024-01-10")))
+      .collect().map(r => (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score"))).toSet
+    assert(tout.size == 1, tout)
+  }
+
   test("asOfJoin tie-break picks the greatest right row among equal timestamps") {
     val left = Seq((1L, 100, ts("2024-01-01 12:00:00"))).toDF("txn_id", "account_id", "ts")
     val right = Seq(
