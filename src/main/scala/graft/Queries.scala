@@ -3393,6 +3393,46 @@ object Queries {
                     AS BIGINT) AS click_to_purchase_s
         FROM events GROUP BY 1""")),
 
+    // ── last-touch attribution: each purchase credits the user's most
+    //    recent click at-or-before it (asOfJoin composition, union+window
+    //    sweep — one key shuffle, no non-equi join) ──
+    Q("q137_last_touch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"))
+        Marts.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "cts",
+            valueCols = Seq("click_id", "cts"),
+            rightTieBreak = Seq("click_id"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("click_id"), col("cts"),
+            (col("ts").cast("long") - col("cts").cast("long")).as("gap_s"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, ts, event_id, value, event_type FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        w AS (
+          SELECT user_id, ts, event_id, value, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                            IGNORE NULLS) OVER aw AS click_id,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                            IGNORE NULLS) OVER aw AS cts
+          FROM ev
+          WINDOW aw AS (
+            PARTITION BY user_id
+            ORDER BY ts ASC,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC,
+                     CASE WHEN event_type = 'click' THEN event_id END ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts, value, click_id, cts,
+               CAST(epoch_us(ts) // 1000000 - epoch_us(cts) // 1000000 AS BIGINT)
+                 AS gap_s
+        FROM w WHERE event_type = 'purchase'""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
