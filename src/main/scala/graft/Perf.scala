@@ -251,6 +251,13 @@ object Perf {
         operators.Dedup.resolveClusters(
           operators.Dedup.minHashLsh(syntheticDocs(n), "id", "text",
             bands = 8, rowsPerBand = 4, minEstJaccard = 0.9)).count())
+      // Jaro-Winkler verify on the same composite-key blocks: the scoring
+      // path pays the match scan instead of the banded DP — confirm the
+      // ratio prune + block cap keep it in the same cost class
+      time(s"linkage-jaro-$nL") {
+        operators.Linkage.fuzzyPairsJaro(named, "id", "name",
+          Seq("nation", "pfx"), minSim = 0.96).count()
+      }
     }
     if (what == "scalellm-probe") {
       // incremental LSH at scale: build the signature index over a 10M-doc
