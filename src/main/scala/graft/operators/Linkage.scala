@@ -217,12 +217,28 @@ object LinkKernels {
     * classic trim used by every production edit-distance kernel. The
     * banded DP then touches O(|core|·k) cells instead of O(|a|·|b|).
     */
+  /** Codepoint array of a UTF8String. ASCII fast path: one byte per char
+    * (numBytes == numChars) means the bytes ARE the codepoints — no String
+    * materialization, no stream. The verify kernels call this twice per
+    * pair, so on ASCII-heavy linkage corpora (names, SKUs, URLs) this is
+    * the difference between an allocation-bound and a compute-bound scan.
+    */
+  private def codepoints(u: UTF8String): Array[Int] = {
+    val nb = u.numBytes()
+    if (nb == u.numChars()) {
+      val a = new Array[Int](nb)
+      var i = 0
+      while (i < nb) { a(i) = u.getByte(i) & 0xff; i += 1 }
+      a
+    } else u.toString.codePoints().toArray
+  }
+
   def levWithin(ua: UTF8String, ub: UTF8String, k: Int): Int = {
     // fast path: byte-identical
     if (ua.equals(ub)) return 0
     if (k <= 0) return -1
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
+    val a = codepoints(ua)
+    val b = codepoints(ub)
     var lo = 0
     var aHi = a.length
     var bHi = b.length
@@ -272,8 +288,8 @@ object LinkKernels {
     */
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
     if (ua.equals(ub)) return 1.0
-    val a = ua.toString.codePoints().toArray
-    val b = ub.toString.codePoints().toArray
+    val a = codepoints(ua)
+    val b = codepoints(ub)
     val n = a.length
     val m = b.length
     if (n == 0 || m == 0) return 0.0
