@@ -3441,6 +3441,73 @@ object Queries {
                  AS gap_s
         FROM w WHERE event_type = 'purchase'""")),
 
+    // ── join-key skew detector: the heaviest keys with share and
+    //    times-uniform ratio — the decide-before-you-shuffle readout that
+    //    picks saltedJoin/saltedAggregate candidates ──
+    Q("q138_skew_report",
+      (s, d) => operators.Skew.skewReport(Tables.events(s, d), "user_id"),
+      Some("""
+        WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS nd FROM c)
+        SELECT user_id, n, CAST(n AS DOUBLE) / total AS share,
+               CAST(n AS DOUBLE) * nd / total AS skew_x
+        FROM c, t ORDER BY n DESC, user_id ASC LIMIT 20""")),
+
+    // ── assembly disposition ledger: every corpus doc gets exactly one
+    //    reason it is or isn't in the training set (the governance audit
+    //    for q82's chain — same stages, same salt, id-only marker joins) ──
+    Q("q139_disposition_ledger",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        pipelines.CorpusPipeline.dispositionLedger(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", "source")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, source, text,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+          FROM documents WHERE source <> 'src0'),
+        dedup AS (
+          SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY nt),
+        surv AS (
+          SELECT c.* FROM corpus c JOIN dedup USING (doc_id)),
+        tok AS (
+          SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS s
+          FROM tok),
+        bsh AS (
+          SELECT DISTINCT s FROM sh
+          WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+        dirty AS (
+          SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s)
+          WHERE sh.doc_id IN (SELECT doc_id FROM surv)),
+        clean AS (
+          SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        cnt AS (
+          SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM clean GROUP BY 1),
+        mn AS (SELECT MIN(n) AS nmin FROM cnt),
+        rate AS (SELECT source, sqrt(nmin / n) AS rate FROM cnt, mn),
+        bal AS (
+          SELECT c.doc_id FROM clean c JOIN rate USING (source)
+          WHERE ('0x' || substr(md5(c.doc_id::VARCHAR || 'temp'), 1, 8))::UBIGINT
+                  / 4294967296.0 < rate.rate)
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM dedup)
+                      THEN 'exact_dup'
+                    WHEN d.doc_id IN (SELECT doc_id FROM dirty)
+                      THEN 'contaminated'
+                    WHEN d.doc_id NOT IN (SELECT doc_id FROM bal)
+                      THEN 'rebalanced'
+                    ELSE 'kept' END AS disposition
+        FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

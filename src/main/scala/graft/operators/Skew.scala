@@ -55,4 +55,30 @@ object Skew {
       sum(col("n_rows")).as("n_rows")
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Key-skew report for a prospective join/aggregation key: the topK
+    * heaviest values with row count, share of the table, and the ratio to
+    * a perfectly uniform key (share × distinct-count) — the number that
+    * says "this key is 40× hotter than uniform, salt it". The detect
+    * stage that decides whether [[saltedJoin]]/[[saltedAggregate]] (or a
+    * `maxBlock` cut) is needed BEFORE the shuffle stalls at 3 am.
+    *
+    * Shape: one map-side-combinable count agg (keys only shuffle), the
+    * two scalar totals ride a 1-row broadcast, topK is a distributed
+    * TakeOrdered. share and skew are divisions of exact integers —
+    * correctly rounded, engine-exact.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__distinct"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("__total")).as("share"),
+        (col("n").cast("double") * col("__distinct") / col("__total"))
+          .as("skew_x"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(topK)
+  }
 }

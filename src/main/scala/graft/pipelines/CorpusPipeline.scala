@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Composed training-data cleaning pipeline over a document corpus:
   * exact dedup (keep first) → quality features → threshold filter →
@@ -66,4 +66,41 @@ object CorpusPipeline {
     graft.gold.BaseDelta.read(spark,
         graft.gold.BaseDelta.Table(sinkPath, Seq("content_hash"), Seq("__first")))
       .drop("__first")
+
+  /** Per-document disposition ledger for the assembly chain (the audit
+    * artifact data governance asks for: every input document gets exactly
+    * ONE disposition explaining why it is or isn't in the training set):
+    *
+    *   exact_dup    — not the canonical copy under exact dedup
+    *   contaminated — canonical, but shares a word k-gram with `bench`
+    *   rebalanced   — clean, but dropped by the temperature source mix
+    *   kept         — survived every stage (= the q82 assembly output)
+    *
+    * Stages are the SAME operators the assembly runs (exactKeepFirst →
+    * bloomDecontaminate → temperatureSample, same salt), so
+    * `ledger.filter('kept')` is row-identical to the pipeline output by
+    * construction. Scale shape: each stage reduces to an id-only marker
+    * frame before the three key-joins back onto the corpus — text never
+    * rides the ledger joins.
+    */
+  def dispositionLedger(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, sourceCol: String, k: Int = 5,
+                        salt: String = "temp"): DataFrame = {
+    val deduped = Dedup.exactKeepFirst(corpus, idCol, textCol)
+    val clean = TextAnalysis.bloomDecontaminate(deduped, bench, idCol, textCol, k)
+    val balanced = Sampling.temperatureSample(clean, idCol, sourceCol, salt)
+    val canonIds = deduped.select(col(idCol)).withColumn("__canon", lit(true))
+    val cleanIds = clean.select(col(idCol)).withColumn("__clean", lit(true))
+    val keptIds = balanced.select(col(idCol)).withColumn("__kept", lit(true))
+    corpus.select(col(idCol), col(sourceCol))
+      .join(canonIds, Seq(idCol), "left")
+      .join(cleanIds, Seq(idCol), "left")
+      .join(keptIds, Seq(idCol), "left")
+      .withColumn("disposition",
+        when(col("__canon").isNull, "exact_dup")
+          .when(col("__clean").isNull, "contaminated")
+          .when(col("__kept").isNull, "rebalanced")
+          .otherwise("kept"))
+      .drop("__canon", "__clean", "__kept")
+  }
 }

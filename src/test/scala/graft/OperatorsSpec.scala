@@ -1175,6 +1175,31 @@ class OperatorsSpec extends SparkSpec {
     assert(sql.getString(0) == "ﬁle" && sql.getString(1) == "file")
   }
 
+  test("dispositionLedger: dispositions partition the corpus; kept == assembly output") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val ledger = pipelines.CorpusPipeline.dispositionLedger(
+      corpus, bench, "doc_id", "text", "source")
+    // exactly one row per input doc — a PARTITION, not a multi-tag
+    assert(ledger.count() == corpus.count())
+    assert(ledger.select("doc_id").distinct().count() == corpus.count())
+    // 'kept' is row-identical to running the assembly stages directly
+    val kept = ledger.filter($"disposition" === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val assembled = operators.Sampling.temperatureSample(
+        operators.TextAnalysis.bloomDecontaminate(
+          operators.Dedup.exactKeepFirst(corpus, "doc_id", "text"),
+          bench, "doc_id", "text", k = 5),
+        "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == assembled)
+    // every disposition label is one of the four
+    val labels = ledger.select("disposition").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("exact_dup", "contaminated", "rebalanced", "kept")))
+  }
+
   test("dhash: identical rasters collide, one-pixel tweak stays near, inversion is far") {
     val base = Array.tabulate(256)(i => (i % 251).toByte)
     val tweak = base.clone(); tweak(40) = (tweak(40) + 120).toByte

@@ -22,6 +22,20 @@ class SkewSpec extends SparkSpec {
     assert(canon(Skew.saltedJoin(skewed, small, Seq("k"), 8, "left")) == canon(plainLeft))
   }
 
+  test("skewReport: hand-computed shares, uniform key reads 1x, hot key surfaces first") {
+    // 80 rows of key "hot", 10 each of "a" and "b": total 100, 3 distinct
+    val df = (Seq.fill(80)("hot") ++ Seq.fill(10)("a") ++ Seq.fill(10)("b"))
+      .toDF("k")
+    val out = Skew.skewReport(df, "k", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.head == (("hot", 80L, 0.8, 2.4)), out.head)   // 0.8 share, 2.4x uniform
+    assert(out.length == 2)
+    assert(out(1)._2 == 10L && out(1)._1 == "a")             // tie broken by key asc
+    // perfectly uniform key: every skew_x is exactly 1.0
+    val uni = (1 to 4).flatMap(k => Seq.fill(25)(s"k$k")).toDF("k")
+    assert(Skew.skewReport(uni, "k").collect().forall(_.getDouble(3) == 1.0))
+  }
+
   test("saltedAggregate equals the direct aggregation") {
     val df = ((1 to 500).map(i => (1, i.toDouble)) ++
       (1 to 10).map(i => (2, i.toDouble))).toDF("k", "v")
