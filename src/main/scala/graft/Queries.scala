@@ -3508,6 +3508,44 @@ object Queries {
                     ELSE 'kept' END AS disposition
         FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d""")),
 
+    // ── SCD2 history validity audit: interval-chain violations (overlap /
+    //    gap / zero-negative spans / current-not-last) on the q04 dim ──
+    Q("q140_scd2_audit",
+      (s, d) => silver.Quality.scd2Audit(
+        Scd2Merge.fromChangeLog(Tables.events(s, d), Seq("user_id"), "ts",
+          Seq("event_id")),
+        Seq("user_id"), "effective_from", "effective_to",
+        orderCols = Seq("version_n")),
+      Some("""
+        WITH dim AS (
+          SELECT user_id,
+                 CAST(row_number() OVER w AS INTEGER) AS version_n,
+                 ts AS effective_from, lead(ts) OVER w AS effective_to
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        x AS (
+          SELECT user_id, effective_from, effective_to,
+                 lag(effective_to) OVER v AS prev_to,
+                 lag(1) OVER v AS has_prev
+          FROM dim
+          WINDOW v AS (PARTITION BY user_id
+                       ORDER BY effective_from ASC, effective_to ASC NULLS LAST,
+                                version_n ASC)),
+        lab AS (
+          SELECT user_id, effective_from,
+                 CASE WHEN effective_to IS NOT NULL
+                       AND effective_to < effective_from THEN 'negative_span'
+                      WHEN effective_to IS NOT NULL
+                       AND effective_to = effective_from THEN 'zero_span'
+                      WHEN has_prev IS NOT NULL AND prev_to IS NULL
+                        THEN 'open_interval_before_last'
+                      WHEN prev_to > effective_from THEN 'overlap'
+                      WHEN prev_to < effective_from THEN 'gap'
+                 END AS violation
+          FROM x)
+        SELECT user_id, effective_from, violation FROM lab
+        WHERE violation IS NOT NULL""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -217,4 +217,44 @@ object Quality {
         Seq(lit(name), coalesce(col(name), lit(0L))) }: _*))
       .as(Seq("check_name", "n_violations")))
   }
+
+  /** SCD2 history validity audit: per key ordered by `fromCol` (plus
+    * `orderCols` tie-breaks), flag every row whose interval breaks the
+    * chain contract — the check that catches a botched merge BEFORE a
+    * point-in-time join silently double-counts:
+    *
+    *   negative_span             — effective_to < effective_from
+    *   zero_span                 — effective_to = effective_from
+    *     (same-instant churn; legal in some models, surfaced so the
+    *     caller decides)
+    *   open_interval_before_last — a NULL effective_to (a "current" row)
+    *     with a later version after it (covers duplicate-current too)
+    *   overlap                   — previous effective_to > this
+    *     effective_from
+    *   gap                       — previous effective_to < this
+    *     effective_from (violation under the contiguous-history contract)
+    *
+    * Returns only violating rows (key, effective_from, violation); empty
+    * = valid history. One key-partitioned window — the same shuffle the
+    * SCD2 merge itself paid.
+    */
+  def scd2Audit(dim: DataFrame, keys: Seq[String], fromCol: String,
+                toCol: String, orderCols: Seq[String] = Seq.empty): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(fromCol).asc +: col(toCol).asc_nulls_last +:
+        orderCols.map(col(_).asc)): _*)
+    dim
+      .withColumn("__prev_to", lag(col(toCol), 1).over(w))
+      .withColumn("__has_prev", lag(lit(1), 1).over(w))
+      .withColumn("violation",
+        when(col(toCol).isNotNull && col(toCol) < col(fromCol), "negative_span")
+          .when(col(toCol).isNotNull && col(toCol) === col(fromCol), "zero_span")
+          .when(col("__has_prev").isNotNull && col("__prev_to").isNull,
+            "open_interval_before_last")
+          .when(col("__prev_to") > col(fromCol), "overlap")
+          .when(col("__prev_to") < col(fromCol), "gap"))
+      .filter(col("violation").isNotNull)
+      .select((keys.map(col) :+ col(fromCol) :+ col("violation")): _*)
+  }
 }

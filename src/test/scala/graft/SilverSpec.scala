@@ -287,4 +287,32 @@ class SilverSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[String]("grp").startsWith("spike"))
   }
+
+  test("scd2Audit: flags every interval-chain violation, passes a valid history") {
+    def t(s: String) = ts(s)
+    val dim = Seq(
+      // k1: valid contiguous history — no violations
+      ("k1", t("2024-01-01 00:00:00"), Some(t("2024-01-02 00:00:00")), 1),
+      ("k1", t("2024-01-02 00:00:00"), None, 2),
+      // k2: overlap (second starts before first ends)
+      ("k2", t("2024-01-01 00:00:00"), Some(t("2024-01-03 00:00:00")), 1),
+      ("k2", t("2024-01-02 00:00:00"), None, 2),
+      // k3: gap (a day of missing history)
+      ("k3", t("2024-01-01 00:00:00"), Some(t("2024-01-02 00:00:00")), 1),
+      ("k3", t("2024-01-03 00:00:00"), None, 2),
+      // k4: two "current" rows — the earlier open interval flags
+      ("k4", t("2024-01-01 00:00:00"), None, 1),
+      ("k4", t("2024-01-02 00:00:00"), None, 2),
+      // k5: zero and negative spans
+      ("k5", t("2024-01-01 00:00:00"), Some(t("2024-01-01 00:00:00")), 1),
+      ("k5", t("2024-01-02 00:00:00"), Some(t("2024-01-01 12:00:00")), 2)
+    ).map { case (k, f, to, v) => (k, f, to.orNull, v) }
+      .toDF("k", "effective_from", "effective_to", "version_n")
+    val out = Quality.scd2Audit(dim, Seq("k"), "effective_from", "effective_to",
+        orderCols = Seq("version_n"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(out == Set(
+      ("k2", "overlap"), ("k3", "gap"), ("k4", "open_interval_before_last"),
+      ("k5", "zero_span"), ("k5", "negative_span")), out)
+  }
 }
