@@ -3546,6 +3546,20 @@ object Queries {
         SELECT user_id, effective_from, violation FROM lab
         WHERE violation IS NOT NULL""")),
 
+    // ── UNBLOCKED edit-distance self-join (EDJoin family): every pair
+    //    within 1 edit across the WHOLE table, no block key — rare-prefix
+    //    q-gram candidates + banded verify, never all-pairs ──
+    Q("q141_fuzzy_global",
+      (s, d) => operators.Linkage.fuzzyPairsGlobal(
+        s.read.parquet(s"$d/customer.parquet"),
+        "c_custkey", "c_name", maxDist = 1, q = 3),
+      Some("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+          AND levenshtein(a.c_name, b.c_name) <= 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

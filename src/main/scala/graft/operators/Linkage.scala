@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
@@ -108,6 +109,127 @@ object Linkage {
       .withColumn("jw", round(jaroWinkler(col("s_a"), col("s_b")), 6))
       .filter(col("jw") >= minSim)
       .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
+  /** UNBLOCKED edit-distance self-join: all pairs (id_a < id_b) with
+    * `levenshtein ≤ maxDist`, NO user block key — the EDJoin-family shape
+    * (Xiao et al., VLDB'08) for when no natural blocking key exists.
+    * Never all-pairs:
+    *
+    *  1. positional q-grams per string (one gram at pos 0 for strings
+    *     shorter than q);
+    *  2. global document frequency per gram (one keys-only agg);
+    *  3. each string keeps its `q·maxDist + 1` RAREST grams as its prefix
+    *     (global (df, gram, pos) order). ≤ maxDist edits destroy at most
+    *     q·maxDist grams, so at least one prefix gram of a SURVIVES
+    *     (shifted ≤ maxDist positions) in any b within the distance —
+    *     joining prefix-side grams against all-side grams with
+    *     |Δpos| ≤ maxDist therefore generates every qualifying pair;
+    *  4. survivors verify with the banded [[levWithin]].
+    *
+    * Rare-first prefixes are what tame template corpora: shared
+    * boilerplate ("Customer#0…") has huge df and never enters a prefix,
+    * so join buckets stay rare-gram-sized. The backstop for corpora where
+    * even the rarest grams are hot is `maxGramBucket`: grams above it are
+    * excluded from the join WHOLE — that (unlike every other cut here) can
+    * lose pairs, so it is audited (`dropped_grams`/`total_grams`), a loud
+    * cap, not a silent one.
+    *
+    * Scale shape: gram explode (O(len) rows per string) → gram-key df agg
+    * → per-id rank window (id shuffle) → rare-gram join (fan-out bounded
+    * by Σ prefix_df ≤ cap·prefix size) → distinct id pairs → strings join
+    * back per side (text never rides the gram join) → banded verify.
+    */
+  def fuzzyPairsGlobal(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, q: Int = 2,
+                       maxGramBucket: Int = 4096,
+                       audit: Option[Observation] = None,
+                       auditShort: Option[Observation] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(maxGramBucket >= 1, s"maxGramBucket must be >= 1, got $maxGramBucket")
+    val prefixLen = q * maxDist + 1
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val grams = base.select(col("__id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(length(__s) - $q, 0)), " +
+          s"i -> struct(i AS pos, substring(__s, i + 1, $q) AS g))")).as("__e"))
+      .select(col("__id"), col("__e.pos").as("__pos"), col("__e.g").as("__g"))
+    val gramDf = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val audited = audit match {
+      case Some(obs) => gramDf.observe(obs,
+        sum(when(col("__df") > maxGramBucket, 1L).otherwise(0L)).as("dropped_grams"),
+        count(lit(1)).as("total_grams"))
+      case None => gramDf
+    }
+    val keptGrams = grams.join(audited.filter(col("__df") <= maxGramBucket),
+      Seq("__g"))
+    val rankW = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("__g").asc, col("__pos").asc)
+    val prefix = keptGrams
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= prefixLen)
+      .select(col("__g"), col("__id").as("__pid"), col("__pos").as("__ppos"))
+    // the ±maxDist position window rides the JOIN KEY: the prefix side
+    // (strings × prefixLen rows, the small side) explodes to its 2k+1
+    // admissible positions so the join is an exact (gram, pos) equi-join —
+    // fan-out per key is df(gram, pos), not df(gram); on corpora whose
+    // rare grams concentrate at a few template positions this is the
+    // difference between the position filter pruning AFTER the shuffle
+    // and never shuffling the pruned rows at all
+    val gramPairs = prefix
+      .select(col("__g"), col("__pid"),
+        explode(sequence(col("__ppos") - maxDist, col("__ppos") + maxDist))
+          .as("__pos"))
+      .join(keptGrams.select(col("__g"), col("__id").as("__aid"), col("__pos")),
+        Seq("__g", "__pos"))
+      .filter(col("__pid") =!= col("__aid"))
+      .select(least(col("__pid"), col("__aid")).as("id_a"),
+        greatest(col("__pid"), col("__aid")).as("id_b"))
+    // Short-string branch: the gram-survival argument needs at least
+    // q·maxDist + 1 grams AND both strings at least q long — below that a
+    // single edit can destroy every gram (q=2, k=1: "ab" vs "ac" share
+    // nothing). Any qualifying partner of a short string is itself within
+    // maxDist of short, so the whole population is length-bounded by
+    // construction; pairs come from an exact-length-class join exploded
+    // over the ±maxDist window, each class capped at `maxGramBucket`
+    // members (dropped whole + audited — same loud-cap discipline).
+    val shortMax = q * (maxDist + 1) - 1
+    val candidates = if (maxDist == 0) gramPairs else {
+      val shorts = base
+        .withColumn("__len", length(col("__s")))
+        .filter(col("__len") <= shortMax + maxDist)
+        .select(col("__id"), col("__len"))
+      val classSizes = shorts.groupBy(col("__len")).agg(count(lit(1)).as("__cn"))
+      val auditedCls = auditShort match {
+        case Some(obs) => classSizes.observe(obs,
+          sum(when(col("__cn") > maxGramBucket, 1L).otherwise(0L))
+            .as("dropped_classes"),
+          count(lit(1)).as("total_classes"),
+          sum(col("__cn")).as("short_strings"))
+        case None => classSizes
+      }
+      val keptShorts = shorts.join(
+        auditedCls.filter(col("__cn") <= maxGramBucket).select(col("__len")),
+        Seq("__len"), "left_semi")
+      val targets = keptShorts.select(col("__id").as("__aid"),
+          explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
+            .as("__len"))
+      val shortPairs = keptShorts.select(col("__id").as("__pid"), col("__len"))
+        .join(targets, Seq("__len"))
+        .filter(col("__pid") =!= col("__aid"))
+        .select(least(col("__pid"), col("__aid")).as("id_a"),
+          greatest(col("__pid"), col("__aid")).as("id_b"))
+      gramPairs.unionByName(shortPairs)
+    }
+    val sa = base.select(col("__id").as("id_a"), col("__s").as("s_a"))
+    val sb = base.select(col("__id").as("id_b"), col("__s").as("s_b"))
+    candidates.distinct()
+      .join(sa, "id_a").join(sb, "id_b")
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levWithin(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** Shared block-then-pair scaffold: size-scan the block keys (keys only

@@ -1310,6 +1310,72 @@ class OperatorsSpec extends SparkSpec {
     assert(all == out.keySet)
   }
 
+  test("fuzzyPairsGlobal equals brute force on a mutated corpus (incl. short strings)") {
+    import graft.operators.Linkage
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefg"
+    def randStr(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // bases of many lengths (incl. len 0..3 shorts) + planted near-dups
+    val bases = (0 until 60).map(i => randStr(rnd.nextInt(12)))
+    def mutate(s: String): String =
+      if (s.isEmpty) randStr(1)
+      else rnd.nextInt(3) match {
+        case 0 => s.updated(rnd.nextInt(s.length), alphabet(rnd.nextInt(alphabet.length)))
+        case 1 => s.patch(rnd.nextInt(s.length + 1), Seq(alphabet(rnd.nextInt(alphabet.length))), 0)
+        case 2 => s.patch(rnd.nextInt(s.length), Nil, 1)
+      }
+    val strs = (bases ++ bases.map(mutate) ++ bases.map(s => mutate(mutate(s))))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = Linkage.fuzzyPairsGlobal(df, "id", "s", maxDist = k, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        d = levenshteinRef(sa, sb) if d <= k
+      } yield (ia, ib) -> d).toMap
+      assert(got == want,
+        s"k=$k missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    }
+  }
+
+  test("fuzzyPairsGlobal: hot grams above the cap drop loudly (audited)") {
+    import graft.operators.Linkage
+    import org.apache.spark.sql.Observation
+    // every string shares the template prefix; tails are rare
+    val df = (1L to 40L).map(i => (i, f"TMPL-$i%03d")).toDF("id", "s")
+    val strs = (1L to 40L).map(i => (i, f"TMPL-$i%03d"))
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      if levenshteinRef(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    // tight cap: the template grams (df=40) drop loudly; pairs MAY be lost
+    // — that is the documented contract, the audit is the signal
+    val obs = Observation()
+    val tight = Linkage.fuzzyPairsGlobal(df, "id", "s", maxDist = 1, q = 2,
+      maxGramBucket = 8, audit = Some(obs))
+    val gotTight = tight.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(obs.get("dropped_grams").asInstanceOf[Long] > 0)
+    assert(gotTight.subsetOf(want))   // never a FALSE pair
+    // roomy cap: nothing drops, result equals brute force exactly
+    val obs2 = Observation()
+    val roomy = Linkage.fuzzyPairsGlobal(df, "id", "s", maxDist = 1, q = 2,
+      maxGramBucket = 1000, audit = Some(obs2))
+    val gotRoomy = roomy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(obs2.get("dropped_grams").asInstanceOf[Long] == 0L)
+    assert(gotRoomy == want, s"missing=${(want -- gotRoomy).take(5)}")
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("semanticDecontaminate drops exactly the vectors near a benchmark vector") {
     val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
     val corpus = Seq(
