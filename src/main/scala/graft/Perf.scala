@@ -259,6 +259,27 @@ object Perf {
           Seq("nation", "pfx"), minSim = 0.96).count()
       }
     }
+    if (what == "scalellm-r5d") {
+      // unblocked edit-distance self-join at scale: base-36 random 12-char
+      // strings (gram space 36^3 = 47k, so rare-prefix buckets stay small
+      // — the shape the operator is FOR; template corpora trip the audit
+      // and belong on the blocked path) + 10% planted 1-edit mutants
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "200000").toLong
+      def b36(seed: Long) = lpad(conv(pmod(xxhash64(col("id"), lit(seed)),
+        lit(2176782336L)).cast("string"), 10, 36), 6, "0")
+      val bases = spark.range(n).select(col("id"),
+        concat(b36(1L), b36(2L)).as("s"))
+      val mutants = bases.filter(pmod(col("id"), lit(10L)) === 0)
+        .select((col("id") + n).as("id"),
+          concat(lit("z"), substring(col("s"), 2, 11)).as("s"))
+      val corpus = bases.unionByName(mutants)
+      val obs = org.apache.spark.sql.Observation()
+      time(s"fuzzy-global-$n") {
+        operators.Linkage.fuzzyPairsGlobal(corpus, "id", "s", maxDist = 1,
+          q = 3, audit = Some(obs)).count()
+      }
+      println(s"PERF fuzzy-global audit: ${obs.get}")
+    }
     if (what == "scalellm-probe") {
       // incremental LSH at scale: build the signature index over a 10M-doc
       // corpus ONCE (persisted — the durable artifact), then probe a 100k

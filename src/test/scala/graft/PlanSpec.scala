@@ -341,6 +341,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("unblocked fuzzy join: gram equi-joins only, no BNLJ or cartesian") {
+    val p = plan("q141_fuzzy_global")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("compression ratio rollup: one aggregation exchange, nothing else") {
     val p = plan("q104_compression_ratio")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
