@@ -3560,6 +3560,31 @@ object Queries {
         WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
           AND levenshtein(a.c_name, b.c_name) <= 1""")),
 
+    // ── incremental aggregate maintenance: three disjoint batches fold
+    //    into one mergeable state (order-free), readout == full recompute ──
+    Q("q142_incremental_agg",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val keys = Seq("user_id", "event_type")
+        val m = gold.IncrementalAgg.Measures(Seq("value"))
+        val parts = (0 to 2).map(i =>
+          gold.IncrementalAgg.partial(
+            ev.filter(pmod(col("event_id"), lit(3)) === i), keys, m))
+        // fold out of order on purpose: merge is associative+commutative
+        val state = gold.IncrementalAgg.merge(
+          gold.IncrementalAgg.merge(parts(2), parts(0), keys, m),
+          parts(1), keys, m)
+        gold.IncrementalAgg.readout(state, keys, m)
+      },
+      Some("""
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+               MIN(value) AS value_min, MAX(value) AS value_max,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                 AS value_avg
+        FROM events GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

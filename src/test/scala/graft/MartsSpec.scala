@@ -102,6 +102,35 @@ class MartsSpec extends SparkSpec {
     assert(tout.size == 1, tout)
   }
 
+  test("IncrementalAgg: any fold order equals full recompute; empty delta is a no-op") {
+    import graft.gold.IncrementalAgg
+    val rows = (1 to 200).map(i => (s"k${i % 7}", i.toDouble / 3))
+    val df = rows.toDF("k", "v")
+    val m = IncrementalAgg.Measures(Seq("v"))
+    val full = IncrementalAgg.partial(df, Seq("k"), m)
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.readout(x, Seq("k"), m).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val Seq(b0, b1, b2) = (0 to 2).map(i =>
+      IncrementalAgg.partial(
+        df.filter((hash($"v") % 3 + 3) % 3 === i), Seq("k"), m))
+    val orderA = IncrementalAgg.merge(
+      IncrementalAgg.merge(b0, b1, Seq("k"), m), b2, Seq("k"), m)
+    val orderB = IncrementalAgg.merge(
+      IncrementalAgg.merge(b2, b1, Seq("k"), m), b0, Seq("k"), m)
+    assert(canon(orderA) == canon(full))
+    assert(canon(orderB) == canon(full))
+    // empty delta: state unchanged; disjoint new key: unioned in
+    val empty = IncrementalAgg.partial(df.filter(lit(false)), Seq("k"), m)
+    assert(canon(IncrementalAgg.merge(full, empty, Seq("k"), m)) == canon(full))
+    val newKey = IncrementalAgg.partial(
+      Seq(("brand_new", 5.0)).toDF("k", "v"), Seq("k"), m)
+    val merged = canon(IncrementalAgg.merge(full, newKey, Seq("k"), m))
+    assert(merged.length == canon(full).length + 1)
+    assert(merged.exists(_._1 == "brand_new"))
+  }
+
   test("asOfJoin tie-break picks the greatest right row among equal timestamps") {
     val left = Seq((1L, 100, ts("2024-01-01 12:00:00"))).toDF("txn_id", "account_id", "ts")
     val right = Seq(
