@@ -3585,6 +3585,58 @@ object Queries {
                  AS value_avg
         FROM events GROUP BY 1, 2""")),
 
+    // ── FK inference by value containment: distinct-reduced probes over
+    //    candidate edges propose relationships tests for undocumented
+    //    sources (1.0 = candidate FK; the last edge is the negative) ──
+    Q("q143_fk_inference",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        Seq(
+          silver.Quality.containmentProfile(li, "l_orderkey", ord, "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey"),
+          silver.Quality.containmentProfile(cust, "c_nationkey", nat, "n_nationkey",
+            "customer.c_nationkey->nation.n_nationkey"),
+          silver.Quality.containmentProfile(ord, "o_custkey", cust, "c_custkey",
+            "orders.o_custkey->customer.c_custkey"),
+          silver.Quality.containmentProfile(ord, "o_orderkey", cust, "c_custkey",
+            "orders.o_orderkey->customer.c_custkey")
+        ).reduce(_ unionByName _)
+      },
+      Some("""
+        WITH e1 AS (
+          SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS edge,
+                 CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+                 CAST(COUNT(*) FILTER (WHERE v IN
+                   (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_matched
+          FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_orderkey IS NOT NULL)),
+        e2 AS (
+          SELECT 'customer.c_nationkey->nation.n_nationkey' AS edge,
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) FILTER (WHERE v IN
+                   (SELECT n_nationkey FROM nation)) AS BIGINT)
+          FROM (SELECT DISTINCT c_nationkey AS v FROM customer WHERE c_nationkey IS NOT NULL)),
+        e3 AS (
+          SELECT 'orders.o_custkey->customer.c_custkey' AS edge,
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) FILTER (WHERE v IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT)
+          FROM (SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL)),
+        e4 AS (
+          SELECT 'orders.o_orderkey->customer.c_custkey' AS edge,
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(COUNT(*) FILTER (WHERE v IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT)
+          FROM (SELECT DISTINCT o_orderkey AS v FROM orders WHERE o_orderkey IS NOT NULL)),
+        u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+              UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        SELECT edge, n_child_distinct, n_matched,
+               CAST(n_matched AS DOUBLE) / n_child_distinct AS containment,
+               n_matched = n_child_distinct AS is_fk
+        FROM u""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -218,6 +218,35 @@ object Quality {
       .as(Seq("check_name", "n_violations")))
   }
 
+  /** Value-containment profile of a candidate foreign-key edge: how much
+    * of `child.childCol`'s distinct value set appears in
+    * `parent.parentCol` — the schema-discovery primitive that PROPOSES
+    * `relationships` tests for undocumented sources (containment 1.0 =
+    * candidate FK; < 1.0 quantifies the orphan rate at distinct-value
+    * granularity).
+    *
+    * Both sides reduce to DISTINCT non-null values before the join, so
+    * the probe is dictionary-sized regardless of table volume; the
+    * fraction is a division of two exact integers (engine-exact). Returns
+    * one row: (edge, n_child_distinct, n_matched, containment, is_fk).
+    */
+  def containmentProfile(child: DataFrame, childCol: String,
+                         parent: DataFrame, parentCol: String,
+                         edge: String): DataFrame = {
+    val c = child.select(col(childCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+    val p = parent.select(col(parentCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+      .withColumn("__hit", lit(1L))
+    c.join(p, Seq("__v"), "left")
+      .agg(count(lit(1)).as("n_child_distinct"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .select(lit(edge).as("edge"), col("n_child_distinct"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_child_distinct"))
+          .as("containment"),
+        (col("n_matched") === col("n_child_distinct")).as("is_fk"))
+  }
+
   /** SCD2 history validity audit: per key ordered by `fromCol` (plus
     * `orderCols` tie-breaks), flag every row whose interval breaks the
     * chain contract — the check that catches a botched merge BEFORE a
