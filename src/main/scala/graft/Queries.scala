@@ -3637,6 +3637,25 @@ object Queries {
                n_matched = n_child_distinct AS is_fk
         FROM u""")),
 
+    // ── per-stratum weighted k-sample: DLT priorities under a hard
+    //    per-source quota (WindowGroupLimit streaming top-k per stratum) ──
+    Q("q144_priority_sample_n",
+      (s, d) => operators.Sampling.prioritySampleN(
+          Tables.documents(s, d), "doc_id", "n_chars", "lang", k = 15)
+        .select("doc_id", "lang", "n_chars", "priority"),
+      Some("""
+        SELECT doc_id, lang, n_chars, priority FROM (
+          SELECT doc_id, lang, n_chars, priority,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY priority DESC, doc_id ASC) AS rn
+          FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST(n_chars AS DOUBLE) /
+                   CAST((('0x' || substr(md5(doc_id::VARCHAR || 'priority'), 1, 8))::UBIGINT
+                         + 1) AS DOUBLE) AS priority
+            FROM documents WHERE n_chars > 0))
+        WHERE rn <= 15""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

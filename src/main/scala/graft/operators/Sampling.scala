@@ -283,11 +283,37 @@ object Sampling {
   def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int, salt: String = "priority"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))),
-      1, 8), 16, 10).cast("long") + lit(1L)
     df.filter(col(weightCol) > 0)
-      .withColumn("priority", col(weightCol).cast("double") / u.cast("double"))
+      .withColumn("priority", priorityCol(keyCol, weightCol, salt))
       .orderBy(col("priority").desc, col(keyCol).asc)
       .limit(k)
+  }
+
+  /** Per-stratum [[prioritySample]]: k weight-proportional picks WITHOUT
+    * replacement from every stratum (weighted corpus mixing with a hard
+    * per-source quota). Same exact-integer-division priorities; the rank
+    * filter rides a per-stratum window, so `WindowGroupLimit` pushes it
+    * into per-partition streaming top-k — map tasks hold ≤ k rows per
+    * stratum, the same shape as [[sampleN]].
+    */
+  def prioritySampleN(df: DataFrame, keyCol: String, weightCol: String,
+                      strataCol: String, k: Int,
+                      salt: String = "priority"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(keyCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", priorityCol(keyCol, weightCol, salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  private def priorityCol(keyCol: String, weightCol: String,
+                          salt: String): Column = {
+    val u = conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))),
+      1, 8), 16, 10).cast("long") + lit(1L)
+    col(weightCol).cast("double") / u.cast("double")
   }
 }

@@ -1149,6 +1149,35 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("prioritySampleN: exact per-stratum top-k, short strata whole, partitioning-invariant") {
+    val rows = (1L to 300L).map(id =>
+      (id, if (id % 40 == 0) 0L else id % 83 + 1, s"s${id % 4}"))
+    val df = rows.toDF("id", "w", "g")
+    val k = 10
+    val out = Sampling.prioritySampleN(df, "id", "w", "g", k)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    // recompute priorities driver-side; expect the exact per-stratum top-k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(id: Long): Long = {
+      val hex = md.digest(s"${id}priority".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w, g) => (id, g, w.toDouble / u32(id).toDouble) }
+      .groupBy(_._2).values.flatMap(_.sortBy { case (id, _, p) => (-p, id) }.take(k))
+      .toSeq.sortBy(t => (t._2, -t._3, t._1))
+    assert(out.toSeq.sortBy(t => (t._2, -t._3, t._1)) == expected)
+    // every stratum has min(k, eligible) rows
+    val eligible = rows.filter(_._2 > 0).groupBy(_._3).view.mapValues(_.size).toMap
+    val got = out.groupBy(_._2).view.mapValues(_.length).toMap
+    eligible.foreach { case (g, n) => assert(got(g) == math.min(k, n)) }
+    // identical pick under a different physical partitioning
+    val again = Sampling.prioritySampleN(df.repartition(9), "id", "w", "g", k)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("unicodeNorm: NFC composes, NFKC folds compatibility chars, ASCII untouched") {
     import graft.functions.HashFunctions.unicodeNorm
     val df = Seq(

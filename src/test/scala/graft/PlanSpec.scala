@@ -205,6 +205,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("prioritySampleN pushes the rank cut into a per-partition group limit") {
+    val p = plan("q144_priority_sample_n")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("bm25 never explodes postings: no Generate, no hash-partitioned exchange") {
     val p = plan("q75_bm25")
     // term frequencies are in-scan array folds; the only aggregation is
