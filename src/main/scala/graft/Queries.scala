@@ -3656,6 +3656,197 @@ object Queries {
             FROM documents WHERE n_chars > 0))
         WHERE rn <= 15""")),
 
+    // ── small-file compaction plan: ordered first-fit binning of a file
+    //    listing to a target rewrite size, per partition (the OPTIMIZE
+    //    planning step; integer `div` keeps bin boundaries exact) ──
+    Q("q145_compaction_plan",
+      (s, d) => graft.bronze.Layout.compactionPlan(
+          Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+          Seq("source"), "doc_id", "n_chars", targetBytes = 4000L),
+      Some("""
+        SELECT source, doc_id, n_chars,
+               CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                 ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) // 4000 AS bin
+        FROM documents""")),
+
+    // ── Spearman rank agreement between two quality signals per source:
+    //    integer doubled average ranks → exact BIGINT moments → one
+    //    deterministic double quotient ──
+    Q("q146_score_agreement",
+      (s, d) => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        Quality.rankAgreement(
+          Tables.documents(s, d)
+            .withColumn("n_ws_tokens", size(toks).cast("long"))
+            .withColumn("n_distinct_tokens",
+              size(array_distinct(toks)).cast("long")),
+          "source", "n_ws_tokens", "n_distinct_tokens")
+      },
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS x,
+                 CAST(len(list_distinct(
+                   string_split_regex(lower(trim(text)), '\s+')))
+                   AS BIGINT) AS y
+          FROM documents),
+        r AS (
+          SELECT source,
+            CAST(rank() OVER (PARTITION BY source ORDER BY x ASC)
+              + COUNT(*) OVER (PARTITION BY source) + 1
+              - rank() OVER (PARTITION BY source ORDER BY x DESC)
+              AS BIGINT) AS rx,
+            CAST(rank() OVER (PARTITION BY source ORDER BY y ASC)
+              + COUNT(*) OVER (PARTITION BY source) + 1
+              - rank() OVER (PARTITION BY source ORDER BY y DESC)
+              AS BIGINT) AS ry
+          FROM t),
+        m AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+                 CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+                 CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                 CAST(SUM(ry * ry) AS BIGINT) AS syy
+          FROM r GROUP BY 1)
+        SELECT source, n_rows,
+          CASE WHEN (n_rows * sxx - sx * sx) > 0
+                AND (n_rows * syy - sy * sy) > 0
+               THEN ROUND(CAST(n_rows * sxy - sx * sy AS DOUBLE) /
+                    (sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)) *
+                     sqrt(CAST(n_rows * syy - sy * sy AS DOUBLE))), 6)
+               END AS spearman_rho
+        FROM m""")),
+
+    // ── k-anonymity export audit: salted SHA-256 pseudonyms + quasi-
+    //    identifier group sizes (balance banded to exact-cents bins;
+    //    the +200000 offset keeps the integer division in positive
+    //    territory where both engines agree) ──
+    Q("q147_k_anonymity",
+      (s, d) => Quality.kAnonymity(
+          Tables.customer(s, d).withColumn("bal_band",
+            expr("(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)" +
+              " + 200000L) div 200000L")),
+          "c_custkey", Seq("c_nationkey", "c_mktsegment", "bal_band"),
+          k = 5, salt = "graft"),
+      Some("""
+        SELECT sha256(concat('graft|', CAST(c_custkey AS VARCHAR)))
+                 AS pseud_id,
+               c_nationkey, c_mktsegment, bal_band,
+               CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                 bal_band) AS BIGINT) AS group_n,
+               (CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                 bal_band) AS BIGINT) < 5) AS suppressed
+        FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+                (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  + 200000) // 200000 AS bal_band
+              FROM customer)""")),
+
+    // ── event-time lateness profile per stream: out-of-order rate, worst
+    //    case, and exact p99 lateness — the measured watermark size ──
+    Q("q148_lateness_profile",
+      (s, d) => Quality.latenessProfile(Tables.events(s, d),
+          "event_type", "event_id", "ts", pct = 99),
+      Some("""
+        WITH l AS (
+          SELECT event_type,
+                 GREATEST(CAST(0 AS BIGINT),
+                   CAST(floor(epoch(MAX(ts) OVER (PARTITION BY event_type
+                       ORDER BY event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+                     AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT)) AS late_s
+          FROM events),
+        c AS (SELECT event_type, late_s, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM l GROUP BY 1, 2),
+        cum AS (SELECT event_type, late_s,
+                  CAST(SUM(cnt) OVER (PARTITION BY event_type
+                    ORDER BY late_s ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm
+                FROM c),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_late,
+                     CAST(MAX(late_s) AS BIGINT) AS max_late_s
+              FROM l GROUP BY 1)
+        SELECT cum.event_type, t.n_events, t.n_late, t.max_late_s,
+               CAST(MIN(late_s) AS BIGINT) AS p_late_s
+        FROM cum JOIN t USING (event_type)
+        WHERE cm * 100 >= 99 * n_events
+        GROUP BY 1, 2, 3, 4""")),
+
+    // ── zone-map pruning effectiveness: simulated 1000-row files under a
+    //    time-range predicate, arrival layout vs time-clustered layout —
+    //    the measured "should I re-cluster?" readout ──
+    Q("q149_pruning_stats",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+        sources.ZOrder.pruningStats(ev, "natural",
+            Seq(col("event_id")), col("ts"), 1000, lo, hi)
+          .unionByName(sources.ZOrder.pruningStats(ev, "time_sorted",
+            Seq(col("ts"), col("event_id")), col("ts"), 1000, lo, hi))
+      },
+      Some {
+        def arm(label: String, order: String) = s"""
+          SELECT CAST('$label' AS VARCHAR) AS layout,
+                 CAST(COUNT(*) AS BIGINT) AS n_files,
+                 CAST(SUM(CASE WHEN zmax >= TIMESTAMP '2024-01-10 00:00:00'
+                            AND zmin <= TIMESTAMP '2024-01-12 00:00:00'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                 CAST(SUM(CASE WHEN zmax >= TIMESTAMP '2024-01-10 00:00:00'
+                            AND zmin <= TIMESTAMP '2024-01-12 00:00:00'
+                          THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(SUM(n_match) AS BIGINT) AS rows_matched
+          FROM (
+            SELECT f, MIN(ts) AS zmin, MAX(ts) AS zmax,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN ts BETWEEN
+                       TIMESTAMP '2024-01-10 00:00:00'
+                       AND TIMESTAMP '2024-01-12 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM (SELECT ts,
+                    (row_number() OVER (ORDER BY $order) - 1) // 1000 AS f
+                  FROM events)
+            GROUP BY f)"""
+        arm("natural", "event_id ASC") + " UNION ALL " +
+          arm("time_sorted", "ts ASC, event_id ASC")
+      }),
+
+    // ── deterministic surrogate-key assignment: existing keys keep
+    //    theirs, new business keys get max(existing) + dense_rank —
+    //    replay-stable, unlike monotonically_increasing_id ──
+    Q("q150_surrogate_keys",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val existing = c.filter(col("c_custkey") % 3 =!= 0)
+          .withColumn("sk", dense_rank()
+            .over(Window.orderBy(col("c_custkey").asc)).cast("long"))
+          .select("c_custkey", "sk")
+        Marts.assignSurrogates(existing, c.select("c_custkey"), "c_custkey")
+      },
+      Some("""
+        WITH existing AS (
+          SELECT c_custkey,
+                 CAST(dense_rank() OVER (ORDER BY c_custkey ASC) AS BIGINT)
+                   AS sk
+          FROM customer WHERE c_custkey % 3 <> 0),
+        mx AS (SELECT CAST(COALESCE(MAX(sk), 0) AS BIGINT) AS m
+               FROM existing),
+        nk AS (SELECT DISTINCT c_custkey FROM customer
+               WHERE c_custkey % 3 = 0)
+        SELECT c_custkey, sk FROM existing
+        UNION ALL
+        SELECT c_custkey,
+               (SELECT m FROM mx)
+                 + CAST(dense_rank() OVER (ORDER BY c_custkey ASC) AS BIGINT)
+                 AS sk
+        FROM nk""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -45,4 +45,40 @@ object Layout {
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Small-file compaction planner — the bin-packing step behind
+    * OPTIMIZE/rewrite jobs (Delta OPTIMIZE, Iceberg rewrite_data_files):
+    * CDC sinks accrete thousands of small files per partition
+    * (§2 row 5 writes one file per micro-batch), and read throughput at
+    * 100 TB dies on file-open overhead long before bytes do.
+    *
+    * Files are assigned to rewrite bins in deterministic `fileIdCol`
+    * order within each partition: bin k holds the files whose EXCLUSIVE
+    * prefix size sum lies in [k·targetBytes, (k+1)·targetBytes) — the
+    * ordered first-fit rule: every bin spans < targetBytes + one file
+    * of prefix space, so no rewrite task reads unboundedly many bytes,
+    * and every non-last bin in a partition totals more than
+    * targetBytes − max(file size) (≈ targetBytes when files are small,
+    * which is the compaction case). One shuffle on the partition
+    * columns; the prefix sum is a
+    * running window inside each partition, never a global sort. The
+    * file-listing input is O(n_files) metadata (manifest or storage
+    * listing), not data — the plan costs nothing next to the rewrite
+    * it schedules.
+    */
+  def compactionPlan(files: DataFrame, partitionCols: Seq[String],
+                     fileIdCol: String, sizeCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(fileIdCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // integer `div`, not float `/`: bin boundaries must be exact (a
+    // double quotient can land an epsilon below the integer boundary)
+    files.withColumn("cum_before",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .drop("cum_before")
+  }
 }

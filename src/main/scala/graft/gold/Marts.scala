@@ -206,4 +206,39 @@ object Marts {
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
   }
+
+  /** Deterministic surrogate-key assignment for dimension loads — the
+    * warehouse step between staging and the SCD2 merge: every business
+    * key gets a stable dense integer key; keys already in the dimension
+    * keep theirs, unseen business keys get max(existing) + dense_rank
+    * over the NEW keys in business-key order.
+    *
+    * Determinism matters more than it looks: `monotonically_increasing_id`
+    * changes across runs/partitionings, which silently breaks replayed
+    * loads (§2 row 26's idempotence contract) — this assignment is a pure
+    * function of (existing mapping, new key set), so a replay assigns
+    * identical keys.
+    *
+    * Scale: the max(existing) is a one-row aggregate (broadcast), the
+    * anti-join finds new keys with the dimension's own partitioning, and
+    * the dense_rank window runs over the NEW-key delta only — dimension
+    * deltas per load are thousands, not the 100 TB fact. The window's
+    * single-partition sort is bounded by that delta, never the table.
+    */
+  def assignSurrogates(existing: DataFrame, incoming: DataFrame,
+                       businessKey: String,
+                       surrogateCol: String = "sk"): DataFrame = {
+    val maxSk = existing.agg(coalesce(max(col(surrogateCol)), lit(0L))
+      .cast("long").as("__max_sk"))
+    val newKeys = incoming.select(col(businessKey)).distinct()
+      .join(existing.select(col(businessKey)), Seq(businessKey), "left_anti")
+    val w = Window.orderBy(col(businessKey).asc)
+    val assigned = newKeys
+      .withColumn("__rk", dense_rank().over(w).cast("long"))
+      .crossJoin(broadcast(maxSk))
+      .select(col(businessKey),
+        (col("__max_sk") + col("__rk")).as(surrogateCol))
+    existing.select(col(businessKey), col(surrogateCol).cast("long"))
+      .unionByName(assigned)
+  }
 }

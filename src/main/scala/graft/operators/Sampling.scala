@@ -90,6 +90,27 @@ object Sampling {
     split(withKey, "cluster_id", splits, outCol, salt)
   }
 
+  /** Split-leakage audit: the near-dup pairs that STRADDLE a train/eval
+    * split — the contamination [[splitByCluster]] exists to prevent,
+    * measured directly so a naive per-doc split can be rejected with a
+    * number instead of an argument. Feed it any pair frame
+    * (`Dedup.ngramJaccard`, MinHash candidates, embedding near-dups) and
+    * a (key, split) assignment; rows where the two sides landed in
+    * different splits are eval docs whose near-copy is in train.
+    *
+    * Scale: two equi-joins of the (already reduced) pair frame against
+    * an id→split frame — ids only, never text; the pair generator's own
+    * caps bound the frame.
+    */
+  def splitLeakage(pairs: DataFrame, assignment: DataFrame, keyCol: String,
+                   splitCol: String = "split", idA: String = "id_a",
+                   idB: String = "id_b"): DataFrame = {
+    val a = assignment.select(col(keyCol).as(idA), col(splitCol).as("split_a"))
+    val b = assignment.select(col(keyCol).as(idB), col(splitCol).as("split_b"))
+    pairs.join(a, Seq(idA)).join(b, Seq(idB))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
   /** Weighted corpus mixture: sample each source at its rate and union —
     * the "data mixing" step of corpus assembly. Sources must be
     * union-compatible by name.

@@ -286,4 +286,199 @@ object Quality {
       .filter(col("violation").isNotNull)
       .select((keys.map(col) :+ col(fromCol) :+ col("violation")): _*)
   }
+
+  /** Spearman rank correlation between two quality signals, per group —
+    * "do my two scoring functions agree, per source?" is the standard
+    * sanity check before gating a corpus on either (a filter whose two
+    * proxies disagree is measuring noise).
+    *
+    * Exactness: average ranks (standard tie treatment) are computed as
+    * INTEGER doubled ranks — 2·avgrank = rank_asc + (n+1) − rank_desc,
+    * all from RANK() windows, so the rank frame is exact in both engines.
+    * The Pearson formula then runs over exact BIGINT sums and converts to
+    * DOUBLE only for the final quotient, which is bit-deterministic given
+    * identical integer inputs. Degenerate groups (either signal constant)
+    * return NULL rather than 0/0.
+    *
+    * Scale: one shuffle on `groupCol`; the four rank windows all share
+    * that partitioning (re-sorts within partitions, no extra exchange),
+    * and the moment sums are one map-side-combinable hash agg. The
+    * BIGINT moments hold while n·(2n)² < 2⁶³ per group — n ≲ 10⁸ rows
+    * per group; above that, sample per group first (rank correlation
+    * stabilizes long before 10⁸ points).
+    */
+  def rankAgreement(df: DataFrame, groupCol: String,
+                    xCol: String, yCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = W.partitionBy(col(groupCol))
+    def doubledRank(c: String): Column =
+      rank().over(g.orderBy(col(c).asc)) +
+        (count(lit(1)).over(g) + 1) -
+        rank().over(g.orderBy(col(c).desc))
+    val ranked = df
+      .withColumn("__rx", doubledRank(xCol).cast("long"))
+      .withColumn("__ry", doubledRank(yCol).cast("long"))
+    val m = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+      sum(col("__rx") * col("__ry")).as("sxy"),
+      sum(col("__rx") * col("__rx")).as("sxx"),
+      sum(col("__ry") * col("__ry")).as("syy"))
+    val n = col("n_rows")
+    val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col(groupCol), n.as("n_rows"),
+      when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
+        .as("spearman_rho"))
+  }
+
+  /** k-anonymity audit + keyed pseudonymization — the governance pass a
+    * training corpus carrying user-derived rows needs before export: the
+    * direct identifier is replaced by a salted SHA-256 pseudonym (stable
+    * across runs for the same salt, unlinkable without it), and every
+    * row is labeled with its quasi-identifier group size so rows whose
+    * combination of quasi-identifiers is shared by fewer than k records
+    * (re-identifiable by linkage) can be suppressed or generalized.
+    *
+    * Returns every row with (pseud_id, quasi..., group_n, suppressed);
+    * the export filter is `!suppressed`, the audit metric is
+    * `avg(suppressed)`. One shuffle on the quasi-identifier tuple (the
+    * group-size window); the hash is map-side. The quasi columns should
+    * already be generalized (banded/bucketed) by the caller — raw
+    * high-cardinality quasi-identifiers make every group size 1.
+    */
+  def kAnonymity(df: DataFrame, idCol: String, quasiCols: Seq[String],
+                 k: Int, salt: String): DataFrame = {
+    val g = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    df.withColumn("pseud_id",
+        sha2(concat_ws("|", lit(salt), col(idCol).cast("string")), 256))
+      .withColumn("group_n", count(lit(1)).over(g).cast("long"))
+      .withColumn("suppressed", col("group_n") < k)
+      .select((col("pseud_id") +: quasiCols.map(col) :+
+        col("group_n") :+ col("suppressed")): _*)
+  }
+
+  /** Gini concentration of an exact-cents measure per group — the
+    * inequality readout behind both banking forensics ("is one customer
+    * moving most of the money in this segment?") and corpus governance
+    * ("is one source contributing most of the training tokens?"). 0 =
+    * perfectly even, →1 = one key holds everything.
+    *
+    * Exactness: the standard rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over values sorted ascending —
+    * all moments are BIGINT over integer cents (tied values contribute
+    * a rank-run sum that is order-independent, and the (value, key)
+    * tie-break makes the rank frame itself engine-identical anyway);
+    * one double division at the end, rounded. Negative totals (possible
+    * with signed balances) return NULL — Gini is undefined there.
+    *
+    * Scale: one shuffle on the group key; the rank window and the moment
+    * agg share it. Same BIGINT headroom note as [[rankAgreement]].
+    */
+  def gini(df: DataFrame, groupCol: String, keyCol: String,
+           centsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(centsCol).asc, col(keyCol).asc)
+    val m = df
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col(centsCol)).as("total_cents"),
+        sum(col("__i") * col(centsCol)).as("six"))
+    m.select(col(groupCol), col("n_keys"), col("total_cents"),
+      when(col("total_cents") > 0,
+        round((lit(2) * col("six") - (col("n_keys") + 1) * col("total_cents"))
+          .cast("double") /
+          (col("n_keys") * col("total_cents")).cast("double"), 6))
+        .as("gini"))
+  }
+
+  /** Per-stream daily-volume trend: OLS slope/intercept of events-per-day
+    * against the day index since the stream's first day — the drift
+    * detector behind "this topic's volume is decaying / ramping" alerts,
+    * and the shape a metrics warehouse fits per series at refresh time.
+    *
+    * Day counts and day indices are exact integers, so the OLS moments
+    * (Σx, Σy, Σxy, Σx²) are exact BIGINTs; slope and intercept are then
+    * single double quotients (rounded), deterministic across engines.
+    * Days with zero events contribute nothing to the fit (the fit is
+    * over OBSERVED days — callers wanting zero-filled days can scaffold
+    * with [[graft.gold.Marts.dailySnapshot]] semantics first).
+    *
+    * Scale: events collapse to (stream, day) counts in one
+    * map-side-combinable agg before anything else; the fit runs on
+    * day-cardinality rows. Two shuffles on the stream key, both over
+    * the collapsed frame.
+    */
+  def dailyTrend(df: DataFrame, streamCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(streamCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).cast("long").as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(streamCol))
+    val xy = daily
+      .withColumn("__x",
+        datediff(col("__day"), min(col("__day")).over(w)).cast("long"))
+    val m = xy.groupBy(col(streamCol)).agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"))
+    val n = col("n_days")
+    val det = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")).cast("double") / det
+    m.select(col(streamCol), n.as("n_days"),
+      when(det > 0, round(slope, 6)).as("slope"),
+      when(det > 0,
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          n.cast("double"), 6)).as("intercept"))
+  }
+
+  /** Event-time lateness profile — the measurement that sizes a
+    * watermark. For each event, lateness = how far its event time sits
+    * behind the maximum event time already seen in arrival order within
+    * its stream (0 for in-order arrivals); the per-stream readout is the
+    * out-of-order rate, the worst case, and the exact p99 — "set
+    * `withWatermark` to the p99 and you drop 1% of late data" becomes a
+    * measured statement instead of a guess.
+    *
+    * Exact p99 without a global sort: lateness values collapse to a
+    * (stream, lateness) histogram, a running-count window over that
+    * (small) histogram finds the smallest value covering 99% — the
+    * `percentilesExact` construction. Scale: one shuffle on the stream
+    * key for the arrival-order window (the same partitioning the
+    * histogram agg then reuses), histogram cardinality is bounded by
+    * distinct lateness seconds, not event volume.
+    */
+  def latenessProfile(df: DataFrame, streamCol: String, arrivalCol: String,
+                      tsCol: String, pct: Int = 99): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val seen = W.partitionBy(col(streamCol)).orderBy(col(arrivalCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val late = df
+      .withColumn("__late_s",
+        greatest(lit(0L),
+          unix_timestamp(max(col(tsCol)).over(seen)) -
+            unix_timestamp(col(tsCol))))
+    val hist = late.groupBy(col(streamCol), col("__late_s"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = W.partitionBy(col(streamCol)).orderBy(col("__late_s").asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val whole = W.partitionBy(col(streamCol))
+    hist
+      .withColumn("cm", sum(col("cnt")).over(cum))
+      .withColumn("n_events", sum(col("cnt")).over(whole))
+      .withColumn("n_late",
+        sum(when(col("__late_s") > 0, col("cnt")).otherwise(0L)).over(whole))
+      .withColumn("max_late_s", max(col("__late_s")).over(whole))
+      .filter(col("cm") * 100 >= lit(pct) * col("n_events"))
+      .groupBy(col(streamCol), col("n_events"), col("n_late"),
+        col("max_late_s"))
+      .agg(min(col("__late_s")).as("p_late_s"))
+      .select(col(streamCol), col("n_events").cast("long"),
+        col("n_late").cast("long"), col("max_late_s").cast("long"),
+        col("p_late_s").cast("long"))
+  }
 }

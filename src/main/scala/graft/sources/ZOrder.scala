@@ -70,4 +70,44 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Zone-map pruning effectiveness of a physical layout — the number
+    * an OPTIMIZE/Z-order decision should be made on, measured instead of
+    * assumed. Rows are laid out in `orderCol` order and cut into
+    * simulated files of `rowsPerFile`; each file's (min, max) of
+    * `valueCol` is its zone map, and a range predicate [lo, hi] scans a
+    * file iff the zone overlaps it — exactly how Parquet row-group
+    * pruning reads footer stats. Output is one row per layout:
+    * (layout, n_files, n_scanned, rows_scanned, rows_matched) —
+    * `n_scanned/n_files` is the survival rate a bad layout shows as ~1.0
+    * and a clustered one as ~range/domain.
+    *
+    * Scale note: the exact file assignment uses a global row_number —
+    * fine for the planner-sized samples this audit runs on (it answers
+    * "should I re-cluster?", not a per-row production query). Against a
+    * real written table the same readout comes from the Parquet footers
+    * themselves: n_files metadata rows, no row-level pass at all.
+    */
+  def pruningStats(df: DataFrame, layoutLabel: String, orderCols: Seq[Column],
+                   valueCol: Column, rowsPerFile: Int,
+                   lo: Column, hi: Column): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
+    val files = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__file", expr(s"(__rn - 1) div ${rowsPerFile}L"))
+      .groupBy(col("__file"))
+      .agg(min(valueCol).as("zmin"), max(valueCol).as("zmax"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(valueCol.between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+    files.agg(
+        count(lit(1)).cast("long").as("n_files"),
+        sum(when(col("zmax") >= lo && col("zmin") <= hi, 1L).otherwise(0L))
+          .as("n_scanned"),
+        sum(when(col("zmax") >= lo && col("zmin") <= hi, col("n_rows"))
+          .otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"))
+      .select(lit(layoutLabel).as("layout"), col("n_files"),
+        col("n_scanned"), col("rows_scanned"), col("rows_matched"))
+  }
 }

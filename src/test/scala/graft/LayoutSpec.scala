@@ -73,4 +73,40 @@ class LayoutSpec extends SparkSpec {
     assert(r.getAs[Int]("s") == 2)
     assert(r.schema("h").dataType.typeName == "long")
   }
+
+  test("compactionPlan bins files first-fit in order, per partition") {
+    val files = Seq(
+      // partition p1: sizes 60,60,60 at target 100 → bins 0,0,1
+      ("p1", 1L, 60L), ("p1", 2L, 60L), ("p1", 3L, 60L),
+      // partition p2: an oversize file occupies its own span and pushes
+      // the next file into the following bin
+      ("p2", 1L, 250L), ("p2", 2L, 10L), ("p2", 3L, 10L),
+      // partition p3 independent of the others
+      ("p3", 1L, 10L))
+      .toDF("part", "file_id", "bytes")
+    val out = Layout.compactionPlan(files, Seq("part"), "file_id", "bytes",
+        targetBytes = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set(
+      ("p1", 1L, 0L), ("p1", 2L, 0L), ("p1", 3L, 1L),
+      ("p2", 1L, 0L), ("p2", 2L, 2L), ("p2", 3L, 2L),
+      ("p3", 1L, 0L)), out)
+  }
+
+  test("compactionPlan bin totals stay within the first-fit bounds") {
+    // sizes 7..19, target 64: every non-last bin totals > 64 − 19 = 45
+    // (the first-fit lower bound) and spans < 64 + 19 of prefix space
+    val files = (1L to 97L).map(i => ("p", i, 7L + (i % 13)))
+      .toDF("part", "file_id", "bytes")
+    val bins = Layout.compactionPlan(files, Seq("part"), "file_id", "bytes",
+        targetBytes = 64L)
+      .groupBy("part", "bin").agg(sum("bytes").as("sz"))
+      .orderBy(col("bin")).collect()
+    val lastBin = bins.map(_.getLong(1)).max
+    bins.foreach { r =>
+      if (r.getLong(1) != lastBin)
+        assert(r.getLong(2) > 64L - 19L, s"bin ${r.getLong(1)} under bound")
+      assert(r.getLong(2) < 64L + 19L, s"bin ${r.getLong(1)} over bound")
+    }
+  }
 }

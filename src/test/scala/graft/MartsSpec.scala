@@ -143,4 +143,22 @@ class MartsSpec extends SparkSpec {
     assert(out.getAs[Double]("rate") == 2.0)
     assert(out.getAs[Long]("seq") == 9L)
   }
+
+  test("assignSurrogates: existing keys keep theirs, new keys dense from max+1") {
+    val existing = Seq(("a", 3L), ("c", 1L), ("d", 7L)).toDF("bk", "sk")
+    val incoming = Seq("a", "b", "e", "b", "c").toDF("bk")
+    val out = Marts.assignSurrogates(existing, incoming, "bk")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "c" -> 1L, "d" -> 7L,
+      "b" -> 8L, "e" -> 9L), out)
+    // replay-stability: the same (existing, incoming) assigns identically
+    val again = Marts.assignSurrogates(existing, incoming, "bk")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // empty dimension bootstrap: keys start at 1
+    val boot = Marts.assignSurrogates(
+        existing.filter(lit(false)), incoming, "bk")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(boot == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "e" -> 4L), boot)
+  }
 }

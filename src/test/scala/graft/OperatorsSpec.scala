@@ -2104,4 +2104,25 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((10L, 1L), (20L, 2L)))
   }
+
+  test("pruningStats: clustered layout prunes, shuffled layout scans all") {
+    import graft.sources.ZOrder
+    // 1000 rows, value = id; predicate covers 10% of the domain
+    val df = spark.range(1000)
+      .withColumn("scramble", pmod(col("id") * 2654435761L, lit(1000L)))
+    val sorted = ZOrder.pruningStats(df, "sorted", Seq(col("id")),
+      col("id"), rowsPerFile = 100, lit(400L), lit(499L)).head()
+    val shuffled = ZOrder.pruningStats(df, "shuffled", Seq(col("scramble")),
+      col("id"), rowsPerFile = 100, lit(400L), lit(499L)).head()
+    // both see the same matching rows; only the layouts differ
+    assert(sorted.getAs[Long]("rows_matched") == 100L)
+    assert(shuffled.getAs[Long]("rows_matched") == 100L)
+    assert(sorted.getAs[Long]("n_files") == 10L)
+    // value-sorted files: the predicate's decile sits in exactly one file
+    assert(sorted.getAs[Long]("n_scanned") == 1L, sorted.toString)
+    assert(sorted.getAs[Long]("rows_scanned") == 100L)
+    // scrambled layout: every file's zone map straddles the range
+    assert(shuffled.getAs[Long]("n_scanned") == 10L, shuffled.toString)
+    assert(shuffled.getAs[Long]("rows_scanned") == 1000L)
+  }
 }

@@ -409,4 +409,31 @@ class PlanSpec extends SparkSpec {
     assert(genIdx >= 0 && aggIdx > genIdx,
       s"explode should be above the final aggregate (gen=$genIdx agg=$aggIdx)")
   }
+
+  test("compaction plan is one partition-key exchange, no global sort") {
+    val p = plan("q145_compaction_plan")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("rank agreement reuses one group-key exchange across all windows and the agg") {
+    val p = plan("q146_score_agreement")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("k-anonymity is a single quasi-identifier exchange; the hash is map-side") {
+    val p = plan("q147_k_anonymity")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("surrogate assignment: anti-join for new keys, 1-row broadcast for the max") {
+    val p = plan("q150_surrogate_keys")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -315,4 +315,69 @@ class SilverSpec extends SparkSpec {
       ("k2", "overlap"), ("k3", "gap"), ("k4", "open_interval_before_last"),
       ("k5", "zero_span"), ("k5", "negative_span")), out)
   }
+
+  test("rankAgreement: monotone signals → ±1, ties averaged, constant → null") {
+    val df = Seq(
+      // g=up: y is a monotone transform of x → rho = 1
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 40L), ("up", 4L, 80L),
+      // g=down: y reversed → rho = -1
+      ("down", 1L, 9L), ("down", 2L, 7L), ("down", 3L, 5L), ("down", 4L, 1L),
+      // g=tied: x = (1,2,2,4), y = (1,3,2,4); textbook Spearman with
+      // average ranks: rx = (1, 2.5, 2.5, 4), ry = (1, 3, 2, 4) → rho =
+      // cov/sd = 0.9486832980505138 → rounded 0.948683
+      ("tied", 1L, 1L), ("tied", 2L, 3L), ("tied", 2L, 2L), ("tied", 4L, 4L),
+      // g=flat: x constant → zero variance → NULL
+      ("flat", 5L, 1L), ("flat", 5L, 2L), ("flat", 5L, 3L))
+      .toDF("g", "x", "y")
+    val out = Quality.rankAgreement(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("up").contains(1.0), out)
+    assert(out("down").contains(-1.0), out)
+    assert(out("tied").contains(0.948683), out)
+    assert(out("flat").isEmpty, out)
+  }
+
+  test("kAnonymity: group sizes, suppression, salted stable pseudonyms") {
+    val df = Seq(
+      (1L, "US", "A"), (2L, "US", "A"), (3L, "US", "A"),
+      (4L, "US", "B"), (5L, "FR", "A"))
+      .toDF("id", "country", "seg")
+    val out = Quality.kAnonymity(df, "id", Seq("country", "seg"),
+      k = 2, salt = "s1")
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.count(r => r._2 == "US" && r._3 == "A" &&
+      r._4 == 3L && !r._5) == 3)
+    assert(rows.count(r => r._4 == 1L && r._5) == 2) // (US,B) and (FR,A)
+    // pseudonym is the salted hash — stable across runs, ≠ the raw id,
+    // and a different salt produces a disjoint pseudonym set
+    val p1 = out.select("pseud_id").collect().map(_.getString(0)).toSet
+    val p2 = Quality.kAnonymity(df, "id", Seq("country", "seg"), 2, "s1")
+      .select("pseud_id").collect().map(_.getString(0)).toSet
+    val p3 = Quality.kAnonymity(df, "id", Seq("country", "seg"), 2, "s2")
+      .select("pseud_id").collect().map(_.getString(0)).toSet
+    assert(p1 == p2 && p1.intersect(p3).isEmpty)
+    assert(!p1.exists(Set("1", "2", "3", "4", "5")))
+  }
+
+  test("latenessProfile measures out-of-order depth against the running max") {
+    // arrival order a=1..6; event times: the 4th arrival is 120 s behind
+    // the max already seen, the 6th is 30 s behind; the rest in order
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:01:00"),
+      (3L, "2024-01-01 10:04:00"), (4L, "2024-01-01 10:02:00"),
+      (5L, "2024-01-01 10:05:00"), (6L, "2024-01-01 10:04:30"))
+      .map { case (a, t) => ("s", a, ts(t)) }.toDF("stream", "arr", "ts")
+    val r = Quality.latenessProfile(df, "stream", "arr", "ts", pct = 99).head()
+    assert(r.getLong(1) == 6L)   // n_events
+    assert(r.getLong(2) == 2L)   // n_late
+    assert(r.getLong(3) == 120L) // max_late_s
+    assert(r.getLong(4) == 120L) // p99 over {0,0,0,0,30,120}: ceil(.99·6)=6th
+    // p50 lands on the all-in-order mass
+    val p50 = Quality.latenessProfile(df, "stream", "arr", "ts", pct = 50)
+      .head().getLong(4)
+    assert(p50 == 0L)
+  }
 }
