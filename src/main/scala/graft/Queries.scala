@@ -3847,6 +3847,113 @@ object Queries {
                  AS sk
         FROM nk""")),
 
+    // ── Gini concentration of per-customer spend within each priority
+    //    class: exact-cents rank moments → one rounded double ──
+    Q("q151_gini",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"), col("o_custkey"))
+          .agg(sum(dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        Quality.gini(spend, "o_orderpriority", "o_custkey", "cents")
+      },
+      Some("""
+        WITH s AS (SELECT o_orderpriority, o_custkey,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        r AS (SELECT o_orderpriority, cents,
+            CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+          FROM s),
+        m AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_keys,
+            CAST(SUM(cents) AS BIGINT) AS total_cents,
+            CAST(SUM(i * cents) AS BIGINT) AS six
+          FROM r GROUP BY 1)
+        SELECT o_orderpriority, n_keys, total_cents,
+          CASE WHEN total_cents > 0
+               THEN ROUND(CAST(2 * six - (n_keys + 1) * total_cents
+                 AS DOUBLE) / CAST(n_keys * total_cents AS DOUBLE), 6)
+               END AS gini
+        FROM m""")),
+
+    // ── per-stream daily-volume OLS trend: drift detection with exact
+    //    integer moments; intercept uses the UNROUNDED slope on both
+    //    sides so the op trees match bit-for-bit ──
+    Q("q152_daily_trend",
+      (s, d) => Quality.dailyTrend(Tables.events(s, d), "event_type", "ts"),
+      Some("""
+        WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        x AS (SELECT event_type, y,
+            CAST(date_diff('day',
+              MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x
+          FROM d0),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM x GROUP BY 1)
+        SELECT event_type, n_days,
+          CASE WHEN (n_days * sxx - sx * sx) > 0
+               THEN ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                 CAST(n_days * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+          CASE WHEN (n_days * sxx - sx * sx) > 0
+               THEN ROUND((CAST(sy AS DOUBLE) -
+                 (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                  CAST(n_days * sxx - sx * sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6)
+               END AS intercept
+        FROM m""")),
+
+    // ── split-leakage audit: near-dup pairs straddling a naive per-doc
+    //    train/val/test split — the contamination q108's cluster-aware
+    //    split exists to prevent, measured directly ──
+    Q("q153_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+          k = 3, threshold = 0.2)
+        val assigned = operators.Sampling.split(docs.select("doc_id"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        operators.Sampling.splitLeakage(pairs, assigned, "doc_id")
+          .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        j AS (SELECT id_a, id_b,
+                CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+              FROM pairs),
+        asg AS (SELECT doc_id,
+                CASE WHEN hs < 0.8 THEN 'train'
+                     WHEN hs < 0.9 THEN 'val'
+                     ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))
+                    ::UBIGINT / 4294967296.0 AS hs
+                FROM documents))
+        SELECT j.id_a, j.id_b, j.jaccard,
+               a.split AS split_a, b.split AS split_b
+        FROM j JOIN asg a ON j.id_a = a.doc_id
+               JOIN asg b ON j.id_b = b.doc_id
+        WHERE a.split <> b.split""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

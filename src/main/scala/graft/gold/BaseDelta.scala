@@ -365,4 +365,48 @@ object BaseDelta {
     if (deltaBatches(spark, t).size > maxDeltas)
       compact(spark, t, allowSchemaEvolution)
   }
+
+  /** Retire state unreachable from the CURRENT manifest — the VACUUM to
+    * `compact`'s OPTIMIZE. `compact` deliberately leaves the just-folded
+    * delta dirs and the previous-generation base on disk so readers that
+    * resolved the prior snapshot mid-query keep working; once that
+    * snapshot window has drained, this deletes them: base generations
+    * below the current one (plus the legacy flat base), delta dirs not
+    * referenced by the current manifest, and all but the newest
+    * `retainManifests` manifest versions.
+    *
+    * Like Delta's VACUUM, this trades history for space: after it, only
+    * the current snapshot (and any still-live deltas) is readable —
+    * `readAt` below the fold floor already refuses, and vacuumed batch
+    * ids now fail loudly rather than resolve. Storage-metadata work
+    * only (listings + deletes on O(files) paths), no data pass. Returns
+    * the deleted paths for the operation ledger. No-op (Nil) on tables
+    * that never committed a manifest — there is no snapshot isolation
+    * to retire against.
+    */
+  def vacuum(spark: SparkSession, t: Table,
+             retainManifests: Int = 2): Seq[String] = {
+    val mOpt = readManifest(spark, t)
+    if (mOpt.isEmpty) return Seq.empty
+    val m = mOpt.get
+    val f = fs(spark, t.path)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def drop(p: Path): Unit =
+      if (f.exists(p) && f.delete(p, true)) deleted += p.toString
+    // base generations below current; the legacy flat base once any
+    // manifest-tracked generation exists
+    (1L until m.generation).foreach(g => drop(new Path(t.baseGenPath(g))))
+    if (m.generation >= 1) {
+      drop(new Path(t.basePath))
+      drop(new Path(t.basePath + ".__old"))
+    }
+    // folded (or orphaned) delta dirs: anything not in the live set
+    (diskDeltas(spark, t).toSet -- m.deltas.toSet).toSeq.sorted
+      .foreach(id => drop(new Path(t.deltaPath(id))))
+    // manifest history beyond the retention window (never the newest)
+    val versions = manifestVersions(spark, t)
+    versions.dropRight(math.max(1, retainManifests))
+      .foreach(v => drop(manifestFile(t, v)))
+    deleted.toSeq
+  }
 }

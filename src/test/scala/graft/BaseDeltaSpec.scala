@@ -209,4 +209,42 @@ class BaseDeltaSpec extends SparkSpec {
     assert(snap(BaseDelta.read(spark, table)) ==
       Map(1L -> (("a2", 2)), 2L -> (("b", 1)), 3L -> (("c", 1))))
   }
+
+  test("vacuum retires folded deltas and old bases; the current view survives") {
+    val path = tmpDir("bd-vac") + "/t"
+    val table = t(path)
+    BaseDelta.append(spark, table,
+      Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "ver"), 0L)
+    BaseDelta.append(spark, table,
+      Seq((1L, "a2", 2)).toDF("id", "v", "ver"), 1L)
+    BaseDelta.compact(spark, table) // gen 1; folded delta dirs retained
+    BaseDelta.append(spark, table,
+      Seq((3L, "c", 1)).toDF("id", "v", "ver"), 2L)
+    BaseDelta.compact(spark, table) // gen 2; gen-1 base retained
+    val dir = new java.io.File(path)
+    assert(dir.listFiles().exists(_.getName == "base_g1"))
+    assert(new java.io.File(s"$path/delta").listFiles() != null)
+
+    val before = snap(BaseDelta.read(spark, table))
+    val deleted = BaseDelta.vacuum(spark, table)
+    assert(deleted.nonEmpty, "vacuum should have retired state")
+    // folded deltas and the superseded base are gone; current base stays
+    assert(!dir.listFiles().exists(_.getName == "base_g1"))
+    assert(dir.listFiles().exists(_.getName == "base_g2"))
+    val deltaDir = new java.io.File(s"$path/delta")
+    assert(!deltaDir.exists() || deltaDir.listFiles().isEmpty)
+    // the table reads identically, and vacuum is idempotent
+    assert(snap(BaseDelta.read(spark, table)) == before)
+    assert(BaseDelta.vacuum(spark, table).isEmpty)
+    // a post-vacuum append + read still works: vacuum may prune manifest
+    // history again, but must never touch a LIVE delta
+    BaseDelta.append(spark, table,
+      Seq((4L, "d", 1)).toDF("id", "v", "ver"), 3L)
+    val deleted2 = BaseDelta.vacuum(spark, table)
+    assert(!deleted2.exists(_.contains("delta/batch=3")),
+      s"live delta vacuumed: $deleted2")
+    assert(snap(BaseDelta.read(spark, table)) ==
+      before + (4L -> (("d", 1))))
+    assert(BaseDelta.readManifest(spark, table).exists(_.generation == 2L))
+  }
 }

@@ -2105,6 +2105,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (20L, 2L)))
   }
 
+  test("splitLeakage finds cross-split pairs; a cluster-aware split has none") {
+    import graft.operators.Sampling
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+    val naive = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val"), (6L, "test")).toDF("doc_id", "split")
+    val leaked = Sampling.splitLeakage(pairs, naive, "doc_id")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(leaked == Set((1L, 2L), (5L, 6L)), leaked)
+    // cluster-aware assignment over the SAME pair graph leaks nothing:
+    // both ends of every pair hash the same cluster key by construction
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 5L)).toDF("id", "cluster_id")
+    val docs = (1L to 6L).toDF("doc_id")
+    val byCluster = Sampling.splitByCluster(docs, "doc_id", clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(Sampling.splitLeakage(pairs, byCluster, "doc_id").isEmpty)
+  }
+
   test("pruningStats: clustered layout prunes, shuffled layout scans all") {
     import graft.sources.ZOrder
     // 1000 rows, value = id; predicate covers 10% of the domain

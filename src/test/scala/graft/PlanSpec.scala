@@ -429,6 +429,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("gini and daily trend stay on two keyed exchanges, never a single partition") {
+    for (q <- Seq("q151_gini", "q152_daily_trend")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, s"$q\n$p")
+      assert(!p.contains("Exchange SinglePartition"), q)
+      assert(!p.contains("Exchange rangepartitioning"), q)
+    }
+  }
+
   test("surrogate assignment: anti-join for new keys, 1-row broadcast for the max") {
     val p = plan("q150_surrogate_keys")
     assert(p.contains("LeftAnti"), p)

@@ -362,6 +362,39 @@ class SilverSpec extends SparkSpec {
     assert(!p1.exists(Set("1", "2", "3", "4", "5")))
   }
 
+  test("gini: 0 for equal shares, (n-1)/n for a single holder, NULL for non-positive totals") {
+    val df = Seq(
+      ("even", 1L, 100L), ("even", 2L, 100L), ("even", 3L, 100L),
+      ("even", 4L, 100L),
+      ("onehot", 1L, 0L), ("onehot", 2L, 0L), ("onehot", 3L, 0L),
+      ("onehot", 4L, 400L),
+      ("neg", 1L, -5L), ("neg", 2L, 5L))
+      .toDF("g", "k", "cents")
+    val out = Quality.gini(df, "g", "k", "cents").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("even").contains(0.0), out)
+    assert(out("onehot").contains(0.75), out) // (n-1)/n with n=4
+    assert(out("neg").isEmpty, out)
+  }
+
+  test("dailyTrend fits exact OLS over observed days; single-day streams → NULL") {
+    // stream "lin": counts 2,4,6 on days 0,1,2 → slope 2, intercept 2;
+    // a gap day (no events) is simply not observed
+    val rows =
+      (1 to 2).map(i => ("lin", ts("2024-01-01 00:00:00"), i.toLong)) ++
+      (1 to 4).map(i => ("lin", ts("2024-01-02 08:00:00"), i.toLong)) ++
+      (1 to 6).map(i => ("lin", ts("2024-01-03 23:59:59"), i.toLong)) ++
+      Seq(("single", ts("2024-01-05 12:00:00"), 1L))
+    val out = Quality.dailyTrend(rows.toDF("stream", "ts", "n"),
+        "stream", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("lin").getLong(1) == 3L)
+    assert(out("lin").getDouble(2) == 2.0)
+    assert(out("lin").getDouble(3) == 2.0)
+    assert(out("single").isNullAt(2) && out("single").isNullAt(3))
+  }
+
   test("latenessProfile measures out-of-order depth against the running max") {
     // arrival order a=1..6; event times: the 4th arrival is 120 s behind
     // the max already seen, the 6th is 30 s behind; the rest in order
