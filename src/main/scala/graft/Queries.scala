@@ -3954,6 +3954,108 @@ object Queries {
                JOIN asg b ON j.id_b = b.doc_id
         WHERE a.split <> b.split""")),
 
+    // ── per-source winsorization: clamp to PERCENTILE_DISC boundaries
+    //    instead of dropping (trimOutliers' complement) — all-integer
+    //    boundary compares, corpus never shuffles ──
+    Q("q154_winsorize",
+      (s, d) => TextAnalysis.winsorize(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "n_chars", "source", lowPct = 5, highPct = 95)
+        .select("doc_id", "source", "n_chars", "n_chars_w"),
+      Some("""
+        WITH c AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        cum AS (SELECT source, n_chars,
+            CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cm
+          FROM c),
+        t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1),
+        b AS (SELECT cum.source,
+            MIN(CASE WHEN cm * 100 >= 5 * n THEN n_chars END) AS lo,
+            MIN(CASE WHEN cm * 100 >= 95 * n THEN n_chars END) AS hi
+          FROM cum JOIN t ON cum.source = t.source GROUP BY 1)
+        SELECT d.doc_id, d.source, d.n_chars,
+          LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_w
+        FROM documents d JOIN b ON d.source = b.source""")),
+
+    // ── first-order Markov transition matrix over the event stream:
+    //    P(next type | type), one key shuffle, matrix-sized output ──
+    Q("q155_transition_matrix",
+      (s, d) => operators.Sessionize.transitionMatrix(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        tieCols = Seq("event_id")),
+      Some("""
+        WITH p AS (SELECT
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS from_type,
+            event_type AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+          ROUND(CAST(n AS DOUBLE) /
+            CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        FROM c""")),
+
+    // ── Wilson score interval per group: the small-n-safe rate CI
+    //    (q111's per-group complement); fixed IEEE op tree both sides ──
+    Q("q156_wilson_ci",
+      (s, d) => Quality.wilsonCi(
+        Tables.orders(s, d), "o_orderpriority",
+        col("o_orderstatus") === "F"),
+      Some("""
+        WITH a AS (SELECT o_orderpriority,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, n, k,
+          ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+          ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+              - (1.96 * sqrt(
+                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+          ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+              + (1.96 * sqrt(
+                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96)
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+        FROM a""")),
+
+    // ── week-over-week volume growth per stream: drift alerting; events
+    //    collapse to (stream, week) before any window ──
+    Q("q157_period_growth",
+      (s, d) => Quality.periodGrowth(Tables.events(s, d), "event_type", "ts"),
+      Some("""
+        WITH wk AS (SELECT event_type,
+            CAST(date_trunc('week', ts) AS DATE) AS week_start,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        l AS (SELECT event_type, week_start, n,
+            lag(n) OVER (PARTITION BY event_type
+              ORDER BY week_start ASC) AS prev_n
+          FROM wk)
+        SELECT event_type, week_start, n, prev_n,
+          n - prev_n AS delta,
+          CASE WHEN prev_n > 0
+               THEN ROUND(CAST(n - prev_n AS DOUBLE) * 100.0 /
+                 CAST(prev_n AS DOUBLE), 6) END AS growth_pct
+        FROM l""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

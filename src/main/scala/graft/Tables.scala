@@ -32,20 +32,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is a Parquet TIMESTAMP(NANOS) column, which Spark cannot
-    * read natively — read nanos as long (`nanosAsLong`) and convert to a
-    * microsecond timestamp with integer arithmetic (the data is µs-aligned;
-    * double division would lose precision at 1e18 ns).
+  /** `events.ts` has shipped in three physical shapes across testdata
+    * generations — Parquet TIMESTAMP(NANOS) (unreadable natively: read
+    * nanos as long via `nanosAsLong` and convert with integer arithmetic;
+    * double division would lose precision at 1e18 ns), plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (reads as
+    * TIMESTAMP_NTZ), and UTC-adjusted TIMESTAMP. Normalize all three to
+    * session-tz TimestampType (sessions pin UTC, so NTZ→TZ keeps the
+    * instant) so every downstream query sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame =
     cache.computeIfAbsent(
       (System.identityHashCode(s), s"$d/events.parquet#converted"),
       _ => {
+        import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$d/events.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        val raw = s.read.parquet(s"$d/events.parquet")
+        raw.schema("ts").dataType match {
+          case LongType      => raw.withColumn("ts",
+            timestamp_micros(expr("ts DIV 1000")))
+          case TimestampType => raw
+          case _             => raw.withColumn("ts",
+            col("ts").cast(TimestampType))
+        }
       })
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

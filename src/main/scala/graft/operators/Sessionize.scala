@@ -100,4 +100,39 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_sec"))
+
+  /** First-order Markov transition matrix over an event stream: for every
+    * ordered pair of CONSECUTIVE event types within a key, the transition
+    * count `n`, the from-state total `n_from`, and the conditional
+    * probability `p = P(to | from)` — the user-journey readout behind
+    * "what do users do right after X" and the baseline model for
+    * next-event prediction / anomalous-flow detection.
+    *
+    * Ordering within a key is (tsCol, tieCols...) — pass a unique
+    * tie-break so consecutive-pair extraction is total and
+    * engine-reproducible under timestamp collisions. `p` rounds to 6
+    * decimals (one IEEE division) so the matrix is engine-exact.
+    *
+    * Scale shape: ONE shuffle on the key for the lag window (in-partition
+    * sort only), then a map-side-combinable (from, to) count aggregation;
+    * the `n_from` marginal is a window over the PAIR frame, whose
+    * cardinality is |types|² — the matrix, not the stream. Nothing
+    * event-volume-sized moves after the first shuffle.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String,
+                       tieCols: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val pairs = df
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .withColumn("p",
+        round(col("n").cast("double") / col("n_from").cast("double"), 6))
+  }
 }

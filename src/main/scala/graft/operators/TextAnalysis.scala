@@ -228,6 +228,39 @@ object TextAnalysis {
     df.join(broadcast(keep), Seq(metricCol), "left_semi")
   }
 
+  /** Per-group winsorization: clamp `metricCol` into the group's
+    * [PERCENTILE_DISC(lowPct), PERCENTILE_DISC(highPct)] band instead of
+    * dropping tail rows — the complement of [[trimOutliers]]: row count is
+    * preserved, extremes are capped to actual domain values (the standard
+    * robust-mean preprocessing for heavy-tailed quality metrics before
+    * averaging or OLS).
+    *
+    * Both boundaries are discrete percentiles decided by the all-integer
+    * comparison `cum·100 >= p·n` (the [[percentilesExact]] construction),
+    * so every engine agrees at all boundary cases and the clamped value is
+    * always a value the group actually contains.
+    *
+    * Scale shape: one (group, value) histogram agg (bounded by the metric
+    * domain × groups, never the corpus), per-group cumulative windows over
+    * that bounded frame, then ONE broadcast join of the 2-column boundary
+    * frame back onto the corpus — the corpus is scanned once and never
+    * shuffles.
+    */
+  def winsorize(df: DataFrame, metricCol: String, groupCol: String,
+                lowPct: Int = 5, highPct: Int = 95): DataFrame = {
+    require(lowPct >= 1 && highPct <= 100 && lowPct < highPct,
+      s"invalid winsor percents ($lowPct, $highPct)")
+    val b = percentilesExact(df, metricCol, groupCol, Seq(lowPct, highPct))
+    val bounds = b
+      .groupBy(col(groupCol))
+      .agg(min(when(col("pct") === lowPct, col("value"))).as("__lo"),
+        min(when(col("pct") === highPct, col("value"))).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(metricCol + "_w",
+        least(greatest(col(metricCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Exact per-group discrete percentiles WITHOUT a global sort: for each
     * group and each requested percent `p`, the smallest value whose
     * within-group cumulative count reaches `p`% of the group — i.e.

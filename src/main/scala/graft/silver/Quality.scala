@@ -481,4 +481,63 @@ object Quality {
         col("n_late").cast("long"), col("max_late_s").cast("long"),
         col("p_late_s").cast("long"))
   }
+
+  /** Per-group Wilson score interval for a boolean rate — the readout
+    * q111's z-test feeds: instead of "is B better than A", "how sure are
+    * we about THIS group's rate" (small-n safe where the normal interval
+    * `p ± z·√(p(1−p)/n)` collapses or escapes [0,1]).
+    *
+    * Engine determinism: counts are exact integers; the closed form is a
+    * fixed tree of IEEE operations (each correctly rounded, evaluated in
+    * the same order by both engines — `z²` is computed as `z·z` from the
+    * same literal, never a pre-rounded decimal constant), and the three
+    * outputs round to 6 decimals. One map-side-combinable aggregation;
+    * output cardinality = groups.
+    */
+  def wilsonCi(df: DataFrame, groupCol: String, success: Column,
+               z: Double = 1.96): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(success, 1L).otherwise(0L)).cast("long").as("k"))
+    val n = col("n").cast("double")
+    val k = col("k").cast("double")
+    val z2 = lit(z) * lit(z)
+    val phat = k / n
+    val denom = lit(1.0) + z2 / n
+    val center = (phat + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) *
+      sqrt(phat * (lit(1.0) - phat) / n + z2 / (lit(4.0) * n * n))) / denom
+    agg.select(col(groupCol), col("n"), col("k"),
+      round(phat, 6).as("p_hat"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+  }
+
+  /** Period-over-period volume growth per stream: counts per calendar
+    * period (ISO week via `date_trunc`), each period compared to the
+    * stream's PREVIOUS OBSERVED period (lag, not calendar-adjacent — a
+    * silent week shows up as a large drop in the next observed one, which
+    * is the alert you want). `growth_pct` is null for a stream's first
+    * period and when the previous period is empty.
+    *
+    * Scale shape: events collapse to (stream, period) counts FIRST
+    * (map-side combinable), so the lag window rides period cardinality —
+    * bounded by the calendar × streams, never event volume.
+    */
+  def periodGrowth(df: DataFrame, streamCol: String,
+                   tsCol: String): DataFrame = {
+    val weekly = df
+      .groupBy(col(streamCol),
+        date_trunc("week", col(tsCol)).cast("date").as("week_start"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col("week_start").asc)
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("growth_pct",
+        when(col("prev_n") > 0,
+          round((col("n") - col("prev_n")).cast("double") * lit(100.0) /
+            col("prev_n").cast("double"), 6)))
+  }
 }
