@@ -3977,8 +3977,10 @@ object Queries {
             MIN(CASE WHEN cm * 100 >= 95 * n THEN n_chars END) AS hi
           FROM cum JOIN t ON cum.source = t.source GROUP BY 1)
         SELECT d.doc_id, d.source, d.n_chars,
-          LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_w
-        FROM documents d JOIN b ON d.source = b.source""")),
+          CASE WHEN d.n_chars IS NOT NULL AND b.lo IS NOT NULL
+               THEN LEAST(GREATEST(d.n_chars, b.lo), b.hi)
+               ELSE d.n_chars END AS n_chars_w
+        FROM documents d LEFT JOIN b ON d.source = b.source""")),
 
     // ── first-order Markov transition matrix over the event stream:
     //    P(next type | type), one key shuffle, matrix-sized output ──
@@ -4047,7 +4049,7 @@ object Queries {
           FROM events GROUP BY 1, 2),
         l AS (SELECT event_type, week_start, n,
             lag(n) OVER (PARTITION BY event_type
-              ORDER BY week_start ASC) AS prev_n
+              ORDER BY week_start ASC NULLS LAST) AS prev_n
           FROM wk)
         SELECT event_type, week_start, n, prev_n,
           n - prev_n AS delta,

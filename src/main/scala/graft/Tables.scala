@@ -38,23 +38,36 @@ object Tables {
     * double division would lose precision at 1e18 ns), plain
     * TIMESTAMP(MICROS) with isAdjustedToUTC=false (reads as
     * TIMESTAMP_NTZ), and UTC-adjusted TIMESTAMP. Normalize all three to
-    * session-tz TimestampType (sessions pin UTC, so NTZ→TZ keeps the
-    * instant) so every downstream query sees one type.
+    * session-tz TimestampType so every downstream query sees one type.
+    *
+    * The NTZ→TZ cast reads the wall-clock through the SESSION time zone,
+    * so UTC is pinned here, not assumed of the caller — an entry point
+    * built without `spark.sql.session.timeZone=UTC` (e.g. a bare Bench
+    * session on a non-UTC JVM) would otherwise shift instants and move
+    * ts-literal filters like the q14 watermark split. Any OTHER physical
+    * type fails loudly: a silent catch-all cast would interpret a future
+    * testdata shape (String, or Integer-as-epoch-seconds) as wrong
+    * instants with no error.
     */
   def events(s: SparkSession, d: String): DataFrame =
     cache.computeIfAbsent(
       (System.identityHashCode(s), s"$d/events.parquet#converted"),
       _ => {
         import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-        import org.apache.spark.sql.types.{LongType, TimestampType}
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
         val raw = s.read.parquet(s"$d/events.parquet")
         raw.schema("ts").dataType match {
           case LongType      => raw.withColumn("ts",
             timestamp_micros(expr("ts DIV 1000")))
           case TimestampType => raw
-          case _             => raw.withColumn("ts",
+          case TimestampNTZType => raw.withColumn("ts",
             col("ts").cast(TimestampType))
+          case other => sys.error(
+            s"Tables.events: unsupported physical type for events.ts: $other " +
+              "— add an explicit instant-preserving conversion rather than " +
+              "letting a blind cast guess")
         }
       })
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

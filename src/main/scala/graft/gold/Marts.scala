@@ -189,10 +189,20 @@ object Marts {
         .as("recency_days"),
       count(lit(1)).as("frequency"),
       sum(floor(col(valueCol) * 100).cast("long")).as("monetary_cents"))
-    def bounds(c: String): Seq[Long] =
-      graft.operators.TextAnalysis.percentilesExact(
-          per.withColumn("__g", lit(1)), c, "__g", Seq(20, 40, 60, 80))
-        .orderBy(col("pct").asc).collect().map(_.getAs[Long]("value")).toSeq
+    // all 12 boundaries in ONE pass: melt the three metrics to
+    // (metric, value) and let percentilesExact group by metric name —
+    // three separate calls would re-aggregate the event log three times
+    val metrics = Seq("recency_days", "frequency", "monetary_cents")
+    val melted = per.select(explode(array(metrics.map(m =>
+      struct(lit(m).as("__metric"), col(m).as("__v"))): _*)).as("__mv"))
+      .select(col("__mv.__metric").as("__metric"), col("__mv.__v").as("__v"))
+    val boundRows = graft.operators.TextAnalysis.percentilesExact(
+        melted, "__v", "__metric", Seq(20, 40, 60, 80))
+      .collect()  // bounded: 3 metrics × 4 percents = 12 rows
+    def bounds(c: String): Seq[Long] = boundRows
+      .filter(_.getAs[String]("__metric") == c)
+      .sortBy(_.getAs[Int]("pct"))
+      .map(_.getAs[Long]("value")).toSeq
     def scoreAsc(c: String, bs: Seq[Long]): Column =
       bs.foldLeft(lit(1)) { (acc, b) =>
         acc + when(col(c) > b, 1).otherwise(0)
@@ -221,23 +231,49 @@ object Marts {
     *
     * Scale: the max(existing) is a one-row aggregate (broadcast), the
     * anti-join finds new keys with the dimension's own partitioning, and
-    * the dense_rank window runs over the NEW-key delta only — dimension
-    * deltas per load are thousands, not the 100 TB fact. The window's
-    * single-partition sort is bounded by that delta, never the table.
+    * the rank runs over the NEW-key delta only. The rank itself is
+    * TWO-PHASE, never a global window: range-partition the new keys by
+    * business key (contiguous key ranges per partition), row_number
+    * within each range, then add per-range offsets (a collect bounded by
+    * the shuffle-partition count, broadcast back). A single-partition
+    * `Window.orderBy` would be fine at steady state (deltas are small)
+    * but routes the ENTIRE dimension through one task on the bootstrap
+    * load, where every key is new. The final rank is a pure function of
+    * the key SET — range boundaries only decide which task computes which
+    * contiguous slice, not the resulting numbering — so replays still
+    * assign identical keys.
     */
   def assignSurrogates(existing: DataFrame, incoming: DataFrame,
                        businessKey: String,
                        surrogateCol: String = "sk"): DataFrame = {
+    val spark = incoming.sparkSession
     val maxSk = existing.agg(coalesce(max(col(surrogateCol)), lit(0L))
       .cast("long").as("__max_sk"))
     val newKeys = incoming.select(col(businessKey)).distinct()
       .join(existing.select(col(businessKey)), Seq(businessKey), "left_anti")
-    val w = Window.orderBy(col(businessKey).asc)
-    val assigned = newKeys
-      .withColumn("__rk", dense_rank().over(w).cast("long"))
+    // phase 1: contiguous key ranges → local rank (keys are distinct, so
+    // row_number ≡ dense_rank and no tie can straddle a range boundary)
+    val ranged = newKeys
+      .repartitionByRange(col(businessKey).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col(businessKey).asc)
+    val local = ranged.withColumn("__lrk", row_number().over(wLocal).cast("long"))
+    // phase 2: per-range counts → prefix-sum offsets (≤ shuffle partitions)
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__pid").asc).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val off = acc; acc += r.getAs[Long]("__cnt")
+      (r.getAs[Int]("__pid"), off)
+    }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("__pid", "__off")
+    val assigned = local
+      .join(broadcast(offDf), Seq("__pid"))
       .crossJoin(broadcast(maxSk))
       .select(col(businessKey),
-        (col("__max_sk") + col("__rk")).as(surrogateCol))
+        (col("__max_sk") + col("__off") + col("__lrk")).as(surrogateCol))
     existing.select(col(businessKey), col(surrogateCol).cast("long"))
       .unionByName(assigned)
   }

@@ -240,6 +240,12 @@ object TextAnalysis {
     * so every engine agrees at all boundary cases and the clamped value is
     * always a value the group actually contains.
     *
+    * Row preservation holds for nullable inputs too: the bounds join is a
+    * LEFT join (a null group has no boundary row, but its rows survive
+    * with a null clamp), and a null metric stays null rather than being
+    * clamped to the group's low bound (Spark's `greatest`/`least` skip
+    * NULLs, so an unguarded clamp would invent a value).
+    *
     * Scale shape: one (group, value) histogram agg (bounded by the metric
     * domain × groups, never the corpus), per-group cumulative windows over
     * that bounded frame, then ONE broadcast join of the 2-column boundary
@@ -255,9 +261,11 @@ object TextAnalysis {
       .groupBy(col(groupCol))
       .agg(min(when(col("pct") === lowPct, col("value"))).as("__lo"),
         min(when(col("pct") === highPct, col("value"))).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(metricCol + "_w",
-        least(greatest(col(metricCol), col("__lo")), col("__hi")))
+        when(col(metricCol).isNotNull && col("__lo").isNotNull,
+          least(greatest(col(metricCol), col("__lo")), col("__hi")))
+          .otherwise(col(metricCol)))
       .drop("__lo", "__hi")
   }
 

@@ -523,6 +523,11 @@ object Quality {
     * Scale shape: events collapse to (stream, period) counts FIRST
     * (map-side combinable), so the lag window rides period cardinality —
     * bounded by the calendar × streams, never event volume.
+    *
+    * Null timestamps collapse to a null week; the lag window orders that
+    * row LAST explicitly (Spark windows default NULLS FIRST, DuckDB's
+    * NULLS LAST) so both engines chain prev_n identically even when a
+    * stream carries unparseable timestamps.
     */
   def periodGrowth(df: DataFrame, streamCol: String,
                    tsCol: String): DataFrame = {
@@ -531,7 +536,7 @@ object Quality {
         date_trunc("week", col(tsCol)).cast("date").as("week_start"))
       .agg(count(lit(1)).cast("long").as("n"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(streamCol)).orderBy(col("week_start").asc)
+      .partitionBy(col(streamCol)).orderBy(col("week_start").asc_nulls_last)
     weekly
       .withColumn("prev_n", lag(col("n"), 1).over(w))
       .withColumn("delta", col("n") - col("prev_n"))

@@ -445,4 +445,18 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("surrogate bootstrap: rank is range-partitioned, no global window") {
+    // empty dimension, every key new — the worst case for the old
+    // single-partition Window.orderBy rank
+    val c = spark.read.parquet(s"$d/customer.parquet").select("c_custkey")
+    val existing = c.filter(org.apache.spark.sql.functions.lit(false))
+      .withColumn("sk", org.apache.spark.sql.functions.lit(0L))
+    val p = graft.gold.Marts.assignSurrogates(existing, c, "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), p)
+    // the rank window is partitioned by the range-shard id, never global
+    assert("Window \\[[^\\]]*\\], \\[__pid".r.findFirstIn(p).isDefined, p)
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty, p)
+  }
 }
