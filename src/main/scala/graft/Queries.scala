@@ -4179,6 +4179,43 @@ object Queries {
                CAST(o_orderdate AS DATE) + 30 AS due_date
         FROM orders""")),
 
+    // ── object-store-safe publish: the q05 merge run through the
+    //    SnapshotStore pointer protocol (stage gen → pointer PUT → read
+    //    through the committed pointer); same algebra, so the same oracle —
+    //    proves the atomic-publish path returns byte-identical results to
+    //    the rename-swap sink it replaces ──
+    Q("q158_snapshot_publish",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q158-snap")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+        val keys = Seq("user_id", "event_type")
+        val ord = Seq(col("ts").desc, col("event_id").desc)
+        graft.gold.SnapshotStore.upsertInto(s,
+          ev.filter(col("ts") < lit(Split).cast("timestamp")), root, keys, ord)
+        graft.gold.SnapshotStore.upsertInto(s,
+          ev.filter(col("ts") >= lit(Split).cast("timestamp")), root, keys, ord)
+        graft.gold.SnapshotStore.read(s, root)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+      },
+      Some(s"""
+        WITH base AS (SELECT * FROM events WHERE ts < TIMESTAMP '$Split'),
+        inc AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$Split'),
+        existing AS (
+          SELECT user_id, event_type, event_id, ts, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM base)
+          WHERE rn = 1),
+        incd AS (
+          SELECT user_id, event_type, event_id, ts, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM inc)
+          WHERE rn = 1)
+        SELECT e.* FROM existing e WHERE NOT EXISTS (
+          SELECT 1 FROM incd i
+          WHERE i.user_id = e.user_id AND i.event_type = e.event_type)
+        UNION ALL SELECT * FROM incd""")),
+
     // ── §2.1 rows 5-8: Bronze date-partitioned projection ──
     Q("q28_bronze_partition",
       (s, d) => graft.bronze.Bronze.project(Tables.events(s, d), "ts")

@@ -1,0 +1,180 @@
+package graft.gold
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Object-store-safe atomic snapshot publish — the manifest-pointer swap
+  * that replaces `UpsertByKey.writeAtomic`'s directory-rename swap where
+  * renames are copy+delete (S3/MinIO — the reference's own storage
+  * substrate, kafka_to_minio.py:45-51).
+  *
+  * `writeAtomic` publishes by renaming a freshly-written directory over
+  * the target. Directory rename is atomic on HDFS/POSIX but NOT on object
+  * stores: S3 "rename" is an O(files) copy+delete during which readers
+  * see a half-table. Here nothing is ever renamed over anything — the
+  * commit point is a tiny pointer file, the same protocol
+  * [[BaseDelta]]'s manifests use:
+  *
+  * {{{
+  * <path>/_ptr/v<V>     pointer file {"gen":N} — readers resolve the
+  *                      HIGHEST version; commits create a NEW version
+  *                      (rename-to-fresh-name on HDFS/POSIX, a single
+  *                      small PUT on object stores — atomic either way)
+  * <path>/gen=<N>/…     immutable parquet snapshot generations
+  * }}}
+  *
+  *  - `publish` = `stage` (write generation N+1's data; the table still
+  *    serves N) + `commit` (write the next pointer version naming N+1).
+  *  - A crash between the two leaves an orphaned `gen=<N+1>` directory
+  *    that readers never resolve — the table keeps serving generation N —
+  *    and the next publish overwrites it (generation numbers come from
+  *    the committed pointer, not from directory listings).
+  *  - A reader resolves the pointer ONCE and then touches only an
+  *    immutable generation dir, so a concurrent publish cannot tear it;
+  *    the previous generation is retained for one publish cycle (same
+  *    bounded-retention compromise as [[BaseDelta]] / Delta VACUUM).
+  *
+  * Concurrency contract: single writer, any number of readers.
+  */
+object SnapshotStore {
+
+  private def ptrRoot(path: String) = s"$path/_ptr"
+  def genPath(path: String, gen: Long) = s"$path/gen=$gen"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ptrFile(path: String, v: Long) =
+    new Path(ptrRoot(path), f"v$v%020d")
+
+  /** Committed pointer versions on disk, ascending. */
+  private def ptrVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(ptrRoot(path))
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }.sorted
+  }
+
+  /** The committed generation, or None for an unpublished table. */
+  def currentGen(spark: SparkSession, path: String): Option[Long] =
+    ptrVersions(spark, path).lastOption.map { v =>
+      val f = fs(spark, path)
+      val in = f.open(ptrFile(path, v))
+      val s = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      "\"gen\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"corrupt pointer ${ptrFile(path, v)}: $s"))
+        .group(1).toLong
+    }
+
+  /** Write generation current+1's data WITHOUT committing it — the table
+    * keeps serving the current generation until [[commit]]. Overwrites
+    * any orphan left by a previous crash at the same generation number.
+    * Exposed (rather than folded into [[publish]]) so crash-recovery
+    * tests can stop between the two steps — the window the rename swap
+    * could not make safe on object stores.
+    */
+  def stage(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val next = currentGen(spark, path).getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(genPath(path, next))
+    next
+  }
+
+  /** Commit a staged generation: write the next pointer version naming it
+    * (tmp file + rename to a FRESH name — atomic on HDFS/POSIX; on an
+    * object store this maps to one small PUT, atomic by the store's own
+    * semantics), then retire generations older than the PREVIOUS one
+    * (in-flight readers may still hold it) and stale pointer versions.
+    */
+  def commit(spark: SparkSession, path: String, gen: Long): Unit = {
+    val f = fs(spark, path)
+    require(f.exists(new Path(genPath(path, gen))),
+      s"SnapshotStore.commit: generation $gen was never staged at $path")
+    val prev = currentGen(spark, path)
+    require(prev.forall(_ < gen),
+      s"SnapshotStore.commit: generation $gen is not newer than committed $prev")
+    f.mkdirs(new Path(ptrRoot(path)))
+    val versions = ptrVersions(spark, path)
+    val next = versions.lastOption.getOrElse(0L) + 1
+    val tmp = new Path(ptrRoot(path), f".v$next%020d.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"""{"gen":$gen}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.rename(tmp, ptrFile(path, next))  // ← commit point
+    // retention: keep the just-replaced generation for readers that
+    // resolved it before this commit; drop anything older
+    prev.foreach { p =>
+      (1L until p).foreach(g => f.delete(new Path(genPath(path, g)), true))
+    }
+    versions.dropRight(1).foreach(v => f.delete(ptrFile(path, v), false))
+  }
+
+  /** Atomic publish: stage + commit. Returns the committed generation. */
+  def publish(df: DataFrame, path: String): Long = {
+    val gen = stage(df, path)
+    commit(df.sparkSession, path, gen)
+    gen
+  }
+
+  /** The committed snapshot. Resolves the pointer once; the plan then
+    * touches only the immutable generation dir.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val gen = currentGen(spark, path).getOrElse(
+      sys.error(s"SnapshotStore.read: nothing published at $path"))
+    spark.read.parquet(genPath(path, gen))
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    currentGen(spark, path).isDefined
+
+  /** Retire everything unreachable from the committed pointer — the
+    * previous generation `commit` retains for in-flight readers, any
+    * orphaned staged generations from crashed publishes, and all but the
+    * newest pointer version. Returns deleted paths for the operation
+    * ledger.
+    */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val curOpt = currentGen(spark, path)
+    if (curOpt.isEmpty) return Seq.empty
+    val cur = curOpt.get
+    val f = fs(spark, path)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val root = new Path(path)
+    if (f.exists(root)) f.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
+          n.stripPrefix("gen=").toLong != cur && f.delete(st.getPath, true))
+        deleted += st.getPath.toString
+    }
+    ptrVersions(spark, path).dropRight(1)
+      .foreach(v => if (f.delete(ptrFile(path, v), false))
+        deleted += ptrFile(path, v).toString)
+    deleted.toSeq
+  }
+
+  /** Read-merge-publish convenience — `UpsertByKey.intoParquet` on the
+    * pointer protocol: upsert `incoming` into the snapshot table at
+    * `path` (creating it if absent). The merge plan reads the CURRENT
+    * generation while the new one is staged elsewhere, so no step ever
+    * reads a path being written.
+    */
+  def upsertInto(spark: SparkSession, incoming: DataFrame, path: String,
+                 keys: Seq[String],
+                 ordering: Seq[org.apache.spark.sql.Column]): Long = {
+    val merged =
+      if (exists(spark, path))
+        UpsertByKey(read(spark, path), incoming, keys, ordering)
+      else graft.silver.Staging.dedupLatest(incoming, keys, ordering)
+    publish(merged, path)
+  }
+}

@@ -102,7 +102,10 @@ object UpsertByKey {
     * entry here and usable from readers) rolls that state back, so no run
     * can mistake it for a first write and discard the merged history.
     * Limitation: directory rename is atomic on HDFS/POSIX but not on object
-    * stores (S3 renames are copy+delete) — there, use the partitioned sinks
+    * stores (S3 renames are copy+delete) — there, select the pointer
+    * protocol via `writeAtomic(df, path, objectStoreSafe = true)` (a
+    * [[SnapshotStore]] table: commit is one tiny pointer PUT, read via
+    * `SnapshotStore.read`), or use the partitioned sinks
     * (`PartitionedUpsert`), whose commit goes through Spark's output
     * committer instead of a rename swap.
     */
@@ -116,6 +119,14 @@ object UpsertByKey {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     writeSwap(fs, tmp.toString, path)
   }
+
+  /** Publish-protocol selector: rename swap (HDFS/POSIX) or the
+    * object-store-safe pointer swap ([[SnapshotStore]] layout — readers
+    * resolve through `SnapshotStore.read`, not a bare parquet path).
+    */
+  def writeAtomic(df: DataFrame, path: String, objectStoreSafe: Boolean): Unit =
+    if (objectStoreSafe) { SnapshotStore.publish(df, path); () }
+    else writeAtomic(df, path)
 
   /** Swap an already-written directory over the target — the rename tail
     * of `writeAtomic`, shared by layout migrations.

@@ -133,5 +133,16 @@ class GoldenFlowSpec extends SparkSpec {
     checks.zipWithIndex.foreach { case (c, i) =>
       assert(c.count() == 0, s"DQ check $i flagged rows")
     }
+
+    // ── publish the dim via the object-store-safe pointer protocol and
+    //    re-publish after the epoch-2 merge: readers flip atomically ──
+    val dimPath = tmpDir("gf-dim") + "/dim_accounts"
+    UpsertByKey.writeAtomic(dimAccounts, dimPath, objectStoreSafe = true)
+    val published = graft.gold.SnapshotStore.read(spark, dimPath)
+    assert(published.count() == 3)
+    assert(published.filter($"is_current").count() == 2)
+    UpsertByKey.writeAtomic(dimAccounts.filter($"is_current"), dimPath,
+      objectStoreSafe = true)
+    assert(graft.gold.SnapshotStore.read(spark, dimPath).count() == 2)
   }
 }
