@@ -4058,6 +4058,122 @@ object Queries {
                  CAST(prev_n AS DOUBLE), 6) END AS growth_pct
         FROM l""")),
 
+    // ── two-sample KS drift per stream: max ECDF gap across the Split,
+    //    histogram-shaped (distinct values only), gaps rounded pre-max ──
+    Q("q159_ks_drift",
+      (s, d) => Quality.ksDrift(Tables.events(s, d), "value", "event_type",
+        col("ts") >= lit(Split).cast("timestamp")),
+      Some(s"""
+        WITH t AS (SELECT event_type, value,
+            CASE WHEN ts >= TIMESTAMP '$Split' THEN 1 ELSE 0 END AS r
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, value,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM t GROUP BY 1, 2),
+        cum AS (SELECT event_type,
+            CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY value ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+            CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY value ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+          FROM c),
+        tot AS (SELECT event_type,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM t GROUP BY 1)
+        SELECT cum.event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+          MAX(CASE WHEN n_a > 0 AND n_b > 0 THEN
+            ROUND(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 6) END) AS ks
+        FROM cum JOIN tot ON cum.event_type = tot.event_type
+        GROUP BY 1""")),
+
+    // ── PSI drift per stream: 10 equal-width bins over the combined
+    //    range, Laplace-smoothed shares, ln terms rounded into DECIMAL ──
+    Q("q160_psi_drift",
+      (s, d) => Quality.psiDrift(Tables.events(s, d), "value", "event_type",
+        col("ts") >= lit(Split).cast("timestamp"), bins = 10),
+      Some(s"""
+        WITH t AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+            CASE WHEN ts >= TIMESTAMP '$Split' THEN 1 ELSE 0 END AS r
+          FROM events WHERE value IS NOT NULL),
+        ext AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM t GROUP BY 1),
+        b AS (SELECT t.event_type, r,
+            CASE WHEN mx > mn
+                 THEN LEAST(9, CAST(FLOOR((v - mn) * 10 / (mx - mn)) AS INTEGER))
+                 ELSE 0 END AS bin
+          FROM t JOIN ext ON t.event_type = ext.event_type),
+        c AS (SELECT event_type, bin,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM b GROUP BY 1, 2),
+        s AS (SELECT event_type, n_a, n_b, unnest(range(0, 10)) AS bin
+          FROM ext),
+        f AS (SELECT s.event_type, s.n_a, s.n_b,
+            COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.bin = c.bin),
+        terms AS (SELECT event_type, n_a, n_b,
+            CAST(FLOOR(((ca + 1.0) / (n_a + 10.0) - (cb + 1.0) / (n_b + 10.0))
+              * LN(((ca + 1.0) / (n_a + 10.0)) / ((cb + 1.0) / (n_b + 10.0)))
+              * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS trm
+          FROM f)
+        SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+          CAST(SUM(trm) AS DOUBLE) AS psi
+        FROM terms GROUP BY 1""")),
+
+    // ── n-gram novelty of one source against the rest of the corpus:
+    //    shingle hashes on the Spark side, shingle strings in the oracle
+    //    (the q55/q59 no-collision equivalence) ──
+    Q("q161_ngram_novelty",
+      (s, d) => TextAnalysis.ngramNovelty(
+        Tables.documents(s, d), "doc_id", "text",
+        isRef = col("source") =!= "src0", k = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_novel"), col("novelty")),
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        cand AS (SELECT doc_id, unnest(sh) AS sg
+          FROM t WHERE source = 'src0' AND len(sh) > 0),
+        ref AS (SELECT DISTINCT unnest(sh) AS sg FROM t WHERE source <> 'src0'),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM cand GROUP BY 1),
+        nov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+          FROM cand WHERE sg NOT IN (SELECT sg FROM ref) GROUP BY 1)
+        SELECT tot.doc_id, n_shingles,
+          CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+          ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE)
+            / CAST(n_shingles AS DOUBLE), 6) AS novelty
+        FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id""")),
+
+    // ── dbt-docs lineage analog: (model, source_table) edges from the
+    //    ANALYZED plans of the declarative tier — metadata-only, pinned
+    //    against a literal oracle ──
+    Q("q162_lineage",
+      (s, d) => Lineage.edges(s, d, Seq(
+        "q01_dedup_latest", "q03_fact_enrich", "q06_agg_pricing",
+        "q08_anti_orphans", "q14_star_revenue")),
+      Some("""
+        SELECT * FROM (VALUES
+          ('q01_dedup_latest', 'events'),
+          ('q03_fact_enrich', 'lineitem'),
+          ('q03_fact_enrich', 'orders'),
+          ('q06_agg_pricing', 'lineitem'),
+          ('q08_anti_orphans', 'customer'),
+          ('q08_anti_orphans', 'orders'),
+          ('q14_star_revenue', 'customer'),
+          ('q14_star_revenue', 'lineitem'),
+          ('q14_star_revenue', 'orders')) AS t(model, source_table)""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

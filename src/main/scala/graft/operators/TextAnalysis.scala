@@ -1101,6 +1101,46 @@ object TextAnalysis {
       .limit(topK)
       .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
   }
+
+  /** Per-document n-gram novelty against a reference corpus: the fraction
+    * of each candidate document's DISTINCT word k-shingles that appear in
+    * no reference document. The "how much of this crawl is actually new
+    * text?" readout that gates incremental corpus ingestion — near-zero
+    * novelty means the batch is boilerplate or already-held content, a
+    * novelty spike means a genuinely new source (or a template change
+    * worth inspecting).
+    *
+    * Output: (id, n_shingles, n_novel, novelty ∈ [0,1]); candidate docs
+    * with no shingles (shorter than k words) are absent, matching the
+    * [[graft.operators.Dedup.ngramJaccard]] convention.
+    *
+    * Scale shape: shingles hash to 64 bits at the source, so the
+    * reference set and the anti-join ship longs, never text (the q55/q59
+    * no-collision equivalence: a collision can only HIDE one shingle's
+    * novelty with probability ~|shingles|²/2⁶⁴). Both sides reduce to
+    * DISTINCT (id, hash) / (hash) postings before joining — the
+    * anti-join rides the hash partitioning, the corpus never reshuffles
+    * as text, and per-doc ratios fall out of one hash aggregation.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   isRef: Column, k: Int = 3): DataFrame = {
+    val tagged = df.withColumn("__ref", isRef)
+      .select(col(idCol).as("id"), col("__ref"),
+        Dedup.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), col("__ref"),
+        explode(col("__sh")).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+    val cand = tagged.filter(!col("__ref")).select(col("id"), col("__h")).distinct()
+    val ref = tagged.filter(col("__ref")).select(col("__h")).distinct()
+    val totals = cand.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = cand.join(ref, Seq("__h"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+  }
 }
 
 object TextKernels {

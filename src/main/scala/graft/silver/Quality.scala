@@ -545,4 +545,96 @@ object Quality {
           round((col("n") - col("prev_n")).cast("double") * lit(100.0) /
             col("prev_n").cast("double"), 6)))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group: the max
+    * absolute gap between the empirical CDFs of `valueCol` on the two
+    * sides of `isRight` (reference vs current corpus snapshot, before vs
+    * after a pipeline change). The standard "did this column's
+    * distribution move?" alarm for training-data refreshes — sensitive
+    * anywhere the CDFs separate, unlike mean/variance checks.
+    *
+    * Scale shape (the [[graft.operators.TextAnalysis.percentilesExact]]
+    * histogram pattern): one (group, value) aggregation counting each
+    * side — bounded by the metric domain × groups, never the corpus —
+    * then per-group cumulative windows over distinct values and a
+    * broadcast of per-group side totals. The corpus is scanned once and
+    * never shuffles. Each candidate gap is rounded to 6 decimals BEFORE
+    * the max so both engines pick the same supremum; groups missing a
+    * side report a null statistic rather than a division by zero.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              isRight: Column): DataFrame = {
+    val tagged = df.filter(col(valueCol).isNotNull)
+      .withColumn("__r", isRight)
+    val c = tagged.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col("__r"), 0L).otherwise(1L)).as("__ca"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = c.withColumn("__cumA", sum(col("__ca")).over(w))
+      .withColumn("__cumB", sum(col("__cb")).over(w))
+    val tot = tagged.groupBy(col(groupCol))
+      .agg(sum(when(col("__r"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_b"))
+    cum.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(when(col("n_a") > 0 && col("n_b") > 0,
+          round(abs(col("__cumA").cast("double") / col("n_a").cast("double") -
+            col("__cumB").cast("double") / col("n_b").cast("double")), 6)))
+          .as("ks"))
+  }
+
+  /** Population Stability Index per group: bin `valueCol` into `bins`
+    * equal-width buckets over the group's combined [min, max], compare
+    * the two sides' bin shares with `Σ (p_a − p_b)·ln(p_a/p_b)`. The
+    * banking-world drift score (rule of thumb: <0.1 stable, >0.25 act) —
+    * complements [[ksDrift]]: PSI localizes WHERE mass moved, KS is
+    * assumption-free about binning.
+    *
+    * Engine parity: bin ids come from one fixed op tree
+    * `floor((v−mn)·bins/(mx−mn))` capped at bins−1 (identical IEEE ops
+    * both sides); bin shares are Laplace-smoothed (+1 per bin) so empty
+    * bins contribute finite terms; each ln term rounds to 6 decimals and
+    * accumulates in DECIMAL — order-independent, like the q58 NLL sum.
+    *
+    * Scale shape: one pass to (group, bin, side) counts (map-side
+    * combinable, output ≤ groups × bins), a broadcast of per-group
+    * extremes/totals, and a bins-sized scaffold join so empty bins
+    * surface. A degenerate group (mx == mn) lands everything in bin 0 on
+    * both sides → PSI 0, not a division error.
+    */
+  def psiDrift(df: DataFrame, valueCol: String, groupCol: String,
+               isRight: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val v = col(valueCol).cast("double")
+    val tagged = df.filter(col(valueCol).isNotNull).withColumn("__r", isRight)
+    val ext = tagged.groupBy(col(groupCol))
+      .agg(min(v).as("__mn"), max(v).as("__mx"),
+        sum(when(col("__r"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_b"))
+    val binned = tagged.join(broadcast(ext), Seq(groupCol))
+      .withColumn("__bin",
+        when(col("__mx") > col("__mn"),
+          least(lit(bins - 1),
+            floor((v - col("__mn")) * lit(bins) / (col("__mx") - col("__mn")))
+              .cast("int")))
+          .otherwise(lit(0)))
+    val counts = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(when(col("__r"), 0L).otherwise(1L)).as("__ca"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("__cb"))
+    val scaffold = ext.select(col(groupCol), col("n_a"), col("n_b"),
+      explode(sequence(lit(0), lit(bins - 1))).as("__bin"))
+    val pa = (col("__ca") + lit(1.0)) / (col("n_a") + lit(bins).cast("double"))
+    val pb = (col("__cb") + lit(1.0)) / (col("n_b") + lit(bins).cast("double"))
+    scaffold.join(counts, Seq(groupCol, "__bin"), "left")
+      .na.fill(0L, Seq("__ca", "__cb"))
+      .withColumn("__t",
+        round6((pa - pb) * log(pa / pb)).cast("decimal(18,6)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("__t")).cast("double").as("psi"))
+  }
 }

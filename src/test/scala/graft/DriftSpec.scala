@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.silver.Quality
+
+/** Distribution-drift operators (KS, PSI), n-gram novelty, and the
+  * plan-walk lineage extractor.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksDrift: hand-computed ECDF gap, zero for identical sides, null for one-sided") {
+    val rows =
+      Seq(1, 2, 3, 4).map(v => ("g", v.toDouble, false)) ++
+      Seq(3, 4, 5, 6).map(v => ("g", v.toDouble, true)) ++
+      // identical distributions on both sides
+      Seq(1, 2).flatMap(v => Seq(("same", v.toDouble, false), ("same", v.toDouble, true))) ++
+      // right side absent entirely
+      Seq(("onesided", 9.0, false))
+    val df = rows.toDF("g", "v", "r")
+    val out = Quality.ksDrift(df, "v", "g", col("r")).collect()
+      .map(x => x.getAs[String]("g") ->
+        Option(x.getAs[java.lang.Double]("ks"))).toMap
+    // ECDF gaps at v=1..6: .25, .5, .5, .5, .25, 0 → sup = 0.5
+    assert(out("g").contains(0.5), out.toString)
+    assert(out("same").contains(0.0))
+    assert(out("onesided").isEmpty, "one-sided group must yield null, not /0")
+  }
+
+  test("psiDrift: zero for identical sides and degenerate ranges, positive under shift") {
+    val rows =
+      (1 to 50).flatMap(i => Seq(("same", (i % 10).toDouble, false),
+        ("same", (i % 10).toDouble, true))) ++
+      // all left mass low, all right mass high
+      (1 to 50).map(i => ("shift", (i % 5).toDouble, false)) ++
+      (1 to 50).map(i => ("shift", (i % 5 + 20).toDouble, true)) ++
+      // degenerate: a constant column cannot drift
+      Seq(("const", 7.0, false), ("const", 7.0, true))
+    val df = rows.toDF("g", "v", "r")
+    val out = Quality.psiDrift(df, "v", "g", col("r")).collect()
+      .map(x => x.getAs[String]("g") -> x.getAs[Double]("psi")).toMap
+    assert(out("same") == 0.0, out.toString)
+    assert(out("const") == 0.0)
+    assert(out("shift") > 1.0, s"disjoint supports should score high: $out")
+  }
+
+  test("ngramNovelty: unseen shingle fraction against the reference slice") {
+    val docs = Seq(
+      ("r1", "a b c d", true),
+      ("c1", "a b c d", false),     // fully covered → 0
+      ("c2", "x y z w", false),     // fully novel → 1
+      ("c3", "a b c x y", false),   // "a b c" seen; "b c x","c x y" novel
+      ("c4", "a b", false)          // too short for k=3 → absent
+    ).toDF("doc_id", "text", "ref")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", col("ref"), k = 3)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out.keySet == Set("c1", "c2", "c3"))
+    assert(out("c1") == ((2L, 0L, 0.0)))
+    assert(out("c2") == ((2L, 2L, 1.0)))
+    assert(out("c3") == ((3L, 2L, 0.666667)))
+  }
+
+  test("lineage: analyzed-plan walk maps file leaves back to catalog tables") {
+    val d = "/root/testdata/sf0.001"
+    assert(Lineage.sourceTables(
+      Queries.queries("q01_dedup_latest")(spark, d)) == Seq("events"))
+    assert(Lineage.sourceTables(
+      Queries.queries("q14_star_revenue")(spark, d)) ==
+      Seq("customer", "lineitem", "orders"))
+    val edges = Lineage.edges(spark, d,
+      Seq("q06_agg_pricing", "q03_fact_enrich"))
+      .as[(String, String)].collect().toSeq
+    assert(edges == Seq(
+      "q06_agg_pricing" -> "lineitem",
+      "q03_fact_enrich" -> "lineitem",
+      "q03_fact_enrich" -> "orders"))
+  }
+}

@@ -446,6 +446,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("drift stats ride histogram shapes: keyed exchanges, no single partition") {
+    for (q <- Seq("q159_ks_drift", "q160_psi_drift")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("ngram novelty: hash-keyed anti-join, no cartesian") {
+    val p = plan("q161_ngram_novelty")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("surrogate bootstrap: rank is range-partitioned, no global window") {
     // empty dimension, every key new — the worst case for the old
     // single-partition Window.orderBy rank
