@@ -4174,6 +4174,84 @@ object Queries {
           ('q14_star_revenue', 'lineitem'),
           ('q14_star_revenue', 'orders')) AS t(model, source_table)""")),
 
+    // ── MAD anomaly screen: heavy-tail-robust complement of q15's
+    //    z-score — exact-cents integer medians, both off histograms ──
+    Q("q163_mad_anomaly",
+      (s, d) => Quality.madAnomalies(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents")),
+        "cents", "event_type", k = 3)
+        .select("event_type", "event_id", "cents", "med", "dev", "mad"),
+      Some("""
+        WITH e AS (SELECT event_id, event_type,
+            CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+        c AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+        cum AS (SELECT event_type, cents,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+          FROM c),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1),
+        m AS (SELECT cum.event_type,
+            MIN(CASE WHEN cm * 100 >= 50 * n THEN cents END) AS med
+          FROM cum JOIN t ON cum.event_type = t.event_type GROUP BY 1),
+        dv AS (SELECT e.event_id, e.event_type, e.cents, m.med,
+            ABS(e.cents - m.med) AS dev
+          FROM e JOIN m ON e.event_type = m.event_type),
+        dc AS (SELECT event_type, dev, CAST(COUNT(*) AS BIGINT) AS c
+          FROM dv GROUP BY 1, 2),
+        dcum AS (SELECT event_type, dev,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dev ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+          FROM dc),
+        md AS (SELECT dcum.event_type,
+            MIN(CASE WHEN cm * 100 >= 50 * n THEN dev END) AS mad
+          FROM dcum JOIN t ON dcum.event_type = t.event_type GROUP BY 1)
+        SELECT dv.event_type, dv.event_id, dv.cents, dv.med, dv.dev, md.mad
+        FROM dv JOIN md ON dv.event_type = md.event_type
+        WHERE dv.dev > 3 * md.mad""")),
+
+    // ── near-dup cluster size histogram off the SHARED resolved frame
+    //    (q57/q61/q108's cluster cache): the "how much boilerplate is in
+    //    this corpus" dedup diagnostic — non-singleton clusters only ──
+    Q("q164_cluster_sizes",
+      (s, d) => docClusters(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).cast("long").as("n_clusters")),
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer),
+        lab AS (SELECT id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+          FROM cc GROUP BY id),
+        sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM lab GROUP BY 1)
+        SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

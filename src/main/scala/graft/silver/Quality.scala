@@ -637,4 +637,37 @@ object Quality {
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         sum(col("__t")).cast("double").as("psi"))
   }
+
+  /** Median-absolute-deviation anomaly screen: rows whose deviation from
+    * their group's median exceeds `k`× the group's MAD — the heavy-tail-
+    * robust complement of [[zscoreAnomalies]] (one fat outlier inflates a
+    * mean/σ enough to hide a second one; medians don't move). Intended
+    * for an INTEGER measure (exact cents) so every comparison is
+    * integer-exact across engines.
+    *
+    * Flagged rows come back with `med`, `mad`, `dev` appended. A
+    * degenerate group (MAD 0: over half its values identical) flags ANY
+    * deviating row — same contract as `rollingAnomalies`' σ=0 branch:
+    * a constant stream deviating at all IS the anomaly.
+    *
+    * Scale shape: both medians are
+    * [[graft.operators.TextAnalysis.percentilesExact]] histogram
+    * percentiles — windows over DISTINCT (group, value) rows only, never
+    * the corpus — and both boundary frames broadcast back, so the corpus
+    * is scanned twice (once per median) and never shuffled.
+    */
+  def madAnomalies(df: DataFrame, valueCol: String, groupCol: String,
+                   k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val med = graft.operators.TextAnalysis
+      .percentilesExact(df, valueCol, groupCol, Seq(50))
+      .select(col(groupCol), col("value").as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = graft.operators.TextAnalysis
+      .percentilesExact(withMed, "dev", groupCol, Seq(50))
+      .select(col(groupCol), col("value").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("dev") > lit(k) * col("mad"))
+  }
 }

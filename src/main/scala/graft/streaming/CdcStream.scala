@@ -198,6 +198,39 @@ object CdcStream {
       .start()
   }
 
+  /** Object-store-safe streaming upsert: per micro-batch, merge into the
+    * committed snapshot and publish through [[graft.gold.SnapshotStore]]'s
+    * pointer protocol — `upsertStream`'s CTAS-shaped sink for storage
+    * where directory rename is copy+delete (S3/MinIO). The merge plan
+    * reads the CURRENT generation while the next is staged elsewhere, and
+    * readers flip atomically on the pointer commit; a crash mid-publish
+    * leaves an orphan generation the replayed batch overwrites. Whole-
+    * table rewrite per batch (dimension-sized tables — facts should take
+    * `upsertStreamDelta`'s O(batch) path). Tombstones honored via
+    * `mergeBatch`, like every other sink here.
+    */
+  def upsertStreamSnapshot(parsed: DataFrame, sinkPath: String,
+                           checkpoint: String, keys: Seq[String],
+                           orderCols: Seq[String],
+                           opCol: Option[String] = None,
+                           trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (graft.gold.SnapshotStore.exists(spark, sinkPath))
+            Some(graft.gold.SnapshotStore.read(spark, sinkPath))
+          else None
+        graft.gold.SnapshotStore.publish(
+          graft.gold.UpsertByKey.mergeBatch(existing, batch.toDF(), keys,
+            orderCols, opCol),
+          sinkPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming SCD2 maintenance: per micro-batch, dedup latest-wins then
     * run the check-strategy merge against the persisted snapshot — the
     * streaming form of the daily dbt-snapshot cadence

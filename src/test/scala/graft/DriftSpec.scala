@@ -63,6 +63,19 @@ class DriftSpec extends SparkSpec {
     assert(out("c3") == ((3L, 2L, 0.666667)))
   }
 
+  test("madAnomalies: robust to the outlier that inflates a z-score, MAD=0 flags any deviation") {
+    val rows =
+      // median 5, MAD 2 → fence 6: only the 995-dev outlier flags
+      ((1 to 9).map(v => ("spread", v.toLong)) :+ (("spread", 1000L))) ++
+      // constant group with one deviator: MAD 0 → any deviation flags
+      (Seq(10L, 10L, 10L, 10L, 100L).map(v => ("const", v)))
+    val df = rows.toDF("g", "cents")
+    val out = Quality.madAnomalies(df, "cents", "g", k = 3)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("cents"),
+        r.getAs[Long]("med"), r.getAs[Long]("mad"))).toSet
+    assert(out == Set(("spread", 1000L, 5L, 2L), ("const", 100L, 10L, 0L)), out)
+  }
+
   test("lineage: analyzed-plan walk maps file leaves back to catalog tables") {
     val d = "/root/testdata/sf0.001"
     assert(Lineage.sourceTables(

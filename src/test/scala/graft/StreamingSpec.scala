@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1 -> 150.0, 2 -> 75.0))
   }
 
+  test("streaming snapshot-publish upsert: pointer flips per batch, tombstones honored") {
+    val in = tmpDir("snapup-in"); val sink = tmpDir("snapup") + "/dim"
+    val ckpt = tmpDir("snapup-ckpt")
+    Files.writeString(Paths.get(s"$in/b1.json"),
+      Seq(
+        envelope(1, 100.0, "c", "2024-01-01T10:00:00Z", 1),
+        envelope(2, 50.0, "c", "2024-01-01T10:30:00Z", 2)).mkString("\n"))
+    val parsed = CdcStream.fromJsonFiles(spark, in, Schemas.accounts)
+      .drop(Envelope.CorruptCol)
+    val q = CdcStream.upsertStreamSnapshot(parsed, sink, ckpt,
+      keys = Seq("id"), orderCols = Seq("ts_ms"), opCol = Some("op"),
+      trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    val gen1 = graft.gold.SnapshotStore.currentGen(spark, sink)
+    assert(gen1.contains(1L))
+    // batch 2: update key 1, tombstone key 2
+    Files.writeString(Paths.get(s"$in/b2.json"),
+      Seq(
+        envelope(1, 999.0, "u", "2024-01-01T12:00:00Z", 3),
+        deleteEnvelope(2, "2024-01-01T10:30:00Z", 4)).mkString("\n"))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.gold.SnapshotStore.currentGen(spark, sink).contains(2L),
+      "each batch commits a new generation")
+    val out = graft.gold.SnapshotStore.read(spark, sink).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[Double]("balance")).toMap
+    assert(out == Map(1 -> 999.0), out.toString)
+  }
+
   test("streaming SCD2 maintains versioned snapshot across micro-batches") {
     val in = tmpDir("scd-in"); val snap = tmpDir("scd") + "/dim"; val ckpt = tmpDir("scd-ckpt")
     Files.writeString(Paths.get(s"$in/b1.json"),
