@@ -650,6 +650,40 @@ object Perf {
         regexp_count(col("text"), lit(operators.TextAnalysis.BpePattern)).as("n"))
         .agg(sum(col("n"))).head().getLong(0))
     }
+    if (what == "scalellm-r6") {
+      // round-6 drift operators at synthetic 50M-row scale: both are
+      // histogram-shaped, so runtime should track the (group, value)
+      // domain (100 groups × ≤20k distinct values here), not the row
+      // count — the property that makes them 100 TB-viable.
+      val n = 50_000_000L
+      val ev = spark.range(n)
+        .withColumn("g", concat(lit("s"), (col("id") % 100).cast("string")))
+        .withColumn("v", (pmod(hash(col("id")), lit(10000)) +
+          when(col("id") % 2 === 0, lit(0)).otherwise(lit(5000))).cast("double"))
+        .withColumn("r", col("id") % 2 === 0)
+      time(s"ksDrift-${n / 1000000}M")(
+        silver.Quality.ksDrift(ev, "v", "g", col("r")).count())
+      time(s"psiDrift-${n / 1000000}M")(
+        silver.Quality.psiDrift(ev, "v", "g", col("r")).count())
+      // MAD: two histogram medians + two broadcast joins back; output is
+      // the flagged subset, corpus scanned twice
+      val cents = spark.range(n)
+        .withColumn("g", concat(lit("s"), (col("id") % 100).cast("string")))
+        .withColumn("cents", pmod(hash(col("id")), lit(100000)))
+      time(s"madAnomalies-${n / 1000000}M")(
+        silver.Quality.madAnomalies(cents, "cents", "g", k = 3).count())
+      // novelty at 2M docs: candidates = 5% of the corpus
+      val nd = 2_000_000L
+      val words = (i: org.apache.spark.sql.Column) =>
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), pmod(hash(i * 31 + j), lit(50000)).cast("string"))): _*)
+      val docs2 = spark.range(nd)
+        .withColumn("text", words(col("id")))
+        .withColumn("ref", col("id") % 20 =!= 0)
+      time(s"ngramNovelty-${nd / 1000000}M")(
+        operators.TextAnalysis.ngramNovelty(docs2, "id", "text", col("ref"), k = 3)
+          .agg(sum(col("n_novel"))).head().getLong(0))
+    }
     spark.stop()
   }
 }

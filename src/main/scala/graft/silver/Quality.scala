@@ -574,9 +574,10 @@ object Quality {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = c.withColumn("__cumA", sum(col("__ca")).over(w))
       .withColumn("__cumB", sum(col("__cb")).over(w))
-    val tot = tagged.groupBy(col(groupCol))
-      .agg(sum(when(col("__r"), 0L).otherwise(1L)).as("n_a"),
-        sum(when(col("__r"), 1L).otherwise(0L)).as("n_b"))
+    // side totals fold out of the histogram — re-aggregating the corpus
+    // for them would double the scan count for no information
+    val tot = c.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
     cum.join(broadcast(tot), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
@@ -650,24 +651,42 @@ object Quality {
     * deviating row — same contract as `rollingAnomalies`' σ=0 branch:
     * a constant stream deviating at all IS the anomaly.
     *
-    * Scale shape: both medians are
-    * [[graft.operators.TextAnalysis.percentilesExact]] histogram
-    * percentiles — windows over DISTINCT (group, value) rows only, never
-    * the corpus — and both boundary frames broadcast back, so the corpus
-    * is scanned twice (once per median) and never shuffled.
+    * Scale shape: ONE corpus aggregation builds the (group, value)
+    * histogram; the median falls out of it, and the DEVIATION histogram
+    * is a map-only transform of the same frame (|v − med| carries its
+    * value's count), so the MAD never touches the corpus again. The
+    * second and last corpus scan emits the flagged rows through two
+    * broadcast joins. All percentile decisions use the integer
+    * `cum·2 ≥ n` compare ([[graft.operators.TextAnalysis.percentilesExact]]'s
+    * PERCENTILE_DISC construction), windows ride distinct values only.
     */
   def madAnomalies(df: DataFrame, valueCol: String, groupCol: String,
                    k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val med = graft.operators.TextAnalysis
-      .percentilesExact(df, valueCol, groupCol, Seq(50))
-      .select(col(groupCol), col("value").as("med"))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
+    // PERCENTILE_DISC(50) off a weighted histogram: smallest value whose
+    // cumulative weight reaches half the group total (cum·2 ≥ n ⟺
+    // cum·100 ≥ 50·n for integer cum)
+    def p50(hist: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+      val tot = hist.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+      cum.join(broadcast(tot), Seq(groupCol))
+        .filter(col("__cum") * 2 >= col("__n"))
+        .groupBy(col(groupCol)).agg(min(col(valCol)).as(outCol))
+    }
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val med = p50(hist, valueCol, "med")
+    val devHist = hist.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col(valueCol) - col("med")).as("__dev"),
+        col("__c"))
+      .groupBy(col(groupCol), col("__dev")).agg(sum(col("__c")).as("__c"))
+    val mad = p50(devHist, "__dev", "mad")
+    df.join(broadcast(med), Seq(groupCol))
       .withColumn("dev", abs(col(valueCol) - col("med")))
-    val mad = graft.operators.TextAnalysis
-      .percentilesExact(withMed, "dev", groupCol, Seq(50))
-      .select(col(groupCol), col("value").as("mad"))
-    withMed.join(broadcast(mad), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
       .filter(col("dev") > lit(k) * col("mad"))
   }
 }
