@@ -4252,6 +4252,53 @@ object Queries {
         SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
         FROM sz GROUP BY 1""")),
 
+    // ── linear multi-touch attribution: q137's complement — every click
+    //    in the 3-day window shares the purchase credit equally; user-key
+    //    hash join + residual window, never a nested loop ──
+    Q("q165_linear_attribution",
+      (s, d) => Marts.linearAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        touchType = "click", convType = "purchase",
+        windowSec = 3L * 24 * 3600),
+      Some("""
+        WITH conv AS (SELECT user_id, event_id AS conv_id,
+            epoch_us(ts) AS cus FROM events WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, event_id AS touch_id,
+            epoch_us(ts) AS tus FROM events WHERE event_type = 'click'),
+        j AS (SELECT c.user_id, conv_id, touch_id
+          FROM conv c JOIN tch t ON c.user_id = t.user_id
+          WHERE tus <= cus AND tus >= cus - 259200000000)
+        SELECT user_id, conv_id, touch_id,
+          CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
+          ROUND(CAST(1.0 AS DOUBLE) /
+            CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE), 6) AS credit
+        FROM j""")),
+
+    // ── mutual information between two categorical columns: the
+    //    column-dependency / label-leakage profiler, one contingency agg ──
+    Q("q166_mutual_info",
+      (s, d) => Quality.mutualInfo(Tables.orders(s, d),
+        "o_orderstatus", "o_orderpriority"),
+      Some("""
+        WITH j AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+            CAST(COUNT(*) AS BIGINT) AS nxy
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+          GROUP BY 1, 2),
+        n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM j),
+        mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+        my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+        terms AS (SELECT n,
+            CAST(FLOOR((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+              * LN((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                  / ((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))))
+              * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS trm
+          FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y, n)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+          CAST(SUM(trm) AS DOUBLE) AS mi
+        FROM terms""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

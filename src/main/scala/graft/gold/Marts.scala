@@ -217,6 +217,43 @@ object Marts {
         concat(col("r_score"), col("f_score"), col("m_score")))
   }
 
+  /** Linear multi-touch attribution: every conversion splits its credit
+    * EQUALLY across the user's touch events at-or-before it within
+    * `windowSec` — the complement of last-touch (q137's `asOfJoin`
+    * sweep), which gives the final click everything. Output: one row per
+    * (conversion, touch) with the touch count and its 1/n credit.
+    *
+    * Scale shape: the touch↔conversion match is a plain user-key hash
+    * equi-join with the time window as a residual predicate — per-user
+    * fan-out is bounded by per-user activity (touches × conversions for
+    * ONE user), never cross-user, so no nested-loop plan exists anywhere;
+    * the credit split is one window over the conversion key. Timestamps
+    * compare as integer microseconds (`unix_micros`), so window edges
+    * agree across engines exactly.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String,
+                        touchType: String, convType: String,
+                        windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"),
+        unix_micros(col(tsCol)).as("__cus"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol)).as("__tus"))
+    val joined = conv.join(touch, Seq(userCol))
+      .filter(col("__tus") <= col("__cus") &&
+        col("__tus") >= col("__cus") - lit(windowSec * 1000000L))
+    val w = Window.partitionBy(col("conv_id"))
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w).cast("long"))
+      .withColumn("credit",
+        round(lit(1.0) / col("n_touches").cast("double"), 6))
+      .select(col(userCol), col("conv_id"), col("touch_id"),
+        col("n_touches"), col("credit"))
+  }
+
   /** Deterministic surrogate-key assignment for dimension loads — the
     * warehouse step between staging and the SCD2 merge: every business
     * key gets a stable dense integer key; keys already in the dimension

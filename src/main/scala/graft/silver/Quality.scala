@@ -689,4 +689,39 @@ object Quality {
       .join(broadcast(mad), Seq(groupCol))
       .filter(col("dev") > lit(k) * col("mad"))
   }
+
+  /** Mutual information between two categorical columns, in nats — the
+    * column-dependency profiler: near-zero means independent, high means
+    * one column largely determines the other (a denormalization artifact
+    * to prune, or a label-leaking feature to catch before training —
+    * the continuous-association complement of `chiSquareTokens`'s
+    * significance test). Null pairs are excluded. Output: one row
+    * (n_rows, mi).
+    *
+    * Scale shape: ONE corpus aggregation builds the (x, y) contingency
+    * frame; both marginals and the grand total fold out of it (no
+    * re-scan), join fan-out is bounded by the category-pair count, and
+    * per-cell terms round to 6 decimals into DECIMAL before the
+    * order-independent sum (the q58/q105 ln discipline). A cell's term
+    * uses one fixed IEEE op tree `p_xy · ln(p_xy / (p_x·p_y))`, so both
+    * engines compute identical cells.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val joint = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("__nxy"))
+    val tot = joint.agg(sum(col("__nxy")).as("__n"))
+    val mx = joint.groupBy(col(xCol)).agg(sum(col("__nxy")).as("__nx"))
+    val my = joint.groupBy(col(yCol)).agg(sum(col("__nxy")).as("__ny"))
+    val n = col("__n").cast("double")
+    val pxy = col("__nxy").cast("double") / n
+    val px = col("__nx").cast("double") / n
+    val py = col("__ny").cast("double") / n
+    joint.join(broadcast(mx), Seq(xCol)).join(broadcast(my), Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", round6(pxy * log(pxy / (px * py)))
+        .cast("decimal(18,6)"))
+      .agg(max(col("__n")).cast("long").as("n_rows"),
+        sum(col("__t")).cast("double").as("mi"))
+  }
 }

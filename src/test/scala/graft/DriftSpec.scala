@@ -76,6 +76,31 @@ class DriftSpec extends SparkSpec {
     assert(out == Set(("spread", 1000L, 5L, 2L), ("const", 100L, 10L, 0L)), out)
   }
 
+  test("linearAttribution: in-window clicks share credit equally, stale and touchless excluded") {
+    val ev = Seq(
+      ("u1", "2024-01-10 10:00:00", 1L, "click"),
+      ("u1", "2024-01-10 11:00:00", 2L, "click"),
+      ("u1", "2024-01-01 00:00:00", 3L, "click"),   // outside the 1-day window
+      ("u1", "2024-01-10 12:00:00", 4L, "purchase"),
+      ("u2", "2024-01-10 12:00:00", 5L, "purchase") // no clicks at all
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.linearAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", windowSec = 24 * 3600)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("touch_id"),
+        r.getAs[Long]("n_touches"), r.getAs[Double]("credit"))).toSet
+    assert(out == Set((4L, 1L, 2L, 0.5), (4L, 2L, 2L, 0.5)), out)
+  }
+
+  test("mutualInfo: ln(2) nats for a determined pair, exactly zero for independence") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val depOut = Quality.mutualInfo(dep, "x", "y").head()
+    assert(depOut.getAs[Long]("n_rows") == 4L)
+    assert(depOut.getAs[Double]("mi") == 0.693148, depOut.toString) // 2·round6(ln2/2)
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")).toDF("x", "y")
+    assert(Quality.mutualInfo(ind, "x", "y").head().getAs[Double]("mi") == 0.0)
+  }
+
   test("lineage: analyzed-plan walk maps file leaves back to catalog tables") {
     val d = "/root/testdata/sf0.001"
     assert(Lineage.sourceTables(
