@@ -4299,6 +4299,57 @@ object Queries {
           CAST(SUM(trm) AS DOUBLE) AS mi
         FROM terms""")),
 
+    // ── per-group top-k: rank filter pushes into WindowGroupLimit, so
+    //    map tasks hold ≤k rows per group before the shuffle (the §2.9
+    //    top-k generalized per group; total order via the key tie-break) ──
+    Q("q167_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice"), row_number().over(w).as("rk"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+          FROM orders) WHERE rk <= 3""")),
+
+    // ── weekly percentile bands per stream: p50/p95 of exact cents per
+    //    (stream, ISO week) — percentilesExact composed over a composite
+    //    group; the ops-dashboard complement of q157's volume growth ──
+    Q("q168_weekly_percentiles",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          concat(col("event_type"), lit("|"),
+            date_trunc("week", col("ts")).cast("date").cast("string"))
+            .as("stream_week"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        TextAnalysis.percentilesExact(ev, "cents", "stream_week", Seq(50, 95))
+      },
+      Some("""
+        WITH e AS (SELECT
+            event_type || '|' ||
+              CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS stream_week,
+            CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events),
+        c AS (SELECT stream_week, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+        cum AS (SELECT stream_week, cents,
+            CAST(SUM(c) OVER (PARTITION BY stream_week ORDER BY cents ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+          FROM c),
+        t AS (SELECT stream_week, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1)
+        SELECT cum.stream_week, p.pct,
+          MIN(CASE WHEN cm * 100 >= p.pct * n THEN cents END) AS value
+        FROM cum JOIN t ON cum.stream_week = t.stream_week,
+          (SELECT UNNEST([50, 95]) AS pct) p
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

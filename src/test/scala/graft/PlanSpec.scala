@@ -462,6 +462,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("per-group top-k pushes the rank filter into WindowGroupLimit") {
+    val p = plan("q167_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("surrogate bootstrap: rank is range-partitioned, no global window") {
     // empty dimension, every key new — the worst case for the old
     // single-partition Window.orderBy rank
