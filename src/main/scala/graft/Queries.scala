@@ -4350,6 +4350,63 @@ object Queries {
           (SELECT UNNEST([50, 95]) AS pct) p
         GROUP BY 1, 2""")),
 
+    // ── integer PageRank over the near-dup graph: boilerplate-hub
+    //    centrality, exact by construction (micro-unit DIV arithmetic),
+    //    3 fixed rounds ≡ 3 chained CTEs in the oracle ──
+    Q("q169_pagerank",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.2)
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        operators.GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+          .select(col("id").as("doc_id"), col("p").as("rank_micro"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS p FROM nodes),
+        c1 AS (SELECT e.dst AS id, CAST(SUM(p.p // d.deg) AS BIGINT) AS i
+               FROM edges e JOIN deg d ON e.src = d.src
+               JOIN p0 p ON e.src = p.id GROUP BY 1),
+        p1 AS (SELECT n.id,
+               CAST(150000 + (85 * COALESCE(c1.i, 0)) // 100 AS BIGINT) AS p
+               FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+        c2 AS (SELECT e.dst AS id, CAST(SUM(p.p // d.deg) AS BIGINT) AS i
+               FROM edges e JOIN deg d ON e.src = d.src
+               JOIN p1 p ON e.src = p.id GROUP BY 1),
+        p2 AS (SELECT n.id,
+               CAST(150000 + (85 * COALESCE(c2.i, 0)) // 100 AS BIGINT) AS p
+               FROM nodes n LEFT JOIN c2 ON n.id = c2.id),
+        c3 AS (SELECT e.dst AS id, CAST(SUM(p.p // d.deg) AS BIGINT) AS i
+               FROM edges e JOIN deg d ON e.src = d.src
+               JOIN p2 p ON e.src = p.id GROUP BY 1),
+        p3 AS (SELECT n.id,
+               CAST(150000 + (85 * COALESCE(c3.i, 0)) // 100 AS BIGINT) AS p
+               FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
+        SELECT id AS doc_id, p AS rank_micro FROM p3""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -101,6 +101,21 @@ class DriftSpec extends SparkSpec {
     assert(Quality.mutualInfo(ind, "x", "y").head().getAs[Double]("mi") == 0.0)
   }
 
+  test("pageRankInt: hand-computed 3-round ranks on a path graph, hub dominates") {
+    // undirected path a—b—c as 4 directed edges; hand-traced integer rounds
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val out = graft.operators.GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("p")).toMap
+    assert(out == Map("a" -> 629187L, "b" -> 1741625L, "c" -> 629187L), out)
+    // star: the center out-ranks every leaf
+    val star = Seq("b", "c", "d").flatMap(l => Seq(("a", l), (l, "a")))
+      .toDF("src", "dst")
+    val sr = graft.operators.GraphOps.pageRankInt(star, "src", "dst", iters = 3)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("p")).toMap
+    assert(sr("a") > sr("b") && sr("b") == sr("c") && sr("c") == sr("d"), sr)
+  }
+
   test("lineage: analyzed-plan walk maps file leaves back to catalog tables") {
     val d = "/root/testdata/sf0.001"
     assert(Lineage.sourceTables(
