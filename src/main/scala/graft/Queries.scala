@@ -4407,6 +4407,58 @@ object Queries {
                FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
         SELECT id AS doc_id, p AS rank_micro FROM p3""")),
 
+    // ── same-weekday volume residual: Monday vs last Monday via a
+    //    calendar-exact day−7 self-join on the daily-count frame ──
+    Q("q170_week_over_week",
+      (s, d) => Quality.weekOverWeekResidual(Tables.events(s, d),
+        "event_type", "ts"),
+      Some("""
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type, a.day, a.n,
+          b.n AS n_week_ago,
+          a.n - b.n AS delta,
+          CASE WHEN b.n > 0 THEN
+            ROUND(CAST(a.n - b.n AS DOUBLE) * 100.0 / CAST(b.n AS DOUBLE), 6)
+          END AS pct
+        FROM daily a LEFT JOIN daily b
+          ON a.event_type = b.event_type AND a.day = b.day + 7""")),
+
+    // ── weight-of-evidence scorecard bins over order value: the credit-
+    //    scoring feature transform + per-bin information value ──
+    Q("q171_woe_bins",
+      (s, d) => Quality.weightOfEvidence(Tables.orders(s, d),
+        "o_totalprice", col("o_orderstatus") === "F", bins = 5),
+      Some("""
+        WITH t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+            (o_orderstatus = 'F') AS g
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        ext AS (SELECT MIN(v) AS mn, MAX(v) AS mx,
+            CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS ng,
+            CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nb
+          FROM t),
+        b AS (SELECT CASE WHEN mx > mn
+                THEN LEAST(4, CAST(FLOOR((v - mn) * 5 / (mx - mn)) AS INTEGER))
+                ELSE 0 END AS bin, g
+          FROM t, ext),
+        c AS (SELECT bin,
+            CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+            CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+          FROM b GROUP BY 1),
+        s AS (SELECT ng, nb, CAST(UNNEST(range(0, 5)) AS INTEGER) AS bin
+          FROM ext),
+        f AS (SELECT s.bin, s.ng, s.nb,
+            COALESCE(c.n_good, 0) AS n_good, COALESCE(c.n_bad, 0) AS n_bad
+          FROM s LEFT JOIN c ON s.bin = c.bin)
+        SELECT bin, n_good, n_bad,
+          FLOOR(LN(((n_good + 1.0) / (ng + 5.0)) / ((n_bad + 1.0) / (nb + 5.0)))
+            * 1000000 + 0.5) / 1000000 AS woe,
+          FLOOR(((n_good + 1.0) / (ng + 5.0) - (n_bad + 1.0) / (nb + 5.0))
+            * LN(((n_good + 1.0) / (ng + 5.0)) / ((n_bad + 1.0) / (nb + 5.0)))
+            * 1000000 + 0.5) / 1000000 AS iv_term
+        FROM f""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -690,6 +690,80 @@ object Quality {
       .filter(col("dev") > lit(k) * col("mad"))
   }
 
+  /** Same-weekday volume residual: each (stream, day)'s event count vs
+    * the SAME stream exactly 7 calendar days earlier — the daily-
+    * seasonality complement of [[periodGrowth]] (which compares adjacent
+    * OBSERVED weeks): Monday compares to Monday, so weekday shape never
+    * pollutes the residual. Implemented as a calendar-exact self-join on
+    * `day − 7` (NOT `lag(7)` over observed rows, which silently compares
+    * wrong days the moment a day is missing); days with no
+    * week-ago partner keep a null baseline.
+    *
+    * Scale shape: events collapse to (stream, day) counts first
+    * (map-side combinable), the self-join rides that calendar-bounded
+    * frame — cost is day-cardinality, never event volume.
+    */
+  def weekOverWeekResidual(df: DataFrame, streamCol: String,
+                           tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(streamCol),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val weekAgo = daily.select(col(streamCol),
+      date_add(col("day"), 7).as("day"), col("n").as("n_week_ago"))
+    daily.join(weekAgo, Seq(streamCol, "day"), "left")
+      .withColumn("delta", col("n") - col("n_week_ago"))
+      .withColumn("pct",
+        when(col("n_week_ago") > 0,
+          round((col("n") - col("n_week_ago")).cast("double") * lit(100.0) /
+            col("n_week_ago").cast("double"), 6)))
+  }
+
+  /** Weight-of-evidence scorecard binning: `valueCol` split into `bins`
+    * equal-width buckets over its full range, each bin scored
+    * `ln((good_i/G)/(bad_i/B))` with +1 Laplace smoothing (so empty
+    * cells stay finite), plus the bin's information-value term — the
+    * classic credit-scorecard feature transform and its predictive-power
+    * readout (rule of thumb: total IV < 0.02 useless, > 0.5 suspicious).
+    * Shares [[psiDrift]]'s engine-parity machinery: one fixed IEEE op
+    * tree for bin ids, ln terms round6→DECIMAL.
+    *
+    * Output: one row per bin (bin, n_good, n_bad, woe, iv_term),
+    * including empty bins (both counts 0 → woe 0 under smoothing).
+    *
+    * Scale shape: one corpus aggregation to (bin, label) counts (≤ bins
+    * cells), a 1-row extremes/totals broadcast, and a bins-sized
+    * scaffold — everything after the scan is constant-sized.
+    */
+  def weightOfEvidence(df: DataFrame, valueCol: String, goodLabel: Column,
+                       bins: Int = 5): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val v = col(valueCol).cast("double")
+    val tagged = df.filter(col(valueCol).isNotNull).withColumn("__g", goodLabel)
+    val ext = tagged.agg(min(v).as("__mn"), max(v).as("__mx"),
+      sum(when(col("__g"), 1L).otherwise(0L)).as("__ng"),
+      sum(when(col("__g"), 0L).otherwise(1L)).as("__nb"))
+    val binned = tagged.crossJoin(broadcast(ext))
+      .withColumn("bin",
+        when(col("__mx") > col("__mn"),
+          least(lit(bins - 1),
+            floor((v - col("__mn")) * lit(bins) / (col("__mx") - col("__mn")))
+              .cast("int")))
+          .otherwise(lit(0)))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(when(col("__g"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("__g"), 0L).otherwise(1L)).as("n_bad"))
+    val scaffold = ext.select(col("__ng"), col("__nb"),
+      explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val pg = (col("n_good") + lit(1.0)) / (col("__ng") + lit(bins).cast("double"))
+    val pb = (col("n_bad") + lit(1.0)) / (col("__nb") + lit(bins).cast("double"))
+    scaffold.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_good", "n_bad"))
+      .withColumn("woe", round6(log(pg / pb)))
+      .withColumn("iv_term", round6((pg - pb) * log(pg / pb)))
+      .select(col("bin"), col("n_good"), col("n_bad"), col("woe"), col("iv_term"))
+  }
+
   /** Mutual information between two categorical columns, in nats — the
     * column-dependency profiler: near-zero means independent, high means
     * one column largely determines the other (a denormalization artifact

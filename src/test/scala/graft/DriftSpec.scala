@@ -116,6 +116,33 @@ class DriftSpec extends SparkSpec {
     assert(sr("a") > sr("b") && sr("b") == sr("c") && sr("c") == sr("d"), sr)
   }
 
+  test("weekOverWeekResidual: calendar-exact day-7 baseline, null when absent") {
+    val ev = Seq(
+      ("s", "2024-01-01 10:00:00"), ("s", "2024-01-01 11:00:00"),
+      ("s", "2024-01-08 10:00:00"), ("s", "2024-01-08 11:00:00"),
+      ("s", "2024-01-08 12:00:00"),
+      ("s", "2024-01-02 10:00:00")
+    ).toDF("event_type", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Quality.weekOverWeekResidual(ev, "event_type", "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[java.lang.Long]("n_week_ago")),
+          Option(r.getAs[java.lang.Long]("delta")))).toMap
+    assert(out("2024-01-08") == ((Some(2L), Some(1L))), out)
+    assert(out("2024-01-01") == ((None, None)))
+    assert(out("2024-01-02") == ((None, None)))
+  }
+
+  test("weightOfEvidence: symmetric hand case, empty-safe smoothing") {
+    val df = (0 to 9).map(v => (v.toDouble, v >= 5)).toDF("v", "good")
+    val out = Quality.weightOfEvidence(df, "v", col("good"), bins = 5)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n_good"), r.getAs[Long]("n_bad"),
+          r.getAs[Double]("woe"))).toMap
+    assert(out(0) == ((0L, 2L, -1.098612)), out)   // ln(0.1/0.3)
+    assert(out(2) == ((1L, 1L, 0.0)))              // balanced bin
+    assert(out(4) == ((2L, 0L, 1.098612)))         // mirror of bin 0
+  }
+
   test("lineage: analyzed-plan walk maps file leaves back to catalog tables") {
     val d = "/root/testdata/sf0.001"
     assert(Lineage.sourceTables(
