@@ -4459,6 +4459,43 @@ object Queries {
             * 1000000 + 0.5) / 1000000 AS iv_term
         FROM f""")),
 
+    // ── incremental novelty gate: persisted reference-shingle index
+    //    probed by the batch (q161's O(batch) steady-state form; same
+    //    oracle — probe ≡ full recompute by construction) ──
+    Q("q172_novelty_probe",
+      (s, d) => {
+        val idx = java.nio.file.Files.createTempDirectory("q172-idx")
+          .toString + "/novelty_index"
+        val docs = Tables.documents(s, d)
+        TextAnalysis.ngramNoveltyIndex(
+          docs.filter(col("source") =!= "src0"), "text", k = 3, idx)
+        TextAnalysis.ngramNoveltyProbe(
+          docs.filter(col("source") === "src0"), "doc_id", "text", idx, k = 3)
+          .select(col("id").as("doc_id"), col("n_shingles"),
+            col("n_novel"), col("novelty"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        cand AS (SELECT doc_id, unnest(sh) AS sg
+          FROM t WHERE source = 'src0' AND len(sh) > 0),
+        ref AS (SELECT DISTINCT unnest(sh) AS sg FROM t WHERE source <> 'src0'),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM cand GROUP BY 1),
+        nov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+          FROM cand WHERE sg NOT IN (SELECT sg FROM ref) GROUP BY 1)
+        SELECT tot.doc_id, n_shingles,
+          CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+          ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE)
+            / CAST(n_shingles AS DOUBLE), 6) AS novelty
+        FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

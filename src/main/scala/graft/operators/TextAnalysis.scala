@@ -1122,6 +1122,46 @@ object TextAnalysis {
     * anti-join rides the hash partitioning, the corpus never reshuffles
     * as text, and per-doc ratios fall out of one hash aggregation.
     */
+  /** Persist the reference side of [[ngramNovelty]] as a reusable index:
+    * the DISTINCT 64-bit shingle hashes of the reference corpus
+    * (~8 bytes per distinct shingle — a small fraction of corpus bytes).
+    * Build once per reference snapshot; every incoming batch then probes
+    * via [[ngramNoveltyProbe]] WITHOUT re-shingling the reference — the
+    * same batch-sized-vs-corpus-sized steady-state split as the MinHash
+    * probe (`minHashSigs`/`minHashProbe`) and the exact-dedup index.
+    */
+  def ngramNoveltyIndex(ref: DataFrame, textCol: String, k: Int = 3,
+                        path: String): Unit =
+    ref.select(Dedup.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(explode(col("__sh")).as("__s"))
+      .select(xxhash64(col("__s")).as("h")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Probe a persisted [[ngramNoveltyIndex]] with a new batch: identical
+    * output contract to [[ngramNovelty]] restricted to the batch docs,
+    * at O(batch shingles + index) cost per ingestion instead of
+    * re-shingling the whole reference corpus every time.
+    */
+  def ngramNoveltyProbe(batch: DataFrame, idCol: String, textCol: String,
+                        indexPath: String, k: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val ref = spark.read.parquet(indexPath).select(col("h").as("__h"))
+    val cand = batch
+      .select(col(idCol).as("id"), Dedup.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), explode(col("__sh")).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+      .select(col("id"), col("__h")).distinct()
+    val totals = cand.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = cand.join(ref, Seq("__h"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    isRef: Column, k: Int = 3): DataFrame = {
     val tagged = df.withColumn("__ref", isRef)

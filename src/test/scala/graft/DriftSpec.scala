@@ -143,6 +143,22 @@ class DriftSpec extends SparkSpec {
     assert(out(4) == ((2L, 0L, 1.098612)))         // mirror of bin 0
   }
 
+  test("novelty probe over a persisted index equals the full recompute") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = tmpDir("novidx") + "/idx"
+    TextAnalysis.ngramNoveltyIndex(
+      docs.filter(col("source") =!= "src0"), "text", k = 3, idx)
+    val probe = TextAnalysis.ngramNoveltyProbe(
+        docs.filter(col("source") === "src0"), "doc_id", "text", idx, k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))).toMap
+    val full = TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+        col("source") =!= "src0", k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))).toMap
+    assert(probe == full && probe.nonEmpty, s"${probe.size} vs ${full.size}")
+  }
+
   test("lineage: analyzed-plan walk maps file leaves back to catalog tables") {
     val d = "/root/testdata/sf0.001"
     assert(Lineage.sourceTables(

@@ -96,6 +96,32 @@ class SnapshotStoreSpec extends SparkSpec {
       .collect().toSet == Set((1, "a", 1L), (2, "b2", 2L), (3, "c", 2L)))
   }
 
+  test("random publish/crash sequences: a reader always sees the last COMMITTED table") {
+    // deterministic pseudo-random walk over {publish, stage-then-crash};
+    // after every step the committed view must equal the last published
+    // frame exactly — no torn, partial, or rolled-forward state
+    val path = tmpDir("snap-walk") + "/t"
+    val rnd = new scala.util.Random(42)
+    var lastPublished: Option[Set[(Int, String)]] = None
+    for (step <- 1 to 12) {
+      val data = (1 to rnd.nextInt(5) + 1).map(i => (i, s"v$step-$i"))
+      val df = data.toDF("id", "v")
+      if (rnd.nextBoolean()) {
+        SnapshotStore.publish(df, path)
+        lastPublished = Some(data.toSet)
+      } else {
+        SnapshotStore.stage(df, path) // crash before commit
+      }
+      lastPublished match {
+        case Some(expect) =>
+          assert(SnapshotStore.read(spark, path)
+            .as[(Int, String)].collect().toSet == expect, s"step $step")
+        case None =>
+          assert(!SnapshotStore.exists(spark, path), s"step $step")
+      }
+    }
+  }
+
   test("writeAtomic(objectStoreSafe = true) routes through the pointer protocol") {
     val path = tmpDir("snap-route") + "/t"
     UpsertByKey.writeAtomic(table(7 -> "x"), path, objectStoreSafe = true)
