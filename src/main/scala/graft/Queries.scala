@@ -4496,6 +4496,63 @@ object Queries {
             / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id""")),
 
+    // ── per-source duplicate-rate ledger: fraction of each ingest
+    //    batch's docs whose exact content arrived in an EARLIER batch
+    //    (or earlier id within the batch) — the "is this source worth
+    //    crawling again" readout; one content-hash shuffle ──
+    Q("q173_dup_rate_by_source",
+      (s, d) => {
+        val w = Window.partitionBy(col("__h"))
+          .orderBy(col("source").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
+          .withColumn("__rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_rate",
+            round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6))
+      },
+      Some("""
+        WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+        r AS (SELECT source,
+            row_number() OVER (PARTITION BY hh
+              ORDER BY source ASC, doc_id ASC) AS rn
+          FROM h)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+        FROM r GROUP BY 1""")),
+
+    // ── cumulative distinct-user growth curve: each day's new-user count
+    //    and running total — first-seen election + calendar window, both
+    //    on the user/day frame, never event volume ──
+    Q("q174_user_growth",
+      (s, d) => {
+        val firstDay = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        // global cumulative window — deliberately unpartitioned: it runs
+        // over the DAILY frame, bounded by the calendar (≤ a few thousand
+        // rows for a decade of history), never event or user volume
+        val w = Window.orderBy(col("first_day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        firstDay.groupBy(col("first_day"))
+          .agg(count(lit(1)).as("n_new_users"))
+          .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      },
+      Some("""
+        WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY 1),
+        daily AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+          FROM f GROUP BY 1)
+        SELECT first_day, n_new_users,
+          CAST(SUM(n_new_users) OVER (ORDER BY first_day ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_users
+        FROM daily""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
