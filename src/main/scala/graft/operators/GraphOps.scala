@@ -45,7 +45,7 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col(dstCol).as("id"))).distinct()
+      .unionByName(e.select(col("dst").as("id"))).distinct()
     var p = nodes.withColumn("p", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = e.join(deg, Seq("src"))

@@ -676,7 +676,12 @@ object Quality {
         .filter(col("__cum") * 2 >= col("__n"))
         .groupBy(col(groupCol)).agg(min(col(valCol)).as(outCol))
     }
-    val hist = df.groupBy(col(groupCol), col(valueCol))
+    // Nulls are excluded up front (same discipline as ksDrift): Spark
+    // sorts them NULLS FIRST where DuckDB sorts NULLS LAST, so a null
+    // value inside the histogram would shift every cumulative total —
+    // and a null can never be an anomaly verdict anyway.
+    val dfv = df.filter(col(valueCol).isNotNull)
+    val hist = dfv.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__c"))
     val med = p50(hist, valueCol, "med")
     val devHist = hist.join(broadcast(med), Seq(groupCol))
@@ -684,7 +689,7 @@ object Quality {
         col("__c"))
       .groupBy(col(groupCol), col("__dev")).agg(sum(col("__c")).as("__c"))
     val mad = p50(devHist, "__dev", "mad")
-    df.join(broadcast(med), Seq(groupCol))
+    dfv.join(broadcast(med), Seq(groupCol))
       .withColumn("dev", abs(col(valueCol) - col("med")))
       .join(broadcast(mad), Seq(groupCol))
       .filter(col("dev") > lit(k) * col("mad"))

@@ -438,12 +438,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("surrogate assignment: anti-join for new keys, 1-row broadcast for the max") {
+  test("surrogate assignment: precomputed rank scan, 1-row broadcast for the max") {
+    // the anti-join + range shuffle live inside the single-evaluation
+    // zipWithIndex RDD (one shared shuffle, so counts and numbering
+    // cannot diverge); the visible plan is the rank scan + broadcast max
     val p = plan("q150_surrogate_keys")
-    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // no window rank anywhere (the only SinglePartition exchange allowed
+    // is the 1-row max(sk) global aggregate)
+    assert(!p.contains("Window"), p)
   }
 
   test("drift stats ride histogram shapes: keyed exchanges, no single partition") {
@@ -468,17 +474,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("surrogate bootstrap: rank is range-partitioned, no global window") {
+  test("surrogate bootstrap: no window rank, dense 1..N numbering in key order") {
     // empty dimension, every key new — the worst case for the old
-    // single-partition Window.orderBy rank
+    // single-partition Window.orderBy rank. The rank now rides a
+    // range-partitioned sort consumed once via zipWithIndex, so the
+    // plan must carry NO window (global or otherwise) and no
+    // single-partition exchange; correctness of the numbering is the
+    // behavioral pin (dense 1..N in business-key order).
     val c = spark.read.parquet(s"$d/customer.parquet").select("c_custkey")
     val existing = c.filter(org.apache.spark.sql.functions.lit(false))
       .withColumn("sk", org.apache.spark.sql.functions.lit(0L))
-    val p = graft.gold.Marts.assignSurrogates(existing, c, "c_custkey")
-      .queryExecution.executedPlan.toString
-    assert(p.contains("Exchange rangepartitioning"), p)
-    // the rank window is partitioned by the range-shard id, never global
-    assert("Window \\[[^\\]]*\\], \\[__pid".r.findFirstIn(p).isDefined, p)
-    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty, p)
+    val out = graft.gold.Marts.assignSurrogates(existing, c, "c_custkey")
+    val p = out.queryExecution.executedPlan.toString
+    // no window rank anywhere; the only SinglePartition exchange is the
+    // 1-row max(sk) global aggregate feeding the broadcast
+    assert(!p.contains("Window"), p)
+    val rows = out.orderBy("c_custkey").collect()
+    val keys = rows.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted, "output keys not in key order")
+    val sks = rows.map(_.getLong(1)).toSeq
+    assert(sks == (1L to rows.length.toLong),
+      "bootstrap numbering is not dense 1..N in key order")
   }
 }
