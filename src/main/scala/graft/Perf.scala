@@ -684,6 +684,54 @@ object Perf {
         operators.TextAnalysis.ngramNovelty(docs2, "id", "text", col("ref"), k = 3)
           .agg(sum(col("n_novel"))).head().getLong(0))
     }
+    if (what == "optimize-r7") {
+      // executing OPTIMIZE against the reference's own pathology: a CDC
+      // sink that writes ~50-record files (kafka_to_minio.py:54). Build
+      // that layout from events at the bench SF, compact through
+      // plan → rewrite → pointer-swap, and measure what a reader pays
+      // before/after: file count, full-scan aggregate latency, and
+      // zone-pruned scanned rows for a selective user_id range.
+      val root = java.nio.file.Files.createTempDirectory("perf-opt")
+        .toString + "/t"
+      val ev = Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val nRows = ev.count()
+      val nFiles = math.max(1, (nRows / 50).toInt) // ~50-record files
+      time(s"accrete-${nFiles}-files")(
+        { gold.SnapshotStore.publish(ev.repartition(nFiles), root); nRows })
+      def genDir = gold.SnapshotStore.genPath(root,
+        gold.SnapshotStore.currentGen(spark, root).get)
+      def fullScan(): Long = {
+        spark.read.parquet(genDir)
+          .agg(sum(col("value")), countDistinct(col("user_id"))).head()
+        nRows
+      }
+      time("read-small-files")(fullScan())
+      val loU = lit(1000L); val hiU = lit(1099L)
+      val scanBefore = gold.Optimize.scannedRows(
+        spark, genDir, col("user_id"), loU, hiU)
+      // target ~1/16 of the accreted bytes so the sorted rewrite spreads
+      // across many files — that's what makes the zone pruning visible
+      val totalBytes = {
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.getContentSummary(new org.apache.hadoop.fs.Path(genDir)).getLength
+      }
+      var st: gold.Optimize.OptimizeStats = null
+      time("optimize-compact+sort")({
+        st = gold.Optimize.compactSnapshot(spark, root, totalBytes / 16 + 1,
+          sortCols = Seq(col("user_id")))
+        st.filesAfter
+      })
+      time("read-compacted")(fullScan())
+      val scanAfter = gold.Optimize.scannedRows(
+        spark, genDir, col("user_id"), loU, hiU)
+      println(s"PERF optimize-r7: files ${st.filesBefore} -> " +
+        s"${st.filesAfter} (${st.bins} bins), bytes ${st.bytesBefore} -> " +
+        s"${st.bytesAfter}, scanned rows for user_id range " +
+        s"$scanBefore -> $scanAfter of $nRows")
+    }
     spark.stop()
   }
 }

@@ -4556,6 +4556,26 @@ object Queries {
             AS cum_users
         FROM daily""")),
 
+    // ── executing OPTIMIZE: publish events as a many-small-files
+    //    snapshot (the reference's 50-record-file CDC pathology,
+    //    kafka_to_minio.py:54), compact it through plan → rewrite →
+    //    pointer-swap publish, and read the table back. The oracle is the
+    //    UNTOUCHED source table: a compaction that drops, duplicates, or
+    //    mutates one row hash-mismatches ──
+    Q("q175_optimize_roundtrip",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q175-opt")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        graft.gold.SnapshotStore.publish(ev.repartition(64), root)
+        graft.gold.Optimize.compactSnapshot(s, root,
+          targetBytes = 256L << 10, sortCols = Seq(col("user_id")))
+        graft.gold.SnapshotStore.read(s, root)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+      },
+      Some("SELECT event_id, user_id, event_type, ts, value FROM events")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -1,0 +1,142 @@
+package graft.gold
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executing OPTIMIZE — the rewrite half of small-file compaction, on top
+  * of [[graft.bronze.Layout.compactionPlan]] (the planner) and
+  * [[SnapshotStore]] (the atomic publish). The reference's CDC sink
+  * writes one ~50-record file per micro-batch
+  * (consumer/kafka_to_minio.py:54); at 100 TB that layout dies on
+  * file-open overhead long before bytes, and the fix every table format
+  * ships (Delta OPTIMIZE, Iceberg rewrite_data_files) is exactly this
+  * plan → rewrite → atomic-swap loop.
+  *
+  * Shape per step:
+  *  - PLAN: one listing of the committed generation (driver-side,
+  *    O(n_files) metadata — the same manifest input every OPTIMIZE
+  *    implementation plans from) feeds `compactionPlan`'s ordered
+  *    first-fit binning; the file→bin assignment is collected back,
+  *    bounded by the file count the plan exists to shrink.
+  *  - REWRITE (plain compaction): ONE scan of the generation tags each
+  *    row with its file's bin via a broadcast of the assignment
+  *    (`input_file_name()` is a scan-stage expression, so the tag costs
+  *    nothing), then ONE shuffle on the bin id writes one task — hence
+  *    one file — per bin, preserving input locality.
+  *  - REWRITE (`sortCols` given — the OPTIMIZE ZORDER form; feed
+  *    [[graft.sources.ZOrder.zValue]] for two dimensions): input bins
+  *    are deliberately NOT preserved — rows range-cluster ACROSS the
+  *    planned file count on `sortCols`, because per-bin sorting cannot
+  *    tighten per-FILE zone maps when every accreted micro-batch file
+  *    spans the whole key domain. The planner still sizes the rewrite
+  *    (number of target-byte files); one range exchange replaces the
+  *    bin-id shuffle — same shuffle count, globally tight zones.
+  *  - PUBLISH: the rewrite stages generation N+1 while readers keep
+  *    serving N; the commit is [[SnapshotStore]]'s pointer swap — one
+  *    small PUT, atomic on object stores, with the previous generation
+  *    retained one cycle for in-flight readers. A crash mid-rewrite
+  *    leaves an orphan directory readers never resolve.
+  *
+  * Contents are untouched by construction: the rewrite is a
+  * partition-preserving read → shuffle → write of the same rows
+  * (OptimizeSpec asserts multiset equality before/after; q175 proves it
+  * against the DuckDB oracle through a full publish→optimize→read trip).
+  */
+object Optimize {
+
+  /** Readout of one OPTIMIZE run: generations swap `genBefore`→`genAfter`,
+    * `filesBefore`→`filesAfter` data files (`bins` planned rewrite bins),
+    * bytes for the size ledger.
+    */
+  case class OptimizeStats(genBefore: Long, genAfter: Long,
+                           filesBefore: Long, filesAfter: Long,
+                           bytesBefore: Long, bytesAfter: Long, bins: Long)
+
+  /** Data files under `dir` (recursive), driver-side metadata. */
+  private def dataFiles(f: FileSystem, dir: Path): Seq[(String, Long)] = {
+    val it = f.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        buf += ((n, st.getLen))
+    }
+    buf.toSeq
+  }
+
+  /** Compact the committed generation of the [[SnapshotStore]] table at
+    * `path` into ~`targetBytes` files and publish the result as the next
+    * generation. Returns the before/after readout. `sortCols` optionally
+    * re-clusters rows within each rewritten bin (zone-map tightening —
+    * measure with [[fileZoneStats]]).
+    */
+  def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
+                      sortCols: Seq[Column] = Nil): OptimizeStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val gen = SnapshotStore.currentGen(spark, path).getOrElse(
+      sys.error(s"Optimize.compactSnapshot: nothing published at $path"))
+    val genDir = new Path(SnapshotStore.genPath(path, gen))
+    val f = SnapshotStore.fs(spark, path)
+    val files = dataFiles(f, genDir)
+    val bytesBefore = files.map(_._2).sum
+    // PLAN: ordered first-fit bins over the file listing (parquet part-
+    // file names carry a task UUID, so the name alone is a unique id)
+    import spark.implicits._
+    val filesDf = files.toDF("file", "size")
+    val assign = graft.bronze.Layout
+      .compactionPlan(filesDf, Seq.empty, "file", "size", targetBytes)
+      .select("file", "bin").as[(String, Long)].collect()
+    val nBins = assign.map(_._2).distinct.length
+    val data = spark.read.parquet(genDir.toString)
+    val keep = data.columns.toSeq
+    val compacted =
+      if (sortCols.nonEmpty)
+        // zone-tightening rewrite: range-cluster across the planned file
+        // count (input bins carry no locality worth preserving)
+        data.repartitionByRange(math.max(nBins, 1), sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+      else {
+        // locality-preserving rewrite: tag rows with their file's bin at
+        // scan time, one shuffle on the bin id, one task/file per bin
+        val tagged = data
+          .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+          .join(broadcast(assign.toSeq.toDF("__fname", "__bin")), Seq("__fname"))
+        tagged.repartition(math.max(nBins, 1), col("__bin"))
+          .select(keep.map(col): _*)
+      }
+    // PUBLISH: stage N+1 (readers still serve N), then pointer-swap
+    val newGen = SnapshotStore.stage(compacted, path)
+    SnapshotStore.commit(spark, path, newGen)
+    val after = dataFiles(f, new Path(SnapshotStore.genPath(path, newGen)))
+    OptimizeStats(gen, newGen, files.length, after.length,
+      bytesBefore, after.map(_._2).sum, nBins)
+  }
+
+  /** Per-file zone maps of a WRITTEN table, from the files themselves —
+    * the post-hoc readout [[graft.sources.ZOrder.pruningStats]] simulates
+    * for planner-sized samples: one row per data file with (min, max,
+    * n_rows) of `valueCol`. A range predicate [lo, hi] has to scan a file
+    * iff its zone overlaps — exactly how Parquet row-group pruning reads
+    * footer stats — so `scannedRows` below is the real cost a filtered
+    * scan pays against this layout.
+    */
+  def fileZoneStats(spark: SparkSession, dir: String,
+                    valueCol: Column): DataFrame =
+    spark.read.parquet(dir)
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .groupBy(col("__file"))
+      .agg(min(valueCol).as("zmin"), max(valueCol).as("zmax"),
+        count(lit(1)).cast("long").as("n_rows"))
+
+  /** Rows a range scan [lo, hi] on `valueCol` must read given the real
+    * file layout under `dir` (sum of n_rows over zone-overlapping files).
+    */
+  def scannedRows(spark: SparkSession, dir: String, valueCol: Column,
+                  lo: Column, hi: Column): Long =
+    fileZoneStats(spark, dir, valueCol)
+      .agg(coalesce(sum(when(col("zmax") >= lo && col("zmin") <= hi,
+        col("n_rows")).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
+}

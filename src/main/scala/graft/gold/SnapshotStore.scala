@@ -41,7 +41,7 @@ object SnapshotStore {
   private def ptrRoot(path: String) = s"$path/_ptr"
   def genPath(path: String, gen: Long) = s"$path/gen=$gen"
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[gold] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def ptrFile(path: String, v: Long) =

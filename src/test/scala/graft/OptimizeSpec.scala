@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gold.{Optimize, SnapshotStore}
+
+/** Executing OPTIMIZE: plan → rewrite → pointer-swap publish. Contents
+  * must be bit-identical before/after, file counts must collapse to the
+  * planned bins, the swap must be transactional (old generation retained
+  * one cycle), and a sorted rewrite must tighten real per-file zone maps
+  * enough to cut scanned rows for a selective range predicate.
+  */
+class OptimizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic "CDC sink accretion" fixture: id + a value column whose
+  // order is decorrelated from insert order (hash-scrambled), so small
+  // files start with full-domain zone maps
+  private def accreted(n: Int) =
+    spark.range(n.toLong)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("v"),
+        concat(lit("p"), pmod(col("id"), lit(7)).cast("string")).as("tag"))
+
+  test("compaction collapses small files into planned bins, contents bit-identical") {
+    val path = tmpDir("opt-bins") + "/t"
+    val src = accreted(20000)
+    SnapshotStore.publish(src.repartition(80), path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = SnapshotStore.read(spark, path)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val totalBytes = f.getContentSummary(
+      new org.apache.hadoop.fs.Path(SnapshotStore.genPath(path, 1L)))
+      .getLength
+    val stats = Optimize.compactSnapshot(spark, path, totalBytes / 4 + 1)
+    assert(stats.genBefore == 1L && stats.genAfter == 2L)
+    assert(stats.filesBefore == 80, s"fixture wrote ${stats.filesBefore} files")
+    assert(stats.bins <= 6, s"planned ${stats.bins} bins for a 4-bin target")
+    assert(stats.filesAfter <= stats.bins,
+      s"rewrite produced ${stats.filesAfter} files for ${stats.bins} bins")
+    assert(SnapshotStore.currentGen(spark, path).contains(2L))
+    val after = SnapshotStore.read(spark, path)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(after == before, "OPTIMIZE must not change table contents")
+  }
+
+  test("the swap is transactional: previous generation retained one cycle") {
+    val path = tmpDir("opt-txn") + "/t"
+    SnapshotStore.publish(accreted(2000).repartition(20), path)
+    val held = SnapshotStore.read(spark, path)
+    Optimize.compactSnapshot(spark, path, Long.MaxValue)
+    // a reader that resolved the pointer before OPTIMIZE still reads its
+    // immutable generation
+    assert(held.count() == 2000L)
+    assert(SnapshotStore.currentGen(spark, path).contains(2L))
+    assert(SnapshotStore.read(spark, path).count() == 2000L)
+  }
+
+  test("sorted rewrite tightens real per-file zone maps and cuts scanned rows") {
+    val path = tmpDir("opt-zone") + "/t"
+    // 40 small files, each spanning ~the full v-domain (hash-scrambled)
+    SnapshotStore.publish(accreted(40000).repartition(40), path)
+    def genDir = SnapshotStore.genPath(path,
+      SnapshotStore.currentGen(spark, path).get)
+    val n = 40000L
+    // selective predicate: ~5% of the v-domain
+    val (lo, hi) = (lit(100L), lit(149L))
+    val scannedBefore = Optimize.scannedRows(spark, genDir, col("v"), lo, hi)
+    assert(scannedBefore == n,
+      "unsorted small files must have full-domain zones (scan everything)")
+    // sorted rewrite: the planner sizes ~30 output files, the rewrite
+    // range-clusters ACROSS them (per-bin sorting could never tighten
+    // per-file zones — every accreted file spans the full v-domain)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = f.getContentSummary(
+      new org.apache.hadoop.fs.Path(SnapshotStore.genPath(path, 1L)))
+      .getLength
+    val stats = Optimize.compactSnapshot(spark, path, totalBytes / 30 + 1,
+      sortCols = Seq(col("v")))
+    assert(stats.bins >= 10, s"expected >=10 planned files, got ${stats.bins}")
+    assert(stats.filesAfter >= 10 && stats.filesAfter <= stats.bins,
+      s"files after: ${stats.filesAfter} for ${stats.bins} bins")
+    val scannedAfter = Optimize.scannedRows(spark, genDir, col("v"), lo, hi)
+    assert(scannedAfter < n / 5,
+      s"sorted layout must prune: scanned $scannedAfter of $n")
+    // zone spans: average (zmax - zmin) collapses vs the unsorted layout
+    val avgSpan = Optimize.fileZoneStats(spark, genDir, col("v"))
+      .agg(avg(col("zmax") - col("zmin"))).head().getDouble(0)
+    assert(avgSpan < 200.0, s"avg zone span $avgSpan not tightened")
+  }
+}
