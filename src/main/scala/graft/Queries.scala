@@ -70,6 +70,25 @@ object Queries {
         minSim = 0.96)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // q176/q177/q178 share ONE incrementally-folded mart state: events are
+  // split into 3 event-time-interleaved micro-batches (the q142 recipe),
+  // folded in batch-id order through AnalystMarts.foldBatch, and each
+  // readout derives from the folded STATE only — raw events are never
+  // rescanned by a readout, which is the property under test.
+  private val martCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), gold.AnalystMarts.Mart]()
+  private def foldedMart(s: SparkSession, d: String): gold.AnalystMarts.Mart =
+    martCache.computeIfAbsent((s, d), _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mart")
+        .toString + "/m"
+      val mart = gold.AnalystMarts.Mart(root)
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_type", "ts", "value", "event_id")
+      (0 to 2).foreach(i => gold.AnalystMarts.foldBatch(s,
+        ev.filter(pmod(col("event_id"), lit(3)) === i), mart, i.toLong))
+      mart
+    })
+
   val all: Seq[Q] = Seq(
 
     // ── §2.4 row 18: latest-wins CDC dedup (stg_customers.sql:11-14,26) ──
@@ -4575,6 +4594,49 @@ object Queries {
           .select("event_id", "user_id", "event_type", "ts", "value")
       },
       Some("SELECT event_id, user_id, event_type, ts, value FROM events")),
+
+    // ── incremental analyst marts: q110/q113/q142's readouts served
+    //    from state folded one micro-batch at a time (AnalystMarts) —
+    //    the reference's is_incremental() promise (readme.md:142-151)
+    //    applied to its analyst queries. The oracles recompute from raw
+    //    events, so any fold that loses, double-counts, or reorders a
+    //    batch hash-mismatches ──
+    Q("q176_mart_retention",
+      (s, d) => gold.AnalystMarts.retentionCohorts(s, foldedMart(s, d)),
+      Some("""
+        WITH cohort AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY 1),
+        active AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2""")),
+
+    Q("q177_mart_wau",
+      (s, d) => gold.AnalystMarts.rollingWau(s, foldedMart(s, d)),
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cover AS (
+          SELECT DISTINCT user_id, CAST(u.w AS DATE) AS window_end
+          FROM ud, LATERAL (SELECT unnest(generate_series(day, day + 6,
+            INTERVAL 1 DAY)) AS w) u)
+        SELECT window_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM cover GROUP BY 1""")),
+
+    Q("q178_mart_daily_value",
+      (s, d) => gold.AnalystMarts.dailyValueMart(s, foldedMart(s, d)),
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+               MIN(value) AS value_min, MAX(value) AS value_max,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                 AS value_avg
+        FROM events GROUP BY 1, 2""")),
 
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
