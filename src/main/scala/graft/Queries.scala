@@ -4638,6 +4638,54 @@ object Queries {
                  AS value_avg
         FROM events GROUP BY 1, 2""")),
 
+    // ── persisted-reference PSI (the streaming drift monitor's batch
+    //    form, DriftStream): bin edges FROZEN from the reference window
+    //    — q160's psiDrift derives edges from the combined data, which a
+    //    stream cannot do — with out-of-range current values clamped
+    //    into the edge bins. Same smoothing/round6/decimal-sum parity
+    //    recipe as q160 ──
+    Q("q179_psi_reference",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val isCur = col("ts") >= lit(Split).cast("timestamp")
+        Quality.psiAgainstReference(ev.filter(!isCur), ev.filter(isCur),
+          "value", "event_type", bins = 10)
+      },
+      Some(s"""
+        WITH t AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+            CASE WHEN ts >= TIMESTAMP '$Split' THEN 1 ELSE 0 END AS r
+          FROM events WHERE value IS NOT NULL),
+        ext AS (SELECT event_type,
+            MIN(CASE WHEN r = 0 THEN v END) AS mn,
+            MAX(CASE WHEN r = 0 THEN v END) AS mx,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM t GROUP BY 1
+          HAVING SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) > 0),
+        b AS (SELECT t.event_type, r,
+            CASE WHEN mx > mn
+                 THEN GREATEST(0, LEAST(9,
+                      CAST(FLOOR((v - mn) * 10 / (mx - mn)) AS INTEGER)))
+                 ELSE 0 END AS bin
+          FROM t JOIN ext ON t.event_type = ext.event_type),
+        c AS (SELECT event_type, bin,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM b GROUP BY 1, 2),
+        s AS (SELECT event_type, n_a, n_b, unnest(range(0, 10)) AS bin
+          FROM ext),
+        f AS (SELECT s.event_type, s.n_a, s.n_b,
+            COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.bin = c.bin),
+        terms AS (SELECT event_type, n_a, n_b,
+            CAST(FLOOR(((ca + 1.0) / (n_a + 10.0) - (cb + 1.0) / (n_b + 10.0))
+              * LN(((ca + 1.0) / (n_a + 10.0)) / ((cb + 1.0) / (n_b + 10.0)))
+              * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS trm
+          FROM f)
+        SELECT event_type, MAX(n_a) AS n_ref, MAX(n_b) AS n_cur,
+          CAST(SUM(trm) AS DOUBLE) AS psi
+        FROM terms GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -639,6 +639,97 @@ object Quality {
         sum(col("__t")).cast("double").as("psi"))
   }
 
+  /** Reference histogram for PERSISTED-reference PSI (the streaming
+    * form): per group, bin edges FROZEN from the reference window's
+    * min/max plus per-bin reference counts. Freezing the edges is what
+    * [[psiDrift]] (which derives them from the combined data) cannot
+    * give a stream: with fixed edges, the current-window histogram is
+    * ADDITIVE — two batches' histograms sum bin-wise — so a drift
+    * monitor folds each micro-batch in O(batch) and reads PSI in
+    * O(groups × bins) against this one persisted frame, never
+    * re-scanning the reference corpus (the q172 novelty-probe pattern
+    * applied to drift). Output: one row per (group, bin):
+    * (group, __bin, ref_n, n_ref, __mn, __mx).
+    */
+  def psiReferenceHist(ref: DataFrame, valueCol: String, groupCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val v = col(valueCol).cast("double")
+    val t = ref.filter(col(valueCol).isNotNull)
+    val ext = t.groupBy(col(groupCol))
+      .agg(min(v).as("__mn"), max(v).as("__mx"),
+        count(lit(1)).as("n_ref"))
+    val binned = t.join(broadcast(ext), Seq(groupCol))
+      .withColumn("__bin", refBin(v, bins))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("ref_n"))
+    ext.select(col(groupCol), col("n_ref"), col("__mn"), col("__mx"),
+        explode(sequence(lit(0), lit(bins - 1))).as("__bin"))
+      .join(binned, Seq(groupCol, "__bin"), "left")
+      .na.fill(0L, Seq("ref_n"))
+  }
+
+  /** Bin index against frozen reference edges; out-of-range current
+    * values clamp into the edge bins (the reference window never saw
+    * them, but they still carry drift mass).
+    */
+  private def refBin(v: Column, bins: Int): Column =
+    when(col("__mx") > col("__mn"),
+      greatest(lit(0), least(lit(bins - 1),
+        floor((v - col("__mn")) * lit(bins) / (col("__mx") - col("__mn")))
+          .cast("int"))))
+      .otherwise(lit(0))
+
+  /** Histogram of a current batch/window against the reference's frozen
+    * edges — the additive per-batch delta of the streaming fold. Groups
+    * absent from the reference are dropped (PSI is only defined against
+    * a reference distribution). Output: (group, __bin, cur_n).
+    */
+  def psiCurrentHist(cur: DataFrame, refHist: DataFrame, valueCol: String,
+                     groupCol: String, bins: Int = 10): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val edges = refHist.select(col(groupCol), col("__mn"), col("__mx"))
+      .distinct()
+    cur.filter(col(valueCol).isNotNull)
+      .join(broadcast(edges), Seq(groupCol))
+      .withColumn("__bin", refBin(v, bins))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("cur_n"))
+  }
+
+  /** PSI readout from the two histograms — O(groups × bins), no corpus
+    * access. Same smoothing, per-term round6, and exact decimal sum as
+    * [[psiDrift]], so the result is cross-engine-exact.
+    */
+  def psiFromHists(refHist: DataFrame, curHist: DataFrame, groupCol: String,
+                   bins: Int = 10): DataFrame = {
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val nCur = curHist.groupBy(col(groupCol))
+      .agg(sum(col("cur_n")).as("n_cur"))
+    val pr = (col("ref_n") + lit(1.0)) / (col("n_ref") + lit(bins).cast("double"))
+    val pc = (col("cur_n") + lit(1.0)) / (col("n_cur") + lit(bins).cast("double"))
+    refHist.join(curHist, Seq(groupCol, "__bin"), "left")
+      .na.fill(0L, Seq("cur_n"))
+      .join(broadcast(nCur), Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_cur"))
+      .withColumn("__t", round6((pr - pc) * log(pr / pc)).cast("decimal(18,6)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("__t")).cast("double").as("psi"))
+  }
+
+  /** Batch form of the persisted-reference readout: PSI of `cur` vs
+    * `ref` with edges frozen from `ref` — what the streaming fold
+    * converges to after any batch split (the equivalence DriftStreamSpec
+    * pins).
+    */
+  def psiAgainstReference(ref: DataFrame, cur: DataFrame, valueCol: String,
+                          groupCol: String, bins: Int = 10): DataFrame = {
+    val rh = psiReferenceHist(ref, valueCol, groupCol, bins)
+    psiFromHists(rh, psiCurrentHist(cur, rh, valueCol, groupCol, bins),
+      groupCol, bins)
+  }
+
   /** Median-absolute-deviation anomaly screen: rows whose deviation from
     * their group's median exceeds `k`× the group's MAD — the heavy-tail-
     * robust complement of [[zscoreAnomalies]] (one fat outlier inflates a

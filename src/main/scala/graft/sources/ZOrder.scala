@@ -82,24 +82,38 @@ object ZOrder {
     * `n_scanned/n_files` is the survival rate a bad layout shows as ~1.0
     * and a clustered one as ~range/domain.
     *
-    * Scale note: the exact file assignment uses a global row_number —
-    * fine for the planner-sized samples this audit runs on (it answers
-    * "should I re-cluster?", not a per-row production query). Against a
-    * real written table the same readout comes from the Parquet footers
-    * themselves: n_files metadata rows, no row-level pass at all.
+    * Scale note: the exact file position is a range-partitioned sort
+    * consumed once via `zipWithIndex` (the [[graft.gold.Marts.assignSurrogates]]
+    * pattern) — a distributed rank, never a single-partition window, so
+    * the audit runs at any sample size. Against a real WRITTEN table the
+    * same readout comes from the files themselves
+    * ([[graft.gold.Optimize.fileZoneStats]] reads per-file min/max with
+    * one metadata-sized aggregation).
     */
   def pruningStats(df: DataFrame, layoutLabel: String, orderCols: Seq[Column],
                    valueCol: Column, rowsPerFile: Int,
                    lo: Column, hi: Column): DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
-    val files = df
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__file", expr(s"(__rn - 1) div ${rowsPerFile}L"))
+    require(orderCols.nonEmpty, "need at least one layout order column")
+    val spark = df.sparkSession
+    val withV = df.withColumn("__v", valueCol)
+    val sorted = withV
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val vField = sorted.schema(vIdx)
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(vIdx), i)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(vField,
+      org.apache.spark.sql.types.StructField("__rn",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val files = spark.createDataFrame(indexed, schema)
+      .withColumn("__file", expr(s"__rn div ${rowsPerFile}L"))
       .groupBy(col("__file"))
-      .agg(min(valueCol).as("zmin"), max(valueCol).as("zmax"),
+      .agg(min(col("__v")).as("zmin"), max(col("__v")).as("zmax"),
         count(lit(1)).cast("long").as("n_rows"),
-        sum(when(valueCol.between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+        sum(when(col("__v").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
     files.agg(
         count(lit(1)).cast("long").as("n_files"),
         sum(when(col("zmax") >= lo && col("zmin") <= hi, 1L).otherwise(0L))
