@@ -684,6 +684,59 @@ object Perf {
         operators.TextAnalysis.ngramNovelty(docs2, "id", "text", col("ref"), k = 3)
           .agg(sum(col("n_novel"))).head().getLong(0))
     }
+    if (what == "marts-r7") {
+      // incremental marts + streaming PSI at synthetic 10M-event scale:
+      // the claim under test is that FOLD cost tracks the batch (and the
+      // key-sized state), not accumulated history — fold times should
+      // stay flat across batches while the full-recompute baseline pays
+      // the whole corpus every time.
+      val n = 10_000_000L
+      val users = 200_000L
+      def batchDf(b: Int) = spark.range(b * n / 4, (b + 1) * n / 4)
+        .select(col("id").as("event_id"),
+          pmod(hash(col("id")), lit(users)).cast("long").as("user_id"),
+          concat(lit("t"), pmod(col("id"), lit(5)).cast("string"))
+            .as("event_type"),
+          to_timestamp(lit("2024-01-01 00:00:00"))
+            .plus(expr(s"make_interval(0,0,0,0,0,0, pmod(hash(id * 7), ${86400L * 56}))"))
+            .as("ts"),
+          (pmod(hash(col("id") * 13), lit(10000)) / lit(100.0)).as("value"))
+      val root = java.nio.file.Files.createTempDirectory("perf-marts")
+        .toString
+      val mart = gold.AnalystMarts.Mart(s"$root/m")
+      for (b <- 0 until 4)
+        time(s"mart-fold-b$b-${n / 4 / 1000000}M")(
+          { gold.AnalystMarts.foldBatch(spark, batchDf(b), mart, b.toLong); n / 4 })
+      time("mart-readout-retention")(
+        gold.AnalystMarts.retentionCohorts(spark, mart).count())
+      time("mart-readout-wau")(
+        gold.AnalystMarts.rollingWau(spark, mart).count())
+      time("mart-readout-daily")(
+        gold.AnalystMarts.dailyValueMart(spark, mart).count())
+      val all = (0 until 4).map(batchDf).reduce(_.unionByName(_))
+      time("full-recompute-retention-baseline") {
+        val cohort = all.groupBy(col("user_id"))
+          .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+        all.select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+          .join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+          .agg(countDistinct(col("user_id"))).count()
+      }
+      // streaming PSI: reference histogram from batch 0, fold 1..3
+      val (refP, stateP) = (s"$root/ref", s"$root/state")
+      time("psi-publish-reference-2.5M")(
+        { streaming.DriftStream.publishReference(batchDf(0), refP,
+            "value", "event_type"); n / 4 })
+      for (b <- 1 until 4)
+        time(s"psi-fold-b$b-2.5M")(
+          { streaming.DriftStream.foldBatch(spark, batchDf(b), refP, stateP,
+              "value", "event_type", batchId = (b - 1).toLong); n / 4 })
+      time("psi-readout")(
+        streaming.DriftStream.readout(spark, refP, stateP, "event_type")
+          .count())
+    }
     if (what == "optimize-r7") {
       // executing OPTIMIZE against the reference's own pathology: a CDC
       // sink that writes ~50-record files (kafka_to_minio.py:54). Build

@@ -4686,6 +4686,94 @@ object Queries {
           CAST(SUM(trm) AS DOUBLE) AS psi
         FROM terms GROUP BY 1""")),
 
+    // ── binned two-sample KS from the SAME frozen-edge histograms the
+    //    PSI monitor persists (DriftStream.ksReadout's batch form): max
+    //    binned-ECDF gap, round6 before the max (q159 discipline) ──
+    Q("q180_ks_reference",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val isCur = col("ts") >= lit(Split).cast("timestamp")
+        Quality.ksAgainstReference(ev.filter(!isCur), ev.filter(isCur),
+          "value", "event_type", bins = 10)
+      },
+      Some(s"""
+        WITH t AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+            CASE WHEN ts >= TIMESTAMP '$Split' THEN 1 ELSE 0 END AS r
+          FROM events WHERE value IS NOT NULL),
+        ext AS (SELECT event_type,
+            MIN(CASE WHEN r = 0 THEN v END) AS mn,
+            MAX(CASE WHEN r = 0 THEN v END) AS mx,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM t GROUP BY 1
+          HAVING SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) > 0),
+        b AS (SELECT t.event_type, r,
+            CASE WHEN mx > mn
+                 THEN GREATEST(0, LEAST(9,
+                      CAST(FLOOR((v - mn) * 10 / (mx - mn)) AS INTEGER)))
+                 ELSE 0 END AS bin
+          FROM t JOIN ext ON t.event_type = ext.event_type),
+        c AS (SELECT event_type, bin,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM b GROUP BY 1, 2),
+        s AS (SELECT event_type, n_a, n_b, unnest(range(0, 10)) AS bin
+          FROM ext),
+        f AS (SELECT s.event_type, s.n_a, s.n_b, s.bin,
+            COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.bin = c.bin),
+        cum AS (SELECT event_type, n_a, n_b,
+            SUM(ca) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cra,
+            SUM(cb) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crb
+          FROM f),
+        gaps AS (SELECT event_type, n_a, n_b,
+            FLOOR(ABS(CAST(cra AS DOUBLE) / n_a
+              - CAST(crb AS DOUBLE) / n_b) * 1000000 + 0.5) / 1000000 AS gap
+          FROM cum)
+        SELECT event_type, MAX(n_a) AS n_ref, MAX(n_b) AS n_cur,
+          CASE WHEN MAX(n_b) > 0 THEN CAST(MAX(gap) AS DOUBLE)
+               ELSE NULL END AS ks
+        FROM gaps GROUP BY 1""")),
+
+    // ── categorical mix drift (DriftStream.tvdReadout's batch form):
+    //    total-variation distance of the order-status mix per priority
+    //    class, recent orders vs the pre-1998 reference — categories are
+    //    their own bins, a never-seen category carries its whole current
+    //    share ──
+    Q("q181_tvd_reference",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+        val isCur = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+        Quality.tvdAgainstReference(o.filter(!isCur), o.filter(isCur),
+          "o_orderstatus", "o_orderpriority")
+      },
+      Some("""
+        WITH t AS (SELECT o_orderpriority AS g, o_orderstatus AS c,
+            CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS r
+          FROM orders WHERE o_orderstatus IS NOT NULL),
+        ext AS (SELECT g,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM t GROUP BY 1
+          HAVING SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) > 0),
+        cc AS (SELECT g, c,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM t GROUP BY 1, 2),
+        terms AS (SELECT cc.g, n_a, n_b,
+            CASE WHEN n_b > 0 THEN
+              CAST(FLOOR(ABS(CAST(ca AS DOUBLE) / n_a
+                - CAST(cb AS DOUBLE) / n_b) * 1000000 + 0.5) / 1000000
+                AS DECIMAL(18,6))
+            END AS trm
+          FROM cc JOIN ext ON cc.g = ext.g)
+        SELECT g AS o_orderpriority, MAX(n_a) AS n_ref, MAX(n_b) AS n_cur,
+          CASE WHEN MAX(n_b) > 0 THEN CAST(SUM(trm) AS DOUBLE) / 2
+               ELSE NULL END AS tvd
+        FROM terms GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

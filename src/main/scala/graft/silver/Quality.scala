@@ -730,6 +730,108 @@ object Quality {
       groupCol, bins)
   }
 
+  /** Binned two-sample KS from the same persisted histograms: max gap
+    * between the binned ECDFs — [[ksDrift]]'s alarm served by the
+    * streaming monitor's state (exact KS needs the full value-level
+    * ECDF, which a fold cannot keep bounded; the binned form
+    * under-estimates the true statistic by at most the in-bin mass, the
+    * standard monitoring trade). Gaps round to 6 dp BEFORE the max (the
+    * q159 discipline) so both engines elect the same supremum; an empty
+    * current window reads NULL, not a division error. O(groups × bins).
+    */
+  def ksFromHists(refHist: DataFrame, curHist: DataFrame,
+                  groupCol: String): DataFrame = {
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nCur = curHist.groupBy(col(groupCol))
+      .agg(sum(col("cur_n")).as("n_cur"))
+    refHist.join(curHist, Seq(groupCol, "__bin"), "left")
+      .na.fill(0L, Seq("cur_n"))
+      .join(broadcast(nCur), Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_cur"))
+      .withColumn("__cra", sum(col("ref_n")).over(w))
+      .withColumn("__crb", sum(col("cur_n")).over(w))
+      .withColumn("__gap",
+        round6(abs(col("__cra").cast("double") / col("n_ref")
+          - col("__crb").cast("double") / col("n_cur"))))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        when(max(col("n_cur")) > 0, max(col("__gap"))).otherwise(lit(null))
+          .cast("double").as("ks"))
+  }
+
+  /** Batch form of the binned-KS readout (the DriftStreamSpec
+    * equivalence target).
+    */
+  def ksAgainstReference(ref: DataFrame, cur: DataFrame, valueCol: String,
+                         groupCol: String, bins: Int = 10): DataFrame = {
+    val rh = psiReferenceHist(ref, valueCol, groupCol, bins)
+    ksFromHists(rh, psiCurrentHist(cur, rh, valueCol, groupCol, bins),
+      groupCol)
+  }
+
+  /** Reference category counts for CATEGORICAL drift — the discrete
+    * sibling of [[psiReferenceHist]]: per (group, category) reference
+    * counts plus the group total. No edges to freeze (categories are
+    * their own bins), so the current-window counts are additive as-is.
+    * Output: (group, cat, ref_n, n_ref).
+    */
+  def catReferenceHist(ref: DataFrame, catCol: String,
+                       groupCol: String): DataFrame = {
+    val counts = ref.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("ref_n"))
+    val tot = counts.groupBy(col(groupCol)).agg(sum(col("ref_n")).as("n_ref"))
+    counts.join(broadcast(tot), Seq(groupCol))
+  }
+
+  /** Current-window category counts: (group, cat, cur_n). */
+  def catCurrentHist(cur: DataFrame, catCol: String,
+                     groupCol: String): DataFrame =
+    cur.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("cur_n"))
+
+  /** Total-variation distance between reference and current category
+    * mixes, per group: TVD = ½ Σ|p_ref − p_cur| over the UNION of
+    * categories (a category the reference never saw carries its whole
+    * current share — exactly the "new enum value shipped" alarm) — the
+    * L1 drift readout for columns where equal-width bins make no sense.
+    * Terms round6→DECIMAL before the sum (order-independent,
+    * engine-exact); groups absent from the reference are dropped; an
+    * empty current window reads NULL. O(groups × categories).
+    */
+  def tvdFromHists(refHist: DataFrame, curHist: DataFrame, catCol: String,
+                   groupCol: String): DataFrame = {
+    def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val nCur = curHist.groupBy(col(groupCol))
+      .agg(sum(col("cur_n")).as("n_cur"))
+    val nRef = refHist.select(col(groupCol), col("n_ref")).distinct()
+    refHist.drop("n_ref")
+      .join(curHist, Seq(groupCol, catCol), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .join(broadcast(nRef), Seq(groupCol))
+      .join(broadcast(nCur), Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_cur"))
+      .withColumn("__t",
+        round6(abs(col("ref_n").cast("double") / col("n_ref")
+          - col("cur_n").cast("double") / col("n_cur")))
+          .cast("decimal(18,6)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        when(max(col("n_cur")) > 0,
+          sum(col("__t")).cast("double") / lit(2))
+          .otherwise(lit(null)).cast("double").as("tvd"))
+  }
+
+  /** Batch form of the categorical-drift readout. */
+  def tvdAgainstReference(ref: DataFrame, cur: DataFrame, catCol: String,
+                          groupCol: String): DataFrame =
+    tvdFromHists(catReferenceHist(ref, catCol, groupCol),
+      catCurrentHist(cur, catCol, groupCol), catCol, groupCol)
+
   /** Median-absolute-deviation anomaly screen: rows whose deviation from
     * their group's median exceeds `k`× the group's MAD — the heavy-tail-
     * robust complement of [[zscoreAnomalies]] (one fat outlier inflates a

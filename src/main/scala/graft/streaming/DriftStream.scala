@@ -30,33 +30,41 @@ object DriftStream {
     SnapshotStore.publish(
       Quality.psiReferenceHist(ref, valueCol, groupCol, bins), refHistPath)
 
+  /** Fold an additive count delta into the persisted state table: union
+    * + re-sum on the key, committed as generation `batchId + 1` — the
+    * shared exactly-once ledger for every monitor here.
+    */
+  private def foldState(spark: SparkSession, delta: DataFrame,
+                        statePath: String, keyCols: Seq[String],
+                        cntCol: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val want = batchId + 1
+    if (SnapshotStore.currentGen(spark, statePath).forall(_ < want)) {
+      val merged =
+        if (SnapshotStore.exists(spark, statePath))
+          SnapshotStore.read(spark, statePath)
+            .unionByName(delta)
+            .groupBy(keyCols.map(col): _*)
+            .agg(sum(col(cntCol)).as(cntCol))
+        else delta
+      val gen = SnapshotStore.publish(merged, statePath)
+      require(gen == want,
+        s"DriftStream: generation $gen after folding batch $batchId " +
+          s"(expected $want) — single-writer contract violated")
+    }
+  }
+
   /** Fold one micro-batch's histogram delta into the persisted
     * current-window histogram. O(batch) + O(groups × bins); idempotent
     * under replay of the same `batchId`.
     */
   def foldBatch(spark: SparkSession, batch: DataFrame, refHistPath: String,
                 statePath: String, valueCol: String, groupCol: String,
-                bins: Int = 10, batchId: Long = 0L): Unit = {
-    val want = batchId + 1
-    if (SnapshotStore.currentGen(spark, statePath).forall(_ < want)) {
-      val refHist = SnapshotStore.read(spark, refHistPath)
-      val delta = Quality.psiCurrentHist(batch, refHist, valueCol, groupCol,
-        bins)
-      val merged =
-        if (SnapshotStore.exists(spark, statePath))
-          SnapshotStore.read(spark, statePath)
-            .unionByName(delta)
-            .groupBy(org.apache.spark.sql.functions.col(groupCol),
-              org.apache.spark.sql.functions.col("__bin"))
-            .agg(org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.col("cur_n")).as("cur_n"))
-        else delta
-      val gen = SnapshotStore.publish(merged, statePath)
-      require(gen == want,
-        s"DriftStream.foldBatch: generation $gen after folding batch " +
-          s"$batchId (expected $want) — single-writer contract violated")
-    }
-  }
+                bins: Int = 10, batchId: Long = 0L): Unit =
+    foldState(spark,
+      Quality.psiCurrentHist(batch, SnapshotStore.read(spark, refHistPath),
+        valueCol, groupCol, bins),
+      statePath, Seq(groupCol, "__bin"), "cur_n", batchId)
 
   /** The drift monitor as a `foreachBatch` stream. */
   def psiStream(events: DataFrame, refHistPath: String, statePath: String,
@@ -80,4 +88,52 @@ object DriftStream {
     Quality.psiFromHists(
       SnapshotStore.read(spark, refHistPath),
       SnapshotStore.read(spark, statePath), groupCol, bins)
+
+  /** Binned two-sample KS per group from the SAME persisted state — a
+    * second alarm for free: one monitor's histograms serve both the
+    * mass-location readout (PSI) and the ECDF-gap readout (KS).
+    */
+  def ksReadout(spark: SparkSession, refHistPath: String, statePath: String,
+                groupCol: String): DataFrame =
+    Quality.ksFromHists(
+      SnapshotStore.read(spark, refHistPath),
+      SnapshotStore.read(spark, statePath), groupCol)
+
+  /** Publish reference CATEGORY counts ([[Quality.catReferenceHist]]) —
+    * the discrete monitor's reference (categories are their own bins, so
+    * there are no edges to freeze).
+    */
+  def publishCatReference(ref: DataFrame, refHistPath: String,
+                          catCol: String, groupCol: String): Long =
+    SnapshotStore.publish(
+      Quality.catReferenceHist(ref, catCol, groupCol), refHistPath)
+
+  /** Fold one micro-batch's category counts — same ledger, additive
+    * as-is.
+    */
+  def foldCatBatch(spark: SparkSession, batch: DataFrame, statePath: String,
+                   catCol: String, groupCol: String,
+                   batchId: Long = 0L): Unit =
+    foldState(spark, Quality.catCurrentHist(batch, catCol, groupCol),
+      statePath, Seq(groupCol, catCol), "cur_n", batchId)
+
+  /** The categorical monitor as a `foreachBatch` stream. */
+  def tvdStream(events: DataFrame, statePath: String, checkpoint: String,
+                catCol: String, groupCol: String,
+                trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldCatBatch(batch.sparkSession, batch.toDF(), statePath, catCol,
+          groupCol, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Total-variation distance per group vs the published reference mix. */
+  def tvdReadout(spark: SparkSession, refHistPath: String, statePath: String,
+                 catCol: String, groupCol: String): DataFrame =
+    Quality.tvdFromHists(
+      SnapshotStore.read(spark, refHistPath),
+      SnapshotStore.read(spark, statePath), catCol, groupCol)
 }

@@ -44,6 +44,11 @@ class DriftStreamSpec extends SparkSpec {
     val batch = Quality.psiAgainstReference(refDf(),
       batches.reduce(_.unionByName(_)), "value", "g")
     assertSame(inc, batch, "psi readout")
+    // the SAME persisted state serves the binned-KS alarm
+    assertSame(DriftStream.ksReadout(spark, refPath, statePath, "g"),
+      Quality.ksAgainstReference(refDf(), batches.reduce(_.unionByName(_)),
+        "value", "g"),
+      "ks readout")
     // group with no reference is absent; drifted group carries the mass
     val byG = inc.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(!byG.contains("c"), "no-reference group must be dropped")
@@ -54,6 +59,35 @@ class DriftStreamSpec extends SparkSpec {
       batchId = 1L)
     assertSame(DriftStream.readout(spark, refPath, statePath, "g"), batch,
       "psi readout after replay")
+  }
+
+  test("categorical TVD: folded batches equal the batch recompute, new category carries its share") {
+    val root = tmpDir("drift-cat")
+    val (refPath, statePath) = (s"$root/ref", s"$root/state")
+    // reference mix: g1 = {x: 60, y: 40}; g2 = {x: 50, y: 50}
+    val ref = ((1 to 60).map(_ => ("g1", "x")) ++ (1 to 40).map(_ => ("g1", "y")) ++
+      (1 to 50).map(_ => ("g2", "x")) ++ (1 to 50).map(_ => ("g2", "y")))
+      .toDF("g", "c")
+    DriftStream.publishCatReference(ref, refPath, "c", "g")
+    // current: g1 ships a NEW category z; g2 keeps its mix exactly
+    val batches = Seq(
+      ((1 to 30).map(_ => ("g1", "x")) ++ (1 to 10).map(_ => ("g2", "x"))).toDF("g", "c"),
+      ((1 to 20).map(_ => ("g1", "z")) ++ (1 to 10).map(_ => ("g2", "y"))).toDF("g", "c"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DriftStream.foldCatBatch(spark, b, statePath, "c", "g", i.toLong)
+    }
+    val inc = DriftStream.tvdReadout(spark, refPath, statePath, "c", "g")
+    assertSame(inc,
+      Quality.tvdAgainstReference(ref, batches.reduce(_.unionByName(_)), "c", "g"),
+      "tvd readout")
+    val byG = inc.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // g1: ref (.6,.4,0) vs cur (.6,0,.4) -> TVD = .4; g2: identical mix -> 0
+    assert(math.abs(byG("g1") - 0.4) < 1e-9, s"g1 tvd: ${byG("g1")}")
+    assert(byG("g2") == 0.0, s"g2 tvd: ${byG("g2")}")
+    // replay is a no-op
+    DriftStream.foldCatBatch(spark, batches(1), statePath, "c", "g", 1L)
+    assertSame(DriftStream.tvdReadout(spark, refPath, statePath, "c", "g"),
+      inc, "tvd after replay")
   }
 
   test("foreachBatch stream lands the same PSI as direct folds") {

@@ -89,4 +89,48 @@ class OptimizeSpec extends SparkSpec {
       .agg(avg(col("zmax") - col("zmin"))).head().getDouble(0)
     assert(avgSpan < 200.0, s"avg zone span $avgSpan not tightened")
   }
+
+  test("OPTIMIZE ZORDER: two-dimensional pruning where a single-dim sort fails") {
+    val path = tmpDir("opt-zorder") + "/t"
+    // two INDEPENDENT uniform dims in 0..999 — the layout dilemma a
+    // single sort cannot solve
+    val n = 40000L
+    val src = spark.range(n)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("a"),
+        pmod(xxhash64(col("id") + 1000000L), lit(1000L)).as("b"))
+    def genDir = SnapshotStore.genPath(path,
+      SnapshotStore.currentGen(spark, path).get)
+    def scanned(c: String) = Optimize.scannedRows(spark, genDir, col(c),
+      lit(100L), lit(199L)) // 10% of either domain
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def accreteBytes(): Long = {
+      SnapshotStore.publish(src.repartition(40), path)
+      f.getContentSummary(new org.apache.hadoop.fs.Path(genDir)).getLength
+    }
+    // single-dim sort: a prunes, b scans EVERYTHING
+    val bytes1 = accreteBytes()
+    Optimize.compactSnapshot(spark, path, bytes1 / 16 + 1,
+      sortCols = Seq(col("a")))
+    val (sa1, sb1) = (scanned("a"), scanned("b"))
+    assert(sa1 < n / 4, s"sorted dim must prune: $sa1")
+    assert(sb1 == n, s"off dim of a single sort must scan all: $sb1")
+    // OPTIMIZE ZORDER on (a, b): BOTH dims prune
+    val bytes2 = accreteBytes()
+    val z = graft.sources.ZOrder.zValue(
+      col("a"), lit(0L), lit(999L), col("b"), lit(0L), lit(999L))
+    val stats = Optimize.compactSnapshot(spark, path, bytes2 / 16 + 1,
+      sortCols = Seq(z))
+    assert(stats.filesAfter >= 8, s"want a multi-file z layout: $stats")
+    val (sa2, sb2) = (scanned("a"), scanned("b"))
+    assert(sa2 < (n * 7) / 10 && sb2 < (n * 7) / 10,
+      s"z-order must prune BOTH dims: a=$sa2 b=$sb2 of $n")
+    assert(sb2 < sb1, "z-order must beat the single sort's off dimension")
+    // and contents still identical to the source
+    val out = SnapshotStore.read(spark, path)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(out == src.as[(Long, Long, Long)].collect().sorted.toSeq,
+      "ZORDER rewrite must not change contents")
+  }
 }
