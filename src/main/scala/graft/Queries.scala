@@ -4774,6 +4774,25 @@ object Queries {
                ELSE NULL END AS tvd
         FROM terms GROUP BY 1""")),
 
+    // ── partitioned OPTIMIZE round trip: a Hive-partitioned snapshot
+    //    (the reference's date-partitioned bronze shape, §2 row 5)
+    //    accretes small files per partition, compacts with bins that
+    //    never span a partition dir, and reads back bit-identical ──
+    Q("q182_optimize_partitioned",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q182-opt")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "value", "event_type")
+        graft.gold.SnapshotStore.publish(ev.repartition(40), root,
+          partitionCols = Seq("event_type"))
+        graft.gold.Optimize.compactSnapshot(s, root, targetBytes = 64L << 20,
+          partitionCols = Seq("event_type"))
+        graft.gold.SnapshotStore.read(s, root)
+          .select("event_id", "user_id", "ts", "value", "event_type")
+      },
+      Some("SELECT event_id, user_id, ts, value, event_type FROM events")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -53,15 +53,22 @@ object Optimize {
                            filesBefore: Long, filesAfter: Long,
                            bytesBefore: Long, bytesAfter: Long, bins: Long)
 
-  /** Data files under `dir` (recursive), driver-side metadata. */
-  private def dataFiles(f: FileSystem, dir: Path): Seq[(String, Long)] = {
+  /** Data files under `dir` (recursive), driver-side metadata:
+    * (file name, dir relative to `dir` — the Hive partition identity,
+    * "" for flat tables, bytes).
+    */
+  private def dataFiles(f: FileSystem, dir: Path): Seq[(String, String, Long)] = {
+    val root = f.makeQualified(dir).toString
     val it = f.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        buf += ((n, st.getLen))
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        val parent = f.makeQualified(st.getPath.getParent).toString
+        val rel = parent.stripPrefix(root).stripPrefix("/")
+        buf += ((n, rel, st.getLen))
+      }
     }
     buf.toSeq
   }
@@ -70,48 +77,65 @@ object Optimize {
     * `path` into ~`targetBytes` files and publish the result as the next
     * generation. Returns the before/after readout. `sortCols` optionally
     * re-clusters rows within each rewritten bin (zone-map tightening —
-    * measure with [[fileZoneStats]]).
+    * measure with [[fileZoneStats]]). `partitionCols` names the table's
+    * Hive partition columns (the reference's bronze is date-partitioned,
+    * §2 row 5): bins then never span a partition directory — the planner
+    * groups by the file's relative dir — and the rewrite preserves the
+    * partitioned layout, so partition pruning survives compaction.
     */
   def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long,
-                      sortCols: Seq[Column] = Nil): OptimizeStats = {
+                      sortCols: Seq[Column] = Nil,
+                      partitionCols: Seq[String] = Nil): OptimizeStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val gen = SnapshotStore.currentGen(spark, path).getOrElse(
       sys.error(s"Optimize.compactSnapshot: nothing published at $path"))
     val genDir = new Path(SnapshotStore.genPath(path, gen))
     val f = SnapshotStore.fs(spark, path)
     val files = dataFiles(f, genDir)
-    val bytesBefore = files.map(_._2).sum
-    // PLAN: ordered first-fit bins over the file listing (parquet part-
-    // file names carry a task UUID, so the name alone is a unique id)
+    val bytesBefore = files.map(_._3).sum
+    // PLAN: ordered first-fit bins per partition dir over the file
+    // listing; the file id is the generation-RELATIVE path — a
+    // partitioned write reuses one task's part-file NAME across its
+    // partition dirs, so the name alone is not unique — and
+    // (part_dir, bin) pairs densify to one gid per output file
     import spark.implicits._
-    val filesDf = files.toDF("file", "size")
+    val filesDf = files
+      .map { case (n, rel, sz) => (if (rel.isEmpty) n else s"$rel/$n", rel, sz) }
+      .toDF("file", "part_dir", "size")
     val assign = graft.bronze.Layout
-      .compactionPlan(filesDf, Seq.empty, "file", "size", targetBytes)
-      .select("file", "bin").as[(String, Long)].collect()
-    val nBins = assign.map(_._2).distinct.length
+      .compactionPlan(filesDf, Seq("part_dir"), "file", "size", targetBytes)
+      .select("file", "part_dir", "bin").as[(String, String, Long)].collect()
+    val gid = assign.map(r => (r._2, r._3)).distinct.sorted.zipWithIndex.toMap
+    val nBins = gid.size
+    val fileGid = assign.map(r => (r._1, gid((r._2, r._3))))
     val data = spark.read.parquet(genDir.toString)
     val keep = data.columns.toSeq
     val compacted =
       if (sortCols.nonEmpty)
         // zone-tightening rewrite: range-cluster across the planned file
-        // count (input bins carry no locality worth preserving)
-        data.repartitionByRange(math.max(nBins, 1), sortCols: _*)
-          .sortWithinPartitions(sortCols: _*)
+        // count (input bins carry no locality worth preserving); with
+        // partition columns leading, each range run stays inside one
+        // partition value
+        data.repartitionByRange(math.max(nBins, 1),
+            (partitionCols.map(col) ++ sortCols): _*)
+          .sortWithinPartitions((partitionCols.map(col) ++ sortCols): _*)
       else {
         // locality-preserving rewrite: tag rows with their file's bin at
         // scan time, one shuffle on the bin id, one task/file per bin
         val tagged = data
-          .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
-          .join(broadcast(assign.toSeq.toDF("__fname", "__bin")), Seq("__fname"))
+          .withColumn("__relfile",
+            regexp_replace(input_file_name(), "^.*?/gen=\\d+/", ""))
+          .join(broadcast(fileGid.toSeq.toDF("__relfile", "__bin")),
+            Seq("__relfile"))
         tagged.repartition(math.max(nBins, 1), col("__bin"))
           .select(keep.map(col): _*)
       }
     // PUBLISH: stage N+1 (readers still serve N), then pointer-swap
-    val newGen = SnapshotStore.stage(compacted, path)
+    val newGen = SnapshotStore.stage(compacted, path, partitionCols)
     SnapshotStore.commit(spark, path, newGen)
     val after = dataFiles(f, new Path(SnapshotStore.genPath(path, newGen)))
     OptimizeStats(gen, newGen, files.length, after.length,
-      bytesBefore, after.map(_._2).sum, nBins)
+      bytesBefore, after.map(_._3).sum, nBins)
   }
 
   /** Per-file zone maps of a WRITTEN table, from the files themselves —

@@ -81,10 +81,13 @@ object SnapshotStore {
     * tests can stop between the two steps — the window the rename swap
     * could not make safe on object stores.
     */
-  def stage(df: DataFrame, path: String): Long = {
+  def stage(df: DataFrame, path: String,
+            partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val next = currentGen(spark, path).getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(genPath(path, next))
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(genPath(path, next))
     next
   }
 
@@ -132,8 +135,9 @@ object SnapshotStore {
   }
 
   /** Atomic publish: stage + commit. Returns the committed generation. */
-  def publish(df: DataFrame, path: String): Long = {
-    val gen = stage(df, path)
+  def publish(df: DataFrame, path: String,
+              partitionCols: Seq[String] = Nil): Long = {
+    val gen = stage(df, path, partitionCols)
     commit(df.sparkSession, path, gen)
     gen
   }

@@ -90,6 +90,40 @@ class OptimizeSpec extends SparkSpec {
     assert(avgSpan < 200.0, s"avg zone span $avgSpan not tightened")
   }
 
+  test("partitioned compaction: bins stay inside partition dirs, layout preserved") {
+    val path = tmpDir("opt-part") + "/t"
+    val src = spark.range(30000L)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("v"),
+        concat(lit("d"), pmod(col("id"), lit(3)).cast("string")).as("p"))
+    SnapshotStore.publish(src.repartition(60), path, Seq("p"))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = SnapshotStore.read(spark, path)
+      .select("id", "v", "p").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val totalBytes = f.getContentSummary(
+      new org.apache.hadoop.fs.Path(SnapshotStore.genPath(path, 1L)))
+      .getLength
+    val stats = Optimize.compactSnapshot(spark, path, totalBytes / 6 + 1,
+      partitionCols = Seq("p"))
+    assert(stats.filesBefore > 100,
+      s"fixture should accrete >100 files, got ${stats.filesBefore}")
+    assert(stats.bins >= 3, s"at least one bin per partition: ${stats.bins}")
+    assert(stats.filesAfter <= stats.bins && stats.filesAfter < 20,
+      s"files after: ${stats.filesAfter} for ${stats.bins} bins")
+    // the Hive layout survives: one dir per partition value, and reads
+    // through the pointer see identical contents
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(
+        SnapshotStore.genPath(path, 2L)))
+      .map(_.getPath.getName).filter(_.startsWith("p=")).sorted.toSeq
+    assert(dirs == Seq("p=d0", "p=d1", "p=d2"), dirs.toString)
+    val after = SnapshotStore.read(spark, path)
+      .select("id", "v", "p").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(after == before, "partitioned OPTIMIZE must not change contents")
+  }
+
   test("OPTIMIZE ZORDER: two-dimensional pruning where a single-dim sort fails") {
     val path = tmpDir("opt-zorder") + "/t"
     // two INDEPENDENT uniform dims in 0..999 — the layout dilemma a
