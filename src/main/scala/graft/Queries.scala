@@ -4793,6 +4793,116 @@ object Queries {
       },
       Some("SELECT event_id, user_id, ts, value, event_type FROM events")),
 
+    // ── exact-changelog SCD2 fold (Scd2Merge.applyLog): three ts-split
+    //    micro-batches folded one at a time — per-ROW effective
+    //    timestamps, several versions of a key per batch, dbt `check`
+    //    change-dedup — against a full-log rebuild in the oracle. A fold
+    //    that loses a version, mis-orders a tie, double-applies a row, or
+    //    dedups against the wrong predecessor hash-mismatches ──
+    Q("q183_scd2_changelog_fold",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("user_id", "event_id", "event_type", "ts")
+        val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+        val batches = Seq(
+          ev.filter(col("ts") < cut1),
+          ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+          ev.filter(col("ts") >= cut2))
+        batches.foldLeft(gold.Scd2Merge.emptyLogSnapshot(ev, "ts")) {
+          (snap, b) =>
+            gold.Scd2Merge.applyLog(snap, b, Seq("user_id"),
+              Seq("event_type"), "ts", tieBreak = Seq("event_id"))
+        }
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS rn,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS pv
+          FROM events),
+        k AS (SELECT user_id, event_id, event_type, ts FROM o
+              WHERE rn = 1 OR pv IS DISTINCT FROM event_type)
+        SELECT user_id, event_id, event_type, ts AS effective_from,
+               lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS effective_to
+        FROM k""")),
+
+    // ── GDPR right-to-erasure on a date-partitioned table (Erasure):
+    //    subjects' rows physically removed by rewriting ONLY the
+    //    partitions that held them; the oracle is the source table minus
+    //    the subjects — a rewrite that drops a bystander row, misses a
+    //    partition, or leaves a subject row behind hash-mismatches ──
+    Q("q184_erase_partitioned",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q184-era")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+          .withColumn("day", to_date(col("ts")))
+        ev.write.partitionBy("day").parquet(root)
+        val subjects = ev.select(col("user_id"))
+          .where(pmod(col("user_id"), lit(7)) === 3).distinct()
+        gold.Erasure.erasePartitioned(s, root, "day", "user_id", subjects)
+        s.read.parquet(root)
+          .select("event_id", "user_id", "event_type", "ts", "value", "day")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, ts, value,
+               CAST(ts AS DATE) AS day
+        FROM events WHERE user_id % 7 <> 3""")),
+
+    // ── the erasure receipt: per-subject erased-row counts, including a
+    //    zero row for a subject with no data (the request was evaluated,
+    //    not skipped) ──
+    Q("q185_erase_receipt",
+      (s, d) => {
+        import s.implicits._
+        val root = java.nio.file.Files.createTempDirectory("q185-era")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts")
+          .withColumn("day", to_date(col("ts")))
+        ev.write.partitionBy("day").parquet(root)
+        val subjects = ev.select(col("user_id"))
+          .where(pmod(col("user_id"), lit(7)) === 3).distinct()
+          // a subject the table has never seen → receipt row with 0
+          .unionByName(Seq(-12345L).toDF("user_id"))
+        gold.Erasure.erasePartitioned(s, root, "day", "user_id", subjects)
+      },
+      Some("""
+        WITH subj AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 3
+          UNION ALL SELECT CAST(-12345 AS BIGINT)),
+        hits AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+          WHERE user_id % 7 = 3 GROUP BY 1)
+        SELECT s.user_id, COALESCE(n, 0) AS n_rows_erased
+        FROM subj s LEFT JOIN hits USING (user_id)""")),
+
+    // ── erasure on the pointer-published snapshot layout: filtered
+    //    generation committed atomically, retired generations vacuumed so
+    //    the subject rows' bytes are gone (spec checks the files; the
+    //    oracle checks the surviving table) ──
+    Q("q186_erase_snapshot",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q186-era")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        graft.gold.SnapshotStore.publish(ev, root)
+        val subjects = ev.select(col("user_id"))
+          .where(pmod(col("user_id"), lit(7)) === 3).distinct()
+        gold.Erasure.eraseSnapshot(s, root, "user_id", subjects)
+        graft.gold.SnapshotStore.read(s, root)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, ts, value
+        FROM events WHERE user_id % 7 <> 3""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

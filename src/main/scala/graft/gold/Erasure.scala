@@ -1,0 +1,140 @@
+package graft.gold
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Right-to-erasure (GDPR Art. 17 / CCPA deletion) over the engine's
+  * storage layouts — the operation a banking CDC pipeline (the
+  * reference's domain: customers/accounts/transactions,
+  * readme.md:33-41) is legally required to run, and the one a plain
+  * append-only lake cannot express: physically remove every row of a
+  * set of data subjects, touching as little of the table as possible,
+  * and leave no generation/partition behind from which the rows could
+  * be re-read.
+  *
+  * Two layouts, two cost shapes:
+  *
+  *  - [[erasePartitioned]] — Hive-partitioned tables: one pruned
+  *    semi-join pass finds the partitions that actually hold subject
+  *    rows (a bounded driver-side value list, the same contract as
+  *    `PartitionedUpsert.touched`), only those partitions are rewritten
+  *    via dynamic partition overwrite, and a partition whose every row
+  *    belonged to subjects is deleted outright (dynamic overwrite only
+  *    replaces partitions PRESENT in the output, so an all-erased
+  *    partition would otherwise silently survive). I/O is O(touched
+  *    partitions), not O(table) — on a date-partitioned 100 TB fact
+  *    table an erasure request touches the handful of dates the subject
+  *    was active.
+  *  - [[eraseSnapshot]] — [[SnapshotStore]] pointer-published tables:
+  *    publish a filtered generation (one pointer PUT — readers flip
+  *    atomically, never seeing a half-erased table), then vacuum so the
+  *    PREVIOUS generation's files — which still contain the subject
+  *    rows — are physically gone, not merely unreferenced. Without the
+  *    vacuum step the erasure is cosmetic: any reader of the old
+  *    generation path could still produce the data.
+  *
+  * Both return a per-subject receipt (`n_rows_erased`) — the audit
+  * artifact a deletion request requires; subjects with zero rows appear
+  * with 0, proving the request was evaluated, not skipped. The receipt
+  * aggregation rides the same scan as the rewrite's semi-join, so the
+  * audit costs no extra pass over untouched data.
+  *
+  * The subject frame joins by equality on `keyCol` — a null subject key
+  * never matches (SQL equality), and null-keyed table rows are always
+  * retained; erasure of "unknown subject" is not a meaningful request.
+  */
+object Erasure {
+
+  /** Erase `subjects` (one column, subject keys) from the
+    * Hive-partitioned table at `path`. Rewrites only partitions holding
+    * subject rows; deletes partitions left empty. Returns the receipt:
+    * (subject key, n_rows_erased) for every subject, including zeros.
+    */
+  def erasePartitioned(spark: SparkSession, path: String, partCol: String,
+                       keyCol: String, subjects: DataFrame): DataFrame = {
+    val subj = broadcast(subjects.select(col(subjects.columns.head)
+      .as("__subject")).distinct())
+    val table = spark.read.parquet(path)
+
+    // one pruned pass: which partitions hold subject rows, and how many
+    // rows per subject (the receipt numbers) — collected driver-side,
+    // bounded by touched partitions × subjects, both request-sized.
+    // Partition values as STRINGS (what the writer formats into dir
+    // names), null kept distinct
+    val hitRows = table.join(subj, col(keyCol) === col("__subject"))
+      .groupBy(col(partCol).cast("string").as("__part"), col("__subject"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    val touchedParts = hitRows.map(r => Option(r.getString(0))).distinct.toSeq
+
+    if (touchedParts.nonEmpty) {
+      // rewrite ONLY touched partitions, keeping non-subject rows.
+      // isin(null) never matches — a null partition value needs isNull
+      val nonNull = touchedParts.flatten
+      val prune =
+        if (nonNull.size < touchedParts.size)
+          col(partCol).cast("string").isin(nonNull: _*) || col(partCol).isNull
+        else col(partCol).cast("string").isin(nonNull: _*)
+      val survivors = table.filter(prune)
+        .join(subj, col(keyCol) === col("__subject"), "left_anti")
+      // survivor partitions collected BEFORE the overwrite — afterwards
+      // the lineage would re-list the path it just rewrote
+      val survivorParts = survivors.select(col(partCol).cast("string"))
+        .distinct().collect().map(r => Option(r.getString(0))).toSet
+      PartitionedUpsert.writeDynamic(survivors, path, partCol)
+      // an all-erased partition is absent from `survivors` — dynamic
+      // overwrite never touched it, so its files must go explicitly; dir
+      // names via the writer's own escaping (null → default partition)
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touchedParts.filterNot(survivorParts.contains).foreach { v =>
+        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, v.orNull)
+        fs.delete(new Path(path, dirName), true)
+      }
+    }
+
+    val bySubject = hitRows.groupBy(_.get(1)).map { case (s, rs) =>
+      (s, rs.map(_.getLong(2)).sum)
+    }
+    val receipt = spark.createDataFrame(
+      spark.sparkContext.parallelize(bySubject.toSeq.map {
+        case (s, n) => org.apache.spark.sql.Row(s, n)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__subject",
+          subj.schema("__subject").dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_rows_erased",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    subj.join(receipt, Seq("__subject"), "left")
+      .select(col("__subject").as(keyCol),
+        coalesce(col("n_rows_erased"), lit(0L)).as("n_rows_erased"))
+  }
+
+  /** Erase `subjects` from a [[SnapshotStore]] table: publish the
+    * filtered generation (atomic pointer flip), then vacuum every
+    * retired generation so the subject rows' bytes are gone. Returns the
+    * same receipt shape as [[erasePartitioned]].
+    */
+  def eraseSnapshot(spark: SparkSession, path: String, keyCol: String,
+                    subjects: DataFrame): DataFrame = {
+    val subj = broadcast(subjects.select(col(subjects.columns.head)
+      .as("__subject")).distinct())
+    val table = SnapshotStore.read(spark, path)
+    val receipt = subj.join(
+      table.join(subj, col(keyCol) === col("__subject"))
+        .groupBy(col("__subject")).agg(count(lit(1)).as("__n")),
+      Seq("__subject"), "left")
+      .select(col("__subject").as(keyCol),
+        coalesce(col("__n"), lit(0L)).as("n_rows_erased"))
+      // receipts materialize BEFORE the rewrite: they read the
+      // pre-erasure generation, which the publish below retires
+      .localCheckpoint(true)
+    SnapshotStore.publish(
+      table.join(subj, col(keyCol) === col("__subject"), "left_anti"), path)
+    // retention keeps the previous generation for in-flight readers;
+    // erasure overrides retention — the old bytes must go now
+    SnapshotStore.vacuum(spark, path)
+    receipt.toDF()
+  }
+}

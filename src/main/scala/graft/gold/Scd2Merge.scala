@@ -87,6 +87,111 @@ object Scd2Merge {
   def toDim(snapshot: DataFrame): DataFrame =
     snapshot.withColumn("is_current", col(EffectiveTo).isNull)
 
+  /** Fold ONE micro-batch of change-log rows into an SCD2 snapshot with
+    * PER-ROW effective timestamps — the incremental form of
+    * [[fromChangeLog]] and the exact-changelog counterpart of the
+    * per-batch [[apply]] (which collapses a batch to its latest row per
+    * key under one shared `asOf`). A batch may carry several versions of
+    * the same key; each surviving change becomes its own interval, so
+    * folding batches one at a time reproduces the full-log rebuild
+    * bit-for-bit (spec-pinned): fold(fold(∅, b₁), b₂) ≡
+    * fromChangeLog(b₁ ∪ b₂) + check-dedup.
+    *
+    * Semantics per key, rows ordered by (`tsCol`, `tieBreak`):
+    *  - the snapshot's current row (if any) anchors the sequence with its
+    *    original `effective_from`;
+    *  - batch rows at-or-before that anchor are DROPPED — they are
+    *    replays or late duplicates of versions already applied (CDC
+    *    per-key ordering, SURVEY §2 row 27, is the delivery contract),
+    *    which makes re-folding a delivered batch a no-op;
+    *  - a row whose `checkCols` are null-safe-equal to the previous kept
+    *    row creates no version (dbt `check` strategy); chains of equal
+    *    rows collapse because a dropped row always equals its
+    *    predecessor, so compare-to-previous-raw ≡ compare-to-previous-kept
+    *    — the property that makes the fold independent of batch cuts;
+    *  - each kept row's `effective_to` = next kept row's ts (null = still
+    *    current); the anchor's `effective_to` reopens to the first
+    *    accepted change.
+    *
+    * Spark shape: closed history and untouched current rows pass through
+    * without entering the fold (null-safe key semi/anti split — per-batch
+    * window work is O(touched keys' rows), not O(dimension)); the fold
+    * itself is two window passes over ONE key-partitioned exchange
+    * (anchor-ts max + lag/lead/rank). No per-epoch loop: one batch with
+    * 1000 versions of a key costs the same shuffle as one with a single
+    * version.
+    *
+    * @param snapshot existing SCD2 table: key ++ payload ++
+    *                 effective_from ++ effective_to; [[emptyLogSnapshot]]
+    *                 for the first batch.
+    * @param batchLog change-log rows: key ++ payload ++ `tsCol`.
+    * @param checkCols payload columns whose change opens a new version.
+    * @param tieBreak  extra payload columns ordering rows that share one
+    *                  `tsCol` value (e.g. a change-log sequence id) —
+    *                  required for a deterministic fold when ties exist.
+    */
+  def applyLog(snapshot: DataFrame, batchLog: DataFrame, key: Seq[String],
+               checkCols: Seq[String], tsCol: String,
+               tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payloadCols =
+      batchLog.columns.filterNot(c => key.contains(c) || c == tsCol).toSeq
+    val outCols = (key ++ payloadCols :+ EffectiveFrom :+ EffectiveTo).map(col)
+
+    val closed = snapshot.filter(col(EffectiveTo).isNotNull)
+    val current = snapshot.filter(col(EffectiveTo).isNull)
+
+    // null-safe touched-key split: only keys present in the batch pay the
+    // window shuffle; every other current row passes through untouched
+    val touched = batchLog.select(key.map(k => col(k).as(s"t_$k")): _*)
+      .distinct().withColumn("__touched", lit(true))
+    val touchCond = key.map(k => col(k) <=> col(s"t_$k")).reduce(_ && _)
+    val curFlagged = current.join(broadcast(touched), touchCond, "left")
+    val untouched = curFlagged.filter(col("__touched").isNull).select(outCols: _*)
+
+    // anchor = the current version, re-entering the fold at its original
+    // effective_from; batch rows carry their own ts
+    val anchor = curFlagged.filter(col("__touched").isNotNull)
+      .select((key ++ payloadCols).map(col)
+        :+ col(EffectiveFrom).as("__ts") :+ lit(true).as("__anchor")
+        :+ col(EffectiveFrom): _*)
+    val incoming = batchLog
+      .select((key ++ payloadCols).map(col)
+        :+ col(tsCol).cast("timestamp").as("__ts") :+ lit(false).as("__anchor")
+        :+ col(tsCol).cast("timestamp").as(EffectiveFrom): _*)
+
+    val wAll = Window.partitionBy(key.map(col): _*)
+    val ord = (col("__ts").asc_nulls_first +: col("__anchor").desc +:
+      tieBreak.map(col(_).asc_nulls_first)): Seq[Column]
+    val wOrd = wAll.orderBy(ord: _*)
+
+    val seq0 = anchor.unionByName(incoming)
+      .withColumn("__anchor_ts", max(when(col("__anchor"), col("__ts"))).over(wAll))
+      // replay/late guard: rows not strictly newer than the applied anchor
+      .filter(col("__anchor") ||
+        col("__anchor_ts").isNull || col("__ts") > col("__anchor_ts"))
+    val changed: Column = checkCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(wOrd)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val kept = seq0
+      .withColumn("__keep", row_number().over(wOrd) === 1 || changed)
+      .filter(col("__keep"))
+    val folded = kept
+      .withColumn(EffectiveTo, lead(col("__ts"), 1).over(wOrd))
+      .select(outCols: _*)
+
+    closed.select(outCols: _*).unionByName(untouched).unionByName(folded)
+  }
+
+  /** Empty SCD2 snapshot with [[applyLog]]'s schema for a change-log
+    * frame (first batch).
+    */
+  def emptyLogSnapshot(batchLog: DataFrame, tsCol: String): DataFrame =
+    batchLog.drop(tsCol)
+      .withColumn(EffectiveFrom, lit(null).cast("timestamp"))
+      .withColumn(EffectiveTo, lit(null).cast("timestamp"))
+      .limit(0)
+
   /** Rebuild full SCD2 history from an ordered change log in one pass —
     * the batch-analytic equivalent of running the merge once per version:
     * effective_from = version ts, effective_to = next version's ts,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.gold.{Erasure, SnapshotStore}
+
+/** Right-to-erasure semantics: subject rows physically gone (including
+  * retired snapshot generations), bystanders bit-identical, untouched
+  * partitions' files never rewritten, all-erased partitions removed,
+  * receipts exact including zeros, null keys never erased.
+  */
+class ErasureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(): DataFrame = Seq(
+    (1L, 101L, "2024-01-01", 10.0),
+    (2L, 102L, "2024-01-01", 20.0),
+    (3L, 101L, "2024-01-02", 30.0),
+    (4L, 101L, "2024-01-03", 40.0), // 101 is the ONLY user on day 3
+    (5L, 103L, "2024-01-02", 50.0)
+  ).toDF("row_id", "user_id", "day", "amount")
+
+  private def nRowsUnder(dir: java.io.File): Int =
+    Option(dir.listFiles()).map(_.length).getOrElse(0)
+
+  test("partitioned erasure: subjects gone, bystanders intact, receipts exact") {
+    val root = tmpDir("erase-part") + "/t"
+    table().write.partitionBy("day").parquet(root)
+    val receipt = Erasure.erasePartitioned(spark, root, "day", "user_id",
+      Seq(101L, 999L).toDF("user_id"))
+    val back = spark.read.parquet(root)
+    assert(back.filter($"user_id" === 101L).isEmpty, "subject rows survived")
+    assert(back.count() == 2)
+    assert(back.filter($"row_id" === 2L && $"amount" === 20.0).count() == 1)
+    // receipt: 3 rows for 101, explicit 0 for the unknown subject
+    val r = receipt.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(101L -> 3L, 999L -> 0L))
+    // the all-101 partition day=2024-01-03 must be deleted outright
+    assert(!new java.io.File(s"$root/day=2024-01-03").exists(),
+      "all-erased partition directory survived")
+  }
+
+  test("partitioned erasure: untouched partitions' files are never rewritten") {
+    val root = tmpDir("erase-files") + "/t"
+    table().write.partitionBy("day").parquet(root)
+    val d1 = new java.io.File(s"$root/day=2024-01-01")
+    val before = d1.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // subject 103 lives only in day=2024-01-02
+    Erasure.erasePartitioned(spark, root, "day", "user_id",
+      Seq(103L).toDF("user_id"))
+    val after = d1.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "untouched partition was rewritten")
+    assert(spark.read.parquet(root).filter($"user_id" === 103L).isEmpty)
+  }
+
+  test("partitioned erasure: null-keyed rows are always retained") {
+    val root = tmpDir("erase-null") + "/t"
+    Seq((1L, Some(101L), "2024-01-01"), (2L, Option.empty[Long], "2024-01-01"))
+      .toDF("row_id", "user_id", "day")
+      .write.partitionBy("day").parquet(root)
+    Erasure.erasePartitioned(spark, root, "day", "user_id",
+      Seq(101L).toDF("user_id"))
+    val back = spark.read.parquet(root)
+    assert(back.count() == 1 && back.head().getLong(0) == 2L,
+      "null-keyed bystander must survive")
+  }
+
+  test("partitioned erasure: no subject present anywhere is a no-op") {
+    val root = tmpDir("erase-noop") + "/t"
+    table().write.partitionBy("day").parquet(root)
+    val allFiles = new java.io.File(root).listFiles()
+      .filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    val receipt = Erasure.erasePartitioned(spark, root, "day", "user_id",
+      Seq(777L).toDF("user_id"))
+    assert(receipt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(777L -> 0L))
+    val after = new java.io.File(root).listFiles()
+      .filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    assert(after == allFiles, "no-op erasure rewrote files")
+  }
+
+  test("snapshot erasure: atomic flip, retired generations physically vacuumed") {
+    val root = tmpDir("erase-snap") + "/t"
+    SnapshotStore.publish(table(), root)
+    // build some history so retention would normally keep a generation
+    SnapshotStore.publish(table(), root)
+    val receipt = Erasure.eraseSnapshot(spark, root, "user_id",
+      Seq(101L).toDF("user_id"))
+    assert(receipt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(101L -> 3L))
+    val back = SnapshotStore.read(spark, root)
+    assert(back.filter($"user_id" === 101L).isEmpty && back.count() == 2)
+    // only the committed generation's directory may remain — the bytes of
+    // every pre-erasure generation are gone
+    val gens = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+    val cur = SnapshotStore.currentGen(spark, root).get
+    assert(gens == Seq(s"gen=$cur"),
+      s"retired generations survived the vacuum: $gens")
+  }
+}

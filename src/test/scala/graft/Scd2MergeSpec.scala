@@ -116,4 +116,152 @@ class Scd2MergeSpec extends SparkSpec {
     val v1 = hist.filter($"account_id" === 1 && $"version_n" === 1).head()
     assert(v1.getAs[java.sql.Timestamp]("effective_to") == ts("2024-01-02 00:00:00"))
   }
+
+  // ───────── applyLog: per-row-timestamp incremental changelog fold ─────────
+
+  /** change log: (account_id, seq, status, ts) — seq is the tie-break */
+  private def log(rows: (Int, Long, String, String)*): DataFrame =
+    rows.toSeq.map { case (k, q, v, t) => (k, q, v, ts(t)) }
+      .toDF("account_id", "seq", "status", "ts")
+
+  private val logKey = Seq("account_id")
+  private val logCheck = Seq("status")
+
+  private def fold(batches: Seq[DataFrame]): DataFrame =
+    batches.foldLeft(Scd2Merge.emptyLogSnapshot(batches.head, "ts")) {
+      (snap, b) => Scd2Merge.applyLog(snap, b, logKey, logCheck, "ts",
+        tieBreak = Seq("seq"))
+    }
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what\nleft:\n${a.collect().mkString("\n")}\nright:\n${b.collect().mkString("\n")}")
+
+  test("applyLog: one batch with several versions, check-dedup, ties by seq") {
+    val snap = fold(Seq(log(
+      (1, 1L, "OPEN", "2024-01-01 00:00:00"),
+      (1, 2L, "OPEN", "2024-01-02 00:00:00"),     // unchanged → no version
+      (1, 3L, "FROZEN", "2024-01-03 00:00:00"),
+      (1, 4L, "OPEN", "2024-01-03 00:00:00"),     // same ts, seq 4 after 3
+      (2, 5L, "OPEN", "2024-01-01 06:00:00"))))
+    val k1 = snap.filter($"account_id" === 1)
+      .orderBy($"effective_from", $"seq").collect()
+    assert(k1.map(_.getAs[String]("status")).toSeq ==
+      Seq("OPEN", "FROZEN", "OPEN"))
+    assert(k1(0).getAs[java.sql.Timestamp]("effective_to") ==
+      ts("2024-01-03 00:00:00"))
+    assert(k1(1).getAs[java.sql.Timestamp]("effective_to") ==
+      ts("2024-01-03 00:00:00"))                   // zero-width tie interval
+    assert(k1(2).getAs[java.sql.Timestamp]("effective_to") == null)
+    assert(snap.filter($"account_id" === 2).count() == 1)
+  }
+
+  test("applyLog: fold over any batch cut equals the one-shot fold") {
+    val rows = Seq(
+      (1, 1L, "A", "2024-01-01 00:00:00"),
+      (1, 2L, "A", "2024-01-02 00:00:00"),
+      (1, 3L, "B", "2024-01-03 00:00:00"),
+      (1, 4L, "B", "2024-01-04 00:00:00"),
+      (1, 5L, "C", "2024-01-05 00:00:00"),
+      (2, 6L, "X", "2024-01-02 12:00:00"),
+      (2, 7L, "Y", "2024-01-04 12:00:00"),
+      (3, 8L, "Q", "2024-01-03 18:00:00"))
+    val full = log(rows: _*)
+    val oneShot = fold(Seq(full))
+    // cut the log at every prefix length (per-key ts order respected:
+    // rows are globally ts-sorted before cutting)
+    val sorted = rows.sortBy(_._4)
+    for (cut1 <- 1 until sorted.length) {
+      val folded = fold(Seq(log(sorted.take(cut1): _*),
+        log(sorted.drop(cut1): _*)))
+      sameRows(folded, oneShot, s"cut at $cut1 diverges from one-shot fold")
+    }
+    // the batch-boundary dedup case: batch 1 ends in an unchanged run
+    // (seq 2 and 4 create no version), batch 2 must compare against the
+    // last KEPT version, not the last raw row
+    assert(oneShot.filter($"account_id" === 1).count() == 3)
+  }
+
+  test("applyLog: refolding a delivered batch is a no-op (replay idempotence)") {
+    val b1 = log((1, 1L, "A", "2024-01-01 00:00:00"),
+      (1, 2L, "B", "2024-01-02 00:00:00"))
+    val b2 = log((1, 3L, "B", "2024-01-03 00:00:00"),  // unchanged at new ts
+      (1, 4L, "C", "2024-01-04 00:00:00"),
+      (2, 5L, "X", "2024-01-03 12:00:00"))
+    val applied = fold(Seq(b1, b2))
+    val refolded = Scd2Merge.applyLog(applied, b2, logKey, logCheck, "ts",
+      tieBreak = Seq("seq"))
+    sameRows(refolded, applied, "replayed batch changed the snapshot")
+    // an overlapping redelivery (at-least-once tail of b1 + all of b2)
+    val overlap = Scd2Merge.applyLog(applied, b1.unionByName(b2), logKey,
+      logCheck, "ts", tieBreak = Seq("seq"))
+    sameRows(overlap, applied, "overlapping redelivery changed the snapshot")
+  }
+
+  test("applyLog: untouched keys and closed history pass through; late rows drop") {
+    val applied = fold(Seq(log(
+      (1, 1L, "A", "2024-01-01 00:00:00"),
+      (1, 2L, "B", "2024-01-05 00:00:00"),
+      (2, 3L, "X", "2024-01-02 00:00:00"))))
+    // batch touches only key 2; a late key-1-style row older than key 2's
+    // current version must be ignored
+    val b = log((2, 4L, "Y", "2024-01-06 00:00:00"),
+      (2, 5L, "OLD", "2024-01-01 00:00:00"))       // late: before current from
+    val next = Scd2Merge.applyLog(applied, b, logKey, logCheck, "ts",
+      tieBreak = Seq("seq"))
+    sameRows(next.filter($"account_id" === 1),
+      applied.filter($"account_id" === 1), "untouched key 1 changed")
+    val k2 = next.filter($"account_id" === 2)
+      .orderBy($"effective_from").collect()
+    assert(k2.map(_.getAs[String]("status")).toSeq == Seq("X", "Y"),
+      "late row must not create a version")
+  }
+
+  test("applyLog: null-safe check compare and null keys") {
+    val b1 = Seq((Some(1), 1L, Option.empty[String], ts("2024-01-01 00:00:00")),
+      (Option.empty[Int], 2L, Some("N"), ts("2024-01-01 00:00:00")))
+      .toDF("account_id", "seq", "status", "ts")
+    val b2 = Seq((Some(1), 3L, Option.empty[String], ts("2024-01-02 00:00:00")),
+      (Some(1), 4L, Some("S"), ts("2024-01-03 00:00:00")),
+      (Option.empty[Int], 5L, Some("N"), ts("2024-01-04 00:00:00")))
+      .toDF("account_id", "seq", "status", "ts")
+    val snap = Seq(b1, b2).foldLeft(Scd2Merge.emptyLogSnapshot(b1, "ts")) {
+      (s0, b) => Scd2Merge.applyLog(s0, b, logKey, logCheck, "ts",
+        tieBreak = Seq("seq"))
+    }
+    // null → null is unchanged (no version); null → S versions
+    assert(snap.filter($"account_id" === 1).count() == 2)
+    // null key folds as its own key; unchanged N creates no version
+    assert(snap.filter($"account_id".isNull).count() == 1)
+  }
+
+  test("scd2LogStream: streamed folds equal the one-shot fold, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpDir("scd2log") + "/dim"
+    val ms = MemoryStream[(Int, Long, String, String)]
+    val src = ms.toDF().toDF("account_id", "seq", "status", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = graft.streaming.CdcStream.scd2LogStream(src, path,
+      tmpDir("scd2log-ckpt"), logKey, logCheck, "ts",
+      tieBreak = Seq("seq"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val rows = Seq(
+      (1, 1L, "A", "2024-01-01 00:00:00"),
+      (1, 2L, "A", "2024-01-02 00:00:00"),
+      (2, 3L, "X", "2024-01-02 06:00:00"),
+      (1, 4L, "B", "2024-01-03 00:00:00"),
+      (2, 5L, "Y", "2024-01-04 00:00:00"),
+      (1, 6L, "C", "2024-01-05 00:00:00"))
+    rows.grouped(2).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = graft.gold.SnapshotStore.read(spark, path)
+    val oneShot = fold(Seq(log(rows: _*)))
+    sameRows(
+      streamed.select("account_id", "seq", "status", "effective_from", "effective_to"),
+      oneShot.select("account_id", "seq", "status", "effective_from", "effective_to"),
+      "streamed SCD2 dim diverges from the one-shot fold")
+    // generation ledger: 3 batches → generation 3 committed
+    assert(graft.gold.SnapshotStore.currentGen(spark, path).contains(3L))
+  }
 }
