@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Envelope
 import graft.gold.{Marts, Scd2Merge, UpsertByKey}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.silver.{Quality, Staging}
+import graft.silver.{Masking, Quality, Staging}
 
 /** The driver-checked query registry: one entry per implemented operator of
   * SURVEY.md §2 (+ the §7.5 / north-star extension operators), each with a
@@ -4902,6 +4902,81 @@ object Queries {
       Some("""
         SELECT event_id, user_id, event_type, ts, value
         FROM events WHERE user_id % 7 <> 3""")),
+
+    // ── keyed pseudonymization + display masking (Masking): direct
+    //    identifiers leave the serving layer as salted deterministic
+    //    tokens, account-shaped fields keep only their tail — map-only
+    //    scan-stage expressions, zero shuffle ──
+    Q("q187_pseudonymize",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        Masking.pseudonymize(c, Seq("c_custkey"), salt = "q187-salt")
+          .withColumn("c_name", Masking.maskTail(col("c_name"), 4))
+      },
+      Some("""
+        SELECT substr(sha256('q187-salt:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                 AS c_custkey,
+               repeat('*', length(c_name) - 4)
+                 || substr(c_name, length(c_name) - 3) AS c_name,
+               c_mktsegment, c_acctbal
+        FROM customer""")),
+
+    // ── referential integrity under pseudonymization: fact and dim
+    //    tokenized with the SAME salt still join — per-token order
+    //    counts and spend match the clear-key rollup re-keyed by token ──
+    Q("q188_pseudonym_join",
+      (s, d) => {
+        val salt = "q188-salt"
+        val c = Masking.pseudonymize(
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          Seq("c_custkey"), salt)
+        val o = Masking.pseudonymize(
+          Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+          Seq("o_custkey"), salt)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("total_spend"))
+      },
+      Some("""
+        SELECT substr(sha256('q188-salt:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                 AS c_custkey,
+               c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2""")),
+
+    // ── streaming maintenance cadence: 8 merge-publishes with
+    //    Optimize.maybeCompact(every=4) interleaved — the compactions
+    //    land between the merges and the table stays bit-identical to
+    //    the plain union (cadence correctness; the file-count bound is
+    //    OptimizeSpec's assertion) ──
+    Q("q189_compaction_cadence",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q189-cad")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        (0 until 8).foreach { i =>
+          val slice = ev.filter(pmod(col("event_id"), lit(8)) === i)
+            .repartition(8)
+          val existing =
+            if (graft.gold.SnapshotStore.exists(s, root))
+              Some(graft.gold.SnapshotStore.read(s, root))
+            else None
+          graft.gold.SnapshotStore.publish(
+            graft.gold.UpsertByKey.mergeBatch(existing, slice,
+              Seq("event_id"), Seq("ts", "event_id"), None), root)
+          graft.gold.Optimize.maybeCompact(s, root, every = 4,
+            targetBytes = 256L << 20)
+        }
+        graft.gold.SnapshotStore.read(s, root)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+      },
+      Some("SELECT event_id, user_id, event_type, ts, value FROM events")),
 
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",

@@ -163,4 +163,33 @@ object Optimize {
       .agg(coalesce(sum(when(col("zmax") >= lo && col("zmin") <= hi,
         col("n_rows")).otherwise(0L)), lit(0L)))
       .head().getLong(0)
+
+  /** Compaction cadence for a continuously-written [[SnapshotStore]]
+    * table: run [[compactSnapshot]] only when the committed generation
+    * number is a multiple of `every` — the maintenance loop a streaming
+    * sink needs (each trigger adds a generation; without a cadence the
+    * accreted small files are exactly the reference's 50-record-file
+    * pathology, with it the file count stays bounded by ~`every` ×
+    * files-per-batch + table-size/targetBytes). Generation numbers are
+    * the streaming sinks' exactly-once ledger (batch b → generation
+    * b+1), so the cadence is deterministic under replay: a replayed
+    * batch skips its fold AND its compaction. The compaction itself
+    * publishes generation N+1 of identical contents — readers never
+    * block. NOTE: the compaction generation shifts the numbering, so
+    * this cadence composes with sinks whose idempotence comes from the
+    * MERGE being replay-safe (`CdcStream.upsertStreamSnapshot`), not
+    * with sinks that pin a strict batch-b → generation-b+1 ledger
+    * (`AnalystMarts.foldBatch`, `scd2LogStream`) — those would trip
+    * their single-writer require on the generation the compactor added.
+    */
+  def maybeCompact(spark: SparkSession, path: String, every: Int,
+                   targetBytes: Long, sortCols: Seq[Column] = Nil,
+                   partitionCols: Seq[String] = Nil): Option[OptimizeStats] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    SnapshotStore.currentGen(spark, path) match {
+      case Some(g) if g % every == 0 =>
+        Some(compactSnapshot(spark, path, targetBytes, sortCols, partitionCols))
+      case _ => None
+    }
+  }
 }

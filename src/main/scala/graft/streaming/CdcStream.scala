@@ -213,6 +213,8 @@ object CdcStream {
                            checkpoint: String, keys: Seq[String],
                            orderCols: Seq[String],
                            opCol: Option[String] = None,
+                           optimizeEvery: Option[Int] = None,
+                           optimizeTargetBytes: Long = 128L << 20,
                            trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -225,6 +227,13 @@ object CdcStream {
           graft.gold.UpsertByKey.mergeBatch(existing, batch.toDF(), keys,
             orderCols, opCol),
           sinkPath)
+        // maintenance cadence: every N generations, fold the accreted
+        // per-trigger files back to ~targetBytes (Optimize.maybeCompact)
+        // — safe here because this sink's idempotence comes from the
+        // merge, not a generation-number ledger
+        optimizeEvery.foreach(n =>
+          graft.gold.Optimize.maybeCompact(spark, sinkPath, n,
+            optimizeTargetBytes))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -167,4 +167,36 @@ class OptimizeSpec extends SparkSpec {
     assert(out == src.as[(Long, Long, Long)].collect().sorted.toSeq,
       "ZORDER rewrite must not change contents")
   }
+
+  test("streaming sink cadence: file count stays bounded, contents exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpDir("opt-cadence") + "/t"
+    val ms = MemoryStream[(Long, Long)]
+    val src = ms.toDF().toDF("id", "v").repartition(8)
+    val q = graft.streaming.CdcStream.upsertStreamSnapshot(src, path,
+      tmpDir("opt-cadence-ckpt"), Seq("id"), Seq("v", "id"),
+      optimizeEvery = Some(3), optimizeTargetBytes = 64L << 20,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val rows = (0L until 60L).map(i => (i, i * 10))
+    rows.grouped(10).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    // merge correctness unaffected by the interleaved compactions
+    val out = SnapshotStore.read(spark, path)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(out == rows.sorted, "cadence changed table contents")
+    // the last maintenance pass folded the accreted per-trigger files:
+    // without it each of 6 merges leaves 8 repartitioned files; the
+    // 64 MB target folds them to 1
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = SnapshotStore.currentGen(spark, path).get
+    val files = f.listStatus(new org.apache.hadoop.fs.Path(
+      SnapshotStore.genPath(path, gen)))
+      .map(_.getPath.getName)
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(files <= 8, s"compaction cadence left $files files")
+    // cadence fired: more generations committed than merge batches alone
+    assert(gen > 6, s"expected compaction generations beyond the 6 merges, got $gen")
+  }
 }
