@@ -4978,6 +4978,55 @@ object Queries {
       },
       Some("SELECT event_id, user_id, event_type, ts, value FROM events")),
 
+    // ── incremental near-dup cluster maintenance (ClusterIndex): the
+    //    documents corpus folded in three batches against persisted
+    //    postings + cluster state — cross pairs probe the index, old
+    //    clusters enter as super-nodes, bridged clusters remap. The
+    //    oracle recomputes components from scratch (q57's recursive
+    //    CTE), so a fold that misses a cross pair, skips a bridge
+    //    remap, or double-applies a batch hash-mismatches ──
+    Q("q190_incremental_clusters",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q190-clidx")
+          .toString + "/s"
+        val st = operators.ClusterIndex.State(root)
+        val docs = Tables.documents(s, d)
+        (0 to 2).foreach { i =>
+          operators.ClusterIndex.fold(s, st,
+            docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+            "doc_id", "text")
+        }
+        operators.ClusterIndex.clustersNonSingleton(s, st)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
+        SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM cc GROUP BY id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterIndex, Dedup}
+
+/** Incremental near-dup cluster maintenance: folding batches must
+  * reproduce the full recompute exactly — including the bridge case
+  * where a new doc merges two existing clusters — and replays must be
+  * no-ops.
+  */
+class ClusterIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two 4-shingle families with zero overlap; the bridge doc contains
+  // both texts, so J(bridge, A) = J(bridge, B) = 4/10 = 0.4 >= 0.2 while
+  // J(A, B) = 0
+  private val famA = "alpha beta gamma delta epsilon zeta"
+  private val famB = "one two three four five six"
+  private val bridge = s"$famA $famB"
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def fullRecompute(all: DataFrame): DataFrame = {
+    val comp = Dedup.resolveClusters(
+      Dedup.ngramJaccard(all, "doc_id", "text", k = 3, threshold = 0.2))
+    all.select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what\nleft:\n${a.orderBy("id").collect().mkString("\n")}" +
+        s"\nright:\n${b.orderBy("id").collect().mkString("\n")}")
+
+  private def foldAll(batches: Seq[DataFrame]): ClusterIndex.State = {
+    val st = ClusterIndex.State(tmpDir("clidx") + "/s")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ClusterIndex.fold(spark, st, b, i.toLong, "doc_id", "text")
+    }
+    st
+  }
+
+  test("bridge doc merges two existing clusters, old members remapped") {
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (21L, famB + " tail"), (40L, "lonely standalone text here"))
+    val b2 = docs((30L, bridge))
+    val st = foldAll(Seq(b1, b2))
+    val out = ClusterIndex.clusters(spark, st)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(10L) == 10L && byId(11L) == 10L, "family A keeps min 10")
+    assert(byId(20L) == 10L && byId(21L) == 10L,
+      "family B must remap to the merged min — the bridge case")
+    assert(byId(30L) == 10L)
+    assert(byId(40L) == 40L, "singleton keeps its own id")
+    sameRows(out, fullRecompute(b1.unionByName(b2)),
+      "incremental diverges from full recompute")
+  }
+
+  test("any batch cut reproduces the full recompute") {
+    val all = Seq(
+      (1L, famA), (2L, famA + " x"), (3L, famB), (4L, famB + " y"),
+      (5L, bridge), (6L, "totally different content words entirely"),
+      (7L, "totally different content words entirely also"))
+    val expected = fullRecompute(docs(all: _*))
+    for (cut <- Seq(Seq(2, 5), Seq(3, 4), Seq(1, 6), Seq(4, 5))) {
+      val batches = Seq(
+        docs(all.take(cut(0)): _*),
+        docs(all.slice(cut(0), cut(1)): _*),
+        docs(all.drop(cut(1)): _*)).filter(!_.isEmpty)
+      sameRows(ClusterIndex.clusters(spark, foldAll(batches)), expected,
+        s"cut $cut diverges from full recompute")
+    }
+  }
+
+  test("replaying a delivered batch is a no-op") {
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB))
+    val b2 = docs((30L, bridge), (21L, famB + " tail"))
+    val st = foldAll(Seq(b1, b2))
+    val before = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    ClusterIndex.fold(spark, st, b2, 1L, "doc_id", "text")
+    val after = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(after == before, "replayed batch changed the state")
+  }
+
+  test("at-least-once redelivery under a NEW batch id converges to the same state") {
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (40L, "lonely standalone text here"))
+    val b2 = docs((21L, famB + " tail"))
+    val st = foldAll(Seq(b1, b2))
+    val before = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // resend a clustered doc, a cluster min, and a singleton as batch 2
+    ClusterIndex.fold(spark, st,
+      docs((11L, famA + " extra"), (20L, famB),
+        (40L, "lonely standalone text here")),
+      2L, "doc_id", "text")
+    val after = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(after == before, s"redelivery changed the state:\n$before\n$after")
+  }
+
+  test("a later smaller id lowers the cluster label everywhere") {
+    val st = foldAll(Seq(
+      docs((10L, famA), (11L, famA + " extra")),
+      docs((1L, famA + " small id"))))
+    val byId = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"min label must propagate to old members: $byId")
+  }
+
+  test("non-singleton view emits exactly the ids the full pair set touches") {
+    val b = docs((10L, famA), (11L, famA + " extra"),
+      (40L, "lonely standalone text here"))
+    val st = foldAll(Seq(b))
+    val ns = ClusterIndex.clustersNonSingleton(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(ns == Set(10L -> 10L, 11L -> 10L))
+  }
+}
