@@ -737,6 +737,104 @@ object Perf {
         streaming.DriftStream.readout(spark, refP, stateP, "event_type")
           .count())
     }
+    if (what == "cluster-r7") {
+      // incremental cluster maintenance at 2M synthetic docs: fold 4
+      // batches of 500k; 5% of each later batch near-duplicates a doc
+      // from the PREVIOUS batch (cross-batch edges the probe must find).
+      // Claims under test: fold cost stays in the same band as the index
+      // grows (the broadcast-semi-join prefilter keeps the postings
+      // shuffle bucket-sharing-only), and the steady-state fold beats the
+      // full recompute the pipeline would otherwise re-run per batch.
+      val nb = 500000L
+      val mkWords = (seed: org.apache.spark.sql.Column) =>
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), pmod(hash(seed * 31 + j), lit(50000)).cast("string"))): _*)
+      def batchDocs(b: Int) = {
+        val ids = spark.range(b * nb, (b + 1) * nb)
+        // every 20th doc (past batch 0) re-generates its predecessor's
+        // words plus one extra token: ~10/11 Jaccard, a guaranteed edge
+        val seed = when(col("id") % 20 === 0 && col("id") >= nb,
+          col("id") - nb).otherwise(col("id"))
+        ids.select(col("id").as("doc_id"),
+          when(col("id") % 20 === 0 && col("id") >= nb,
+            concat(mkWords(seed), lit(" dupmark")))
+            .otherwise(mkWords(seed)).as("text"))
+      }
+      val root = java.nio.file.Files.createTempDirectory("perf-clidx")
+        .toString
+      val st = operators.ClusterIndex.State(s"$root/s")
+      for (b <- 0 until 4)
+        time(s"cluster-fold-b$b-500k")(
+          { operators.ClusterIndex.fold(spark, st, batchDocs(b), b.toLong,
+              "doc_id", "text"); nb })
+      // STEADY STATE — the claim that matters: a daily-sized 50k batch
+      // against the 2M-doc index. The alternative the operator replaces
+      // is re-running the full pair generation + clustering over the
+      // whole grown corpus for every arriving batch.
+      val probe = spark.range(4 * nb, 4 * nb + 50000L)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 20 === 0,
+            concat(mkWords(col("id") - 4 * nb + 3 * nb), lit(" dupmark")))
+            .otherwise(mkWords(col("id"))).as("text"))
+      time("cluster-fold-steady-50k-into-2M")(
+        { operators.ClusterIndex.fold(spark, st, probe, 4L,
+            "doc_id", "text"); 50000L })
+      time("cluster-readout")(
+        operators.ClusterIndex.clustersNonSingleton(spark, st).count())
+      val all = (0 until 4).map(batchDocs).reduce(_.unionByName(_))
+        .unionByName(probe)
+      time("full-recompute-baseline-2.05M")(
+        operators.Dedup.resolveClusters(operators.Dedup.ngramJaccard(
+          all, "doc_id", "text", k = 3, threshold = 0.2)).count())
+    }
+    if (what == "gov-r7") {
+      // governance ops at 10M rows: partitioned GDPR erasure (touched
+      // partitions only) and the exact-changelog SCD2 fold
+      val n = 10000000L
+      val users = 500000L
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(hash(col("id")), lit(users)).cast("long").as("user_id"),
+        concat(lit("d"), pmod(hash(col("id") * 3), lit(60)).cast("string"))
+          .as("day"),
+        concat(lit("s"), pmod(hash(col("id") * 7), lit(6)).cast("string"))
+          .as("status"),
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .plus(expr(s"make_interval(0,0,0,0,0,0, id)")).as("ts"))
+      val root = java.nio.file.Files.createTempDirectory("perf-gov")
+        .toString + "/t"
+      time("erasure-write-10M-60parts")(
+        { ev.write.partitionBy("day").parquet(root); n })
+      // 100 subjects: ~2k rows spread over all 60 partitions (worst-case
+      // touched set for a uniform table; a date-clustered subject would
+      // touch a handful)
+      val subjects = spark.range(100).select((col("id") * 4999L).as("user_id"))
+      time("erasure-100-subjects")(
+        { gold.Erasure.erasePartitioned(spark, root, "day", "user_id",
+            subjects).count() })
+      time("erasure-readback")(spark.read.parquet(root).count())
+      // SCD2 changelog fold: 4 batches of 2.5M rows, ~500k keys, status
+      // changes create real versions
+      val scdRoot = java.nio.file.Files.createTempDirectory("perf-scd")
+        .toString + "/dim"
+      def logBatch(b: Int) = spark.range(b * n / 4, (b + 1) * n / 4)
+        .select(pmod(hash(col("id")), lit(users)).cast("long").as("k"),
+          col("id").as("seq"),
+          concat(lit("s"), pmod(hash(col("id") * 7), lit(6)).cast("string"))
+            .as("status"),
+          to_timestamp(lit("2024-01-01 00:00:00"))
+            .plus(expr("make_interval(0,0,0,0,0,0, id)")).as("ts"))
+      var snap = gold.Scd2Merge.emptyLogSnapshot(logBatch(0), "ts")
+      for (b <- 0 until 4)
+        time(s"scd2log-fold-b$b-2.5M") {
+          snap = gold.Scd2Merge.applyLog(snap, logBatch(b), Seq("k"),
+            Seq("status"), "ts", tieBreak = Seq("seq"))
+            .localCheckpoint(true)
+          snap.count()
+        }
+      time("scd2log-current-dim")(
+        snap.filter(col("effective_to").isNull).count())
+    }
     if (what == "optimize-r7") {
       // executing OPTIMIZE against the reference's own pathology: a CDC
       // sink that writes ~50-record files (kafka_to_minio.py:54). Build

@@ -57,9 +57,12 @@ import graft.gold.BaseDelta
   * cluster labels, so its assignment rewrites to the same value.
   *
   * Scale shape: the only corpus-sized frames are the two state reads —
-  * postings ride ONE hash-join shuffle keyed on shingle hashes (hot
-  * shingles bounded by `maxStateDf`, the cross-side document-frequency
-  * cut mirroring `maxBucket`), clusters ride one broadcast-remap join.
+  * postings are SCANNED once but die map-side unless their shingle
+  * occurs in the batch (the batch's distinct hash set broadcasts as a
+  * semi-join prefilter, `minHashProbe`'s recipe), so the one hash-join
+  * shuffle carries only bucket-sharing postings (hot shingles bounded by
+  * `maxStateDf`, the cross-side document-frequency cut mirroring
+  * `maxBucket`); clusters ride one broadcast-remap join.
   * Nothing iterates over the corpus: `resolveClusters` sees only
   * batch-sized super-node edges.
   */
@@ -117,7 +120,14 @@ object ClusterIndex {
       val edges =
         if (!hasState) within
         else {
+          // map-side prefilter (minHashProbe's recipe): only index
+          // postings whose shingle occurs in the batch reach the join
+          // shuffle — candidate-set preserving, since a posting with no
+          // batch-side shingle can produce no cross pair. The batch's
+          // distinct hash set is batch-sized and broadcasts.
           val sp0 = BaseDelta.read(spark, st.postingsTable)
+            .join(broadcast(bp.select(col("s")).distinct()), Seq("s"),
+              "left_semi")
           val sp =
             if (maxStateDf <= 0) sp0
             else {
