@@ -5027,6 +5027,83 @@ object Queries {
         SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM cc GROUP BY id""")),
 
+    // ── change data feed between snapshot generations (ChangeFeed): a
+    //    second publish with updates, inserts, and deletes diffs against
+    //    the retained previous generation — row-level insert / delete /
+    //    update pre+post images, reconstructed by the oracle from the
+    //    same two relations ──
+    Q("q191_change_feed",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q191-cdf")
+          .toString + "/t"
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        val m = pmod(col("event_id"), lit(10))
+        graft.gold.SnapshotStore.publish(ev.filter(m < 8), root)
+        val next = ev.filter(m.isin(0, 1))
+            .withColumn("value", col("value") + 1.0)
+          .unionByName(ev.filter(m >= 2 && m =!= 7))
+        graft.gold.SnapshotStore.publish(next, root)
+        graft.gold.ChangeFeed.latest(s, root, Seq("event_id"))
+      },
+      Some("""
+        WITH oldt AS (
+          SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8),
+        newt AS (
+          SELECT event_id, user_id, value + 1.0 AS value FROM events
+          WHERE event_id % 10 IN (0, 1)
+          UNION ALL
+          SELECT event_id, user_id, value FROM events
+          WHERE event_id % 10 >= 2 AND event_id % 10 <> 7)
+        SELECT * FROM (
+          SELECT n.event_id, n.user_id, n.value,
+                 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_gen
+          FROM newt n LEFT JOIN oldt o USING (event_id) WHERE o.event_id IS NULL
+          UNION ALL
+          SELECT o.event_id, o.user_id, o.value, 'delete', 2
+          FROM oldt o LEFT JOIN newt n USING (event_id) WHERE n.event_id IS NULL
+          UNION ALL
+          SELECT o.event_id, o.user_id, o.value, 'update_preimage', 2
+          FROM oldt o JOIN newt n USING (event_id)
+          WHERE o.value IS DISTINCT FROM n.value
+             OR o.user_id IS DISTINCT FROM n.user_id
+          UNION ALL
+          SELECT n.event_id, n.user_id, n.value, 'update_postimage', 2
+          FROM oldt o JOIN newt n USING (event_id)
+          WHERE o.value IS DISTINCT FROM n.value
+             OR o.user_id IS DISTINCT FROM n.user_id)""")),
+
+    // ── multi-table atomic publish (MultiSnapshot): fact + dim land
+    //    under ONE coordinator commit; the read resolves the commit once
+    //    and joins a mutually consistent pair — the oracle is the plain
+    //    source join, so a torn or stale member table hash-mismatches ──
+    Q("q192_multi_table_commit",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q192-ms")
+          .toString + "/r"
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")
+        val ord = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // two commits: v1 with half the orders, v2 with all — the read
+        // must resolve v2 for BOTH tables
+        graft.gold.MultiSnapshot.publish(s, root, Map(
+          "customers" -> cust,
+          "orders" -> ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)))
+        graft.gold.MultiSnapshot.publish(s, root, Map("orders" -> ord))
+        val t = graft.gold.MultiSnapshot.readAll(s, root)
+        t("orders").join(t("customers"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("total_price"))
+      },
+      Some("""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -1,0 +1,156 @@
+package graft.gold
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table atomic publish — one commit spanning several snapshot
+  * tables, so readers always see a MUTUALLY CONSISTENT set of
+  * generations. The single-table [[SnapshotStore]] cannot express the
+  * banking invariant that matters across tables: a transactions fact
+  * published moments after its accounts dim must not be readable with
+  * the OLD dim (phantom FK orphans during the gap). Lakehouse formats
+  * grew the same organ (Delta commit coordination / Iceberg's
+  * multi-table transactions in the REST catalog); here it is one more
+  * pointer level:
+  *
+  *  - each member table stages its new generation under
+  *    `root/<table>/gen=<g>` (durable, invisible — nothing references
+  *    it yet);
+  *  - ONE coordinator pointer `root/_commit/v<N>` (tmp + rename-to-
+  *    fresh-name, the same single-small-file PUT as SnapshotStore —
+  *    atomic on HDFS/POSIX and on object stores by the store's own
+  *    semantics) maps every table name to its committed generation;
+  *  - readers resolve the coordinator ONCE and then touch only
+  *    immutable generation dirs — a concurrent publish of ANY subset of
+  *    tables cannot tear a multi-table read.
+  *
+  * Crash isolation: a crash after staging any prefix of the tables
+  * leaves orphan generation dirs and the coordinator untouched — readers
+  * still see the previous consistent set, and the next publish
+  * overwrites the orphans (generation numbers come from the committed
+  * coordinator, never from directory listings). Retention mirrors
+  * SnapshotStore: the previous commit's generations survive one cycle
+  * for in-flight readers; older ones are retired on commit.
+  *
+  * Partial publishes are legal: tables absent from a `publish` call keep
+  * their current generation in the new commit (the common case — the
+  * fact advances every batch, the dim only when it changes).
+  *
+  * Concurrency contract: single writer, any number of readers.
+  */
+object MultiSnapshot {
+
+  final case class Commit(version: Long, gens: Map[String, Long])
+
+  private def commitRoot(root: String) = s"$root/_commit"
+  private def tablePath(root: String, table: String) = s"$root/$table"
+  def genPath(root: String, table: String, gen: Long): String =
+    s"$root/$table/gen=$gen"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitFile(root: String, v: Long) =
+    new Path(commitRoot(root), f"v$v%020d")
+
+  private def commitVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = new Path(commitRoot(root))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }.sorted
+  }
+
+  /** The committed state, or None for an unpublished root. */
+  def currentCommit(spark: SparkSession, root: String): Option[Commit] = {
+    val f = fs(spark, root)
+    commitVersions(spark, root).lastOption.map { v =>
+      val in = f.open(commitFile(root, v))
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // format: one "table=gen" pair per line — no JSON parser needed,
+      // table names are path segments (no '=', '\n')
+      val gens = body.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('=')
+        require(i > 0, s"MultiSnapshot: malformed commit line '$line' in v$v")
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+      Commit(v, gens)
+    }
+  }
+
+  /** Atomically publish new contents for `tables` (a subset of the
+    * root's tables; others carry forward). Returns the new commit.
+    */
+  def publish(spark: SparkSession, root: String,
+              tables: Map[String, DataFrame]): Commit = {
+    require(tables.nonEmpty, "MultiSnapshot.publish: no tables given")
+    tables.keys.foreach(t => require(!t.contains("=") && !t.contains("/") &&
+      !t.startsWith("_"), s"MultiSnapshot: illegal table name '$t'"))
+    val f = fs(spark, root)
+    val prev = currentCommit(spark, root)
+    val prevGens = prev.map(_.gens).getOrElse(Map.empty)
+    // STAGE: durable, invisible; overwrite any orphan from a crashed run
+    val staged = tables.map { case (t, df) =>
+      val gen = prevGens.getOrElse(t, 0L) + 1
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(genPath(root, t, gen))
+      t -> gen
+    }
+    val newGens = prevGens ++ staged
+    // COMMIT: one pointer PUT
+    val v = prev.map(_.version).getOrElse(0L) + 1
+    f.mkdirs(new Path(commitRoot(root)))
+    val tmp = new Path(commitRoot(root), f".v$v%020d.tmp")
+    val out = f.create(tmp, true)
+    try out.write(newGens.toSeq.sortBy(_._1)
+      .map { case (t, g) => s"$t=$g" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, commitFile(root, v)))
+      sys.error(s"MultiSnapshot.publish: commit rename failed for v$v — " +
+        "the new generations are NOT committed")
+    // RETIRE: generations unreachable from BOTH the new and the previous
+    // commit (in-flight readers may still hold the previous), and all but
+    // the last two commit pointers
+    val keep: Map[String, Set[Long]] = (newGens.keySet ++ prevGens.keySet)
+      .map(t => t -> Set(newGens.get(t), prevGens.get(t)).flatten).toMap
+    keep.foreach { case (t, keepGens) =>
+      val dir = new Path(tablePath(root, t))
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
+            !keepGens.contains(n.stripPrefix("gen=").toLong))
+          f.delete(st.getPath, true)
+      }
+    }
+    commitVersions(spark, root).dropRight(2)
+      .foreach(pv => f.delete(commitFile(root, pv), false))
+    Commit(v, newGens)
+  }
+
+  /** Resolve ONE commit and read every table from it — the mutually
+    * consistent multi-table view.
+    */
+  def readAll(spark: SparkSession, root: String): Map[String, DataFrame] = {
+    val c = currentCommit(spark, root).getOrElse(
+      sys.error(s"MultiSnapshot.readAll: nothing committed at $root"))
+    c.gens.map { case (t, g) =>
+      t -> spark.read.parquet(genPath(root, t, g))
+    }
+  }
+
+  /** One table from the current commit (still coordinator-resolved, so
+    * repeated calls within one commit cycle are consistent with
+    * [[readAll]] of that commit).
+    */
+  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    val c = currentCommit(spark, root).getOrElse(
+      sys.error(s"MultiSnapshot.read: nothing committed at $root"))
+    val g = c.gens.getOrElse(table,
+      sys.error(s"MultiSnapshot.read: table '$table' not in commit v${c.version}"))
+    spark.read.parquet(genPath(root, table, g))
+  }
+}

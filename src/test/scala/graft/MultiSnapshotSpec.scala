@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gold.MultiSnapshot
+
+/** Multi-table atomic publish: mutually consistent reads across a
+  * fact/dim pair, carry-forward of unpublished tables, crash isolation
+  * of staged-but-uncommitted generations, and retention.
+  */
+class MultiSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  // version-stamped fact/dim pair: version k's orders reference ONLY
+  // version k's customers — any torn read produces FK orphans
+  private def dim(k: Int) =
+    Seq((k * 10 + 1, s"cust-v$k-a"), (k * 10 + 2, s"cust-v$k-b"))
+      .toDF("cust_id", "name")
+  private def fact(k: Int) =
+    Seq((1, k * 10 + 1, 100.0 * k), (2, k * 10 + 2, 5.0 * k))
+      .toDF("order_id", "cust_id", "amount")
+
+  private def orphans(root: String): Long = {
+    val t = MultiSnapshot.readAll(spark, root)
+    t("orders").join(t("customers"), Seq("cust_id"), "left_anti").count()
+  }
+
+  test("publish is atomic across tables: no commit ever shows FK orphans") {
+    val root = tmpDir("msnap") + "/r"
+    (1 to 3).foreach { k =>
+      MultiSnapshot.publish(spark, root,
+        Map("customers" -> dim(k), "orders" -> fact(k)))
+      assert(orphans(root) == 0, s"commit $k tore the fact/dim pair")
+    }
+    val c = MultiSnapshot.currentCommit(spark, root).get
+    assert(c.version == 3 && c.gens == Map("customers" -> 3L, "orders" -> 3L))
+  }
+
+  test("tables absent from a publish carry their generation forward") {
+    val root = tmpDir("msnap-cf") + "/r"
+    MultiSnapshot.publish(spark, root,
+      Map("customers" -> dim(1), "orders" -> fact(1)))
+    // fact-only publish referencing the SAME dim version: consistent
+    MultiSnapshot.publish(spark, root, Map("orders" -> fact(1)))
+    val c = MultiSnapshot.currentCommit(spark, root).get
+    assert(c.gens == Map("customers" -> 1L, "orders" -> 2L))
+    assert(orphans(root) == 0)
+  }
+
+  test("a crashed publish (staged, never committed) is invisible and overwritten") {
+    val root = tmpDir("msnap-crash") + "/r"
+    MultiSnapshot.publish(spark, root,
+      Map("customers" -> dim(1), "orders" -> fact(1)))
+    // simulate the crash: stage generation 2 of ONE table by hand, no commit
+    dim(2).write.parquet(MultiSnapshot.genPath(root, "customers", 2L))
+    val c1 = MultiSnapshot.currentCommit(spark, root).get
+    assert(c1.gens("customers") == 1L, "orphan generation became visible")
+    assert(MultiSnapshot.read(spark, root, "customers")
+      .filter($"name".startsWith("cust-v2")).isEmpty)
+    // the retry publishes both tables; the orphan dir is overwritten
+    MultiSnapshot.publish(spark, root,
+      Map("customers" -> dim(2), "orders" -> fact(2)))
+    assert(orphans(root) == 0)
+    assert(MultiSnapshot.read(spark, root, "customers")
+      .filter($"name".startsWith("cust-v2")).count() == 2)
+  }
+
+  test("retention: previous commit's generations survive one cycle, older retire") {
+    val root = tmpDir("msnap-ret") + "/r"
+    (1 to 3).foreach(k => MultiSnapshot.publish(spark, root,
+      Map("customers" -> dim(k))))
+    val dirs = new java.io.File(s"$root/customers").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(dirs == Seq("gen=2", "gen=3"),
+      s"want exactly the current and previous generations, got $dirs")
+  }
+}
