@@ -5104,6 +5104,54 @@ object Queries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1""")),
 
+    // ── SCD2 changelog fold with CDC hard deletes (q183 + tombstones):
+    //    'error' events act as Debezium op='d' — a delete closes the
+    //    open version and persists as a tombstone until a re-create.
+    //    Oracle reconstructs the same keep/close rules over the full
+    //    log: redundant tombstones and first-ever deletes drop, a
+    //    re-create after a delete always opens even with an unchanged
+    //    payload ──
+    Q("q193_scd2_tombstones",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            when(col("event_type") === "error", lit("d")).otherwise(lit("c"))
+              .as("op"),
+            col("ts"))
+        val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+        val batches = Seq(
+          ev.filter(col("ts") < cut1),
+          ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+          ev.filter(col("ts") >= cut2))
+        batches.foldLeft(gold.Scd2Merge.emptyLogSnapshot(ev, "ts")) {
+          (snap, b) =>
+            gold.Scd2Merge.applyLog(snap, b, Seq("user_id"),
+              Seq("event_type"), "ts", tieBreak = Seq("event_id"),
+              opCol = Some("op"))
+        }
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+                 ts,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS pv,
+                 lag(CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END)
+                   OVER w AS pop
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        k AS (SELECT user_id, event_id, event_type, op, ts FROM o
+              WHERE CASE
+                WHEN rn = 1 THEN op <> 'd'
+                WHEN op = 'd' THEN pop <> 'd'
+                ELSE pop = 'd' OR pv IS DISTINCT FROM event_type END)
+        SELECT user_id, event_id, event_type, op, ts AS effective_from,
+               lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS effective_to
+        FROM k""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -132,7 +132,8 @@ object Scd2Merge {
     */
   def applyLog(snapshot: DataFrame, batchLog: DataFrame, key: Seq[String],
                checkCols: Seq[String], tsCol: String,
-               tieBreak: Seq[String] = Seq.empty): DataFrame = {
+               tieBreak: Seq[String] = Seq.empty,
+               opCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val payloadCols =
       batchLog.columns.filterNot(c => key.contains(c) || c == tsCol).toSeq
@@ -173,15 +174,40 @@ object Scd2Merge {
     val changed: Column = checkCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(wOrd)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val kept = seq0
-      .withColumn("__keep", row_number().over(wOrd) === 1 || changed)
-      .filter(col("__keep"))
+    // hard-delete semantics (dbt invalidate_hard_deletes, Debezium op='d'):
+    // a delete row is KEPT AS A TOMBSTONE VERSION — it closes the previous
+    // version via the same lead() and stays current (effective_to null)
+    // until a re-create closes it. Persisting the tombstone is what keeps
+    // the replay guard working for deleted keys: the tombstone is the
+    // anchor, so redelivered rows at-or-before it drop. Rules (raw-lag ≡
+    // kept-lag still holds: a dropped non-delete equals its predecessor's
+    // payload, a dropped delete implies its predecessor is a delete):
+    //  - delete after a delete → dropped (redundant tombstone);
+    //  - non-delete after a delete → always opens (re-create), its payload
+    //    never compares against tombstone payload;
+    //  - a key's first-ever row being a delete → dropped (nothing to close).
+    val rn = row_number().over(wOrd)
+    val keep = opCol match {
+      case None => rn === 1 || changed
+      case Some(op) =>
+        val isDel = col(op) === "d"
+        val prevDel = lag(col(op), 1).over(wOrd) === "d"
+        when(rn === 1, col("__anchor") || !isDel)
+          .otherwise(when(isDel, !prevDel).otherwise(prevDel || changed))
+    }
+    val kept = seq0.withColumn("__keep", keep).filter(col("__keep"))
     val folded = kept
       .withColumn(EffectiveTo, lead(col("__ts"), 1).over(wOrd))
       .select(outCols: _*)
 
     closed.select(outCols: _*).unionByName(untouched).unionByName(folded)
   }
+
+  /** Live rows of an [[applyLog]] snapshot maintained with `opCol`:
+    * current versions that are not tombstones.
+    */
+  def liveFromLog(snapshot: DataFrame, opCol: String): DataFrame =
+    snapshot.filter(col(EffectiveTo).isNull && !(col(opCol) <=> lit("d")))
 
   /** Empty SCD2 snapshot with [[applyLog]]'s schema for a change-log
     * frame (first batch).

@@ -300,6 +300,7 @@ object CdcStream {
                     checkpoint: String, keys: Seq[String],
                     checkCols: Seq[String], tsCol: String,
                     tieBreak: Seq[String] = Seq.empty,
+                    opCol: Option[String] = None,
                     trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -313,7 +314,7 @@ object CdcStream {
             else graft.gold.Scd2Merge.emptyLogSnapshot(b, tsCol)
           val gen = graft.gold.SnapshotStore.publish(
             graft.gold.Scd2Merge.applyLog(snapshot, b, keys, checkCols,
-              tsCol, tieBreak),
+              tsCol, tieBreak, opCol),
             snapshotPath)
           require(gen == want,
             s"scd2LogStream: generation $gen after folding batch $batchId " +

@@ -235,6 +235,76 @@ class Scd2MergeSpec extends SparkSpec {
     assert(snap.filter($"account_id".isNull).count() == 1)
   }
 
+  /** op-aware change log: (account_id, seq, status, op, ts) */
+  private def opLog(rows: (Int, Long, String, String, String)*): DataFrame =
+    rows.toSeq.map { case (k, q, v, op, t) => (k, q, v, op, ts(t)) }
+      .toDF("account_id", "seq", "status", "op", "ts")
+
+  private def foldOp(batches: Seq[DataFrame]): DataFrame =
+    batches.foldLeft(Scd2Merge.emptyLogSnapshot(batches.head, "ts")) {
+      (snap, b) => Scd2Merge.applyLog(snap, b, logKey, logCheck, "ts",
+        tieBreak = Seq("seq"), opCol = Some("op"))
+    }
+
+  test("applyLog tombstones: delete closes, persists, re-create reopens") {
+    val snap = foldOp(Seq(opLog(
+      (1, 1L, "A", "c", "2024-01-01 00:00:00"),
+      (1, 2L, "A", "d", "2024-01-03 00:00:00"),
+      (1, 3L, "A", "c", "2024-01-05 00:00:00"),   // same payload as v1 —
+      (2, 4L, "X", "c", "2024-01-02 00:00:00")))) //   must STILL reopen
+    val k1 = snap.filter($"account_id" === 1).orderBy($"effective_from").collect()
+    assert(k1.map(r => (r.getAs[String]("status"), r.getAs[String]("op"))).toSeq ==
+      Seq(("A", "c"), ("A", "d"), ("A", "c")))
+    assert(k1(0).getAs[java.sql.Timestamp]("effective_to") ==
+      ts("2024-01-03 00:00:00"), "delete must close the open version")
+    assert(k1(1).getAs[java.sql.Timestamp]("effective_to") ==
+      ts("2024-01-05 00:00:00"), "re-create must close the tombstone")
+    assert(k1(2).getAs[java.sql.Timestamp]("effective_to") == null)
+    // live view: tombstoned keys absent, live keys present
+    val live = Scd2Merge.liveFromLog(snap, "op")
+    assert(live.filter($"account_id" === 1).count() == 1)
+    val snapDeleted = foldOp(Seq(opLog(
+      (3, 5L, "Q", "c", "2024-01-01 00:00:00"),
+      (3, 6L, "Q", "d", "2024-01-02 00:00:00"))))
+    assert(Scd2Merge.liveFromLog(snapDeleted, "op")
+      .filter($"account_id" === 3).isEmpty, "deleted key must not be live")
+  }
+
+  test("applyLog tombstones: redundant deletes drop; first-ever delete drops") {
+    val snap = foldOp(Seq(
+      opLog((1, 1L, "A", "c", "2024-01-01 00:00:00"),
+        (9, 2L, "Z", "d", "2024-01-01 06:00:00")),  // delete of unseen key
+      opLog((1, 3L, "A", "d", "2024-01-02 00:00:00"),
+        (1, 4L, "A", "d", "2024-01-03 00:00:00")))) // redundant tombstone
+    assert(snap.filter($"account_id" === 9).isEmpty,
+      "first-ever delete must create nothing")
+    val k1 = snap.filter($"account_id" === 1).collect()
+    assert(k1.length == 2, s"redundant delete must drop: ${k1.toSeq}")
+    assert(k1.count(_.getAs[String]("op") == "d") == 1)
+  }
+
+  test("applyLog tombstones: batch-cut invariance and replay no-op hold") {
+    val rows = Seq(
+      (1, 1L, "A", "c", "2024-01-01 00:00:00"),
+      (1, 2L, "B", "c", "2024-01-02 00:00:00"),
+      (1, 3L, "B", "d", "2024-01-03 00:00:00"),
+      (1, 4L, "C", "c", "2024-01-04 00:00:00"),
+      (2, 5L, "X", "c", "2024-01-02 12:00:00"),
+      (2, 6L, "X", "d", "2024-01-03 12:00:00"))
+    val oneShot = foldOp(Seq(opLog(rows: _*)))
+    for (cut <- 1 until rows.length) {
+      val sorted = rows.sortBy(_._5)
+      sameRows(foldOp(Seq(opLog(sorted.take(cut): _*),
+        opLog(sorted.drop(cut): _*))), oneShot, s"op cut $cut diverges")
+    }
+    // replay of a batch ending in a tombstone: the tombstone anchor
+    // drops every redelivered row
+    val b2 = opLog(rows.drop(3): _*)
+    sameRows(Scd2Merge.applyLog(oneShot, b2, logKey, logCheck, "ts",
+      tieBreak = Seq("seq"), opCol = Some("op")), oneShot,
+      "replay over tombstoned keys changed the snapshot")
+  }
+
   test("scd2LogStream: streamed folds equal the one-shot fold, exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
