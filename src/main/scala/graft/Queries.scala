@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Envelope
 import graft.gold.{Marts, Scd2Merge, UpsertByKey}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.silver.{Masking, Quality, Staging}
+import graft.silver.{CryptoShred, Masking, Quality, Reconcile, Staging}
 
 /** The driver-checked query registry: one entry per implemented operator of
   * SURVEY.md §2 (+ the §7.5 / north-star extension operators), each with a
@@ -5151,6 +5151,93 @@ object Queries {
                lead(ts) OVER (PARTITION BY user_id
                  ORDER BY ts ASC, event_id ASC) AS effective_to
         FROM k""")),
+
+    // ── Merkle-style replica reconciliation (Reconcile): events vs a
+    //    mutated copy — bucket digests decide WHERE to look, the keyed
+    //    diff runs only over dirty buckets; the oracle reconstructs all
+    //    four divergence classes from the same two relations ──
+    Q("q194_reconcile",
+      (s, d) => {
+        val a = Tables.events(s, d).select("event_id", "user_id", "value")
+        val m = pmod(col("event_id"), lit(13))
+        val b = a.filter(m === 0).withColumn("value", col("value") + 1.0)
+          .unionByName(a.filter(m >= 2))
+          .unionByName(a.filter(m === 1)
+            .withColumn("event_id", col("event_id") + 500000000L))
+        Reconcile.diff(a, b, Seq("event_id"), nBuckets = 1 << 10)
+      },
+      Some("""
+        WITH a AS (SELECT event_id, user_id, value FROM events),
+        b AS (
+          SELECT event_id, user_id, value + 1.0 AS value FROM events
+          WHERE event_id % 13 = 0
+          UNION ALL
+          SELECT event_id, user_id, value FROM events WHERE event_id % 13 >= 2
+          UNION ALL
+          SELECT event_id + 500000000, user_id, value FROM events
+          WHERE event_id % 13 = 1)
+        SELECT * FROM (
+          SELECT x.event_id, x.user_id, x.value, 'only_in_a' AS diff_type
+          FROM a x LEFT JOIN b y USING (event_id) WHERE y.event_id IS NULL
+          UNION ALL
+          SELECT y.event_id, y.user_id, y.value, 'only_in_b'
+          FROM b y LEFT JOIN a x USING (event_id) WHERE x.event_id IS NULL
+          UNION ALL
+          SELECT x.event_id, x.user_id, x.value, 'differs_in_a'
+          FROM a x JOIN b y USING (event_id)
+          WHERE x.value IS DISTINCT FROM y.value
+             OR x.user_id IS DISTINCT FROM y.user_id
+          UNION ALL
+          SELECT y.event_id, y.user_id, y.value, 'differs_in_b'
+          FROM a x JOIN b y USING (event_id)
+          WHERE x.value IS DISTINCT FROM y.value
+             OR x.user_id IS DISTINCT FROM y.user_id)""")),
+
+    // ── crypto-shredding end to end (CryptoShred): per-user AES keys,
+    //    payload encrypted at ingest, subjects user_id%7==3 shredded by
+    //    deleting their KEY ROW (no data rewrite), then a decrypt pass —
+    //    shredded subjects read null, everyone else round-trips exactly.
+    //    The oracle states that semantic directly ──
+    Q("q195_crypto_shred",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        val keys = CryptoShred.subjectKeys(ev, "user_id", "q195-master")
+        val enc = CryptoShred.encryptColumns(ev, "user_id", keys,
+          Seq("value"))
+        val kept = CryptoShred.shred(keys, "user_id",
+          ev.filter(pmod(col("user_id"), lit(7)) === 3).select("user_id"))
+        CryptoShred.decryptColumns(enc, "user_id", kept, Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("value").cast("double").as("value"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CASE WHEN user_id % 7 = 3 THEN NULL ELSE value END AS value
+        FROM events""")),
+
+    // ── retention-policy enforcement (Erasure.enforceRetention): whole
+    //    partition directories below the cutoff drop with zero rewrite —
+    //    the partition layout is the retention index ──
+    Q("q196_retention_ttl",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q196-ttl")
+          .toString + "/t"
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+          .withColumn("day", to_date(col("ts")).cast("string"))
+        ev.write.partitionBy("day").parquet(root)
+        gold.Erasure.enforceRetention(s, root, "day", "2024-01-15")
+        // partition-type inference reads the dir values back as DATE —
+        // re-cast so both engines emit the string form
+        s.read.parquet(root)
+          .withColumn("day", col("day").cast("string"))
+          .select("event_id", "user_id", "event_type", "ts", "value",
+            "day")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, ts, value,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'""")),
 
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",

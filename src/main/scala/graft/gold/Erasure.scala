@@ -137,4 +137,31 @@ object Erasure {
     SnapshotStore.vacuum(spark, path)
     receipt.toDF()
   }
+
+  /** Retention-policy enforcement on a Hive-partitioned table: DROP whole
+    * partition directories whose (string-compared) partition value is
+    * strictly below `cutoff` — zero rewrite, zero scan of surviving data;
+    * the partition layout IS the retention index. String comparison is
+    * exact for ISO dates (`day=2024-01-03`), the layout the reference's
+    * bronze uses. Returns one row per dropped partition (value, the
+    * receipt) — banking retention schedules want the ledger, not a
+    * boolean.
+    */
+  def enforceRetention(spark: SparkSession, path: String, partCol: String,
+                       cutoff: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val dropped = scala.collection.mutable.ArrayBuffer[String]()
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(s"$partCol=")) {
+        val v = ExternalCatalogUtils.unescapePathName(
+          n.stripPrefix(s"$partCol="))
+        if (v < cutoff && fs.delete(st.getPath, true)) dropped += v
+      }
+    }
+    import spark.implicits._
+    dropped.toSeq.sorted.toDF("dropped_partition")
+  }
 }

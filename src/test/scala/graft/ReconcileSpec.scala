@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.silver.Reconcile
+
+/** Merkle-style reconciliation: identical tables produce an empty diff
+  * from the digest compare alone, planted divergences come back exactly
+  * labeled, and the digest-pruned diff equals the unpruned diff.
+  */
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base() = spark.range(1000L)
+    .select(col("id"),
+      pmod(col("id"), lit(7)).as("grp"),
+      (col("id") * 3 % 101).cast("double").as("amt"))
+
+  test("identical tables: zero dirty buckets, empty diff") {
+    assert(Reconcile.dirtyBuckets(base(), base(), Seq("id"), 64).isEmpty)
+    assert(Reconcile.diff(base(), base(), Seq("id"), 64).isEmpty)
+  }
+
+  test("planted divergences are labeled exactly") {
+    val a = base()
+    val b = base().filter(col("id") =!= 7L)                    // drop one
+      .withColumn("amt",
+        when(col("id") === 13L, col("amt") + 1.0).otherwise(col("amt")))
+      .unionByName(Seq((5000L, 0L, 9.0)).toDF("id", "grp", "amt")) // add one
+    val out = Reconcile.diff(a, b, Seq("id"), 64)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(out == Set((7L, "only_in_a"), (5000L, "only_in_b"),
+      (13L, "differs_in_a"), (13L, "differs_in_b")), s"got $out")
+  }
+
+  test("digest pruning changes nothing: nBuckets=1 (no pruning) == nBuckets=512") {
+    val a = base()
+    val b = base().withColumn("amt",
+      when(pmod(col("id"), lit(97)) === 0, col("amt") * 2).otherwise(col("amt")))
+    val full = Reconcile.diff(a, b, Seq("id"), 1)
+    val pruned = Reconcile.diff(a, b, Seq("id"), 512)
+    assert(full.exceptAll(pruned).isEmpty && pruned.exceptAll(full).isEmpty)
+    // and the dirty set really is small: <= one bucket per changed row
+    val dirty = Reconcile.dirtyBuckets(a, b, Seq("id"), 512).count()
+    assert(dirty <= 11 && dirty > 0, s"dirty buckets: $dirty")
+  }
+
+  test("null keys and null payloads reconcile null-safe") {
+    val a = Seq((Some(1L), Some("x")), (None, Some("y")))
+      .toDF("id", "tag")
+    val b = Seq((Some(1L), Option.empty[String]), (None, Some("y")))
+      .toDF("id", "tag")
+    val out = Reconcile.diff(a, b, Seq("id"), 8)
+      .collect().map(r => (Option(r.get(0)), r.getString(2))).toSet
+    // null-keyed rows match null-safe and are equal → silent; id 1 differs
+    assert(out == Set((Some(1L), "differs_in_a"), (Some(1L), "differs_in_b")),
+      s"got $out")
+  }
+}
