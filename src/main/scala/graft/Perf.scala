@@ -835,6 +835,24 @@ object Perf {
       time("scd2log-current-dim")(
         snap.filter(col("effective_to").isNull).count())
     }
+    if (what == "recon-r7") {
+      // Merkle reconciliation at 10M rows with 100 divergent rows: the
+      // digest pass decides everything; the row diff touches only dirty
+      // buckets. Baseline: the unpruned full-outer diff.
+      val n = 10000000L
+      val mk = spark.range(n).select(col("id"),
+        pmod(hash(col("id")), lit(1000L)).as("grp"),
+        (col("id") % 9973).cast("double").as("amt"))
+      val a = mk
+      val b = mk.withColumn("amt",
+        when(col("id") % 100003 === 0, col("amt") + 1.0).otherwise(col("amt")))
+      time("recon-digest-only-clean")(
+        silver.Reconcile.dirtyBuckets(a, a, Seq("id"), 1 << 12).count())
+      time("recon-pruned-diff-100-dirty")(
+        silver.Reconcile.diff(a, b, Seq("id"), 1 << 12).count())
+      time("recon-unpruned-diff-baseline")(
+        silver.Reconcile.diff(a, b, Seq("id"), 1).count())
+    }
     if (what == "optimize-r7") {
       // executing OPTIMIZE against the reference's own pathology: a CDC
       // sink that writes ~50-record files (kafka_to_minio.py:54). Build

@@ -5239,6 +5239,68 @@ object Queries {
                CAST(CAST(ts AS DATE) AS VARCHAR) AS day
         FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'""")),
 
+    // ── feature-store point-in-time join: purchase anchors pick up two
+    //    features strictly as-of their own timestamp (cumulative prior
+    //    view count, last error time) via chained asOfJoin sweeps — the
+    //    leakage-free training-set assembly; the oracle states the
+    //    point-in-time semantics directly with correlated subqueries,
+    //    so any future-data leak or off-by-one at ties hash-mismatches ──
+    Q("q197_point_in_time_features",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val anchors = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val wv = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("view_event_id").asc)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_event_id"))
+          .withColumn("n_views_before", row_number().over(wv).cast("long"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("err_event_id"),
+            col("ts").as("last_error_ts"))
+        val f1 = Marts.asOfJoin(anchors, views, Seq("user_id"), "ts", "ts",
+          Seq("n_views_before", "view_event_id"), Seq("view_event_id"))
+        val f2 = Marts.asOfJoin(f1, errs, Seq("user_id"), "ts", "ts",
+          Seq("last_error_ts", "err_event_id"), Seq("err_event_id"))
+        f2.select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("n_views_before"), lit(0L)).as("n_views_before"),
+          col("last_error_ts"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+               CAST((SELECT COUNT(*) FROM events v
+                     WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                       AND v.ts <= p.ts) AS BIGINT) AS n_views_before,
+               (SELECT MAX(e.ts) FROM events e
+                WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                  AND e.ts <= p.ts) AS last_error_ts
+        FROM events p WHERE p.event_type = 'purchase'""")),
+
+    // ── uniform negative sampling for contrastive pairs: per document,
+    //    up to 5 deterministic md5-drawn corpus negatives (self-draws
+    //    excluded, duplicates collapse) — the reproducible background
+    //    mix alongside q92's similarity-mined hard negatives ──
+    Q("q198_negative_sample",
+      (s, d) => operators.Sampling.negativeSample(
+        Tables.documents(s, d), Tables.documents(s, d)
+          .select("doc_id", "lang"),
+        "doc_id", "doc_id", k = 5, lo = 0L, hi = 499L, salt = "s198")
+        .select("anchor_id", "neg_id", "lang"),
+      Some("""
+        WITH draws AS (
+          SELECT a.doc_id AS anchor_id,
+                 CAST(('0x' || substr(md5(a.doc_id::VARCHAR || ':'
+                     || j::VARCHAR || ':s198'), 1, 8))::UBIGINT % 500
+                   AS BIGINT) AS neg_id
+          FROM documents a,
+               LATERAL (SELECT unnest(range(0, 5)) AS j) u),
+        dd AS (SELECT DISTINCT anchor_id, neg_id FROM draws
+               WHERE neg_id <> anchor_id)
+        SELECT anchor_id, neg_id, c.lang
+        FROM dd JOIN documents c ON c.doc_id = dd.neg_id""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -337,4 +337,38 @@ object Sampling {
       1, 8), 16, 10).cast("long") + lit(1L)
     col(weightCol).cast("double") / u.cast("double")
   }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * per anchor, up to `k` corpus rows drawn by the md5 recipe over
+    * (anchor, draw-index) — reproducible across runs/retries/engines
+    * like every sampler here, so the training set is an artifact, not an
+    * accident of the RNG. Draw j maps to id `lo + md5₃₂(anchor:j:salt)
+    * mod (hi−lo+1)` over a DENSE id range (the contract; sparse ranges
+    * silently under-sample); self-draws are excluded and duplicate draws
+    * collapse, so an anchor yields ≤ k negatives — the standard trade
+    * for rejection-free O(anchors·k) cost. Complements
+    * `Similarity.hardNegatives` (q92): that mines the most-confusable
+    * negatives by cosine; this supplies the uniform background mix
+    * contrastive batches also need.
+    *
+    * Shape: one map-only explode of anchors×k, one keyed join against
+    * the corpus on the drawn id — no window, nothing corpus-squared.
+    */
+  def negativeSample(anchors: DataFrame, corpus: DataFrame,
+                     anchorIdCol: String, corpusIdCol: String, k: Int,
+                     lo: Long, hi: Long, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(hi >= lo, s"empty id range [$lo, $hi]")
+    val range = hi - lo + 1
+    val draws = anchors.select(col(anchorIdCol).as("anchor_id"))
+      .withColumn("__j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("neg_id", lit(lo) + pmod(
+        conv(substring(md5(concat_ws(":",
+          col("anchor_id").cast("string"), col("__j").cast("string"),
+          lit(salt))), 1, 8), 16, 10).cast("long"),
+        lit(range)))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id")).distinct()
+    draws.join(corpus.withColumnRenamed(corpusIdCol, "neg_id"), Seq("neg_id"))
+  }
 }

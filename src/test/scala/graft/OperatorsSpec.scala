@@ -2144,4 +2144,21 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffled.getAs[Long]("n_scanned") == 10L, shuffled.toString)
     assert(shuffled.getAs[Long]("rows_scanned") == 1000L)
   }
+
+  test("negativeSample: <=k per anchor, never self, deterministic, in-range") {
+    import spark.implicits._
+    val corpus = spark.range(100L).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    val out = Sampling.negativeSample(corpus, corpus, "doc_id", "doc_id",
+      k = 4, lo = 0L, hi = 99L, salt = "s")
+    val rows = out.select("anchor_id", "neg_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.forall { case (a, n) => a != n && n >= 0 && n < 100 })
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 4) && perAnchor.size == 100)
+    val again = Sampling.negativeSample(corpus.repartition(7), corpus,
+      "doc_id", "doc_id", k = 4, lo = 0L, hi = 99L, salt = "s")
+      .select("anchor_id", "neg_id").as[(Long, Long)].collect().toSeq
+    assert(rows.sorted == again.sorted, "sampling must be layout-invariant")
+  }
 }
