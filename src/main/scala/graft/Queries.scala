@@ -5301,6 +5301,55 @@ object Queries {
         SELECT anchor_id, neg_id, c.lang
         FROM dd JOIN documents c ON c.doc_id = dd.neg_id""")),
 
+    // ── SCD Type 3 off the Type 2 fold: current + immediately-previous
+    //    value per key, derived by one window pass over the q183
+    //    snapshot (T3's write-path lossiness disappears when T2 is
+    //    underneath) ──
+    Q("q199_scd_type3",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("user_id", "event_id", "event_type", "ts")
+        val snap = gold.Scd2Merge.applyLog(
+          gold.Scd2Merge.emptyLogSnapshot(ev, "ts"), ev, Seq("user_id"),
+          Seq("event_type"), "ts", tieBreak = Seq("event_id"))
+        gold.Scd2Merge.toType3(snap, Seq("user_id"), Seq("event_type"),
+            tieBreak = Seq("event_id"))
+          .select("user_id", "event_type", "prev_event_type")
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, ts,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS pv
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        k AS (SELECT user_id, event_id, event_type, ts FROM o
+              WHERE rn = 1 OR pv IS DISTINCT FROM event_type),
+        r AS (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rd
+              FROM k)
+        SELECT cur.user_id, cur.event_type, prev.event_type AS prev_event_type
+        FROM (SELECT * FROM r WHERE rd = 1) cur
+        LEFT JOIN (SELECT * FROM r WHERE rd = 2) prev USING (user_id)""")),
+
+    // ── HLL distinct-count mart (DistinctMart): per-day Datasketches
+    //    HLL state folded one micro-batch at a time; daily estimates +
+    //    an any-range union readout. No DuckDB oracle (different sketch
+    //    implementation) — batch-cut bit-invariance and the error bound
+    //    vs exact are DistinctMartSpec's assertions ──
+    Q("q200_hll_distinct_mart",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q200-dm")
+          .toString + "/s"
+        val ev = Tables.events(s, d)
+        (0 to 2).foreach(i => gold.DistinctMart.foldBatch(s,
+          ev.filter(pmod(col("event_id"), lit(3)) === i), root,
+          "user_id", "ts", i.toLong))
+        gold.DistinctMart.dailyDistinct(s, root)
+      },
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

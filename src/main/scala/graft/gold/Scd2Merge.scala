@@ -209,6 +209,27 @@ object Scd2Merge {
   def liveFromLog(snapshot: DataFrame, opCol: String): DataFrame =
     snapshot.filter(col(EffectiveTo).isNull && !(col(opCol) <=> lit("d")))
 
+  /** SCD Type 3 projection from an SCD2 snapshot: the current row per
+    * key plus `prev_<col>` columns holding each tracked column's value
+    * in the IMMEDIATELY PRECEDING version (null for single-version
+    * keys) — the "current + previous" dimension shape analysts ask for
+    * when full history is overkill. Derived, not maintained: the SCD2
+    * snapshot stays the source of truth and this is one window pass
+    * over it (T3's classic write-path lossiness disappears when T2 is
+    * underneath). `tieBreak` orders versions sharing one
+    * `effective_from` (q183's zero-width tie intervals).
+    */
+  def toType3(snapshot: DataFrame, key: Seq[String], valueCols: Seq[String],
+              tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(EffectiveFrom).asc_nulls_first +:
+      tieBreak.map(col(_).asc_nulls_first)): Seq[Column]
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+    valueCols.foldLeft(snapshot)((d, c) =>
+        d.withColumn(s"prev_$c", lag(col(c), 1).over(w)))
+      .filter(col(EffectiveTo).isNull)
+  }
+
   /** Empty SCD2 snapshot with [[applyLog]]'s schema for a change-log
     * frame (first batch).
     */
