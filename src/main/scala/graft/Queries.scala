@@ -5350,6 +5350,77 @@ object Queries {
       },
       None),
 
+    // ── embedding drift (Similarity.embeddingDrift): per-label PSI
+    //    between reference and current cosine-to-REFERENCE-centroid
+    //    distributions — the ANN-index/model staleness alarm; both
+    //    windows anchored to the reference centroids so centroid
+    //    movement cannot cancel out of the score. Oracle composes q65's
+    //    decimal cosine with q179's frozen-edge PSI ──
+    Q("q201_embedding_drift",
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        operators.Similarity.embeddingDrift(
+          em.filter(pmod(col("vec_id"), lit(2)) === 0),
+          em.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", "label", bins = 10)
+      },
+      Some("""
+        WITH comp AS (
+          SELECT label, vec_id,
+                 CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS r, i,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                   / 1000000 AS DECIMAL(18,6)) AS vd
+          FROM embeddings,
+               LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) x),
+        cent AS (
+          SELECT label, i,
+                 CAST(floor((CAST(SUM(vd) AS DOUBLE) / COUNT(*)) * 1000000
+                   + 0.5) / 1000000 AS DECIMAL(18,6)) AS c
+          FROM comp WHERE r = 0 GROUP BY 1, 2),
+        sc AS (
+          SELECT vec_id, comp.label AS label, r,
+                 CAST(SUM(vd * c) AS DOUBLE) AS dot,
+                 CAST(SUM(vd * vd) AS DOUBLE) AS na,
+                 CAST(SUM(c * c) AS DOUBLE) AS nc
+          FROM comp JOIN cent USING (label, i) GROUP BY 1, 2, 3),
+        t AS (
+          SELECT label,
+                 CASE WHEN na = 0 OR nc = 0 THEN 0.0
+                      ELSE floor(dot / sqrt(na * nc) * 1000000 + 0.5)
+                        / 1000000 END AS v,
+                 r
+          FROM sc),
+        ext AS (SELECT label,
+            MIN(CASE WHEN r = 0 THEN v END) AS mn,
+            MAX(CASE WHEN r = 0 THEN v END) AS mx,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM t GROUP BY 1
+          HAVING SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) > 0),
+        b AS (SELECT t.label, r,
+            CASE WHEN mx > mn
+                 THEN GREATEST(0, LEAST(9,
+                      CAST(FLOOR((v - mn) * 10 / (mx - mn)) AS INTEGER)))
+                 ELSE 0 END AS bin
+          FROM t JOIN ext ON t.label = ext.label),
+        c AS (SELECT label, bin,
+            CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM b GROUP BY 1, 2),
+        s AS (SELECT label, n_a, n_b, unnest(range(0, 10)) AS bin
+          FROM ext),
+        f AS (SELECT s.label, s.n_a, s.n_b,
+            COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM s LEFT JOIN c ON s.label = c.label AND s.bin = c.bin),
+        terms AS (SELECT label, n_a, n_b,
+            CAST(FLOOR(((ca + 1.0) / (n_a + 10.0) - (cb + 1.0) / (n_b + 10.0))
+              * LN(((ca + 1.0) / (n_a + 10.0)) / ((cb + 1.0) / (n_b + 10.0)))
+              * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS trm
+          FROM f)
+        SELECT label, MAX(n_a) AS n_ref, MAX(n_b) AS n_cur,
+          CAST(SUM(trm) AS DOUBLE) AS psi
+        FROM terms GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -360,4 +360,68 @@ object Similarity {
       .select(col(idCol), col("rank_a"), col("rank_b"), col("rrf"),
         col("fused_rank"))
   }
+
+  // ── embedding drift ──────────────────────────────────────────────────
+
+  private def round6d(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Per-label decimal centroids of `df` — `centroidCosine`'s centroid
+    * stage exposed so a REFERENCE window's centroids can score a later
+    * window (the anchored form drift monitoring needs: both windows must
+    * be measured against the same frozen anchor, or centroid movement
+    * cancels out of the score distribution).
+    */
+  def labelCentroids(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    df.select(col(labelCol).as("__lbl"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .withColumn("__vd", round6d(col("__v").cast("double")).cast("decimal(18,6)"))
+      .groupBy(col("__lbl"), col("__pos"))
+      .agg(round6d(sum(col("__vd")).cast("double") / count(lit(1)))
+        .cast("decimal(18,6)").as("__c"))
+
+  /** Cosine of every vector to ITS label's centroid from `cent`
+    * ([[labelCentroids]] output). Labels absent from `cent` drop — a
+    * window can only be scored against anchors that exist. Same decimal
+    * recipe as `centroidCosine`, so results are engine-exact.
+    */
+  def cosineToCentroids(df: DataFrame, cent: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("__lbl"), col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .withColumn("__vd", round6d(col("__v").cast("double")).cast("decimal(18,6)"))
+      .join(cent, Seq("__lbl", "__pos"))
+      .groupBy(col("__id"), col("__lbl"))
+      .agg(sum(col("__vd") * col("__c")).cast("double").as("__dot"),
+        sum(col("__vd") * col("__vd")).cast("double").as("__na"),
+        sum(col("__c") * col("__c")).cast("double").as("__nc"))
+      .withColumn("cos_to_centroid",
+        when(col("__na") === 0 || col("__nc") === 0, lit(0.0))
+          .otherwise(round6d(col("__dot") / sqrt(col("__na") * col("__nc")))))
+      .select(col("__id").as(idCol), col("__lbl").as(labelCol),
+        col("cos_to_centroid"))
+
+  /** Embedding drift monitor: PSI (per label) between the reference
+    * window's and the current window's cosine-to-REFERENCE-centroid
+    * distributions — "has this label's embedding cloud moved or spread
+    * relative to where it sat when the index/model was built?", the
+    * staleness alarm for ANN indexes, routing models, and semantic
+    * filters. Anchoring BOTH windows to the reference centroids is what
+    * makes the score distribution sensitive to drift; re-deriving
+    * centroids per window would absorb exactly the movement being
+    * measured. Composition of two oracle-proven parts (`centroidCosine`'s
+    * decimal cosine, `Quality.psiAgainstReference`'s frozen-edge PSI), so
+    * the whole readout stays engine-exact. Cost: linear in vectors·dims
+    * (two scoring passes) + a (labels × bins) histogram — nothing
+    * pairwise.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String,
+                     bins: Int = 10): DataFrame = {
+    val cent = labelCentroids(ref, vecCol, labelCol)
+    graft.silver.Quality.psiAgainstReference(
+      cosineToCentroids(ref, cent, idCol, vecCol, labelCol),
+      cosineToCentroids(cur, cent, idCol, vecCol, labelCol),
+      "cos_to_centroid", labelCol, bins)
+  }
 }

@@ -2161,4 +2161,26 @@ class OperatorsSpec extends SparkSpec {
       .select("anchor_id", "neg_id").as[(Long, Long)].collect().toSeq
     assert(rows.sorted == again.sorted, "sampling must be layout-invariant")
   }
+
+  test("embeddingDrift: a shifted label out-scores a stable one; stable ~ 0") {
+    import spark.implicits._
+    // label 0 identical across windows; label 1's current window rotates
+    // toward a different direction — its cosine-to-ref-centroid
+    // distribution must move
+    def vecs(cur: Boolean) = spark.range(400L).select(
+      col("id").as("vec_id"),
+      (col("id") % 2).cast("int").as("label"),
+      transform(sequence(lit(0), lit(7)), j => {
+        val base = sin(col("id") * (j + lit(1)) * 0.7)
+        val drift = when(lit(cur) && col("id") % 2 === 1,
+          sin((col("id") + lit(7000)) * (j + lit(3)) * 1.3)).otherwise(base)
+        drift.cast("float")
+      }).as("embedding"))
+    val out = Similarity.embeddingDrift(vecs(cur = false), vecs(cur = true),
+      "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out(1) > out(0) + 0.05,
+      s"drifted label must dominate: $out")
+    assert(out(0) < 0.01, s"stable label must read ~0: $out")
+  }
 }
