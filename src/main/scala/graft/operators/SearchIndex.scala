@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gold.{BaseDelta, SnapshotStore}
+
+/** Incrementally-maintained BM25 search index — `TextAnalysis.bm25`
+  * recomputes corpus statistics from raw text on every call; this keeps
+  * the three artifacts a search engine actually persists and folds each
+  * document batch in O(batch):
+  *
+  *  - `postings` — (term_h, doc_id, tf): 64-bit token hashes, one row
+  *    per distinct (term, doc). Query-term pruning pushes `term_h IN
+  *    (…)` through the merge-on-read aggregate down to the parquet
+  *    scans (term_h is a grouping column), so a K-term query opens only
+  *    the row groups holding those K hashes — postings for every other
+  *    term in the corpus never leave the files.
+  *  - `docstats` — (doc_id, dl): the length normalizer.
+  *  - `stats` — ONE (n_docs, sum_dl) row behind the SnapshotStore
+  *    generation ledger (batch b commits generation b+1 — replays
+  *    skip), so N/avgdl never require scanning per-doc state.
+  *
+  * BM25 statistics are additive (df, N, Σdl all sum across batches),
+  * so the folded index scores IDENTICALLY to a from-scratch
+  * `bm25` over the accumulated corpus — q202's oracle runs the full
+  * posting-list SQL and the fold must match it hash-exactly. Token
+  * hashes ride the shuffle instead of term strings (q55/bigramNll's
+  * proven no-collision equivalence).
+  *
+  * Contract: each doc_id arrives in exactly one batch (upstream
+  * `Dedup.incrementalExact` is the dedup gate); a replayed batch id is
+  * a no-op via the delta-overwrite + generation ledger. Zero-token
+  * docs count toward neither N nor avgdl — `bm25`'s semantics.
+  *
+  * Query cost: O(postings of the query's terms) + a docstats semi-join
+  * + one broadcast stats row. Nothing corpus-sized moves.
+  */
+object SearchIndex {
+
+  final case class State(root: String) {
+    def postingsTable: BaseDelta.Table =
+      BaseDelta.Table(s"$root/postings", Seq("term_h", "doc_id"), Seq("tf"), None)
+    def docstatsTable: BaseDelta.Table =
+      BaseDelta.Table(s"$root/docstats", Seq("doc_id"), Seq("dl"), None)
+    def statsPath: String = s"$root/stats"
+  }
+
+  private def round6(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Fold one document batch (idCol, textCol) into the index. */
+  def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
+           idCol: String, textCol: String, maxDeltas: Int = 16): Unit = {
+    val tk = TextAnalysis.tokens(col(textCol))
+    val docs = batch.select(col(idCol).as("doc_id"),
+        when(length(trim(col(textCol))) === 0, lit(0L))
+          .otherwise(size(tk).cast("long")).as("dl"),
+        tk.as("__tk"))
+      .filter(col("dl") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = docs
+        .select(col("doc_id"), explode(col("__tk")).as("__tok"))
+        .groupBy(xxhash64(col("__tok")).as("term_h"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, postings,
+        batchId, maxDeltas)
+      BaseDelta.appendAndMaybeCompact(spark, st.docstatsTable,
+        docs.select("doc_id", "dl"), batchId, maxDeltas)
+      val want = batchId + 1
+      if (SnapshotStore.currentGen(spark, st.statsPath).forall(_ < want)) {
+        val delta = docs.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        val merged =
+          if (SnapshotStore.exists(spark, st.statsPath))
+            SnapshotStore.read(spark, st.statsPath).unionByName(delta)
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("sum_dl")).as("sum_dl"))
+          else delta
+        val gen = SnapshotStore.publish(merged, st.statsPath)
+        require(gen == want,
+          s"SearchIndex.fold: generation $gen after batch $batchId " +
+            s"(expected $want) — single-writer contract violated")
+      }
+    } finally docs.unpersist()
+  }
+
+  /** BM25 scores of every indexed doc matching ≥1 query term —
+    * bit-identical to `TextAnalysis.bm25` over the accumulated corpus.
+    * Returns (doc_id, n_terms, score); wrap in `.orderBy(desc).limit(k)`
+    * for top-k serving (plans as distributed TakeOrdered).
+    */
+  def search(spark: SparkSession, st: State,
+             queryTerms: Seq[String], k1: Double = 1.2,
+             b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    // hash the query's terms through the SAME expression the fold used
+    val hashes = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
+      .select(xxhash64(col("t"))).collect().map(_.getLong(0)).toSeq
+    val post = BaseDelta.read(spark, st.postingsTable)
+      .filter(col("term_h").isin(hashes: _*))
+    val stats = SnapshotStore.read(spark, st.statsPath)
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val dfreq = post.groupBy(col("term_h"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val dl = BaseDelta.read(spark, st.docstatsTable)
+    val idf = log((col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)) + lit(1.0))
+    post.join(broadcast(dfreq), Seq("term_h"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__t6", round6(
+        (idf * (col("tf").cast("double") * lit(k1 + 1.0))) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+        .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__t6")).cast("double").as("score"))
+  }
+}

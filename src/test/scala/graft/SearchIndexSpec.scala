@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{SearchIndex, TextAnalysis}
+
+/** Incremental BM25 index: folded state scores identically to the
+  * from-scratch bm25 over the accumulated corpus, under any batch cut;
+  * replays are no-ops; zero-token docs never pollute the stats.
+  */
+class SearchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val corpus = Seq(
+    (1L, "bank account risk data bank"),
+    (2L, "data data lake house"),
+    (3L, "risk model bank"),
+    (4L, "totally unrelated words here"),
+    (5L, ""),                               // zero tokens: not in N/avgdl
+    (6L, "account account account"))
+
+  private val query = Seq("bank", "data", "account")
+
+  private def sameScores(a: DataFrame, b: DataFrame): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"left:\n${a.orderBy("doc_id").collect().mkString("\n")}" +
+        s"\nright:\n${b.orderBy("doc_id").collect().mkString("\n")}")
+
+  test("any fold cut scores identically to from-scratch bm25") {
+    val expected = TextAnalysis.bm25(docs(corpus: _*), "doc_id", "text", query)
+    for (cuts <- Seq(Seq(2, 4), Seq(1, 5), Seq(3, 3))) {
+      val st = SearchIndex.State(tmpDir("si") + "/s")
+      val batches = Seq(corpus.take(cuts(0)),
+        corpus.slice(cuts(0), cuts(1)), corpus.drop(cuts(1)))
+        .filter(_.nonEmpty)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        SearchIndex.fold(spark, st, docs(b: _*), i.toLong, "doc_id", "text")
+      }
+      sameScores(SearchIndex.search(spark, st, query), expected)
+    }
+  }
+
+  test("replayed batch id is a no-op; stats stay exact") {
+    val st = SearchIndex.State(tmpDir("si-replay") + "/s")
+    val b0 = corpus.take(3); val b1 = corpus.drop(3)
+    SearchIndex.fold(spark, st, docs(b0: _*), 0L, "doc_id", "text")
+    SearchIndex.fold(spark, st, docs(b1: _*), 1L, "doc_id", "text")
+    val before = SearchIndex.search(spark, st, query)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    SearchIndex.fold(spark, st, docs(b1: _*), 1L, "doc_id", "text")
+    val after = SearchIndex.search(spark, st, query)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, "replay changed scores")
+  }
+
+  test("only docs matching a query term return; n_terms counts matches") {
+    val st = SearchIndex.State(tmpDir("si-match") + "/s")
+    SearchIndex.fold(spark, st, docs(corpus: _*), 0L, "doc_id", "text")
+    val out = SearchIndex.search(spark, st, query)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 6L))
+    assert(out(1L) == 3 && out(2L) == 1 && out(3L) == 1 && out(6L) == 1)
+  }
+}
