@@ -5462,6 +5462,251 @@ object Queries {
                CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
         FROM t GROUP BY 1""")),
 
+    // ── column-level diff summary (Reconcile.columnStats): which columns
+    //    drifted between two keyed copies and by how much — clean buckets
+    //    counted as matches arithmetically, only dirty buckets re-joined ──
+    Q("q203_column_diff",
+      (s, d) => {
+        val a = Tables.events(s, d).select("event_id", "user_id", "value")
+        val m = pmod(col("event_id"), lit(13))
+        val b = a.filter(m === 0).withColumn("value", col("value") + 1.0)
+          .unionByName(a.filter(m === 1)
+            .withColumn("user_id", col("user_id") + 1L))
+          .unionByName(a.filter(m >= 3))
+          .unionByName(a.filter(m === 3)
+            .withColumn("event_id", col("event_id") + 500000000L))
+        Reconcile.columnStats(a, b, Seq("event_id"), nBuckets = 1 << 10)
+      },
+      Some("""
+        WITH a AS (SELECT event_id, user_id, value FROM events),
+        b AS (
+          SELECT event_id, user_id, value + 1.0 AS value FROM events
+          WHERE event_id % 13 = 0
+          UNION ALL
+          SELECT event_id, user_id + 1, value FROM events WHERE event_id % 13 = 1
+          UNION ALL
+          SELECT event_id, user_id, value FROM events WHERE event_id % 13 >= 3
+          UNION ALL
+          SELECT event_id + 500000000, user_id, value FROM events
+          WHERE event_id % 13 = 3),
+        j AS (SELECT a.event_id AS ak, b.event_id AS bk,
+                a.user_id AS au, b.user_id AS bu, a.value AS av, b.value AS bv
+              FROM a FULL OUTER JOIN b ON a.event_id = b.event_id),
+        s AS (SELECT
+            CAST(COUNT(*) FILTER (ak IS NOT NULL AND bk IS NOT NULL) AS BIGINT) AS n_common,
+            CAST(COUNT(*) FILTER (ak IS NOT NULL AND bk IS NULL) AS BIGINT) AS n_only_a,
+            CAST(COUNT(*) FILTER (ak IS NULL AND bk IS NOT NULL) AS BIGINT) AS n_only_b,
+            CAST(COUNT(*) FILTER (ak IS NOT NULL AND bk IS NOT NULL
+                 AND au IS DISTINCT FROM bu) AS BIGINT) AS d_user,
+            CAST(COUNT(*) FILTER (ak IS NOT NULL AND bk IS NOT NULL
+                 AND av IS DISTINCT FROM bv) AS BIGINT) AS d_value
+          FROM j)
+        SELECT 'user_id' AS column_name, n_common, n_common - d_user AS n_match,
+               d_user AS n_differs, n_only_a, n_only_b,
+               ROUND(CAST(n_common - d_user AS DOUBLE) / CAST(n_common AS DOUBLE), 6) AS match_rate
+        FROM s
+        UNION ALL
+        SELECT 'value', n_common, n_common - d_value, d_value, n_only_a, n_only_b,
+               ROUND(CAST(n_common - d_value AS DOUBLE) / CAST(n_common AS DOUBLE), 6)
+        FROM s""")),
+
+    // ── dbt-snapshot `timestamp` strategy (Scd2Merge.applyTimestamp):
+    //    updated_at is the whole change signal — same-value rows with a
+    //    newer ts DO version, stale arrivals are dropped ──
+    Q("q204_scd2_timestamp",
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val m = pmod(col("c_custkey"), lit(5))
+        val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+        val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+        val t0 = lit("2023-12-01 00:00:00").cast("timestamp")
+        val b1 = c.withColumn("updated_at", t1)
+        val b2 = c.filter(m === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 10.0)
+          .withColumn("updated_at", t2)
+          .unionByName(c.filter(m === 1).withColumn("updated_at", t2))
+          .unionByName(c.filter(m === 2)
+            .withColumn("c_acctbal", col("c_acctbal") + 99.0)
+            .withColumn("updated_at", t0))
+        val s1 = Scd2Merge.applyTimestamp(Scd2Merge.emptySnapshot(b1), b1,
+          Seq("c_custkey"), "updated_at")
+        Scd2Merge.applyTimestamp(s1, b2, Seq("c_custkey"), "updated_at")
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-01-01 00:00:00' AS updated_at,
+               TIMESTAMP '2024-01-01 00:00:00' AS effective_from,
+               TIMESTAMP '2024-02-01 00:00:00' AS effective_to
+        FROM c WHERE c_custkey % 5 IN (0, 1)
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-01-01 00:00:00',
+               TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM c WHERE c_custkey % 5 NOT IN (0, 1)
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 10.0,
+               TIMESTAMP '2024-02-01 00:00:00',
+               TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM c WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-02-01 00:00:00',
+               TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM c WHERE c_custkey % 5 = 1""")),
+
+    // ── per-node triangle counts on the near-dup graph (GraphOps
+    //    .triangles): degree-oriented compact-forward — template CLIQUES
+    //    light up where pageRank's hubs can also be stars ──
+    Q("q205_triangles",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.2)
+        operators.GraphOps.triangles(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("n_triangles"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        und AS (SELECT id_a AS lo, id_b AS hi FROM prs),
+        deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+          (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
+        o AS (SELECT
+            CASE WHEN (da.deg, u.lo) < (db.deg, u.hi) THEN u.lo ELSE u.hi END AS src,
+            CASE WHEN (da.deg, u.lo) < (db.deg, u.hi) THEN u.hi ELSE u.lo END AS dst,
+            CASE WHEN (da.deg, u.lo) < (db.deg, u.hi) THEN db.deg ELSE da.deg END AS d_dst
+          FROM und u JOIN deg da ON u.lo = da.id JOIN deg db ON u.hi = db.id),
+        wdg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+                FROM o e1 JOIN o e2 ON e1.src = e2.src
+                WHERE (e1.d_dst, e1.dst) < (e2.d_dst, e2.dst)),
+        tri AS (SELECT u, v, w FROM wdg
+                JOIN o ON o.src = wdg.v AND o.dst = wdg.w)
+        SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+          (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+           UNION ALL SELECT w FROM tri)
+        GROUP BY 1""")),
+
+    // ── l-diversity audit (Quality.lDiversity): k-anonymity's companion —
+    //    large groups still leak when every member shares one sensitive
+    //    value; one distinct-count hash agg per quasi group ──
+    Q("q206_l_diversity",
+      (s, d) => Quality.lDiversity(
+        Tables.customer(s, d).withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+        .select("c_nationkey", "c_mktsegment", "group_n", "n_sensitive",
+          "diverse"),
+      Some("""
+        WITH t AS (SELECT c_nationkey, c_mktsegment,
+            CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+          FROM customer)
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_n,
+               CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+               COUNT(DISTINCT bal_band) >= 3 AS diverse
+        FROM t GROUP BY 1, 2""")),
+
+    // ── top event-sequence paths (Marts.topPaths): each user's first 8
+    //    events as a '>' path, counted, top-20 with a total-order
+    //    tie-break; WindowGroupLimit truncates per user map-side ──
+    Q("q207_top_paths",
+      (s, d) => Marts.topPaths(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", maxLen = 8, k = 20),
+      Some("""
+        WITH r AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events),
+        p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 8 GROUP BY 1),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM p GROUP BY 1)
+        SELECT path, n_users FROM c
+        ORDER BY n_users DESC, path ASC LIMIT 20""")),
+
+    // ── corpus-frequency line removal (Dedup.lineDedup): the C4/CCNet
+    //    boilerplate pass — lines in > maxDocFreq distinct docs struck
+    //    from every doc, short lines exempt; span surgery, not doc drops ──
+    Q("q208_line_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("subscribe to our newsletter today"))
+              .otherwise(concat(lit("unique tail "), col("doc_id"))),
+            lit("copyright footer all rights reserved")).as("text"))
+        Dedup.lineDedup(docs, "doc_id", "text", maxDocFreq = 10,
+          minLineChars = 5)
+      },
+      Some("""
+        WITH d0 AS (SELECT doc_id,
+            text || chr(10) ||
+            CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+                 ELSE 'unique tail ' || doc_id END || chr(10) ||
+            'copyright footer all rights reserved' AS text
+          FROM documents),
+        t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+        l AS (SELECT doc_id, unnest(ls) AS line,
+                     unnest(range(1, len(ls) + 1)) AS pos FROM t),
+        f AS (SELECT line FROM (
+                SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM l WHERE length(trim(line)) >= 5 GROUP BY 1)
+              WHERE df > 10),
+        k AS (SELECT doc_id, line, pos FROM l
+              WHERE line NOT IN (SELECT line FROM f)),
+        r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     CAST(COUNT(*) AS BIGINT) AS n_kept
+              FROM k GROUP BY 1)
+        SELECT d0.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               CAST(len(string_split(d0.text, chr(10))) AS BIGINT)
+                 - COALESCE(r.n_kept, 0) AS n_removed
+        FROM d0 LEFT JOIN r ON d0.doc_id = r.doc_id""")),
+
+    // ── position-based (U-shaped) attribution (Marts
+    //    .positionAttribution): 40/20/40 credit with exact degenerate
+    //    cases; same join shape as q165, plus the (ts, id) order rank ──
+    Q("q209_position_attribution",
+      (s, d) => Marts.positionAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        touchType = "click", convType = "purchase",
+        windowSec = 3L * 24 * 3600, endPct = 40),
+      Some("""
+        WITH conv AS (SELECT user_id, event_id AS conv_id,
+            epoch_us(ts) AS cus FROM events WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, event_id AS touch_id,
+            epoch_us(ts) AS tus FROM events WHERE event_type = 'click'),
+        j AS (SELECT c.user_id, conv_id, touch_id, tus
+          FROM conv c JOIN tch t ON c.user_id = t.user_id
+          WHERE tus <= cus AND tus >= cus - 259200000000),
+        r AS (SELECT user_id, conv_id, touch_id,
+            CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
+            CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY tus ASC, touch_id ASC) AS BIGINT) AS pos
+          FROM j)
+        SELECT user_id, conv_id, touch_id, n_touches, pos,
+          ROUND(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                     WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                     WHEN pos = 1 OR pos = n_touches THEN CAST(0.4 AS DOUBLE)
+                     ELSE CAST(0.2 AS DOUBLE) / CAST(n_touches - 2 AS DOUBLE)
+                END, 6) AS credit
+        FROM r""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

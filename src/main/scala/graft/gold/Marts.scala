@@ -254,6 +254,87 @@ object Marts {
         col("n_touches"), col("credit"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the other
+    * standard credit model beside [[linearAttribution]]: the FIRST and
+    * LAST touch inside the lookback window each take `endPct`% of the
+    * conversion's credit and the middle touches split the remainder
+    * evenly; degenerate journeys collapse exactly as analytics tools
+    * define them (one touch → 100%, two touches → 50/50).
+    *
+    * Determinism: the touch order is (ts, touch_id) — a total order, so
+    * "first"/"last" are engine-exact even under same-microsecond
+    * bursts. Same scale shape as the linear model: one user-keyed
+    * equi-join time-banded by predicate, then one window over conv_id
+    * (conversion-sized groups, bounded by the lookback window).
+    */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+                          idCol: String, typeCol: String,
+                          touchType: String, convType: String,
+                          windowSec: Long, endPct: Int = 40): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(endPct >= 1 && endPct <= 50, s"endPct must be in [1,50], got $endPct")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"),
+        unix_micros(col(tsCol)).as("__cus"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol)).as("__tus"))
+    val joined = conv.join(touch, Seq(userCol))
+      .filter(col("__tus") <= col("__cus") &&
+        col("__tus") >= col("__cus") - lit(windowSec * 1000000L))
+    val w = Window.partitionBy(col("conv_id"))
+    val ord = w.orderBy(col("__tus").asc, col("touch_id").asc)
+    // both weights derive from integer percents by ONE division, so each
+    // is the correctly-rounded double of its decimal (0.4, 0.2, …) — the
+    // same bits any engine's literal parses to; 1.0 − 2·0.4 would not be
+    val endW = lit(endPct.toDouble / 100.0)
+    val midW = lit((100 - 2 * endPct).toDouble / 100.0)
+    val n = col("n_touches").cast("double")
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w).cast("long"))
+      .withColumn("pos", row_number().over(ord).cast("long"))
+      .withColumn("credit", round(
+        when(col("n_touches") === 1L, lit(1.0))
+          .when(col("n_touches") === 2L, lit(0.5))
+          .when(col("pos") === 1L || col("pos") === col("n_touches"), endW)
+          .otherwise(midW / (n - lit(2.0))), 6))
+      .select(col(userCol), col("conv_id"), col("touch_id"),
+        col("n_touches"), col("pos"), col("credit"))
+  }
+
+  /** Top event-sequence paths — "what journeys do users actually take":
+    * each user's first `maxLen` events (by the (ts, id) total order)
+    * joined into a `>`-separated path string, counted across users, the
+    * `k` most common returned with a deterministic (count desc, path
+    * asc) tie-break. The product-analytics "top paths" report (and, on
+    * a training corpus, the dominant event-template detector) as two
+    * aggregations.
+    *
+    * Scale shape: a user-keyed window rank (rank filter truncates each
+    * user to `maxLen` rows map-side via WindowGroupLimit), one user
+    * aggregation building the bounded path string, one path aggregation
+    * counting users, and a TakeOrdered top-k — no join, no unbounded
+    * state; path strings are ≤ maxLen event names long by construction.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String,
+               maxLen: Int, k: Int): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 64, s"maxLen must be in [1,64], got $maxLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .select(col(userCol), col(typeCol).as("__t"),
+        row_number().over(w).as("__rn"))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(userCol)).agg(
+        array_join(expr("transform(array_sort(collect_list(struct(__rn, __t))), x -> x.__t)"),
+          ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Deterministic surrogate-key assignment for dimension loads — the
     * warehouse step between staging and the SCD2 merge: every business
     * key gets a stable dense integer key; keys already in the dimension

@@ -74,6 +74,63 @@ object Scd2Merge {
       .unionByName(unchanged).unionByName(closedNow).unionByName(opened)
   }
 
+  /** SCD2 merge, dbt-snapshot `timestamp` strategy (the reference's other
+    * snapshot mode, banking_dbt/snapshots/customers_snapshot.sql config
+    * `strategy='timestamp'` variant): a batch row supersedes the current
+    * version iff its `tsCol` (updated_at) is STRICTLY NEWER than the
+    * current version's — values are never compared, the watermark column
+    * is the whole change signal, and the new version's interval starts at
+    * the ROW's own timestamp (not a batch-level asOf).
+    *
+    *  - new key                       → insert [row.ts, null)
+    *  - row.ts >  current.from        → close current at row.ts, insert new
+    *  - row.ts <= current.from        → late/stale arrival, dropped (the
+    *                                    dbt `>` comparison; idempotent on
+    *                                    replays by construction)
+    *  - key absent from batch         → keep as-is (snapshots never delete)
+    *
+    * `tsCol` stays in the payload AND becomes `effective_from`, exactly as
+    * dbt's `dbt_valid_from = updated_at`. Same scale shape as [[apply]]:
+    * closed history passes through untouched, one full-outer join of
+    * current×batch on the key.
+    */
+  def applyTimestamp(snapshot: DataFrame, batch: DataFrame, key: Seq[String],
+                     tsCol: String): DataFrame = {
+    val payloadCols = batch.columns.filterNot(key.contains).toSeq
+    require(payloadCols.contains(tsCol), s"batch must carry $tsCol")
+    val closed = snapshot.filter(col(EffectiveTo).isNotNull)
+    val current = snapshot.filter(col(EffectiveTo).isNull)
+
+    val b = batch.select((key ++ payloadCols).map(c => col(c).as(s"b_$c")): _*)
+      .withColumn("__in_batch", lit(true))
+    val joinCond = key.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _)
+    val joined = current.withColumn("__in_current", lit(true))
+      .join(b, joinCond, "full_outer")
+
+    // null-safe: a null batch ts (or bootstrap-null effective_from) reads
+    // as "newer" only when the snapshot side is null — never drops a row
+    // from every branch
+    val newer = coalesce(
+      col(s"b_$tsCol").cast("timestamp") > col(EffectiveFrom),
+      col(EffectiveFrom).isNull)
+    val inBatch = col("__in_batch").isNotNull
+    val inCurrent = col("__in_current").isNotNull
+    val keep = key ++ payloadCols
+
+    val unchanged = joined.filter(inCurrent && (!inBatch || !newer))
+      .select(keep.map(col) :+ col(EffectiveFrom) :+ col(EffectiveTo): _*)
+    val closedNow = joined.filter(inCurrent && inBatch && newer)
+      .select(keep.map(col) :+ col(EffectiveFrom)
+        :+ col(s"b_$tsCol").cast("timestamp").as(EffectiveTo): _*)
+    val opened = joined.filter(inBatch && (!inCurrent || newer))
+      .select(keep.map(c => col(s"b_$c").as(c))
+        :+ col(s"b_$tsCol").cast("timestamp").as(EffectiveFrom)
+        :+ lit(null).cast("timestamp").as(EffectiveTo): _*)
+
+    closed.select((keep :+ EffectiveFrom :+ EffectiveTo).map(col): _*)
+      .unionByName(unchanged).unionByName(closedNow).unionByName(opened)
+  }
+
   /** Empty snapshot with the right schema for a batch (first epoch). */
   def emptySnapshot(batch: DataFrame): DataFrame =
     batch

@@ -936,4 +936,47 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster_id"),
         when(col("__drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
+
+  /** Corpus-frequency line removal — the C4/CCNet/RefinedWeb boilerplate
+    * pass that operates WITHIN documents using corpus-wide evidence:
+    * any line appearing in more than `maxDocFreq` distinct documents
+    * (nav bars, cookie banners, footers, license blurbs) is struck from
+    * every document; lines shorter than `minLineChars` after trimming
+    * are exempt (blank lines and short separators are formatting, not
+    * boilerplate, and would otherwise top every frequency list).
+    * Documents keep their identity — this is span surgery, not document
+    * dropping, the complement of [[removeDupSpans]]'s pairwise form.
+    *
+    * Scale shape: explode to (doc, pos, line); document-frequency is a
+    * distinct + count keyed by the LINE (exact-match semantics — no
+    * hash-collision false drops); removal is a left-anti join on the
+    * same key; reassembly is one doc-keyed aggregation sorting each
+    * document's surviving (pos, line) pairs locally. Three shuffles,
+    * all partial-aggregable or key-pruned; per-key payloads are single
+    * lines, so skew is bounded by the most-duplicated boilerplate line
+    * — exactly the rows the anti-join then discards.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int, minLineChars: Int = 5): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+    val eligible = length(trim(col("__line"))) >= minLineChars
+    val frequent = lines.filter(eligible)
+      .select(col("__line"), col("__id")).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__line"))
+    val kept = lines.join(frequent, Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id")).agg(
+      array_join(expr("transform(array_sort(collect_list(struct(__pos, __line))), x -> x.__line)"),
+        "\n").as("__clean"),
+      count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol), col(textCol))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        (size(split(col(textCol), "\n", -1)).cast("long") -
+          coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -360,6 +360,29 @@ object Quality {
         col("group_n") :+ col("suppressed")): _*)
   }
 
+  /** l-diversity audit — the companion check [[kAnonymity]] cannot make:
+    * a quasi-identifier group can be large (k-anonymous) yet still leak
+    * the SENSITIVE attribute if every member shares one value (the
+    * homogeneity attack). Per quasi-identifier group: size, number of
+    * distinct sensitive values, and whether it meets the `l` floor; the
+    * export rule is "suppress or generalize groups where NOT diverse".
+    * Null sensitive values are not counted as a diversity value
+    * (standard distinct semantics — an absent attribute discloses
+    * nothing).
+    *
+    * One hash aggregation on the quasi tuple with a distinct-count —
+    * partial-aggregable, no window, no join; group-count output, not
+    * row count.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("group_n"),
+        countDistinct(col(sensitiveCol)).cast("long").as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   /** Gini concentration of an exact-cents measure per group — the
     * inequality readout behind both banking forensics ("is one customer
     * moving most of the money in this segment?") and corpus governance

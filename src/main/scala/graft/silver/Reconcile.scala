@@ -104,4 +104,68 @@ object Reconcile {
       .unionByName(j.filter(inA && inB && !same)
         .select(image("b", "differs_in_b"): _*))
   }
+
+  /** Column-level mismatch summary over a keyed table pair — the "which
+    * columns drifted, and by how much" readout (the dbt-audit-helper
+    * `compare_column_values` / Datafold diff-summary shape): one row per
+    * payload column with, over keys present on BOTH sides, the count
+    * that matches null-safely, the count that differs, and the match
+    * rate; `n_only_a`/`n_only_b` repeat the key-presence context on
+    * every row so the frame is self-describing.
+    *
+    * Scale shape: the per-column compare runs on the SAME digest-pruned
+    * join as [[diff]] — rows in clean buckets are provably equal
+    * column-by-column (their bucket digests agree), so they are counted
+    * as matches arithmetically (`n_a − |dirty_a|`) without being
+    * re-joined. Identical 100 TB replicas cost two digest scans and a
+    * bucket compare; only divergent buckets pay the join. The final
+    * pivot to long format is a `stack` over a handful of 1-row
+    * aggregates — no second pass over data.
+    */
+  def columnStats(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  nBuckets: Int = 1 << 12): DataFrame = {
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"Reconcile.columnStats: schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val payload = a.columns.filterNot(keys.contains).toSeq
+    val dirty = broadcast(dirtyBuckets(a, b, keys, nBuckets))
+    def pruned(df: DataFrame) =
+      df.withColumn("__bucket",
+          pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
+        .join(dirty.withColumnRenamed("bucket", "__bucket"), Seq("__bucket"),
+          "left_semi")
+        .drop("__bucket")
+    val pa = pruned(a).select(keys.map(k => col(k).as(s"a_$k"))
+      ++ payload.map(c => col(c).as(s"a_$c")) :+ lit(true).as("__in_a"): _*)
+    val pb = pruned(b).select(keys.map(k => col(k).as(s"b_$k"))
+      ++ payload.map(c => col(c).as(s"b_$c")) :+ lit(true).as("__in_b"): _*)
+    val j = pa.join(pb,
+      keys.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _), "full_outer")
+    val inA = col("__in_a").isNotNull
+    val inB = col("__in_b").isNotNull
+    def cnt(c: Column) = coalesce(sum(c.cast("long")), lit(0L))
+    val aggCols: Seq[Column] = Seq(
+      cnt(inA && !inB).as("n_only_a"),
+      cnt(!inA && inB).as("n_only_b"),
+      cnt(inA && inB).as("common_dirty"),
+      cnt(inA).as("dirty_a")) ++
+      payload.map(c =>
+        cnt(inA && inB && !(col(s"a_$c") <=> col(s"b_$c"))).as(s"d_$c"))
+    val dirtyAgg = j.groupBy().agg(aggCols.head, aggCols.tail: _*)
+    val totalA = broadcast(a.groupBy().agg(count(lit(1)).as("n_a")))
+    // clean-bucket rows are common and equal by digest: matched for free
+    val base = dirtyAgg.crossJoin(totalA)
+      .withColumn("n_common",
+        col("n_a") - col("dirty_a") + col("common_dirty"))
+    val stackArgs = payload
+      .map(c => s"'$c', CAST(d_$c AS BIGINT)").mkString(", ")
+    base.selectExpr(
+        s"stack(${payload.size}, $stackArgs) AS (column_name, n_differs)",
+        "n_common", "n_only_a", "n_only_b")
+      .select(col("column_name"), col("n_common"),
+        (col("n_common") - col("n_differs")).as("n_match"),
+        col("n_differs"), col("n_only_a"), col("n_only_b"),
+        round(when(col("n_common") === 0L, lit(1.0))
+          .otherwise((col("n_common") - col("n_differs")).cast("double") /
+            col("n_common").cast("double")), 6).as("match_rate"))
+  }
 }

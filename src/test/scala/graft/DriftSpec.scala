@@ -92,6 +92,62 @@ class DriftSpec extends SparkSpec {
     assert(out == Set((4L, 1L, 2L, 0.5), (4L, 2L, 2L, 0.5)), out)
   }
 
+  test("positionAttribution: 40/20/40 U-shape with exact degenerate journeys") {
+    val ev = Seq(
+      // u1: 4 clicks -> 0.4 / 0.1 / 0.1 / 0.4
+      ("u1", "2024-01-10 08:00:00", 1L, "click"),
+      ("u1", "2024-01-10 09:00:00", 2L, "click"),
+      ("u1", "2024-01-10 10:00:00", 3L, "click"),
+      ("u1", "2024-01-10 11:00:00", 4L, "click"),
+      ("u1", "2024-01-10 12:00:00", 5L, "purchase"),
+      // u2: 1 click -> 1.0
+      ("u2", "2024-01-10 11:00:00", 6L, "click"),
+      ("u2", "2024-01-10 12:00:00", 7L, "purchase"),
+      // u3: 2 clicks -> 0.5 / 0.5
+      ("u3", "2024-01-10 10:00:00", 8L, "click"),
+      ("u3", "2024-01-10 11:00:00", 9L, "click"),
+      ("u3", "2024-01-10 12:00:00", 10L, "purchase")
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.positionAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase",
+        windowSec = 24 * 3600, endPct = 40)
+      .collect().map(r => (r.getAs[Long]("touch_id"), r.getAs[Long]("pos"),
+        r.getAs[Double]("credit"))).toSet
+    assert(out == Set(
+      (1L, 1L, 0.4), (2L, 2L, 0.1), (3L, 3L, 0.1), (4L, 4L, 0.4),
+      (6L, 1L, 1.0),
+      (8L, 1L, 0.5), (9L, 2L, 0.5)), out)
+    // per-conversion credit mass is always 1.0 (rounded)
+    val mass = graft.gold.Marts.positionAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "click", "purchase", 24 * 3600)
+      .groupBy("conv_id").agg(round(sum(col("credit")), 4).as("m"))
+      .collect().map(_.getAs[Double]("m"))
+    assert(mass.forall(_ == 1.0), mass.mkString(","))
+  }
+
+  test("topPaths: (ts,id) order, maxLen truncation, deterministic top-k tie-break") {
+    val ev = (Seq(
+      ("a", 1, "view"), ("a", 2, "click"), ("a", 3, "buy"),
+      ("b", 4, "view"), ("b", 5, "click"), ("b", 6, "buy"),
+      ("c", 7, "view"), ("c", 8, "click"),
+      ("d", 9, "signup"))
+      .map { case (u, i, t) =>
+        (u, s"2024-01-10 0$i:00:00", i.toLong, t) })
+      .toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxLen = 8, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("view>click>buy", 2L), ("view>click", 1L),
+      ("signup", 1L)), out.mkString(","))
+    // truncation: maxLen=2 folds the 3-step journeys into the 2-step path
+    val trunc = graft.gold.Marts.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxLen = 2, k = 1).collect()
+    assert(trunc.length == 1 &&
+      trunc(0).getString(0) == "view>click" && trunc(0).getLong(1) == 3L)
+  }
+
   test("mutualInfo: ln(2) nats for a determined pair, exactly zero for independence") {
     val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
     val depOut = Quality.mutualInfo(dep, "x", "y").head()
@@ -114,6 +170,27 @@ class DriftSpec extends SparkSpec {
     val sr = graft.operators.GraphOps.pageRankInt(star, "src", "dst", iters = 3)
       .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("p")).toMap
     assert(sr("a") > sr("b") && sr("b") == sr("c") && sr("c") == sr("d"), sr)
+  }
+
+  test("triangles: K4 has 4, each node in 3; stars have none; edge form irrelevant") {
+    import graft.operators.GraphOps
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in C(3,2)=3
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b } yield (a, b))
+      .toDF("u", "v")
+    val out = GraphOps.triangles(k4, "u", "v")
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    assert(out == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L), out)
+    // star graph: wedges everywhere, no closing edge → empty result
+    val star = (2 to 6).map(l => (1, l)).toDF("u", "v")
+    assert(GraphOps.triangles(star, "u", "v").isEmpty)
+    // duplicate edges, reversed edges, and self-loops do not change counts
+    val messy = Seq((1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1))
+      .toDF("u", "v")
+    val m = GraphOps.triangles(messy, "u", "v")
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    assert(m == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), m)
   }
 
   test("weekOverWeekResidual: calendar-exact day-7 baseline, null when absent") {

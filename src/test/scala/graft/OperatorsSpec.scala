@@ -2183,4 +2183,29 @@ class OperatorsSpec extends SparkSpec {
       s"drifted label must dominate: $out")
     assert(out(0) < 0.01, s"stable label must read ~0: $out")
   }
+
+  test("lineDedup: corpus-frequent lines struck, short lines exempt, order kept") {
+    val footer = "all rights reserved worldwide"
+    val docsLn = Seq(
+      (1L, s"alpha body one\n$footer\nunique tail 1"),
+      (2L, s"beta body two\n$footer"),
+      (3L, s"$footer\ngamma body three"),      // footer leading: order matters
+      (4L, s"ab\n$footer\nab"),                // short 'ab' lines exempt
+      (5L, "no boilerplate here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docsLn, "doc_id", "text",
+        maxDocFreq = 2, minLineChars = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (("alpha body one\nunique tail 1", 1L)), out)
+    assert(out(2L) == (("beta body two", 1L)), out)
+    assert(out(3L) == (("gamma body three", 1L)), out)
+    assert(out(4L) == (("ab\nab", 1L)), out)   // short lines survive
+    assert(out(5L) == (("no boilerplate here at all", 0L)), out)
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val allBp = docsLn.unionByName(Seq((6L, footer)).toDF("doc_id", "text"))
+    val o6 = Dedup.lineDedup(allBp, "doc_id", "text", 2, 5)
+      .filter(col("doc_id") === 6L).collect()(0)
+    assert(o6.getString(1) == "" && o6.getLong(2) == 1L)
+  }
 }

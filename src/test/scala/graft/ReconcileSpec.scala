@@ -55,4 +55,32 @@ class ReconcileSpec extends SparkSpec {
     assert(out == Set((Some(1L), "differs_in_a"), (Some(1L), "differs_in_b")),
       s"got $out")
   }
+
+  test("columnStats: per-column counts; clean buckets counted arithmetically") {
+    val a = base()
+    val b = base().filter(col("id") =!= 7L)                    // 7 only in a
+      .withColumn("amt",
+        when(col("id") === 13L, col("amt") + 1.0).otherwise(col("amt")))
+      .withColumn("grp",
+        when(col("id").isin(20L, 21L), col("grp") + 1L).otherwise(col("grp")))
+      .unionByName(Seq((5000L, 0L, 9.0)).toDF("id", "grp", "amt"))
+    val out = Reconcile.columnStats(a, b, Seq("id"), nBuckets = 64)
+      .collect().map(r => r.getAs[String]("column_name") ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("n_match"),
+          r.getAs[Long]("n_differs"),
+          r.getAs[Long]("n_only_a"), r.getAs[Long]("n_only_b")))).toMap
+    assert(out("amt") == ((999L, 998L, 1L, 1L, 1L)), s"got $out")
+    assert(out("grp") == ((999L, 997L, 2L, 1L, 1L)), s"got $out")
+    // pruning invariance: nBuckets=1 (nothing pruned) == nBuckets=64
+    val full = Reconcile.columnStats(a, b, Seq("id"), nBuckets = 1)
+    assert(full.exceptAll(Reconcile.columnStats(a, b, Seq("id"), 64)).isEmpty)
+  }
+
+  test("columnStats: identical tables are a full match from digests alone") {
+    val stats = Reconcile.columnStats(base(), base(), Seq("id"), 64).collect()
+    assert(stats.length == 2)
+    assert(stats.forall(r => r.getAs[Long]("n_common") == 1000L
+      && r.getAs[Long]("n_differs") == 0L
+      && r.getAs[Double]("match_rate") == 1.0), stats.mkString("; "))
+  }
 }

@@ -334,4 +334,48 @@ class Scd2MergeSpec extends SparkSpec {
     // generation ledger: 3 batches → generation 3 committed
     assert(graft.gold.SnapshotStore.currentGen(spark, path).contains(3L))
   }
+
+  // ── timestamp strategy (applyTimestamp): updated_at is the change signal ──
+
+  private def tsBatch(rows: (Int, String, Double, String)*): DataFrame =
+    rows.toSeq.map { case (k, t, b, u) => (k, t, b, ts(u)) }
+      .toDF("account_id", "account_type", "balance", "updated_at")
+
+  test("timestamp strategy: newer ts versions even unchanged values; stale rows dropped") {
+    val b1 = tsBatch((1, "SAVINGS", 100.0, "2024-01-01 00:00:00"),
+      (2, "CHECKING", 50.0, "2024-01-01 00:00:00"))
+    val s1 = Scd2Merge.applyTimestamp(Scd2Merge.emptySnapshot(b1), b1,
+      key, "updated_at")
+    assert(s1.filter($"effective_to".isNull).count() == 2)
+    // key 1: identical values, newer ts → NEW version (check strategy would
+    // not version this); key 2: stale ts → dropped, current row untouched
+    val b2 = tsBatch((1, "SAVINGS", 100.0, "2024-02-01 00:00:00"),
+      (2, "CHECKING", 99.0, "2023-12-01 00:00:00"))
+    val s2 = Scd2Merge.applyTimestamp(s1, b2, key, "updated_at")
+    assert(s2.filter($"account_id" === 1).count() == 2)
+    val cur1 = s2.filter($"account_id" === 1 && $"effective_to".isNull)
+      .collect()(0)
+    assert(cur1.getAs[java.sql.Timestamp]("effective_from")
+      == ts("2024-02-01 00:00:00"))
+    val closed1 = s2.filter($"account_id" === 1 && $"effective_to".isNotNull)
+      .collect()(0)
+    assert(closed1.getAs[java.sql.Timestamp]("effective_to")
+      == ts("2024-02-01 00:00:00"))
+    val k2 = s2.filter($"account_id" === 2).collect()
+    assert(k2.length == 1 && k2(0).getAs[Double]("balance") == 50.0
+      && k2(0).getAs[java.sql.Timestamp]("effective_to") == null)
+  }
+
+  test("timestamp strategy: effective_from is the ROW's ts; replay is a no-op") {
+    val b1 = tsBatch((1, "SAVINGS", 100.0, "2024-01-05 00:00:00"),
+      (2, "CHECKING", 50.0, "2024-01-07 00:00:00"))
+    val s1 = Scd2Merge.applyTimestamp(Scd2Merge.emptySnapshot(b1), b1,
+      key, "updated_at")
+    assert(s1.filter($"account_id" === 1
+      && $"effective_from" === ts("2024-01-05 00:00:00")).count() == 1)
+    assert(s1.filter($"account_id" === 2
+      && $"effective_from" === ts("2024-01-07 00:00:00")).count() == 1)
+    val s2 = Scd2Merge.applyTimestamp(s1, b1, key, "updated_at")
+    assert(s2.exceptAll(s1).isEmpty && s1.exceptAll(s2).isEmpty)
+  }
 }

@@ -362,6 +362,24 @@ class SilverSpec extends SparkSpec {
     assert(!p1.exists(Set("1", "2", "3", "4", "5")))
   }
 
+  test("lDiversity: homogeneous groups flagged despite size; nulls don't count") {
+    val df = Seq(
+      // big but homogeneous: k-anonymous, NOT 2-diverse
+      (1L, "US", "A", "cancer"), (2L, "US", "A", "cancer"),
+      (3L, "US", "A", "cancer"), (4L, "US", "A", "cancer"),
+      // small but diverse
+      (5L, "FR", "B", "flu"), (6L, "FR", "B", "cold"),
+      // null sensitive value is not a diversity value
+      (7L, "DE", "C", "flu"), (8L, "DE", "C", null))
+      .toDF("id", "country", "seg", "dx")
+    val out = Quality.lDiversity(df, Seq("country", "seg"), "dx", l = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("US", "A")) == ((4L, 1L, false)), out)
+    assert(out(("FR", "B")) == ((2L, 2L, true)), out)
+    assert(out(("DE", "C")) == ((2L, 1L, false)), out)
+  }
+
   test("gini: 0 for equal shares, (n-1)/n for a single holder, NULL for non-positive totals") {
     val df = Seq(
       ("even", 1L, 100L), ("even", 2L, 100L), ("even", 3L, 100L),
