@@ -5707,6 +5707,86 @@ object Queries {
                 END, 6) AS credit
         FROM r""")),
 
+    // ── truncated half-life smoothing of daily volume (Quality
+    //    .ewmaDaily): dyadic weights via bit shift → bit-exact sums in
+    //    any order; gaps excluded by present-weight normalization ──
+    Q("q210_ewma",
+      (s, d) => Quality.ewmaDaily(Tables.events(s, d), "event_type", "ts",
+        lookback = 10, halfLifeDays = 2),
+      Some("""
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        j AS (SELECT d.event_type, d.day, d.n, p.n AS pn,
+                1.0 / CAST(CAST(1 AS BIGINT)
+                  << CAST(FLOOR(date_diff('day', p.day, d.day) / 2)
+                          AS INTEGER) AS DOUBLE) AS w
+              FROM daily d JOIN daily p ON d.event_type = p.event_type
+                AND p.day <= d.day AND p.day >= d.day - 9)
+        SELECT event_type, day, n,
+               ROUND(SUM(w * CAST(pn AS DOUBLE)) / SUM(w), 6) AS ewma
+        FROM j GROUP BY 1, 2, 3""")),
+
+    // ── conformed calendar spine + gap-filled daily series (Marts
+    //    .dateSpine / .gapFillDaily): calendar attrs by arithmetic (ISO
+    //    dow anchored to a known Monday), absent days read 0 ──
+    Q("q211_date_spine",
+      (s, d) => Marts.gapFillDaily(s, Tables.events(s, d), "ts",
+        "2024-01-01", "2024-03-31"),
+      Some("""
+        WITH spine AS (
+          SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+            DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        cal AS (SELECT day,
+            CAST(year(day) AS INTEGER) AS year,
+            CAST(quarter(day) AS INTEGER) AS quarter,
+            CAST(month(day) AS INTEGER) AS month,
+            CAST(dayofmonth(day) AS INTEGER) AS day_of_month,
+            CAST(((date_diff('day', DATE '2024-01-01', day) % 7 + 7) % 7)
+                 + 1 AS INTEGER) AS iso_dow
+          FROM spine),
+        cal2 AS (SELECT *,
+            day - CAST(iso_dow - 1 AS INTEGER) AS week_start,
+            iso_dow >= 6 AS is_weekend,
+            day = last_day(day) AS is_month_end
+          FROM cal),
+        daily AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1)
+        SELECT cal2.*, COALESCE(daily.n, 0) AS n_rows
+        FROM cal2 LEFT JOIN daily ON cal2.day = daily.day""")),
+
+    // ── schema-evolution union (sources.SchemaEvolution): three epochs
+    //    of a drifting schema read as one frame — by-name alignment,
+    //    typed nulls for absent columns, numeric widening, loud failure
+    //    on incompatible drift ──
+    Q("q212_schema_evolution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val m = pmod(col("event_id"), lit(3))
+        val v1 = ev.filter(m === 0).select(col("event_id"),
+          col("user_id").cast("int").as("user_id"),
+          col("value").cast("float").as("value"))
+        val v2 = ev.filter(m === 1).select(col("event_id"), col("user_id"),
+          col("value"), col("event_type"))
+        val v3 = ev.filter(m === 2).select(col("event_id"), col("value"),
+          col("props"))
+        graft.sources.SchemaEvolution.unionEvolved(Seq(v1, v2, v3))
+      },
+      Some("""
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+               CAST(CAST(value AS REAL) AS DOUBLE) AS value,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS VARCHAR) AS props
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, user_id, value, event_type, CAST(NULL AS VARCHAR)
+        FROM events WHERE event_id % 3 = 1
+        UNION ALL
+        SELECT event_id, CAST(NULL AS BIGINT), value,
+               CAST(NULL AS VARCHAR), props
+        FROM events WHERE event_id % 3 = 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -335,6 +335,55 @@ object Marts {
       .limit(k)
   }
 
+  /** Conformed calendar dimension (the dbt-utils `date_spine` analog) —
+    * one row per day in [start, end] with the attributes every daily
+    * mart conforms to, derived by ARITHMETIC from the day number rather
+    * than engine calendar functions whose numbering conventions differ
+    * (Spark's `dayofweek` starts Sunday=1, ISO starts Monday=1): the
+    * ISO weekday is anchored to 2024-01-01, a known Monday. `sequence`
+    * + explode generates the spine distributed — no driver loop, no
+    * collect; a year is 365 rows, so the frame broadcasts wherever it
+    * joins.
+    */
+  def dateSpine(spark: org.apache.spark.sql.SparkSession,
+                start: String, end: String): DataFrame = {
+    import spark.implicits._
+    val anchor = lit("2024-01-01").cast("date") // a Monday
+    Seq((start, end)).toDF("s", "e")
+      .select(explode(sequence(col("s").cast("date"), col("e").cast("date"),
+        expr("interval 1 day"))).as("day"))
+      .select(col("day"),
+        year(col("day")).as("year"),
+        quarter(col("day")).as("quarter"),
+        month(col("day")).as("month"),
+        dayofmonth(col("day")).as("day_of_month"),
+        (pmod(datediff(col("day"), anchor), lit(7)) + 1).cast("int")
+          .as("iso_dow"))
+      .withColumn("week_start",
+        date_sub(col("day"), col("iso_dow") - lit(1)))
+      .withColumn("is_weekend", col("iso_dow") >= 6)
+      .withColumn("is_month_end", col("day") === last_day(col("day")))
+  }
+
+  /** Gap-filled daily series: [[dateSpine]] left-joined with a frame's
+    * per-day counts, absent days reading 0 — the shape every
+    * time-series chart and forecast needs (a missing day must plot as
+    * zero, not vanish). The spine side is calendar-sized and broadcast;
+    * the fact side collapses to (day, n) before the join.
+    */
+  def gapFillDaily(spark: org.apache.spark.sql.SparkSession,
+                   df: DataFrame, tsCol: String,
+                   start: String, end: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    // broadcast the aggregated (right) side: a left join can only build
+    // right, and both sides are day-cardinality anyway
+    dateSpine(spark, start, end)
+      .join(org.apache.spark.sql.functions.broadcast(daily), Seq("day"), "left")
+      .withColumn("n_rows", coalesce(col("__n"), lit(0L)))
+      .drop("__n")
+  }
+
   /** Deterministic surrogate-key assignment for dimension loads — the
     * warehouse step between staging and the SCD2 merge: every business
     * key gets a stable dense integer key; keys already in the dimension

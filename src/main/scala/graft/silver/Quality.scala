@@ -939,6 +939,50 @@ object Quality {
             col("n_week_ago").cast("double"), 6)))
   }
 
+  /** Truncated half-life (EWMA) smoothing of per-stream daily volume —
+    * the denoised baseline the ops dashboard plots beside
+    * [[weekOverWeekResidual]]'s raw deltas: each day's smoothed value is
+    * the weight-normalized sum of the last `lookback` days' counts with
+    * weight `2^(−⌊age/halfLifeDays⌋)` (step-wise half-life). Days
+    * missing inside the window simply contribute nothing — the
+    * normalization by the PRESENT weights keeps gaps from reading as
+    * zero-traffic.
+    *
+    * Engine-exact by numeric construction: weights are powers of two
+    * (dyadic, exactly representable), counts are integers, so every
+    * product and the two sums are EXACT in double in any addition order
+    * — no float-order divergence across engines or task schedules; one
+    * rounded division at the end. This is why the decay is a half-life
+    * and not a free α: 0.9^k differs in final ulps between libm
+    * implementations, 2^−k never does.
+    *
+    * Scale shape: events collapse to (stream, day) counts first; the
+    * lookback self-join and the normalization ride that calendar-sized
+    * frame — cost is day-cardinality × lookback, never event volume.
+    */
+  def ewmaDaily(df: DataFrame, streamCol: String, tsCol: String,
+                lookback: Int = 10, halfLifeDays: Int = 1): DataFrame = {
+    require(lookback >= 1 && lookback <= 64,
+      s"lookback must be in [1,64], got $lookback")
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val daily = df.groupBy(col(streamCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val past = daily.select(col(streamCol), col("day").as("__pday"),
+      col("n").as("__pn"))
+    val age = datediff(col("day"), col("__pday"))
+    // 2^−⌊age/h⌋ via an integer shift, not pow(): libm pow is licensed
+    // 1 ulp of error, a bit shift + one division is exact by definition
+    val w = col("__w")
+    daily.select(col(streamCol), col("day"), col("n"))
+      .join(past, Seq(streamCol))
+      .filter(col("__pday") <= col("day") &&
+        col("__pday") >= date_sub(col("day"), lookback - 1))
+      .withColumn("__k", floor(age / lit(halfLifeDays)).cast("int"))
+      .withColumn("__w", expr("1.0d / cast(shiftleft(1L, __k) as double)"))
+      .groupBy(col(streamCol), col("day"), col("n"))
+      .agg(round(sum(w * col("__pn").cast("double")) / sum(w), 6).as("ewma"))
+  }
+
   /** Weight-of-evidence scorecard binning: `valueCol` split into `bins`
     * equal-width buckets over its full range, each bin scored
     * `ln((good_i/G)/(bad_i/B))` with +1 Laplace smoothing (so empty

@@ -126,6 +126,48 @@ class DriftSpec extends SparkSpec {
     assert(mass.forall(_ == 1.0), mass.mkString(","))
   }
 
+  test("ewmaDaily: dyadic weights, gap days excluded by normalization") {
+    val ev = (Seq.fill(8)("2024-01-01") ++ Seq.fill(4)("2024-01-02") ++
+      Seq.fill(2)("2024-01-04"))                       // day 3 missing
+      .map(dd => ("s", s"$dd 10:00:00"))
+      .toDF("event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Quality.ewmaDaily(ev, "event_type", "ts",
+        lookback = 10, halfLifeDays = 1)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Double]("ewma")).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out("2024-01-01") == 8.0, out)              // only itself
+    assert(out("2024-01-02") == r6((4.0 + 0.5 * 8) / 1.5), out)
+    // day 4: ages 0,2,3 present → (2 + 4/4 + 8/8) / (1 + 1/4 + 1/8)
+    assert(out("2024-01-04") == math.floor((2 + 1.0 + 1.0) / 1.375 * 1e6 + 0.5) / 1e6,
+      out)
+  }
+
+  test("dateSpine + gapFillDaily: ISO weekday arithmetic, zero-filled gaps") {
+    val spine = graft.gold.Marts.dateSpine(spark, "2024-01-01", "2024-01-14")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Int]("iso_dow"), r.getAs[java.sql.Date]("week_start").toString,
+          r.getAs[Boolean]("is_weekend"), r.getAs[Boolean]("is_month_end"))))
+      .toMap
+    assert(spine.size == 14)
+    assert(spine("2024-01-01") == ((1, "2024-01-01", false, false))) // Monday
+    assert(spine("2024-01-06") == ((6, "2024-01-01", true, false)))  // Saturday
+    assert(spine("2024-01-07") == ((7, "2024-01-01", true, false)))  // Sunday
+    assert(spine("2024-01-08") == ((1, "2024-01-08", false, false))) // next Monday
+    val jan31 = graft.gold.Marts.dateSpine(spark, "2024-01-31", "2024-01-31")
+      .collect()(0)
+    assert(jan31.getAs[Boolean]("is_month_end"))
+    val ev = Seq(("2024-01-02 10:00:00"), ("2024-01-02 11:00:00"))
+      .toDF("ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val filled = graft.gold.Marts.gapFillDaily(spark, ev, "ts",
+        "2024-01-01", "2024-01-03")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_rows")).toMap
+    assert(filled == Map("2024-01-01" -> 0L, "2024-01-02" -> 2L,
+      "2024-01-03" -> 0L), filled)
+  }
+
   test("topPaths: (ts,id) order, maxLen truncation, deterministic top-k tie-break") {
     val ev = (Seq(
       ("a", 1, "view"), ("a", 2, "click"), ("a", 3, "buy"),
