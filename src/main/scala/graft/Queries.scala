@@ -5787,6 +5787,122 @@ object Queries {
                CAST(NULL AS VARCHAR), props
         FROM events WHERE event_id % 3 = 2""")),
 
+    // ── merge overlapping validity intervals per key (RangeJoin
+    //    .mergeIntervals): gaps-and-islands, one key shuffle serving
+    //    both windows and the final agg; tie-order invariant ──
+    Q("q213_interval_merge",
+      (s, d) => {
+        val iv = Tables.orders(s, d).select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (pmod(col("o_orderkey"), lit(5)) + 1).cast("int")).as("hi"))
+        operators.RangeJoin.mergeIntervals(iv, Seq("o_custkey"), "lo", "hi")
+      },
+      Some("""
+        WITH iv AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS lo,
+            CAST(o_orderdate AS DATE)
+              + CAST(o_orderkey % 5 + 1 AS INTEGER) AS hi
+          FROM orders),
+        m AS (SELECT o_custkey, lo, hi,
+            MAX(hi) OVER (PARTITION BY o_custkey ORDER BY lo ASC, hi ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+        i AS (SELECT o_custkey, lo, hi,
+            SUM(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey ORDER BY lo ASC, hi ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m)
+        SELECT o_custkey, MIN(lo) AS merged_lo, MAX(hi) AS merged_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM i GROUP BY o_custkey, island""")),
+
+    // ── robust per-group feature scaling (TextAnalysis.robustScale):
+    //    (v − median)/IQR with type-1 exact quartiles; constant groups
+    //    scale to null, not ±∞ ──
+    Q("q214_robust_scale",
+      (s, d) => TextAnalysis.robustScale(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        "value", "event_type")
+        .select("event_id", "event_type", "value", "scaled"),
+      Some("""
+        WITH c AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        cum AS (SELECT event_type, value,
+            CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+          FROM c),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+              WHERE value IS NOT NULL GROUP BY 1),
+        p AS (SELECT CAST(pct AS INTEGER) AS pct
+              FROM (VALUES (25), (50), (75)) AS v(pct)),
+        q AS (SELECT cum.event_type, p.pct, MIN(value) AS qv
+              FROM cum JOIN t USING (event_type) CROSS JOIN p
+              WHERE cm * 100 >= p.pct * n GROUP BY 1, 2),
+        wide AS (SELECT event_type,
+            MAX(CASE WHEN pct = 25 THEN qv END) AS p25,
+            MAX(CASE WHEN pct = 50 THEN qv END) AS p50,
+            MAX(CASE WHEN pct = 75 THEN qv END) AS p75
+          FROM q GROUP BY 1)
+        SELECT e.event_id, e.event_type, e.value,
+          CASE WHEN p75 > p25
+               THEN ROUND((e.value - p50) / (p75 - p25), 6) END AS scaled
+        FROM events e LEFT JOIN wide USING (event_type)""")),
+
+    // ── pairwise Pearson correlation matrix (Quality.corrMatrix): one
+    //    full-scan agg of decimal moments, one explode — the
+    //    multicollinearity profiler, engine-exact by construction ──
+    Q("q215_corr_matrix",
+      (s, d) => Quality.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""
+        WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_quantity AS DECIMAL(28,6))) AS ss_q,
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_e,
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * CAST(l_extendedprice AS DECIMAL(28,6))) AS ss_e,
+            SUM(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+            SUM(CAST(l_discount AS DECIMAL(28,6))
+                * CAST(l_discount AS DECIMAL(28,6))) AS ss_d,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_extendedprice AS DECIMAL(28,6))) AS sp_qe,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_discount AS DECIMAL(28,6))) AS sp_qd,
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * CAST(l_discount AS DECIMAL(28,6))) AS sp_ed
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL),
+        e AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+            CAST(s_q AS DOUBLE) AS dsq, CAST(ss_q AS DOUBLE) AS dssq,
+            CAST(s_e AS DOUBLE) AS dse, CAST(ss_e AS DOUBLE) AS dsse,
+            CAST(s_d AS DOUBLE) AS dsd, CAST(ss_d AS DOUBLE) AS dssd,
+            CAST(sp_qe AS DOUBLE) AS dqe, CAST(sp_qd AS DOUBLE) AS dqd,
+            CAST(sp_ed AS DOUBLE) AS ded
+          FROM m)
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+          n AS n_rows,
+          CASE WHEN nd * dssq - dsq * dsq > 0 AND nd * dsse - dse * dse > 0
+               THEN ROUND((nd * dqe - dsq * dse)
+                 / (SQRT(nd * dssq - dsq * dsq)
+                    * SQRT(nd * dsse - dse * dse)), 6) END AS corr
+        FROM e
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n,
+          CASE WHEN nd * dssq - dsq * dsq > 0 AND nd * dssd - dsd * dsd > 0
+               THEN ROUND((nd * dqd - dsq * dsd)
+                 / (SQRT(nd * dssq - dsq * dsq)
+                    * SQRT(nd * dssd - dsd * dsd)), 6) END
+        FROM e
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n,
+          CASE WHEN nd * dsse - dse * dse > 0 AND nd * dssd - dsd * dsd > 0
+               THEN ROUND((nd * ded - dse * dsd)
+                 / (SQRT(nd * dsse - dse * dse)
+                    * SQRT(nd * dssd - dsd * dsd)), 6) END
+        FROM e""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

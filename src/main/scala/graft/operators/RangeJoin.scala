@@ -128,4 +128,41 @@ object RangeJoin {
           .cast("double") / bucketWidth).cast("long"))
       .drop(Bucket)
   }
+
+  /** Merge overlapping-or-touching CLOSED intervals per key — validity
+    * windows fragmented by repeated upserts, coverage spans, blackout
+    * windows — into their minimal disjoint cover, with the count of
+    * source intervals each merged span absorbed. The gaps-and-islands
+    * construction: ordered by (lo, hi), an island opens where `lo`
+    * exceeds the running max of all earlier `hi` (touching endpoints
+    * merge, since hi ≥ lo within a row); the result is invariant to
+    * tie order among equal-`lo` rows because a row whose `lo` equals a
+    * predecessor's can never open an island.
+    *
+    * Scale shape: ONE shuffle on the key serves both the two windows
+    * and the final aggregation (same partitioning); per-key state is
+    * the key's own interval count, and output is island-sized. No
+    * join, no explode.
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String], loCol: String,
+                     hiCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(loCol).asc, col(hiCol).asc)
+    val prevMax = max(col(hiCol))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    df.filter(col(hiCol) >= col(loCol))
+      .withColumn("__new",
+        when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(keyCols.map(col) :+ col("__island"): _*)
+      .agg(min(col(loCol)).as("merged_lo"), max(col(hiCol)).as("merged_hi"),
+        count(lit(1)).as("n_merged"))
+      .select(keyCols.map(col) :+ col("merged_lo") :+ col("merged_hi")
+        :+ col("n_merged"): _*)
+  }
 }

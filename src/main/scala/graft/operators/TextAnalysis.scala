@@ -334,6 +334,37 @@ object TextAnalysis {
     df.join(broadcast(ecdf), Seq(groupCol, scoreCol))
   }
 
+  /** Robust per-group feature scaling — `(v − median) / IQR` with the
+    * type-1 exact percentiles of [[percentilesExact]]: the
+    * outlier-immune normalization (a single fat-finger amount moves a
+    * mean/std z-score corpus-wide, it cannot move the quartiles) used
+    * before thresholds are shared across heterogeneous groups.
+    * Constant-valued groups (IQR = 0) scale to null — a feature with no
+    * spread has no scale, and ±∞/NaN must not reach a training file.
+    * Null metric values pass through with null `scaled` and do not
+    * shift the quartiles.
+    *
+    * Scale shape: the quartile frame rides the (group, value) histogram
+    * (bounded by the value domain, never corpus rows) and comes back as
+    * ONE broadcast group-sized join; the corpus itself never shuffles —
+    * same machinery as [[calibrateScores]].
+    */
+  def robustScale(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val q = percentilesExact(df.filter(col(valueCol).isNotNull), valueCol,
+      groupCol, Seq(25, 50, 75))
+    val wide = q.groupBy(col(groupCol)).agg(
+      max(when(col("pct") === 25, col("value"))).as("__p25"),
+      max(when(col("pct") === 50, col("value"))).as("__p50"),
+      max(when(col("pct") === 75, col("value"))).as("__p75"))
+    df.join(broadcast(wide), Seq(groupCol), "left")
+      .withColumn("scaled",
+        when(col("__p75") > col("__p25"),
+          round((col(valueCol).cast("double") - col("__p50").cast("double")) /
+            (col("__p75").cast("double") - col("__p25").cast("double")), 6)))
+      .drop("__p25", "__p50", "__p75")
+  }
+
   /** Greedy budgeted corpus selection: keep the highest-`scoreCol` rows
     * whose cumulative `costCol` stays within `budgetPct`% of the total —
     * "take the best docs up to N tokens", the final cut every

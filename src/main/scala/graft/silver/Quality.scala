@@ -333,6 +333,54 @@ object Quality {
         .as("spearman_rho"))
   }
 
+  /** Pairwise Pearson correlation matrix over `cols`, long format
+    * (col_x, col_y, n_rows, corr) for x < y — the feature-redundancy /
+    * multicollinearity profiler beside [[rankAgreement]]'s
+    * per-group rank form. Listwise deletion: rows with a null in ANY
+    * profiled column are excluded, so every pair sees the same n (the
+    * matrix stays positive semi-definite).
+    *
+    * Engine-exactness: all moments (Σx, Σx², Σxy) accumulate in
+    * DECIMAL(18,6)-derived decimals — exact and order-independent; the
+    * correlation itself is a fixed IEEE op tree over the decimal→double
+    * conversions (correctly rounded in any engine), rounded to 6
+    * decimals. Constant columns return NULL, not 0/0. ANSI mode makes
+    * decimal overflow loud; headroom is |v| < 10¹² and n·v² < 10²⁶.
+    *
+    * Scale shape: ONE full-scan hash aggregation (map-side combinable)
+    * producing a single row of k + k(k−1)/2 moments; the long-format
+    * pivot is k(k−1)/2 selects over that 1-row frame — nothing after
+    * the scan is data-sized.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"corrMatrix needs >= 2 distinct columns, got $cols")
+    def d6(c: String) = col(c).cast("decimal(18,6)")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggCols: Seq[Column] =
+      Seq(count(lit(1)).cast("long").as("__n")) ++
+        cols.flatMap(c => Seq(sum(d6(c)).as(s"__s_$c"),
+          sum(d6(c) * d6(c)).as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) => sum(d6(a) * d6(b)).as(s"__sp_${a}__$b") }
+    val m = df.na.drop(cols).groupBy().agg(aggCols.head, aggCols.tail: _*)
+    // one explode over the 1-row aggregate — NOT a union of per-pair
+    // selects, which would re-plan (and re-scan) the aggregate per pair
+    val pairStructs = pairs.map { case (a, b) =>
+      val n = col("__n").cast("double")
+      def dd(name: String) = col(name).cast("double")
+      val cv = n * dd(s"__sp_${a}__$b") - dd(s"__s_$a") * dd(s"__s_$b")
+      val va = n * dd(s"__ss_$a") - dd(s"__s_$a") * dd(s"__s_$a")
+      val vb = n * dd(s"__ss_$b") - dd(s"__s_$b") * dd(s"__s_$b")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        when(va > 0 && vb > 0, round(cv / (sqrt(va) * sqrt(vb)), 6))
+          .as("corr"))
+    }
+    m.select(col("__n"), explode(array(pairStructs: _*)).as("__p"))
+      .select(col("__p.col_x"), col("__p.col_y"),
+        col("__n").as("n_rows"), col("__p.corr"))
+  }
+
   /** k-anonymity audit + keyed pseudonymization — the governance pass a
     * training corpus carrying user-derived rows needs before export: the
     * direct identifier is replaced by a salted SHA-256 pseudonym (stable

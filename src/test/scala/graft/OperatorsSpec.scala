@@ -2208,4 +2208,52 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("doc_id") === 6L).collect()(0)
     assert(o6.getString(1) == "" && o6.getLong(2) == 1L)
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, keys isolate") {
+    import graft.operators.RangeJoin
+    val iv = Seq(
+      ("k1", 1, 3), ("k1", 2, 5), ("k1", 5, 7),   // chain: overlap + touch
+      ("k1", 9, 10),                               // gap -> own island
+      ("k2", 1, 3), ("k2", 9, 2),                  // k2 isolated; inverted dropped
+      ("k1", 4, 4))                                // nested point inside [1,7]
+      .toDF("k", "lo", "hi")
+    val out = RangeJoin.mergeIntervals(iv, Seq("k"), "lo", "hi")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("k1", 1, 7, 4L), ("k1", 9, 10, 1L), ("k2", 1, 3, 1L)),
+      out)
+  }
+
+  test("robustScale: (v-median)/IQR with type-1 quartiles; constant group -> null") {
+    // group g: values 1..5 -> p25=2, p50=3, p75=4, IQR=2
+    val df = ((1 to 5).map(v => ("g", v.toDouble)) ++
+      Seq(("const", 7.0), ("const", 7.0))).toDF("grp", "v")
+    val out = TextAnalysis.robustScale(df, "v", "grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out.contains(("g", 1.0, Some(-1.0))) &&
+      out.contains(("g", 3.0, Some(0.0))) &&
+      out.contains(("g", 5.0, Some(1.0))), out)
+    assert(out.filter(_._1 == "const").forall(_._3.isEmpty), out)
+  }
+
+  test("corrMatrix: ±1 on exact linear columns, null for constants, listwise n") {
+    import graft.silver.Quality
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0, Some(1.0)),
+      (2.0, 4.0, -2.0, 5.0, Some(2.0)),
+      (3.0, 6.0, -3.0, 5.0, None: Option[Double]))
+      .toDF("x", "y2", "neg", "c", "withnull")
+    val out = Quality.corrMatrix(df, Seq("x", "y2", "neg", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.getAs[java.lang.Double]("corr"))))).toMap
+    assert(out(("x", "y2")) == ((3L, Some(1.0))), out)
+    assert(out(("x", "neg")) == ((3L, Some(-1.0))), out)
+    assert(out(("x", "c")) == ((3L, None)), out)
+    assert(out.size == 6)
+    // listwise deletion: the null row drops n to 2 for EVERY pair
+    val ld = Quality.corrMatrix(df, Seq("x", "withnull"))
+      .collect()(0)
+    assert(ld.getLong(2) == 2L, ld.toString)
+  }
 }
