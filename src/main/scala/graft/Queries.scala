@@ -5903,6 +5903,100 @@ object Queries {
                     * SQRT(nd * dssd - dsd * dsd)), 6) END
         FROM e""")),
 
+    // ── survivorship golden record (Linkage.goldenRecord): per-COLUMN
+    //    latest-non-null beats whole-record latest-wins — the MDM step
+    //    after entity resolution ──
+    Q("q216_golden_record",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), col("event_type"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+            .otherwise(col("value")).as("value"))
+        operators.Linkage.goldenRecord(ev, "user_id",
+          Seq("ts", "event_id"), Seq("value", "event_type"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, ts, event_type,
+            CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value
+          FROM events),
+        f AS (SELECT user_id,
+            CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_records,
+            first_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS golden_value,
+            first_value(event_type IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS golden_event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev)
+        SELECT user_id, n_records, golden_value, golden_event_type
+        FROM f WHERE rn = 1""")),
+
+    // ── functional-dependency violation audit (Quality.fdViolations):
+    //    determinants mapping to >1 distinct dependent value ──
+    Q("q217_fd_violations",
+      (s, d) => Quality.fdViolations(Tables.orders(s, d),
+        Seq("o_custkey"), "o_orderstatus"),
+      Some("""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+        FROM orders GROUP BY 1
+        HAVING COUNT(DISTINCT o_orderstatus) > 1""")),
+
+    // ── ledger-continuity audit (Quality.sequenceGaps): missing ranges
+    //    in a per-key monotone sequence, one lag window ──
+    Q("q218_sequence_gaps",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val ledger = Tables.events(s, d)
+          .withColumn("seq", row_number().over(w).cast("long"))
+          .filter(pmod(col("seq"), lit(7)) =!= 0)
+        Quality.sequenceGaps(ledger, Seq("user_id"), "seq")
+      },
+      Some("""
+        WITH led AS (SELECT user_id,
+            CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS BIGINT) AS seq
+          FROM events),
+        k AS (SELECT user_id, seq FROM led WHERE seq % 7 <> 0),
+        l AS (SELECT user_id, seq,
+            lag(seq, 1) OVER (PARTITION BY user_id ORDER BY seq ASC) AS prev
+          FROM k)
+        SELECT user_id, prev + 1 AS gap_start, seq - 1 AS gap_end,
+               seq - prev - 1 AS n_missing
+        FROM l WHERE seq - prev > 1""")),
+
+    // ── LOCF daily position series (Marts.locfDaily): sparse events →
+    //    dense per-day carried-forward values; "no balance yet" stays
+    //    null, not 0 ──
+    Q("q219_locf",
+      (s, d) => Marts.locfDaily(s,
+        Tables.events(s, d).filter(pmod(col("user_id"), lit(50)) === 0),
+        "user_id", "ts", "event_id", "value", "2024-01-01", "2024-01-30"),
+      Some("""
+        WITH k AS (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+        spine AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+            DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        grid AS (SELECT user_id, day FROM k CROSS JOIN spine),
+        r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id % 50 = 0),
+        daily AS (SELECT user_id, day, value AS obs FROM r WHERE rn = 1),
+        g AS (SELECT grid.user_id, grid.day, daily.obs
+              FROM grid LEFT JOIN daily
+                ON grid.user_id = daily.user_id AND grid.day = daily.day)
+        SELECT user_id, day, obs IS NOT NULL AS observed,
+          last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        FROM g""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -365,6 +365,44 @@ object Marts {
       .withColumn("is_month_end", col("day") === last_day(col("day")))
   }
 
+  /** Last-observation-carried-forward daily series: for every (key, day)
+    * in keys × [start, end], the most recent observed `valueCol` on or
+    * before that day — the balance-over-time / position series every
+    * banking dashboard draws from sparse transaction events, and the
+    * point-in-time feature surface at daily grain (the dense counterpart
+    * of q197's as-of join). Each day's observation is the LAST event of
+    * that day by (`tsCol`, `tieCol`) — a total order, so the fill is
+    * engine-exact; `observed` marks real observations vs carried ones;
+    * keys with no observation yet read null (not 0 — "no balance" is not
+    * a zero balance).
+    *
+    * Scale shape: the grid is keys × spine — the OUTPUT's own size — via
+    * a broadcast of the day spine (calendar-sized); the daily pick and
+    * the forward fill share one key-partitioned shuffle. Nothing
+    * event-sized survives past the per-day rank.
+    */
+  def locfDaily(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                keyCol: String, tsCol: String, tieCol: String,
+                valueCol: String, start: String, end: String): DataFrame = {
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        dateSpine(spark, start, end).select("day")))
+    val wDay = Window.partitionBy(col(keyCol), to_date(col(tsCol)))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val daily = df
+      .withColumn("__rn", row_number().over(wDay))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("__obs"))
+    val wFill = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("observed", col("__obs").isNotNull)
+      .withColumn("value_filled",
+        last(col("__obs"), ignoreNulls = true).over(wFill))
+      .drop("__obs")
+  }
+
   /** Gap-filled daily series: [[dateSpine]] left-joined with a frame's
     * per-day counts, absent days reading 0 — the shape every
     * time-series chart and forecast needs (a missing day must plot as

@@ -284,6 +284,39 @@ object Linkage {
     val br = org.apache.spark.sql.graftbridge.ColumnBridge
     br.column(JaroWinkler(br.expr(a), br.expr(b)))
   }
+
+  /** Survivorship: ONE golden record per cluster from the duplicate
+    * records entity resolution grouped — the master-data step AFTER
+    * clustering (the reference's customer-dim world calls this the
+    * "golden customer"). Rule: per COLUMN, the value from the most
+    * recent record (by `orderCols` desc, a total order) in which that
+    * column is NON-NULL — so a recent record with a missing phone does
+    * not erase the phone a slightly older record carried; per-column
+    * recency beats whole-record recency, which is the point of
+    * survivorship over plain latest-wins dedup.
+    *
+    * One shuffle on the cluster: the ranked window, the per-column
+    * `first(ignoreNulls)` fills, and the group count all share its
+    * partitioning; output is cluster-sized.
+    */
+  def goldenRecord(records: DataFrame, clusterCol: String,
+                   orderCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty && valueCols.nonEmpty,
+      "goldenRecord needs order and value columns")
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val filled = valueCols.foldLeft(records)((d, c) =>
+      d.withColumn(s"golden_$c", first(col(c), ignoreNulls = true).over(wAll)))
+    filled
+      .withColumn("n_records", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(clusterCol) +: col("n_records")
+        +: valueCols.map(c => col(s"golden_$c")): _*)
+  }
 }
 
 /** Codepoint-exact thresholded Levenshtein (distance if ≤ k, else -1). */

@@ -381,6 +381,52 @@ object Quality {
         col("__n").as("n_rows"), col("__p.corr"))
   }
 
+  /** Ledger-continuity audit: gaps in a per-key monotone sequence —
+    * missing statement numbers, skipped journal lines, dropped CDC
+    * sequence ids. For each adjacent pair in key-ordered sequence
+    * values with `next − prev > 1`, one output row naming the missing
+    * range. Duplicate sequence values are NOT gaps (lag sees a 0/"-1"
+    * step) — audit those with [[unique]]; null sequence values are
+    * excluded up front.
+    *
+    * One lag window per key — a single shuffle, output bounded by the
+    * number of gaps, never the ledger size.
+    */
+  def sequenceGaps(df: DataFrame, keyCols: Seq[String],
+                   seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "sequenceGaps needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).asc)
+    df.filter(col(seqCol).isNotNull)
+      .withColumn("__prev", lag(col(seqCol), 1).over(w))
+      .filter(col(seqCol) - col("__prev") > 1)
+      .select(keyCols.map(col)
+        :+ (col("__prev") + 1).as("gap_start")
+        :+ (col(seqCol) - 1).as("gap_end")
+        :+ (col(seqCol) - col("__prev") - 1).as("n_missing"): _*)
+  }
+
+  /** Functional-dependency violation audit: keys of `lhs` that map to
+    * MORE than one distinct `rhs` value — "every account has exactly
+    * one branch", "a nation key determines its region" made checkable.
+    * The generalization of [[unique]] the declared-test surface lacks;
+    * complements the FK *inference* pass (q143) by auditing the
+    * attribute dependencies inference can't see. Null `rhs` values
+    * assert nothing (distinct-count semantics) — a group of {A, null}
+    * is consistent.
+    *
+    * One hash aggregation with a distinct-count on the determinant
+    * tuple; output only the violating groups.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+                   rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations needs at least one determinant column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col(rhs)).cast("long").as("n_distinct"))
+      .filter(col("n_distinct") > 1)
+  }
+
   /** k-anonymity audit + keyed pseudonymization — the governance pass a
     * training corpus carrying user-derived rows needs before export: the
     * direct identifier is replaced by a salted SHA-256 pseudonym (stable

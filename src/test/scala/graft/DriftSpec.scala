@@ -168,6 +168,29 @@ class DriftSpec extends SparkSpec {
       "2024-01-03" -> 0L), filled)
   }
 
+  test("locfDaily: carries last observation forward, null before first, per-day last wins") {
+    val ev = Seq(
+      ("u1", "2024-01-02 10:00:00", 1L, 5.0),
+      ("u1", "2024-01-02 11:00:00", 2L, 7.0),   // later same day wins
+      ("u1", "2024-01-04 09:00:00", 3L, 9.0),
+      ("u2", "2024-01-03 09:00:00", 4L, 1.0))
+      .toDF("u", "ts_s", "eid", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.locfDaily(spark, ev, "u", "ts", "eid", "v",
+        "2024-01-01", "2024-01-05")
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+        ((r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out.size == 10)                        // 2 keys × 5 days
+    assert(out(("u1", "2024-01-01")) == ((false, None)), out)
+    assert(out(("u1", "2024-01-02")) == ((true, Some(7.0))), out)
+    assert(out(("u1", "2024-01-03")) == ((false, Some(7.0))), out)
+    assert(out(("u1", "2024-01-04")) == ((true, Some(9.0))), out)
+    assert(out(("u1", "2024-01-05")) == ((false, Some(9.0))), out)
+    assert(out(("u2", "2024-01-02")) == ((false, None)), out)
+    assert(out(("u2", "2024-01-05")) == ((false, Some(1.0))), out)
+  }
+
   test("topPaths: (ts,id) order, maxLen truncation, deterministic top-k tie-break") {
     val ev = (Seq(
       ("a", 1, "view"), ("a", 2, "click"), ("a", 3, "buy"),

@@ -2237,6 +2237,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 == "const").forall(_._3.isEmpty), out)
   }
 
+  test("goldenRecord: per-column latest-non-null beats whole-record latest-wins") {
+    import graft.operators.Linkage
+    val recs = Seq(
+      // cluster 1: newest record (ts 3) misses phone; older one carries it
+      (1L, 3L, Some("Ann Lee"), None: Option[String]),
+      (1L, 2L, Some("A. Lee"), Some("555-1234")),
+      (1L, 1L, None: Option[String], Some("555-0000")),
+      // cluster 2: everything null except one field
+      (2L, 9L, None: Option[String], None: Option[String]),
+      (2L, 8L, Some("Bob"), None: Option[String]))
+      .toDF("cluster", "seq", "name", "phone")
+    val out = Linkage.goldenRecord(recs, "cluster", Seq("seq"),
+        Seq("name", "phone"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3)))))
+      .toMap
+    assert(out(1L) == ((3L, Some("Ann Lee"), Some("555-1234"))), out)
+    assert(out(2L) == ((2L, Some("Bob"), None)), out)
+  }
+
   test("corrMatrix: ±1 on exact linear columns, null for constants, listwise n") {
     import graft.silver.Quality
     val df = Seq(

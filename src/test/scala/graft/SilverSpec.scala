@@ -362,6 +362,30 @@ class SilverSpec extends SparkSpec {
     assert(!p1.exists(Set("1", "2", "3", "4", "5")))
   }
 
+  test("sequenceGaps: missing ranges named exactly; duplicates and nulls are not gaps") {
+    val led = Seq(
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(5L)),   // gap 3..4
+      ("a", Some(5L)), ("a", Some(9L)),                    // dup 5; gap 6..8
+      ("b", Some(10L)), ("b", Some(11L)),                  // contiguous
+      ("b", None))                                          // null excluded
+      .toDF("k", "seq")
+    val out = Quality.sequenceGaps(led, Seq("k"), "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("a", 3L, 4L, 2L), ("a", 6L, 8L, 3L)), out)
+  }
+
+  test("fdViolations: only determinants with >1 distinct dependent; null asserts nothing") {
+    val df = Seq(
+      ("acc1", Some("branchA")), ("acc1", Some("branchA")),
+      ("acc2", Some("branchA")), ("acc2", Some("branchB")), // violation
+      ("acc3", Some("branchC")), ("acc3", None))            // consistent
+      .toDF("acct", "branch")
+    val out = Quality.fdViolations(df, Seq("acct"), "branch")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("acc2", 2L, 2L)), out.mkString(","))
+  }
+
   test("lDiversity: homogeneous groups flagged despite size; nulls don't count") {
     val df = Seq(
       // big but homogeneous: k-anonymous, NOT 2-diverse
