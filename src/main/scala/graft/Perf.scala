@@ -901,6 +901,44 @@ object Perf {
         s"${st.bytesAfter}, scanned rows for user_id range " +
         s"$scanBefore -> $scanAfter of $nRows")
     }
+    if (what == "graph") {
+      // triangle counting under skew: 2M pseudo-random edges over 200k
+      // nodes PLUS a 50k-edge celebrity hub. Degree orientation caps the
+      // hub's out-degree (edges orient INTO high-degree nodes), so wedge
+      // fan-out stays O(m^1.5)-bounded instead of deg(hub)^2 ≈ 2.5e9.
+      val nNodes = 200000L
+      val rand = spark.range(2000000L).select(
+        (col("id") % nNodes).as("u"),
+        ((col("id") * 2654435761L + 12345L) % nNodes).as("v"))
+      val hub = spark.range(50000L).select(
+        lit(0L).as("u"), (col("id") % nNodes).as("v"))
+      val edges = rand.unionByName(hub)
+      time("triangles-2M-edges-skew-hub")(
+        operators.GraphOps.triangles(edges, "u", "v")
+          .agg(sum(col("n_triangles"))).head().getLong(0) / 3)
+      time("pagerank-2M-edges-3-iters")(
+        operators.GraphOps.pageRankInt(edges, "u", "v", iters = 3).count())
+    }
+    if (what == "linededup") {
+      // corpus-frequency line removal at 2M docs × 8 lines = 16M lines:
+      // 2 boilerplate lines planted corpus-wide, 1 in half the docs,
+      // the rest unique. The df aggregation's skew is exactly the
+      // boilerplate keys, whose groups collapse to (line, count).
+      val docs = spark.range(2000000L).select(col("id").as("doc_id"),
+        concat_ws("\n",
+          concat(lit("document body line one for "), col("id")),
+          lit("subscribe to our newsletter today"),
+          concat(lit("unique middle "), col("id") * 7),
+          when(col("id") % 2 === 0, lit("cookie consent banner text here"))
+            .otherwise(concat(lit("tail "), col("id"))),
+          concat(lit("second body line for "), col("id")),
+          lit("copyright footer all rights reserved"),
+          concat(lit("third body line for "), col("id")),
+          concat(lit("fourth body line for "), col("id"))).as("text"))
+      time("linededup-16M-lines")(
+        operators.Dedup.lineDedup(docs, "doc_id", "text", maxDocFreq = 100)
+          .agg(sum(col("n_removed"))).head().getLong(0))
+    }
     spark.stop()
   }
 }
