@@ -5997,6 +5997,18 @@ object Queries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
         FROM g""")),
 
+    // ── COUNT(DISTINCT) → HLL++ acceleration rule (plans
+    //    .ApproxDistinctRewrite): per-query opt-in, deterministic sketch,
+    //    no oracle (DuckDB's approx_count_distinct is a different
+    //    algorithm) — equivalence/error bounds are spec-pinned ──
+    Q("q220_accel_distinct",
+      (s, d) => graft.plans.ApproxDistinctRewrite.accelerate(
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users_approx"),
+            count(lit(1)).as("n_events")),
+        rsd = 0.05),
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -19,13 +19,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * for an already-built session use `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // opt-in COUNT(DISTINCT) → HLL++ acceleration (flag-gated per query)
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
+  }
 }
 
 object GraftExtensions {
@@ -61,11 +64,17 @@ object GraftExtensions {
   }
 
   /** Register into an already-built session (tests, spark-shell). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder)
     }
+    // idempotent: experimental.extraOptimizations is a plain Seq
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.ApproxDistinctRewrite(spark)
+  }
 }
