@@ -6009,6 +6009,57 @@ object Queries {
         rsd = 0.05),
       None),
 
+    // ── band join through the range-join REWRITE RULE (plans
+    //    .RangeJoinRewrite.accelerate): the user writes a plain BETWEEN
+    //    join, the rule rewrites it to the bucketed equi-join — exact,
+    //    so oracle-checked; the plan guard lives in RangeJoinRuleSpec ──
+    Q("q221_rule_range_join",
+      (s, d) => {
+        val pts = Tables.events(s, d).select(col("event_id"), col("value"))
+        val iv = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_acctbal").as("lo"), (col("c_acctbal") + 20.0).as("hi"))
+        graft.plans.RangeJoinRewrite.accelerate(
+          pts.join(iv, col("value") >= col("lo") && col("value") <= col("hi")),
+          width = 20.0)
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_points"),
+            sumMoney(col("value")).as("total_value"))
+      },
+      Some("""
+        SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c
+          ON e.value >= c.c_acctbal AND e.value <= c.c_acctbal + 20.0
+        GROUP BY 1""")),
+
+    // ── arbitrary GROUPING SETS with grouping markers (§2.5 breadth
+    //    beyond rollup/cube): the SQL surface form, markers disambiguate
+    //    aggregate nulls from data nulls ──
+    Q("q222_grouping_sets",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+            (o_orderstatus, o_orderpriority), ())""")
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          (o_orderstatus, o_orderpriority), ())""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

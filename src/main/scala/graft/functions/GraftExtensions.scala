@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // opt-in COUNT(DISTINCT) → HLL++ acceleration (flag-gated per query)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
+    // opt-in band-join → bucketed equi-join (flag = explicit bucket width)
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
   }
 }
 
@@ -76,5 +78,9 @@ object GraftExtensions {
     if (!rules.exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]))
       spark.experimental.extraOptimizations =
         rules :+ graft.plans.ApproxDistinctRewrite(spark)
+    val rules2 = spark.experimental.extraOptimizations
+    if (!rules2.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        rules2 :+ graft.plans.RangeJoinRewrite(spark)
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The band-join → bucketed equi-join optimizer rule: flag-off keeps the
+  * nested-loop plan, flag-on removes it with bit-identical results, and
+  * the scope guards (equi-keyed joins, non-numeric bands) hold.
+  */
+class RangeJoinRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = spark.range(2000L)
+    .select(col("id").as("pid"), (col("id") % 977L).cast("double").as("p"))
+  private def intervals = spark.range(300L)
+    .select(col("id").as("iid"),
+      ((col("id") * 13L) % 900L).cast("double").as("lo"))
+    .withColumn("hi", col("lo") + (col("iid") % 40L).cast("double"))
+
+  private def bandJoin = points.join(intervals,
+    col("p") >= col("lo") && col("p") <= col("hi"))
+
+  test("flag off: nested loop; flag on: hash equi-join, identical rows") {
+    graft.functions.GraftExtensions.register(spark)
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    val before = bandJoin
+    assert(before.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val exact = before.collect().map(r =>
+      (r.getLong(0), r.getLong(2))).toSet
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+      val after = bandJoin
+      val p = after.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(800))
+      assert(p.contains("__graft_bucket"), p.take(800))
+      val accel = after.collect().map(r =>
+        (r.getLong(0), r.getLong(2))).toSet
+      assert(accel == exact,
+        s"missing=${(exact -- accel).take(5)} extra=${(accel -- exact).take(5)}")
+      // schema unchanged: the bucket plumbing never leaks into the output
+      assert(after.columns.toSeq == before.columns.toSeq)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("interval side on the LEFT rewrites too; strict bounds respected") {
+    graft.functions.GraftExtensions.register(spark)
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+      val flipped = intervals.join(points,
+        col("p") > col("lo") && col("p") < col("hi"))
+      val p = flipped.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      val exact = flipped.collect()
+        .map(r => (r.getAs[Long]("iid"), r.getAs[Long]("pid"))).toSet
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+      val accel = flipped.collect()
+        .map(r => (r.getAs[Long]("iid"), r.getAs[Long]("pid"))).toSet
+      assert(accel == exact)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("equi-keyed band joins are left alone — the planner already has a hash key") {
+    graft.functions.GraftExtensions.register(spark)
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+      val keyed = points.withColumn("k", col("pid") % 7)
+        .join(intervals.withColumn("k", col("iid") % 7), Seq("k"))
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      val p = keyed.queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_bucket"), p.take(800))
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+}
