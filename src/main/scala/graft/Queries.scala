@@ -6060,6 +6060,37 @@ object Queries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
           (o_orderstatus, o_orderpriority), ())""")),
 
+    // ── streaming ledger-gap monitor (streaming.GapStream): q218's
+    //    audit folded per batch into RUN-SIZED interval state; 3-batch
+    //    fold ≡ the batch audit, which the oracle states directly ──
+    Q("q223_gap_monitor",
+      (s, d) => {
+        val st = java.nio.file.Files.createTempDirectory("q223-gap")
+          .toString + "/s"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val ledger = Tables.events(s, d)
+          .withColumn("seq", row_number().over(w).cast("long"))
+          .filter(pmod(col("seq"), lit(7)) =!= 0)
+        (0 to 2).foreach(i => graft.streaming.GapStream.foldBatch(s,
+          ledger.filter(pmod(col("user_id"), lit(3)) === i), st,
+          Seq("user_id"), "seq", batchId = i.toLong))
+        graft.streaming.GapStream.readout(s, st, Seq("user_id"))
+      },
+      Some("""
+        WITH led AS (SELECT user_id,
+            CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS BIGINT) AS seq
+          FROM events),
+        k AS (SELECT user_id, seq FROM led WHERE seq % 7 <> 0),
+        l AS (SELECT user_id, seq,
+            lag(seq, 1) OVER (PARTITION BY user_id ORDER BY seq ASC) AS prev
+          FROM k)
+        SELECT user_id, prev + 1 AS gap_start, seq - 1 AS gap_end,
+               seq - prev - 1 AS n_missing
+        FROM l WHERE seq - prev > 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
