@@ -6091,6 +6091,30 @@ object Queries {
                seq - prev - 1 AS n_missing
         FROM l WHERE seq - prev > 1""")),
 
+    // ── hierarchy flattening (GraphOps.ancestors): transitive ancestor
+    //    closure by pointer DOUBLING — log₂(depth) self-joins, the
+    //    roll-up-to-any-level dimension explode ──
+    Q("q224_hierarchy",
+      (s, d) => {
+        val e = Tables.customer(s, d)
+          .filter(col("c_custkey") >= 2)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey DIV 2").as("parent"))
+        operators.GraphOps.ancestors(e, "child", "parent", maxDepth = 16)
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT c_custkey AS child, c_custkey // 2 AS parent
+          FROM customer WHERE c_custkey >= 2),
+        anc AS (
+          SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS dist
+          FROM e
+          UNION ALL
+          SELECT anc.node, e.parent, anc.dist + 1
+          FROM anc JOIN e ON anc.ancestor = e.child
+          WHERE anc.dist < 16)
+        SELECT node, ancestor, dist FROM anc""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -110,4 +110,50 @@ object GraphOps {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Hierarchy flattening: the transitive ANCESTOR closure of a
+    * parent-pointer forest — (node, ancestor, dist) for every ancestor
+    * up to `maxDepth` levels — the dimension-hierarchy explode every
+    * warehouse needs (org charts, ledger account trees, category
+    * taxonomies) to answer "roll this fact up to ANY level" with one
+    * equi-join instead of a recursive query at read time.
+    *
+    * Pointer DOUBLING, not level-at-a-time walking: round k composes
+    * the closure-so-far with itself (`a.ancestor = b.node`, dist sums),
+    * so covered depth doubles per round — ⌈log₂ maxDepth⌉ self-joins
+    * instead of maxDepth chained joins. Each round is checkpointed
+    * (the [[graft.operators.Dedup.resolveClusters]] Pregel-loop shape:
+    * iterative plans otherwise embed the previous round's lineage
+    * exponentially). In a forest the node→ancestor path is unique, so
+    * the per-round `distinct` just collapses the d₁+d₂ split
+    * multiplicity; the fixed round count also bounds the damage of an
+    * accidental cycle — document-and-audit, never hang.
+    *
+    * Scale: each round is one hash equi-join on node ids + a distinct,
+    * output bounded by nodes × maxDepth (a hierarchy's closure size),
+    * all shuffles keyed by node id.
+    */
+  def ancestors(edges: DataFrame, childCol: String, parentCol: String,
+                maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 1024,
+      s"maxDepth must be in [1,1024], got $maxDepth")
+    var anc = edges
+      .select(col(childCol).as("node"), col(parentCol).as("ancestor"),
+        lit(1L).as("dist"))
+      .filter(col("node").isNotNull && col("ancestor").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var covered = 1
+    while (covered < maxDepth) {
+      val b = anc.select(col("node").as("__mid"),
+        col("ancestor").as("__anc2"), col("dist").as("__d2"))
+      val composed = anc.join(b, col("ancestor") === col("__mid"))
+        .select(col("node"), col("__anc2").as("ancestor"),
+          (col("dist") + col("__d2")).as("dist"))
+        .filter(col("dist") <= maxDepth)
+      anc = anc.unionByName(composed).distinct().localCheckpoint(true)
+      covered *= 2
+    }
+    anc
+  }
 }

@@ -258,6 +258,24 @@ class DriftSpec extends SparkSpec {
     assert(m == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), m)
   }
 
+  test("ancestors: full closure on a tree, maxDepth truncates, cycles terminate") {
+    import graft.operators.GraphOps
+    val tree = Seq((2, 1), (3, 1), (4, 2), (5, 2), (6, 4)).toDF("c", "p")
+    val out = GraphOps.ancestors(tree, "c", "p", maxDepth = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set((2, 1, 1L), (3, 1, 1L), (4, 2, 1L), (4, 1, 2L),
+      (5, 2, 1L), (5, 1, 2L), (6, 4, 1L), (6, 2, 2L), (6, 1, 3L)), out)
+    // a 10-deep chain truncated at depth 4: every dist ≤ 4
+    val chain = (2 to 10).map(k => (k, k - 1)).toDF("c", "p")
+    val tr = GraphOps.ancestors(chain, "c", "p", maxDepth = 4)
+      .collect().map(_.getLong(2))
+    assert(tr.nonEmpty && tr.max == 4L && tr.count(_ == 4L) == 6, tr.max)
+    // a cycle neither hangs nor exceeds maxDepth
+    val cyc = Seq((1, 2), (2, 1)).toDF("c", "p")
+    val cy = GraphOps.ancestors(cyc, "c", "p", maxDepth = 4).collect()
+    assert(cy.nonEmpty && cy.map(_.getLong(2)).max <= 4L)
+  }
+
   test("weekOverWeekResidual: calendar-exact day-7 baseline, null when absent") {
     val ev = Seq(
       ("s", "2024-01-01 10:00:00"), ("s", "2024-01-01 11:00:00"),
