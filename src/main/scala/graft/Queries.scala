@@ -6115,6 +6115,48 @@ object Queries {
           WHERE anc.dist < 16)
         SELECT node, ancestor, dist FROM anc""")),
 
+    // ── quantile normalization (TextAnalysis.quantileNormalize): each
+    //    source's score distribution mapped onto the pooled one — the
+    //    batch-effect corrector; histogram-sized walk, corpus never
+    //    shuffles ──
+    Q("q225_quantile_normalize",
+      (s, d) => TextAnalysis.quantileNormalize(
+        Tables.events(s, d).select("event_type", "value"),
+        "value", "event_type"),
+      Some("""
+        WITH base AS (SELECT event_type, value FROM events
+                      WHERE value IS NOT NULL),
+        g AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        gt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM base GROUP BY 1),
+        ge AS (SELECT g.event_type, g.value,
+            FLOOR((CAST(SUM(c) OVER (PARTITION BY g.event_type
+                ORDER BY g.value ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS prob
+          FROM g JOIN gt ON g.event_type = gt.event_type),
+        p AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1),
+        pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        pe AS (SELECT value AS x,
+            FLOOR((CAST(SUM(c) OVER (ORDER BY value ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS prob
+          FROM p, pt),
+        u AS (
+          SELECT event_type, value, prob, CAST(NULL AS DOUBLE) AS x,
+                 0 AS pooled
+          FROM ge
+          UNION ALL
+          SELECT CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), prob, x, 1
+          FROM pe),
+        w AS (SELECT *, first_value(x IGNORE NULLS) OVER (
+                ORDER BY prob ASC, pooled ASC, x ASC NULLS FIRST
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS normalized FROM u)
+        SELECT event_type, value, normalized FROM w WHERE pooled = 0""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -365,6 +365,68 @@ object TextAnalysis {
       .drop("__p25", "__p50", "__p75")
   }
 
+  /** Quantile normalization: map each group's value distribution onto
+    * the POOLED distribution — v ↦ the smallest pooled value whose ECDF
+    * reaches v's within-group ECDF. The batch-effect corrector (its
+    * microarray-era name) for score columns whose per-source scales
+    * drift: after normalization, "top decile" means the same value in
+    * every source, so one corpus-wide threshold is fair — the
+    * value-space counterpart of [[calibrateScores]]'s rank-space
+    * output.
+    *
+    * Engine-exact: both ECDFs use the round6 tie-sharing recipe; the
+    * inverse lookup is a single ordered walk over the UNION of the two
+    * probability frames (first non-null pooled value at probability ≥
+    * p, tie-ordered (prob, pooled-after-group, value) — a total order,
+    * so both engines pick the same quantile).
+    *
+    * Scale shape: everything after the two histogram aggregations rides
+    * value-domain-sized frames (like every percentile operator here,
+    * the corpus never shuffles); the walk's window is global but over
+    * the value domain ∪ group×value domain — histogram rows, not
+    * corpus rows.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+                        groupCol: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+    val vType = base.schema(valueCol).dataType.catalogString
+    val kType = base.schema(groupCol).dataType.catalogString
+
+    val gw = W.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val gTot = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val gEcdf = base.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(gw))
+      .join(broadcast(gTot), Seq(groupCol))
+      .select(col(groupCol), col(valueCol),
+        round6(col("__cum").cast("double") / col("__n")).as("__prob"))
+
+    val pw = W.orderBy(col(valueCol).asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val pTot = broadcast(base.groupBy().agg(count(lit(1)).as("__n")))
+    val pEcdf = base.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(pw))
+      .crossJoin(pTot)
+      .select(col(valueCol).as("__x"),
+        round6(col("__cum").cast("double") / col("__n")).as("__prob"))
+
+    val tg = gEcdf.select(col(groupCol), col(valueCol), col("__prob"),
+      lit(null).cast(vType).as("__x"), lit(0).as("__pooled"))
+    val tp = pEcdf.select(lit(null).cast(kType).as(groupCol),
+      lit(null).cast(vType).as(valueCol), col("__prob"), col("__x"),
+      lit(1).as("__pooled"))
+    val uw = W.orderBy(col("__prob").asc, col("__pooled").asc,
+        col("__x").asc_nulls_first)
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    tg.unionByName(tp)
+      .withColumn("normalized", first(col("__x"), ignoreNulls = true).over(uw))
+      .filter(col("__pooled") === 0)
+      .select(col(groupCol), col(valueCol), col("normalized"))
+  }
+
   /** Greedy budgeted corpus selection: keep the highest-`scoreCol` rows
     * whose cumulative `costCol` stays within `budgetPct`% of the total —
     * "take the best docs up to N tokens", the final cut every

@@ -2257,6 +2257,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((2L, Some("Bob"), None)), out)
   }
 
+  test("quantileNormalize: shifted scales map to one distribution; hand values exact") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("g1", _)) ++
+      Seq(10.0, 20.0, 30.0, 40.0).map(("g2", _))).toDF("grp", "v")
+    val out = TextAnalysis.quantileNormalize(df, "v", "grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("g1", 1.0)) == 2.0 && out(("g1", 2.0)) == 4.0 &&
+      out(("g1", 3.0)) == 20.0 && out(("g1", 4.0)) == 40.0, out)
+    // the defining property: both groups land on the SAME value ladder
+    val g1 = out.collect { case (("g1", _), n) => n }.toSeq.sorted
+    val g2 = out.collect { case (("g2", _), n) => n }.toSeq.sorted
+    assert(g1 == g2 && g1 == Seq(2.0, 4.0, 20.0, 40.0), s"$g1 vs $g2")
+  }
+
   test("corrMatrix: ±1 on exact linear columns, null for constants, listwise n") {
     import graft.silver.Quality
     val df = Seq(
