@@ -6157,6 +6157,91 @@ object Queries {
               AS normalized FROM u)
         SELECT event_type, value, normalized FROM w WHERE pooled = 0""")),
 
+    // ── exact phrase matching over positional postings (TextAnalysis
+    //    .phraseMatch): what bag-of-words BM25 can't say; k−1 postings
+    //    joins, text never shuffles ──
+    Q("q226_phrase_search",
+      (s, d) => TextAnalysis.phraseMatch(Tables.documents(s, d),
+        "doc_id", "text", Seq("batch", "batch")),
+      Some("""
+        WITH tk AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS ts
+          FROM documents),
+        l AS (SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(1, len(ts) + 1)) AS pos FROM tk),
+        f0 AS (SELECT doc_id, pos AS start FROM l WHERE tok = 'batch'),
+        f1 AS (SELECT doc_id, pos - 1 AS start FROM l WHERE tok = 'batch'),
+        m AS (SELECT f0.doc_id, f0.start
+              FROM f0 JOIN f1 ON f0.doc_id = f1.doc_id
+                AND f0.start = f1.start)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM m GROUP BY 1""")),
+
+    // ── per-group median imputation (TextAnalysis.imputeMedian):
+    //    outlier-immune fill, originals flagged, all-null groups stay
+    //    null ──
+    Q("q227_impute",
+      (s, d) => TextAnalysis.imputeMedian(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(col("value")).as("value")),
+        "value", "event_type")
+        .select("event_id", "event_type", "value", "was_null", "imputed"),
+      Some("""
+        WITH ev AS (SELECT event_id, event_type,
+            CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+          FROM events),
+        c AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM ev WHERE value IS NOT NULL GROUP BY 1, 2),
+        cum AS (SELECT event_type, value,
+            CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+          FROM c),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+              WHERE value IS NOT NULL GROUP BY 1),
+        med AS (SELECT cum.event_type, MIN(value) AS m
+                FROM cum JOIN t USING (event_type)
+                WHERE cm * 100 >= 50 * n GROUP BY 1)
+        SELECT event_id, ev.event_type, ev.value,
+               ev.value IS NULL AS was_null,
+               COALESCE(ev.value, med.m) AS imputed
+        FROM ev LEFT JOIN med ON ev.event_type = med.event_type""")),
+
+    // ── two-sided CUSUM change-point alarm (Quality.cusumDaily): slow
+    //    leaks the daily screens miss; integer running-extremum
+    //    identity, engine-exact ──
+    Q("q228_cusum",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        Quality.cusumDaily(daily, "event_type", "day", "n",
+          target = 50L, h = 100L)
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, day, n,
+            CAST(SUM(n - 50) OVER (PARTITION BY event_type ORDER BY day ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM daily),
+        e AS (SELECT event_type, day, n, cum,
+            CAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY day ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS mn,
+            CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS mx
+          FROM c)
+        SELECT event_type, day, n,
+               cum - LEAST(0, mn) AS s_pos,
+               GREATEST(0, mx) - cum AS s_neg,
+               (cum - LEAST(0, mn)) > 100 OR (GREATEST(0, mx) - cum) > 100
+                 AS alarm
+        FROM e""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

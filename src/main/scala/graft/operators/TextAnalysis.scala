@@ -427,6 +427,55 @@ object TextAnalysis {
       .select(col(groupCol), col(valueCol), col("normalized"))
   }
 
+  /** Exact phrase matching via positional postings — the retrieval
+    * primitive BM25's bag-of-words scoring cannot express ("machine
+    * learning" ≠ documents containing both words somewhere). Each
+    * document explodes to (id, pos, token) postings PRUNED to the
+    * phrase's terms at the scan (an `isin` filter the optimizer pushes
+    * below the explode's generator input is not possible, but the
+    * post-explode filter drops everything else before any shuffle);
+    * term i's postings shift to `start = pos − i`, and a phrase
+    * occurrence is one (id, start) key present in every term's frame —
+    * k−1 hash equi-joins over postings-sized data, never document
+    * text. Repeated terms in the phrase work by construction (each
+    * position must independently match).
+    *
+    * Output: (id, n_occurrences) for documents containing the phrase
+    * at least once; overlapping occurrences count separately.
+    */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val posts = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isin(phrase.distinct: _*))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("__tok") === t)
+        .select(col(idCol), (col("__pos") - i).as("__start"))
+    }
+    frames.reduce((a, b) => a.join(b, Seq(idCol, "__start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Per-group median imputation — nulls filled with the group's exact
+    * type-1 median (the outlier-immune choice; a mean imputer inherits
+    * every fat-finger value), originals preserved beside the fill and
+    * flagged. Groups that are ALL null stay null — inventing a value
+    * where no evidence exists is how silent bias enters a training set.
+    * Same broadcast-histogram shape as [[robustScale]].
+    */
+  def imputeMedian(df: DataFrame, valueCol: String,
+                   groupCol: String): DataFrame = {
+    val med = percentilesExact(df.filter(col(valueCol).isNotNull), valueCol,
+        groupCol, Seq(50))
+      .select(col(groupCol), col("value").as("__med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn("was_null", col(valueCol).isNull)
+      .withColumn("imputed", coalesce(col(valueCol), col("__med")))
+      .drop("__med")
+  }
+
   /** Greedy budgeted corpus selection: keep the highest-`scoreCol` rows
     * whose cumulative `costCol` stays within `budgetPct`% of the total —
     * "take the best docs up to N tokens", the final cut every

@@ -1077,6 +1077,41 @@ object Quality {
       .agg(round(sum(w * col("__pn").cast("double")) / sum(w), 6).as("ewma"))
   }
 
+  /** Two-sided CUSUM change-point alarm over a per-stream daily series —
+    * the drift detector that catches SLOW leaks the per-day screens
+    * (z-score, MAD, week-over-week) cannot: ten consecutive days each
+    * 5% under target never trips a daily threshold, but their CUSUM
+    * climbs linearly. Computed by the running-extremum identity (no
+    * recursion, pure windows):
+    * `S⁺_t = cum_t − min(0, min_{i≤t} cum_i)` and
+    * `S⁻_t = max(0, max_{i≤t} cum_i) − cum_t`, where
+    * `cum_t = Σ (n_i − target)` — ALL integer arithmetic, so the chart
+    * is engine-exact by construction. Alarm when either side exceeds
+    * `h`.
+    *
+    * Takes the (stream, day, n) frame directly so callers choose the
+    * gap policy — compose with [[graft.gold.Marts.gapFillDaily]] when
+    * absent days must read 0 (they usually should: silence IS the
+    * leak). One stream-keyed shuffle serves all three windows.
+    */
+  def cusumDaily(daily: DataFrame, streamCol: String, dayCol: String,
+                 nCol: String, target: Long, h: Long): DataFrame = {
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col(dayCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    daily
+      .withColumn("__cum",
+        sum(col(nCol).cast("long") - lit(target)).over(w))
+      .withColumn("s_pos",
+        col("__cum") - least(lit(0L), min(col("__cum")).over(w)))
+      .withColumn("s_neg",
+        greatest(lit(0L), max(col("__cum")).over(w)) - col("__cum"))
+      .withColumn("alarm", col("s_pos") > h || col("s_neg") > h)
+      .drop("__cum")
+  }
+
   /** Weight-of-evidence scorecard binning: `valueCol` split into `bins`
     * equal-width buckets over its full range, each bin scored
     * `ln((good_i/G)/(bad_i/B))` with +1 Laplace smoothing (so empty

@@ -276,6 +276,30 @@ class DriftSpec extends SparkSpec {
     assert(cy.nonEmpty && cy.map(_.getLong(2)).max <= 4L)
   }
 
+  test("cusumDaily: slow 5-under-target leak accumulates to an alarm no daily screen fires") {
+    // target 100, h 30: days at 95 are individually unremarkable but the
+    // negative CUSUM climbs 5/day and alarms on day 7
+    val daily = (1 to 10).map(i =>
+      ("s", f"2024-01-$i%02d", 95L)).toDF("k", "day_s", "n")
+      .withColumn("day", col("day_s").cast("date")).drop("day_s")
+    val out = Quality.cusumDaily(daily, "k", "day", "n",
+        target = 100L, h = 30L)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg"),
+          r.getAs[Boolean]("alarm")))).toMap
+    assert(out("2024-01-06") == ((0L, 30L, false)), out)
+    assert(out("2024-01-07") == ((0L, 35L, true)), out)
+    assert(out("2024-01-10") == ((0L, 50L, true)), out)
+    // a recovery resets the chart: spike back above target shrinks S⁻
+    val rec = daily.unionByName(Seq(("s", "2024-01-11", 150L))
+      .toDF("k", "day_s", "n")
+      .withColumn("day", col("day_s").cast("date")).drop("day_s"))
+    val r11 = Quality.cusumDaily(rec, "k", "day", "n", 100L, 30L)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("s_neg")).toMap
+    assert(r11("2024-01-11") == 0L, r11)
+  }
+
   test("weekOverWeekResidual: calendar-exact day-7 baseline, null when absent") {
     val ev = Seq(
       ("s", "2024-01-01 10:00:00"), ("s", "2024-01-01 11:00:00"),

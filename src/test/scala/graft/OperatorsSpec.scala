@@ -2271,6 +2271,37 @@ class OperatorsSpec extends SparkSpec {
     assert(g1 == g2 && g1 == Seq(2.0, 4.0, 20.0, 40.0), s"$g1 vs $g2")
   }
 
+  test("phraseMatch: ordered adjacency, overlapping + repeated terms, no bag-of-words hits") {
+    val dd = Seq(
+      (1L, "machine learning models learn machine learning fast"),
+      (2L, "learning machine is not the phrase"),     // both words, wrong order
+      (3L, "machine only here"),
+      (4L, "echo echo echo"))                          // overlapping repeats
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.phraseMatch(dd, "doc_id", "text",
+        Seq("machine", "learning"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L), out)                  // doc 2 and 3 excluded
+    val rep = TextAnalysis.phraseMatch(dd, "doc_id", "text",
+        Seq("echo", "echo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(4L -> 2L), rep)                  // overlapping pairs
+  }
+
+  test("imputeMedian: nulls get the group median, originals flagged, all-null groups stay null") {
+    val df = Seq(
+      ("g", Some(1.0)), ("g", Some(5.0)), ("g", Some(9.0)), ("g", None),
+      ("empty", None), ("empty", None))
+      .toDF("grp", "v")
+    val out = TextAnalysis.imputeMedian(df, "v", "grp")
+      .collect().map(r => (r.getString(0), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.count(t => t._1 == "g" && t._2 && t._3 == Some(5.0)) == 1, out.mkString(","))
+    assert(out.filter(_._1 == "empty").forall(t => t._2 && t._3.isEmpty))
+    // non-null rows untouched
+    assert(out.count(t => t._1 == "g" && !t._2) == 3)
+  }
+
   test("corrMatrix: ±1 on exact linear columns, null for constants, listwise n") {
     import graft.silver.Quality
     val df = Seq(
