@@ -6242,6 +6242,34 @@ object Queries {
                  AS alarm
         FROM e""")),
 
+    // ── supply-network revenue rollup: the Q9-flavored 4-way star over
+    //    the LAST two unused tables (supplier, part) — fact shuffles
+    //    once for the agg, all three dims broadcast ──
+    Q("q229_supply_network",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("revenue"),
+          sumMoney(col("l_quantity")).as("total_qty")),
+      Some("""
+        SELECT n_name, p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
