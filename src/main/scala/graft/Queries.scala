@@ -6270,6 +6270,35 @@ object Queries {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY 1, 2""")),
 
+    // ── phrase search from the PERSISTED incremental index (SearchIndex
+    //    .phraseSearch): q226's semantics served off positional postings
+    //    folded in 3 batches — same oracle, text never read at query
+    //    time ──
+    Q("q230_index_phrase",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q230-ph")
+          .toString + "/s"
+        val st = operators.SearchIndex.State(root)
+        val docs = Tables.documents(s, d)
+        (0 to 2).foreach(i => operators.SearchIndex.fold(s, st,
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+          "doc_id", "text"))
+        operators.SearchIndex.phraseSearch(s, st, Seq("batch", "batch"))
+      },
+      Some("""
+        WITH tk AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS ts
+          FROM documents),
+        l AS (SELECT doc_id, unnest(ts) AS tok,
+                     unnest(range(1, len(ts) + 1)) AS pos FROM tk),
+        f0 AS (SELECT doc_id, pos AS start FROM l WHERE tok = 'batch'),
+        f1 AS (SELECT doc_id, pos - 1 AS start FROM l WHERE tok = 'batch'),
+        m AS (SELECT f0.doc_id, f0.start
+              FROM f0 JOIN f1 ON f0.doc_id = f1.doc_id
+                AND f0.start = f1.start)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM m GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -42,6 +42,12 @@ object SearchIndex {
       BaseDelta.Table(s"$root/postings", Seq("term_h", "doc_id"), Seq("tf"), None)
     def docstatsTable: BaseDelta.Table =
       BaseDelta.Table(s"$root/docstats", Seq("doc_id"), Seq("dl"), None)
+    /** Positional postings — (term_h, doc_id, pos), the phrase-query
+      * surface; immutable facts, so the key is the whole row.
+      */
+    def positionsTable: BaseDelta.Table =
+      BaseDelta.Table(s"$root/positions", Seq("term_h", "doc_id", "pos"),
+        Seq("one"), None)
     def statsPath: String = s"$root/stats"
   }
 
@@ -67,6 +73,12 @@ object SearchIndex {
         batchId, maxDeltas)
       BaseDelta.appendAndMaybeCompact(spark, st.docstatsTable,
         docs.select("doc_id", "dl"), batchId, maxDeltas)
+      val positions = docs
+        .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "__tok")))
+        .select(xxhash64(col("__tok")).as("term_h"), col("doc_id"),
+          col("pos").cast("long").as("pos"), lit(1L).as("one"))
+      BaseDelta.appendAndMaybeCompact(spark, st.positionsTable, positions,
+        batchId, maxDeltas)
       val want = batchId + 1
       if (SnapshotStore.currentGen(spark, st.statsPath).forall(_ < want)) {
         val delta = docs.agg(count(lit(1)).as("n_docs"),
@@ -120,5 +132,32 @@ object SearchIndex {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("__t6")).cast("double").as("score"))
+  }
+
+  /** Exact phrase search from the PERSISTED positional postings — the
+    * index-side form of [[TextAnalysis.phraseMatch]]: term i's postings
+    * shift to `start = pos − i`, an occurrence is one (doc, start) key
+    * present in every term frame. The `term_h IN (…)` prune reaches the
+    * positional table's scans exactly as in [[search]], so a k-term
+    * phrase reads only those k hashes' row groups — document text is
+    * never touched at query time. Returns (doc_id, n_occurrences);
+    * bit-identical to `phraseMatch` over the accumulated corpus (the
+    * spec-pinned equivalence).
+    */
+  def phraseSearch(spark: SparkSession, st: State,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val hashes = spark.createDataFrame(phrase.distinct.map(Tuple1(_)))
+      .toDF("t").select(col("t"), xxhash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pos = BaseDelta.read(spark, st.positionsTable)
+      .filter(col("term_h").isin(hashes.values.toSeq: _*))
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term_h") === hashes(t))
+        .select(col("doc_id"), (col("pos") - i).as("__start"))
+    }
+    frames.reduce((a, b) => a.join(b, Seq("doc_id", "__start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
   }
 }

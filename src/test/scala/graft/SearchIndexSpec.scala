@@ -64,4 +64,29 @@ class SearchIndexSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L, 6L))
     assert(out(1L) == 3 && out(2L) == 1 && out(3L) == 1 && out(6L) == 1)
   }
+
+  test("phraseSearch from folded positional postings ≡ phraseMatch over the corpus") {
+    val st = SearchIndex.State(tmpDir("si-phrase") + "/s")
+    val batches = Seq(corpus.take(2), corpus.slice(2, 4), corpus.drop(4))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SearchIndex.fold(spark, st, docs(b: _*), i.toLong, "doc_id", "text") }
+    for (phrase <- Seq(Seq("bank", "account"), Seq("data", "data"),
+      Seq("account", "account"), Seq("risk", "model", "bank"))) {
+      val idx = SearchIndex.phraseSearch(spark, st, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scan = TextAnalysis.phraseMatch(docs(corpus: _*), "doc_id", "text",
+          phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(idx == scan, s"phrase $phrase: index=$idx scan=$scan")
+    }
+    // hand check: overlapping repeats in doc 6 ("account account account")
+    val rep = SearchIndex.phraseSearch(spark, st, Seq("account", "account"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(6L -> 2L), rep)
+    // replayed fold changes nothing
+    SearchIndex.fold(spark, st, docs(batches(2): _*), 2L, "doc_id", "text")
+    assert(SearchIndex.phraseSearch(spark, st, Seq("bank", "account"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 1L))
+  }
 }
