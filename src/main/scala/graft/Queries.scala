@@ -6299,6 +6299,69 @@ object Queries {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM m GROUP BY 1""")),
 
+    // ── streaming correlation monitor (streaming.MomentsStream):
+    //    additive decimal moments folded per batch — readout EXACTLY the
+    //    batch matrix, so it shares q215's oracle ──
+    Q("q231_corr_monitor",
+      (s, d) => {
+        val st = java.nio.file.Files.createTempDirectory("q231-mom")
+          .toString + "/s"
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val li = Tables.lineitem(s, d)
+        (0 to 2).foreach(i => graft.streaming.MomentsStream.foldBatch(s,
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i), st, cols,
+          batchId = i.toLong))
+        graft.streaming.MomentsStream.readout(s, st, cols)
+      },
+      Some("""
+        WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_quantity AS DECIMAL(28,6))) AS ss_q,
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_e,
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * CAST(l_extendedprice AS DECIMAL(28,6))) AS ss_e,
+            SUM(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+            SUM(CAST(l_discount AS DECIMAL(28,6))
+                * CAST(l_discount AS DECIMAL(28,6))) AS ss_d,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_extendedprice AS DECIMAL(28,6))) AS sp_qe,
+            SUM(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_discount AS DECIMAL(28,6))) AS sp_qd,
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * CAST(l_discount AS DECIMAL(28,6))) AS sp_ed
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL),
+        e AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+            CAST(s_q AS DOUBLE) AS dsq, CAST(ss_q AS DOUBLE) AS dssq,
+            CAST(s_e AS DOUBLE) AS dse, CAST(ss_e AS DOUBLE) AS dsse,
+            CAST(s_d AS DOUBLE) AS dsd, CAST(ss_d AS DOUBLE) AS dssd,
+            CAST(sp_qe AS DOUBLE) AS dqe, CAST(sp_qd AS DOUBLE) AS dqd,
+            CAST(sp_ed AS DOUBLE) AS ded
+          FROM m)
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+          n AS n_rows,
+          CASE WHEN nd * dssq - dsq * dsq > 0 AND nd * dsse - dse * dse > 0
+               THEN ROUND((nd * dqe - dsq * dse)
+                 / (SQRT(nd * dssq - dsq * dsq)
+                    * SQRT(nd * dsse - dse * dse)), 6) END AS corr
+        FROM e
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n,
+          CASE WHEN nd * dssq - dsq * dsq > 0 AND nd * dssd - dsd * dsd > 0
+               THEN ROUND((nd * dqd - dsq * dsd)
+                 / (SQRT(nd * dssq - dsq * dsq)
+                    * SQRT(nd * dssd - dsd * dsd)), 6) END
+        FROM e
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n,
+          CASE WHEN nd * dsse - dse * dse > 0 AND nd * dssd - dsd * dsd > 0
+               THEN ROUND((nd * ded - dse * dsd)
+                 / (SQRT(nd * dsse - dse * dse)
+                    * SQRT(nd * dssd - dsd * dsd)), 6) END
+        FROM e""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -352,21 +352,37 @@ object Quality {
     * pivot is k(k−1)/2 selects over that 1-row frame — nothing after
     * the scan is data-sized.
     */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrFromMoments(corrMoments(df, cols), cols)
+
+  private def corrPairs(cols: Seq[String]): Seq[(String, String)] =
+    for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+
+  /** The 1-row decimal moment frame behind [[corrMatrix]] — n, Σx, Σx²
+    * per column, Σxy per pair. Every entry is ADDITIVE, which is what
+    * makes the correlation monitor incremental: fold per-batch moment
+    * rows by elementwise sum (see `streaming.MomentsStream`) and the
+    * readout is EXACTLY the batch matrix over the accumulated rows.
+    */
+  def corrMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.distinct.size == cols.size,
       s"corrMatrix needs >= 2 distinct columns, got $cols")
     def d6(c: String) = col(c).cast("decimal(18,6)")
-    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
-      yield (cols(i), cols(j))
     val aggCols: Seq[Column] =
       Seq(count(lit(1)).cast("long").as("__n")) ++
         cols.flatMap(c => Seq(sum(d6(c)).as(s"__s_$c"),
           sum(d6(c) * d6(c)).as(s"__ss_$c"))) ++
-        pairs.map { case (a, b) => sum(d6(a) * d6(b)).as(s"__sp_${a}__$b") }
-    val m = df.na.drop(cols).groupBy().agg(aggCols.head, aggCols.tail: _*)
+        corrPairs(cols).map { case (a, b) =>
+          sum(d6(a) * d6(b)).as(s"__sp_${a}__$b") }
+    df.na.drop(cols).groupBy().agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Long-format correlation readout from a moment frame. */
+  def corrFromMoments(m: DataFrame, cols: Seq[String]): DataFrame = {
     // one explode over the 1-row aggregate — NOT a union of per-pair
     // selects, which would re-plan (and re-scan) the aggregate per pair
-    val pairStructs = pairs.map { case (a, b) =>
+    val pairStructs = corrPairs(cols).map { case (a, b) =>
       val n = col("__n").cast("double")
       def dd(name: String) = col(name).cast("double")
       val cv = n * dd(s"__sp_${a}__$b") - dd(s"__s_$a") * dd(s"__s_$b")
