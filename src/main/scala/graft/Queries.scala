@@ -6362,6 +6362,52 @@ object Queries {
                     * SQRT(nd * dssd - dsd * dsd)), 6) END
         FROM e""")),
 
+    // ── deterministic per-group mode (TextAnalysis.modeBy): (count
+    //    desc, value asc) total order — engine-exact ties ──
+    Q("q232_mode",
+      (s, d) => TextAnalysis.modeBy(Tables.events(s, d),
+        "event_type", "user_id"),
+      Some("""
+        WITH c AS (SELECT user_id, event_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, n,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY n DESC, event_type ASC) AS rn
+          FROM c)
+        SELECT user_id, event_type AS mode, n AS n_mode
+        FROM r WHERE rn = 1""")),
+
+    // ── weighted type-1 median (TextAnalysis.weightedMedian): the price
+    //    at which half the QUANTITY trades; integer cumulative compare,
+    //    no division ──
+    Q("q233_weighted_median",
+      (s, d) => TextAnalysis.weightedMedian(Tables.lineitem(s, d),
+        "l_extendedprice", "l_quantity", "l_returnflag"),
+      Some("""
+        WITH base AS (SELECT l_returnflag, l_extendedprice,
+            CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            AND CAST(l_quantity AS BIGINT) > 0),
+        t AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tot
+              FROM base GROUP BY 1),
+        c AS (SELECT l_returnflag, l_extendedprice,
+            CAST(SUM(w) AS BIGINT) AS w
+          FROM base GROUP BY 1, 2),
+        cum AS (SELECT l_returnflag, l_extendedprice,
+            CAST(SUM(w) OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cm
+          FROM c)
+        SELECT cum.l_returnflag,
+               MIN(l_extendedprice) AS weighted_median,
+               MAX(tot) AS total_weight
+        FROM cum JOIN t ON cum.l_returnflag = t.l_returnflag
+        WHERE cm * 2 >= tot
+        GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

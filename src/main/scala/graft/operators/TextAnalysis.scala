@@ -476,6 +476,53 @@ object TextAnalysis {
       .drop("__med")
   }
 
+  /** Deterministic per-group mode — the most frequent value with the
+    * (count desc, value asc) total order, so ties resolve identically
+    * in any engine and on any schedule; the categorical companion of
+    * [[imputeMedian]] (mode is the only sane categorical fill). Nulls
+    * are not candidates. One (group, value) count aggregation + a
+    * WindowGroupLimit rank — map-bounded per group.
+    */
+  def modeBy(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__c").desc, col(valueCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valueCol).as("mode"),
+        col("__c").cast("long").as("n_mode"))
+  }
+
+  /** Weighted type-1 median per group: the smallest value whose
+    * cumulative WEIGHT reaches half the group's total — "the price at
+    * which half the QUANTITY trades", which an unweighted median gets
+    * wrong whenever line sizes vary. Integer weights keep the
+    * cumulative compare exact (`2·cum ≥ total`, no division); same
+    * (group, value)-histogram shape as [[percentilesExact]].
+    */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+                     groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val base = df.filter(col(valueCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol).cast("long") > 0)
+    val tot = base.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("__tot"))
+    base.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(broadcast(tot), Seq(groupCol))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** Greedy budgeted corpus selection: keep the highest-`scoreCol` rows
     * whose cumulative `costCol` stays within `budgetPct`% of the total —
     * "take the best docs up to N tokens", the final cut every

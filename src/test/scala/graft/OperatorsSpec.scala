@@ -2302,6 +2302,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count(t => t._1 == "g" && !t._2) == 3)
   }
 
+  test("modeBy + weightedMedian: deterministic ties, weights shift the median") {
+    val m = Seq(("u", "a"), ("u", "b"), ("u", "b"), ("u", "c"), ("u", "c"),
+      ("v", null))
+      .toDF("k", "t")
+    val mode = TextAnalysis.modeBy(m, "t", "k").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(mode == Map("u" -> (("b", 2L))), mode) // tie b/c -> b; v all-null gone
+    val wdf = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 10L))
+      .toDF("k", "v", "w")
+    val wm = TextAnalysis.weightedMedian(wdf, "v", "w", "k").collect()(0)
+    assert(wm.getDouble(1) == 3.0 && wm.getLong(2) == 12L, wm.toString)
+    // unweighted (all weights 1) degenerates to the type-1 median
+    val uw = TextAnalysis.weightedMedian(
+      wdf.withColumn("w", lit(1L)), "v", "w", "k").collect()(0)
+    assert(uw.getDouble(1) == 2.0, uw.toString)
+  }
+
   test("corrMatrix: ±1 on exact linear columns, null for constants, listwise n") {
     import graft.silver.Quality
     val df = Seq(
