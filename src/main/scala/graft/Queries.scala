@@ -6408,6 +6408,54 @@ object Queries {
         WHERE cm * 2 >= tot
         GROUP BY 1""")),
 
+    // ── nearest-in-time join (Marts.nearestJoin): bidirectional ±band,
+    //    band in the JOIN condition so matchless lefts survive; pinned
+    //    tie order ──
+    Q("q234_nearest_event",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        Marts.nearestJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", "ts", "event_id",
+          tolSec = 24 * 3600L)
+      },
+      Some("""
+        WITH l AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS lus
+                   FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, event_id AS r_id, epoch_us(ts) AS rus
+              FROM events WHERE event_type = 'click'),
+        j AS (SELECT l.user_id, l_id, lus, r_id, rus
+              FROM l LEFT JOIN r ON l.user_id = r.user_id
+                AND ABS(rus - lus) <= 86400000000),
+        k AS (SELECT user_id, l_id, r_id, rus - lus AS delta_us,
+                row_number() OVER (PARTITION BY l_id
+                  ORDER BY ABS(rus - lus) ASC NULLS LAST,
+                    rus ASC NULLS LAST, r_id ASC NULLS LAST) AS rn
+              FROM j)
+        SELECT user_id, l_id, r_id, delta_us FROM k WHERE rn = 1""")),
+
+    // ── §2.9 breadth: percent_rank / cume_dist / ntile under a total
+    //    order — deterministic distribution ranks ──
+    Q("q235_rank_surface",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {

@@ -403,6 +403,47 @@ object Marts {
       .drop("__obs")
   }
 
+  /** Nearest-in-time join — for each left row, the single right row on
+    * the SAME key whose timestamp is CLOSEST within ±`tolSec`, looking
+    * both directions (the sensor-alignment / "which click belongs to
+    * this purchase" match a backward-only as-of join gets wrong
+    * whenever the truth lies just ahead). Total order on (|Δt|, right
+    * ts, right id): exact ties prefer the EARLIER right row — a pinned
+    * choice, not an engine accident. Left rows with no candidate in
+    * the window are kept with nulls (left join semantics).
+    *
+    * Scale shape: one user-keyed equi-join with the ±band as a
+    * residual predicate (the q165 attribution shape — never a
+    * nested-loop), then one WindowGroupLimit rank per left row. Wide
+    * tolerances on hot keys widen the candidate set; the band is the
+    * knob.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                  lTsCol: String, lIdCol: String,
+                  rTsCol: String, rIdCol: String,
+                  tolSec: Long): DataFrame = {
+    require(tolSec > 0, s"tolSec must be positive, got $tolSec")
+    val l = left.select(col(keyCol), col(lIdCol).as("l_id"),
+      unix_micros(col(lTsCol)).as("__lus"))
+    val r = right.select(col(keyCol), col(rIdCol).as("r_id"),
+      unix_micros(col(rTsCol)).as("__rus"))
+    val tol = lit(tolSec * 1000000L)
+    // the band lives in the JOIN CONDITION, not a post-filter: a left row
+    // whose every candidate is out of band must still survive with nulls
+    val rr = r.withColumnRenamed(keyCol, "__rkey")
+    val joined = l.join(rr,
+      col(keyCol) === col("__rkey") &&
+        abs(col("__rus") - col("__lus")) <= tol, "left")
+    val w = Window.partitionBy(col("l_id"))
+      .orderBy(abs(col("__rus") - col("__lus")).asc_nulls_last,
+        col("__rus").asc_nulls_last, col("r_id").asc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("l_id"), col("r_id"),
+        (col("__rus") - col("__lus")).as("delta_us"))
+  }
+
   /** Gap-filled daily series: [[dateSpine]] left-joined with a frame's
     * per-day counts, absent days reading 0 — the shape every
     * time-series chart and forecast needs (a missing day must plot as

@@ -191,6 +191,28 @@ class DriftSpec extends SparkSpec {
     assert(out(("u2", "2024-01-05")) == ((false, Some(1.0))), out)
   }
 
+  test("nearestJoin: picks the closer side, ties prefer earlier, matchless lefts survive") {
+    val left = Seq(("u", 10L, "2024-01-10 12:00:00"),
+      ("u", 11L, "2024-01-20 12:00:00"),        // nothing within ±1h
+      ("v", 12L, "2024-01-10 06:00:00"))
+      .toDF("k", "lid", "ts_s")
+      .withColumn("lts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq(("u", 1L, "2024-01-10 11:10:00"),   // 50 min before
+      ("u", 2L, "2024-01-10 12:30:00"),                 // 30 min after -> wins
+      ("u", 3L, "2024-01-10 11:30:00"),                 // 30 min before -> tie, earlier
+      ("v", 4L, "2024-01-10 06:00:00"))                 // exact
+      .toDF("k", "rid", "ts_s")
+      .withColumn("rts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.nearestJoin(left, right, "k",
+        "lts", "lid", "rts", "rid", tolSec = 3600L)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap
+    // 30-min tie between rid 2 (after) and rid 3 (before): earlier wins
+    assert(out(10L) == ((Some(3L), Some(-1800000000L))), out)
+    assert(out(11L) == ((None, None)), out)              // matchless kept
+    assert(out(12L) == ((Some(4L), Some(0L))), out)      // exact, same key only
+  }
+
   test("topPaths: (ts,id) order, maxLen truncation, deterministic top-k tie-break") {
     val ev = (Seq(
       ("a", 1, "view"), ("a", 2, "click"), ("a", 3, "buy"),
