@@ -6456,6 +6456,30 @@ object Queries {
         WINDOW w AS (PARTITION BY o_orderpriority
           ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
 
+    // ── daily column-health profile: the observability TIME SERIES the
+    //    static q127 profile can't give — null-rate spikes and
+    //    distinct-count collapses localized to their day ──
+    Q("q236_profile_daily",
+      (s, d) => Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(col("value")).as("value"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(avg(col("value").isNull.cast("double")), 6).as("null_rate"),
+          countDistinct(col("value")).as("n_distinct_values")),
+      Some("""
+        WITH t AS (SELECT CAST(ts AS DATE) AS day, user_id,
+            CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+          FROM events)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS null_rate,
+               CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct_values
+        FROM t GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
