@@ -6480,6 +6480,16 @@ object Queries {
                CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct_values
         FROM t GROUP BY 1""")),
 
+    // ── plan-linter guardrail (plans.PlanLint): scale antipatterns
+    //    (cartesian / BNLJ / single-partition exchange) counted per
+    //    query plan — no oracle (the report is about SPARK's plan, which
+    //    DuckDB cannot know); PlanLintSpec pins the semantics ──
+    Q("q237_plan_lint",
+      (s, d) => graft.plans.PlanLint.report(s, Seq(
+        "star_q14" -> Queries.queries("q14_star_revenue")(s, d),
+        "locf_grid_q219" -> Queries.queries("q219_locf")(s, d))),
+      None),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
