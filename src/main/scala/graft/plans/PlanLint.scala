@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * across Spark versions, while the rendered operator names are the
   * stable public surface (`explain` output) — and the same names appear
   * whether or not AQE has re-planned. Inspection only: no job runs.
+  *
+  * The rules are ADVISORY by design — a hit demands a justification,
+  * not necessarily a fix. Two benign classes recur (see PLANLINT.md for
+  * the full-registry audit): `single_partition_exchange` is also the
+  * final stage of any global scalar aggregate (input = one partial row
+  * per partition, not the dataset) and of windows over value-domain-
+  * sized frames; `broadcast_nested_loop` is also how a
+  * `crossJoin(broadcast(<1-row aggregate>))` plans. `assertScalable`'s
+  * `allow` parameter is the mechanism for recording such justifications
+  * in code.
   */
 object PlanLint {
 
