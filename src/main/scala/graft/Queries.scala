@@ -6490,6 +6490,79 @@ object Queries {
         "locf_grid_q219" -> Queries.queries("q219_locf")(s, d))),
       None),
 
+    // ── time-weighted average balance (locfDaily → avg): the banking
+    //    TWAB at daily grain — carried days count, pre-first-observation
+    //    days don't (null-skipping avg), which is exactly LOCF's null
+    //    discipline paying off ──
+    Q("q238_twab",
+      (s, d) => Marts.locfDaily(s,
+        Tables.events(s, d).filter(pmod(col("user_id"), lit(50)) === 0),
+        "user_id", "ts", "event_id", "value", "2024-01-01", "2024-01-30")
+        .groupBy(col("user_id"))
+        .agg(count(when(col("observed"), 1)).as("n_observed"),
+          count(col("value_filled")).as("n_effective_days"),
+          round(sum(dec2(col("value_filled"))).cast("double") /
+            count(col("value_filled")), 6).as("twab")),
+      Some("""
+        WITH k AS (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+        spine AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+            DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        grid AS (SELECT user_id, day FROM k CROSS JOIN spine),
+        r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id % 50 = 0),
+        daily AS (SELECT user_id, day, value AS obs FROM r WHERE rn = 1),
+        g AS (SELECT grid.user_id, grid.day, daily.obs
+              FROM grid LEFT JOIN daily
+                ON grid.user_id = daily.user_id AND grid.day = daily.day),
+        f AS (SELECT user_id, obs IS NOT NULL AS observed,
+            last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY day ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+          FROM g)
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN observed THEN 1 END) AS BIGINT)
+                 AS n_observed,
+               CAST(COUNT(vf) AS BIGINT) AS n_effective_days,
+               ROUND(CAST(SUM(CAST(vf AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(vf), 6) AS twab
+        FROM f GROUP BY 1""")),
+
+    // ── share-of-parent rollup: each nation's revenue share within its
+    //    region — the hierarchy-percentage readout, one agg + one
+    //    region-keyed window over the NATION-sized frame ──
+    Q("q239_share_of_parent",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(dec2(col("o_totalprice"))).as("__rev"))
+        val w = Window.partitionBy(col("r_name"))
+        rev.select(col("r_name"), col("n_name"),
+          col("__rev").cast("double").as("revenue"),
+          round(col("__rev").cast("double") /
+            sum(col("__rev")).over(w).cast("double"), 6).as("share"))
+      },
+      Some("""
+        WITH rev AS (SELECT r_name, n_name,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, CAST(rv AS DOUBLE) AS revenue,
+               ROUND(CAST(rv AS DOUBLE) /
+                 CAST(SUM(rv) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+                 AS share
+        FROM rev""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
