@@ -6563,6 +6563,92 @@ object Queries {
                  AS share
         FROM rev""")),
 
+    // ── session bounce rate: 30-min-gap sessionization → share of
+    //    single-event sessions per day — the product-analytics readout
+    //    over the q93 session machinery, restated declaratively ──
+    Q("q240_bounce_rate",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        Tables.events(s, d)
+          .withColumn("__gap",
+            when(unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L ||
+              lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("__sid", sum(col("__gap")).over(cum))
+          .groupBy(col("user_id"), col("__sid"))
+          .agg(min(to_date(col("ts"))).as("day"),
+            count(lit(1)).as("__n"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+            round(sum(when(col("__n") === 1L, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("bounce_rate"))
+      },
+      Some("""
+        WITH g AS (SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        sess AS (SELECT user_id, ts,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g),
+        per AS (SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS day,
+                CAST(COUNT(*) AS BIGINT) AS n
+                FROM sess GROUP BY 1, 2)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+        FROM per GROUP BY 1""")),
+
+    // ── top-k + OTHER rollup: the reporting shape every dashboard uses
+    //    — k biggest categories keep their name, the tail collapses;
+    //    deterministic cut via (measure desc, name asc) ──
+    Q("q241_topk_others",
+      (s, d) => {
+        val per = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec2(col("o_totalprice"))).as("__rev"))
+        val w = Window.orderBy(col("__rev").desc, col("n_name").asc)
+        per
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("bucket",
+            when(col("__rk") <= 5, col("n_name")).otherwise(lit("OTHER")))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nations"),
+            sum(col("__rev")).cast("double").as("revenue"))
+      },
+      Some("""
+        WITH per AS (SELECT n_name,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        rk AS (SELECT n_name, rv,
+            row_number() OVER (ORDER BY rv DESC, n_name ASC) AS r
+          FROM per)
+        SELECT CASE WHEN r <= 5 THEN n_name ELSE 'OTHER' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(SUM(rv) AS DOUBLE) AS revenue
+        FROM rk GROUP BY 1""")),
+
     // ── native expressions surfaced as SQL functions (GraftExtensions) ──
     Q("q36_sql_functions",
       (s, d) => {
