@@ -387,20 +387,29 @@ object Marts {
     val grid = df.select(col(keyCol)).distinct()
       .crossJoin(org.apache.spark.sql.functions.broadcast(
         dateSpine(spark, start, end).select("day")))
-    val wDay = Window.partitionBy(col(keyCol), to_date(col(tsCol)))
+    // observations BEFORE the spine start are the carry-in balance: they
+    // clamp to the start day (latest one wins there) so early spine days
+    // read the real prior value, not "no balance yet" — but they are NOT
+    // `observed` on that day (observed = a real event dated that day)
+    val startLit = lit(start).cast("date")
+    val wDay = Window
+      .partitionBy(col(keyCol), greatest(to_date(col(tsCol)), startLit))
       .orderBy(col(tsCol).desc, col(tieCol).desc)
     val daily = df
       .withColumn("__rn", row_number().over(wDay))
       .filter(col("__rn") === 1)
-      .select(col(keyCol), to_date(col(tsCol)).as("day"),
-        col(valueCol).as("__obs"))
+      .select(col(keyCol),
+        greatest(to_date(col(tsCol)), startLit).as("day"),
+        col(valueCol).as("__obs"),
+        (to_date(col(tsCol)) >= startLit).as("__real"))
     val wFill = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(daily, Seq(keyCol, "day"), "left")
-      .withColumn("observed", col("__obs").isNotNull)
+      .withColumn("observed",
+        coalesce(col("__real"), lit(false)) && col("__obs").isNotNull)
       .withColumn("value_filled",
         last(col("__obs"), ignoreNulls = true).over(wFill))
-      .drop("__obs")
+      .drop("__obs", "__real")
   }
 
   /** Nearest-in-time join — for each left row, the single right row on
@@ -434,7 +443,10 @@ object Marts {
     val joined = l.join(rr,
       col(keyCol) === col("__rkey") &&
         abs(col("__rus") - col("__lus")) <= tol, "left")
-    val w = Window.partitionBy(col("l_id"))
+    // partition by (key, l_id): lIdCol is only required unique WITHIN a
+    // key — per-source sequence ids colliding across keys must not
+    // collapse two left rows into one rank group
+    val w = Window.partitionBy(col(keyCol), col("l_id"))
       .orderBy(abs(col("__rus") - col("__lus")).asc_nulls_last,
         col("__rus").asc_nulls_last, col("r_id").asc_nulls_last)
     joined

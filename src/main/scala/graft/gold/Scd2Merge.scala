@@ -101,7 +101,12 @@ object Scd2Merge {
     val closed = snapshot.filter(col(EffectiveTo).isNotNull)
     val current = snapshot.filter(col(EffectiveTo).isNull)
 
-    val b = batch.select((key ++ payloadCols).map(c => col(c).as(s"b_$c")): _*)
+    // a null updated_at carries no ordering information — dbt requires it
+    // non-null, and admitting such a row would open a version with a null
+    // effective_from that a LATER null-ts row then "supersedes", leaving
+    // two open versions for one key. Dropped up front.
+    val b = batch.filter(col(tsCol).isNotNull)
+      .select((key ++ payloadCols).map(c => col(c).as(s"b_$c")): _*)
       .withColumn("__in_batch", lit(true))
     val joinCond = key.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _)
     val joined = current.withColumn("__in_current", lit(true))

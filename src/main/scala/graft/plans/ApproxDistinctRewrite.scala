@@ -34,9 +34,10 @@ case class ApproxDistinctRewrite(spark: SparkSession)
 
   private def enabled: Boolean =
     spark.conf.getOption("spark.graft.approxDistinct").contains("true")
+  // malformed rsd must not break the session's queries: fall back
   private def rsd: Double =
     spark.conf.getOption("spark.graft.approxDistinct.rsd")
-      .map(_.toDouble).getOrElse(0.05)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(0.05)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan else ApproxDistinctRewrite.rewrite(plan, rsd)

@@ -34,9 +34,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 case class RangeJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
+  // a malformed value must not break every query on the session (the
+  // rule runs inside optimization of ALL queries): unparseable = off
   private def width: Option[Double] =
     spark.conf.getOption("spark.graft.rangeJoin.bucketWidth")
-      .map(_.toDouble).filter(_ > 0)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).filter(_ > 0)
 
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan

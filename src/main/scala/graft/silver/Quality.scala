@@ -1072,8 +1072,11 @@ object Quality {
     */
   def ewmaDaily(df: DataFrame, streamCol: String, tsCol: String,
                 lookback: Int = 10, halfLifeDays: Int = 1): DataFrame = {
-    require(lookback >= 1 && lookback <= 64,
-      s"lookback must be in [1,64], got $lookback")
+    // 62, not 64: weight 2^-k is built by shiftleft(1L, k) and k can
+    // reach lookback-1; shiftleft(1L, 63) is Long.MinValue — a NEGATIVE
+    // weight — so the shift exponent must stay <= 62
+    require(lookback >= 1 && lookback <= 62,
+      s"lookback must be in [1,62], got $lookback")
     require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
     val daily = df.groupBy(col(streamCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).cast("long").as("n"))

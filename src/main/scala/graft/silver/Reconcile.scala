@@ -164,7 +164,9 @@ object Reconcile {
       .select(col("column_name"), col("n_common"),
         (col("n_common") - col("n_differs")).as("n_match"),
         col("n_differs"), col("n_only_a"), col("n_only_b"),
-        round(when(col("n_common") === 0L, lit(1.0))
+        // no common keys = NOTHING compared: that must read as NULL,
+        // never as a perfect match a >=0.99 gate would wave through
+        round(when(col("n_common") === 0L, lit(null).cast("double"))
           .otherwise((col("n_common") - col("n_differs")).cast("double") /
             col("n_common").cast("double")), 6).as("match_rate"))
   }

@@ -30,20 +30,51 @@ object SchemaEvolution {
     case _ => None
   }
 
+  // exact decimal digits an integral type can need — for lossless
+  // integral→decimal widening
+  private def integralDigits(t: DataType): Option[Int] = t match {
+    case ByteType => Some(3); case ShortType => Some(5)
+    case IntegerType => Some(10); case LongType => Some(20)
+    case _ => None
+  }
+
   /** Least common supertype of two column types, or a loud failure. */
   def widen(name: String, a: DataType, b: DataType): DataType =
     if (a == b) a
-    else (rank(a), rank(b)) match {
+    else ((a, b) match {
+      // decimal precision evolution (the standard money-column widening:
+      // decimal(10,2) → decimal(12,2)) is lossless when integer-digit and
+      // scale headroom both grow to cover each side
+      case (da: DecimalType, db: DecimalType) =>
+        val scale = da.scale max db.scale
+        val intDigits = (da.precision - da.scale) max (db.precision - db.scale)
+        Some(DecimalType((intDigits + scale) min DecimalType.MAX_PRECISION,
+          scale))
+      case (d: DecimalType, o) if integralDigits(o).isDefined =>
+        Some(widenDecInt(d, integralDigits(o).get))
+      case (o, d: DecimalType) if integralDigits(o).isDefined =>
+        Some(widenDecInt(d, integralDigits(o).get))
+      case (_: DecimalType, FloatType | DoubleType) => Some(DoubleType)
+      case (FloatType | DoubleType, _: DecimalType) => Some(DoubleType)
+      case _ => None
+    }).orElse((rank(a), rank(b)) match {
       case (Some(ra), Some(rb)) =>
         val widest = if (ra >= rb) a else b
         // any fractional mix widens to double: long→float would silently
         // drop integer precision, float→double never loses anything
-        if (widest == FloatType || (ra max rb) >= 5) DoubleType else widest
-      case _ =>
-        throw new IllegalArgumentException(
-          s"SchemaEvolution: column '$name' is $a in one epoch and $b in " +
-            "another — not union-compatible; fix the source, don't coerce")
-    }
+        Some(if (widest == FloatType || (ra max rb) >= 5) DoubleType
+        else widest)
+      case _ => None
+    }).getOrElse(
+      throw new IllegalArgumentException(
+        s"SchemaEvolution: column '$name' is $a in one epoch and $b in " +
+          "another — not union-compatible; fix the source, don't coerce"))
+
+  private def widenDecInt(d: DecimalType, intDigits: Int): DataType =
+    DecimalType(
+      (((d.precision - d.scale) max intDigits) + d.scale)
+        min DecimalType.MAX_PRECISION,
+      d.scale)
 
   /** Union all epochs under the evolved schema. */
   def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {

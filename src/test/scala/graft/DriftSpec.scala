@@ -213,6 +213,39 @@ class DriftSpec extends SparkSpec {
     assert(out(12L) == ((Some(4L), Some(0L))), out)      // exact, same key only
   }
 
+  test("locfDaily: pre-spine observations carry IN as the opening balance, unobserved") {
+    val ev = Seq(
+      ("u1", "2023-12-28 10:00:00", 1L, 42.0),     // before the spine
+      ("u1", "2024-01-03 10:00:00", 2L, 50.0))
+      .toDF("u", "ts_s", "eid", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.locfDaily(spark, ev, "u", "ts", "eid", "v",
+        "2024-01-01", "2024-01-04")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // the December balance opens the window on day 1 — carried, not observed
+    assert(out("2024-01-01") == ((false, Some(42.0))), out)
+    assert(out("2024-01-02") == ((false, Some(42.0))), out)
+    assert(out("2024-01-03") == ((true, Some(50.0))), out)
+    assert(out("2024-01-04") == ((false, Some(50.0))), out)
+  }
+
+  test("nearestJoin: l_id values colliding across keys never collapse rows") {
+    val left = Seq(("a", 1L, "2024-01-10 12:00:00"),
+      ("b", 1L, "2024-01-10 12:00:00"))             // same l_id, different key
+      .toDF("k", "lid", "ts_s")
+      .withColumn("lts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq(("a", 7L, "2024-01-10 12:05:00"),
+      ("b", 8L, "2024-01-10 12:10:00"))
+      .toDF("k", "rid", "ts_s")
+      .withColumn("rts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.nearestJoin(left, right, "k",
+        "lts", "lid", "rts", "rid", tolSec = 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(out == Set(("a", 7L), ("b", 8L)), out)   // both rows survive
+  }
+
   test("topPaths: (ts,id) order, maxLen truncation, deterministic top-k tie-break") {
     val ev = (Seq(
       ("a", 1, "view"), ("a", 2, "click"), ("a", 3, "buy"),

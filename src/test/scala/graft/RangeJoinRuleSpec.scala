@@ -61,6 +61,19 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
+  test("malformed bucket-width config disables the rule instead of breaking the session") {
+    graft.functions.GraftExtensions.register(spark)
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "20s")
+      // every query must still optimize and run; the band join just stays BNLJ
+      assert(bandJoin.count() > 0)
+      assert(bandJoin.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      // unrelated queries are untouched too
+      assert(points.groupBy().count().head().getLong(0) == 2000L)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("equi-keyed band joins are left alone — the planner already has a hash key") {
     graft.functions.GraftExtensions.register(spark)
     try {

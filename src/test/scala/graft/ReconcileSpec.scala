@@ -76,6 +76,14 @@ class ReconcileSpec extends SparkSpec {
     assert(full.exceptAll(Reconcile.columnStats(a, b, Seq("id"), 64)).isEmpty)
   }
 
+  test("columnStats: fully disjoint key sets read NULL match_rate, not 1.0") {
+    val a = base()
+    val b = base().withColumn("id", col("id") + 100000L)
+    val stats = Reconcile.columnStats(a, b, Seq("id"), 64).collect()
+    assert(stats.forall(r => r.getAs[Long]("n_common") == 0L
+      && r.isNullAt(r.fieldIndex("match_rate"))), stats.mkString("; "))
+  }
+
   test("columnStats: identical tables are a full match from digests alone") {
     val stats = Reconcile.columnStats(base(), base(), Seq("id"), 64).collect()
     assert(stats.length == 2)

@@ -366,6 +366,21 @@ class Scd2MergeSpec extends SparkSpec {
       && k2(0).getAs[java.sql.Timestamp]("effective_to") == null)
   }
 
+  test("timestamp strategy: null updated_at rows are dropped, never open versions") {
+    val b1 = tsBatch((1, "SAVINGS", 100.0, "2024-01-01 00:00:00"))
+      .unionByName(Seq((2, "CHECKING", 50.0))
+        .toDF("account_id", "account_type", "balance")
+        .withColumn("updated_at", lit(null).cast("timestamp")))
+    val s1 = Scd2Merge.applyTimestamp(Scd2Merge.emptySnapshot(b1), b1,
+      key, "updated_at")
+    assert(s1.count() == 1 && s1.head().getInt(0) == 1)
+    // a second null-ts delivery for key 2 still creates nothing, and key
+    // 1 keeps exactly ONE open version
+    val s2 = Scd2Merge.applyTimestamp(s1, b1, key, "updated_at")
+    assert(s2.count() == 1)
+    assert(s2.filter($"effective_to".isNull).count() == 1)
+  }
+
   test("timestamp strategy: effective_from is the ROW's ts; replay is a no-op") {
     val b1 = tsBatch((1, "SAVINGS", 100.0, "2024-01-05 00:00:00"),
       (2, "CHECKING", 50.0, "2024-01-07 00:00:00"))

@@ -35,6 +35,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(out.collect().map(_.getDouble(1)).toSet == Set(1.5, 2.5))
   }
 
+  test("decimal evolution widens losslessly instead of failing") {
+    assert(SchemaEvolution.widen("c", DecimalType(10, 2), DecimalType(12, 2))
+      == DecimalType(12, 2))
+    assert(SchemaEvolution.widen("c", DecimalType(10, 2), DecimalType(8, 4))
+      == DecimalType(12, 4))                        // 8 int digits + 4 scale
+    assert(SchemaEvolution.widen("c", DecimalType(10, 2), LongType)
+      == DecimalType(22, 2))                        // 20 int digits + 2 scale
+    assert(SchemaEvolution.widen("c", IntegerType, DecimalType(6, 2))
+      == DecimalType(12, 2))                        // 10 int digits + 2 scale
+    assert(SchemaEvolution.widen("c", DecimalType(10, 2), DoubleType)
+      == DoubleType)
+    val v1 = spark.sql("SELECT CAST(1.25 AS DECIMAL(10,2)) AS amount")
+    val v2 = spark.sql("SELECT CAST(9.5 AS DECIMAL(12,2)) AS amount")
+    val out = SchemaEvolution.unionEvolved(Seq(v1, v2))
+    assert(out.schema("amount").dataType == DecimalType(12, 2))
+    assert(out.collect().map(_.getDecimal(0).doubleValue()).toSet
+      == Set(1.25, 9.5))
+  }
+
   test("incompatible drift fails loudly with the column name") {
     val v1 = Seq((1L, "s")).toDF("id", "c")
     val v2 = Seq((2L, 3)).toDF("id", "c")
