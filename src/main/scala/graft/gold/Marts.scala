@@ -395,7 +395,11 @@ object Marts {
     val wDay = Window
       .partitionBy(col(keyCol), greatest(to_date(col(tsCol)), startLit))
       .orderBy(col(tsCol).desc, col(tieCol).desc)
-    val daily = df
+    // a null-ts event carries no time information: greatest(to_date(null),
+    // start) would clamp it to the spine start and nulls-last desc order
+    // would make it the carried-in baseline whenever it is a key's only
+    // start-day row — junk fill. Dropped up front.
+    val daily = df.filter(col(tsCol).isNotNull)
       .withColumn("__rn", row_number().over(wDay))
       .filter(col("__rn") === 1)
       .select(col(keyCol),

@@ -218,7 +218,12 @@ object Scd2Merge {
       .select((key ++ payloadCols).map(col)
         :+ col(EffectiveFrom).as("__ts") :+ lit(true).as("__anchor")
         :+ col(EffectiveFrom): _*)
-    val incoming = batchLog
+    // a null change-log ts carries no ordering information (same discipline
+    // as applyTimestamp): admitted, it would pass the replay guard when the
+    // key has no anchor, sort first via asc_nulls_first, and open a version
+    // with null effective_from whose predecessor also stays open — two
+    // current rows for one key. Dropped up front.
+    val incoming = batchLog.filter(col(tsCol).isNotNull)
       .select((key ++ payloadCols).map(col)
         :+ col(tsCol).cast("timestamp").as("__ts") :+ lit(false).as("__anchor")
         :+ col(tsCol).cast("timestamp").as(EffectiveFrom): _*)

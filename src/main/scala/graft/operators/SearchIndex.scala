@@ -107,9 +107,14 @@ object SearchIndex {
              b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.distinct
-    // hash the query's terms through the SAME expression the fold used
+    // normalize + hash the query's terms through the SAME expressions the
+    // fold used (tokens = lower(trim(text)) split): an uppercased or
+    // whitespace-padded query term must find its postings, not silently
+    // match nothing — the bm25-equivalence contract is over normalized
+    // terms
     val hashes = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
-      .select(xxhash64(col("t"))).collect().map(_.getLong(0)).toSeq
+      .select(xxhash64(lower(trim(col("t"))))).collect()
+      .map(_.getLong(0)).toSeq.distinct
     val post = BaseDelta.read(spark, st.postingsTable)
       .filter(col("term_h").isin(hashes: _*))
     val stats = SnapshotStore.read(spark, st.statsPath)
@@ -147,8 +152,10 @@ object SearchIndex {
   def phraseSearch(spark: SparkSession, st: State,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
+    // same normalization discipline as [[search]]: hash lower(trim(term))
+    // so caller casing/padding can't silently zero out a phrase
     val hashes = spark.createDataFrame(phrase.distinct.map(Tuple1(_)))
-      .toDF("t").select(col("t"), xxhash64(col("t")).as("h"))
+      .toDF("t").select(col("t"), xxhash64(lower(trim(col("t")))).as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pos = BaseDelta.read(spark, st.positionsTable)
       .filter(col("term_h").isin(hashes.values.toSeq: _*))

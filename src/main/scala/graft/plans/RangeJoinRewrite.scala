@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType}
 
 /** Opt-in range-join acceleration: a pure band join
   * `points JOIN intervals ON p >= lo AND p <= hi` has no equi key, so
@@ -40,29 +40,43 @@ case class RangeJoinRewrite(spark: SparkSession)
     spark.conf.getOption("spark.graft.rangeJoin.bucketWidth")
       .flatMap(v => scala.util.Try(v.toDouble).toOption).filter(_ > 0)
 
+  // runaway-replication guard, same default as RangeJoin.pointInInterval;
+  // malformed values fall back rather than breaking every query
+  private def maxBuckets: Int =
+    spark.conf.getOption("spark.graft.rangeJoin.maxBucketsPerInterval")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(RangeJoinRewrite.DefaultMaxBuckets)
+
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
-    case Some(w) => RangeJoinRewrite.rewritePlan(plan, w)
+    case Some(w) => RangeJoinRewrite.rewritePlan(plan, w, maxBuckets)
   }
 }
 
 object RangeJoinRewrite extends PredicateHelper {
 
+  /** Replication cap mirrored from `RangeJoin.pointInInterval`: one wide
+    * interval (or a width too small for the domain) must fail fast with a
+    * resize hint, not materialize an unbounded per-row bucket array.
+    */
+  val DefaultMaxBuckets = 4096
+
   /** Rewrite every qualifying band join in `plan` with bucket `w`. */
-  def rewritePlan(plan: LogicalPlan, w: Double): LogicalPlan =
+  def rewritePlan(plan: LogicalPlan, w: Double,
+                  maxBuckets: Int = DefaultMaxBuckets): LogicalPlan =
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
-        rewrite(j, l, r, cond, hint, w).getOrElse(j)
+        rewrite(j, l, r, cond, hint, w, maxBuckets).getOrElse(j)
     }
 
   /** Apply the acceleration to ONE DataFrame explicitly — no session
     * config involved; surrounding queries keep their plans.
     */
-  def accelerate(df: org.apache.spark.sql.DataFrame,
-                 width: Double): org.apache.spark.sql.DataFrame = {
+  def accelerate(df: org.apache.spark.sql.DataFrame, width: Double,
+                 maxBuckets: Int = DefaultMaxBuckets): org.apache.spark.sql.DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
-      df.sparkSession, rewritePlan(df.queryExecution.analyzed, width))
+      df.sparkSession, rewritePlan(df.queryExecution.analyzed, width, maxBuckets))
   }
 
   /** One extracted half-band: `point (>=|>) bound` or `point (<=|<) bound`,
@@ -103,7 +117,7 @@ object RangeJoinRewrite extends PredicateHelper {
   /** Attempt the rewrite; None = pattern doesn't apply, keep the join. */
   def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
               hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
-              w: Double): Option[LogicalPlan] = {
+              w: Double, maxBuckets: Int = DefaultMaxBuckets): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // an existing cross-side equi conjunct means the planner already has
     // a hash key — the band rides along as a residual for free
@@ -131,16 +145,43 @@ object RangeJoinRewrite extends PredicateHelper {
       val pBucket = Alias(bucketOf(lo.point, w), "__graft_bucket_p")()
       val pointProj = Project(pointPlan.output :+ pBucket, pointPlan)
 
+      // inverted bands (hi < lo) match nothing under the residual anyway,
+      // but an unguarded Sequence would default to step -1 and generate a
+      // DESCENDING bucket range — silent exploded work. Filter them out,
+      // exactly as RangeJoin.pointInInterval does. Null bounds drop too
+      // (the residual band condition could never match them).
+      val ivFiltered = Filter(
+        GreaterThanOrEqual(hi.bound, lo.bound), ivPlan)
+
+      val loB = bucketOf(lo.bound, w)
+      val hiB = bucketOf(hi.bound, w)
+      // fail fast instead of materializing an unbounded replica set (the
+      // explicit-operator guard, mirrored at the rule level: one wide
+      // interval must not OOM arbitrary queries once the conf is set)
+      val cappedHi = If(
+        LessThan(Subtract(hiB, loB), Literal(maxBuckets.toLong)),
+        hiB,
+        Cast(RaiseError(Concat(Seq(
+          Literal.create(
+            s"range-join rewrite: interval spans more than $maxBuckets " +
+              s"buckets at width $w — raise the bucket width " +
+              "(spark.graft.rangeJoin.bucketWidth) or the cap " +
+              "(spark.graft.rangeJoin.maxBucketsPerInterval); lo=",
+            StringType),
+          Cast(lo.bound, StringType),
+          Literal.create(" hi=", StringType),
+          Cast(hi.bound, StringType)))), LongType))
+
       // Sequence is TimeZoneAwareExpression: it only counts as resolved
       // with a timezone id, even over plain longs
-      val seq = Sequence(bucketOf(lo.bound, w), bucketOf(hi.bound, w),
+      val seq = Sequence(loB, cappedHi,
         None, Some(org.apache.spark.sql.internal.SQLConf.get
           .sessionLocalTimeZone))
       val ivAttr = AttributeReference("__graft_bucket_i", LongType,
         nullable = true)()
       val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(ivAttr),
-        child = ivPlan)
+        child = ivFiltered)
 
       val (newL, newR) =
         if (lo.pointOnLeft) (pointProj, gen) else (gen, pointProj)

@@ -29,13 +29,29 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
-  /** Canonical 64-bit row digest: xxhash64 over every column, with
-    * doubles canonicalized through their IEEE bit pattern (so -0.0/NaN
-    * forms hash stably) and the column list sorted for schema-order
-    * independence.
+  /** Canonical 64-bit row digest: xxhash64 over every column, with the
+    * column list sorted for schema-order independence and top-level
+    * float/double columns canonicalized BEFORE hashing — `nanvl` folds
+    * every NaN payload to the canonical NaN and `+ 0.0` folds -0.0 to
+    * 0.0 — so replicas storing -0.0 vs 0.0 (or different NaN bit
+    * patterns), which compare EQUAL under `<=>`, also digest equal and
+    * never flag a clean bucket dirty. (Floats hash through their double
+    * widening, which is exact; nested struct fields are hashed as-is —
+    * the diff stays correct either way, canonicalization only preserves
+    * the digest-prune guarantee.)
     */
-  private def rowDigest(df: DataFrame): Column =
-    xxhash64(df.columns.sorted.map(col).map { c => c: Column }: _*)
+  private def rowDigest(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols: Seq[Column] = df.columns.sorted.toSeq.map { name =>
+      byName(name) match {
+        case DoubleType | FloatType =>
+          nanvl(col(name).cast("double"), lit(Double.NaN)) + lit(0.0d)
+        case _ => col(name)
+      }
+    }
+    xxhash64(cols: _*)
+  }
 
   /** Per-bucket (bucket, n_rows, digest) summary of `df`, bucketed by a
     * hash of `keys` so the same key lands in the same bucket on both

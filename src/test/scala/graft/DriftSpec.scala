@@ -231,6 +231,27 @@ class DriftSpec extends SparkSpec {
     assert(out("2024-01-04") == ((false, Some(50.0))), out)
   }
 
+  test("locfDaily: null-ts events are ignored, never become the carried baseline") {
+    // u1's ONLY event has a null ts: clamped to the spine start it would
+    // junk-fill the whole series; it must read as "no observation yet"
+    val ev = Seq(("u1", null.asInstanceOf[String], 1L, 99.0),
+      ("u2", "2024-01-02 10:00:00", 2L, 5.0),
+      ("u2", null.asInstanceOf[String], 3L, 77.0))
+      .toDF("u", "ts_s", "eid", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = graft.gold.Marts.locfDaily(spark, ev, "u", "ts", "eid", "v",
+        "2024-01-01", "2024-01-03")
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+        ((r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out.size == 6, out)
+    assert(out(("u1", "2024-01-01")) == ((false, None)), out)
+    assert(out(("u1", "2024-01-03")) == ((false, None)), out)
+    assert(out(("u2", "2024-01-01")) == ((false, None)), out)
+    assert(out(("u2", "2024-01-02")) == ((true, Some(5.0))), out)
+    assert(out(("u2", "2024-01-03")) == ((false, Some(5.0))), out)
+  }
+
   test("nearestJoin: l_id values colliding across keys never collapse rows") {
     val left = Seq(("a", 1L, "2024-01-10 12:00:00"),
       ("b", 1L, "2024-01-10 12:00:00"))             // same l_id, different key

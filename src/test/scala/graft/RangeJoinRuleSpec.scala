@@ -74,6 +74,42 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
+  test("inverted bands (lo > hi) match nothing and never generate descending bucket ranges") {
+    graft.functions.GraftExtensions.register(spark)
+    // the whole interval side is inverted: an unguarded sequence(loB, hiB)
+    // would default to step -1 and explode a huge DESCENDING range per row
+    val inverted = spark.range(50L).select(col("id").as("iid"),
+      (lit(1.0e7) + col("id").cast("double")).as("lo"),
+      (col("id") % 40L).cast("double").as("hi"))
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+      val j = points.join(inverted,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(j.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+      assert(j.count() == 0L) // BETWEEN semantics: empty interval matches nothing
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("an interval spanning more than the cap fails fast with a resize hint") {
+    graft.functions.GraftExtensions.register(spark)
+    val wide = Seq((1L, 0.0, 1.0e9)).toDF("iid", "lo", "hi")
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+      spark.conf.set("spark.graft.rangeJoin.maxBucketsPerInterval", "1024")
+      val j = points.join(wide,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(j.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+      val e = intercept[Exception](j.count())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m =>
+        m != null && m.contains("range-join rewrite")), e.toString)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerInterval")
+    }
+  }
+
   test("equi-keyed band joins are left alone — the planner already has a hash key") {
     graft.functions.GraftExtensions.register(spark)
     try {

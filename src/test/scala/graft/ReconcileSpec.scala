@@ -91,4 +91,15 @@ class ReconcileSpec extends SparkSpec {
       && r.getAs[Long]("n_differs") == 0L
       && r.getAs[Double]("match_rate") == 1.0), stats.mkString("; "))
   }
+
+  test("-0.0 vs 0.0 replicas digest equal: zero dirty buckets, empty diff") {
+    import spark.implicits._
+    // the two sides compare EQUAL under <=> (Spark normalizes signed
+    // zero in comparisons) — the digest must agree too, or every run
+    // re-joins these buckets forever
+    val a = Seq((1L, 0.0), (2L, -0.0), (3L, Double.NaN)).toDF("id", "v")
+    val b = Seq((1L, -0.0), (2L, 0.0), (3L, Double.NaN)).toDF("id", "v")
+    assert(Reconcile.dirtyBuckets(a, b, Seq("id"), 64).count() == 0L)
+    assert(Reconcile.diff(a, b, Seq("id"), 64).isEmpty)
+  }
 }

@@ -393,4 +393,25 @@ class Scd2MergeSpec extends SparkSpec {
     val s2 = Scd2Merge.applyTimestamp(s1, b1, key, "updated_at")
     assert(s2.exceptAll(s1).isEmpty && s1.exceptAll(s2).isEmpty)
   }
+
+  test("applyLog: null-ts changelog rows are dropped, never open versions") {
+    // a null-ts row for a NEW key (no anchor) must not pass the replay
+    // guard, sort first, and open a version with null effective_from
+    // whose successor leaves TWO open versions for the key
+    val nullRow = Seq((9, 1L, "A"))
+      .toDF("account_id", "seq", "status")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    val b1 = log((9, 2L, "B", "2024-01-02 00:00:00")).unionByName(nullRow)
+    val s1 = Scd2Merge.applyLog(Scd2Merge.emptyLogSnapshot(b1, "ts"), b1,
+      logKey, logCheck, "ts", tieBreak = Seq("seq"))
+    assert(s1.count() == 1, s1.collect().mkString("; "))
+    assert(s1.filter($"effective_to".isNull).count() == 1)
+    assert(s1.filter($"effective_from".isNull).count() == 0)
+    // and against an EXISTING key: the null-ts row is a no-op, the
+    // unique-current invariant holds
+    val s2 = Scd2Merge.applyLog(s1, nullRow, logKey, logCheck, "ts",
+      tieBreak = Seq("seq"))
+    assert(s2.exceptAll(s1).isEmpty && s1.exceptAll(s2).isEmpty)
+    assert(graft.silver.Quality.uniqueCurrent(s2, Seq("account_id")).isEmpty)
+  }
 }

@@ -89,4 +89,17 @@ class SearchIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == Map(1L -> 1L))
   }
+
+  test("query terms normalize through the fold's tokenizer (case/whitespace)") {
+    val st = SearchIndex.State(tmpDir("si-norm") + "/s")
+    SearchIndex.fold(spark, st, docs(corpus: _*), 0L, "doc_id", "text")
+    // the index stores lower(trim(text)) tokens; a caller's "Bank" /
+    // " data " must score identically to the normalized terms, not
+    // silently match zero postings
+    sameScores(SearchIndex.search(spark, st, Seq("Bank", " data ", "ACCOUNT")),
+      SearchIndex.search(spark, st, query))
+    val shouty = SearchIndex.phraseSearch(spark, st, Seq("BANK", " Account"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shouty == Map(1L -> 1L), shouty)
+  }
 }
