@@ -6816,7 +6816,61 @@ object Queries {
         SELECT CAST(ts AS DATE) AS ingest_date,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // ── streaming multi-table ATOMIC commit (MultiTableStream): the
+    //    events log routes into an SCD2 user dim (event_type tracked)
+    //    AND an event fact, folded batch-by-batch with ONE coordinator
+    //    pointer per batch — the banking FK invariant (readme.md:213-217)
+    //    in streaming form. The readout joins the fact to the CURRENT
+    //    dim version resolved from the SAME commit; oracle = the
+    //    batch-equivalent (current dim row per user is the last event by
+    //    (ts, event_id); the fact is the full keyed event set) ──
+    Q("q242_multi_commit_stream",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q242-mts")
+          .toString + "/r"
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts"))
+        // both tables feed from the same log: tag each row for each route
+        val routed = ev.withColumn("route", lit("dim"))
+          .unionByName(ev.withColumn("route", lit("fact")))
+        val dimSpec = graft.streaming.MultiTableStream.Scd2Dim(
+          "user_dim", "dim", Seq("user_id"), Seq("event_type"), "ts",
+          tieBreak = Seq("event_id"),
+          project = _.select("user_id", "event_type", "event_id", "ts"))
+        val factSpec = graft.streaming.MultiTableStream.UpsertFact(
+          "event_fact", "fact", Seq("event_id"), Seq("ts", "event_id"),
+          project = _.select("event_id", "user_id", "value", "ts"))
+        val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+        Seq(routed.filter(col("ts") < cut1),
+          routed.filter(col("ts") >= cut1 && col("ts") < cut2),
+          routed.filter(col("ts") >= cut2)).zipWithIndex.foreach {
+          case (b, i) => graft.streaming.MultiTableStream.foldBatch(
+            s, root, b, "route", Seq(dimSpec), Seq(factSpec), i.toLong)
+        }
+        val t = graft.streaming.MultiTableStream.readCommitted(s, root)
+        val cur = t("user_dim").filter(col("effective_to").isNull)
+          .select(col("user_id"), col("event_type").as("current_type"))
+        t("event_fact").join(cur, Seq("user_id"))
+          .groupBy(col("current_type"))
+          .agg(count(lit(1)).as("n_facts"),
+            sumMoney(col("value")).as("total_value"))
+      },
+      Some("""
+        WITH cur AS (
+          SELECT user_id, event_type AS current_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+        SELECT current_type,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN cur c ON e.user_id = c.user_id
+        GROUP BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

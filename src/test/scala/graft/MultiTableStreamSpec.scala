@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.gold.{MultiSnapshot, Scd2Merge, UpsertByKey}
+import graft.streaming.MultiTableStream
+import graft.streaming.MultiTableStream.{Scd2Dim, UpsertFact}
+
+/** Streaming multi-table atomic commit: a reader resolving the
+  * coordinator must NEVER see a fact row whose account has no live dim
+  * version — across every batch boundary, crash, and replay — and the
+  * folded pair must equal the one-shot batch fold regardless of how the
+  * stream cut the log.
+  */
+class MultiTableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one routed CDC log: (route, account_id, txn_id, account_type, amount,
+  // op, seq, ts). Per-key ordering holds (SURVEY §2 row 27); an account's
+  // create always lands in the same-or-earlier batch as its first txn,
+  // and a cascade delete arrives WITH its account's tombstone.
+  private def cdc(rows: (String, Int, Long, String, Double, String, Long, String)*): DataFrame =
+    rows.toSeq.map { case (r, a, t, at, am, op, q, s) =>
+      (r, a, t, at, am, op, q, ts(s))
+    }.toDF("route", "account_id", "txn_id", "account_type", "amount",
+      "op", "seq", "ts")
+
+  private val dimSpec = Scd2Dim("accounts", "acct", Seq("account_id"),
+    Seq("account_type"), "ts", tieBreak = Seq("seq"), opCol = Some("op"),
+    project = _.select("account_id", "account_type", "op", "seq", "ts"))
+  private val factSpec = UpsertFact("txns", "txn", Seq("txn_id"),
+    Seq("seq"), opCol = Some("op"),
+    project = _.select("txn_id", "account_id", "amount", "op", "seq", "ts"))
+
+  private def acct(a: Int, tpe: String, op: String, q: Long, s: String) =
+    ("acct", a, -1L, tpe, 0.0, op, q, s)
+  private def txn(t: Long, a: Int, am: Double, op: String, q: Long, s: String) =
+    ("txn", a, t, null.asInstanceOf[String], am, op, q, s)
+
+  private val batches: Seq[Seq[(String, Int, Long, String, Double, String, Long, String)]] = Seq(
+    Seq( // b0: two accounts open, first transactions
+      acct(1, "SAVINGS", "c", 1L, "2024-01-01 09:00:00"),
+      acct(2, "CHECKING", "c", 2L, "2024-01-01 09:05:00"),
+      txn(101L, 1, 50.0, "c", 3L, "2024-01-01 10:00:00"),
+      txn(102L, 2, 75.0, "c", 4L, "2024-01-01 10:30:00")),
+    Seq( // b1: acct 1 re-types (new SCD2 version); acct 3 opens WITH its
+      //     first txn in the same batch; more fact traffic
+      acct(1, "CHECKING", "u", 5L, "2024-01-02 09:00:00"),
+      acct(3, "SAVINGS", "c", 6L, "2024-01-02 09:10:00"),
+      txn(103L, 1, 20.0, "c", 7L, "2024-01-02 10:00:00"),
+      txn(104L, 2, 33.0, "c", 8L, "2024-01-02 10:15:00"),
+      txn(105L, 3, 12.0, "c", 9L, "2024-01-02 11:00:00")),
+    Seq( // b2: acct 2 closes — tombstone + CASCADE tombstones for its
+      //     txns (schema.sql's ON DELETE CASCADE arriving as CDC); a
+      //     replayed/updated amount on txn 103
+      acct(2, "CHECKING", "d", 10L, "2024-01-03 09:00:00"),
+      txn(102L, 2, 75.0, "d", 11L, "2024-01-03 09:00:00"),
+      txn(104L, 2, 33.0, "d", 12L, "2024-01-03 09:00:00"),
+      txn(103L, 1, 21.5, "u", 13L, "2024-01-03 10:00:00")))
+
+  private def foldAll(root: String, upTo: Int): Unit =
+    (0 until upTo).foreach { i =>
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq(factSpec), i.toLong)
+    }
+
+  /** fact account_ids with no live current dim version — must ALWAYS be
+    * empty when read through one coordinator resolve.
+    */
+  private def orphans(t: Map[String, DataFrame]): Seq[Int] =
+    t("txns").join(Scd2Merge.liveFromLog(t("accounts"), "op")
+        .select(col("account_id")),
+      Seq("account_id"), "left_anti")
+      .select("account_id").distinct().collect().map(_.getInt(0)).toSeq
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"$what\nleft:\n${a.collect().mkString("\n")}\nright:\n${b.collect().mkString("\n")}")
+
+  test("no reader ever sees an orphan fact: FK invariant at every commit point") {
+    val root = tmpDir("mts-fk") + "/r"
+    for (i <- 1 to batches.size) {
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i - 1): _*),
+        "route", Seq(dimSpec), Seq(factSpec), (i - 1).toLong)
+      val t = MultiTableStream.readCommitted(spark, root)
+      assert(orphans(t).isEmpty,
+        s"orphan facts after commit $i: ${orphans(t)}")
+      // dim invariant: exactly one current version per key
+      assert(graft.silver.Quality.uniqueCurrent(t("accounts"),
+        Seq("account_id")).isEmpty, s"duplicate current dim rows after commit $i")
+      assert(MultiSnapshot.currentCommit(spark, root).get.version == i.toLong)
+    }
+    // final content checks: acct 2 and its txns are gone, 103 updated
+    val t = MultiTableStream.readCommitted(spark, root)
+    val liveAccts = Scd2Merge.liveFromLog(t("accounts"), "op")
+      .select("account_id").collect().map(_.getInt(0)).toSet
+    assert(liveAccts == Set(1, 3))
+    val facts = t("txns").select("txn_id", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(facts == Map(101L -> 50.0, 103L -> 21.5, 105L -> 12.0), facts)
+  }
+
+  test("fold over batch cuts equals the one-shot fold of the full log") {
+    val root = tmpDir("mts-cut") + "/r"
+    foldAll(root, batches.size)
+    val t = MultiTableStream.readCommitted(spark, root)
+    val all = cdc(batches.flatten: _*)
+    val oneDim = Scd2Merge.applyLog(
+      Scd2Merge.emptyLogSnapshot(dimSpec.project(all.filter($"route" === "acct")
+        .drop("route")), "ts"),
+      dimSpec.project(all.filter($"route" === "acct").drop("route")),
+      dimSpec.keys, dimSpec.checkCols, "ts", dimSpec.tieBreak, dimSpec.opCol)
+    val oneFact = UpsertByKey.mergeBatch(None,
+      factSpec.project(all.filter($"route" === "txn").drop("route")),
+      factSpec.keys, factSpec.orderCols, factSpec.opCol)
+    sameRows(t("accounts"), oneDim, "dim diverges from one-shot fold")
+    sameRows(t("txns"), oneFact, "fact diverges from one-shot fold")
+  }
+
+  test("replayed and out-of-order batches are no-ops (version ledger)") {
+    val root = tmpDir("mts-replay") + "/r"
+    foldAll(root, batches.size)
+    val before = MultiTableStream.readCommitted(spark, root)
+    val dimBefore = before("accounts").collect().toSet
+    val factBefore = before("txns").collect().toSet
+    val vBefore = MultiSnapshot.currentCommit(spark, root).get.version
+    // replay the LAST batch, then an OLD batch
+    MultiTableStream.foldBatch(spark, root, cdc(batches(2): _*), "route",
+      Seq(dimSpec), Seq(factSpec), 2L)
+    MultiTableStream.foldBatch(spark, root, cdc(batches(0): _*), "route",
+      Seq(dimSpec), Seq(factSpec), 0L)
+    val after = MultiTableStream.readCommitted(spark, root)
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == vBefore)
+    assert(after("accounts").collect().toSet == dimBefore)
+    assert(after("txns").collect().toSet == factBefore)
+  }
+
+  test("crash after staging, before the pointer PUT: readers untouched, replay overwrites orphans") {
+    val root = tmpDir("mts-crash") + "/r"
+    foldAll(root, 1) // commit v1
+    val t1 = MultiTableStream.readCommitted(spark, root)
+    val dimV1 = t1("accounts").collect().toSet
+    // simulate a crash mid-publish of batch 1: gen=2 dirs staged with
+    // junk, coordinator never flipped
+    Seq("accounts", "txns").foreach { tbl =>
+      spark.range(3).select(lit("junk").as("garbage"))
+        .write.mode("overwrite")
+        .parquet(MultiSnapshot.genPath(root, tbl, 2L))
+    }
+    // a reader resolving the coordinator still sees v1, not the junk
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == 1L)
+    assert(MultiTableStream.readCommitted(spark, root)("accounts")
+      .collect().toSet == dimV1)
+    // the replayed batch overwrites the orphan staging dirs and commits
+    MultiTableStream.foldBatch(spark, root, cdc(batches(1): _*), "route",
+      Seq(dimSpec), Seq(factSpec), 1L)
+    val t2 = MultiTableStream.readCommitted(spark, root)
+    assert(orphans(t2).isEmpty)
+    assert(!t2("accounts").columns.contains("garbage"))
+    assert(Scd2Merge.liveFromLog(t2("accounts"), "op")
+      .select("account_id").collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+  }
+
+  test("streaming end-to-end: MemoryStream triggers, checkpoint restart continues the ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("mts-stream") + "/r"
+    val ckpt = tmpDir("mts-ckpt")
+
+    def run(data: Seq[Seq[(String, Int, Long, String, Double, String, Long, String)]]): Unit = {
+      val ms = MemoryStream[(String, Int, Long, String, Double, String, Long, String)]
+      val src = ms.toDF().toDF("route", "account_id", "txn_id",
+          "account_type", "amount", "op", "seq", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      val q = MultiTableStream.start(src, root, ckpt, "route",
+        Seq(dimSpec), Seq(factSpec),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      data.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+    }
+    run(batches.take(2))
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == 2L)
+    assert(orphans(MultiTableStream.readCommitted(spark, root)).isEmpty)
+    // restart from the SAME checkpoint with the remaining batch: the new
+    // MemoryStream restarts batch ids at 0 under this checkpoint? No —
+    // a fresh source under the old checkpoint replays ids; feed the
+    // tail through a NEW checkpoint to exercise the explicit ledger
+    // no-op instead: batch id 0 is already committed, so only the fold
+    // ledger decides. Stream the full log again under a fresh
+    // checkpoint: ids 0..2, ids 0-1 skip via the version ledger, id 2
+    // commits.
+    val ckpt2 = tmpDir("mts-ckpt2")
+    val ms2 = MemoryStream[(String, Int, Long, String, Double, String, Long, String)]
+    val src2 = ms2.toDF().toDF("route", "account_id", "txn_id",
+        "account_type", "amount", "op", "seq", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q2 = MultiTableStream.start(src2, root, ckpt2, "route",
+      Seq(dimSpec), Seq(factSpec),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    batches.foreach { b => ms2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == 3L)
+    val t = MultiTableStream.readCommitted(spark, root)
+    assert(orphans(t).isEmpty)
+    // equals the pure-batch fold of the full log
+    val all = cdc(batches.flatten: _*)
+    sameRows(t("txns"), UpsertByKey.mergeBatch(None,
+      factSpec.project(all.filter($"route" === "txn").drop("route")),
+      factSpec.keys, factSpec.orderCols, factSpec.opCol),
+      "streamed fact diverges from batch fold")
+  }
+}
