@@ -72,4 +72,83 @@ object PlanLint {
       s"PlanLint: scale antipatterns in plan: ${bad.map { case (r, n) =>
         s"$r×$n" }.mkString(", ")} — fix the plan or allow() explicitly")
   }
+
+  /** Hits exceeding a query's adjudicated budget: (rule, n_hits, cap).
+    * Queries absent from the budget have cap 0 for every rule — any hit
+    * on them is a regression.
+    */
+  def overBudget(name: String, df: DataFrame): Seq[(String, Long, Long)] = {
+    val caps = RegistryBudget.getOrElse(name, Map.empty)
+    counts(df).flatMap { case (rule, n) =>
+      val cap = caps.getOrElse(rule, 0L)
+      if (n > cap) Some((rule, n, cap)) else None
+    }
+  }
+
+  /** Adjudicated allow-list for the whole query registry — the
+    * PLANLINT.md audit AS CODE, enforced by RegistrySweepSpec so a new
+    * cartesian/BNLJ/single-partition hit fails `sbt test` instead of
+    * waiting for a human to re-read the doc. Every entry is one of the
+    * four justified classes (see PLANLINT.md):
+    *
+    *  1. 1-row broadcast cross (`broadcast_nested_loop`):
+    *     `crossJoin(broadcast(<one-row aggregate>))` — constant build
+    *     side by construction (stats/extremes/totals folded map-side);
+    *  2. global scalar aggregate final stage
+    *     (`single_partition_exchange`): input is one PARTIAL row per
+    *     partition, never the dataset;
+    *  3. value-domain-sized window frames (`single_partition_exchange`):
+    *     cumulative walks over (value)/(day) histograms, bounded by the
+    *     metric domain;
+    *  4. output-sized grid (q219's BNLJ): keys × broadcast day spine —
+    *     exactly the emitted rows.
+    *
+    * Caps are MAXIMA from the adjudicated sf0.001 sweep; dropping below
+    * budget is fine, exceeding it (or any hit on an unlisted query)
+    * fails the sweep.
+    */
+  val RegistryBudget: Map[String, Map[String, Long]] = Map(
+    "q09_dq_suite" -> Map("single_partition_exchange" -> 3L),
+    "q102_chi2_tokens" -> Map("broadcast_nested_loop" -> 2L, "single_partition_exchange" -> 1L),
+    "q105_js_divergence" -> Map("broadcast_nested_loop" -> 2L),
+    "q111_ab_test" -> Map("broadcast_nested_loop" -> 1L),
+    "q112_event_lift" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q115_ivf_pq_rerank" -> Map("broadcast_nested_loop" -> 2L),
+    "q118_trim_outliers" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
+    "q120_budget_select" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
+    "q127_column_profile" -> Map("single_partition_exchange" -> 1L),
+    "q138_skew_report" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q139_disposition_ledger" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q143_fk_inference" -> Map("single_partition_exchange" -> 4L),
+    "q149_pruning_stats" -> Map("single_partition_exchange" -> 2L),
+    "q150_surrogate_keys" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q15_zscore_anomaly" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q166_mutual_info" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
+    "q171_woe_bins" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
+    "q174_user_growth" -> Map("single_partition_exchange" -> 1L),
+    "q202_search_index" -> Map("broadcast_nested_loop" -> 1L),
+    "q203_column_diff" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
+    "q215_corr_matrix" -> Map("single_partition_exchange" -> 1L),
+    "q219_locf" -> Map("broadcast_nested_loop" -> 1L),
+    "q225_quantile_normalize" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 3L),
+    "q238_twab" -> Map("broadcast_nested_loop" -> 1L),
+    "q241_topk_others" -> Map("single_partition_exchange" -> 1L),
+    "q24_cosine_topk" -> Map("broadcast_nested_loop" -> 1L),
+    "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 2L),
+    "q53_group_minhash" -> Map("broadcast_nested_loop" -> 1L),
+    "q56_tfidf" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q58_bigram_nll" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q66_semdedup" -> Map("broadcast_nested_loop" -> 2L),
+    "q67_importance_weights" -> Map("broadcast_nested_loop" -> 3L, "single_partition_exchange" -> 3L),
+    "q71_collocations" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q75_bm25" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q78_zorder_key" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q81_temperature_sample" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q82_assembly_v2" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
+    "q85_semantic_decontam" -> Map("broadcast_nested_loop" -> 1L),
+    "q86_hybrid_rrf" -> Map("broadcast_nested_loop" -> 2L, "single_partition_exchange" -> 2L),
+    "q91_gramian" -> Map("single_partition_exchange" -> 1L),
+    "q92_hard_negatives" -> Map("broadcast_nested_loop" -> 1L),
+    "q97_pq_adc" -> Map("broadcast_nested_loop" -> 1L),
+    "q99_tfidf_cosine" -> Map("broadcast_nested_loop" -> 4L, "single_partition_exchange" -> 4L))
 }
