@@ -55,22 +55,54 @@ object Optimize {
 
   /** Data files under `dir` (recursive), driver-side metadata:
     * (file name, dir relative to `dir` — the Hive partition identity,
-    * "" for flat tables, bytes).
+    * "" for flat tables, bytes). The listing itself is the same
+    * O(n_files) metadata every OPTIMIZE reads, but it is PARALLELIZED
+    * across the top-level child directories (partition dirs on a
+    * partitioned table): each worker issues its own recursive bulk
+    * listing, so at millions of files the plan step is bounded by the
+    * largest partition's listing, not the table's — the same lever
+    * Spark's own InMemoryFileIndex pulls for partition discovery.
+    * Results are order-normalized (sorted) so the plan is deterministic
+    * regardless of completion order.
     */
-  private def dataFiles(f: FileSystem, dir: Path): Seq[(String, String, Long)] = {
+  private[graft] def dataFiles(f: FileSystem, dir: Path,
+                               parallelism: Int = 16): Seq[(String, String, Long)] = {
     val root = f.makeQualified(dir).toString
-    val it = f.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
-        val parent = f.makeQualified(st.getPath.getParent).toString
-        val rel = parent.stripPrefix(root).stripPrefix("/")
-        buf += ((n, rel, st.getLen))
+    def listRecursive(d: Path): Seq[(String, String, Long)] = {
+      val it = f.listFiles(d, true)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val parent = f.makeQualified(st.getPath.getParent).toString
+          val rel = parent.stripPrefix(root).stripPrefix("/")
+          buf += ((n, rel, st.getLen))
+        }
       }
+      buf.toSeq
     }
-    buf.toSeq
+    val top = f.listStatus(dir).toSeq
+    val (dirs, files) = top.partition(_.isDirectory)
+    val fromTop = files
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, "", st.getLen))
+    val fromDirs =
+      if (dirs.isEmpty) Seq.empty
+      else if (dirs.size == 1) listRecursive(dirs.head.getPath)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(math.max(parallelism, 1), dirs.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            dirs.map(d => scala.concurrent.Future(listRecursive(d.getPath)))),
+          scala.concurrent.duration.Duration(1, "hour")).flatten
+        finally pool.shutdown()
+      }
+    (fromTop ++ fromDirs).sorted
   }
 
   /** Compact the committed generation of the [[SnapshotStore]] table at

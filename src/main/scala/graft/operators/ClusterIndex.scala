@@ -100,7 +100,8 @@ object ClusterIndex {
   def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
            idCol: String, textCol: String, k: Int = 3,
            threshold: Double = 0.2, maxStateDf: Int = 0,
-           maxDeltas: Int = 16): Unit = {
+           maxDeltas: Int = 16,
+           maxBroadcastHashes: Long = 4000000L): Unit = {
     // exactly-once ledger: a replayed batch id is SKIPPED, not refolded —
     // its original delta carried remap rows for old-cluster members that
     // a refold (whose edges now map to already-final labels) could not
@@ -124,10 +125,15 @@ object ClusterIndex {
           // postings whose shingle occurs in the batch reach the join
           // shuffle — candidate-set preserving, since a posting with no
           // batch-side shingle can produce no cross pair. The batch's
-          // distinct hash set is batch-sized and broadcasts.
-          val sp0 = BaseDelta.read(spark, st.postingsTable)
-            .join(broadcast(bp.select(col("s")).distinct()), Seq("s"),
-              "left_semi")
+          // distinct hash set is batch-sized and broadcasts — UNLESS the
+          // batch is extreme (> maxBroadcastHashes distinct hashes ≈
+          // 8 B each on the driver), where the same semi-join runs as a
+          // shuffle instead of OOMing the driver: identical semantics,
+          // graceful degradation (spec-pinned).
+          val batchHashes = bp.select(col("s")).distinct()
+          val nHashes = batchHashes.count()
+          val sp0 = prefilteredState(spark, st, batchHashes,
+            useBroadcast = nHashes <= maxBroadcastHashes)
           val sp =
             if (maxStateDf <= 0) sp0
             else {
@@ -185,6 +191,20 @@ object ClusterIndex {
       BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, bp,
         batchId, maxDeltas)
     } finally bp.unpersist()
+  }
+
+  /** The state-postings prefilter semi-join, broadcast or shuffled —
+    * exposed so the spec can pin that both forms produce the same frame
+    * and that the hint actually switches the physical plan.
+    */
+  private[graft] def prefilteredState(spark: SparkSession, st: State,
+                                      batchHashes: DataFrame,
+                                      useBroadcast: Boolean): DataFrame = {
+    val probe = if (useBroadcast) broadcast(batchHashes)
+      // an explicit merge hint pins the shuffle path even where stats
+      // would let the planner re-broadcast a small frame
+      else batchHashes.hint("merge")
+    BaseDelta.read(spark, st.postingsTable).join(probe, Seq("s"), "left_semi")
   }
 
   /** Current assignment for every ingested doc (singletons included). */

@@ -122,4 +122,36 @@ class ClusterIndexSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(ns == Set(10L -> 10L, 11L -> 10L))
   }
+
+  test("shuffle-semi-join fallback folds identically to the broadcast prefilter") {
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (21L, famB + " tail"), (40L, "lonely standalone text here"))
+    val b2 = docs((30L, bridge), (41L, "other unrelated material words"))
+    // maxBroadcastHashes = 0: every batch exceeds the cap, the prefilter
+    // degrades to the shuffled semi-join on every fold
+    val stShuffle = ClusterIndex.State(tmpDir("clidx-sh") + "/s")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      ClusterIndex.fold(spark, stShuffle, b, i.toLong, "doc_id", "text",
+        maxBroadcastHashes = 0L)
+    }
+    val stBcast = foldAll(Seq(b1, b2))
+    sameRows(ClusterIndex.clusters(spark, stShuffle),
+      ClusterIndex.clusters(spark, stBcast),
+      "shuffle-prefilter fold diverges from the broadcast-prefilter fold")
+    sameRows(ClusterIndex.clusters(spark, stShuffle),
+      fullRecompute(b1.unionByName(b2)),
+      "shuffle-prefilter fold diverges from the full recompute")
+  }
+
+  test("the prefilter switch actually changes the physical plan") {
+    val st = foldAll(Seq(docs((10L, famA), (20L, famB))))
+    val hashes = ClusterIndex.batchPostings(docs((30L, bridge)),
+      "doc_id", "text").select(col("s")).distinct()
+    val bcastPlan = ClusterIndex.prefilteredState(spark, st, hashes,
+      useBroadcast = true).queryExecution.executedPlan.toString
+    val shufPlan = ClusterIndex.prefilteredState(spark, st, hashes,
+      useBroadcast = false).queryExecution.executedPlan.toString
+    assert(bcastPlan.contains("BroadcastExchange"), bcastPlan.take(600))
+    assert(!shufPlan.contains("BroadcastExchange"), shufPlan.take(600))
+  }
 }

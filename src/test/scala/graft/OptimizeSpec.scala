@@ -199,4 +199,31 @@ class OptimizeSpec extends SparkSpec {
     // cadence fired: more generations committed than merge batches alone
     assert(gen > 6, s"expected compaction generations beyond the 6 merges, got $gen")
   }
+
+  test("parallel listing equals the serial walk on a partitioned layout") {
+    val dir = tmpDir("opt-list") + "/t"
+    spark.range(4000L)
+      .select((col("id") % 7).as("p"), col("id").as("v"))
+      .repartition(4)
+      .write.partitionBy("p").parquet(dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reference: the plain single-threaded recursive walk
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val root = f.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    val serial = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        serial += ((n, f.makeQualified(st.getPath.getParent).toString
+          .stripPrefix(root).stripPrefix("/"), st.getLen))
+    }
+    val par = Optimize.dataFiles(f, new org.apache.hadoop.fs.Path(dir))
+    assert(par == serial.toSeq.sorted, s"par=${par.take(3)}…")
+    assert(par.nonEmpty && par.forall(_._2.startsWith("p=")))
+    // degenerate pool sizes agree too
+    assert(Optimize.dataFiles(f, new org.apache.hadoop.fs.Path(dir),
+      parallelism = 1) == par)
+  }
 }
