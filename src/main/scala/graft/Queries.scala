@@ -2528,6 +2528,13 @@ object Queries {
     //    (q51's sharded cumulative sum). The full "raw text → training
     //    batches" path as one plan; rows-only (iterative merges have no
     //    SQL oracle), each stage spec'd/oracled individually. ──
+    // the BPE token counts and the pack distribution have no SQL oracle,
+    // but the capstone's INVARIANTS do: every doc lands in exactly one
+    // pack, and token mass is conserved end to end (Σ pack totals ≡ Σ
+    // tokenized doc counts). Both are computed over the real
+    // train→segment→pack path and pinned TRUE by the oracle alongside
+    // the SQL-expressible doc count — a packing or segmentation
+    // regression becomes a CORRECTNESS failure.
     Q("q106_tokenize_pack",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -2536,12 +2543,25 @@ object Queries {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         val tokenized = docs.select(col("doc_id"),
           size(operators.Bpe.segment(col("text"), merges)).cast("long").as("n_tokens"))
-        operators.Packing.packSummary(
-          operators.Packing.packSequences(tokenized, "doc_id", "n_tokens",
-            budget = 4096, nShards = 8),
-          "n_tokens")
+        val packed = operators.Packing.packSequences(tokenized, "doc_id",
+          "n_tokens", budget = 4096, nShards = 8)
+        val summary = operators.Packing.packSummary(packed, "n_tokens")
+        val inMass = tokenized.agg(
+          count(lit(1)).as("__n_in"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("__t_in"))
+        summary.agg(
+            coalesce(sum(col("n_docs")), lit(0L)).as("__n_out"),
+            coalesce(sum(col("total_tokens")), lit(0L)).as("__t_out"))
+          .crossJoin(inMass)
+          .select(col("__n_in").as("n_docs"),
+            (col("__n_out") === col("__n_in")).as("every_doc_packed_once"),
+            (col("__t_out") === col("__t_in")).as("mass_conserved"))
       },
-      None),
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS every_doc_packed_once,
+               TRUE AS mass_conserved
+        FROM documents""")),
 
     // ── join-based blocklist matching (q101's scale path for big phrase
     //    lists): per phrase length, one token-aligned L-gram explode +
@@ -6001,13 +6021,34 @@ object Queries {
     //    .ApproxDistinctRewrite): per-query opt-in, deterministic sketch,
     //    no oracle (DuckDB's approx_count_distinct is a different
     //    algorithm) — equivalence/error bounds are spec-pinned ──
+    // the HLL estimate itself has no SQL oracle, but its ERROR BOUND
+    // does: the accelerated plan's estimate joins the exact
+    // COUNT(DISTINCT) and the query emits `within_bound` — the oracle
+    // pins it TRUE per group (alongside the exact counts), so an
+    // estimator drifting past 3·rsd becomes a CORRECTNESS failure, not
+    // a spec-only assertion. (That the rewrite actually fires is
+    // ApproxDistinctRuleSpec's plan guard.)
     Q("q220_accel_distinct",
-      (s, d) => graft.plans.ApproxDistinctRewrite.accelerate(
-        Tables.events(s, d).groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("n_users_approx"),
-            count(lit(1)).as("n_events")),
-        rsd = 0.05),
-      None),
+      (s, d) => {
+        val rsd = 0.05
+        val approx = graft.plans.ApproxDistinctRewrite.accelerate(
+          Tables.events(s, d).groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("n_users_approx"),
+              count(lit(1)).as("n_events")),
+          rsd = rsd)
+        val exact = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users_exact"))
+        approx.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("n_users_exact"),
+            (abs(col("n_users_approx") - col("n_users_exact")).cast("double")
+              <= lit(3.0 * rsd) * col("n_users_exact").cast("double"))
+              .as("within_bound"))
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS within_bound
+        FROM events GROUP BY 1""")),
 
     // ── band join through the range-join REWRITE RULE (plans
     //    .RangeJoinRewrite.accelerate): the user writes a plain BETWEEN
