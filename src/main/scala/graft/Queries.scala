@@ -6911,6 +6911,60 @@ object Queries {
                CAST(COUNT(*) AS BIGINT) AS n_facts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events e JOIN cur c ON e.user_id = c.user_id
+        GROUP BY 1""")),
+
+    // ── q242's O(batch) fact shape (MultiTableStream.DeltaFact): the
+    //    fact never rewrites — each batch stages one BaseDelta delta dir
+    //    and the coordinator commits a pointer (`@table=batchId`) in the
+    //    same atomic flip as the dim generation; readers resolve
+    //    `readAt(pointer)`. Same readout, same oracle — the storage
+    //    shape changes, the committed view must not ──
+    Q("q243_delta_fact_commit",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q243-mts")
+          .toString + "/r"
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts"))
+        val routed = ev.withColumn("route", lit("dim"))
+          .unionByName(ev.withColumn("route", lit("fact")))
+        val dimSpec = graft.streaming.MultiTableStream.Scd2Dim(
+          "user_dim", "dim", Seq("user_id"), Seq("event_type"), "ts",
+          tieBreak = Seq("event_id"),
+          project = _.select("user_id", "event_type", "event_id", "ts"))
+        val factSpec = graft.streaming.MultiTableStream.DeltaFact(
+          "event_fact", "fact", Seq("event_id"), Seq("ts", "event_id"),
+          maxDeltas = 2, // force a compaction mid-run: the fold must not change the view
+          project = _.select("event_id", "user_id", "value", "ts"))
+        val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+        Seq(routed.filter(col("ts") < cut1),
+          routed.filter(col("ts") >= cut1 && col("ts") < cut2),
+          routed.filter(col("ts") >= cut2)).zipWithIndex.foreach {
+          case (b, i) => graft.streaming.MultiTableStream.foldBatch(
+            s, root, b, "route", Seq(dimSpec), Seq.empty, i.toLong,
+            deltaFacts = Seq(factSpec))
+        }
+        val t = graft.streaming.MultiTableStream.readCommitted(s, root,
+          deltaFacts = Seq(factSpec))
+        val cur = t("user_dim").filter(col("effective_to").isNull)
+          .select(col("user_id"), col("event_type").as("current_type"))
+        t("event_fact").join(cur, Seq("user_id"))
+          .groupBy(col("current_type"))
+          .agg(count(lit(1)).as("n_facts"),
+            sumMoney(col("value")).as("total_value"))
+      },
+      Some("""
+        WITH cur AS (
+          SELECT user_id, event_type AS current_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+        SELECT current_type,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN cur c ON e.user_id = c.user_id
         GROUP BY 1"""))
   )
 

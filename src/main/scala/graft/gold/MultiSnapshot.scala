@@ -81,14 +81,42 @@ object MultiSnapshot {
     }
   }
 
+  /** Namespace for EXTERNAL-POINTER commit entries ([[publish]]'s
+    * `pointers`): committed as `@name=value` lines, so the generic
+    * gen-dir machinery (readAll, retirement) never mistakes them for
+    * staged tables. [[pointer]] resolves them.
+    */
+  val PointerPrefix = "@"
+
+  /** The committed pointer value for an external table (e.g. a
+    * BaseDelta fact's as-of batch id), if present in the commit.
+    */
+  def pointer(c: Commit, table: String): Option[Long] =
+    c.gens.get(PointerPrefix + table)
+
   /** Atomically publish new contents for `tables` (a subset of the
     * root's tables; others carry forward). Returns the new commit.
+    *
+    * `pointers` commits EXTERNAL state references in the SAME atomic
+    * flip: each (name, value) lands in the commit file verbatim (under
+    * the `@` namespace) with no staging and no retirement here — the
+    * O(batch) path for a fact held as a [[BaseDelta]] table, whose
+    * durable-but-invisible staging is its own delta dir and whose
+    * committed view is `readAt(value)`. Readers resolving the
+    * coordinator get the gen tables AND the pointer values of one
+    * consistent commit.
     */
   def publish(spark: SparkSession, root: String,
-              tables: Map[String, DataFrame]): Commit = {
-    require(tables.nonEmpty, "MultiSnapshot.publish: no tables given")
-    tables.keys.foreach(t => require(!t.contains("=") && !t.contains("/") &&
-      !t.startsWith("_"), s"MultiSnapshot: illegal table name '$t'"))
+              tables: Map[String, DataFrame],
+              pointers: Map[String, Long] = Map.empty): Commit = {
+    require(tables.nonEmpty || pointers.nonEmpty,
+      "MultiSnapshot.publish: no tables given")
+    (tables.keys ++ pointers.keys).foreach(t =>
+      require(!t.contains("=") && !t.contains("/") && !t.startsWith("_") &&
+        !t.startsWith(PointerPrefix),
+        s"MultiSnapshot: illegal table name '$t'"))
+    require(tables.keySet.intersect(pointers.keySet).isEmpty,
+      "MultiSnapshot.publish: a table cannot be both staged and a pointer")
     val f = fs(spark, root)
     val prev = currentCommit(spark, root)
     val prevGens = prev.map(_.gens).getOrElse(Map.empty)
@@ -99,7 +127,8 @@ object MultiSnapshot {
         .parquet(genPath(root, t, gen))
       t -> gen
     }
-    val newGens = prevGens ++ staged
+    val newGens = prevGens ++ staged ++
+      pointers.map { case (t, v) => (PointerPrefix + t) -> v }
     // COMMIT: one pointer PUT
     val v = prev.map(_.version).getOrElse(0L) + 1
     f.mkdirs(new Path(commitRoot(root)))
@@ -131,13 +160,16 @@ object MultiSnapshot {
     Commit(v, newGens)
   }
 
-  /** Resolve ONE commit and read every table from it — the mutually
-    * consistent multi-table view.
+  /** Resolve ONE commit and read every STAGED table from it — the
+    * mutually consistent multi-table view. Pointer entries (`@name`)
+    * are external state references the caller resolves via [[pointer]]
+    * + its own reader (e.g. `BaseDelta.readAt`); they are excluded
+    * here because the coordinator holds only their as-of value.
     */
   def readAll(spark: SparkSession, root: String): Map[String, DataFrame] = {
     val c = currentCommit(spark, root).getOrElse(
       sys.error(s"MultiSnapshot.readAll: nothing committed at $root"))
-    c.gens.map { case (t, g) =>
+    c.gens.filterNot(_._1.startsWith(PointerPrefix)).map { case (t, g) =>
       t -> spark.read.parquet(genPath(root, t, g))
     }
   }

@@ -63,21 +63,49 @@ object MultiTableStream {
                            opCol: Option[String] = None,
                            project: DataFrame => DataFrame = identity)
 
-  /** A keyed upsert fact fed by rows routed at `route`. */
+  /** A keyed upsert fact fed by rows routed at `route` — whole-table
+    * rewrite per batch (dimension-sized facts; a fact that outgrows this
+    * belongs in [[DeltaFact]]).
+    */
   final case class UpsertFact(table: String, route: String, keys: Seq[String],
                               orderCols: Seq[String],
                               opCol: Option[String] = None,
                               project: DataFrame => DataFrame = identity)
+
+  /** The O(batch) fact: state lives in a [[BaseDelta]] table (append-only
+    * deltas + merge-on-read + periodic compaction), and the coordinator
+    * commits only a POINTER (`@table = batchId`) in the same atomic flip
+    * as the dims. Staging = the batch's own delta dir — durable but
+    * invisible, because coordinator-resolved readers use
+    * `BaseDelta.readAt(pointer)` and an uncommitted delta's id is above
+    * every committed pointer. Per batch the fact pays one delta write,
+    * never a table rewrite.
+    *
+    * Compaction note: `maxDeltas` bounds read amplification, but a fold
+    * RAISES `timeTravelFloor` — readers pinned to a commit older than
+    * the floor lose their as-of point, so size `maxDeltas` above the
+    * reader-lag window (the BaseDelta retention contract).
+    */
+  final case class DeltaFact(table: String, route: String, keys: Seq[String],
+                             orderCols: Seq[String],
+                             opCol: Option[String] = None,
+                             maxDeltas: Int = 64,
+                             project: DataFrame => DataFrame = identity) {
+    def deltaTable(root: String): graft.gold.BaseDelta.Table =
+      graft.gold.BaseDelta.Table(s"$root/_delta/$table", keys, orderCols, opCol)
+  }
 
   /** Fold ONE micro-batch into the coordinator. Batch-callable: the
     * streaming sink is exactly this, once per trigger.
     */
   def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
                 routeCol: String, dims: Seq[Scd2Dim],
-                facts: Seq[UpsertFact], batchId: Long): Unit = {
-    require(dims.nonEmpty || facts.nonEmpty,
+                facts: Seq[UpsertFact], batchId: Long,
+                deltaFacts: Seq[DeltaFact] = Seq.empty): Unit = {
+    require(dims.nonEmpty || facts.nonEmpty || deltaFacts.nonEmpty,
       "MultiTableStream: at least one table spec required")
-    val names = (dims.map(_.table) ++ facts.map(_.table))
+    val names = dims.map(_.table) ++ facts.map(_.table) ++
+      deltaFacts.map(_.table)
     require(names.distinct.size == names.size,
       s"MultiTableStream: duplicate table names in $names")
     val want = batchId + 1
@@ -104,31 +132,69 @@ object MultiTableStream {
       f.table -> UpsertByKey.mergeBatch(existing, rows, f.keys, f.orderCols,
         f.opCol)
     }
+    // O(batch) facts: STAGE the delta dir now (durable, invisible — no
+    // committed pointer reaches this batch id yet); the pointer advances
+    // to batchId in the same atomic flip as the dims. An empty slice
+    // stages nothing — readAt(batchId) then serves the earlier deltas.
+    val pointers = deltaFacts.map { f =>
+      val rows = slice(f.route, f.project)
+      if (!rows.isEmpty)
+        graft.gold.BaseDelta.append(spark, f.deltaTable(root), rows, batchId)
+      f.table -> batchId
+    }.toMap
     // every batch commits a version even when all slices are empty — the
     // version ledger must stay aligned with batch ids for replay skipping
-    val c = MultiSnapshot.publish(spark, root, (newDims ++ newFacts).toMap)
+    val c = MultiSnapshot.publish(spark, root, (newDims ++ newFacts).toMap,
+      pointers)
     require(c.version == want,
       s"MultiTableStream: version ${c.version} after batch $batchId " +
         s"(expected $want) — single-writer contract violated")
+    // maintenance AFTER the flip: folding includes this batch's delta, so
+    // the time-travel floor lands exactly on the just-committed pointer —
+    // current-commit readers never lose their as-of point; readers pinned
+    // further back than maxDeltas commits are outside the retention
+    // window (the BaseDelta contract)
+    deltaFacts.foreach { f =>
+      val t = f.deltaTable(root)
+      if (graft.gold.BaseDelta.deltaBatches(spark, t).size > f.maxDeltas)
+        graft.gold.BaseDelta.compact(spark, t)
+    }
   }
 
   /** Start the streaming sink: one coordinator commit per micro-batch. */
   def start(parsed: DataFrame, root: String, checkpoint: String,
             routeCol: String, dims: Seq[Scd2Dim], facts: Seq[UpsertFact],
+            deltaFacts: Seq[DeltaFact] = Seq.empty,
             trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        foldBatch(b.sparkSession, root, b.toDF(), routeCol, dims, facts, id)
+        foldBatch(b.sparkSession, root, b.toDF(), routeCol, dims, facts, id,
+          deltaFacts)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
 
   /** The consistent dim+fact readout of the CURRENT commit: every table
-    * resolved from ONE coordinator read. For a tombstone-maintained dim,
-    * join FK checks against `Scd2Merge.liveFromLog(dim, opCol)` — live
-    * current versions only.
+    * resolved from ONE coordinator read. `deltaFacts` members resolve
+    * through their committed pointer (`BaseDelta.readAt`), so their view
+    * is the state as of the SAME commit as the gen tables. For a
+    * tombstone-maintained dim, join FK checks against
+    * `Scd2Merge.liveFromLog(dim, opCol)` — live current versions only.
     */
-  def readCommitted(spark: SparkSession, root: String): Map[String, DataFrame] =
-    MultiSnapshot.readAll(spark, root)
+  def readCommitted(spark: SparkSession, root: String,
+                    deltaFacts: Seq[DeltaFact] = Seq.empty): Map[String, DataFrame] = {
+    val genTables = MultiSnapshot.readAll(spark, root)
+    val c = MultiSnapshot.currentCommit(spark, root).get
+    genTables ++ deltaFacts.flatMap { f =>
+      MultiSnapshot.pointer(c, f.table).flatMap { asOf =>
+        val t = f.deltaTable(root)
+        // a fact whose slices were all empty so far has a pointer but no
+        // store yet — absent from the view rather than an error
+        val (base, deltas) = graft.gold.BaseDelta.resolveSnapshot(spark, t)
+        if (base.isEmpty && deltas.isEmpty) None
+        else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, asOf))
+      }
+    }
+  }
 }

@@ -161,6 +161,81 @@ class MultiTableStreamSpec extends SparkSpec {
       .select("account_id").collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
   }
 
+  private val deltaFactSpec = MultiTableStream.DeltaFact("txns", "txn",
+    Seq("txn_id"), Seq("seq"), opCol = Some("op"),
+    project = _.select("txn_id", "account_id", "amount", "op", "seq", "ts"))
+
+  test("DeltaFact: O(batch) staging, same committed view as the rewrite path") {
+    val root = tmpDir("mts-df") + "/r"
+    val rootUp = tmpDir("mts-df-up") + "/r"
+    for (i <- batches.indices) {
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq.empty, i.toLong, deltaFacts = Seq(deltaFactSpec))
+      MultiTableStream.foldBatch(spark, rootUp, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq(factSpec), i.toLong)
+      // FK invariant through the pointer-resolved view at every commit
+      val t = MultiTableStream.readCommitted(spark, root,
+        deltaFacts = Seq(deltaFactSpec))
+      assert(orphans(t).isEmpty, s"orphan facts after commit ${i + 1}")
+    }
+    val viaDelta = MultiTableStream.readCommitted(spark, root,
+      deltaFacts = Seq(deltaFactSpec))
+    val viaRewrite = MultiTableStream.readCommitted(spark, rootUp)
+    sameRows(viaDelta("txns").select("txn_id", "account_id", "amount"),
+      viaRewrite("txns").select("txn_id", "account_id", "amount"),
+      "DeltaFact view diverges from the whole-table-rewrite view")
+    // O(batch) shape: one delta dir per non-empty batch, no base rewrite
+    val t = deltaFactSpec.deltaTable(root)
+    assert(graft.gold.BaseDelta.deltaBatches(spark, t).toSet == Set(0L, 1L, 2L))
+    assert(graft.gold.BaseDelta.currentBasePath(spark, t).isEmpty,
+      "no compaction expected below maxDeltas")
+  }
+
+  test("DeltaFact: a staged-but-uncommitted delta is invisible to coordinator readers") {
+    val root = tmpDir("mts-df-crash") + "/r"
+    for (i <- 0 until 2)
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq.empty, i.toLong, deltaFacts = Seq(deltaFactSpec))
+    // simulate a crash AFTER the batch-2 delta staged, BEFORE the pointer
+    // flip: exactly what foldBatch does up to the publish call
+    graft.gold.BaseDelta.append(spark, deltaFactSpec.deltaTable(root),
+      deltaFactSpec.project(cdc(batches(2): _*)
+        .filter($"route" === "txn").drop("route")), 2L)
+    val mid = MultiTableStream.readCommitted(spark, root,
+      deltaFacts = Seq(deltaFactSpec))
+    val midIds = mid("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+    assert(midIds == Set(101L, 102L, 103L, 104L, 105L),
+      s"uncommitted batch-2 delta leaked into the committed view: $midIds")
+    assert(orphans(mid).isEmpty)
+    // the replayed batch overwrites its own delta and flips the pointer
+    MultiTableStream.foldBatch(spark, root, cdc(batches(2): _*), "route",
+      Seq(dimSpec), Seq.empty, 2L, deltaFacts = Seq(deltaFactSpec))
+    val t = MultiTableStream.readCommitted(spark, root,
+      deltaFacts = Seq(deltaFactSpec))
+    assert(t("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      == Set(101L, 103L, 105L))
+    assert(orphans(t).isEmpty)
+  }
+
+  test("DeltaFact: compaction cadence keeps the current commit readable") {
+    val root = tmpDir("mts-df-compact") + "/r"
+    val df2 = deltaFactSpec.copy(maxDeltas = 1) // compact after every 2nd batch
+    for (i <- batches.indices)
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq.empty, i.toLong, deltaFacts = Seq(df2))
+    val t = MultiTableStream.readCommitted(spark, root, deltaFacts = Seq(df2))
+    assert(t("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      == Set(101L, 103L, 105L))
+    assert(orphans(t).isEmpty)
+    // compaction actually ran (a base exists) and the floor never passed
+    // the committed pointer
+    val bt = df2.deltaTable(root)
+    assert(graft.gold.BaseDelta.currentBasePath(spark, bt).isDefined)
+    val c = graft.gold.MultiSnapshot.currentCommit(spark, root).get
+    val ptr = graft.gold.MultiSnapshot.pointer(c, "txns").get
+    assert(graft.gold.BaseDelta.timeTravelFloor(spark, bt).forall(_ <= ptr))
+  }
+
   test("streaming end-to-end: MemoryStream triggers, checkpoint restart continues the ledger") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
