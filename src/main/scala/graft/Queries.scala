@@ -6965,7 +6965,44 @@ object Queries {
                CAST(COUNT(*) AS BIGINT) AS n_facts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events e JOIN cur c ON e.user_id = c.user_id
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ── incremental IVF vector index (VectorIndex): embeddings fold in
+    //    three batches into persisted (centroids ∪ cell postings) state —
+    //    the steady-state ANN shape where nothing re-elects or re-assigns
+    //    per batch. Served with nProbe = nCells the probe covers every
+    //    cell, so the persisted index must reproduce brute-force top-k
+    //    EXACTLY — q24's oracle, now against folded state ──
+    Q("q244_vector_index",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q244-vidx")
+          .toString + "/s"
+        val st = graft.operators.VectorIndex.State(root)
+        val emb = Tables.embeddings(s, d)
+        Seq(emb.filter(col("vec_id") % 3 === 0),
+          emb.filter(col("vec_id") % 3 === 1),
+          emb.filter(col("vec_id") % 3 === 2)).zipWithIndex.foreach {
+          case (b, i) => graft.operators.VectorIndex.fold(s, st, b,
+            i.toLong, "vec_id", "embedding", nCells = 8)
+        }
+        graft.operators.VectorIndex.topK(s, st,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nProbe = graft.operators.VectorIndex.nCells(s, st))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 round(list_dot_product(qv, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 5"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

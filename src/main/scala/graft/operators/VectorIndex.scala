@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.gold.{BaseDelta, SnapshotStore}
+import graft.functions.VectorFunctions
+
+/** Incrementally-maintained IVF vector index — the steady-state form of
+  * [[Similarity.ivfTopK]], which re-elects centroids and re-assigns the
+  * WHOLE corpus on every call. A continuously-ingesting embedding
+  * pipeline instead folds each batch in O(batch) and serves queries from
+  * persisted state (the `SearchIndex`/`ClusterIndex` recipe, applied to
+  * the ANN family — the one family that still recomputed from scratch):
+  *
+  *  - `centroids` — the coarse quantizer, elected ONCE from the first
+  *    batch ([[Similarity.centroids]]' seeded deterministic election,
+  *    optionally Lloyd-refined) and FROZEN behind a [[SnapshotStore]]
+  *    generation ledger. Freezing is standard IVF practice (FAISS trains
+  *    the quantizer on a sample, then only adds): cell ids stay stable so
+  *    postings never need re-assignment; quantizer staleness is a
+  *    monitored quantity (`Similarity.embeddingDrift` anchors to exactly
+  *    these frozen centroids), and a re-train is a new index root.
+  *  - `postings` — a [[BaseDelta]] table of (id, cell_id, vec): each
+  *    batch assigns against the BROADCAST frozen centroids (map-only)
+  *    and appends ONE delta dir; replayed batch ids overwrite their own
+  *    delta (exactly-once by merge + ledger).
+  *
+  * Query cost: routing = |Q| × nCells broadcast scores; scoring touches
+  * only the probed cells' postings via the cell_id hash join against the
+  * BROADCAST query frame — the corpus never shuffles for scoring
+  * (q24/q115's plan contract, now over persisted state). With
+  * `nProbe = nCells` the probe covers every cell, making the result
+  * EXACTLY brute-force top-k — the SQL-expressible oracle surface
+  * (q244); partial probes trade recall for cells skipped, spec-bounded.
+  *
+  * Contract: each id arrives in exactly one batch (upstream dedup gate);
+  * vectors are non-zero (cosine); single writer, any readers.
+  */
+object VectorIndex {
+
+  final case class State(root: String) {
+    def postingsTable: BaseDelta.Table =
+      BaseDelta.Table(s"$root/postings", Seq("id"), Seq("cell_id"), None)
+    def centroidsPath: String = s"$root/centroids"
+  }
+
+  /** Fold one embedding batch (idCol, vecCol) into the index. The first
+    * batch elects and freezes the quantizer (`nCells`, `refineIters`);
+    * later batches only assign + append.
+    */
+  def fold(spark: SparkSession, st: State, batch: DataFrame,
+           batchId: Long, idCol: String, vecCol: String, nCells: Int = 16,
+           refineIters: Int = 0, maxDeltas: Int = 64): Unit = {
+    if (!SnapshotStore.exists(spark, st.centroidsPath)) {
+      val seeded = Similarity.centroids(batch, idCol, vecCol, nCells)
+      val cents =
+        if (refineIters > 0)
+          Similarity.kmeansRefine(batch, idCol, vecCol, seeded, refineIters)
+        else seeded
+      // ledger: whichever batch observes the missing quantizer publishes
+      // generation 1 exactly once; a concurrent replay seeing it
+      // published skips (single-writer contract)
+      if (SnapshotStore.currentGen(spark, st.centroidsPath).isEmpty)
+        SnapshotStore.publish(cents, st.centroidsPath)
+    }
+    val cents = SnapshotStore.read(spark, st.centroidsPath)
+    val assigned = Similarity
+      .assignCells(batch.select(col(idCol), col(vecCol)), cents,
+        idCol, vecCol, nProbe = 1)
+      .select(col(idCol).as("id"), col("cell_id"), col(vecCol).as("vec"))
+    BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, assigned,
+      batchId, maxDeltas)
+  }
+
+  /** Top-k nearest indexed vectors per query over the probed cells.
+    * (query_id, neighbor_id, cosine, rank) — self-matches excluded, ties
+    * broken by neighbor id (engine-exact with `roundTo`-rounded cosine,
+    * q24's proven cross-engine recipe). `nProbe = nCells` ≡ exact
+    * brute-force top-k.
+    */
+  def topK(spark: SparkSession, st: State, queries: DataFrame,
+           idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+           roundTo: Int = 6): DataFrame = {
+    val cents = SnapshotStore.read(spark, st.centroidsPath)
+    val q = Similarity.assignCells(
+        queries.select(col(idCol), col(vecCol)), cents, idCol, vecCol,
+        nProbe = nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
+    val scored = BaseDelta.read(spark, st.postingsTable)
+      .join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("vec")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Number of cells in the frozen quantizer (for `nProbe = nCells`
+    * exact serving and recall experiments).
+    */
+  def nCells(spark: SparkSession, st: State): Int =
+    SnapshotStore.read(spark, st.centroidsPath).count().toInt
+}
