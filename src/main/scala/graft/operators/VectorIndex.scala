@@ -52,6 +52,9 @@ object VectorIndex {
   def fold(spark: SparkSession, st: State, batch: DataFrame,
            batchId: Long, idCol: String, vecCol: String, nCells: Int = 16,
            refineIters: Int = 0, maxDeltas: Int = 64): Unit = {
+    // an empty batch must not elect an empty quantizer (which would
+    // blank every later assignment) or stage an unreadable empty delta
+    if (batch.isEmpty) return
     if (!SnapshotStore.exists(spark, st.centroidsPath)) {
       val seeded = Similarity.centroids(batch, idCol, vecCol, nCells)
       val cents =

@@ -75,6 +75,23 @@ class VectorIndexSpec extends SparkSpec {
       k = 3, nProbe = 8).collect().toSet == before)
   }
 
+  test("an empty batch is a no-op: no empty quantizer, no unreadable delta") {
+    val st = VectorIndex.State(tmpDir("vidx-empty") + "/s")
+    VectorIndex.fold(spark, st, emb.filter($"vec_id" < 0), 0L,
+      "vec_id", "embedding", nCells = 8)
+    assert(!graft.gold.SnapshotStore.exists(spark, st.centroidsPath),
+      "empty first batch must not freeze a quantizer")
+    VectorIndex.fold(spark, st, emb, 1L, "vec_id", "embedding", nCells = 8)
+    VectorIndex.fold(spark, st, emb.filter($"vec_id" < 0), 2L,
+      "vec_id", "embedding", nCells = 8)
+    val queries = emb.filter($"vec_id" < 5)
+    sameRows(
+      VectorIndex.topK(spark, st, queries, "vec_id", "embedding", k = 3,
+        nProbe = VectorIndex.nCells(spark, st)),
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3),
+      "empty folds perturbed the index")
+  }
+
   test("scoring plan: queries broadcast, postings never shuffle for the join") {
     val st = foldCuts(Seq(60L))
     val plan = VectorIndex.topK(spark, st, emb.filter($"vec_id" < 5),
