@@ -43,15 +43,28 @@ object VectorIndex {
     def postingsTable: BaseDelta.Table =
       BaseDelta.Table(s"$root/postings", Seq("id"), Seq("cell_id"), None)
     def centroidsPath: String = s"$root/centroids"
+    /** Frozen PQ codebook (micro-unit longs, position-indexed) — present
+      * only when the index folds with `pqM > 0`.
+      */
+    def codebookPath: String = s"$root/codebook"
   }
+
+  private def readCodebook(spark: SparkSession, st: State): Array[Long] =
+    SnapshotStore.read(spark, st.codebookPath)
+      .orderBy(col("pos")).collect().map(_.getLong(1))
 
   /** Fold one embedding batch (idCol, vecCol) into the index. The first
     * batch elects and freezes the quantizer (`nCells`, `refineIters`);
-    * later batches only assign + append.
+    * later batches only assign + append. With `pqM > 0` the first batch
+    * also trains and freezes a PQ codebook (`pqM` subspaces × `pqK`
+    * codes), and every posting additionally carries its m-code PQ encode
+    * — the bytes [[topKAdc]] scans instead of raw vectors. Use the same
+    * `pqM`/`pqK` on every fold of one index root.
     */
   def fold(spark: SparkSession, st: State, batch: DataFrame,
            batchId: Long, idCol: String, vecCol: String, nCells: Int = 16,
-           refineIters: Int = 0, maxDeltas: Int = 64): Unit = {
+           refineIters: Int = 0, maxDeltas: Int = 64,
+           pqM: Int = 0, pqK: Int = 16): Unit = {
     // an empty batch must not elect an empty quantizer (which would
     // blank every later assignment) or stage an unreadable empty delta
     if (batch.isEmpty) return
@@ -67,11 +80,23 @@ object VectorIndex {
       if (SnapshotStore.currentGen(spark, st.centroidsPath).isEmpty)
         SnapshotStore.publish(cents, st.centroidsPath)
     }
+    if (pqM > 0 && !SnapshotStore.exists(spark, st.codebookPath)) {
+      val cb = Pq.codebookMicro(batch, idCol, vecCol, pqM, pqK)
+      import spark.implicits._
+      if (SnapshotStore.currentGen(spark, st.codebookPath).isEmpty)
+        SnapshotStore.publish(
+          cb.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("pos", "v"),
+          st.codebookPath)
+    }
     val cents = SnapshotStore.read(spark, st.centroidsPath)
-    val assigned = Similarity
+    val assigned0 = Similarity
       .assignCells(batch.select(col(idCol), col(vecCol)), cents,
         idCol, vecCol, nProbe = 1)
       .select(col(idCol).as("id"), col("cell_id"), col(vecCol).as("vec"))
+    val assigned =
+      if (pqM <= 0) assigned0
+      else assigned0.withColumn("codes",
+        Pq.encode(col("vec"), readCodebook(spark, st), pqM, pqK))
     BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, assigned,
       batchId, maxDeltas)
   }
@@ -98,6 +123,47 @@ object VectorIndex {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+  }
+
+  /** The composed IVF → PQ-ADC → exact-rerank serve over PERSISTED
+    * state — [[Similarity.ivfPqTopK]]'s shape (the actual 100 TB ANN
+    * path: probed cells scanned as m byte-codes, not d floats; ADC
+    * shortlist re-ranked with exact cosine from the stored vectors).
+    * Requires the index to have folded with `pqM > 0` (same `pqM`/`pqK`
+    * here). Broadcast-only scoring: per-query LUTs and the shortlist
+    * both ride broadcasts, postings never shuffle.
+    */
+  def topKAdc(spark: SparkSession, st: State, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+              shortlist: Int = 64, pqM: Int = 4, pqK: Int = 16,
+              roundTo: Int = 6): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cents = SnapshotStore.read(spark, st.centroidsPath)
+    val cb = readCodebook(spark, st)
+    val q = Similarity.assignCells(
+        queries.select(col(idCol), col(vecCol)), cents, idCol, vecCol,
+        nProbe = nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
+      .withColumn("__lut", Pq.lut(col("qv"), cb, pqM, pqK))
+    val post = BaseDelta.read(spark, st.postingsTable)
+    // ADC pass: code bytes only, within probed cells
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("id").asc)
+    val short = post.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("__adc", Pq.adc(col("codes"), col("__lut"), pqK))
+      .withColumn("__ar", row_number().over(wAdc))
+      .filter(col("__ar") <= shortlist)
+    // exact re-rank over the shortlist's stored vectors
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    short
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("vec")), roundTo))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("cosine"), col("rank").cast("int").as("rank"))

@@ -92,6 +92,33 @@ class VectorIndexSpec extends SparkSpec {
       "empty folds perturbed the index")
   }
 
+  test("PQ-ADC serve from persisted codes: full probe + wide shortlist is exact; tight budget keeps recall") {
+    val st = VectorIndex.State(tmpDir("vidx-pq") + "/s")
+    Seq(emb.filter($"vec_id" < 40), emb.filter($"vec_id" >= 40))
+      .zipWithIndex.foreach { case (b, i) =>
+        VectorIndex.fold(spark, st, b, i.toLong, "vec_id", "embedding",
+          nCells = 8, pqM = 4, pqK = 16)
+      }
+    // postings carry codes
+    assert(graft.gold.BaseDelta.read(spark, st.postingsTable)
+      .columns.contains("codes"))
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+    // shortlist ≥ corpus: rerank sees everything probed — exact
+    val wide = VectorIndex.topKAdc(spark, st, queries, "vec_id", "embedding",
+      k = 5, nProbe = VectorIndex.nCells(spark, st), shortlist = 100000,
+      pqM = 4, pqK = 16)
+    sameRows(wide, exact, "wide-shortlist ADC rerank diverges from exact")
+    // tight budget: approximate, but recall holds
+    val tight = VectorIndex.topKAdc(spark, st, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4, shortlist = 32, pqM = 4, pqK = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exactSet = exact.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exactSet intersect tight).size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"ADC recall too low: $recall")
+  }
+
   test("scoring plan: queries broadcast, postings never shuffle for the join") {
     val st = foldCuts(Seq(60L))
     val plan = VectorIndex.topK(spark, st, emb.filter($"vec_id" < 5),
