@@ -111,6 +111,11 @@ object PlanLint {
     "q09_dq_suite" -> Map("single_partition_exchange" -> 3L),
     "q102_chi2_tokens" -> Map("broadcast_nested_loop" -> 2L, "single_partition_exchange" -> 1L),
     "q105_js_divergence" -> Map("broadcast_nested_loop" -> 2L),
+    // round 8: q106's oracle-visible conservation readout crosses two
+    // 1-row aggregates (class 1) whose final stages are global scalar
+    // aggs (class 2)
+    "q106_tokenize_pack" -> Map("broadcast_nested_loop" -> 1L,
+      "single_partition_exchange" -> 2L),
     "q111_ab_test" -> Map("broadcast_nested_loop" -> 1L),
     "q112_event_lift" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
     "q115_ivf_pq_rerank" -> Map("broadcast_nested_loop" -> 2L),
@@ -134,6 +139,10 @@ object PlanLint {
     "q238_twab" -> Map("broadcast_nested_loop" -> 1L),
     "q241_topk_others" -> Map("single_partition_exchange" -> 1L),
     "q24_cosine_topk" -> Map("broadcast_nested_loop" -> 1L),
+    // round 8: the incremental IVF serve routes queries via the
+    // parameter-sized (nCells-row) centroid broadcast cross (class 1 —
+    // q29's exact shape over persisted state)
+    "q244_vector_index" -> Map("broadcast_nested_loop" -> 1L),
     "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 2L),
     "q53_group_minhash" -> Map("broadcast_nested_loop" -> 1L),
     "q56_tfidf" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
