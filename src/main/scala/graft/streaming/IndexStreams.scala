@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{ClusterIndex, SearchIndex, VectorIndex}
+
+/** Streaming maintenance of the three persisted LLM-pipeline indexes —
+  * each micro-batch runs the index's batch fold, which is already
+  * exactly-once under replay (generation ledgers + batch-id-keyed delta
+  * overwrites), so a checkpoint restart or redelivered trigger converges
+  * to the same state the batch path produces. These are thin
+  * `foreachBatch` shells by design: the fold IS the operator, the
+  * stream only schedules it (the `scd2LogStream`/`upsertStreamDelta`
+  * pattern applied to the index tier).
+  */
+object IndexStreams {
+
+  /** Continuously fold documents (idCol, textCol) into a BM25 + phrase
+    * [[SearchIndex]].
+    */
+  def searchIndexStream(docs: DataFrame, st: SearchIndex.State,
+                        checkpoint: String, idCol: String, textCol: String,
+                        maxDeltas: Int = 16,
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty)
+          SearchIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, textCol,
+            maxDeltas)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Continuously fold documents into the incremental near-dup
+    * [[ClusterIndex]] (persisted postings + cluster assignments).
+    */
+  def clusterIndexStream(docs: DataFrame, st: ClusterIndex.State,
+                         checkpoint: String, idCol: String, textCol: String,
+                         k: Int = 3, threshold: Double = 0.2,
+                         maxStateDf: Int = 0, maxDeltas: Int = 16,
+                         trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!b.isEmpty)
+          ClusterIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, textCol,
+            k, threshold, maxStateDf, maxDeltas)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Continuously fold embeddings (idCol, vecCol) into the incremental
+    * IVF [[VectorIndex]] (frozen quantizer + cell postings, optional PQ
+    * codes).
+    */
+  def vectorIndexStream(embeddings: DataFrame, st: VectorIndex.State,
+                        checkpoint: String, idCol: String, vecCol: String,
+                        nCells: Int = 16, refineIters: Int = 0,
+                        maxDeltas: Int = 64, pqM: Int = 0, pqK: Int = 16,
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        VectorIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, vecCol,
+          nCells, refineIters, maxDeltas, pqM, pqK)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

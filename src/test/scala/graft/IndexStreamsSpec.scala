@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{ClusterIndex, Dedup, SearchIndex, Similarity, TextAnalysis, VectorIndex}
+import graft.streaming.IndexStreams
+
+/** Streaming maintenance of the persisted index tier: streamed folds
+  * must land exactly where the batch folds land, and a checkpoint-wiped
+  * replay must converge, because each fold is ledger-idempotent.
+  */
+class IndexStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("search index stream ≡ batch fold; replay under a wiped checkpoint converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "bank account risk"), (2L, "data lake account"),
+      (3L, "risk model"), (4L, "other words"))
+    val st = SearchIndex.State(tmpDir("sis") + "/s")
+    def run(ckpt: String): Unit = {
+      val ms = MemoryStream[(Long, String)]
+      val q = IndexStreams.searchIndexStream(
+        ms.toDF().toDF("doc_id", "text"), st, ckpt, "doc_id", "text",
+        trigger = Trigger.ProcessingTime(0))
+      corpus.grouped(2).foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
+      q.stop()
+    }
+    run(tmpDir("sis-ckpt"))
+    val expected = TextAnalysis.bm25(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("account", "risk"))
+    val got = SearchIndex.search(spark, st, Seq("account", "risk"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"streamed index diverges:\n${got.collect().mkString("\n")}")
+    // wiped checkpoint: everything redelivers under the same batch ids
+    run(tmpDir("sis-ckpt2"))
+    val replayed = SearchIndex.search(spark, st, Seq("account", "risk"))
+    assert(replayed.exceptAll(expected).isEmpty && expected.exceptAll(replayed).isEmpty)
+  }
+
+  test("cluster index stream ≡ full recompute, including a cross-batch bridge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val famA = "alpha beta gamma delta epsilon zeta"
+    val famB = "one two three four five six"
+    val all = Seq((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (21L, famB + " tail"), (30L, s"$famA $famB"))
+    val st = ClusterIndex.State(tmpDir("cis") + "/s")
+    val ms = MemoryStream[(Long, String)]
+    val q = IndexStreams.clusterIndexStream(
+      ms.toDF().toDF("doc_id", "text"), st, tmpDir("cis-ckpt"),
+      "doc_id", "text", trigger = Trigger.ProcessingTime(0))
+    Seq(all.take(4), all.drop(4)).foreach { g =>
+      ms.addData(g); q.processAllAvailable() }
+    q.stop()
+    val comp = Dedup.resolveClusters(
+      Dedup.ngramJaccard(all.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, threshold = 0.2))
+    val expected = all.toDF("doc_id", "text")
+      .select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val got = ClusterIndex.clusters(spark, st)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"streamed clusters diverge:\n${got.collect().mkString("\n")}")
+  }
+
+  test("vector index stream: full-probe serve equals brute force; empty trigger harmless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val st = VectorIndex.State(tmpDir("vis") + "/s")
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = IndexStreams.vectorIndexStream(
+      ms.toDF().toDF("vec_id", "embedding"), st, tmpDir("vis-ckpt"),
+      "vec_id", "embedding", nCells = 8, trigger = Trigger.ProcessingTime(0))
+    ms.addData(rows.take(50).toSeq); q.processAllAvailable()
+    q.processAllAvailable() // empty trigger between data batches
+    ms.addData(rows.drop(50).toSeq); q.processAllAvailable()
+    q.stop()
+    val queries = emb.filter($"vec_id" < 10)
+    val got = VectorIndex.topK(spark, st, queries, "vec_id", "embedding",
+      k = 5, nProbe = VectorIndex.nCells(spark, st))
+    val expected = Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", k = 5)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streamed vector index diverges from brute force")
+  }
+}
