@@ -7002,7 +7002,61 @@ object Queries {
                CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
         FROM scored
-        QUALIFY rank <= 5"""))
+        QUALIFY rank <= 5""")),
+
+    // ── coordinated right-to-erasure over the multi-table commit
+    //    (Erasure.eraseCoordinated on q242's coordinator): subjects are
+    //    erased from the SCD2 dim AND the fact in ONE atomic flip
+    //    (delta/fact members first — never an orphan state), pre-erasure
+    //    bytes vacuumed. Readout = q242's consistent join AFTER erasure;
+    //    oracle = the same SQL with the subjects excluded ──
+    Q("q245_coordinated_erasure",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q245-erase")
+          .toString + "/r"
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts"))
+        val routed = ev.withColumn("route", lit("dim"))
+          .unionByName(ev.withColumn("route", lit("fact")))
+        val dimSpec = graft.streaming.MultiTableStream.Scd2Dim(
+          "user_dim", "dim", Seq("user_id"), Seq("event_type"), "ts",
+          tieBreak = Seq("event_id"),
+          project = _.select("user_id", "event_type", "event_id", "ts"))
+        val factSpec = graft.streaming.MultiTableStream.UpsertFact(
+          "event_fact", "fact", Seq("event_id"), Seq("ts", "event_id"),
+          project = _.select("event_id", "user_id", "value", "ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        Seq(routed.filter(col("ts") < cut),
+          routed.filter(col("ts") >= cut)).zipWithIndex.foreach {
+          case (b, i) => graft.streaming.MultiTableStream.foldBatch(
+            s, root, b, "route", Seq(dimSpec), Seq(factSpec), i.toLong)
+        }
+        graft.gold.Erasure.eraseCoordinated(s, root,
+          keyCols = Map("user_dim" -> "user_id", "event_fact" -> "user_id"),
+          subjects = ev.select(col("user_id"))
+            .filter(pmod(col("user_id"), lit(10)) === 3).distinct())
+        val t = graft.streaming.MultiTableStream.readCommitted(s, root)
+        val cur = t("user_dim").filter(col("effective_to").isNull)
+          .select(col("user_id"), col("event_type").as("current_type"))
+        t("event_fact").join(cur, Seq("user_id"))
+          .groupBy(col("current_type"))
+          .agg(count(lit(1)).as("n_facts"),
+            sumMoney(col("value")).as("total_value"))
+      },
+      Some("""
+        WITH kept AS (SELECT * FROM events WHERE user_id % 10 <> 3),
+        cur AS (
+          SELECT user_id, event_type AS current_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM kept) WHERE rn = 1)
+        SELECT current_type,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM kept e JOIN cur c ON e.user_id = c.user_id
+        GROUP BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

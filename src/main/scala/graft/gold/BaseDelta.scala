@@ -323,7 +323,8 @@ object BaseDelta {
     * writer, never in `read`.
     */
   def compact(spark: SparkSession, t: Table,
-              allowSchemaEvolution: Boolean = false): Unit = {
+              allowSchemaEvolution: Boolean = false,
+              transform: Option[DataFrame => DataFrame] = None): Unit = {
     val f = fs(spark, t.path)
     val mOpt = readManifest(spark, t)
     if (mOpt.isEmpty)
@@ -331,18 +332,25 @@ object BaseDelta {
       // between writeAtomic's two renames before reading it
       UpsertByKey.recoverDangling(f, t.basePath)
     val live = mOpt.map(_.deltas).getOrElse(diskDeltas(spark, t))
-    if (live.isEmpty) return  // nothing to fold (also covers an empty table)
+    // plain compaction with no live deltas is a no-op; a TRANSFORM
+    // (erasure rewrite) must still run against the base alone
+    if (live.isEmpty && transform.isEmpty) return
+    if (live.isEmpty && currentBasePath(spark, t).isEmpty) return // empty table
     val gen = mOpt.map(_.generation).getOrElse(0L)
     val newBase = new Path(t.baseGenPath(gen + 1))
     if (f.exists(newBase)) f.delete(newBase, true)  // crashed earlier attempt
-    read(spark, t, allowSchemaEvolution)
+    val folded0 = read(spark, t, allowSchemaEvolution)
+    // (a transform filtering everything is safe: Spark writes a
+    // schema-preserving empty file, so the new base stays readable)
+    transform.map(_(folded0)).getOrElse(folded0)
       .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
     // fold boundary: everything up to the highest live batch is now
     // inseparable from the base — recorded so readAt can refuse, monotone
     // across compactions (a fold can only raise the floor)
-    val folded = (mOpt.flatMap(_.foldedThrough).toSeq ++ live).max
+    val folded = (mOpt.flatMap(_.foldedThrough).toSeq ++ live)
+      .reduceOption(_ max _)
     writeManifest(spark, t,
-      Manifest(gen + 1, Seq.empty, Some(folded)))  // ← commit point
+      Manifest(gen + 1, Seq.empty, folded))  // ← commit point
     // retire everything no longer referenced by the PREVIOUS generation:
     // readers may still hold (gen, live); older state is unreachable
     if (gen >= 1) {

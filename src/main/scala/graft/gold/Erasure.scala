@@ -164,4 +164,78 @@ object Erasure {
     import spark.implicits._
     dropped.toSeq.sorted.toDF("dropped_partition")
   }
+
+  /** Coordinated erasure across a [[MultiSnapshot]] root: erase
+    * `subjects` from every member table in ONE atomic commit, so a
+    * reader never resolves a state where the subject is gone from the
+    * dim but still present in the fact (or vice versa) — the FK-clean
+    * form of right-to-erasure over the q242/q243 coordinator.
+    *
+    * Order of operations (each step safe to observe):
+    *  1. [[graft.gold.BaseDelta]] members (`deltaMembers`: O(batch)
+    *     facts committed by pointer) rewrite FIRST via a filtered
+    *     compaction — removing fact rows before dim rows can never
+    *     create an orphan, and the committed pointer stays valid (the
+    *     fold floor rises to the pointer, not past it).
+    *  2. All staged (gen-dir) tables that carry the subject column
+    *     publish their filtered generations in ONE coordinator flip.
+    *  3. [[MultiSnapshot.vacuum]] deletes the pre-erasure generations'
+    *     bytes immediately — erasure overrides the one-cycle retention.
+    *
+    * `keyCols` names each member's subject column (staged or delta);
+    * members absent from it carry forward untouched. Returns the
+    * receipt: one row per (table, subject) with rows erased, zeros
+    * included — the auditor's ledger, not a boolean.
+    */
+  def eraseCoordinated(spark: SparkSession, root: String,
+                       keyCols: Map[String, String], subjects: DataFrame,
+                       deltaMembers: Map[String, BaseDelta.Table] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val subj = broadcast(subjects.select(col(subjects.columns.head)
+      .as("__subject")).distinct())
+    val c = MultiSnapshot.currentCommit(spark, root).getOrElse(
+      sys.error(s"Erasure.eraseCoordinated: nothing committed at $root"))
+
+    def receiptOf(table: String, df: org.apache.spark.sql.DataFrame,
+                  keyCol: String) =
+      subj.join(
+          df.join(subj, col(keyCol) === col("__subject"))
+            .groupBy(col("__subject")).agg(count(lit(1)).as("__n")),
+          Seq("__subject"), "left")
+        .select(lit(table).as("table_name"),
+          col("__subject").cast("string").as("subject"),
+          coalesce(col("__n"), lit(0L)).as("n_rows_erased"))
+
+    // 1. delta members first: fact rows go before dim rows ever can
+    val deltaReceipts = deltaMembers.toSeq.sortBy(_._1).flatMap {
+      case (name, t) =>
+        keyCols.get(name).map { keyCol =>
+          val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol)
+            .localCheckpoint(true)
+          BaseDelta.compact(spark, t, transform = Some(df =>
+            df.join(subj, col(keyCol) === col("__subject"), "left_anti")))
+          BaseDelta.vacuum(spark, t)
+          rec
+        }
+    }
+    // 2. staged tables: one atomic flip for every filtered generation
+    val stagedNames = c.gens.keySet
+      .filterNot(_.startsWith(MultiSnapshot.PointerPrefix))
+      .filter(keyCols.contains).toSeq.sorted
+    val stagedReceipts = stagedNames.map { name =>
+      receiptOf(name, MultiSnapshot.read(spark, root, name), keyCols(name))
+        .localCheckpoint(true)
+    }
+    if (stagedNames.nonEmpty)
+      MultiSnapshot.publish(spark, root, stagedNames.map { name =>
+        name -> MultiSnapshot.read(spark, root, name)
+          .join(subj, col(keyCols(name)) === col("__subject"), "left_anti")
+      }.toMap)
+    // 3. the old bytes go NOW
+    MultiSnapshot.vacuum(spark, root)
+    (deltaReceipts ++ stagedReceipts)
+      .reduceOption(_ unionByName _)
+      .getOrElse(sys.error(
+        "Erasure.eraseCoordinated: no member matched keyCols"))
+  }
 }

@@ -174,6 +174,38 @@ object MultiSnapshot {
     }
   }
 
+  /** Retire every generation NOT referenced by the CURRENT commit, and
+    * every older commit pointer — the erasure override of the one-cycle
+    * retention [[publish]] keeps for in-flight readers: after a
+    * subject-erasing publish the pre-erasure generations' bytes must go
+    * NOW, not next cycle. Storage-metadata work only; returns deleted
+    * paths for the operation ledger.
+    */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val c = currentCommit(spark, root).getOrElse(return Seq.empty)
+    val keep: Map[String, Set[Long]] = c.gens
+      .filterNot(_._1.startsWith(PointerPrefix))
+      .map { case (t, g) => t -> Set(g) }
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    keep.foreach { case (t, keepGens) =>
+      val dir = new Path(tablePath(root, t))
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
+            !keepGens.contains(n.stripPrefix("gen=").toLong)) {
+          f.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
+    }
+    commitVersions(spark, root).filterNot(_ == c.version).foreach { v =>
+      f.delete(commitFile(root, v), false)
+      deleted += commitFile(root, v).toString
+    }
+    deleted.toSeq
+  }
+
   /** One table from the current commit (still coordinator-resolved, so
     * repeated calls within one commit cycle are consistent with
     * [[readAll]] of that commit).

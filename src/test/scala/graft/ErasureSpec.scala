@@ -100,4 +100,60 @@ class ErasureSpec extends SparkSpec {
     assert(gens == Seq(s"gen=$cur"),
       s"retired generations survived the vacuum: $gens")
   }
+
+  test("coordinated erasure: one atomic flip across dim, fact, and delta-fact members") {
+    import graft.gold.{BaseDelta, MultiSnapshot}
+    val root = tmpDir("erase-coord") + "/r"
+    val dim = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("customer_id", "name")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 3L))
+      .toDF("order_id", "customer_id")
+    val audit = Seq((1L, "x")).toDF("audit_id", "note") // no subject column
+    MultiSnapshot.publish(spark, root, Map(
+      "customers" -> dim, "orders" -> orders, "audit" -> audit))
+    // an O(batch) fact member committed by pointer
+    val dt = BaseDelta.Table(s"$root/_delta/txns", Seq("txn_id"),
+      Seq("seq"), None)
+    BaseDelta.append(spark, dt,
+      Seq((100L, 1L, 1L), (101L, 2L, 2L), (102L, 3L, 3L), (103L, 2L, 4L))
+        .toDF("txn_id", "customer_id", "seq"), 0L)
+    MultiSnapshot.publish(spark, root, Map.empty[String, org.apache.spark.sql.DataFrame],
+      pointers = Map("txns" -> 0L))
+
+    val receipts = graft.gold.Erasure.eraseCoordinated(spark, root,
+      keyCols = Map("customers" -> "customer_id", "orders" -> "customer_id",
+        "txns" -> "customer_id"),
+      subjects = Seq(2L, 9L).toDF("s"),
+      deltaMembers = Map("txns" -> dt))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(receipts == Map(
+      ("customers", "2") -> 1L, ("customers", "9") -> 0L,
+      ("orders", "2") -> 2L, ("orders", "9") -> 0L,
+      ("txns", "2") -> 2L, ("txns", "9") -> 0L), receipts)
+
+    // one consistent post-erasure commit: subject 2 gone EVERYWHERE
+    val c = MultiSnapshot.currentCommit(spark, root).get
+    val t = MultiSnapshot.readAll(spark, root)
+    assert(t("customers").select("customer_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(t("orders").select("order_id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 13L))
+    assert(t("audit").count() == 1L, "member without a key column carries forward")
+    val ptr = MultiSnapshot.pointer(c, "txns").get
+    assert(BaseDelta.readAt(spark, dt, ptr).select("txn_id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 102L))
+
+    // bytes: pre-erasure generations and old commit pointers are GONE
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("customers", "orders").foreach { tbl =>
+      val gens = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$tbl"))
+        .map(_.getPath.getName).filter(_.startsWith("gen=")).toSeq
+      assert(gens == Seq(s"gen=${c.gens(tbl)}"),
+        s"$tbl pre-erasure generations survived: $gens")
+    }
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/_commit"))
+      .map(_.getPath.getName).count(_.startsWith("v")) == 1,
+      "old commit pointers must not survive an erasure vacuum")
+  }
 }
