@@ -986,6 +986,60 @@ object Perf {
         graft.plans.RangeJoinRewrite.accelerate(band(5000000L, 50000L),
           width = 64.0).count())
     }
+    if (what == "mts-r8") {
+      // streaming multi-table atomic commit at scale: per-batch fold cost
+      // of the whole-table-rewrite fact (UpsertFact) vs the O(batch)
+      // BaseDelta pointer fact (DeltaFact), 500k fact rows + 5k dim
+      // changes per batch over 8 batches (4M-row fact by the end)
+      import graft.streaming.MultiTableStream
+      import graft.streaming.MultiTableStream.{DeltaFact, Scd2Dim, UpsertFact}
+      val dimSpec = Scd2Dim("accounts", "acct", Seq("account_id"),
+        Seq("account_type"), "ts", tieBreak = Seq("seq"))
+      val upFact = UpsertFact("txns", "txn", Seq("txn_id"), Seq("seq"))
+      val dFact = DeltaFact("txns", "txn", Seq("txn_id"), Seq("seq"))
+      def batchOf(b: Long): org.apache.spark.sql.DataFrame = {
+        val base = lit(s"2024-01-0${b + 1} 00:00:00").cast("timestamp")
+        val facts = spark.range(b * 500000L, (b + 1) * 500000L)
+          .select(lit("txn").as("route"), (col("id") % 100000L).as("account_id"),
+            col("id").as("txn_id"), lit(null).cast("string").as("account_type"),
+            (col("id") % 997L).cast("double").as("amount"), col("id").as("seq"),
+            base.as("ts"))
+        val nDim = if (b == 0) 100000L else 5000L
+        val dims = spark.range(nDim)
+          .select(lit("acct").as("route"),
+            (col("id") * (if (b == 0) 1L else 17L) % 100000L).as("account_id"),
+            lit(-1L).as("txn_id"),
+            concat(lit("T"), lit(b), lit("_"), col("id") % 3).as("account_type"),
+            lit(0.0).as("amount"), (lit(b * 1000000L) + col("id")).as("seq"),
+            base.as("ts"))
+        facts.unionByName(dims)
+      }
+      val rootUp = java.nio.file.Files.createTempDirectory("perf-mts-up")
+        .toString + "/r"
+      val rootD = java.nio.file.Files.createTempDirectory("perf-mts-d")
+        .toString + "/r"
+      for (b <- 0L until 8L) {
+        val batch = batchOf(b)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        time(s"mts-upsert-fact-b$b") {
+          MultiTableStream.foldBatch(spark, rootUp, batch, "route",
+            Seq(dimSpec), Seq(upFact), b)
+          1L
+        }
+        time(s"mts-delta-fact-b$b") {
+          MultiTableStream.foldBatch(spark, rootD, batch, "route",
+            Seq(dimSpec), Seq.empty, b, deltaFacts = Seq(dFact))
+          1L
+        }
+        batch.unpersist()
+      }
+      // the two committed views agree (and the reader's cost readout)
+      time("mts-read-upsert")(MultiTableStream.readCommitted(spark, rootUp)
+        .apply("txns").count())
+      time("mts-read-delta")(MultiTableStream.readCommitted(spark, rootD,
+        deltaFacts = Seq(dFact)).apply("txns").count())
+    }
     spark.stop()
   }
 }
