@@ -989,8 +989,8 @@ object Perf {
     if (what == "mts-r8") {
       // streaming multi-table atomic commit at scale: per-batch fold cost
       // of the whole-table-rewrite fact (UpsertFact) vs the O(batch)
-      // BaseDelta pointer fact (DeltaFact), 500k fact rows + 5k dim
-      // changes per batch over 8 batches (4M-row fact by the end)
+      // BaseDelta pointer fact (DeltaFact), 1M fact rows + 5k dim
+      // changes per batch over 12 batches (12M-row fact by the end)
       import graft.streaming.MultiTableStream
       import graft.streaming.MultiTableStream.{DeltaFact, Scd2Dim, UpsertFact}
       val dimSpec = Scd2Dim("accounts", "acct", Seq("account_id"),
@@ -998,8 +998,8 @@ object Perf {
       val upFact = UpsertFact("txns", "txn", Seq("txn_id"), Seq("seq"))
       val dFact = DeltaFact("txns", "txn", Seq("txn_id"), Seq("seq"))
       def batchOf(b: Long): org.apache.spark.sql.DataFrame = {
-        val base = lit(s"2024-01-0${b + 1} 00:00:00").cast("timestamp")
-        val facts = spark.range(b * 500000L, (b + 1) * 500000L)
+        val base = timestamp_seconds(lit(1704067200L + b * 86400L)) // 2024-01-01 + b days
+        val facts = spark.range(b * 1000000L, (b + 1) * 1000000L)
           .select(lit("txn").as("route"), (col("id") % 100000L).as("account_id"),
             col("id").as("txn_id"), lit(null).cast("string").as("account_type"),
             (col("id") % 997L).cast("double").as("amount"), col("id").as("seq"),
@@ -1018,7 +1018,7 @@ object Perf {
         .toString + "/r"
       val rootD = java.nio.file.Files.createTempDirectory("perf-mts-d")
         .toString + "/r"
-      for (b <- 0L until 8L) {
+      for (b <- 0L until 12L) {
         val batch = batchOf(b)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         batch.count()
