@@ -62,22 +62,55 @@ object MultiSnapshot {
     }.sorted
   }
 
-  /** The committed state, or None for an unpublished root. */
-  def currentCommit(spark: SparkSession, root: String): Option[Commit] = {
+  private def readCommitFile(spark: SparkSession, root: String,
+                             v: Long): Commit = {
     val f = fs(spark, root)
-    commitVersions(spark, root).lastOption.map { v =>
-      val in = f.open(commitFile(root, v))
-      val body =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      // format: one "table=gen" pair per line — no JSON parser needed,
-      // table names are path segments (no '=', '\n')
-      val gens = body.linesIterator.filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('=')
-        require(i > 0, s"MultiSnapshot: malformed commit line '$line' in v$v")
-        line.substring(0, i) -> line.substring(i + 1).toLong
-      }.toMap
-      Commit(v, gens)
+    val in = f.open(commitFile(root, v))
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // format: one "table=gen" pair per line — no JSON parser needed,
+    // table names are path segments (no '=', '\n')
+    val gens = body.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('=')
+      require(i > 0, s"MultiSnapshot: malformed commit line '$line' in v$v")
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+    Commit(v, gens)
+  }
+
+  /** The committed state, or None for an unpublished root. */
+  def currentCommit(spark: SparkSession, root: String): Option[Commit] =
+    commitVersions(spark, root).lastOption
+      .map(readCommitFile(spark, root, _))
+
+  /** Cross-table TIME TRAVEL: the commit at `version`, refused loudly
+    * when it has been retired (retention keeps the current and previous
+    * commit pointers — the in-flight-reader window; an erasure vacuum
+    * shrinks it to the current commit only, deliberately: erased state
+    * must not be resolvable). The returned commit's generation dirs are
+    * immutable, so reads through it are as consistent as the current
+    * ones.
+    */
+  def commitAt(spark: SparkSession, root: String, version: Long): Commit = {
+    val vs = commitVersions(spark, root)
+    require(vs.contains(version),
+      s"MultiSnapshot.commitAt: version $version is not retained at $root " +
+        s"(retained: ${vs.mkString(", ")}) — retention keeps the current " +
+        "and previous commits; older pointers are retired on publish and " +
+        "erasure vacuums everything but current")
+    readCommitFile(spark, root, version)
+  }
+
+  /** Every table of the retained commit `version` — the consistent
+    * multi-table view AS OF that commit (pointer entries excluded, as in
+    * [[readAll]]).
+    */
+  def readAllAt(spark: SparkSession, root: String,
+                version: Long): Map[String, DataFrame] = {
+    val c = commitAt(spark, root, version)
+    c.gens.filterNot(_._1.startsWith(PointerPrefix)).map { case (t, g) =>
+      t -> spark.read.parquet(genPath(root, t, g))
     }
   }
 

@@ -73,4 +73,23 @@ class MultiSnapshotSpec extends SparkSpec {
     assert(dirs == Seq("gen=2", "gen=3"),
       s"want exactly the current and previous generations, got $dirs")
   }
+
+  test("cross-table time travel: the previous commit reads consistently, older refuse") {
+    val root = tmpDir("msnap-tt") + "/r"
+    MultiSnapshot.publish(spark, root,
+      Map("customers" -> dim(1), "orders" -> fact(1)))
+    MultiSnapshot.publish(spark, root, Map("customers" -> dim(2)))
+    MultiSnapshot.publish(spark, root, Map("orders" -> fact(3)))
+    // v2 = (customers gen 2, orders gen 1) — the consistent pair AS OF v2
+    val v2 = MultiSnapshot.readAllAt(spark, root, 2L)
+    assert(v2("customers").filter($"name".startsWith("cust-v2")).count() == 2)
+    assert(v2("orders").filter($"amount" === 100.0).count() == 1)
+    // current differs on orders
+    assert(MultiSnapshot.readAll(spark, root)("orders")
+      .filter($"amount" === 300.0).count() == 1)
+    // v1's pointer was retired on the third publish: refuse loudly
+    val e = intercept[IllegalArgumentException](
+      MultiSnapshot.commitAt(spark, root, 1L))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
 }
