@@ -5482,6 +5482,51 @@ object Queries {
                CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
         FROM t GROUP BY 1""")),
 
+    // ── right-to-erasure over the SEARCH INDEX (SearchIndex.erase):
+    //    q202's fold, then every doc_id % 7 == 2 is erased — postings,
+    //    positions, doc lengths, AND the corpus statistics (N/avgdl,
+    //    which shift every surviving score). Oracle = q75's posting-list
+    //    SQL over the surviving corpus only: scoring after erasure must
+    //    be bit-identical to an index that never saw those docs ──
+    Q("q246_index_erasure",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q246-sie")
+          .toString + "/s"
+        val st = operators.SearchIndex.State(root)
+        val docs = Tables.documents(s, d)
+        (0 to 2).foreach(i => operators.SearchIndex.fold(s, st,
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+          "doc_id", "text"))
+        operators.SearchIndex.erase(s, st,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 2).select(col("doc_id")))
+        operators.SearchIndex.search(s, st,
+          Seq("data", "bank", "account", "risk"))
+      },
+      Some("""
+        WITH post AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE doc_id % 7 <> 2),
+        p2 AS (SELECT doc_id, tok FROM post WHERE length(tok) > 0),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM p2 GROUP BY 1),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+               FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM p2 WHERE tok IN ('data', 'bank', 'account', 'risk')
+               GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        t AS (
+          SELECT tf.doc_id,
+                 floor(((ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))) /
+                        (CAST(tf.tf AS DOUBLE) +
+                          1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+                       * 1000000 + 0.5) / 1000000 AS t6
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM t GROUP BY 1""")),
+
     // ── column-level diff summary (Reconcile.columnStats): which columns
     //    drifted between two keyed copies and by how much — clean buckets
     //    counted as matches arithmetically, only dirty buckets re-joined ──

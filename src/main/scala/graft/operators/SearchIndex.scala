@@ -54,9 +54,18 @@ object SearchIndex {
   private def round6(c: org.apache.spark.sql.Column) =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** Fold one document batch (idCol, textCol) into the index. */
+  /** Fold one document batch (idCol, textCol) into the index. Replays
+    * are no-ops by ledger: the postings table's delta-id list plus its
+    * compaction fold boundary record every applied batch (the
+    * ClusterIndex recipe) — robust to out-of-band stats republishes
+    * ([[erase]] corrects the stats row without consuming a batch id).
+    */
   def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
            idCol: String, textCol: String, maxDeltas: Int = 16): Unit = {
+    val applied =
+      BaseDelta.deltaBatches(spark, st.postingsTable).contains(batchId) ||
+        BaseDelta.timeTravelFloor(spark, st.postingsTable).exists(_ >= batchId)
+    if (applied) return
     val tk = TextAnalysis.tokens(col(textCol))
     val docs = batch.select(col(idCol).as("doc_id"),
         when(length(trim(col(textCol))) === 0, lit(0L))
@@ -79,22 +88,49 @@ object SearchIndex {
           col("pos").cast("long").as("pos"), lit(1L).as("one"))
       BaseDelta.appendAndMaybeCompact(spark, st.positionsTable, positions,
         batchId, maxDeltas)
-      val want = batchId + 1
-      if (SnapshotStore.currentGen(spark, st.statsPath).forall(_ < want)) {
-        val delta = docs.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        val merged =
-          if (SnapshotStore.exists(spark, st.statsPath))
-            SnapshotStore.read(spark, st.statsPath).unionByName(delta)
-              .agg(sum(col("n_docs")).as("n_docs"),
-                sum(col("sum_dl")).as("sum_dl"))
-          else delta
-        val gen = SnapshotStore.publish(merged, st.statsPath)
-        require(gen == want,
-          s"SearchIndex.fold: generation $gen after batch $batchId " +
-            s"(expected $want) — single-writer contract violated")
-      }
+      // the batch-applied ledger above already guards replays, so the
+      // stats row simply accumulates (its generation number is NOT the
+      // ledger — erasure corrections may bump it out of band)
+      val delta = docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      val merged =
+        if (SnapshotStore.exists(spark, st.statsPath))
+          SnapshotStore.read(spark, st.statsPath).unionByName(delta)
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_dl")).as("sum_dl"))
+        else delta
+      SnapshotStore.publish(merged, st.statsPath)
+      ()
     } finally docs.unpersist()
+  }
+
+  /** Right-to-erasure over the INDEX: remove every trace of `docIds`
+    * from postings, positions, docstats, and the corpus statistics —
+    * search results after an erasure are bit-identical to an index that
+    * never saw those documents (spec-pinned against `bm25` over the
+    * surviving corpus). Implementation: each state table compacts with
+    * an anti-join filter (one rewrite per table, vacuumed so the bytes
+    * go now), and the stats row RECOMPUTES from the surviving docstats —
+    * O(current index), the erasure-op price, never paid on the fold
+    * path. Folding continues normally afterwards: the fold ledger reads
+    * applied batch ids from the postings deltas/fold-floor, which the
+    * erasure compaction preserves monotonically.
+    */
+  def erase(spark: SparkSession, st: State, docIds: DataFrame): Unit = {
+    val ids = broadcast(docIds.select(col(docIds.columns.head)
+      .as("__erase_id")).distinct())
+    def drop(t: BaseDelta.Table): Unit = {
+      BaseDelta.compact(spark, t, transform = Some(df =>
+        df.join(ids, col("doc_id") === col("__erase_id"), "left_anti")))
+      BaseDelta.vacuum(spark, t)
+    }
+    drop(st.postingsTable); drop(st.positionsTable); drop(st.docstatsTable)
+    val corrected = BaseDelta.read(spark, st.docstatsTable)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    SnapshotStore.publish(corrected, st.statsPath)
+    SnapshotStore.vacuum(spark, st.statsPath)
+    ()
   }
 
   /** BM25 scores of every indexed doc matching ≥1 query term —

@@ -65,6 +65,14 @@ object VectorIndex {
            batchId: Long, idCol: String, vecCol: String, nCells: Int = 16,
            refineIters: Int = 0, maxDeltas: Int = 64,
            pqM: Int = 0, pqK: Int = 16): Unit = {
+    // replay ledger (delta ids + compaction fold floor): a replayed
+    // batch id is a SKIP, not an overwrite — after an [[erase]]
+    // compaction, an overwrite under an already-folded id would
+    // resurrect erased vectors
+    val applied =
+      BaseDelta.deltaBatches(spark, st.postingsTable).contains(batchId) ||
+        BaseDelta.timeTravelFloor(spark, st.postingsTable).exists(_ >= batchId)
+    if (applied) return
     // an empty batch must not elect an empty quantizer (which would
     // blank every later assignment) or stage an unreadable empty delta
     if (batch.isEmpty) return
@@ -167,6 +175,24 @@ object VectorIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("cosine"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Right-to-erasure over the index: remove `ids`' postings (vector,
+    * cell assignment, PQ codes) via one filtered compaction + vacuum —
+    * serving afterwards is identical to an index that never folded those
+    * vectors. The frozen quantizer is untouched: centroids are
+    * aggregate statistics, not subject rows (same stance as PCA
+    * components / IDF tables; retrain to a new root if policy demands
+    * it). Folding continues normally — the postings ledger is
+    * append-overwrite by batch id, which compaction preserves.
+    */
+  def erase(spark: SparkSession, st: State, ids: DataFrame): Unit = {
+    val subj = broadcast(ids.select(col(ids.columns.head)
+      .as("__erase_id")).distinct())
+    BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
+      df.join(subj, col("id") === col("__erase_id"), "left_anti")))
+    BaseDelta.vacuum(spark, st.postingsTable)
+    ()
   }
 
   /** Number of cells in the frozen quantizer (for `nProbe = nCells`

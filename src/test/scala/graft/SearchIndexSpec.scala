@@ -90,6 +90,33 @@ class SearchIndexSpec extends SparkSpec {
       == Map(1L -> 1L))
   }
 
+  test("erase: scores identical to an index that never saw the docs; folds continue; replays cannot resurrect") {
+    val st = SearchIndex.State(tmpDir("si-erase") + "/s")
+    val b0 = corpus.take(3); val b1 = corpus.drop(3)
+    SearchIndex.fold(spark, st, docs(b0: _*), 0L, "doc_id", "text")
+    SearchIndex.fold(spark, st, docs(b1: _*), 1L, "doc_id", "text")
+    SearchIndex.erase(spark, st, Seq(2L, 6L).toDF("doc_id"))
+    // bit-identical to a from-scratch index over the surviving corpus —
+    // including the IDF/avgdl statistics the erased docs contributed to
+    val survivors = corpus.filterNot(d => d._1 == 2L || d._1 == 6L)
+    sameScores(SearchIndex.search(spark, st, query),
+      TextAnalysis.bm25(docs(survivors: _*), "doc_id", "text", query))
+    // phrase serving survives for other docs
+    assert(SearchIndex.phraseSearch(spark, st, Seq("bank", "account"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L))
+    // folding continues after an erasure
+    SearchIndex.fold(spark, st, docs((7L, "account risk data")), 2L,
+      "doc_id", "text")
+    sameScores(SearchIndex.search(spark, st, query),
+      TextAnalysis.bm25(docs(survivors :+ (7L, "account risk data"): _*),
+        "doc_id", "text", query))
+    // a redelivered OLD batch id must not resurrect the erased docs
+    SearchIndex.fold(spark, st, docs(b0: _*), 0L, "doc_id", "text")
+    sameScores(SearchIndex.search(spark, st, query),
+      TextAnalysis.bm25(docs(survivors :+ ((7L, "account risk data")): _*),
+        "doc_id", "text", query))
+  }
+
   test("query terms normalize through the fold's tokenizer (case/whitespace)") {
     val st = SearchIndex.State(tmpDir("si-norm") + "/s")
     SearchIndex.fold(spark, st, docs(corpus: _*), 0L, "doc_id", "text")

@@ -119,6 +119,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"ADC recall too low: $recall")
   }
 
+  test("erase: serving equals an index that never folded the ids; replays cannot resurrect") {
+    val st = VectorIndex.State(tmpDir("vidx-erase") + "/s")
+    val b0 = emb.filter($"vec_id" < 50); val b1 = emb.filter($"vec_id" >= 50)
+    VectorIndex.fold(spark, st, b0, 0L, "vec_id", "embedding", nCells = 8)
+    VectorIndex.fold(spark, st, b1, 1L, "vec_id", "embedding", nCells = 8)
+    VectorIndex.erase(spark, st,
+      emb.filter($"vec_id" >= 30 && $"vec_id" < 60).select($"vec_id"))
+    val queries = emb.filter($"vec_id" < 10)
+    val surviving = emb.filter($"vec_id" < 30 || $"vec_id" >= 60)
+    val expected = Similarity.bruteForceTopK(queries, surviving,
+      "vec_id", "embedding", k = 5)
+    sameRows(VectorIndex.topK(spark, st, queries, "vec_id", "embedding",
+        k = 5, nProbe = VectorIndex.nCells(spark, st)),
+      expected, "post-erasure serve diverges from the surviving corpus")
+    // a redelivered old batch id must not resurrect erased vectors
+    VectorIndex.fold(spark, st, b0, 0L, "vec_id", "embedding", nCells = 8)
+    VectorIndex.fold(spark, st, b1, 1L, "vec_id", "embedding", nCells = 8)
+    sameRows(VectorIndex.topK(spark, st, queries, "vec_id", "embedding",
+        k = 5, nProbe = VectorIndex.nCells(spark, st)),
+      expected, "replayed folds resurrected erased vectors")
+  }
+
   test("scoring plan: queries broadcast, postings never shuffle for the join") {
     val st = foldCuts(Seq(60L))
     val plan = VectorIndex.topK(spark, st, emb.filter($"vec_id" < 5),
