@@ -139,6 +139,9 @@ object PlanLint {
     "q238_twab" -> Map("broadcast_nested_loop" -> 1L),
     "q241_topk_others" -> Map("single_partition_exchange" -> 1L),
     "q24_cosine_topk" -> Map("broadcast_nested_loop" -> 1L),
+    // round 8: post-erasure search shares q202's class-1 hit — the
+    // 1-row corpus-stats broadcast cross every BM25 score rides
+    "q246_index_erasure" -> Map("broadcast_nested_loop" -> 1L),
     // round 8: the incremental IVF serve routes queries via the
     // parameter-sized (nCells-row) centroid broadcast cross (class 1 —
     // q29's exact shape over persisted state)
