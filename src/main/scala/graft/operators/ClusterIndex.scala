@@ -207,6 +207,82 @@ object ClusterIndex {
     BaseDelta.read(spark, st.postingsTable).join(probe, Seq("s"), "left_semi")
   }
 
+  /** Right-to-erasure with CORRECT re-clustering: removing a document
+    * must also remove every edge it contributed — erasing a BRIDGE doc
+    * splits the cluster it merged (simply deleting the row would leave
+    * the other members transitively connected through a ghost). Cost is
+    * bounded by the AFFECTED clusters, never the corpus:
+    *
+    *  1. affected = clusters holding any erased id; their surviving
+    *     members re-enter a local re-clustering;
+    *  2. postings compact with the erased ids filtered out (bytes
+    *     vacuumed);
+    *  3. surviving members' pairs recompute from the surviving postings
+    *     (inverted-index join restricted to those members — the same
+    *     bucketPairs economics, affected-cluster-sized);
+    *  4. `resolveClusters` over those pairs re-labels the members
+    *     (singletons fall back to their own id);
+    *  5. the clusters table compacts: erased rows dropped, affected
+    *     members' assignments replaced, everyone else untouched.
+    *
+    * Replays of old batch ids cannot resurrect erased docs — [[fold]]'s
+    * applied ledger (delta ids + fold floor) survives the compactions.
+    */
+  def erase(spark: SparkSession, st: State, docIds: DataFrame,
+            k: Int = 3, threshold: Double = 0.2): Unit = {
+    val ids = broadcast(docIds.select(col(docIds.columns.head)
+      .as("__erase_id")).distinct())
+    val cur = BaseDelta.read(spark, st.clustersTable)
+    val affected = cur.join(ids, col("id") === col("__erase_id"))
+      .select(col("cluster_id")).distinct()
+    val members = cur.join(affected.withColumnRenamed("cluster_id", "__ac"),
+        col("cluster_id") === col("__ac"))
+      .join(ids, col("id") === col("__erase_id"), "left_anti")
+      .select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      members.count()
+      // 2. postings shrink first — the pair recompute below must not
+      //    see erased docs' shingles
+      BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
+        df.join(ids, col("id") === col("__erase_id"), "left_anti")))
+      BaseDelta.vacuum(spark, st.postingsTable)
+      // 3. surviving members' exact-Jaccard pairs from surviving postings
+      val mp = BaseDelta.read(spark, st.postingsTable)
+        .join(broadcast(members), Seq("id"))
+      val pairs = mp.select(col("id").as("id_a"), col("s"),
+          col("n_sh").as("n_a"))
+        .join(mp.select(col("id").as("id_b"), col("s"),
+          col("n_sh").as("n_b")), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+      // 4. re-label the members
+      val comp =
+        if (pairs.isEmpty) pairs.select(col("id_a").as("id"),
+          col("id_b").as("cluster_id")).limit(0)
+        else Dedup.resolveClusters(pairs)
+      // keep each member's ORIGINAL as_of: inside the compaction the old
+      // rows are dropped outright (no merge contest), and a FUTURE fold's
+      // remap (higher batch id) must still be able to supersede these
+      val relabeled = members.join(comp, Seq("id"), "left")
+        .join(cur.select(col("id"), col("as_of")), Seq("id"))
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+          col("as_of"))
+        .localCheckpoint(true)
+      // 5. clusters table: erased gone, affected members replaced
+      BaseDelta.compact(spark, st.clustersTable, transform = Some(df =>
+        df.join(ids, col("id") === col("__erase_id"), "left_anti")
+          .join(broadcast(members), Seq("id"), "left_anti")
+          .unionByName(relabeled)))
+      BaseDelta.vacuum(spark, st.clustersTable)
+    } finally members.unpersist()
+  }
+
   /** Current assignment for every ingested doc (singletons included). */
   def clusters(spark: SparkSession, st: State): DataFrame =
     BaseDelta.read(spark, st.clustersTable).select("id", "cluster_id")

@@ -123,6 +123,36 @@ class ClusterIndexSpec extends SparkSpec {
     assert(ns == Set(10L -> 10L, 11L -> 10L))
   }
 
+  test("erase: a bridge doc's removal SPLITS the cluster it merged; replays cannot resurrect") {
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (21L, famB + " tail"), (40L, "lonely standalone text here"))
+    val b2 = docs((30L, bridge))
+    val st = foldAll(Seq(b1, b2))
+    // precondition: the bridge merged everything to min label 10
+    assert(ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filterKeys(Set(20L, 21L).contains).values.toSet == Set(10L))
+    ClusterIndex.erase(spark, st, Seq(30L).toDF("doc_id"))
+    val out = ClusterIndex.clusters(spark, st)
+    sameRows(out, fullRecompute(b1),
+      "post-erasure clusters diverge from a recompute that never saw the bridge")
+    val byId = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byId.contains(30L), "erased doc still assigned")
+    assert(byId(20L) == 20L && byId(21L) == 20L,
+      s"family B must split back off the bridge-merged cluster: $byId")
+    assert(byId(10L) == 10L && byId(11L) == 10L && byId(40L) == 40L)
+    // a redelivered old batch id must not resurrect the erased doc
+    ClusterIndex.fold(spark, st, b2, 1L, "doc_id", "text")
+    sameRows(ClusterIndex.clusters(spark, st), fullRecompute(b1),
+      "replayed fold resurrected the erased bridge")
+    // and folding genuinely NEW data still works after an erasure
+    ClusterIndex.fold(spark, st, docs((50L, famB + " fresh")), 2L,
+      "doc_id", "text")
+    sameRows(ClusterIndex.clusters(spark, st),
+      fullRecompute(b1.unionByName(docs((50L, famB + " fresh")))),
+      "post-erasure fold diverges from recompute")
+  }
+
   test("shuffle-semi-join fallback folds identically to the broadcast prefilter") {
     val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
       (21L, famB + " tail"), (40L, "lonely standalone text here"))
