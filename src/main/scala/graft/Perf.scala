@@ -1040,6 +1040,34 @@ object Perf {
       time("mts-read-delta")(MultiTableStream.readCommitted(spark, rootD,
         deltaFacts = Seq(dFact)).apply("txns").count())
     }
+    if (what == "gov-r8") {
+      // index-tier erasure at scale: fold a 10M-doc search index, erase
+      // 1k docs (ONE batched call — the amortization pattern), verify
+      // folds continue O(batch) afterwards
+      val n = 10000000L
+      val big = syntheticDocs(n)
+      val st = operators.SearchIndex.State(
+        java.nio.file.Files.createTempDirectory("gov-r8-si").toString + "/s")
+      for (b <- 0 until 4)
+        time(s"si-fold-2.5M-b$b")(
+          { operators.SearchIndex.fold(spark, st,
+              big.filter(col("id") % 4 === b)
+                .select(col("id").as("doc_id"), col("text")),
+              b.toLong, "doc_id", "text"); 1L })
+      time("si-search-pre")(operators.SearchIndex.search(spark, st,
+        Seq("alpha", "beta", "gamma")).count())
+      val subjects = spark.range(1000L).select((col("id") * 9973L % n).as("doc_id"))
+      time("si-erase-1k-of-10M")(
+        { operators.SearchIndex.erase(spark, st, subjects); 1L })
+      time("si-search-post")(operators.SearchIndex.search(spark, st,
+        Seq("alpha", "beta", "gamma")).count())
+      time("si-fold-after-erase")(
+        { operators.SearchIndex.fold(spark, st,
+            spark.range(n, n + 100000L)
+              .select(col("id").as("doc_id"),
+                concat_ws(" ", lit("fresh doc"), col("id")).as("text")),
+            4L, "doc_id", "text"); 1L })
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,12 @@ object SearchIndex {
     * path. Folding continues normally afterwards: the fold ledger reads
     * applied batch ids from the postings deltas/fold-floor, which the
     * erasure compaction preserves monotonically.
+    *
+    * At 100 TB the rewrite dominates, so BATCH subject requests: one
+    * `erase` call with the accumulated id set pays the same rewrite as
+    * one id — GDPR's 30-day window is the amortization budget every
+    * production erasure pipeline uses (Perf `gov-r8` measures the
+    * one-shot cost at 10M docs).
     */
   def erase(spark: SparkSession, st: State, docIds: DataFrame): Unit = {
     val ids = broadcast(docIds.select(col(docIds.columns.head)
