@@ -95,13 +95,45 @@ object MultiTableStream {
       graft.gold.BaseDelta.Table(s"$root/_delta/$table", keys, orderCols, opCol)
   }
 
+  /** A write–audit–publish gate (Iceberg's WAP pattern, carrying the
+    * reference's dbt-test semantics to the COMMIT): `check` receives the
+    * candidate post-fold tables (dims, facts, and delta-fact views as of
+    * this batch) and returns a VIOLATIONS frame; any surviving row
+    * aborts the fold BEFORE the pointer flip — readers keep the previous
+    * consistent commit, the staged state is orphaned-but-invisible, and
+    * a replay re-stages and re-audits (a poisoned batch keeps failing
+    * until upstream or the audit is fixed — WAP's intent: bad data must
+    * not publish silently).
+    */
+  final case class Audit(name: String,
+                         check: Map[String, DataFrame] => DataFrame)
+
+  /** The banking FK audit: every fact `fkCol` must resolve to a LIVE
+    * current dim row (readme.md:213-217's orphan check, enforced at
+    * publish time instead of discovered after).
+    */
+  def fkAudit(factTable: String, fkCol: String, dimTable: String,
+              dimKey: String, dimOpCol: Option[String] = None): Audit =
+    Audit(s"fk_${factTable}_${fkCol}_to_$dimTable", { t =>
+      val dim = t(dimTable)
+      val live = dimOpCol match {
+        case Some(op) => Scd2Merge.liveFromLog(dim, op)
+        case None     => dim.filter(col(Scd2Merge.EffectiveTo).isNull)
+      }
+      t(factTable).join(live.select(col(dimKey).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+    })
+
+  final class AuditFailedException(msg: String) extends RuntimeException(msg)
+
   /** Fold ONE micro-batch into the coordinator. Batch-callable: the
     * streaming sink is exactly this, once per trigger.
     */
   def foldBatch(spark: SparkSession, root: String, batch: DataFrame,
                 routeCol: String, dims: Seq[Scd2Dim],
                 facts: Seq[UpsertFact], batchId: Long,
-                deltaFacts: Seq[DeltaFact] = Seq.empty): Unit = {
+                deltaFacts: Seq[DeltaFact] = Seq.empty,
+                audits: Seq[Audit] = Seq.empty): Unit = {
     require(dims.nonEmpty || facts.nonEmpty || deltaFacts.nonEmpty,
       "MultiTableStream: at least one table spec required")
     val names = dims.map(_.table) ++ facts.map(_.table) ++
@@ -142,6 +174,29 @@ object MultiTableStream {
         graft.gold.BaseDelta.append(spark, f.deltaTable(root), rows, batchId)
       f.table -> batchId
     }.toMap
+    // AUDIT before the flip: candidate views are the post-fold frames
+    // (delta facts read as-of THIS batch — staged deltas included, which
+    // coordinator readers cannot see yet)
+    if (audits.nonEmpty) {
+      val candidates: Map[String, DataFrame] =
+        (newDims ++ newFacts).toMap ++ deltaFacts.flatMap { f =>
+          val t = f.deltaTable(root)
+          val (base, ds) = graft.gold.BaseDelta.resolveSnapshot(spark, t)
+          if (base.isEmpty && ds.isEmpty) None
+          else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, batchId))
+        }
+      val failed = audits.flatMap { a =>
+        val n = a.check(candidates).limit(21).count()
+        if (n > 0) Some(s"${a.name} (${if (n > 20) ">20" else n} violations)")
+        else None
+      }
+      if (failed.nonEmpty)
+        throw new AuditFailedException(
+          s"MultiTableStream: batch $batchId REFUSED at the publish gate — " +
+            s"${failed.mkString("; ")}. Readers keep commit " +
+            s"${committed.map(_.version).getOrElse(0L)}; staged state is " +
+            "invisible and a replay re-audits.")
+    }
     // every batch commits a version even when all slices are empty — the
     // version ledger must stay aligned with batch ids for replay skipping
     val c = MultiSnapshot.publish(spark, root, (newDims ++ newFacts).toMap,
@@ -165,11 +220,12 @@ object MultiTableStream {
   def start(parsed: DataFrame, root: String, checkpoint: String,
             routeCol: String, dims: Seq[Scd2Dim], facts: Seq[UpsertFact],
             deltaFacts: Seq[DeltaFact] = Seq.empty,
+            audits: Seq[Audit] = Seq.empty,
             trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         foldBatch(b.sparkSession, root, b.toDF(), routeCol, dims, facts, id,
-          deltaFacts)
+          deltaFacts, audits)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

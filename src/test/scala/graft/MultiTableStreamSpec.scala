@@ -236,6 +236,72 @@ class MultiTableStreamSpec extends SparkSpec {
     assert(graft.gold.BaseDelta.timeTravelFloor(spark, bt).forall(_ <= ptr))
   }
 
+  private val fkGate = MultiTableStream.fkAudit("txns", "account_id",
+    "accounts", "account_id", dimOpCol = Some("op"))
+
+  test("publish gate: a poisoned batch is refused before the flip; a fixed replay publishes") {
+    val root = tmpDir("mts-wap") + "/r"
+    MultiTableStream.foldBatch(spark, root, cdc(batches(0): _*), "route",
+      Seq(dimSpec), Seq(factSpec), 0L, audits = Seq(fkGate))
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == 1L)
+    // batch 1 poisoned: a txn references account 99 that no dim row creates
+    val poisoned = batches(1) :+ txn(199L, 99, 5.0, "c", 99L, "2024-01-02 12:00:00")
+    val e = intercept[MultiTableStream.AuditFailedException](
+      MultiTableStream.foldBatch(spark, root, cdc(poisoned: _*), "route",
+        Seq(dimSpec), Seq(factSpec), 1L, audits = Seq(fkGate)))
+    assert(e.getMessage.contains("REFUSED") &&
+      e.getMessage.contains("fk_txns_account_id_to_accounts"), e.getMessage)
+    // readers keep the batch-0 commit, FK-clean
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == 1L)
+    val t1 = MultiTableStream.readCommitted(spark, root)
+    assert(orphans(t1).isEmpty)
+    assert(t1("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      == Set(101L, 102L))
+    // a replay of the same poisoned batch re-audits and fails again
+    intercept[MultiTableStream.AuditFailedException](
+      MultiTableStream.foldBatch(spark, root, cdc(poisoned: _*), "route",
+        Seq(dimSpec), Seq(factSpec), 1L, audits = Seq(fkGate)))
+    // the FIXED batch (acct 99 created with its txn) publishes under the
+    // same batch id
+    val fixed = poisoned :+ acct(99, "SAVINGS", "c", 98L, "2024-01-02 11:59:00")
+    MultiTableStream.foldBatch(spark, root, cdc(fixed: _*), "route",
+      Seq(dimSpec), Seq(factSpec), 1L, audits = Seq(fkGate))
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == 2L)
+    val t2 = MultiTableStream.readCommitted(spark, root)
+    assert(orphans(t2).isEmpty)
+    assert(t2("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      .contains(199L))
+  }
+
+  test("publish gate on the DeltaFact path: staged delta stays invisible through a refusal") {
+    val root = tmpDir("mts-wap-d") + "/r"
+    MultiTableStream.foldBatch(spark, root, cdc(batches(0): _*), "route",
+      Seq(dimSpec), Seq.empty, 0L, deltaFacts = Seq(deltaFactSpec),
+      audits = Seq(fkGate))
+    val poisoned = batches(1) :+ txn(199L, 99, 5.0, "c", 99L, "2024-01-02 12:00:00")
+    intercept[MultiTableStream.AuditFailedException](
+      MultiTableStream.foldBatch(spark, root, cdc(poisoned: _*), "route",
+        Seq(dimSpec), Seq.empty, 1L, deltaFacts = Seq(deltaFactSpec),
+        audits = Seq(fkGate)))
+    // the batch-1 delta dir exists (staged) but coordinator readers
+    // resolve pointer 0 — the poison is invisible
+    val mid = MultiTableStream.readCommitted(spark, root,
+      deltaFacts = Seq(deltaFactSpec))
+    assert(mid("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      == Set(101L, 102L))
+    assert(orphans(mid).isEmpty)
+    // the fixed batch overwrites ITS OWN staged delta and publishes
+    val fixed = poisoned :+ acct(99, "SAVINGS", "c", 98L, "2024-01-02 11:59:00")
+    MultiTableStream.foldBatch(spark, root, cdc(fixed: _*), "route",
+      Seq(dimSpec), Seq.empty, 1L, deltaFacts = Seq(deltaFactSpec),
+      audits = Seq(fkGate))
+    val t = MultiTableStream.readCommitted(spark, root,
+      deltaFacts = Seq(deltaFactSpec))
+    assert(orphans(t).isEmpty)
+    assert(t("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      .contains(199L))
+  }
+
   test("streaming end-to-end: MemoryStream triggers, checkpoint restart continues the ledger") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
