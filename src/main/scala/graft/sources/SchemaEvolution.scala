@@ -76,20 +76,35 @@ object SchemaEvolution {
         min DecimalType.MAX_PRECISION,
       d.scale)
 
-  /** Union all epochs under the evolved schema. */
-  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
-    require(dfs.nonEmpty, "unionEvolved needs at least one frame")
+  /** The evolved target schema of several frames: name → widened type,
+    * first-appearance column order (a pure function of the input schema
+    * sequence — replayable).
+    */
+  def evolvedSchema(dfs: Seq[DataFrame]): Seq[(String, DataType)] = {
+    require(dfs.nonEmpty, "evolvedSchema needs at least one frame")
     val target = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     dfs.foreach(_.schema.fields.foreach { f =>
       target.update(f.name,
         target.get(f.name).map(widen(f.name, _, f.dataType))
           .getOrElse(f.dataType))
     })
-    dfs.map { df =>
-      val have = df.columns.toSet
-      df.select(target.toSeq.map { case (n, t) =>
-        if (have(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
-      }: _*)
-    }.reduce(_.unionByName(_))
+    target.toSeq
+  }
+
+  /** Project `df` onto the target schema: missing columns read as typed
+    * nulls, present columns cast to the widened type. Metadata +
+    * codegen'd map work only.
+    */
+  def alignTo(df: DataFrame, target: Seq[(String, DataType)]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.map { case (n, t) =>
+      if (have(n)) col(n).cast(t).as(n) else lit(null).cast(t).as(n)
+    }: _*)
+  }
+
+  /** Union all epochs under the evolved schema. */
+  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
+    val target = evolvedSchema(dfs)
+    dfs.map(alignTo(_, target)).reduce(_.unionByName(_))
   }
 }

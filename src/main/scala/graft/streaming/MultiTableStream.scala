@@ -61,6 +61,7 @@ object MultiTableStream {
                            checkCols: Seq[String], tsCol: String,
                            tieBreak: Seq[String] = Seq.empty,
                            opCol: Option[String] = None,
+                           allowSchemaEvolution: Boolean = false,
                            project: DataFrame => DataFrame = identity)
 
   /** A keyed upsert fact fed by rows routed at `route` — whole-table
@@ -70,6 +71,7 @@ object MultiTableStream {
   final case class UpsertFact(table: String, route: String, keys: Seq[String],
                               orderCols: Seq[String],
                               opCol: Option[String] = None,
+                              allowSchemaEvolution: Boolean = false,
                               project: DataFrame => DataFrame = identity)
 
   /** The O(batch) fact: state lives in a [[BaseDelta]] table (append-only
@@ -90,6 +92,7 @@ object MultiTableStream {
                              orderCols: Seq[String],
                              opCol: Option[String] = None,
                              maxDeltas: Int = 64,
+                             allowSchemaEvolution: Boolean = false,
                              project: DataFrame => DataFrame = identity) {
     def deltaTable(root: String): graft.gold.BaseDelta.Table =
       graft.gold.BaseDelta.Table(s"$root/_delta/$table", keys, orderCols, opCol)
@@ -149,18 +152,46 @@ object MultiTableStream {
       project(batch.filter(col(routeCol) === route).drop(routeCol))
 
     val newDims = dims.map { d =>
-      val rows = slice(d.route, d.project)
-      val snapshot =
+      val rows0 = slice(d.route, d.project)
+      val snapshot0 =
         if (gens.contains(d.table)) MultiSnapshot.read(spark, root, d.table)
-        else Scd2Merge.emptyLogSnapshot(rows, d.tsCol)
+        else Scd2Merge.emptyLogSnapshot(rows0, d.tsCol)
+      // opt-in evolution: an upstream ALTER TABLE that grew (or widened)
+      // columns aligns both sides to the least-common-supertype union
+      // schema — old versions read typed nulls for new columns, a NEW
+      // check column opens versions where its value differs from null
+      // (the correct SCD2 reading of "this attribute started existing").
+      // Off by default so accidental drift fails loudly.
+      val (snapshot, rows) =
+        if (!d.allowSchemaEvolution) (snapshot0, rows0)
+        else {
+          import graft.sources.SchemaEvolution
+          val target = SchemaEvolution.evolvedSchema(Seq(
+            snapshot0.drop(Scd2Merge.EffectiveFrom, Scd2Merge.EffectiveTo),
+            rows0.drop(d.tsCol)))
+          val tsType = rows0.schema(d.tsCol).dataType
+          val eff = org.apache.spark.sql.types.TimestampType
+          (SchemaEvolution.alignTo(snapshot0,
+            target :+ (Scd2Merge.EffectiveFrom -> eff)
+              :+ (Scd2Merge.EffectiveTo -> eff)),
+            SchemaEvolution.alignTo(rows0, target :+ (d.tsCol -> tsType)))
+        }
       d.table -> Scd2Merge.applyLog(snapshot, rows, d.keys, d.checkCols,
         d.tsCol, d.tieBreak, d.opCol)
     }
     val newFacts = facts.map { f =>
-      val rows = slice(f.route, f.project)
-      val existing =
+      val rows0 = slice(f.route, f.project)
+      val existing0 =
         if (gens.contains(f.table)) Some(MultiSnapshot.read(spark, root, f.table))
         else None
+      val (existing, rows) =
+        if (!f.allowSchemaEvolution || existing0.isEmpty) (existing0, rows0)
+        else {
+          import graft.sources.SchemaEvolution
+          val target = SchemaEvolution.evolvedSchema(Seq(existing0.get, rows0))
+          (Some(SchemaEvolution.alignTo(existing0.get, target)),
+            SchemaEvolution.alignTo(rows0, target))
+        }
       f.table -> UpsertByKey.mergeBatch(existing, rows, f.keys, f.orderCols,
         f.opCol)
     }
@@ -183,7 +214,8 @@ object MultiTableStream {
           val t = f.deltaTable(root)
           val (base, ds) = graft.gold.BaseDelta.resolveSnapshot(spark, t)
           if (base.isEmpty && ds.isEmpty) None
-          else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, batchId))
+          else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, batchId,
+            f.allowSchemaEvolution))
         }
       val failed = audits.flatMap { a =>
         val n = a.check(candidates).limit(21).count()
@@ -249,7 +281,8 @@ object MultiTableStream {
         // store yet — absent from the view rather than an error
         val (base, deltas) = graft.gold.BaseDelta.resolveSnapshot(spark, t)
         if (base.isEmpty && deltas.isEmpty) None
-        else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, asOf))
+        else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, asOf,
+          f.allowSchemaEvolution))
       }
     }
   }

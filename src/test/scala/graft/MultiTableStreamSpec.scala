@@ -302,6 +302,62 @@ class MultiTableStreamSpec extends SparkSpec {
       .contains(199L))
   }
 
+  test("schema evolution: upstream column adds and widenings fold without data loss") {
+    val root = tmpDir("mts-evo") + "/r"
+    val dimE = MultiTableStream.Scd2Dim("accounts", "acct", Seq("account_id"),
+      Seq("account_type"), "ts", tieBreak = Seq("seq"),
+      allowSchemaEvolution = true)
+    val factE = MultiTableStream.UpsertFact("txns", "txn", Seq("txn_id"),
+      Seq("seq"), allowSchemaEvolution = true)
+    // epoch 0: original schema, amount is an INT
+    val b0 = Seq(("acct", 1, -1L, "SAVINGS", 0, 1L, ts("2024-01-01 09:00:00")),
+        ("txn", 1, 100L, null.asInstanceOf[String], 50, 2L, ts("2024-01-01 10:00:00")))
+      .toDF("route", "account_id", "txn_id", "account_type", "amount", "seq", "ts")
+    MultiTableStream.foldBatch(spark, root,
+      b0.filter($"route" === "acct").select("route", "account_id",
+        "account_type", "seq", "ts")
+        .unionByName(b0.filter($"route" === "txn")
+          .select("route", "txn_id", "account_id", "amount", "seq", "ts"),
+          allowMissingColumns = true),
+      "route",
+      Seq(dimE.copy(project = _.select("account_id", "account_type", "seq", "ts"))),
+      Seq(factE.copy(project = _.select("txn_id", "account_id", "amount", "seq", "ts"))),
+      0L)
+    // epoch 1: upstream ALTER TABLE — dim gains `branch`, fact's amount
+    // widened to DOUBLE plus a new `channel` column
+    val b1 = Seq(
+        ("acct", 1, -1L, "CHECKING", 0.0, 3L, ts("2024-01-02 09:00:00"), "HQ", null.asInstanceOf[String]),
+        ("txn", 1, 101L, null.asInstanceOf[String], 75.5, 4L, ts("2024-01-02 10:00:00"), null.asInstanceOf[String], "mobile"))
+      .toDF("route", "account_id", "txn_id", "account_type", "amount",
+        "seq", "ts", "branch", "channel")
+    MultiTableStream.foldBatch(spark, root,
+      b1.filter($"route" === "acct").select("route", "account_id",
+        "account_type", "branch", "seq", "ts")
+        .unionByName(b1.filter($"route" === "txn")
+          .select("route", "txn_id", "account_id", "amount", "channel",
+            "seq", "ts"), allowMissingColumns = true),
+      "route",
+      Seq(dimE.copy(project = _.select("account_id", "account_type",
+        "branch", "seq", "ts"))),
+      Seq(factE.copy(project = _.select("txn_id", "account_id", "amount",
+        "channel", "seq", "ts"))),
+      1L)
+    val t = MultiTableStream.readCommitted(spark, root)
+    // dim: two versions, old one reads null branch, new one HQ
+    val dimRows = t("accounts").orderBy("effective_from").collect()
+    assert(dimRows.length == 2)
+    assert(dimRows(0).getAs[String]("account_type") == "SAVINGS"
+      && dimRows(0).getAs[String]("branch") == null)
+    assert(dimRows(1).getAs[String]("account_type") == "CHECKING"
+      && dimRows(1).getAs[String]("branch") == "HQ")
+    // fact: amount widened to double for BOTH rows, old channel null
+    val facts = t("txns").collect()
+      .map(r => r.getAs[Long]("txn_id") ->
+        ((r.getAs[Double]("amount"), r.getAs[String]("channel")))).toMap
+    assert(facts == Map(100L -> ((50.0, null)), 101L -> ((75.5, "mobile"))),
+      facts.toString)
+  }
+
   test("streaming end-to-end: MemoryStream triggers, checkpoint restart continues the ledger") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
