@@ -239,6 +239,33 @@ object MultiSnapshot {
     deleted.toSeq
   }
 
+  /** Commit history over the RETAINED window — the DESCRIBE HISTORY
+    * analog for the coordinator: one row per (version, table) with the
+    * committed generation (or pointer value for `@` members) and
+    * per-version flags for which tables ADVANCED in that commit
+    * (derivable only inside the retained window — the previous commit is
+    * the baseline, so the oldest retained version reports every member
+    * as advanced=false/unknown=null). Driver-side metadata only
+    * (commit files are small and ≤ retained count).
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val vs = commitVersions(spark, root)
+    val commits = vs.map(readCommitFile(spark, root, _))
+    val byVersion = commits.map(c => c.version -> c.gens).toMap
+    val rows = commits.flatMap { c =>
+      val prev = byVersion.get(c.version - 1)
+      c.gens.toSeq.map { case (t, g) =>
+        val isPointer = t.startsWith(PointerPrefix)
+        val advanced: Option[Boolean] = prev.map(p => !p.get(t).contains(g))
+        (c.version, if (isPointer) t.stripPrefix(PointerPrefix) else t,
+          if (isPointer) "pointer" else "staged", g, advanced)
+      }
+    }
+    rows.toDF("version", "table_name", "member_kind", "generation",
+      "advanced_in_version")
+  }
+
   /** One table from the current commit (still coordinator-resolved, so
     * repeated calls within one commit cycle are consistent with
     * [[readAll]] of that commit).

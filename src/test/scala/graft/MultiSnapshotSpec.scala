@@ -92,4 +92,22 @@ class MultiSnapshotSpec extends SparkSpec {
       MultiSnapshot.commitAt(spark, root, 1L))
     assert(e.getMessage.contains("not retained"), e.getMessage)
   }
+
+  test("history: retained commits, member kinds, and advancement flags") {
+    val root = tmpDir("msnap-hist") + "/r"
+    MultiSnapshot.publish(spark, root,
+      Map("customers" -> dim(1), "orders" -> fact(1)))
+    MultiSnapshot.publish(spark, root, Map("customers" -> dim(2)),
+      pointers = Map("txns" -> 5L))
+    val h = MultiSnapshot.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+    // v2: customers advanced, orders carried, pointer committed
+    assert(h((2L, "customers")) == (("staged", 2L, Some(true))), h)
+    assert(h((2L, "orders")) == (("staged", 1L, Some(false))), h)
+    assert(h((2L, "txns")) == (("pointer", 5L, Some(true))), h)
+    // v1 is the oldest retained: no baseline, flags unknown
+    assert(h((1L, "customers")) == (("staged", 1L, None)), h)
+  }
 }

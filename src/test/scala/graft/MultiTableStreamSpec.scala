@@ -302,6 +302,74 @@ class MultiTableStreamSpec extends SparkSpec {
       .contains(199L))
   }
 
+  test("property: random CDC histories under random batch cuts never violate FK or uniqueness") {
+    // seeded pseudo-random banking histories honoring the CDC delivery
+    // contract (per-key ordering; cascade tombstones ride the same step
+    // as their account's delete); every step gets a distinct ts
+    def genHistory(seed: Int, steps: Int): Seq[Seq[(String, Int, Long, String, Double, String, Long, String)]] = {
+      val rnd = new scala.util.Random(seed)
+      var seq = 0L
+      var nextTxn = 1000L
+      val live = scala.collection.mutable.Set[Int]()
+      val txnsOf = scala.collection.mutable.Map[Int, List[Long]]()
+      (1 to steps).map { step =>
+        val ts = f"2024-01-${(step % 27) + 1}%02d ${step % 24}%02d:00:00"
+        val rows = scala.collection.mutable.ArrayBuffer[(String, Int, Long, String, Double, String, Long, String)]()
+        // maybe create / update / delete one account
+        rnd.nextInt(4) match {
+          case 0 => // create (possibly re-create)
+            val a = rnd.nextInt(8)
+            if (!live(a)) { live += a; txnsOf(a) = Nil
+              seq += 1; rows += acct(a, if (rnd.nextBoolean()) "SAVINGS" else "CHECKING", "c", seq, ts) }
+          case 1 if live.nonEmpty => // type flip
+            val a = live.toSeq(rnd.nextInt(live.size))
+            seq += 1; rows += acct(a, if (rnd.nextBoolean()) "SAVINGS" else "CHECKING", "u", seq, ts)
+          case 2 if live.nonEmpty => // delete + cascade
+            val a = live.toSeq(rnd.nextInt(live.size))
+            live -= a
+            seq += 1; rows += acct(a, "CHECKING", "d", seq, ts)
+            txnsOf(a).foreach { t => seq += 1; rows += txn(t, a, 0.0, "d", seq, ts) }
+            txnsOf(a) = Nil
+          case _ => ()
+        }
+        // a couple of txns on live accounts
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          if (live.nonEmpty) {
+            val a = live.toSeq(rnd.nextInt(live.size))
+            nextTxn += 1; seq += 1
+            txnsOf(a) = nextTxn :: txnsOf(a)
+            rows += txn(nextTxn, a, rnd.nextInt(1000) / 10.0, "c", seq, ts)
+          }
+        }
+        rows.toSeq
+      }
+    }
+    for (seed <- Seq(7, 42, 99)) {
+      val steps = genHistory(seed, 14)
+      // two different batch cuts over the SAME history
+      val cuts = Seq(Seq(4, 9), Seq(2, 7, 11))
+      val finals = cuts.map { cut =>
+        val root = tmpDir(s"mts-prop-$seed-${cut.mkString("_")}") + "/r"
+        val bounds = (Seq(0) ++ cut ++ Seq(steps.length)).sliding(2).toSeq
+        bounds.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+          val rows = steps.slice(lo, hi).flatten
+          MultiTableStream.foldBatch(spark, root, cdc(rows: _*), "route",
+            Seq(dimSpec), Seq(factSpec), i.toLong)
+          val t = MultiTableStream.readCommitted(spark, root)
+          assert(orphans(t).isEmpty,
+            s"seed $seed cut $cut commit ${i + 1}: orphans ${orphans(t)}")
+          assert(graft.silver.Quality.uniqueCurrent(t("accounts"),
+            Seq("account_id")).isEmpty,
+            s"seed $seed cut $cut commit ${i + 1}: duplicate current dim rows")
+        }
+        val t = MultiTableStream.readCommitted(spark, root)
+        (t("accounts").collect().toSet, t("txns").collect().toSet)
+      }
+      assert(finals.distinct.size == 1,
+        s"seed $seed: different batch cuts reached different final states")
+    }
+  }
+
   test("schema evolution: upstream column adds and widenings fold without data loss") {
     val root = tmpDir("mts-evo") + "/r"
     val dimE = MultiTableStream.Scd2Dim("accounts", "acct", Seq("account_id"),
