@@ -7171,6 +7171,57 @@ object Queries {
                CAST(COUNT(*) AS BIGINT) AS n_facts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM kept e JOIN cur c ON e.user_id = c.user_id
+        GROUP BY 1""")),
+
+    // ── cross-table TIME TRAVEL (MultiSnapshot.readAllAt): after three
+    //    coordinator commits, read the PREVIOUS one — dim and fact AS OF
+    //    v2, mutually consistent. Oracle = the batch-equivalent SQL over
+    //    the first two batches' window only ──
+    Q("q248_coordinator_time_travel",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("q248-tt")
+          .toString + "/r"
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts"))
+        val routed = ev.withColumn("route", lit("dim"))
+          .unionByName(ev.withColumn("route", lit("fact")))
+        val dimSpec = graft.streaming.MultiTableStream.Scd2Dim(
+          "user_dim", "dim", Seq("user_id"), Seq("event_type"), "ts",
+          tieBreak = Seq("event_id"),
+          project = _.select("user_id", "event_type", "event_id", "ts"))
+        val factSpec = graft.streaming.MultiTableStream.UpsertFact(
+          "event_fact", "fact", Seq("event_id"), Seq("ts", "event_id"),
+          project = _.select("event_id", "user_id", "value", "ts"))
+        val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+        Seq(routed.filter(col("ts") < cut1),
+          routed.filter(col("ts") >= cut1 && col("ts") < cut2),
+          routed.filter(col("ts") >= cut2)).zipWithIndex.foreach {
+          case (b, i) => graft.streaming.MultiTableStream.foldBatch(
+            s, root, b, "route", Seq(dimSpec), Seq(factSpec), i.toLong)
+        }
+        val t = graft.gold.MultiSnapshot.readAllAt(s, root, 2L)
+        val cur = t("user_dim").filter(col("effective_to").isNull)
+          .select(col("user_id"), col("event_type").as("current_type"))
+        t("event_fact").join(cur, Seq("user_id"))
+          .groupBy(col("current_type"))
+          .agg(count(lit(1)).as("n_facts"),
+            sumMoney(col("value")).as("total_value"))
+      },
+      Some("""
+        WITH kept AS (SELECT * FROM events
+                      WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+        cur AS (
+          SELECT user_id, event_type AS current_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM kept) WHERE rn = 1)
+        SELECT current_type,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM kept e JOIN cur c ON e.user_id = c.user_id
         GROUP BY 1"""))
   )
 
