@@ -155,5 +155,12 @@ class ErasureSpec extends SparkSpec {
     assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$root/_commit"))
       .map(_.getPath.getName).count(_.startsWith("v")) == 1,
       "old commit pointers must not survive an erasure vacuum")
+
+    // erased state must be UNREACHABLE through time travel too: the
+    // pre-erasure commit version refuses rather than resolving
+    val preErasure = c.version - 1
+    val tt = intercept[IllegalArgumentException](
+      MultiSnapshot.commitAt(spark, root, preErasure))
+    assert(tt.getMessage.contains("not retained"), tt.getMessage)
   }
 }

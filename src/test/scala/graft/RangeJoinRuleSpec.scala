@@ -110,6 +110,32 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("property: random widths and interval shapes stay bit-identical to the nested loop") {
+    graft.functions.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val span = rnd.nextInt(60) + 1
+      val w = Seq(7.0, 32.0, 101.0, 13.0)(trial - 1)
+      val pts = spark.range(800L).select(col("id").as("pid"),
+        ((col("id") * (trial + 2)) % 701L).cast("double").as("p"))
+      val ivs = spark.range(120L).select(col("id").as("iid"),
+          ((col("id") * 29L + trial) % 680L).cast("double").as("lo"))
+        .withColumn("hi", col("lo") + (col("iid") % span).cast("double")
+          - lit(if (trial == 3) 5.0 else 0.0)) // trial 3 mixes inverted bands in
+      def j = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val exact = j.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      try {
+        spark.conf.set("spark.graft.rangeJoin.bucketWidth", w.toString)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_bucket"), s"trial $trial: rule didn't fire")
+        val accel = j.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        assert(accel == exact,
+          s"trial $trial w=$w span<$span: missing=${(exact -- accel).take(3)} " +
+            s"extra=${(accel -- exact).take(3)}")
+      } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    }
+  }
+
   test("equi-keyed band joins are left alone — the planner already has a hash key") {
     graft.functions.GraftExtensions.register(spark)
     try {
