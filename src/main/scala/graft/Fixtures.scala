@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Process-shared fixture cache for state-building registry queries.
+  *
+  * Several registry queries exercise SERVE/MUTATE paths over persisted
+  * state (coordinator roots, search indexes) whose BUILD cost dominated
+  * the benchmark suite (~45 s of round-8's 189 s was re-folding the same
+  * fixtures inside every timed run). The build recipes are deterministic
+  * functions of the scale-factor directory, so each family builds ONCE
+  * per (recipe version, sf) into a keyed cache dir and:
+  *
+  *  - read-only consumers (q230 phrase serve, q248 time travel) resolve
+  *    the cached root directly — their timing is the serve cost, which
+  *    is what the suite should measure;
+  *  - mutating consumers (erasure, WAP refusal, logical erase) take a
+  *    cheap private file-copy ([[mutableCopy]]) and mutate that — same
+  *    observable results, no shared-state coupling between runs;
+  *  - each family keeps ONE explicit build-path query (q242 for the
+  *    coordinator, q202 for the search index, q244 for the vector
+  *    index, q190 for the cluster index) so fold-path latency stays a
+  *    first-class benchmark number.
+  *
+  * Crash safety: the `_FIXTURE_DONE` marker commits a build; a crashed
+  * build leaves no marker and is rebuilt from scratch. BUMP [[Version]]
+  * WHENEVER A RECIPE CHANGES — the cache key is (version, sf, family),
+  * and a stale cache would silently serve the old recipe's state.
+  */
+object Fixtures {
+
+  private val Version = 1
+
+  def dir(sfDir: String, family: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-fixtures-v$Version/" +
+      s"${new java.io.File(sfDir).getName}/$family"
+
+  /** Get-or-build the fixture for `family` at `sfDir`; `build` receives
+    * the (empty) cache dir and must populate it synchronously.
+    */
+  def cached(spark: SparkSession, sfDir: String, family: String)
+            (build: String => Unit): String = {
+    val d = dir(sfDir, family)
+    val marker = new java.io.File(d, "_FIXTURE_DONE")
+    if (!marker.exists()) {
+      val f = new java.io.File(d)
+      if (f.exists()) {
+        val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(d), true)
+      }
+      f.mkdirs()
+      build(d)
+      marker.createNewFile()
+    }
+    d
+  }
+
+  /** A private mutable COPY of the cached fixture — for queries that
+    * erase/poison/rewrite state. Cheap local file copy vs a full
+    * re-fold; each call gets its own copy.
+    */
+  def mutableCopy(spark: SparkSession, sfDir: String, family: String)
+                 (build: String => Unit): String = {
+    val src = cached(spark, sfDir, family)(build)
+    val dst = java.nio.file.Files.createTempDirectory(s"graft-fx-$family")
+      .toString + "/m"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(src).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst),
+      false, conf)
+    dst
+  }
+
+  // ── coordinator (MultiTableStream) family — q242's exact recipe ────
+
+  val mtsDimSpec: graft.streaming.MultiTableStream.Scd2Dim =
+    graft.streaming.MultiTableStream.Scd2Dim(
+      "user_dim", "dim", Seq("user_id"), Seq("event_type"), "ts",
+      tieBreak = Seq("event_id"),
+      project = _.select("user_id", "event_type", "event_id", "ts"))
+
+  val mtsFactSpec: graft.streaming.MultiTableStream.UpsertFact =
+    graft.streaming.MultiTableStream.UpsertFact(
+      "event_fact", "fact", Seq("event_id"), Seq("ts", "event_id"),
+      project = _.select("event_id", "user_id", "value", "ts"))
+
+  def routedEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+    ev.withColumn("route", lit("dim"))
+      .unionByName(ev.withColumn("route", lit("fact")))
+  }
+
+  private def buildMts(s: SparkSession, d: String, root: String,
+                       nBatches: Int): Unit = {
+    val routed = routedEvents(s, d)
+    val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    val batches = Seq(
+      routed.filter(col("ts") < cut1),
+      routed.filter(col("ts") >= cut1 && col("ts") < cut2),
+      routed.filter(col("ts") >= cut2)).take(nBatches)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.MultiTableStream.foldBatch(s, root, b, "route",
+        Seq(mtsDimSpec), Seq(mtsFactSpec), i.toLong)
+    }
+  }
+
+  /** Coordinator root with ALL THREE batches folded (commits v1..v3). */
+  def mts3(s: SparkSession, d: String): String =
+    cached(s, d, "mts3")(base => buildMts(s, d, s"$base/r", 3)) + "/r"
+
+  /** Private copy of [[mts3]] for mutating queries (erasure). */
+  def mts3Copy(s: SparkSession, d: String): String =
+    mutableCopy(s, d, "mts3")(base => buildMts(s, d, s"$base/r", 3)) + "/r"
+
+  /** Private copy of a TWO-batch coordinator root (the WAP gate's clean
+    * prefix — batch 2 is the query's poisoned attempt).
+    */
+  def mts2Copy(s: SparkSession, d: String): String =
+    mutableCopy(s, d, "mts2")(base => buildMts(s, d, s"$base/r", 2)) + "/r"
+
+  // ── search index family — q202's exact recipe ──────────────────────
+
+  private def buildSearch(s: SparkSession, d: String, root: String): Unit = {
+    val st = operators.SearchIndex.State(root)
+    val docs = Tables.documents(s, d)
+    (0 to 2).foreach(i => operators.SearchIndex.fold(s, st,
+      docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+      "doc_id", "text"))
+  }
+
+  /** Three-batch search index (postings/docstats/positions/stats). */
+  def search3(s: SparkSession, d: String): operators.SearchIndex.State =
+    operators.SearchIndex.State(
+      cached(s, d, "search3")(base => buildSearch(s, d, s"$base/s")) + "/s")
+
+  /** Private copy of [[search3]] for mutating queries (erasure). */
+  def search3Copy(s: SparkSession, d: String): operators.SearchIndex.State =
+    operators.SearchIndex.State(
+      mutableCopy(s, d, "search3")(base => buildSearch(s, d, s"$base/s")) + "/s")
+}

@@ -1068,6 +1068,26 @@ object Perf {
                 concat_ws(" ", lit("fresh doc"), col("id")).as("text")),
             4L, "doc_id", "text"); 1L })
     }
+    if (what == "soak-r9") {
+      // CONSTRAINED-MEMORY soak of the pair generators (r8 verdict #6):
+      // the Σdf² / Σ|block|² cost arguments were measured at 8 GB+ heap;
+      // this mode reruns the three generators at 10M docs under whatever
+      // heap the caller pinned (SPARK_DRIVER_MEM=3g ≈ 96 MB/core at
+      // local[32]) — the required behavior is GRACEFUL SPILL (slower,
+      // green), never OOM. The heap line makes the log self-describing.
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      println(s"SOAK heap max = ${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB, n = $n")
+      val sdocs = syntheticDocs(n)
+      time(s"soak-minhash-lsh-$n")(
+        operators.Dedup.minHashLsh(sdocs, "id", "text",
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.9).count())
+      time(s"soak-tfidf-cosine-$n")(
+        operators.Dedup.tfidfCosinePairs(sdocs, "id", "text",
+          k = 3, minCosine = 0.5).count())
+      time(s"soak-containment-$n")(
+        operators.Dedup.containmentPairs(sdocs, "id", "text",
+          k = 3, threshold = 0.4).count())
+    }
     spark.stop()
   }
 }

@@ -75,6 +75,10 @@ object BaseDelta {
     def deltaRoot = s"$path/delta"
     def deltaPath(batchId: Long) = s"$deltaRoot/batch=$batchId"
     def manifestRoot = s"$path/_manifests"
+    /** Erasure-tombstone ledger for `col` ([[logicalErase]]) — one
+      * SnapshotStore of pending erased values per erase column.
+      */
+    def tombstonePath(col: String) = s"$path/_tombstones/$col"
   }
 
   /** Committed table state: base generation (0 = no compacted base yet /
@@ -113,6 +117,16 @@ object BaseDelta {
     * versions are retained one commit and retired by the next write.
     */
   def readManifest(spark: SparkSession, t: Table): Option[Manifest] =
+    readManifestVersioned(spark, t).map(_._2)
+
+  /** The committed (version, manifest) pair — writers derive their next
+    * commit FROM a specific version and CAS against version+1, so a
+    * contender that committed in between forces a typed conflict instead
+    * of a silent lost update (writing stale content under a fresh
+    * version number).
+    */
+  private def readManifestVersioned(spark: SparkSession,
+                                    t: Table): Option[(Long, Manifest)] =
     manifestVersions(spark, t).lastOption.map { v =>
       val f = fs(spark, t.path)
       val in = f.open(manifestFile(t, v))
@@ -131,19 +145,28 @@ object BaseDelta {
         .group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
       val folded = "\"folded_through\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
         .map(_.group(1).toLong)
-      Manifest(gen, ds, folded)
+      v -> Manifest(gen, ds, folded)
     }
 
-  /** Commit a manifest as the next version file (see readManifest for the
-    * atomicity argument) and retire versions older than the previous one.
-    * Single-writer, so the version counter cannot race.
+  /** Commit a manifest as version `basedOn + 1`, where `basedOn` is the
+    * version the new content was DERIVED from (0 when no manifest
+    * existed), and retire versions older than the previous one. The
+    * version is part of the CAS, not recomputed from a fresh listing: a
+    * contender that committed after our read would otherwise let us
+    * write stale-derived content under a higher fresh version — a
+    * silent lost update the rename alone cannot catch.
     */
-  private def writeManifest(spark: SparkSession, t: Table, m: Manifest): Unit = {
+  private def writeManifest(spark: SparkSession, t: Table, m: Manifest,
+                            basedOn: Long): Unit = {
     val f = fs(spark, t.path)
     f.mkdirs(new Path(t.manifestRoot))
     val versions = manifestVersions(spark, t)
-    val next = versions.lastOption.getOrElse(0L) + 1
-    val tmp = new Path(t.manifestRoot, f".v$next%020d.tmp")
+    val next = basedOn + 1
+    // nonce'd tmp name: two contenders must not share a scratch file —
+    // the winner's rename would steal it and turn the loser's clean CAS
+    // failure into a spurious IO error
+    val tmp = new Path(t.manifestRoot,
+      f".v$next%020d.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     val foldedJson = m.foldedThrough.map(b => s""","folded_through":$b""").getOrElse("")
     try out.write(
@@ -151,7 +174,16 @@ object BaseDelta {
         foldedJson + "}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.rename(tmp, manifestFile(t, next))
+    // single-writer contract, ENFORCED: a fresh-name rename fails only
+    // when a contender committed this version first — fail clean (typed)
+    // instead of silently losing the manifest update
+    if (!f.rename(tmp, manifestFile(t, next))) {
+      f.delete(tmp, false)
+      throw new CommitConflictException(
+        s"BaseDelta manifest CAS lost at ${t.path} v$next — a concurrent " +
+          "writer committed first; this table is single-writer (re-read " +
+          "and redo the append/compact against the new manifest)")
+    }
     versions.dropRight(1).foreach(v => f.delete(manifestFile(t, v), false))
   }
 
@@ -204,6 +236,115 @@ object BaseDelta {
   def currentBasePath(spark: SparkSession, t: Table): Option[String] =
     resolveSnapshot(spark, t)._1
 
+  // ── deferred (logical) erasure ─────────────────────────────────────
+  //
+  // The eager path ([[compact]] with an anti-join transform) prices an
+  // erasure at one full-table rewrite — the right cost ONCE, but a
+  // legal acknowledgment shouldn't wait on it. [[logicalErase]] gives
+  // the immediate ack: erased values land in a tiny per-column
+  // tombstone ledger (atomic SnapshotStore publish), every read path
+  // anti-joins the ledger from that moment — the data is UNREACHABLE
+  // through this table's API immediately, including time-travel reads
+  // (erasure overrides retention, the same stance as eraseCoordinated's
+  // vacuum) — and the physical rewrite rides the NEXT full compaction,
+  // which applies the ledger and clears it (receipt upgrade point:
+  // [[pendingTombstones]] empty = materialized). Fold latency is
+  // untouched: appends never consult the ledger.
+
+  private def tombstoneCols(spark: SparkSession, t: Table): Seq[String] = {
+    val f = fs(spark, t.path)
+    val root = new Path(s"${t.path}/_tombstones")
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(c => SnapshotStore.exists(spark, t.tombstonePath(c)))
+  }
+
+  /** The pending (not yet physically materialized) erased values, one
+    * single-column frame per erase column. Empty map = every logical
+    * erasure has been rewritten into the base (receipts upgradable to
+    * `materialized`).
+    */
+  def pendingTombstones(spark: SparkSession,
+                        t: Table): Map[String, DataFrame] =
+    tombstoneCols(spark, t).map { c =>
+      c -> SnapshotStore.read(spark, t.tombstonePath(c))
+    }.toMap
+
+  /** Anti-join every pending tombstone ledger — the read-side guard.
+    * Ledgers are request-sized (bounded by erasure subjects), so each
+    * rides one broadcast.
+    */
+  private def applyTombstones(spark: SparkSession, t: Table,
+                              df: DataFrame): DataFrame =
+    pendingTombstones(spark, t).foldLeft(df) { case (d, (c, ids)) =>
+      d.join(broadcast(ids.select(col(ids.columns.head).as("__erased"))),
+        d(c) === col("__erased"), "left_anti")
+    }
+
+  /** Logically erase rows whose `eraseCol` matches `ids`: publish the
+    * ids into the tombstone ledger (one atomic pointer flip — readers
+    * stop seeing the rows NOW) and return the legal receipt (id,
+    * n_rows_erased, status='pending'), counted against the currently
+    * readable view so already-erased or absent subjects report 0. The
+    * physical rewrite happens at the next full [[compact]] (or an
+    * explicit `compact(t)` right after, making this exactly the eager
+    * path); `status` upgrades to `materialized` once
+    * [[pendingTombstones]] no longer lists the value.
+    *
+    * While a value is pending, rows matching it are suppressed from ALL
+    * reads — including rows appended AFTER the logical erase (a re-add
+    * inside the pending window is treated as replayed subject data;
+    * erasure wins until the ledger materializes). Re-admission of a
+    * legitimately returning subject is a new fold after materialization.
+    */
+  def logicalErase(spark: SparkSession, t: Table, eraseCol: String,
+                   ids: DataFrame): DataFrame = {
+    val subj = broadcast(ids.select(col(ids.columns.head).as("__erased"))
+      .distinct())
+    val receipt = subj.join(
+        read(spark, t).join(subj, col(eraseCol) === col("__erased"))
+          .groupBy(col("__erased")).agg(count(lit(1)).as("__n")),
+        Seq("__erased"), "left")
+      .select(col("__erased").as(eraseCol),
+        coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
+        lit("pending").as("status"))
+      .localCheckpoint(true)
+    val path = t.tombstonePath(eraseCol)
+    val merged =
+      if (SnapshotStore.exists(spark, path))
+        SnapshotStore.read(spark, path)
+          .select(col("__erased")).unionByName(subj).distinct()
+      else subj
+    SnapshotStore.publish(merged, path)
+    receipt.toDF()
+  }
+
+  /** Force the physical rewrite of all pending logical erasures NOW —
+    * one full compaction through the tombstone filter plus a vacuum so
+    * the old bytes are gone, exactly the eager-erasure cost, paid at a
+    * moment of the operator's choosing (the scheduled-maintenance slot
+    * GDPR's 30-day window amortizes against). No-op when nothing is
+    * pending. Returns the vacuumed paths.
+    */
+  def materializeErasures(spark: SparkSession, t: Table): Seq[String] = {
+    if (pendingTombstones(spark, t).isEmpty) return Seq.empty
+    compact(spark, t, transform = Some(identity))
+    vacuum(spark, t)
+  }
+
+  /** Drop materialized tombstone ledgers (called by [[compact]] after a
+    * FULL fold committed with the ledger applied; bounded folds keep the
+    * ledger because later deltas may still hold matching rows).
+    */
+  private def clearTombstones(spark: SparkSession, t: Table): Unit = {
+    val f = fs(spark, t.path)
+    tombstoneCols(spark, t).foreach { c =>
+      f.delete(new Path(t.tombstonePath(c)), true)
+    }
+    val root = new Path(s"${t.path}/_tombstones")
+    if (f.exists(root) && f.listStatus(root).isEmpty) f.delete(root, true)
+  }
+
   /** Append one micro-batch as an immutable delta — O(batch) I/O. The
     * batch is pre-deduped (latest-wins) so a delta holds one row per key;
     * `batchId` keys the delta dir, making replays overwrite themselves.
@@ -228,9 +369,9 @@ object BaseDelta {
     graft.silver.Staging.dedupLatestByMax(keyed, t.keys, t.orderCols)
       .coalesce(deltaFiles)
       .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
-    readManifest(spark, t).foreach { m =>
+    readManifestVersioned(spark, t).foreach { case (v, m) =>
       if (!m.deltas.contains(batchId))
-        writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId))
+        writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId), v)
     }
   }
 
@@ -253,7 +394,7 @@ object BaseDelta {
     require(parts.nonEmpty, s"BaseDelta.read: empty table at ${t.path}")
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
     val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
-    t.opCol match {
+    val view = t.opCol match {
       case Some(op) =>
         // tombstoned keys absent; null-key junk dropped even if a delta
         // predating the CDC contract carried one
@@ -261,6 +402,7 @@ object BaseDelta {
           .filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
       case None => merged
     }
+    applyTombstones(spark, t, view)
   }
 
   /** Time-travel read: the table as of `asOfBatch` — the merge-on-read
@@ -298,12 +440,15 @@ object BaseDelta {
       s"BaseDelta.readAt: nothing committed at or before batch $asOfBatch at ${t.path}")
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
     val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
-    t.opCol match {
+    val view = t.opCol match {
       case Some(op) =>
         merged.filter(col(op) =!= "d" || col(op).isNull)
           .filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
       case None => merged
     }
+    // erasure overrides time travel: logically-erased rows are
+    // unreachable at EVERY retained as-of point, not just the head
+    applyTombstones(spark, t, view)
   }
 
   /** The oldest batch id `readAt` can still separate, if known: the max
@@ -321,36 +466,72 @@ object BaseDelta {
     * legacy (pre-manifest) table migrates it to the manifest layout, and
     * the legacy write path's dangling-swap recovery runs here — in the
     * writer, never in `read`.
+    *
+    * `upTo` bounds the fold: only deltas with id <= upTo fold into the
+    * new base; later deltas stay LIVE (and separable). This is how a
+    * coordinated sink compacts without flooring time travel at its own
+    * just-committed batch — fold through the PREVIOUS commit's pointer
+    * and the previous commit stays readable via `readAt` for its full
+    * retention cycle. `None` folds everything (the original behavior).
+    * A bounded fold with a `transform` still rewrites the base through
+    * the transform, but only the folded prefix of deltas — erasure over
+    * the full table must use `upTo = None`.
     */
   def compact(spark: SparkSession, t: Table,
               allowSchemaEvolution: Boolean = false,
-              transform: Option[DataFrame => DataFrame] = None): Unit = {
+              transform: Option[DataFrame => DataFrame] = None,
+              upTo: Option[Long] = None): Unit = {
     val f = fs(spark, t.path)
-    val mOpt = readManifest(spark, t)
+    val mvOpt = readManifestVersioned(spark, t)
+    val mOpt = mvOpt.map(_._2)
     if (mOpt.isEmpty)
       // legacy crash recovery (writer-side): restore a base left dangling
       // between writeAtomic's two renames before reading it
       UpsertByKey.recoverDangling(f, t.basePath)
     val live = mOpt.map(_.deltas).getOrElse(diskDeltas(spark, t))
-    // plain compaction with no live deltas is a no-op; a TRANSFORM
+    val foldable = upTo.map(b => live.filter(_ <= b)).getOrElse(live)
+    val kept = live.diff(foldable)
+    // plain compaction with nothing to fold is a no-op; a TRANSFORM
     // (erasure rewrite) must still run against the base alone
-    if (live.isEmpty && transform.isEmpty) return
+    if (foldable.isEmpty && transform.isEmpty) return
     if (live.isEmpty && currentBasePath(spark, t).isEmpty) return // empty table
     val gen = mOpt.map(_.generation).getOrElse(0L)
     val newBase = new Path(t.baseGenPath(gen + 1))
     if (f.exists(newBase)) f.delete(newBase, true)  // crashed earlier attempt
-    val folded0 = read(spark, t, allowSchemaEvolution)
+    val baseOpt = resolveSnapshot(spark, t)._1
+    val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
+      foldable.map(id => spark.read.parquet(t.deltaPath(id)))
+    require(parts.nonEmpty,
+      s"BaseDelta.compact: nothing to fold at ${t.path}")
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = allowSchemaEvolution))
+    val merged = graft.silver.Staging.dedupLatestByMax(all, t.keys, t.orderCols)
+    val folded1 = t.opCol match {
+      case Some(op) =>
+        merged.filter(col(op) =!= "d" || col(op).isNull)
+          .filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
+      case None => merged
+    }
+    // pending logical erasures MATERIALIZE here: the fold is the
+    // deferred rewrite's vehicle, so the new base is physically free of
+    // tombstoned rows
+    val folded0 = applyTombstones(spark, t, folded1)
     // (a transform filtering everything is safe: Spark writes a
     // schema-preserving empty file, so the new base stays readable)
     transform.map(_(folded0)).getOrElse(folded0)
       .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
-    // fold boundary: everything up to the highest live batch is now
+    // fold boundary: everything up to the highest FOLDED batch is now
     // inseparable from the base — recorded so readAt can refuse, monotone
     // across compactions (a fold can only raise the floor)
-    val folded = (mOpt.flatMap(_.foldedThrough).toSeq ++ live)
+    val folded = (mOpt.flatMap(_.foldedThrough).toSeq ++ foldable)
       .reduceOption(_ max _)
     writeManifest(spark, t,
-      Manifest(gen + 1, Seq.empty, folded))  // ← commit point
+      Manifest(gen + 1, kept, folded),
+      mvOpt.map(_._1).getOrElse(0L))  // ← commit point (CAS on read version)
+    // a FULL fold has rewritten every live row through the tombstone
+    // filter — the ledger is materialized and retires (receipt upgrade
+    // point). A bounded fold keeps it: the un-folded later deltas may
+    // still hold matching rows, which reads must keep filtering.
+    if (kept.isEmpty) clearTombstones(spark, t)
     // retire everything no longer referenced by the PREVIOUS generation:
     // readers may still hold (gen, live); older state is unreachable
     if (gen >= 1) {

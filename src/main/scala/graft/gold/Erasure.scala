@@ -183,7 +183,12 @@ object Erasure {
     *     bytes immediately — erasure overrides the one-cycle retention.
     *
     * `keyCols` names each member's subject column (staged or delta);
-    * members absent from it carry forward untouched. Returns the
+    * members absent from it carry forward untouched — including the
+    * stream's `@sys.batch` exactly-once marker
+    * ([[graft.streaming.MultiTableStream.BatchLedger]]): the erasure
+    * commit advances the coordinator VERSION but not the batch ledger,
+    * so a stream managing this root folds its next micro-batch normally
+    * (versions are not batch ids; the ledger is the marker). Returns the
     * receipt: one row per (table, subject) with rows erased, zeros
     * included — the auditor's ledger, not a boolean.
     */
@@ -218,21 +223,29 @@ object Erasure {
           rec
         }
     }
-    // 2. staged tables: one atomic flip for every filtered generation
+    // 2. staged tables: one atomic flip for every filtered generation.
+    // Every read is PINNED to commit `c` (the transaction's observation
+    // point) and the publish declares `c` as its base — a stream batch
+    // that commits in between forces a typed conflict instead of this
+    // erasure silently re-publishing pre-batch state over it
     val stagedNames = c.gens.keySet
       .filterNot(_.startsWith(MultiSnapshot.PointerPrefix))
       .filter(keyCols.contains).toSeq.sorted
     val stagedReceipts = stagedNames.map { name =>
-      receiptOf(name, MultiSnapshot.read(spark, root, name), keyCols(name))
-        .localCheckpoint(true)
+      receiptOf(name, MultiSnapshot.readPinned(spark, root, c, name),
+        keyCols(name)).localCheckpoint(true)
     }
     if (stagedNames.nonEmpty)
-      MultiSnapshot.publish(spark, root, stagedNames.map { name =>
-        name -> MultiSnapshot.read(spark, root, name)
+      MultiSnapshot.publishFrom(spark, root, Some(c), stagedNames.map { name =>
+        name -> MultiSnapshot.readPinned(spark, root, c, name)
           .join(subj, col(keyCols(name)) === col("__subject"), "left_anti")
       }.toMap)
-    // 3. the old bytes go NOW
-    MultiSnapshot.vacuum(spark, root)
+    // 3. the old bytes go NOW — writer-safe form: everything below the
+    // just-committed generations (the pre-erasure state) is destroyed;
+    // a concurrent committer's reserved staging above them is left for
+    // the next quiet-moment full vacuum (its commit will lose the CAS,
+    // so the subject never re-enters reachable state)
+    MultiSnapshot.vacuum(spark, root, belowCurrentOnly = true)
     (deltaReceipts ++ stagedReceipts)
       .reduceOption(_ unionByName _)
       .getOrElse(sys.error(

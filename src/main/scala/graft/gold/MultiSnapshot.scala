@@ -3,6 +3,17 @@ package graft.gold
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A committer lost its pointer CAS to a concurrent commit that touched
+  * overlapping state (or exhausted its rebase retries). The losing
+  * attempt published NOTHING — readers see only complete commits — and
+  * its staged generation dirs are invisible orphans that [[MultiSnapshot
+  * .vacuum]] / [[SnapshotStore.vacuum]] reclaim. Safe recovery is to
+  * re-derive from the NEW committed state and publish again (a full
+  * read-modify-write redo, not a blind resend of the stale frames).
+  */
+final class CommitConflictException(msg: String)
+  extends RuntimeException(msg)
+
 /** Multi-table atomic publish — one commit spanning several snapshot
   * tables, so readers always see a MUTUALLY CONSISTENT set of
   * generations. The single-table [[SnapshotStore]] cannot express the
@@ -36,7 +47,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their current generation in the new commit (the common case — the
   * fact advances every batch, the dim only when it changes).
   *
-  * Concurrency contract: single writer, any number of readers.
+  * Concurrency contract: any number of readers, and CONTENDING WRITERS
+  * resolve through two primitives instead of corrupting each other:
+  *
+  *  - generation RESERVATION — before staging, a writer claims its
+  *    generation number with a create-exclusive marker file
+  *    (`<table>/.reserve.g<N>`; atomic create-no-overwrite on
+  *    HDFS/POSIX, a conditional If-None-Match PUT on object stores), so
+  *    two writers advancing the same table stage into DIFFERENT dirs —
+  *    the overwrite-into-one-dir corruption a bare protocol would allow
+  *    is unrepresentable;
+  *  - pointer CAS — the commit rename targets a fresh version name;
+  *    exactly one contender wins it. The loser REBASES (bounded
+  *    retries) when the winning commit touched only DISJOINT members —
+  *    its staged dirs are already safe under reserved numbers, so the
+  *    rebase is a pointer-level merge, no restaging — and throws
+  *    [[CommitConflictException]] when the winner advanced a member it
+  *    also staged (a read-modify-write lost its read: the caller must
+  *    re-derive and redo). Either way no partial state is ever
+  *    committed, and a loser's orphaned generations/markers are
+  *    reclaimed by [[vacuum]].
+  *
+  * Crashed writers leave reserved-but-unpublished markers; later writers
+  * simply skip those numbers (reservation start = committed + 1, bump on
+  * collision), so progress never depends on cleanup. Streaming replay
+  * stays exact because the exactly-once ledger is the committed
+  * `@sys.batch` marker, not generation/version arithmetic.
   */
 object MultiSnapshot {
 
@@ -127,6 +163,42 @@ object MultiSnapshot {
   def pointer(c: Commit, table: String): Option[Long] =
     c.gens.get(PointerPrefix + table)
 
+  /** Reservation marker for generation `gen` of `table` — a zero-byte
+    * file whose create-exclusive semantics hand each contending writer a
+    * DISTINCT generation number before any data is staged.
+    */
+  private def reserveMarker(root: String, table: String, gen: Long) =
+    new Path(tablePath(root, table), s".reserve.g$gen")
+
+  /** Claim the first unreserved generation number >= `start` for `table`
+    * via create-exclusive marker files. A marker left by a crashed or
+    * lost-race writer just bumps the number — correctness never waits on
+    * cleanup ([[vacuum]] reclaims markers below the committed
+    * generation).
+    */
+  /** Atomic create-no-overwrite. On `file://` Hadoop's create(p, false)
+    * is a non-atomic exists-check-then-create (a TOCTOU hole two barrier-
+    * synchronized writers actually hit), so local paths go through
+    * java.io.File.createNewFile — O_CREAT|O_EXCL, atomic on POSIX. HDFS
+    * create(overwrite=false) is atomic at the NameNode; object stores
+    * map this to a conditional If-None-Match PUT.
+    */
+  private def createExclusive(f: FileSystem, p: Path): Boolean =
+    if (f.getScheme == "file")
+      new java.io.File(p.toUri.getPath).createNewFile()
+    else
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
+  private def reserveGen(f: FileSystem, root: String, table: String,
+                         start: Long): Long = {
+    f.mkdirs(new Path(tablePath(root, table)))
+    var g = start
+    while (!createExclusive(f, f.makeQualified(reserveMarker(root, table, g))))
+      g += 1
+    g
+  }
+
   /** Atomically publish new contents for `tables` (a subset of the
     * root's tables; others carry forward). Returns the new commit.
     *
@@ -138,10 +210,44 @@ object MultiSnapshot {
     * committed view is `readAt(value)`. Readers resolving the
     * coordinator get the gen tables AND the pointer values of one
     * consistent commit.
+    *
+    * Contention (see the object scaladoc): each staged table's
+    * generation number is RESERVED first, so concurrent writers never
+    * share a staging dir; the pointer CAS then admits one commit at a
+    * time. On a lost CAS the publish rebases and retries up to
+    * `conflictRetries` times iff the winning commit(s) advanced only
+    * members DISJOINT from this call's `tables`/`pointers` — commuting
+    * writes, e.g. two streams maintaining different members of one root.
+    * Overlap means this call's inputs may be stale reads of state the
+    * winner just replaced, so it throws [[CommitConflictException]]
+    * instead of silently losing the winner's update; the caller
+    * re-derives from the new commit and redoes the publish.
+    * `conflictRetries = 0` refuses ANY interleaved commit — full
+    * fail-stop for callers wanting strict serialization.
     */
   def publish(spark: SparkSession, root: String,
               tables: Map[String, DataFrame],
-              pointers: Map[String, Long] = Map.empty): Commit = {
+              pointers: Map[String, Long] = Map.empty,
+              conflictRetries: Int = 3): Commit =
+    publishFrom(spark, root, currentCommit(spark, root), tables, pointers,
+      conflictRetries)
+
+  /** [[publish]] with the caller's OWN observation point: `observed` is
+    * the commit the staged contents were derived from (None = derived
+    * from an unpublished root). The conflict check then spans the
+    * caller's whole read-modify-write window, not just publish's — a
+    * contender that committed between the caller's reads and this call
+    * advancing an overlapping member is a conflict, even though a fresh
+    * entry read would not have seen it. Transactional callers
+    * (MultiTableStream.foldBatch, Erasure.eraseCoordinated) MUST use
+    * this form; bare [[publish]] is for blind replaces whose content
+    * does not depend on prior committed state.
+    */
+  def publishFrom(spark: SparkSession, root: String,
+                  observed: Option[Commit],
+                  tables: Map[String, DataFrame],
+                  pointers: Map[String, Long] = Map.empty,
+                  conflictRetries: Int = 3): Commit = {
     require(tables.nonEmpty || pointers.nonEmpty,
       "MultiSnapshot.publish: no tables given")
     (tables.keys ++ pointers.keys).foreach(t =>
@@ -151,46 +257,102 @@ object MultiSnapshot {
     require(tables.keySet.intersect(pointers.keySet).isEmpty,
       "MultiSnapshot.publish: a table cannot be both staged and a pointer")
     val f = fs(spark, root)
-    val prev = currentCommit(spark, root)
+    val prev = observed
     val prevGens = prev.map(_.gens).getOrElse(Map.empty)
-    // STAGE: durable, invisible; overwrite any orphan from a crashed run
+    // the member names this call wants to advance — the overlap set for
+    // conflict detection
+    val touched: Set[String] =
+      tables.keySet ++ pointers.keySet.map(PointerPrefix + _)
+    def conflictIfOverlap(cur: Option[Commit]): Unit = {
+      val curGens = cur.map(_.gens).getOrElse(Map.empty)
+      val overlap = touched.filter(t => curGens.get(t) != prevGens.get(t))
+      if (overlap.nonEmpty)
+        throw new CommitConflictException(
+          s"MultiSnapshot.publish at $root: concurrent commit advanced " +
+            s"${overlap.mkString(", ")} (observed v${prev.map(_.version).getOrElse(0L)}, " +
+            s"now v${cur.map(_.version).getOrElse(0L)}) — re-derive from " +
+            "the current commit and publish again; this attempt's staged " +
+            "generations are invisible orphans (vacuum reclaims them)")
+    }
+    // fast-path abort BEFORE staging: if the caller's observation is
+    // already overtaken on an overlapping member, don't write data at all
+    conflictIfOverlap(currentCommit(spark, root))
+    // RESERVE + STAGE: each contender claims a distinct generation number
+    // before writing a byte of data — durable, invisible, collision-free
     val staged = tables.map { case (t, df) =>
-      val gen = prevGens.getOrElse(t, 0L) + 1
+      val gen = reserveGen(f, root, t, prevGens.getOrElse(t, 0L) + 1)
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(genPath(root, t, gen))
       t -> gen
     }
-    val newGens = prevGens ++ staged ++
-      pointers.map { case (t, v) => (PointerPrefix + t) -> v }
-    // COMMIT: one pointer PUT
-    val v = prev.map(_.version).getOrElse(0L) + 1
-    f.mkdirs(new Path(commitRoot(root)))
-    val tmp = new Path(commitRoot(root), f".v$v%020d.tmp")
-    val out = f.create(tmp, true)
-    try out.write(newGens.toSeq.sortBy(_._1)
-      .map { case (t, g) => s"$t=$g" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, commitFile(root, v)))
-      sys.error(s"MultiSnapshot.publish: commit rename failed for v$v — " +
-        "the new generations are NOT committed")
-    // RETIRE: generations unreachable from BOTH the new and the previous
-    // commit (in-flight readers may still hold the previous), and all but
-    // the last two commit pointers
-    val keep: Map[String, Set[Long]] = (newGens.keySet ++ prevGens.keySet)
-      .map(t => t -> Set(newGens.get(t), prevGens.get(t)).flatten).toMap
+
+    var attempt = 0
+    var committed: Commit = null
+    while (committed == null) {
+      val cur = currentCommit(spark, root)
+      val curGens = cur.map(_.gens).getOrElse(Map.empty)
+      // REBASE CHECK: did any commit since the caller's observation
+      // advance a member we are publishing? If so our staged content may
+      // be derived from state the winner replaced — fail clean, never
+      // merge blindly.
+      conflictIfOverlap(cur)
+      val newGens = curGens ++ staged ++
+        pointers.map { case (t, v) => (PointerPrefix + t) -> v }
+      // COMMIT: one pointer PUT — the CAS
+      val v = cur.map(_.version).getOrElse(0L) + 1
+      f.mkdirs(new Path(commitRoot(root)))
+      // nonce'd tmp: contenders must not share a scratch file (the
+      // winner's rename would steal the loser's)
+      val tmp = new Path(commitRoot(root),
+        f".v$v%020d.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(newGens.toSeq.sortBy(_._1)
+        .map { case (t, g) => s"$t=$g" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.rename(tmp, commitFile(root, v))) committed = Commit(v, newGens)
+      else {
+        // lost the CAS — a fresh-name rename fails only if a contender
+        // took this version. Loop re-reads and either rebases (disjoint)
+        // or throws (overlap), up to the retry budget.
+        f.delete(tmp, false)
+        attempt += 1
+        if (attempt > conflictRetries)
+          throw new CommitConflictException(
+            s"MultiSnapshot.publish at $root: lost the commit CAS " +
+              s"$attempt times (last at v$v) — contention exceeds " +
+              "conflictRetries; staged generations remain invisible " +
+              "orphans for vacuum")
+      }
+    }
+    // RETIRE below the retained window only: generations LOWER than
+    // every keeper (current + previous commit). Generations ABOVE the
+    // committed one are never touched here — they may be a live
+    // contender's reserved staging — and are reclaimed by vacuum.
+    val keep: Map[String, Set[Long]] =
+      (committed.gens.keySet ++ prevGens.keySet)
+        .filterNot(_.startsWith(PointerPrefix))
+        .map(t => t -> Set(committed.gens.get(t), prevGens.get(t)).flatten)
+        .toMap
     keep.foreach { case (t, keepGens) =>
+      val floor = if (keepGens.nonEmpty) keepGens.min else Long.MaxValue
       val dir = new Path(tablePath(root, t))
       if (f.exists(dir)) f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
-            !keepGens.contains(n.stripPrefix("gen=").toLong))
+            n.stripPrefix("gen=").toLong < floor)
           f.delete(st.getPath, true)
+        // reservation markers below the committed generation can never be
+        // contended again (reservations start at committed+1)
+        if (n.startsWith(".reserve.g") &&
+            n.stripPrefix(".reserve.g").forall(_.isDigit) &&
+            n.stripPrefix(".reserve.g").toLong < floor)
+          f.delete(st.getPath, false)
       }
     }
     commitVersions(spark, root).dropRight(2)
       .foreach(pv => f.delete(commitFile(root, pv), false))
-    Commit(v, newGens)
+    committed
   }
 
   /** Resolve ONE commit and read every STAGED table from it — the
@@ -207,14 +369,29 @@ object MultiSnapshot {
     }
   }
 
-  /** Retire every generation NOT referenced by the CURRENT commit, and
-    * every older commit pointer — the erasure override of the one-cycle
-    * retention [[publish]] keeps for in-flight readers: after a
-    * subject-erasing publish the pre-erasure generations' bytes must go
-    * NOW, not next cycle. Storage-metadata work only; returns deleted
-    * paths for the operation ledger.
+  /** Retire every generation NOT referenced by the CURRENT commit, every
+    * older commit pointer, and every reservation marker — the erasure
+    * override of the one-cycle retention [[publish]] keeps for in-flight
+    * readers (after a subject-erasing publish the pre-erasure
+    * generations' bytes must go NOW, not next cycle), and the reclaimer
+    * for generations orphaned by crashed or CAS-losing writers, which
+    * [[publish]]'s own retirement deliberately never touches. Run with
+    * NO writers in flight (the Delta VACUUM zero-retention contract): a
+    * concurrent writer's reserved-but-uncommitted staging would be
+    * swept. Storage-metadata work only; returns deleted paths for the
+    * operation ledger.
+    *
+    * `belowCurrentOnly = true` is the WRITER-SAFE form: it deletes only
+    * state strictly BELOW the committed generations (retired history —
+    * what an erasure is legally required to destroy now) and leaves
+    * anything above untouched, because a generation above the committed
+    * one may be a live contender's reserved staging. A concurrent
+    * committer doomed to lose its CAS can still hold subject bytes in
+    * such an orphan until the next full vacuum at a writer-quiet
+    * moment — the committed, reachable state is subject-free either way.
     */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String,
+             belowCurrentOnly: Boolean = false): Seq[String] = {
     val f = fs(spark, root)
     val c = currentCommit(spark, root).getOrElse(return Seq.empty)
     val keep: Map[String, Set[Long]] = c.gens
@@ -222,17 +399,28 @@ object MultiSnapshot {
       .map { case (t, g) => t -> Set(g) }
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     keep.foreach { case (t, keepGens) =>
+      val cur = keepGens.max
+      def retire(g: Long): Boolean =
+        if (belowCurrentOnly) g < cur else !keepGens.contains(g)
       val dir = new Path(tablePath(root, t))
       if (f.exists(dir)) f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
-            !keepGens.contains(n.stripPrefix("gen=").toLong)) {
+            retire(n.stripPrefix("gen=").toLong)) {
           f.delete(st.getPath, true)
           deleted += st.getPath.toString
         }
+        if (n.startsWith(".reserve.g") &&
+            n.stripPrefix(".reserve.g").forall(_.isDigit) &&
+            (!belowCurrentOnly || n.stripPrefix(".reserve.g").toLong < cur) &&
+            f.delete(st.getPath, false))
+          deleted += st.getPath.toString
       }
     }
-    commitVersions(spark, root).filterNot(_ == c.version).foreach { v =>
+    // only pointers BELOW the resolved commit: a contender may have
+    // committed a newer version since our read — deleting it would
+    // destroy a completed commit, not an orphan
+    commitVersions(spark, root).filter(_ < c.version).foreach { v =>
       f.delete(commitFile(root, v), false)
       deleted += commitFile(root, v).toString
     }
@@ -270,9 +458,17 @@ object MultiSnapshot {
     * repeated calls within one commit cycle are consistent with
     * [[readAll]] of that commit).
     */
-  def read(spark: SparkSession, root: String, table: String): DataFrame = {
-    val c = currentCommit(spark, root).getOrElse(
-      sys.error(s"MultiSnapshot.read: nothing committed at $root"))
+  def read(spark: SparkSession, root: String, table: String): DataFrame =
+    readPinned(spark, root, currentCommit(spark, root).getOrElse(
+      sys.error(s"MultiSnapshot.read: nothing committed at $root")), table)
+
+  /** One table resolved through a SPECIFIC commit — the read form a
+    * read-modify-write transaction must use so every input comes from
+    * its single observation point (pairing with [[publishFrom]], whose
+    * conflict check then covers exactly these reads).
+    */
+  def readPinned(spark: SparkSession, root: String, c: Commit,
+                 table: String): DataFrame = {
     val g = c.gens.getOrElse(table,
       sys.error(s"MultiSnapshot.read: table '$table' not in commit v${c.version}"))
     spark.read.parquet(genPath(root, table, g))

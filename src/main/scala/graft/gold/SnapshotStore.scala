@@ -34,7 +34,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    the previous generation is retained for one publish cycle (same
   *    bounded-retention compromise as [[BaseDelta]] / Delta VACUUM).
   *
-  * Concurrency contract: single writer, any number of readers.
+  * Concurrency contract: single writer, any number of readers. The
+  * single-writer rule is ENFORCED at the commit point rather than
+  * assumed: a writer that loses the pointer CAS (or finds its staged
+  * generation stale) gets a typed [[CommitConflictException]] — nothing
+  * partial commits, readers keep the winner, and the loser's staged
+  * generation is an invisible orphan that [[vacuum]] reclaims; recovery
+  * is to redo the whole read-modify-write publish against the new
+  * committed generation. Multi-writer workloads belong on
+  * [[MultiSnapshot]], whose generation reservations also make
+  * concurrent STAGING collision-free.
   */
 object SnapshotStore {
 
@@ -102,22 +111,38 @@ object SnapshotStore {
     require(f.exists(new Path(genPath(path, gen))),
       s"SnapshotStore.commit: generation $gen was never staged at $path")
     val prev = currentGen(spark, path)
-    require(prev.forall(_ < gen),
-      s"SnapshotStore.commit: generation $gen is not newer than committed $prev")
+    if (!prev.forall(_ < gen))
+      throw new CommitConflictException(
+        s"SnapshotStore.commit at $path: staged generation $gen is not " +
+          s"newer than committed $prev — a concurrent publish won; " +
+          "re-derive from the current generation and redo the whole " +
+          "publish (this staged dir is an invisible orphan for vacuum)")
     f.mkdirs(new Path(ptrRoot(path)))
     val versions = ptrVersions(spark, path)
     val next = versions.lastOption.getOrElse(0L) + 1
-    val tmp = new Path(ptrRoot(path), f".v$next%020d.tmp")
+    // nonce'd tmp: contenders must not share a scratch file (the
+    // winner's rename would steal the loser's)
+    val tmp = new Path(ptrRoot(path),
+      f".v$next%020d.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(s"""{"gen":$gen}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // Commit point. Hadoop rename reports failure (dest exists, src
     // vanished) by RETURNING false, not throwing — swallowing it would
-    // return success while readers still resolve the old generation.
-    if (!f.rename(tmp, ptrFile(path, next)))
-      sys.error(s"SnapshotStore.commit: pointer swap $tmp -> " +
-        s"${ptrFile(path, next)} failed; generation $gen is NOT committed")
+    // return success while readers still resolve the old generation. A
+    // fresh-name rename fails only when a contender took this version:
+    // this store is a single-table read-modify-write surface, so a lost
+    // CAS ALWAYS means our staged content read a replaced generation —
+    // fail clean (typed), never rebase; the caller redoes the publish
+    // from the new commit.
+    if (!f.rename(tmp, ptrFile(path, next))) {
+      f.delete(tmp, false)
+      throw new CommitConflictException(
+        s"SnapshotStore.commit at $path: lost the pointer CAS at " +
+          s"v$next; generation $gen is NOT committed and remains an " +
+          "invisible orphan for vacuum — re-derive and redo the publish")
+    }
     // retention: keep the just-replaced generation for readers that
     // resolved it before this commit; drop anything older. Delete only
     // generations that are actually on disk (one listing), not a

@@ -101,7 +101,8 @@ object ClusterIndex {
            idCol: String, textCol: String, k: Int = 3,
            threshold: Double = 0.2, maxStateDf: Int = 0,
            maxDeltas: Int = 16,
-           maxBroadcastHashes: Long = 4000000L): Unit = {
+           maxBroadcastHashes: Long = 4000000L,
+           allowSchemaEvolution: Boolean = false): Unit = {
     // exactly-once ledger: a replayed batch id is SKIPPED, not refolded —
     // its original delta carried remap rows for old-cluster members that
     // a refold (whose edges now map to already-final labels) could not
@@ -153,7 +154,7 @@ object ClusterIndex {
             .filter(col("n_shared").cast("double")
               / (col("n_a") + col("n_b") - col("n_shared")) >= threshold)
           // super-node compression: indexed endpoint → its current cluster
-          val cur = BaseDelta.read(spark, st.clustersTable)
+          val cur = BaseDelta.read(spark, st.clustersTable, allowSchemaEvolution = true)
             .select(col("id").as("id_b"), col("cluster_id"))
           within.unionByName(
             cross.join(cur, Seq("id_b"))
@@ -180,16 +181,16 @@ object ClusterIndex {
           val remap = comp.join(oldCids, Seq("id"))
             .filter(col("cluster_id") =!= col("id"))
             .select(col("id").as("__old"), col("cluster_id").as("__new"))
-          BaseDelta.read(spark, st.clustersTable)
+          BaseDelta.read(spark, st.clustersTable, allowSchemaEvolution = true)
             .join(broadcast(remap), col("cluster_id") === col("__old"))
             .select(col("id"), col("__new").as("cluster_id"))
         }
       val delta = assign.unionByName(remapped)
         .withColumn("as_of", lit(batchId))
       BaseDelta.appendAndMaybeCompact(spark, st.clustersTable, delta,
-        batchId, maxDeltas)
+        batchId, maxDeltas, allowSchemaEvolution)
       BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, bp,
-        batchId, maxDeltas)
+        batchId, maxDeltas, allowSchemaEvolution)
     } finally bp.unpersist()
   }
 
@@ -204,7 +205,7 @@ object ClusterIndex {
       // an explicit merge hint pins the shuffle path even where stats
       // would let the planner re-broadcast a small frame
       else batchHashes.hint("merge")
-    BaseDelta.read(spark, st.postingsTable).join(probe, Seq("s"), "left_semi")
+    BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true).join(probe, Seq("s"), "left_semi")
   }
 
   /** Right-to-erasure with CORRECT re-clustering: removing a document
@@ -232,7 +233,7 @@ object ClusterIndex {
             k: Int = 3, threshold: Double = 0.2): Unit = {
     val ids = broadcast(docIds.select(col(docIds.columns.head)
       .as("__erase_id")).distinct())
-    val cur = BaseDelta.read(spark, st.clustersTable)
+    val cur = BaseDelta.read(spark, st.clustersTable, allowSchemaEvolution = true)
     val affected = cur.join(ids, col("id") === col("__erase_id"))
       .select(col("cluster_id")).distinct()
     val members = cur.join(affected.withColumnRenamed("cluster_id", "__ac"),
@@ -248,7 +249,7 @@ object ClusterIndex {
         df.join(ids, col("id") === col("__erase_id"), "left_anti")))
       BaseDelta.vacuum(spark, st.postingsTable)
       // 3. surviving members' exact-Jaccard pairs from surviving postings
-      val mp = BaseDelta.read(spark, st.postingsTable)
+      val mp = BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true)
         .join(broadcast(members), Seq("id"))
       val pairs = mp.select(col("id").as("id_a"), col("s"),
           col("n_sh").as("n_a"))
@@ -285,7 +286,7 @@ object ClusterIndex {
 
   /** Current assignment for every ingested doc (singletons included). */
   def clusters(spark: SparkSession, st: State): DataFrame =
-    BaseDelta.read(spark, st.clustersTable).select("id", "cluster_id")
+    BaseDelta.read(spark, st.clustersTable, allowSchemaEvolution = true).select("id", "cluster_id")
 
   /** Assignments restricted to real (≥2-member) clusters — the id set
     * `resolveClusters` over the full pair set would emit.

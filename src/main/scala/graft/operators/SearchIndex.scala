@@ -54,18 +54,50 @@ object SearchIndex {
   private def round6(c: org.apache.spark.sql.Column) =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** True when batch `batchId` has already been applied to BaseDelta
+    * table `t`: its delta is live, or it was folded into the base (the
+    * fold floor also guards erased-content resurrection — an erasure
+    * compaction raises it past every applied batch).
+    */
+  private def appliedTo(spark: SparkSession, t: BaseDelta.Table,
+                        batchId: Long): Boolean =
+    BaseDelta.deltaBatches(spark, t).contains(batchId) ||
+      BaseDelta.timeTravelFloor(spark, t).exists(_ >= batchId)
+
+  /** The stats row's own ledger: highest batch id whose (n_docs, sum_dl)
+    * contribution is in the published stats. -1 when stats were published
+    * by pre-ledger code (unknown — never blocks a fold; the per-table
+    * delta ledgers still dedupe whole-batch replays).
+    */
+  private def statsLastBatch(spark: SparkSession, st: State): Option[Long] =
+    if (!SnapshotStore.exists(spark, st.statsPath)) None
+    else {
+      val s = SnapshotStore.read(spark, st.statsPath)
+      if (!s.columns.contains("last_batch")) Some(-1L)
+      else Some(s.select(max(col("last_batch"))).head().getLong(0))
+    }
+
   /** Fold one document batch (idCol, textCol) into the index. Replays
-    * are no-ops by ledger: the postings table's delta-id list plus its
-    * compaction fold boundary record every applied batch (the
-    * ClusterIndex recipe) — robust to out-of-band stats republishes
-    * ([[erase]] corrects the stats row without consuming a batch id).
+    * are no-ops PER STATE TABLE: each of postings/docstats/positions
+    * checks its own delta-id ledger (plus its compaction fold floor —
+    * the erasure-resurrection guard), and the stats row carries its own
+    * `last_batch` ledger, written LAST. A crash between any two writes
+    * therefore replays to exactly the missing tail — the fold is
+    * deterministic, so the recomputed slices are identical — instead of
+    * a whole-batch no-op that would permanently lose doc lengths, phrase
+    * positions, or corpus stats (the round-8 postings-only guard's crash
+    * hole). Erasure republishes stats out of band but PRESERVES
+    * `last_batch`, so the ledger survives corrections without consuming
+    * a batch id.
     */
   def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
-           idCol: String, textCol: String, maxDeltas: Int = 16): Unit = {
-    val applied =
-      BaseDelta.deltaBatches(spark, st.postingsTable).contains(batchId) ||
-        BaseDelta.timeTravelFloor(spark, st.postingsTable).exists(_ >= batchId)
-    if (applied) return
+           idCol: String, textCol: String, maxDeltas: Int = 16,
+           allowSchemaEvolution: Boolean = false): Unit = {
+    val postingsDone = appliedTo(spark, st.postingsTable, batchId)
+    val docstatsDone = appliedTo(spark, st.docstatsTable, batchId)
+    val positionsDone = appliedTo(spark, st.positionsTable, batchId)
+    val statsDone = statsLastBatch(spark, st).exists(_ >= batchId)
+    if (postingsDone && docstatsDone && positionsDone && statsDone) return
     val tk = TextAnalysis.tokens(col(textCol))
     val docs = batch.select(col(idCol).as("doc_id"),
         when(length(trim(col(textCol))) === 0, lit(0L))
@@ -74,32 +106,42 @@ object SearchIndex {
       .filter(col("dl") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val postings = docs
-        .select(col("doc_id"), explode(col("__tk")).as("__tok"))
-        .groupBy(xxhash64(col("__tok")).as("term_h"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-      BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, postings,
-        batchId, maxDeltas)
-      BaseDelta.appendAndMaybeCompact(spark, st.docstatsTable,
-        docs.select("doc_id", "dl"), batchId, maxDeltas)
-      val positions = docs
-        .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "__tok")))
-        .select(xxhash64(col("__tok")).as("term_h"), col("doc_id"),
-          col("pos").cast("long").as("pos"), lit(1L).as("one"))
-      BaseDelta.appendAndMaybeCompact(spark, st.positionsTable, positions,
-        batchId, maxDeltas)
-      // the batch-applied ledger above already guards replays, so the
-      // stats row simply accumulates (its generation number is NOT the
-      // ledger — erasure corrections may bump it out of band)
-      val delta = docs.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      val merged =
-        if (SnapshotStore.exists(spark, st.statsPath))
-          SnapshotStore.read(spark, st.statsPath).unionByName(delta)
-            .agg(sum(col("n_docs")).as("n_docs"),
-              sum(col("sum_dl")).as("sum_dl"))
-        else delta
-      SnapshotStore.publish(merged, st.statsPath)
+      if (!postingsDone) {
+        val postings = docs
+          .select(col("doc_id"), explode(col("__tk")).as("__tok"))
+          .groupBy(xxhash64(col("__tok")).as("term_h"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, postings,
+          batchId, maxDeltas, allowSchemaEvolution)
+      }
+      if (!docstatsDone)
+        BaseDelta.appendAndMaybeCompact(spark, st.docstatsTable,
+          docs.select("doc_id", "dl"), batchId, maxDeltas,
+          allowSchemaEvolution)
+      if (!positionsDone) {
+        val positions = docs
+          .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "__tok")))
+          .select(xxhash64(col("__tok")).as("term_h"), col("doc_id"),
+            col("pos").cast("long").as("pos"), lit(1L).as("one"))
+        BaseDelta.appendAndMaybeCompact(spark, st.positionsTable, positions,
+          batchId, maxDeltas, allowSchemaEvolution)
+      }
+      if (!statsDone) {
+        val delta = docs.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+          .withColumn("last_batch", lit(batchId))
+        val merged =
+          if (SnapshotStore.exists(spark, st.statsPath)) {
+            val old0 = SnapshotStore.read(spark, st.statsPath)
+            val old = if (old0.columns.contains("last_batch")) old0
+              else old0.withColumn("last_batch", lit(-1L))
+            old.select("n_docs", "sum_dl", "last_batch").unionByName(delta)
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("sum_dl")).as("sum_dl"),
+                max(col("last_batch")).as("last_batch"))
+          } else delta
+        SnapshotStore.publish(merged, st.statsPath)
+      }
       ()
     } finally docs.unpersist()
   }
@@ -126,17 +168,57 @@ object SearchIndex {
     val ids = broadcast(docIds.select(col(docIds.columns.head)
       .as("__erase_id")).distinct())
     def drop(t: BaseDelta.Table): Unit = {
-      BaseDelta.compact(spark, t, transform = Some(df =>
+      BaseDelta.compact(spark, t, allowSchemaEvolution = true,
+        transform = Some(df =>
         df.join(ids, col("doc_id") === col("__erase_id"), "left_anti")))
       BaseDelta.vacuum(spark, t)
     }
+    // the stats ledger survives the out-of-band correction: erasure does
+    // not consume a batch id, so the republished row carries the SAME
+    // last_batch — a later fold's replay check stays exact
+    val prevLb = statsLastBatch(spark, st).getOrElse(-1L)
     drop(st.postingsTable); drop(st.positionsTable); drop(st.docstatsTable)
-    val corrected = BaseDelta.read(spark, st.docstatsTable)
+    val corrected = BaseDelta.read(spark, st.docstatsTable,
+        allowSchemaEvolution = true)
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .withColumn("last_batch", lit(prevLb))
     SnapshotStore.publish(corrected, st.statsPath)
     SnapshotStore.vacuum(spark, st.statsPath)
     ()
+  }
+
+  /** DEFERRED right-to-erasure: the immediate-legal-ack form of
+    * [[erase]]. Tombstone ledgers land on all three state tables (one
+    * tiny atomic publish each — `BaseDelta.logicalErase`) and the
+    * corpus statistics recompute from the now-filtered docstats view,
+    * so every subsequent [[search]]/[[phraseSearch]] scores EXACTLY as
+    * an index that never saw the docs — before any state table is
+    * rewritten. The physical rewrite rides each table's next full
+    * compaction (or [[BaseDelta.materializeErasures]] per table at a
+    * scheduled slot); `BaseDelta.pendingTombstones` empty on all three
+    * is the receipt-upgrade signal. Cost shape: O(|docstats|) stats
+    * re-aggregate + three pointer flips, vs the eager path's
+    * three-table rewrite — the 52-second one-shot becomes
+    * milliseconds-ack + rewrite-later.
+    */
+  def eraseLogical(spark: SparkSession, st: State,
+                   docIds: DataFrame): DataFrame = {
+    val ids = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
+    val receipt =
+      BaseDelta.logicalErase(spark, st.docstatsTable, "doc_id", ids)
+    BaseDelta.logicalErase(spark, st.postingsTable, "doc_id", ids)
+    BaseDelta.logicalErase(spark, st.positionsTable, "doc_id", ids)
+    // stats correction reads the FILTERED docstats view; the fold
+    // ledger (last_batch) survives, as in [[erase]]
+    val prevLb = statsLastBatch(spark, st).getOrElse(-1L)
+    val corrected = BaseDelta.read(spark, st.docstatsTable,
+        allowSchemaEvolution = true)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .withColumn("last_batch", lit(prevLb))
+    SnapshotStore.publish(corrected, st.statsPath)
+    receipt
   }
 
   /** BM25 scores of every indexed doc matching ≥1 query term —
@@ -157,7 +239,8 @@ object SearchIndex {
     val hashes = spark.createDataFrame(terms.map(Tuple1(_))).toDF("t")
       .select(xxhash64(lower(trim(col("t"))))).collect()
       .map(_.getLong(0)).toSeq.distinct
-    val post = BaseDelta.read(spark, st.postingsTable)
+    val post = BaseDelta.read(spark, st.postingsTable,
+        allowSchemaEvolution = true)
       .filter(col("term_h").isin(hashes: _*))
     val stats = SnapshotStore.read(spark, st.statsPath)
       .select(col("n_docs").cast("double").as("n_docs"),
@@ -165,7 +248,8 @@ object SearchIndex {
           .as("avgdl"))
     val dfreq = post.groupBy(col("term_h"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val dl = BaseDelta.read(spark, st.docstatsTable)
+    val dl = BaseDelta.read(spark, st.docstatsTable,
+      allowSchemaEvolution = true)
     val idf = log((col("n_docs") - col("df") + lit(0.5))
       / (col("df") + lit(0.5)) + lit(1.0))
     post.join(broadcast(dfreq), Seq("term_h"))
@@ -199,7 +283,8 @@ object SearchIndex {
     val hashes = spark.createDataFrame(phrase.distinct.map(Tuple1(_)))
       .toDF("t").select(col("t"), xxhash64(lower(trim(col("t")))).as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val pos = BaseDelta.read(spark, st.positionsTable)
+    val pos = BaseDelta.read(spark, st.positionsTable,
+        allowSchemaEvolution = true)
       .filter(col("term_h").isin(hashes.values.toSeq: _*))
     val frames = phrase.zipWithIndex.map { case (t, i) =>
       pos.filter(col("term_h") === hashes(t))

@@ -150,6 +150,47 @@ object Similarity {
       .select(col("cell_id"), col("centroid"))
   }
 
+  /** Farthest-point (k-center / Gonzalez) seeding — the RETRAIN-quality
+    * election: seed 1 is the hash-min vector (deterministic), each later
+    * seed is the corpus vector LEAST similar to its nearest existing
+    * seed, so every well-separated cluster receives a seed before any
+    * cluster receives two (the k-means++-family guarantee hash-random
+    * sampling lacks; random seeds routinely double-cover one cluster and
+    * orphan another, which a Lloyd refine cannot undo). Cost: `nCells`
+    * broadcast-scored passes over the corpus — the offline-maintenance
+    * price ([[VectorIndex.refreshQuantizer]]'s path), not the fold path;
+    * pass a `.sample()` of the corpus to cap it at scale (quantizer
+    * training on a sample is standard IVF practice).
+    */
+  def centroidsFarthest(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val seed0 = vecs.withColumn("__h", xxhash64(col("__cid")))
+      .orderBy(col("__h").asc, col("__cid").asc).limit(1)
+      .select(col("__cv")).collect().head.getSeq[Float](0).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer[Array[Float]](seed0)
+    while (seeds.size < nCells) {
+      val centsDf = broadcast(seeds.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cell_id", "centroid"))
+      // the vector whose BEST similarity to any seed is WORST — scored
+      // map-side against the broadcast seeds, one TakeOrdered(1) pass
+      val far = vecs.crossJoin(centsDf)
+        .groupBy(col("__cid")).agg(
+          max(graft.functions.VectorFunctions.cosine(col("__cv"),
+            col("centroid"))).as("__best"),
+          first(col("__cv")).as("__cv"))
+        .orderBy(col("__best").asc, col("__cid").asc).limit(1)
+        .select(col("__cv")).collect()
+      if (far.isEmpty) return seeds.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cell_id", "centroid")
+      seeds += far.head.getSeq[Float](0).toArray
+    }
+    seeds.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell_id", "centroid")
+  }
+
   /** Assign each vector to its nearest centroid (broadcast centroids → no
     * corpus shuffle beyond the final partition-by-cell).
     */

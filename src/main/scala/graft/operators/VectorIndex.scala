@@ -64,7 +64,8 @@ object VectorIndex {
   def fold(spark: SparkSession, st: State, batch: DataFrame,
            batchId: Long, idCol: String, vecCol: String, nCells: Int = 16,
            refineIters: Int = 0, maxDeltas: Int = 64,
-           pqM: Int = 0, pqK: Int = 16): Unit = {
+           pqM: Int = 0, pqK: Int = 16,
+           allowSchemaEvolution: Boolean = false): Unit = {
     // replay ledger (delta ids + compaction fold floor): a replayed
     // batch id is a SKIP, not an overwrite — after an [[erase]]
     // compaction, an overwrite under an already-folded id would
@@ -89,6 +90,13 @@ object VectorIndex {
         SnapshotStore.publish(cents, st.centroidsPath)
     }
     if (pqM > 0 && !SnapshotStore.exists(spark, st.codebookPath)) {
+      // schema-evolution guard: turning PQ on over an existing non-PQ
+      // index would mix codes/no-codes deltas — that migration is the
+      // explicit [[enablePq]] backfill, not a silent mid-stream flip
+      require(BaseDelta.deltaBatches(spark, st.postingsTable).isEmpty &&
+        BaseDelta.currentBasePath(spark, st.postingsTable).isEmpty,
+        s"VectorIndex.fold: index at ${st.root} already folded without " +
+          "PQ — run enablePq to backfill codes before folding with pqM > 0")
       val cb = Pq.codebookMicro(batch, idCol, vecCol, pqM, pqK)
       import spark.implicits._
       if (SnapshotStore.currentGen(spark, st.codebookPath).isEmpty)
@@ -106,7 +114,7 @@ object VectorIndex {
       else assigned0.withColumn("codes",
         Pq.encode(col("vec"), readCodebook(spark, st), pqM, pqK))
     BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, assigned,
-      batchId, maxDeltas)
+      batchId, maxDeltas, allowSchemaEvolution)
   }
 
   /** Top-k nearest indexed vectors per query over the probed cells.
@@ -123,7 +131,8 @@ object VectorIndex {
         queries.select(col(idCol), col(vecCol)), cents, idCol, vecCol,
         nProbe = nProbe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
-    val scored = BaseDelta.read(spark, st.postingsTable)
+    val scored = BaseDelta.read(spark, st.postingsTable,
+        allowSchemaEvolution = true)
       .join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine",
@@ -157,7 +166,8 @@ object VectorIndex {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
       .withColumn("__lut", Pq.lut(col("qv"), cb, pqM, pqK))
     val post = BaseDelta.read(spark, st.postingsTable)
-    // ADC pass: code bytes only, within probed cells
+    // ADC pass: code bytes only, within probed cells (no tolerant read
+    // here: missing `codes` must fail loudly — enablePq is the backfill)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("id").asc)
     val short = post.join(broadcast(q), Seq("cell_id"))
@@ -195,9 +205,174 @@ object VectorIndex {
     ()
   }
 
+  /** SCHEMA EVOLUTION migration: enable PQ on an index that folded
+    * WITHOUT it. Mid-life `pqM > 0` folds would otherwise mix schemas
+    * (old deltas without `codes`) and leave [[topKAdc]] with unscorable
+    * rows — the principled evolution for an engine-owned state schema is
+    * an explicit BACKFILL, not null-filling: train the codebook on the
+    * current corpus, rewrite the postings once through a compaction
+    * transform that encodes every stored vector, and fold with the same
+    * `pqM`/`pqK` from then on. The fold ledger survives (compaction only
+    * raises the floor to already-applied batches), so replays still
+    * skip.
+    */
+  def enablePq(spark: SparkSession, st: State, pqM: Int,
+               pqK: Int = 16): Unit = {
+    require(pqM > 0, "enablePq: pqM must be positive")
+    require(!SnapshotStore.exists(spark, st.codebookPath),
+      s"enablePq: ${st.root} already has a PQ codebook")
+    val corpus = BaseDelta.read(spark, st.postingsTable)
+    val cb = Pq.codebookMicro(corpus, "id", "vec", pqM, pqK)
+    import spark.implicits._
+    SnapshotStore.publish(
+      cb.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("pos", "v"),
+      st.codebookPath)
+    BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
+      df.withColumn("codes", Pq.encode(col("vec"), cb, pqM, pqK))))
+  }
+
+  /** DEFERRED right-to-erasure: immediate legal ack via the postings
+    * tombstone ledger ([[graft.gold.BaseDelta.logicalErase]]) — serving
+    * excludes the ids from this call on, the physical rewrite rides the
+    * next full compaction or an explicit
+    * `BaseDelta.materializeErasures(st.postingsTable)`. Returns the
+    * pending receipt.
+    */
+  def eraseLogical(spark: SparkSession, st: State,
+                   ids: DataFrame): DataFrame =
+    BaseDelta.logicalErase(spark, st.postingsTable, "id", ids)
+
   /** Number of cells in the frozen quantizer (for `nProbe = nCells`
     * exact serving and recall experiments).
     */
   def nCells(spark: SparkSession, st: State): Int =
     SnapshotStore.read(spark, st.centroidsPath).count().toInt
+
+  // ── quantizer refresh generations ──────────────────────────────────
+  //
+  // The frozen gen-1 quantizer degrades under embedding drift (new
+  // batches land far from any centroid → unbalanced cells → partial-
+  // probe recall collapses; `Similarity.embeddingDrift` is the alarm).
+  // The refresh path is the one FAISS/Milvus use in production: REBUILD
+  // OFFLINE, SWAP ATOMICALLY — never mutate a serving index's quantizer
+  // in place, because centroids and postings live in separate stores and
+  // no reader could resolve the pair consistently mid-rewrite. Here each
+  // quantizer generation is a complete sub-index under `<root>/q<G>`,
+  // and ONE pointer (SnapshotStore, 1-row) names the active generation:
+  // a reader resolves the pointer once and then touches only that
+  // sub-index's internally-consistent state; the swap is the pointer
+  // publish; crash anywhere before it leaves readers on the old
+  // generation and the next refresh overwrites the orphan.
+
+  /** Handle for a refresh-capable index: sub-indexes `<root>/q<G>` plus
+    * the `_active` pointer naming the serving generation.
+    */
+  final case class Managed(root: String) {
+    def activePath: String = s"$root/_active"
+    def subState(qgen: Long): State = State(s"$root/q$qgen")
+  }
+
+  /** The serving generation number (1 before any refresh). */
+  def activeQgen(spark: SparkSession, m: Managed): Long =
+    if (!SnapshotStore.exists(spark, m.activePath)) 1L
+    else SnapshotStore.read(spark, m.activePath)
+      .select(max(col("qgen"))).head().getLong(0)
+
+  /** The serving sub-index — fold/serve/erase through this. Resolved
+    * ONCE per operation (the pointer is the consistency point).
+    */
+  def active(spark: SparkSession, m: Managed): State =
+    m.subState(activeQgen(spark, m))
+
+  /** Re-elect the quantizer from the CURRENT corpus and atomically swap
+    * to quantizer generation G+1. One corpus pass: read the active
+    * postings, elect (+ optionally Lloyd-refine) fresh centroids,
+    * re-assign every vector, re-train + re-encode PQ codes if the old
+    * index carried them, write the result as sub-index `q<G+1>` whose
+    * fold ledger FLOORS at the old index's highest applied batch id —
+    * replayed batch ids skip on the new generation exactly as they did
+    * on the old (the erased-content guard semantics carry over, since
+    * the rebuild reads the post-erasure corpus). Readers keep gen G
+    * until the single pointer publish; the old sub-index stays on disk
+    * for in-flight readers until [[vacuumManaged]].
+    *
+    * Serving exactness is generation-independent: full-probe top-k is
+    * brute force under ANY quantizer (the oracle surface); what the
+    * refresh buys back is PARTIAL-probe recall under drift.
+    *
+    * Single maintenance writer (the streaming sink pauses or the
+    * IndexStreams trigger gap covers the rebuild — same contract as
+    * every OPTIMIZE here).
+    */
+  def refreshQuantizer(spark: SparkSession, m: Managed, nCells: Int,
+                       refineIters: Int = 0, pqM: Int = 0,
+                       pqK: Int = 16): State = {
+    val cur = active(spark, m)
+    val g = activeQgen(spark, m) + 1
+    val next = m.subState(g)
+    val corpus = BaseDelta.read(spark, cur.postingsTable)
+      .select(col("id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(!corpus.isEmpty,
+        s"VectorIndex.refreshQuantizer: active index at ${cur.root} is empty")
+      // retrain-quality seeding: farthest-point election covers every
+      // separated cluster before doubling any — the whole point of the
+      // refresh is escaping the stale partition, so don't seed it with
+      // the fold path's cheap hash sample
+      val seeded = Similarity.centroidsFarthest(corpus, "id", "vec", nCells)
+      val cents =
+        if (refineIters > 0)
+          Similarity.kmeansRefine(corpus, "id", "vec", seeded, refineIters)
+        else seeded
+      SnapshotStore.publish(cents, next.centroidsPath)
+      if (pqM > 0) {
+        val cb = Pq.codebookMicro(corpus, "id", "vec", pqM, pqK)
+        import spark.implicits._
+        SnapshotStore.publish(
+          cb.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("pos", "v"),
+          next.codebookPath)
+      }
+      val assigned0 = Similarity
+        .assignCells(corpus, cents, "id", "vec", nProbe = 1)
+        .select(col("id"), col("cell_id"), col("vec"))
+      val assigned =
+        if (pqM <= 0) assigned0
+        else assigned0.withColumn("codes",
+          Pq.encode(col("vec"), readCodebook(spark, next), pqM, pqK))
+      // ledger carryover: everything the old index applied is folded
+      // here — one delta at the old high-water batch id, compacted so
+      // foldedThrough lands exactly there and replays ≤ it skip
+      val applied = BaseDelta.deltaBatches(spark, cur.postingsTable) ++
+        BaseDelta.timeTravelFloor(spark, cur.postingsTable).toSeq
+      val highWater = if (applied.nonEmpty) applied.max else 0L
+      BaseDelta.append(spark, next.postingsTable, assigned, highWater)
+      BaseDelta.compact(spark, next.postingsTable)
+      // THE swap: one pointer publish — readers before this resolve gen
+      // G's consistent pair, readers after it gen G+1's
+      import spark.implicits._
+      SnapshotStore.publish(Seq(g).toDF("qgen"), m.activePath)
+      next
+    } finally { corpus.unpersist(); () }
+  }
+
+  /** Retire sub-indexes below the PREVIOUS quantizer generation (the
+    * in-flight-reader cycle the pointer's own retention mirrors), plus
+    * stale pointer generations. Returns deleted paths.
+    */
+  def vacuumManaged(spark: SparkSession, m: Managed): Seq[String] = {
+    val keep = activeQgen(spark, m)
+    val f = new org.apache.hadoop.fs.Path(m.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(m.root)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    if (f.exists(root)) f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("q") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong < keep - 1 && f.delete(st.getPath, true))
+        deleted += st.getPath.toString
+    }
+    deleted ++= SnapshotStore.vacuum(spark, m.activePath)
+    deleted.toSeq
+  }
 }

@@ -146,6 +146,12 @@ object PlanLint {
     // parameter-sized (nCells-row) centroid broadcast cross (class 1 —
     // q29's exact shape over persisted state)
     "q244_vector_index" -> Map("broadcast_nested_loop" -> 1L),
+    // round 9: the refreshed-index serve is q244's exact plan shape over
+    // the gen-2 sub-index — same class-1 nCells-row centroid broadcast
+    "q250_vector_index_refresh" -> Map("broadcast_nested_loop" -> 1L),
+    // round 9: deferred-erasure search shares q202/q246's class-1 hit —
+    // the 1-row corpus-stats broadcast cross
+    "q251_deferred_erasure" -> Map("broadcast_nested_loop" -> 1L),
     "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 2L),
     "q53_group_minhash" -> Map("broadcast_nested_loop" -> 1L),
     "q56_tfidf" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),

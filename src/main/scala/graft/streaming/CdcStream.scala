@@ -32,24 +32,53 @@ object CdcStream {
     graft.cdc.Envelope.parse(raw, "value", afterSchema)
   }
 
+  /** The EXACT source options [[fromKafka]]/[[fromKafkaRouted]] set —
+    * exposed so the wiring is spec-pinned without a broker (reference
+    * contract: consumer/kafka_to_minio.py:15-24 — one subscription over
+    * all CDC topics, read from earliest, bounded records per poll).
+    * `maxOffsetsPerTrigger` is the count-based micro-batching bound
+    * (SURVEY §2 row 4).
+    */
+  def kafkaSourceOptions(bootstrap: String, topics: Seq[String],
+                         maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> "earliest") ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  /** The post-source plan both Kafka entry points apply to the raw
+    * record frame (Kafka's fixed output schema: binary key/value +
+    * topic/partition/offset/timestamp): cast the value bytes to string,
+    * parse the Debezium envelope, and (routed form) carry the source
+    * `topic` through for [[routeToBronze]]. Batch-callable, so the spec
+    * drives the exact production decode against synthetic Kafka-shaped
+    * records — after this function the only untested hop IS the broker.
+    */
+  def decodeKafka(raw: DataFrame, afterSchema: StructType,
+                  routed: Boolean): DataFrame =
+    if (routed)
+      graft.cdc.Envelope.parse(
+        raw.select(col("topic"), col("value").cast("string").as("value")),
+        "value", afterSchema, passthrough = Seq("topic"))
+    else
+      graft.cdc.Envelope.parse(
+        raw.select(col("value").cast("string").as("value")),
+        "value", afterSchema)
+
   /** Kafka multi-topic CDC source (SURVEY.md §2 row 2): production shape.
-    * Not exercised in tests (no broker in the harness) but kept to one
-    * code path after the source.
+    * No broker in the harness, but the wiring is spec-pinned piecewise:
+    * [[kafkaSourceOptions]] (the subscription) and [[decodeKafka]] (the
+    * record decode) are exactly what this composes around `load()`.
     */
   def fromKafka(spark: SparkSession, bootstrap: String, topics: Seq[String],
                 afterSchema: StructType,
-                maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
-    val reader = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
-    // count-based micro-batching (SURVEY §2 row 4): bound records/trigger
-    val bounded = maxOffsetsPerTrigger
-      .map(n => reader.option("maxOffsetsPerTrigger", n)).getOrElse(reader)
-    val raw = bounded.load()
-      .select(col("value").cast("string").as("value"))
-    graft.cdc.Envelope.parse(raw, "value", afterSchema)
-  }
+                maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    decodeKafka(
+      spark.readStream.format("kafka")
+        .options(kafkaSourceOptions(bootstrap, topics, maxOffsetsPerTrigger))
+        .load(),
+      afterSchema, routed = false)
 
   /** Multi-topic production shape WITH per-topic routing: one Kafka
     * subscription over all `topics`, the parsed frame carrying the source
@@ -62,17 +91,12 @@ object CdcStream {
     */
   def fromKafkaRouted(spark: SparkSession, bootstrap: String, topics: Seq[String],
                       afterSchema: StructType,
-                      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
-    val reader = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
-    val bounded = maxOffsetsPerTrigger
-      .map(n => reader.option("maxOffsetsPerTrigger", n)).getOrElse(reader)
-    val raw = bounded.load()
-      .select(col("topic"), col("value").cast("string").as("value"))
-    graft.cdc.Envelope.parse(raw, "value", afterSchema, passthrough = Seq("topic"))
-  }
+                      maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    decodeKafka(
+      spark.readStream.format("kafka")
+        .options(kafkaSourceOptions(bootstrap, topics, maxOffsetsPerTrigger))
+        .load(),
+      afterSchema, routed = true)
 
   /** Route one multi-topic CDC stream into one bronze table per topic —
     * the downstream half of [[fromKafkaRouted]]. Per micro-batch, the

@@ -83,10 +83,12 @@ object MultiTableStream {
     * every committed pointer. Per batch the fact pays one delta write,
     * never a table rewrite.
     *
-    * Compaction note: `maxDeltas` bounds read amplification, but a fold
-    * RAISES `timeTravelFloor` — readers pinned to a commit older than
-    * the floor lose their as-of point, so size `maxDeltas` above the
-    * reader-lag window (the BaseDelta retention contract).
+    * Compaction note: `maxDeltas` bounds read amplification. A fold
+    * raises `timeTravelFloor`, but the sink bounds each fold at the
+    * PREVIOUS commit's pointer — the current and previous commits (the
+    * coordinator's full retention window) always stay readable via
+    * `readAt`; only readers pinned further back than the retained
+    * commits lose their as-of point (the BaseDelta retention contract).
     */
   final case class DeltaFact(table: String, route: String, keys: Seq[String],
                              orderCols: Seq[String],
@@ -129,6 +131,24 @@ object MultiTableStream {
 
   final class AuditFailedException(msg: String) extends RuntimeException(msg)
 
+  /** Reserved coordinator pointer entry (`@sys.batch=<id>`) recording the
+    * last batch id folded by [[foldBatch]] — THE exactly-once ledger. The
+    * raw commit VERSION cannot be the ledger: out-of-band commits on the
+    * same root (an [[graft.gold.Erasure.eraseCoordinated]] publish, a
+    * manual repair) advance the version without consuming a batch id, and
+    * a version-parity check would then skip the next real micro-batch —
+    * one batch silently lost per erasure. The marker is carried forward
+    * by every publish (MultiSnapshot commits are cumulative), so any
+    * number of non-fold commits may interleave and the replay check stays
+    * exact.
+    */
+  val BatchLedger = "sys.batch"
+
+  /** The last batch id folded into the coordinator at `root`, if any. */
+  def lastFoldedBatch(spark: SparkSession, root: String): Option[Long] =
+    MultiSnapshot.currentCommit(spark, root)
+      .flatMap(MultiSnapshot.pointer(_, BatchLedger))
+
   /** Fold ONE micro-batch into the coordinator. Batch-callable: the
     * streaming sink is exactly this, once per trigger.
     */
@@ -143,9 +163,14 @@ object MultiTableStream {
       deltaFacts.map(_.table)
     require(names.distinct.size == names.size,
       s"MultiTableStream: duplicate table names in $names")
-    val want = batchId + 1
+    require(!names.contains(BatchLedger),
+      s"MultiTableStream: table name '$BatchLedger' is reserved for the batch ledger")
     val committed = MultiSnapshot.currentCommit(spark, root)
-    if (committed.exists(_.version >= want)) return // replayed batch: no-op
+    // replayed batch: no-op. The ledger is the committed @sys.batch marker,
+    // NOT the commit version — erasure/repair commits advance the version
+    // without consuming a batch id (see BatchLedger).
+    if (committed.flatMap(MultiSnapshot.pointer(_, BatchLedger))
+        .exists(_ >= batchId)) return
     val gens = committed.map(_.gens).getOrElse(Map.empty)
 
     def slice(route: String, project: DataFrame => DataFrame): DataFrame =
@@ -154,7 +179,8 @@ object MultiTableStream {
     val newDims = dims.map { d =>
       val rows0 = slice(d.route, d.project)
       val snapshot0 =
-        if (gens.contains(d.table)) MultiSnapshot.read(spark, root, d.table)
+        if (gens.contains(d.table))
+          MultiSnapshot.readPinned(spark, root, committed.get, d.table)
         else Scd2Merge.emptyLogSnapshot(rows0, d.tsCol)
       // opt-in evolution: an upstream ALTER TABLE that grew (or widened)
       // columns aligns both sides to the least-common-supertype union
@@ -182,7 +208,8 @@ object MultiTableStream {
     val newFacts = facts.map { f =>
       val rows0 = slice(f.route, f.project)
       val existing0 =
-        if (gens.contains(f.table)) Some(MultiSnapshot.read(spark, root, f.table))
+        if (gens.contains(f.table))
+          Some(MultiSnapshot.readPinned(spark, root, committed.get, f.table))
         else None
       val (existing, rows) =
         if (!f.allowSchemaEvolution || existing0.isEmpty) (existing0, rows0)
@@ -229,22 +256,28 @@ object MultiTableStream {
             s"${committed.map(_.version).getOrElse(0L)}; staged state is " +
             "invisible and a replay re-audits.")
     }
-    // every batch commits a version even when all slices are empty — the
-    // version ledger must stay aligned with batch ids for replay skipping
-    val c = MultiSnapshot.publish(spark, root, (newDims ++ newFacts).toMap,
-      pointers)
-    require(c.version == want,
-      s"MultiTableStream: version ${c.version} after batch $batchId " +
-        s"(expected $want) — single-writer contract violated")
-    // maintenance AFTER the flip: folding includes this batch's delta, so
-    // the time-travel floor lands exactly on the just-committed pointer —
-    // current-commit readers never lose their as-of point; readers pinned
-    // further back than maxDeltas commits are outside the retention
-    // window (the BaseDelta contract)
+    // every batch commits (the @sys.batch ledger marker rides the same
+    // atomic flip) even when all slices are empty — the replay check
+    // needs the marker to advance monotonically with batch ids. The
+    // publish is BASED ON the commit this fold read (`committed`): an
+    // erasure/repair that advanced one of our tables in between makes
+    // this batch a typed conflict the stream retries, never a silent
+    // overwrite of the erased state with our stale fold
+    val c = MultiSnapshot.publishFrom(spark, root, committed,
+      (newDims ++ newFacts).toMap, pointers + (BatchLedger -> batchId))
+    require(c.version > committed.map(_.version).getOrElse(0L),
+      s"MultiTableStream: version regressed to ${c.version} publishing " +
+        s"batch $batchId")
+    // maintenance AFTER the flip, bounded at the PREVIOUS commit's
+    // pointer: folding only deltas <= that pointer leaves this batch's
+    // delta separable, so the time-travel floor lands on the previous
+    // commit — BOTH retained commits stay readable via readAt for their
+    // full retention cycle (matching MultiSnapshot's two-commit window)
     deltaFacts.foreach { f =>
       val t = f.deltaTable(root)
+      val prevPtr = committed.flatMap(MultiSnapshot.pointer(_, f.table))
       if (graft.gold.BaseDelta.deltaBatches(spark, t).size > f.maxDeltas)
-        graft.gold.BaseDelta.compact(spark, t)
+        graft.gold.BaseDelta.compact(spark, t, upTo = prevPtr)
     }
   }
 

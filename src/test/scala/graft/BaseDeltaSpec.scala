@@ -247,4 +247,79 @@ class BaseDeltaSpec extends SparkSpec {
       before + (4L -> (("d", 1))))
     assert(BaseDelta.readManifest(spark, table).exists(_.generation == 2L))
   }
+
+  test("deferred erasure: logical erase is immediately read-unreachable; fold latency untouched; compaction materializes") {
+    val path = tmpDir("bd-defer") + "/t"
+    val table = t(path)
+    (0 until 3).foreach { b =>
+      BaseDelta.append(spark, table,
+        (0 until 20).map(i => ((b * 5 + i) % 12L, s"v$b-$i", b * 100 + i))
+          .toDF("id", "v", "ver"), b.toLong)
+    }
+    val before = snap(BaseDelta.read(spark, table))
+    // immediate ack: one tiny publish, no table rewrite
+    val receipt = BaseDelta.logicalErase(spark, table, "id",
+      Seq(3L, 7L, 99L).toDF("id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(receipt(3L)._1 == 1 && receipt(7L)._1 == 1 &&
+      receipt(99L) == ((0L, "pending")), receipt.toString)
+    // unreachable NOW — through read AND every retained time-travel point
+    assert(snap(BaseDelta.read(spark, table)) == before - 3L - 7L)
+    (0L to 2L).foreach { b =>
+      val ids = BaseDelta.readAt(spark, table, b).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!ids.contains(3L) && !ids.contains(7L),
+        s"erased ids reachable via readAt($b)")
+    }
+    // nothing was rewritten: no compacted base exists yet
+    assert(BaseDelta.currentBasePath(spark, table).isEmpty)
+    assert(BaseDelta.pendingTombstones(spark, table).keySet == Set("id"))
+    // fold latency untouched: appends proceed normally; a row for an
+    // erased id appended inside the pending window stays suppressed
+    BaseDelta.append(spark, table,
+      Seq((3L, "returned", 999), (11L, "fresh", 999)).toDF("id", "v", "ver"), 3L)
+    val mid = snap(BaseDelta.read(spark, table))
+    assert(!mid.contains(3L) && mid(11L) == (("fresh", 999)))
+    // materialization: the next full compaction applies + clears the
+    // ledger; bytes of the erased rows leave the layout after vacuum
+    BaseDelta.compact(spark, table)
+    assert(BaseDelta.pendingTombstones(spark, table).isEmpty,
+      "full fold must clear the materialized ledger")
+    assert(snap(BaseDelta.read(spark, table)) == mid)
+    BaseDelta.vacuum(spark, table)
+    val baseFiles = new java.io.File(
+      BaseDelta.currentBasePath(spark, table).get)
+    assert(spark.read.parquet(baseFiles.toString)
+      .filter($"id".isin(3L, 7L)).isEmpty,
+      "erased rows survived materialization in the base files")
+    // explicit materialization path: no-op when nothing pending
+    assert(BaseDelta.materializeErasures(spark, table).isEmpty)
+    // and a ledger with no live deltas still materializes on demand
+    BaseDelta.logicalErase(spark, table, "id", Seq(11L).toDF("id"))
+    assert(BaseDelta.materializeErasures(spark, table).nonEmpty)
+    assert(BaseDelta.pendingTombstones(spark, table).isEmpty)
+    assert(!snap(BaseDelta.read(spark, table)).contains(11L))
+  }
+
+  test("deferred erasure under bounded folds: ledger survives until the full fold") {
+    val path = tmpDir("bd-defer-upto") + "/t"
+    val table = t(path)
+    (0 until 3).foreach { b =>
+      BaseDelta.append(spark, table,
+        Seq((b.toLong, s"v$b", b)).toDF("id", "v", "ver"), b.toLong)
+    }
+    BaseDelta.logicalErase(spark, table, "id", Seq(2L).toDF("id"))
+    // bounded fold: delta 2 (holding id=2) stays live — the ledger must
+    // NOT clear, or the suppressed row would resurface
+    BaseDelta.compact(spark, table, upTo = Some(1L))
+    assert(BaseDelta.pendingTombstones(spark, table).keySet == Set("id"),
+      "bounded fold cleared a ledger whose rows are still live")
+    assert(!BaseDelta.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).contains(2L))
+    // the eventual full fold materializes and clears
+    BaseDelta.compact(spark, table, transform = Some(identity))
+    assert(BaseDelta.pendingTombstones(spark, table).isEmpty)
+    assert(BaseDelta.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
 }

@@ -184,4 +184,31 @@ class ClusterIndexSpec extends SparkSpec {
     assert(bcastPlan.contains("BroadcastExchange"), bcastPlan.take(600))
     assert(!shufPlan.contains("BroadcastExchange"), shufPlan.take(600))
   }
+
+  test("schema evolution: a newer engine's superset-schema delta reads, folds, and compacts") {
+    import graft.gold.BaseDelta
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (21L, famB + " tail"))
+    val b2 = docs((30L, bridge))
+    val st = foldAll(Seq(b1, b2))
+    val before = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a "newer engine" re-asserts the current labels in a batch-2 delta
+    // that carries an extra provenance column — older deltas lack it
+    val newer = ClusterIndex.clusters(spark, st)
+      .withColumn("as_of", lit(2L))
+      .withColumn("engine_ver", lit("v2"))
+    BaseDelta.append(spark, st.clustersTable, newer, 2L)
+    // mixed-schema state reads identically
+    assert(ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+    // fold replay of an applied batch across the mixed state: no-op
+    ClusterIndex.fold(spark, st, b2, 1L, "doc_id", "text")
+    assert(ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+    // compaction folds the mixed schemas; the readout survives
+    BaseDelta.compact(spark, st.clustersTable, allowSchemaEvolution = true)
+    assert(ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+  }
 }

@@ -236,6 +236,63 @@ class MultiTableStreamSpec extends SparkSpec {
     assert(graft.gold.BaseDelta.timeTravelFloor(spark, bt).forall(_ <= ptr))
   }
 
+  test("an erasure between micro-batches does not desync the exactly-once ledger") {
+    val root = tmpDir("mts-erase-ledger") + "/r"
+    foldAll(root, 2) // batches 0,1 committed (v1, v2)
+    // out-of-band coordinated erasure: advances the coordinator VERSION
+    // without consuming a batch id
+    val receipts = graft.gold.Erasure.eraseCoordinated(spark, root,
+      Map("accounts" -> "account_id", "txns" -> "account_id"),
+      Seq(2).toDF("account_id"))
+    assert(receipts.filter($"n_rows_erased" > 0).count() > 0)
+    val vAfterErase = MultiSnapshot.currentCommit(spark, root).get.version
+    assert(vAfterErase > 2L, "erasure should have advanced the version")
+    assert(MultiTableStream.lastFoldedBatch(spark, root).contains(1L),
+      "erasure must preserve the batch ledger marker")
+    // the NEXT real micro-batch must fold, not be skipped as a replay
+    MultiTableStream.foldBatch(spark, root, cdc(batches(2): _*), "route",
+      Seq(dimSpec), Seq(factSpec), 2L)
+    assert(MultiTableStream.lastFoldedBatch(spark, root).contains(2L))
+    val t = MultiTableStream.readCommitted(spark, root)
+    val facts = t("txns").select("txn_id", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch 2's update to txn 103 landed (the row the version-parity
+    // ledger silently dropped); acct 2's rows were already erased and its
+    // batch-2 tombstones are no-ops
+    assert(facts == Map(101L -> 50.0, 103L -> 21.5, 105L -> 12.0), facts)
+    assert(orphans(t).isEmpty)
+    // and a true replay of batch 2 is still a no-op
+    val vBefore = MultiSnapshot.currentCommit(spark, root).get.version
+    MultiTableStream.foldBatch(spark, root, cdc(batches(2): _*), "route",
+      Seq(dimSpec), Seq(factSpec), 2L)
+    assert(MultiSnapshot.currentCommit(spark, root).get.version == vBefore)
+  }
+
+  test("post-flip compaction keeps the PREVIOUS commit's as-of point readable") {
+    val root = tmpDir("mts-df-tt") + "/r"
+    val df1 = deltaFactSpec.copy(maxDeltas = 1)
+    for (i <- batches.indices)
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq.empty, i.toLong, deltaFacts = Seq(df1))
+    val bt = df1.deltaTable(root)
+    // compaction ran (a base exists), yet the floor stayed at the
+    // PREVIOUS commit's pointer — not this batch's
+    assert(graft.gold.BaseDelta.currentBasePath(spark, bt).isDefined)
+    val prev = MultiSnapshot.commitAt(spark, root, 2L) // previous commit
+    val prevPtr = MultiSnapshot.pointer(prev, "txns").get
+    assert(prevPtr == 1L)
+    assert(graft.gold.BaseDelta.timeTravelFloor(spark, bt).forall(_ <= prevPtr),
+      s"floor ${graft.gold.BaseDelta.timeTravelFloor(spark, bt)} passed the previous pointer $prevPtr")
+    // the previous commit's fact view resolves — exactly batches 0..1
+    val asOf = graft.gold.BaseDelta.readAt(spark, bt, prevPtr)
+    assert(asOf.select("txn_id").collect().map(_.getLong(0)).toSet
+      == Set(101L, 102L, 103L, 104L, 105L))
+    // and the current commit still serves the post-tombstone state
+    val cur = MultiTableStream.readCommitted(spark, root, deltaFacts = Seq(df1))
+    assert(cur("txns").select("txn_id").collect().map(_.getLong(0)).toSet
+      == Set(101L, 103L, 105L))
+  }
+
   private val fkGate = MultiTableStream.fkAudit("txns", "account_id",
     "accounts", "account_id", dimOpCol = Some("op"))
 

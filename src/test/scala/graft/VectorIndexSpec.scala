@@ -119,6 +119,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"ADC recall too low: $recall")
   }
 
+  test("schema evolution: enablePq backfills codes; the silent mid-stream PQ flip is refused") {
+    val st = VectorIndex.State(tmpDir("vidx-evo") + "/s")
+    val b0 = emb.filter($"vec_id" < 50); val b1 = emb.filter($"vec_id" >= 50)
+    VectorIndex.fold(spark, st, b0, 0L, "vec_id", "embedding", nCells = 8)
+    VectorIndex.fold(spark, st, b1, 1L, "vec_id", "embedding", nCells = 8)
+    // flipping pqM on mid-stream would mix codes/no-codes deltas — refused
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.fold(spark, st, emb, 2L, "vec_id", "embedding",
+        nCells = 8, pqM = 4))
+    assert(e.getMessage.contains("enablePq"), e.getMessage)
+    // the explicit migration: codebook trained on the corpus, postings
+    // rewritten once with codes
+    VectorIndex.enablePq(spark, st, pqM = 4, pqK = 16)
+    assert(graft.gold.BaseDelta.read(spark, st.postingsTable)
+      .columns.contains("codes"))
+    val queries = emb.filter($"vec_id" < 10)
+    sameRows(
+      VectorIndex.topKAdc(spark, st, queries, "vec_id", "embedding", k = 5,
+        nProbe = VectorIndex.nCells(spark, st), shortlist = 100000,
+        pqM = 4, pqK = 16),
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5),
+      "post-migration ADC serve diverges from exact")
+    // later folds encode consistently and serve covers the new vectors
+    val fresh = emb.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 1000L)
+    VectorIndex.fold(spark, st, fresh, 2L, "vec_id", "embedding",
+      nCells = 8, pqM = 4, pqK = 16)
+    sameRows(
+      VectorIndex.topKAdc(spark, st, queries, "vec_id", "embedding", k = 5,
+        nProbe = VectorIndex.nCells(spark, st), shortlist = 100000,
+        pqM = 4, pqK = 16),
+      Similarity.bruteForceTopK(queries, emb.unionByName(fresh),
+        "vec_id", "embedding", k = 5),
+      "post-migration fold diverges")
+    // replays of pre-migration batch ids skip (fold floor from the
+    // backfill compaction)
+    VectorIndex.fold(spark, st, b0, 0L, "vec_id", "embedding", nCells = 8)
+    sameRows(
+      VectorIndex.topK(spark, st, queries, "vec_id", "embedding", k = 5,
+        nProbe = VectorIndex.nCells(spark, st)),
+      Similarity.bruteForceTopK(queries, emb.unionByName(fresh),
+        "vec_id", "embedding", k = 5),
+      "replay after migration perturbed the index")
+  }
+
   test("erase: serving equals an index that never folded the ids; replays cannot resurrect") {
     val st = VectorIndex.State(tmpDir("vidx-erase") + "/s")
     val b0 = emb.filter($"vec_id" < 50); val b1 = emb.filter($"vec_id" >= 50)
@@ -139,6 +184,117 @@ class VectorIndexSpec extends SparkSpec {
     sameRows(VectorIndex.topK(spark, st, queries, "vec_id", "embedding",
         k = 5, nProbe = VectorIndex.nCells(spark, st)),
       expected, "replayed folds resurrected erased vectors")
+  }
+
+  // ── quantizer refresh (gen-2) under planted drift ──────────────────
+  //
+  // Drift shape: the gen-1 quantizer is elected from 4 axis-aligned
+  // clusters; later batches arrive from 2 NEW clusters whose directions
+  // sit between pairs of stale centroids, with a small per-member boost
+  // that routes each member to one side or the other — every new
+  // cluster is torn across two stale cells, so nProbe=1 misses the
+  // half of a query's true neighbors that routed to the other side.
+  // A refresh elects centroids from the current corpus, giving the new
+  // clusters their own cells — recall recovers.
+  private def syntheticDrift: (DataFrame, DataFrame) = {
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    def mk(id: Long, base: Array[Float]): (Long, Array[Float]) = {
+      val v = base.clone()
+      for (d <- 4 until dim) v(d) = v(d) + (rnd.nextGaussian() * 1.0).toFloat
+      (id, v)
+    }
+    def axis(a: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d == a) 10f else 0f)
+    // batch 0: four axis clusters, 8 members each (ids 0..31)
+    val a = (0 until 32).map { i =>
+      mk(i.toLong, axis(i % 4))
+    }
+    // batches 1-2: two straddling clusters, 12 members each (ids 100+)
+    def straddle(a1: Int, a2: Int, idBase: Long) =
+      (0 until 12).map { i =>
+        val base = Array.tabulate(dim)(d =>
+          (if (d == a1) 10f else 0f) + (if (d == a2) 10f else 0f))
+        base(if (i % 2 == 0) a1 else a2) += 1.0f
+        mk(idBase + i, base)
+      }
+    val b = straddle(0, 1, 100L) ++ straddle(2, 3, 200L)
+    (spark.createDataFrame(a).toDF("vec_id", "embedding"),
+      spark.createDataFrame(b).toDF("vec_id", "embedding"))
+  }
+
+  private def recallOf(st: VectorIndex.State, queries: DataFrame,
+                       corpus: DataFrame, k: Int, nProbe: Int): Double = {
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id",
+        "embedding", k)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = VectorIndex.topK(spark, st, queries, "vec_id", "embedding",
+        k, nProbe)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    (exact intersect approx).size.toDouble / exact.size
+  }
+
+  test("quantizer refresh: partial-probe recall recovers after planted drift; ledger and exactness survive") {
+    val (batchA, batchB) = syntheticDrift
+    val m = VectorIndex.Managed(tmpDir("vidx-refresh"))
+    // gen-1 quantizer frozen on the pre-drift distribution
+    VectorIndex.fold(spark, VectorIndex.active(spark, m), batchA, 0L,
+      "vec_id", "embedding", nCells = 4, refineIters = 4)
+    Seq(batchB.filter($"vec_id" < 150), batchB.filter($"vec_id" >= 150))
+      .zipWithIndex.foreach { case (b, i) =>
+        VectorIndex.fold(spark, VectorIndex.active(spark, m), b,
+          (i + 1).toLong, "vec_id", "embedding", nCells = 4)
+      }
+    val corpus = batchA.unionByName(batchB)
+    val queries = batchB
+    val before = recallOf(VectorIndex.active(spark, m), queries, corpus,
+      k = 4, nProbe = 1)
+    assert(before < 0.8, s"drift failed to hurt recall (got $before) — " +
+      "the planted distribution no longer exercises the refresh")
+    // ── the refresh: re-elect from the current corpus, atomic swap ──
+    val st2 = VectorIndex.refreshQuantizer(spark, m, nCells = 6,
+      refineIters = 6)
+    assert(VectorIndex.activeQgen(spark, m) == 2L)
+    val after = recallOf(st2, queries, corpus, k = 4, nProbe = 1)
+    assert(after > before + 0.15 && after >= 0.8,
+      s"recall did not recover: before=$before after=$after")
+    // exactness is generation-independent: full probe ≡ brute force
+    sameRows(
+      VectorIndex.topK(spark, st2, queries, "vec_id", "embedding", k = 4,
+        nProbe = VectorIndex.nCells(spark, st2)),
+      Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 4),
+      "full probe over the refreshed index diverges from brute force")
+    // ledger carryover: replays of pre-refresh batch ids are no-ops
+    val snap = VectorIndex.topK(spark, st2, queries, "vec_id", "embedding",
+      k = 4, nProbe = VectorIndex.nCells(spark, st2)).collect().toSet
+    Seq(0L, 1L, 2L).foreach { i =>
+      VectorIndex.fold(spark, VectorIndex.active(spark, m), corpus, i,
+        "vec_id", "embedding", nCells = 6)
+    }
+    assert(VectorIndex.topK(spark, st2, queries, "vec_id", "embedding",
+      k = 4, nProbe = VectorIndex.nCells(spark, st2)).collect().toSet == snap,
+      "replayed pre-refresh batch ids mutated the rebuilt index")
+    // new folds continue on the new generation
+    val fresh = spark.createDataFrame(Seq((900L,
+      Array.tabulate(8)(d => if (d == 0) 9.5f else 0.1f))))
+      .toDF("vec_id", "embedding")
+    VectorIndex.fold(spark, VectorIndex.active(spark, m), fresh, 3L,
+      "vec_id", "embedding", nCells = 6)
+    val served = VectorIndex.topK(spark, VectorIndex.active(spark, m),
+        fresh, "vec_id", "embedding", k = 3,
+        nProbe = VectorIndex.nCells(spark, st2))
+      .collect()
+    assert(served.nonEmpty, "post-refresh fold did not serve")
+    // second refresh retires gen-1 after its reader cycle
+    VectorIndex.refreshQuantizer(spark, m, nCells = 6, refineIters = 2)
+    assert(VectorIndex.activeQgen(spark, m) == 3L)
+    VectorIndex.vacuumManaged(spark, m)
+    val f = new org.apache.hadoop.fs.Path(m.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(m.subState(1L).root)),
+      "gen-1 sub-index survived vacuum two generations later")
+    assert(f.exists(new org.apache.hadoop.fs.Path(m.subState(2L).root)),
+      "previous generation must survive one cycle for in-flight readers")
   }
 
   test("scoring plan: queries broadcast, postings never shuffle for the join") {
