@@ -7314,7 +7314,79 @@ object Queries {
           FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
-        FROM t GROUP BY 1"""))
+        FROM t GROUP BY 1""")),
+
+    // ── warehouse QUERY-HISTORY runbook readout (plans.QueryHistory —
+    //    the reference's readme.md:388-393 ops query over Snowflake's
+    //    QUERY_HISTORY, re-expressed over any run log): top queries by
+    //    total execution time with run counts, exact p50/p95, max, and
+    //    last-run — histogram-based, no global sort over runs ──
+    Q("q252_query_history",
+      (s, d) => graft.plans.QueryHistory.topQueries(
+        Tables.events(s, d).select(col("event_type"), col("value"), col("ts")),
+        "event_type", "value", "ts", topN = 10),
+      Some("""
+        WITH runs AS (SELECT event_type AS query_id, value AS v, ts FROM events),
+        base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                 CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_sec,
+                 MAX(v) AS max_sec, MAX(ts) AS last_run
+                 FROM runs GROUP BY 1),
+        c AS (SELECT query_id, v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM runs GROUP BY 1, 2),
+        cum AS (SELECT query_id, v,
+                 CAST(SUM(cnt) OVER (PARTITION BY query_id ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+                FROM c),
+        p AS (SELECT CAST(pct AS INTEGER) AS pct
+              FROM (VALUES (50), (95)) AS vv(pct)),
+        q AS (SELECT cum.query_id, p.pct, MIN(v) AS val
+              FROM cum JOIN base USING (query_id) CROSS JOIN p
+              WHERE cm * 100 >= p.pct * n_runs
+              GROUP BY 1, 2),
+        piv AS (SELECT query_id,
+                 MAX(CASE WHEN pct = 50 THEN val END) AS p50_sec,
+                 MAX(CASE WHEN pct = 95 THEN val END) AS p95_sec
+                FROM q GROUP BY 1)
+        SELECT b.query_id, b.n_runs, b.total_sec, piv.p50_sec, piv.p95_sec,
+               b.max_sec, b.last_run,
+               CAST(row_number() OVER (ORDER BY b.total_sec DESC,
+                 b.query_id ASC) AS INTEGER) AS rank
+        FROM base b JOIN piv USING (query_id)
+        QUALIFY rank <= 10""")),
+
+    // ── regression screen over the same run log: exact per-query median
+    //    before vs after a release cutoff, flagged at 1.5× — "what got
+    //    slower since the deploy" ──
+    Q("q253_query_regressions",
+      (s, d) => graft.plans.QueryHistory.regressions(
+        Tables.events(s, d).select(col("event_type"), col("value"), col("ts")),
+        "event_type", "value", "ts",
+        cutoff = lit("2024-01-16 00:00:00").cast("timestamp"),
+        ratioThreshold = 1.5),
+      Some("""
+        WITH runs AS (SELECT event_type AS query_id, value AS v,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 'before' ELSE 'after' END AS ep FROM events),
+        c AS (SELECT query_id, ep, v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM runs GROUP BY 1, 2, 3),
+        cum AS (SELECT query_id, ep, v,
+                 CAST(SUM(cnt) OVER (PARTITION BY query_id, ep ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+                FROM c),
+        t AS (SELECT query_id, ep, CAST(COUNT(*) AS BIGINT) AS n
+              FROM runs GROUP BY 1, 2),
+        med AS (SELECT cum.query_id, cum.ep, MIN(v) AS med
+                FROM cum JOIN t USING (query_id, ep)
+                WHERE cm * 2 >= n GROUP BY 1, 2),
+        wide AS (SELECT query_id,
+                  MAX(CASE WHEN ep = 'before' THEN med END) AS p50_before,
+                  MAX(CASE WHEN ep = 'after' THEN med END) AS p50_after
+                 FROM med GROUP BY 1)
+        SELECT query_id, p50_before, p50_after,
+               floor((p50_after / p50_before) * 1000000 + 0.5) / 1000000 AS ratio,
+               floor((p50_after / p50_before) * 1000000 + 0.5) / 1000000 >= 1.5 AS regressed
+        FROM wide
+        WHERE p50_before IS NOT NULL AND p50_after IS NOT NULL"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

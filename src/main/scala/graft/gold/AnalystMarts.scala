@@ -23,10 +23,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    (`date_trunc` is monotone), so one state serves both marts.
   *  - `agg_state` — [[IncrementalAgg]]'s mergeable per-(day, event_type)
   *    sums/min/max/count, published through [[SnapshotStore]]. The
-  *    snapshot GENERATION NUMBER is the exactly-once ledger: folding
-  *    batch b commits generation b+1, so a replayed batch (streaming
-  *    batch ids are monotone) sees its generation already committed and
-  *    skips — no double-fold, no separate high-watermark table.
+  *    exactly-once ledger is [[StateLedger]]'s in-row `__last_batch`
+  *    marker, committed atomically WITH the state: a replayed batch sees
+  *    its id already folded and skips, and out-of-band generations (an
+  *    Optimize compaction, a repair republish) no longer desync the
+  *    skip check — generation numbers are storage detail, not a ledger.
   *
   * Readout cost model (the dbt-incremental contract, made explicit):
   * fold = O(batch) + O(agg keys); retention/WAU = O(distinct user-days),
@@ -58,20 +59,18 @@ object AnalystMarts {
       .distinct()
     BaseDelta.appendAndMaybeCompact(spark, mart.activityTable, act,
       batchId, maxDeltas)
-    val want = batchId + 1
-    if (SnapshotStore.currentGen(spark, mart.aggStatePath).forall(_ < want)) {
+    if (!StateLedger.applied(spark, mart.aggStatePath, batchId)) {
       val partial = IncrementalAgg.partial(
         batch.withColumn("day", to_date(col("ts"))), AggKeys, AggMeasures)
       val merged =
         if (SnapshotStore.exists(spark, mart.aggStatePath))
           IncrementalAgg.merge(
-            SnapshotStore.read(spark, mart.aggStatePath), partial,
+            StateLedger.readState(spark, mart.aggStatePath), partial,
             AggKeys, AggMeasures)
         else partial
-      val gen = SnapshotStore.publish(merged, mart.aggStatePath)
-      require(gen == want,
-        s"AnalystMarts.foldBatch: generation $gen after folding batch " +
-          s"$batchId (expected $want) — single-writer contract violated")
+      SnapshotStore.publish(StateLedger.stamp(merged, batchId),
+        mart.aggStatePath)
+      ()
     }
   }
 
@@ -125,6 +124,6 @@ object AnalystMarts {
     * folded state.
     */
   def dailyValueMart(spark: SparkSession, mart: Mart): DataFrame =
-    IncrementalAgg.readout(SnapshotStore.read(spark, mart.aggStatePath),
+    IncrementalAgg.readout(StateLedger.readState(spark, mart.aggStatePath),
       AggKeys, AggMeasures)
 }

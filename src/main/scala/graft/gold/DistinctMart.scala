@@ -38,34 +38,32 @@ object DistinctMart {
       .agg(hll_sketch_agg(col(keyCol), lit(LgK)).as("sketch"))
 
   /** Fold one micro-batch into the persisted per-day sketch table.
-    * Idempotent under replay of the same `batchId` (generation ledger).
+    * Idempotent under replay of the same `batchId` ([[StateLedger]]'s
+    * in-row marker — out-of-band generations, e.g. an Optimize
+    * compaction, no longer desync the skip check).
     */
   def foldBatch(spark: SparkSession, batch: DataFrame, statePath: String,
                 keyCol: String, tsCol: String, batchId: Long): Unit = {
-    val want = batchId + 1
-    if (SnapshotStore.currentGen(spark, statePath).forall(_ < want)) {
-      val delta = sketchBatch(batch, keyCol, tsCol)
-      val merged =
-        if (SnapshotStore.exists(spark, statePath))
-          SnapshotStore.read(spark, statePath)
-            .select(col("day"), col("sketch").as("__a"))
-            .join(delta.select(col("day"), col("sketch").as("__b")),
-              Seq("day"), "full_outer")
-            .select(col("day"),
-              when(col("__a").isNull, col("__b"))
-                .when(col("__b").isNull, col("__a"))
-                .otherwise(hll_union(col("__a"), col("__b"))).as("sketch"))
-        else delta
-      val gen = SnapshotStore.publish(merged, statePath)
-      require(gen == want,
-        s"DistinctMart.foldBatch: generation $gen after folding batch " +
-          s"$batchId (expected $want) — single-writer contract violated")
-    }
+    if (StateLedger.applied(spark, statePath, batchId)) return
+    val delta = sketchBatch(batch, keyCol, tsCol)
+    val merged =
+      if (SnapshotStore.exists(spark, statePath))
+        StateLedger.readState(spark, statePath)
+          .select(col("day"), col("sketch").as("__a"))
+          .join(delta.select(col("day"), col("sketch").as("__b")),
+            Seq("day"), "full_outer")
+          .select(col("day"),
+            when(col("__a").isNull, col("__b"))
+              .when(col("__b").isNull, col("__a"))
+              .otherwise(hll_union(col("__a"), col("__b"))).as("sketch"))
+      else delta
+    SnapshotStore.publish(StateLedger.stamp(merged, batchId), statePath)
+    ()
   }
 
   /** Estimated distinct keys per day — one row per state bucket. */
   def dailyDistinct(spark: SparkSession, statePath: String): DataFrame =
-    SnapshotStore.read(spark, statePath)
+    StateLedger.readState(spark, statePath)
       .select(col("day"),
         hll_sketch_estimate(col("sketch")).cast("long").as("n_distinct"))
 
@@ -75,7 +73,7 @@ object DistinctMart {
     */
   def rangeDistinct(spark: SparkSession, statePath: String,
                     from: String, to: String): Long =
-    SnapshotStore.read(spark, statePath)
+    StateLedger.readState(spark, statePath)
       .filter(col("day") >= lit(from).cast("date") &&
         col("day") <= lit(to).cast("date"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).cast("long"))

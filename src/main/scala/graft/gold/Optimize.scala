@@ -202,17 +202,19 @@ object Optimize {
     * sink needs (each trigger adds a generation; without a cadence the
     * accreted small files are exactly the reference's 50-record-file
     * pathology, with it the file count stays bounded by ~`every` ×
-    * files-per-batch + table-size/targetBytes). Generation numbers are
-    * the streaming sinks' exactly-once ledger (batch b → generation
-    * b+1), so the cadence is deterministic under replay: a replayed
-    * batch skips its fold AND its compaction. The compaction itself
+    * files-per-batch + table-size/targetBytes). The compaction itself
     * publishes generation N+1 of identical contents — readers never
-    * block. NOTE: the compaction generation shifts the numbering, so
-    * this cadence composes with sinks whose idempotence comes from the
-    * MERGE being replay-safe (`CdcStream.upsertStreamSnapshot`), not
-    * with sinks that pin a strict batch-b → generation-b+1 ledger
-    * (`AnalystMarts.foldBatch`, `scd2LogStream`) — those would trip
-    * their single-writer require on the generation the compactor added.
+    * block, and since round 9 the incremental sinks ledger on
+    * [[StateLedger]]'s in-row `__last_batch` marker (part of the
+    * contents, so a compaction CARRIES it), the cadence composes with
+    * EVERY sink: merge-idempotent ones (`CdcStream.upsertStreamSnapshot`)
+    * and ledgered folds (`AnalystMarts.foldBatch`, `DistinctMart`,
+    * `GapStream`, `MomentsStream`, `DriftStream`, `scd2LogStream`)
+    * alike — the round-8 numbering-shift incompatibility is gone.
+    * Cadence determinism note: `every` counts GENERATIONS, which
+    * maintenance publishes also advance, so under replay the compaction
+    * points may shift — harmless, because compaction preserves contents
+    * and the fold ledger no longer reads generation numbers.
     */
   def maybeCompact(spark: SparkSession, path: String, every: Int,
                    targetBytes: Long, sortCols: Seq[Column] = Nil,

@@ -313,12 +313,13 @@ object CdcStream {
     * unlike [[scd2Stream]], a batch carrying several versions of one key
     * yields several intervals, so the persisted dim always equals the
     * full-log `fromChangeLog` rebuild regardless of how the stream cut
-    * the log into triggers. Exactly-once by double guard: the snapshot
-    * GENERATION NUMBER is the ledger (batch b commits generation b+1; a
-    * replayed batch sees its generation committed and skips — the
-    * AnalystMarts recipe), and `applyLog`'s anchor-ts drop makes even a
-    * ledger-less refold a no-op. Publish is one pointer PUT — readers on
-    * S3/MinIO flip atomically between consistent dimensions.
+    * the log into triggers. Exactly-once by double guard: the ledger is
+    * [[graft.gold.StateLedger]]'s in-row `__last_batch` marker committed
+    * atomically with the snapshot (a replayed batch sees its id already
+    * folded and skips; maintenance generations can't desync it), and
+    * `applyLog`'s anchor-ts drop makes even a ledger-less refold a
+    * no-op. Publish is one pointer PUT — readers on S3/MinIO flip
+    * atomically between consistent dimensions.
     */
   def scd2LogStream(parsed: DataFrame, snapshotPath: String,
                     checkpoint: String, keys: Seq[String],
@@ -330,19 +331,17 @@ object CdcStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.toDF()
-        val want = batchId + 1
-        if (graft.gold.SnapshotStore.currentGen(spark, snapshotPath).forall(_ < want)) {
+        if (!graft.gold.StateLedger.applied(spark, snapshotPath, batchId)) {
           val snapshot =
             if (graft.gold.SnapshotStore.exists(spark, snapshotPath))
-              graft.gold.SnapshotStore.read(spark, snapshotPath)
+              graft.gold.StateLedger.readState(spark, snapshotPath)
             else graft.gold.Scd2Merge.emptyLogSnapshot(b, tsCol)
-          val gen = graft.gold.SnapshotStore.publish(
-            graft.gold.Scd2Merge.applyLog(snapshot, b, keys, checkCols,
-              tsCol, tieBreak, opCol),
+          graft.gold.SnapshotStore.publish(
+            graft.gold.StateLedger.stamp(
+              graft.gold.Scd2Merge.applyLog(snapshot, b, keys, checkCols,
+                tsCol, tieBreak, opCol), batchId),
             snapshotPath)
-          require(gen == want,
-            s"scd2LogStream: generation $gen after folding batch $batchId " +
-              s"(expected $want) — single-writer contract violated")
+          ()
         }
       }
       .option("checkpointLocation", checkpoint)

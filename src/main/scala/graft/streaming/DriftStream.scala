@@ -31,27 +31,26 @@ object DriftStream {
       Quality.psiReferenceHist(ref, valueCol, groupCol, bins), refHistPath)
 
   /** Fold an additive count delta into the persisted state table: union
-    * + re-sum on the key, committed as generation `batchId + 1` — the
-    * shared exactly-once ledger for every monitor here.
+    * + re-sum on the key, replay-guarded by [[graft.gold.StateLedger]]'s
+    * in-row marker — the shared exactly-once ledger for every monitor
+    * here (generation numbers are NOT the ledger; maintenance
+    * compactions may add generations).
     */
   private def foldState(spark: SparkSession, delta: DataFrame,
                         statePath: String, keyCols: Seq[String],
                         cntCol: String, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{col, sum}
-    val want = batchId + 1
-    if (SnapshotStore.currentGen(spark, statePath).forall(_ < want)) {
-      val merged =
-        if (SnapshotStore.exists(spark, statePath))
-          SnapshotStore.read(spark, statePath)
-            .unionByName(delta)
-            .groupBy(keyCols.map(col): _*)
-            .agg(sum(col(cntCol)).as(cntCol))
-        else delta
-      val gen = SnapshotStore.publish(merged, statePath)
-      require(gen == want,
-        s"DriftStream: generation $gen after folding batch $batchId " +
-          s"(expected $want) — single-writer contract violated")
-    }
+    if (graft.gold.StateLedger.applied(spark, statePath, batchId)) return
+    val merged =
+      if (SnapshotStore.exists(spark, statePath))
+        graft.gold.StateLedger.readState(spark, statePath)
+          .unionByName(delta)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col(cntCol)).as(cntCol))
+      else delta
+    SnapshotStore.publish(
+      graft.gold.StateLedger.stamp(merged, batchId), statePath)
+    ()
   }
 
   /** Fold one micro-batch's histogram delta into the persisted
@@ -87,7 +86,7 @@ object DriftStream {
               groupCol: String, bins: Int = 10): DataFrame =
     Quality.psiFromHists(
       SnapshotStore.read(spark, refHistPath),
-      SnapshotStore.read(spark, statePath), groupCol, bins)
+      graft.gold.StateLedger.readState(spark, statePath), groupCol, bins)
 
   /** Binned two-sample KS per group from the SAME persisted state — a
     * second alarm for free: one monitor's histograms serve both the
@@ -97,7 +96,7 @@ object DriftStream {
                 groupCol: String): DataFrame =
     Quality.ksFromHists(
       SnapshotStore.read(spark, refHistPath),
-      SnapshotStore.read(spark, statePath), groupCol)
+      graft.gold.StateLedger.readState(spark, statePath), groupCol)
 
   /** Publish reference CATEGORY counts ([[Quality.catReferenceHist]]) —
     * the discrete monitor's reference (categories are their own bins, so

@@ -29,32 +29,33 @@ import graft.operators.RangeJoin
   */
 object GapStream {
 
-  /** Fold one micro-batch of (key..., seq) into the persisted run set. */
+  /** Fold one micro-batch of (key..., seq) into the persisted run set.
+    * Idempotent under replay via [[graft.gold.StateLedger]]'s in-row
+    * marker (generation numbers are NOT the ledger — maintenance
+    * compactions may add generations).
+    */
   def foldBatch(spark: SparkSession, batch: DataFrame, statePath: String,
                 keyCols: Seq[String], seqCol: String,
                 batchId: Long = 0L): Unit = {
-    val want = batchId + 1
-    if (SnapshotStore.currentGen(spark, statePath).forall(_ < want)) {
-      val delta = batch.filter(col(seqCol).isNotNull)
-        .select(keyCols.map(col)
-          :+ col(seqCol).cast("long").as("lo")
-          :+ col(seqCol).cast("long").as("hi"): _*)
-      val unioned =
-        if (SnapshotStore.exists(spark, statePath))
-          SnapshotStore.read(spark, statePath).unionByName(delta)
-        else delta
-      // adjacency-aware compaction: widen hi by 1 so integer-adjacent
-      // runs ([1,3] and [4,5]) touch and merge, then narrow back
-      val merged = RangeJoin.mergeIntervals(
-          unioned.withColumn("hi", col("hi") + 1L), keyCols, "lo", "hi")
-        .select(keyCols.map(col)
-          :+ col("merged_lo").as("lo")
-          :+ (col("merged_hi") - 1L).as("hi"): _*)
-      val gen = SnapshotStore.publish(merged, statePath)
-      require(gen == want,
-        s"GapStream: generation $gen after folding batch $batchId " +
-          s"(expected $want) — single-writer contract violated")
-    }
+    if (graft.gold.StateLedger.applied(spark, statePath, batchId)) return
+    val delta = batch.filter(col(seqCol).isNotNull)
+      .select(keyCols.map(col)
+        :+ col(seqCol).cast("long").as("lo")
+        :+ col(seqCol).cast("long").as("hi"): _*)
+    val unioned =
+      if (SnapshotStore.exists(spark, statePath))
+        graft.gold.StateLedger.readState(spark, statePath).unionByName(delta)
+      else delta
+    // adjacency-aware compaction: widen hi by 1 so integer-adjacent
+    // runs ([1,3] and [4,5]) touch and merge, then narrow back
+    val merged = RangeJoin.mergeIntervals(
+        unioned.withColumn("hi", col("hi") + 1L), keyCols, "lo", "hi")
+      .select(keyCols.map(col)
+        :+ col("merged_lo").as("lo")
+        :+ (col("merged_hi") - 1L).as("hi"): _*)
+    SnapshotStore.publish(
+      graft.gold.StateLedger.stamp(merged, batchId), statePath)
+    ()
   }
 
   /** The monitor as a `foreachBatch` stream. */
@@ -77,7 +78,7 @@ object GapStream {
               keyCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("lo").asc)
-    SnapshotStore.read(spark, statePath)
+    graft.gold.StateLedger.readState(spark, statePath)
       .withColumn("__prev_hi", lag(col("hi"), 1).over(w))
       .filter(col("lo") - col("__prev_hi") > 1)
       .select(keyCols.map(col)

@@ -22,23 +22,23 @@ import graft.silver.Quality
   */
 object MomentsStream {
 
-  /** Fold one micro-batch's moment delta into the persisted state. */
+  /** Fold one micro-batch's moment delta into the persisted state.
+    * Idempotent under replay via [[graft.gold.StateLedger]]'s in-row
+    * marker.
+    */
   def foldBatch(spark: SparkSession, batch: DataFrame, statePath: String,
                 cols: Seq[String], batchId: Long = 0L): Unit = {
-    val want = batchId + 1
-    if (SnapshotStore.currentGen(spark, statePath).forall(_ < want)) {
-      val delta = Quality.corrMoments(batch, cols)
-      val merged =
-        if (SnapshotStore.exists(spark, statePath)) {
-          val prev = SnapshotStore.read(spark, statePath)
-          val sums = prev.columns.toSeq.map(c => sum(col(c)).as(c))
-          prev.unionByName(delta).groupBy().agg(sums.head, sums.tail: _*)
-        } else delta
-      val gen = SnapshotStore.publish(merged, statePath)
-      require(gen == want,
-        s"MomentsStream: generation $gen after folding batch $batchId " +
-          s"(expected $want) — single-writer contract violated")
-    }
+    if (graft.gold.StateLedger.applied(spark, statePath, batchId)) return
+    val delta = Quality.corrMoments(batch, cols)
+    val merged =
+      if (SnapshotStore.exists(spark, statePath)) {
+        val prev = graft.gold.StateLedger.readState(spark, statePath)
+        val sums = prev.columns.toSeq.map(c => sum(col(c)).as(c))
+        prev.unionByName(delta).groupBy().agg(sums.head, sums.tail: _*)
+      } else delta
+    SnapshotStore.publish(
+      graft.gold.StateLedger.stamp(merged, batchId), statePath)
+    ()
   }
 
   /** The monitor as a `foreachBatch` stream. */
@@ -58,5 +58,6 @@ object MomentsStream {
     */
   def readout(spark: SparkSession, statePath: String,
               cols: Seq[String]): DataFrame =
-    Quality.corrFromMoments(SnapshotStore.read(spark, statePath), cols)
+    Quality.corrFromMoments(
+      graft.gold.StateLedger.readState(spark, statePath), cols)
 }

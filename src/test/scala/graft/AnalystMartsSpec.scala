@@ -100,4 +100,32 @@ class AnalystMartsSpec extends SparkSpec {
     assertSame(AnalystMarts.rollingWau(spark, mart), batchWau(events()),
       "streamed wau")
   }
+
+  test("maintenance compaction between folds no longer desyncs the ledger (round-8 class bug)") {
+    val mart = AnalystMarts.Mart(tmpDir("mart-compact") + "/m")
+    val ev = events()
+    AnalystMarts.foldBatch(spark,
+      ev.filter(pmod(col("event_id"), lit(3)) === 0), mart, 0L)
+    // out-of-band maintenance: a compaction generation on the agg state
+    // (identical contents). Under the round-8 generation-parity ledger
+    // this made the NEXT fold look like a replay and silently drop it.
+    graft.gold.Optimize.compactSnapshot(spark, mart.aggStatePath,
+      targetBytes = 256L << 20)
+    (1 to 2).foreach(i => AnalystMarts.foldBatch(spark,
+      ev.filter(pmod(col("event_id"), lit(3)) === i), mart, i.toLong))
+    val daily = AnalystMarts.dailyValueMart(spark, mart)
+      .select("day", "event_type", "value_sum", "n_rows")
+    val expectDaily = ev.withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("value_sum"),
+        count(lit(1)).as("n_rows"))
+    assertSame(daily, expectDaily,
+      "daily mart after compaction-interleaved folds")
+    // and a true replay still skips
+    AnalystMarts.foldBatch(spark,
+      ev.filter(pmod(col("event_id"), lit(3)) === 1), mart, 1L)
+    assertSame(AnalystMarts.dailyValueMart(spark, mart)
+        .select("day", "event_type", "value_sum", "n_rows"),
+      expectDaily, "daily mart after replay")
+  }
 }
