@@ -10,12 +10,22 @@ object Perf {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val what = if (args.length > 1) args(1) else "all"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // SPARK_GRAFT_CPUS: constrained-memory soaks vary memory-per-core by
+    // holding the heap (SPARK_DRIVER_MEM) and varying task slots — the
+    // production sizing lever is MB/core, not MB/JVM.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // under very tight heaps the spill READERS' 1 MB read-ahead buffers
+    // (one per open spill file, unmanaged by the task memory manager)
+    // are what actually OOM — disabling read-ahead trades sequential-read
+    // throughput for a hard memory bound (SPARK_GRAFT_NO_READAHEAD=1)
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_READAHEAD"))
+      b.config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+    else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String)(f: => Long): Unit = {

@@ -298,17 +298,27 @@ object BaseDelta {
     * legitimately returning subject is a new fold after materialization.
     */
   def logicalErase(spark: SparkSession, t: Table, eraseCol: String,
-                   ids: DataFrame): DataFrame = {
+                   ids: DataFrame, countRows: Boolean = true): DataFrame = {
     val subj = broadcast(ids.select(col(ids.columns.head).as("__erased"))
       .distinct())
-    val receipt = subj.join(
-        read(spark, t).join(subj, col(eraseCol) === col("__erased"))
-          .groupBy(col("__erased")).agg(count(lit(1)).as("__n")),
-        Seq("__erased"), "left")
-      .select(col("__erased").as(eraseCol),
-        coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
-        lit("pending").as("status"))
-      .localCheckpoint(true)
+    // `countRows = false` skips the per-subject row-count scan — the ack
+    // is then pure metadata (one ledger publish). Use it when another
+    // table's receipt already documents the request (an index erasing
+    // the same doc ids across postings/positions/docstats needs ONE
+    // doc-level receipt, not three scans).
+    val receipt =
+      if (!countRows)
+        subj.select(col("__erased").as(eraseCol),
+          lit(null).cast("long").as("n_rows_erased"),
+          lit("pending").as("status"))
+      else subj.join(
+          read(spark, t).join(subj, col(eraseCol) === col("__erased"))
+            .groupBy(col("__erased")).agg(count(lit(1)).as("__n")),
+          Seq("__erased"), "left")
+        .select(col("__erased").as(eraseCol),
+          coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
+          lit("pending").as("status"))
+        .localCheckpoint(true)
     val path = t.tombstonePath(eraseCol)
     val merged =
       if (SnapshotStore.exists(spark, path))

@@ -205,10 +205,14 @@ object SearchIndex {
   def eraseLogical(spark: SparkSession, st: State,
                    docIds: DataFrame): DataFrame = {
     val ids = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
+    // ONE doc-level receipt (docstats: one row per doc); the other two
+    // tables' ledgers publish without their own count scans
     val receipt =
       BaseDelta.logicalErase(spark, st.docstatsTable, "doc_id", ids)
-    BaseDelta.logicalErase(spark, st.postingsTable, "doc_id", ids)
-    BaseDelta.logicalErase(spark, st.positionsTable, "doc_id", ids)
+    BaseDelta.logicalErase(spark, st.postingsTable, "doc_id", ids,
+      countRows = false)
+    BaseDelta.logicalErase(spark, st.positionsTable, "doc_id", ids,
+      countRows = false)
     // stats correction reads the FILTERED docstats view; the fold
     // ledger (last_batch) survives, as in [[erase]]
     val prevLb = statsLastBatch(spark, st).getOrElse(-1L)
