@@ -123,6 +123,33 @@ object Fixtures {
   def mts2Copy(s: SparkSession, d: String): String =
     mutableCopy(s, d, "mts2")(base => buildMts(s, d, s"$base/r", 2)) + "/r"
 
+  /** q243's recipe: the coordinator with the O(batch) DeltaFact member
+    * (dim staged, fact as BaseDelta committed by pointer; maxDeltas = 2
+    * forces one mid-run compaction).
+    */
+  val mtsDeltaFactSpec: graft.streaming.MultiTableStream.DeltaFact =
+    graft.streaming.MultiTableStream.DeltaFact(
+      "event_fact", "fact", Seq("event_id"), Seq("ts", "event_id"),
+      maxDeltas = 2,
+      project = _.select("event_id", "user_id", "value", "ts"))
+
+  private def buildMtsDelta(s: SparkSession, d: String, root: String): Unit = {
+    val routed = routedEvents(s, d)
+    val cut1 = lit("2024-01-11 00:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    Seq(routed.filter(col("ts") < cut1),
+      routed.filter(col("ts") >= cut1 && col("ts") < cut2),
+      routed.filter(col("ts") >= cut2)).zipWithIndex.foreach {
+      case (b, i) => graft.streaming.MultiTableStream.foldBatch(s, root, b,
+        "route", Seq(mtsDimSpec), Seq.empty, i.toLong,
+        deltaFacts = Seq(mtsDeltaFactSpec))
+    }
+  }
+
+  /** Private copy of the DeltaFact coordinator for mutating queries. */
+  def mtsd3Copy(s: SparkSession, d: String): String =
+    mutableCopy(s, d, "mtsd3")(base => buildMtsDelta(s, d, s"$base/r")) + "/r"
+
   // ── search index family — q202's exact recipe ──────────────────────
 
   private def buildSearch(s: SparkSession, d: String, root: String): Unit = {

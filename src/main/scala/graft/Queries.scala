@@ -7386,7 +7386,49 @@ object Queries {
                floor((p50_after / p50_before) * 1000000 + 0.5) / 1000000 AS ratio,
                floor((p50_after / p50_before) * 1000000 + 0.5) / 1000000 >= 1.5 AS regressed
         FROM wide
-        WHERE p50_before IS NOT NULL AND p50_after IS NOT NULL"""))
+        WHERE p50_before IS NOT NULL AND p50_after IS NOT NULL""")),
+
+    // ── DEFERRED coordinated erasure (Erasure.eraseCoordinated with
+    //    deferred=true) over the q243 DeltaFact coordinator: the staged
+    //    dim rewrites eagerly (dimension-sized), the O(batch) fact takes
+    //    the tombstone-ledger ack — the readout runs BEFORE any fact
+    //    rewrite, and must already equal q245's post-erasure join
+    //    (subjects unreachable through the committed pointer) ──
+    Q("q254_deferred_coordinated_erasure",
+      (s, d) => {
+        val root = Fixtures.mtsd3Copy(s, d)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts"))
+        graft.gold.Erasure.eraseCoordinated(s, root,
+          keyCols = Map("user_dim" -> "user_id", "event_fact" -> "user_id"),
+          subjects = ev.select(col("user_id"))
+            .filter(pmod(col("user_id"), lit(10)) === 3).distinct(),
+          deltaMembers = Map("event_fact" ->
+            Fixtures.mtsDeltaFactSpec.deltaTable(root)),
+          deferred = true)
+        val t = graft.streaming.MultiTableStream.readCommitted(s, root,
+          deltaFacts = Seq(Fixtures.mtsDeltaFactSpec))
+        val cur = t("user_dim").filter(col("effective_to").isNull)
+          .select(col("user_id"), col("event_type").as("current_type"))
+        t("event_fact").join(cur, Seq("user_id"))
+          .groupBy(col("current_type"))
+          .agg(count(lit(1)).as("n_facts"),
+            sumMoney(col("value")).as("total_value"))
+      },
+      Some("""
+        WITH kept AS (SELECT * FROM events WHERE user_id % 10 <> 3),
+        cur AS (
+          SELECT user_id, event_type AS current_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM kept) WHERE rn = 1)
+        SELECT current_type,
+               CAST(COUNT(*) AS BIGINT) AS n_facts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM kept e JOIN cur c ON e.user_id = c.user_id
+        GROUP BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -177,7 +177,7 @@ object BaseDelta {
     // single-writer contract, ENFORCED: a fresh-name rename fails only
     // when a contender committed this version first — fail clean (typed)
     // instead of silently losing the manifest update
-    if (!f.rename(tmp, manifestFile(t, next))) {
+    if (!CommitCas.publish(f, tmp, manifestFile(t, next))) {
       f.delete(tmp, false)
       throw new CommitConflictException(
         s"BaseDelta manifest CAS lost at ${t.path} v$next — a concurrent " +

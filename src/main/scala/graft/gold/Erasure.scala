@@ -190,11 +190,27 @@ object Erasure {
     * so a stream managing this root folds its next micro-batch normally
     * (versions are not batch ids; the ledger is the marker). Returns the
     * receipt: one row per (table, subject) with rows erased, zeros
-    * included — the auditor's ledger, not a boolean.
+    * included, and a `status` column — the auditor's ledger, not a
+    * boolean.
+    *
+    * `deferred = true` is the IMMEDIATE-ACK form for the expensive
+    * members: [[BaseDelta]] delta facts take a tombstone-ledger
+    * [[BaseDelta.logicalErase]] (one tiny publish; every
+    * coordinator-resolved `readAt` anti-joins it from that moment, so
+    * the subject is unreachable through the commit the reader resolves)
+    * instead of a full compaction+vacuum, and their physical rewrite
+    * rides the stream's next compaction or an explicit
+    * `materializeErasures`. Staged (gen-dir) members still rewrite
+    * eagerly — they are dimension-sized whole-frame publishes, the
+    * cheap part — so the atomic flip and the FK-clean ordering are
+    * unchanged. Receipt `status`: 'erased' for rewritten members,
+    * 'pending' for ledgered ones (upgrade signal =
+    * `BaseDelta.pendingTombstones` empty).
     */
   def eraseCoordinated(spark: SparkSession, root: String,
                        keyCols: Map[String, String], subjects: DataFrame,
-                       deltaMembers: Map[String, BaseDelta.Table] = Map.empty): DataFrame = {
+                       deltaMembers: Map[String, BaseDelta.Table] = Map.empty,
+                       deferred: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val subj = broadcast(subjects.select(col(subjects.columns.head)
       .as("__subject")).distinct())
@@ -202,25 +218,34 @@ object Erasure {
       sys.error(s"Erasure.eraseCoordinated: nothing committed at $root"))
 
     def receiptOf(table: String, df: org.apache.spark.sql.DataFrame,
-                  keyCol: String) =
+                  keyCol: String, status: String) =
       subj.join(
           df.join(subj, col(keyCol) === col("__subject"))
             .groupBy(col("__subject")).agg(count(lit(1)).as("__n")),
           Seq("__subject"), "left")
         .select(lit(table).as("table_name"),
           col("__subject").cast("string").as("subject"),
-          coalesce(col("__n"), lit(0L)).as("n_rows_erased"))
+          coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
+          lit(status).as("status"))
 
     // 1. delta members first: fact rows go before dim rows ever can
     val deltaReceipts = deltaMembers.toSeq.sortBy(_._1).flatMap {
       case (name, t) =>
         keyCols.get(name).map { keyCol =>
-          val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol)
-            .localCheckpoint(true)
-          BaseDelta.compact(spark, t, transform = Some(df =>
-            df.join(subj, col(keyCol) === col("__subject"), "left_anti")))
-          BaseDelta.vacuum(spark, t)
-          rec
+          if (deferred) {
+            val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol,
+              "pending").localCheckpoint(true)
+            BaseDelta.logicalErase(spark, t, keyCol, subj,
+              countRows = false)
+            rec
+          } else {
+            val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol,
+              "erased").localCheckpoint(true)
+            BaseDelta.compact(spark, t, transform = Some(df =>
+              df.join(subj, col(keyCol) === col("__subject"), "left_anti")))
+            BaseDelta.vacuum(spark, t)
+            rec
+          }
         }
     }
     // 2. staged tables: one atomic flip for every filtered generation.
@@ -233,7 +258,7 @@ object Erasure {
       .filter(keyCols.contains).toSeq.sorted
     val stagedReceipts = stagedNames.map { name =>
       receiptOf(name, MultiSnapshot.readPinned(spark, root, c, name),
-        keyCols(name)).localCheckpoint(true)
+        keyCols(name), "erased").localCheckpoint(true)
     }
     if (stagedNames.nonEmpty)
       MultiSnapshot.publishFrom(spark, root, Some(c), stagedNames.map { name =>

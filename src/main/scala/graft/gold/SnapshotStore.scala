@@ -136,7 +136,7 @@ object SnapshotStore {
     // CAS ALWAYS means our staged content read a replaced generation —
     // fail clean (typed), never rebase; the caller redoes the publish
     // from the new commit.
-    if (!f.rename(tmp, ptrFile(path, next))) {
+    if (!CommitCas.publish(f, tmp, ptrFile(path, next))) {
       f.delete(tmp, false)
       throw new CommitConflictException(
         s"SnapshotStore.commit at $path: lost the pointer CAS at " +

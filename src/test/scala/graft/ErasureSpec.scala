@@ -163,4 +163,48 @@ class ErasureSpec extends SparkSpec {
       MultiSnapshot.commitAt(spark, root, preErasure))
     assert(tt.getMessage.contains("not retained"), tt.getMessage)
   }
+
+  test("deferred coordinated erasure: immediate unreachability, delta member unrewritten until materialization") {
+    import graft.gold.{BaseDelta, MultiSnapshot}
+    val root = tmpDir("erase-coord-d") + "/r"
+    val dim = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("customer_id", "name")
+    MultiSnapshot.publish(spark, root, Map("customers" -> dim))
+    val dt = BaseDelta.Table(s"$root/_delta/txns", Seq("txn_id"),
+      Seq("seq"), None)
+    BaseDelta.append(spark, dt,
+      Seq((100L, 1L, 1L), (101L, 2L, 2L), (102L, 3L, 3L), (103L, 2L, 4L))
+        .toDF("txn_id", "customer_id", "seq"), 0L)
+    MultiSnapshot.publish(spark, root,
+      Map.empty[String, org.apache.spark.sql.DataFrame],
+      pointers = Map("txns" -> 0L))
+
+    val receipts = graft.gold.Erasure.eraseCoordinated(spark, root,
+      keyCols = Map("customers" -> "customer_id", "txns" -> "customer_id"),
+      subjects = Seq(2L).toDF("s"),
+      deltaMembers = Map("txns" -> dt), deferred = true)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(receipts == Map(
+      "customers" -> ((1L, "erased")), "txns" -> ((2L, "pending"))), receipts)
+
+    // unreachable NOW through the coordinator-resolved views — the
+    // staged member by rewrite, the delta member by tombstone ledger
+    val c = MultiSnapshot.currentCommit(spark, root).get
+    assert(MultiSnapshot.readAll(spark, root)("customers")
+      .select("customer_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val ptr = MultiSnapshot.pointer(c, "txns").get
+    assert(BaseDelta.readAt(spark, dt, ptr).select("txn_id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 102L))
+    // …but the delta member was NOT rewritten (that is the ack-latency
+    // win): no compacted base, ledger pending
+    assert(BaseDelta.currentBasePath(spark, dt).isEmpty)
+    assert(BaseDelta.pendingTombstones(spark, dt).keySet == Set("customer_id"))
+    // materialization at the scheduled slot: bytes rewritten, ledger
+    // clears, the committed view is unchanged
+    assert(BaseDelta.materializeErasures(spark, dt).nonEmpty)
+    assert(BaseDelta.pendingTombstones(spark, dt).isEmpty)
+    assert(BaseDelta.readAt(spark, dt, ptr).select("txn_id").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 102L))
+  }
 }
