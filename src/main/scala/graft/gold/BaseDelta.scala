@@ -506,7 +506,18 @@ object BaseDelta {
     if (foldable.isEmpty && transform.isEmpty) return
     if (live.isEmpty && currentBasePath(spark, t).isEmpty) return // empty table
     val gen = mOpt.map(_.generation).getOrElse(0L)
-    val newBase = new Path(t.baseGenPath(gen + 1))
+    // RESERVE the new base generation number (create-exclusive marker,
+    // the MultiSnapshot recipe): two concurrent compactors must never
+    // co-stage one base dir — each claims a distinct number, the
+    // manifest CAS then decides whose lineage commits, and the loser's
+    // dir is an invisible orphan for vacuum. A marker left by a crashed
+    // compactor just bumps the number.
+    f.mkdirs(new Path(t.manifestRoot))
+    var newGen = gen + 1
+    while (!CommitCas.createExclusive(f, f.makeQualified(
+        new Path(t.manifestRoot, s".reserve.base$newGen"))))
+      newGen += 1
+    val newBase = new Path(t.baseGenPath(newGen))
     if (f.exists(newBase)) f.delete(newBase, true)  // crashed earlier attempt
     val baseOpt = resolveSnapshot(spark, t)._1
     val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
@@ -535,7 +546,7 @@ object BaseDelta {
     val folded = (mOpt.flatMap(_.foldedThrough).toSeq ++ foldable)
       .reduceOption(_ max _)
     writeManifest(spark, t,
-      Manifest(gen + 1, kept, folded),
+      Manifest(newGen, kept, folded),
       mvOpt.map(_._1).getOrElse(0L))  // ← commit point (CAS on read version)
     // a FULL fold has rewritten every live row through the tombstone
     // filter — the ledger is materialized and retires (receipt upgrade
@@ -543,13 +554,20 @@ object BaseDelta {
     // still hold matching rows, which reads must keep filtering.
     if (kept.isEmpty) clearTombstones(spark, t)
     // retire everything no longer referenced by the PREVIOUS generation:
-    // readers may still hold (gen, live); older state is unreachable
+    // readers may still hold (gen, live); older state is unreachable.
+    // Bounds matter for fail-clean concurrency: base gens strictly BELOW
+    // the previous generation (a contender's reserved dir is above);
+    // delta dirs only AT OR BELOW the fold boundary (a concurrent
+    // APPEND's in-flight dir carries a HIGHER batch id — sweeping it
+    // would corrupt the appender mid-write; orphans above the floor are
+    // vacuum's job, at a writer-quiet moment)
     if (gen >= 1) {
       f.delete(new Path(t.basePath), true)
       f.delete(new Path(t.basePath + ".__old"), true)
     }
     (1L until gen).foreach(g => f.delete(new Path(t.baseGenPath(g)), true))
     (diskDeltas(spark, t).toSet -- live.toSet)
+      .filter(id => folded.exists(_ >= id))
       .foreach(id => f.delete(new Path(t.deltaPath(id)), true))
   }
 
@@ -592,9 +610,27 @@ object BaseDelta {
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     def drop(p: Path): Unit =
       if (f.exists(p) && f.delete(p, true)) deleted += p.toString
-    // base generations below current; the legacy flat base once any
-    // manifest-tracked generation exists
-    (1L until m.generation).foreach(g => drop(new Path(t.baseGenPath(g))))
+    // base generations OTHER than current — below-current retained
+    // history AND above-current orphans from crashed or CAS-losing
+    // compactors (reserved numbers are never reused, so orphans don't
+    // self-heal by overwrite); plus reservation markers and the legacy
+    // flat base once any manifest-tracked generation exists. Run with
+    // no writers in flight (the Delta VACUUM zero-retention contract).
+    val baseRoot = new Path(t.path)
+    if (f.exists(baseRoot)) f.listStatus(baseRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("base_g") && n.stripPrefix("base_g").forall(_.isDigit) &&
+          n.stripPrefix("base_g").toLong != m.generation)
+        drop(st.getPath)
+    }
+    val mroot = new Path(t.manifestRoot)
+    if (f.exists(mroot)) f.listStatus(mroot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".reserve.base") &&
+          n.stripPrefix(".reserve.base").forall(_.isDigit) &&
+          n.stripPrefix(".reserve.base").toLong != m.generation)
+        drop(st.getPath)
+    }
     if (m.generation >= 1) {
       drop(new Path(t.basePath))
       drop(new Path(t.basePath + ".__old"))

@@ -46,6 +46,22 @@ private[gold] object CommitCas {
         case _: java.io.IOException => false
       }
     } else f.rename(tmp, dst)
+
+  /** Atomic create-no-overwrite — the reservation primitive. On
+    * `file://` Hadoop's create(p, false) is a non-atomic exists-check-
+    * then-create (a TOCTOU hole barrier-synchronized writers actually
+    * hit), so local paths go through java.io.File.createNewFile —
+    * O_CREAT|O_EXCL, atomic on POSIX. HDFS create(overwrite=false) is
+    * atomic at the NameNode; object stores map this to a conditional
+    * If-None-Match PUT.
+    */
+  def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Boolean =
+    if (f.getScheme == "file")
+      new java.io.File(p.toUri.getPath).createNewFile()
+    else
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
 }
 
 /** Multi-table atomic publish — one commit spanning several snapshot
@@ -210,25 +226,11 @@ object MultiSnapshot {
     * cleanup ([[vacuum]] reclaims markers below the committed
     * generation).
     */
-  /** Atomic create-no-overwrite. On `file://` Hadoop's create(p, false)
-    * is a non-atomic exists-check-then-create (a TOCTOU hole two barrier-
-    * synchronized writers actually hit), so local paths go through
-    * java.io.File.createNewFile — O_CREAT|O_EXCL, atomic on POSIX. HDFS
-    * create(overwrite=false) is atomic at the NameNode; object stores
-    * map this to a conditional If-None-Match PUT.
-    */
-  private def createExclusive(f: FileSystem, p: Path): Boolean =
-    if (f.getScheme == "file")
-      new java.io.File(p.toUri.getPath).createNewFile()
-    else
-      try { f.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
-
   private def reserveGen(f: FileSystem, root: String, table: String,
                          start: Long): Long = {
     f.mkdirs(new Path(tablePath(root, table)))
     var g = start
-    while (!createExclusive(f, f.makeQualified(reserveMarker(root, table, g))))
+    while (!CommitCas.createExclusive(f, f.makeQualified(reserveMarker(root, table, g))))
       g += 1
     g
   }
