@@ -1098,6 +1098,112 @@ object Perf {
         operators.Dedup.containmentPairs(sdocs, "id", "text",
           k = 3, threshold = 0.4).count())
     }
+
+    // deterministic clustered embeddings: `clusters` distinct directions
+    // (primary axis c%dim at 10, secondary axis (7c+3)%dim at a
+    // group-dependent 3/5/7/9 so groups 16 apart stay separable) + hash
+    // noise — no RNG, same recipe every run
+    def syntheticVecs(n: Long, dim: Int = 16, clusters: Int = 64) = {
+      val c = pmod(col("id"), lit(clusters.toLong))
+      val w2 = lit(3.0) + (floor(c / lit(16)) * lit(2.0))
+      val comps = (0 until dim).map { d2 =>
+        (when(pmod(c, lit(dim.toLong)) === d2, lit(10.0)).otherwise(lit(0.0)) +
+          when(pmod(c * 7 + 3, lit(dim.toLong)) === d2, w2).otherwise(lit(0.0)) +
+          (pmod(xxhash64(col("id"), lit(d2)), lit(1000L)).cast("double") /
+            lit(1000.0) - lit(0.5))).cast("float")
+      }
+      spark.range(n).select(col("id"), array(comps: _*).as("vec"))
+    }
+
+    if (what == "elect-r10") {
+      // quantizer-election scaling (r9 verdict #3): k-means|| must hold
+      // a FLAT distributed-pass count while farthest-point pays one
+      // sequential corpus pass per cell — measured at 1M vectors
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "1000000").toLong
+      val vecs = syntheticVecs(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"elect-warm-count-$n")(vecs.count())
+      time(s"elect-kmeans-par-64-$n")(
+        operators.Similarity.centroidsKMeansParallel(vecs, "id", "vec", 64).count())
+      time(s"elect-kcenter-64-$n")(
+        operators.Similarity.centroidsFarthest(vecs, "id", "vec", 64).count())
+      // the scale point farthest-point cannot reach: 4× the cells for
+      // ~the same pass count (rounds stays 5; only the literal batch and
+      // the driver election grow)
+      time(s"elect-kmeans-par-256-$n")(
+        operators.Similarity.centroidsKMeansParallel(vecs, "id", "vec", 256).count())
+      vecs.unpersist()
+    }
+
+    if (what == "scale-r10") {
+      // weak-scaling refresh of the round-9 state-tier BUILD paths
+      // (r9 verdict #7): each family's fold at n and 10n on the same
+      // synthetic recipes — the ratio column for SURVEY §9. Fixture
+      // queries (q230/q248 etc.) serve from cache and are excluded by
+      // design; these are the build-path shapes of q202/q190/q244/q250/
+      // q242.
+      import java.nio.file.Files
+      val base = sys.env.getOrElse("SPARK_GRAFT_N", "1000000").toLong
+      for (n <- Seq(base, base * 10)) {
+        val sdocs = syntheticDocs(n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sdocs.count()
+        time(s"r10-searchindex-fold3-$n") { // q202's 3-batch build
+          val st = operators.SearchIndex.State(
+            Files.createTempDirectory("r10-si").toString + "/s")
+          (0 until 3).foreach(b => operators.SearchIndex.fold(spark, st,
+            sdocs.filter(pmod(col("id"), lit(3)) === b), b.toLong, "id", "text"))
+          operators.SearchIndex.search(spark, st, Seq("alpha", "beta")).count()
+        }
+        time(s"r10-clusterindex-fold3-$n") { // q190's 3-batch build
+          val st = operators.ClusterIndex.State(
+            Files.createTempDirectory("r10-ci").toString + "/c")
+          (0 until 3).foreach(b => operators.ClusterIndex.fold(spark, st,
+            sdocs.filter(pmod(col("id"), lit(3)) === b), b.toLong, "id", "text",
+            threshold = 0.9, maxStateDf = 1000))
+          operators.ClusterIndex.clustersNonSingleton(spark, st).count()
+        }
+        sdocs.unpersist()
+      }
+      for (nv <- Seq(base / 10, base)) {
+        val vecs = syntheticVecs(nv)
+        time(s"r10-vectorindex-fold-refresh-$nv") { // q244 fold + q250 refresh
+          val m = operators.VectorIndex.Managed(
+            Files.createTempDirectory("r10-vi").toString + "/v")
+          operators.VectorIndex.fold(spark,
+            operators.VectorIndex.active(spark, m), vecs, 0L, "id", "vec",
+            nCells = 64)
+          operators.VectorIndex.refreshQuantizer(spark, m, nCells = 64)
+          operators.VectorIndex.nCells(spark,
+            operators.VectorIndex.active(spark, m)).toLong
+        }
+      }
+      for (n <- Seq(base, base * 10)) {
+        // q242's coordinator fold: one SCD2 dim + one upsert fact in one
+        // atomic multi-table commit
+        val cdcRows = spark.range(n).select(
+          when(pmod(col("id"), lit(5)) === 0, lit("acct"))
+            .otherwise(lit("txn")).as("route"),
+          pmod(col("id"), lit(100000L)).as("account_id"),
+          col("id").as("txn_id"),
+          (pmod(col("id"), lit(9973L)).cast("double") / lit(100.0)).as("amount"),
+          lit("c").as("op"), col("id").as("seq"),
+          to_timestamp(lit("2024-01-05 00:00:00")).as("ts"))
+        time(s"r10-multitable-fold-$n") {
+          val root = Files.createTempDirectory("r10-mts").toString + "/r"
+          val dim = streaming.MultiTableStream.Scd2Dim("accounts", "acct",
+            Seq("account_id"), Seq("amount"), "ts", tieBreak = Seq("seq"),
+            opCol = Some("op"),
+            project = _.select("account_id", "amount", "op", "seq", "ts"))
+          val fact = streaming.MultiTableStream.UpsertFact("txns", "txn",
+            Seq("txn_id"), Seq("seq"), opCol = Some("op"),
+            project = _.select("txn_id", "account_id", "amount", "op", "seq", "ts"))
+          streaming.MultiTableStream.foldBatch(spark, root, cdcRows,
+            "route", Seq(dim), Seq(fact), 0L)
+          streaming.MultiTableStream.readCommitted(spark, root)("txns").count()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -7428,7 +7428,62 @@ object Queries {
                CAST(COUNT(*) AS BIGINT) AS n_facts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM kept e JOIN cur c ON e.user_id = c.user_id
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ── tombstone-ledger BUDGET readout (BaseDelta.tombstoneReport):
+    //    every read anti-joins one broadcast per pending erasure ledger,
+    //    so the backlog of acked-but-unmaterialized requests needs a
+    //    backstop — two subject batches land in one column ledger
+    //    (union, deduped), and the report adjudicates the count against
+    //    the budget, flipping the recommendation to 'materialize' (the
+    //    signal to schedule materializeErasures at a maintenance slot) ──
+    Q("q255_tombstone_budget",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q255-tomb").toString + "/t"
+        val t = graft.gold.BaseDelta.Table(root, Seq("doc_id"),
+          Seq("doc_id"), None)
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        graft.gold.BaseDelta.append(s, t, docs, 0L)
+        graft.gold.BaseDelta.logicalErase(s, t, "doc_id",
+          docs.filter(pmod(col("doc_id"), lit(7)) === 2), countRows = false)
+        graft.gold.BaseDelta.logicalErase(s, t, "doc_id",
+          docs.filter(pmod(col("doc_id"), lit(11)) === 3), countRows = false)
+        graft.gold.BaseDelta.tombstoneReport(s, t, budget = 10L)
+      },
+      Some("""
+        SELECT CAST(10 AS BIGINT) AS budget,
+               'doc_id' AS erase_col,
+               COUNT(*) > 10 AS over_budget,
+               CAST(COUNT(*) AS BIGINT) AS pending_values,
+               CASE WHEN COUNT(*) > 10 THEN 'materialize' ELSE 'ok'
+                 END AS recommendation
+        FROM (SELECT DISTINCT doc_id FROM documents
+              WHERE doc_id % 7 = 2 OR doc_id % 11 = 3)""")),
+
+    // ── SQL-first surface: the flagship whole-table operators as
+    //    TABLE-VALUED FUNCTIONS (GraftExtensions.tableBuilders) — the
+    //    reference's consumers are dbt/SQL users, so the SCD2 merge must
+    //    be reachable from pure `spark.sql` with no Scala in sight; the
+    //    TVF expands to the IDENTICAL DataFrame plan q04 builds, proven
+    //    by sharing q04's oracle ──
+    Q("q256_sql_tvf_scd2",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.events(s, d).createOrReplaceTempView("events_tvf")
+        s.sql("""
+          SELECT user_id, event_id, value, version_n,
+                 effective_from, effective_to, is_current
+          FROM scd2_from_changelog('events_tvf', 'user_id', 'ts', 'event_id')""")
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+               CAST(row_number() OVER w AS INTEGER) AS version_n,
+               ts AS effective_from,
+               lead(ts) OVER w AS effective_to,
+               (lead(ts) OVER w) IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -14,6 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   quantize_int8(vec), bpe_merge(symbols, 'l', 'r'),
   *   unicode_norm(text[, 'NFC'|'NFD'|'NFKC'|'NFKD'])
   *
+  * and the flagship whole-table operators as TABLE-VALUED functions
+  * (see [[GraftExtensions.tableBuilders]]): scd2_from_changelog,
+  * dedup_latest, upsert_by_key, minhash_lsh, fk_orphans.
+  *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or config `spark.sql.extensions=graft.functions.GraftExtensions`;
   * for an already-built session use `GraftExtensions.register(spark)`.
@@ -22,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
@@ -65,10 +75,103 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
+  // ── TABLE-VALUED surfaces for the flagship whole-table operators ────
+  //
+  // The engine is API-first; the reference's consumers are SQL-first
+  // (dbt models over Snowflake). These TVFs close that gap: a SQL user
+  // names a registered view and literal parameters, and the TVF expands
+  // to the SAME DataFrame plan the Scala API builds — one
+  // implementation, two surfaces. Input tables are passed BY NAME
+  // (string literal resolved through the active session's catalog) —
+  // Spark's TVF arguments are expressions, and a name keeps the surface
+  // usable from pure SQL. Column lists are comma-separated; ordering
+  // items accept an `desc`/`asc` suffix (default desc — "latest wins",
+  // these operators' common case).
+  //
+  //   SELECT * FROM scd2_from_changelog('events_v', 'user_id', 'ts', 'event_id')
+  //   SELECT * FROM dedup_latest('events_v', 'user_id,event_type', 'ts desc,event_id desc')
+  //   SELECT * FROM upsert_by_key('cur_v', 'inc_v', 'id', 'seq desc')
+  //   SELECT * FROM minhash_lsh('docs_v', 'doc_id', 'text', 16, 2, 0.25)
+  //   SELECT * FROM fk_orphans('txns_v', 'accts_v', 'account_id')
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def orderCols(s: String): Seq[org.apache.spark.sql.Column] =
+    csv(s).map { item =>
+      item.split("\\s+").toSeq match {
+        case Seq(c) => org.apache.spark.sql.functions.col(c).desc
+        case Seq(c, dir) if dir.equalsIgnoreCase("desc") =>
+          org.apache.spark.sql.functions.col(c).desc
+        case Seq(c, dir) if dir.equalsIgnoreCase("asc") =>
+          org.apache.spark.sql.functions.col(c).asc
+        case _ => throw new IllegalArgumentException(
+          s"bad ordering item '$item' (expected 'col [asc|desc]')")
+      }
+    }
+
+  private def table(name: String): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.SparkSession.active.table(name)
+
+  private def numArg(e: Expression, name: String): Double = e match {
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$name must be a numeric literal, got $other")
+  }
+
+  val tableBuilders: Seq[(String, Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "scd2_from_changelog" -> (es =>
+      graft.gold.Scd2Merge.fromChangeLog(
+        table(strArg(es(0), "table")),
+        csv(strArg(es(1), "keys")),
+        strArg(es(2), "tsCol"),
+        if (es.length > 3) csv(strArg(es(3), "tieBreak")) else Nil)
+        .queryExecution.logical),
+    "dedup_latest" -> (es =>
+      graft.silver.Staging.dedupLatest(
+        table(strArg(es(0), "table")),
+        csv(strArg(es(1), "keys")),
+        orderCols(strArg(es(2), "ordering")))
+        .queryExecution.logical),
+    "upsert_by_key" -> (es =>
+      graft.gold.UpsertByKey(
+        table(strArg(es(0), "current")),
+        table(strArg(es(1), "incoming")),
+        csv(strArg(es(2), "keys")),
+        orderCols(strArg(es(3), "ordering")))
+        .queryExecution.logical),
+    "minhash_lsh" -> (es =>
+      graft.operators.Dedup.minHashLsh(
+        table(strArg(es(0), "table")),
+        strArg(es(1), "idCol"),
+        strArg(es(2), "textCol"),
+        bands = numArg(es(3), "bands").toInt,
+        rowsPerBand = numArg(es(4), "rowsPerBand").toInt,
+        minEstJaccard = numArg(es(5), "minEstJaccard"))
+        .queryExecution.logical),
+    "fk_orphans" -> (es =>
+      graft.silver.Quality.relationships(
+        table(strArg(es(0), "child")),
+        strArg(es(1), "childKey"),
+        table(strArg(es(2), "parent")),
+        strArg(es(3), "parentKey"))
+        .queryExecution.logical))
+
   /** Register into an already-built session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+    tableBuilders.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder)

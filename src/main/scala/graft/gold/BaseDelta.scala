@@ -251,12 +251,38 @@ object BaseDelta {
   // [[pendingTombstones]] empty = materialized). Fold latency is
   // untouched: appends never consult the ledger.
 
+  /** Marker stamped INSIDE a staged ledger generation dir (before its
+    * pointer commit, so a committed-cleared generation is never seen
+    * without it) recording "this generation is the CLEARED state": every
+    * id the ledger held has been physically materialized by a full fold.
+    * Clearing publishes an empty generation through the same
+    * observation-CAS as any other ledger write instead of deleting the
+    * ledger dir — a raw delete would race a concurrent [[logicalErase]]
+    * whose just-committed ids it silently destroys (an acked erasure
+    * that never materializes). The underscore prefix keeps parquet
+    * readers ignoring it; [[vacuum]] reclaims cleared ledger dirs
+    * physically at a writer-quiet moment.
+    */
+  private val ClearedMarker = "_CLEARED"
+
+  /** The ledger's committed generation, if it holds PENDING ids (a
+    * committed-cleared generation reports None — nothing pending).
+    */
+  private def pendingLedgerGen(spark: SparkSession, t: Table,
+                               c: String): Option[Long] = {
+    val path = t.tombstonePath(c)
+    SnapshotStore.currentGen(spark, path).filter { g =>
+      !fs(spark, t.path).exists(
+        new Path(SnapshotStore.genPath(path, g), ClearedMarker))
+    }
+  }
+
   private def tombstoneCols(spark: SparkSession, t: Table): Seq[String] = {
     val f = fs(spark, t.path)
     val root = new Path(s"${t.path}/_tombstones")
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(c => SnapshotStore.exists(spark, t.tombstonePath(c)))
+      .filter(c => pendingLedgerGen(spark, t, c).isDefined)
   }
 
   /** The pending (not yet physically materialized) erased values, one
@@ -269,6 +295,35 @@ object BaseDelta {
     tombstoneCols(spark, t).map { c =>
       c -> SnapshotStore.read(spark, t.tombstonePath(c))
     }.toMap
+
+  /** Default pending-erasure budget ([[logicalErase]],
+    * [[tombstoneReport]]): every read anti-joins one broadcast per
+    * pending (column, ledger), so an unbounded backlog of acked-but-
+    * unmaterialized requests degrades EVERY read with no backstop. 10k
+    * values keeps each ledger broadcast trivially small while leaving
+    * room for a month of subject requests between maintenance slots —
+    * past it the recommendation flips to `materialize`.
+    */
+  val DefaultTombstoneBudget: Long = 10000L
+
+  /** Pending-erasure budget readout — one row per erase column with a
+    * pending-value count and the budget adjudication
+    * (`recommendation = 'materialize'` once `pending_values > budget`,
+    * the signal to schedule [[materializeErasures]]). Ledgers are
+    * request-sized, so the counts are tiny jobs; a table with nothing
+    * pending reports zero rows.
+    */
+  def tombstoneReport(spark: SparkSession, t: Table,
+                      budget: Long = DefaultTombstoneBudget): DataFrame = {
+    import spark.implicits._
+    val rows = pendingTombstones(spark, t).toSeq.sortBy(_._1).map {
+      case (c, ids) =>
+        val n = ids.count()
+        (c, n, budget, n > budget, if (n > budget) "materialize" else "ok")
+    }
+    rows.toDF("erase_col", "pending_values", "budget", "over_budget",
+      "recommendation")
+  }
 
   /** Anti-join every pending tombstone ledger — the read-side guard.
     * Ledgers are request-sized (bounded by erasure subjects), so each
@@ -284,8 +339,10 @@ object BaseDelta {
   /** Logically erase rows whose `eraseCol` matches `ids`: publish the
     * ids into the tombstone ledger (one atomic pointer flip — readers
     * stop seeing the rows NOW) and return the legal receipt (id,
-    * n_rows_erased, status='pending'), counted against the currently
-    * readable view so already-erased or absent subjects report 0. The
+    * n_rows_erased, status='pending', plus the budget columns
+    * pending_after / recommend_materialize), counted against the
+    * currently readable view so already-erased or absent subjects
+    * report 0. The
     * physical rewrite happens at the next full [[compact]] (or an
     * explicit `compact(t)` right after, making this exactly the eager
     * path); `status` upgrades to `materialized` once
@@ -298,7 +355,8 @@ object BaseDelta {
     * legitimately returning subject is a new fold after materialization.
     */
   def logicalErase(spark: SparkSession, t: Table, eraseCol: String,
-                   ids: DataFrame, countRows: Boolean = true): DataFrame = {
+                   ids: DataFrame, countRows: Boolean = true,
+                   pendingBudget: Long = DefaultTombstoneBudget): DataFrame = {
     val subj = broadcast(ids.select(col(ids.columns.head).as("__erased"))
       .distinct())
     // `countRows = false` skips the per-subject row-count scan — the ack
@@ -320,13 +378,40 @@ object BaseDelta {
           lit("pending").as("status"))
         .localCheckpoint(true)
     val path = t.tombstonePath(eraseCol)
-    val merged =
-      if (SnapshotStore.exists(spark, path))
-        SnapshotStore.read(spark, path)
-          .select(col("__erased")).unionByName(subj).distinct()
-      else subj
-    SnapshotStore.publish(merged, path)
+    // read-merge-publish behind the observation CAS, with bounded retry:
+    // this ledger is the one MULTI-writer snapshot path by design
+    // (logicalErase is an any-time immediate-ack call — two concurrent
+    // erasers on one column are in-contract). Each attempt re-reads the
+    // just-committed state and re-merges, so the loser's union is never
+    // lost; the observed generation dir is read DIRECTLY (not through
+    // read()'s fresh pointer resolve) so contents and observation point
+    // can't tear.
+    var attempt = 0
+    var pendingAfter = -1L
+    while (pendingAfter < 0) {
+      val observed = SnapshotStore.currentGen(spark, path)
+      val existing = observed.map(g => spark.read
+        .parquet(SnapshotStore.genPath(path, g)).select(col("__erased")))
+      val merged = existing
+        .map(_.unionByName(subj.toDF()).distinct()).getOrElse(subj.toDF())
+        .localCheckpoint(true)
+      try {
+        SnapshotStore.publishFrom(merged, path, observed)
+        pendingAfter = merged.count() // request-sized, pinned
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    // budget adjudication rides the receipt: once this column's backlog
+    // of acked-but-unmaterialized values passes `pendingBudget`, every
+    // read is paying for it (one broadcast anti-join per ledger) — the
+    // caller should schedule [[materializeErasures]]; [[tombstoneReport]]
+    // is the standalone readout of the same signal
     receipt.toDF()
+      .withColumn("pending_after", lit(pendingAfter))
+      .withColumn("recommend_materialize", lit(pendingAfter > pendingBudget))
   }
 
   /** Force the physical rewrite of all pending logical erasures NOW —
@@ -342,18 +427,76 @@ object BaseDelta {
     vacuum(spark, t)
   }
 
-  /** Drop materialized tombstone ledgers (called by [[compact]] after a
-    * FULL fold committed with the ledger applied; bounded folds keep the
-    * ledger because later deltas may still hold matching rows).
+  /** One ledger's state as OBSERVED by a fold: the committed generation
+    * at fold-read time plus its id set pinned in Spark storage
+    * (localCheckpoint — the gen dir itself could be retired by two
+    * further erasure publishes while the fold runs).
     */
-  private def clearTombstones(spark: SparkSession, t: Table): Unit = {
-    val f = fs(spark, t.path)
-    tombstoneCols(spark, t).foreach { c =>
-      f.delete(new Path(t.tombstonePath(c)), true)
+  private final case class TombSnap(col: String, gen: Long, ids: DataFrame)
+
+  /** Pin every pending ledger's (generation, ids) for a fold — what the
+    * fold will physically apply, and the observation point its
+    * retirement CASes against.
+    */
+  private def observeTombstones(spark: SparkSession,
+                                t: Table): Seq[TombSnap] =
+    tombstoneCols(spark, t).flatMap { c =>
+      pendingLedgerGen(spark, t, c).map { g =>
+        TombSnap(c, g, spark.read
+          .parquet(SnapshotStore.genPath(t.tombstonePath(c), g))
+          .select(col("__erased")).localCheckpoint(true))
+      }
     }
-    val root = new Path(s"${t.path}/_tombstones")
-    if (f.exists(root) && f.listStatus(root).isEmpty) f.delete(root, true)
-  }
+
+  /** Retire ledgers a FULL fold just materialized — but only the ids the
+    * fold actually APPLIED (the pinned observation), never a blind dir
+    * delete: a [[logicalErase]] committing between the fold's ledger
+    * read and this call is an acked erasure the fold did NOT rewrite,
+    * and wiping the whole ledger would silently discard it (the receipt
+    * would even upgrade to 'materialized'). Per column, under the
+    * observation CAS with bounded retry: unchanged generation → publish
+    * the empty CLEARED state; advanced generation → publish
+    * `current \ applied`, keeping exactly the un-materialized newcomers
+    * pending. Retry exhaustion leaves the ledger as-is — safe (reads
+    * keep filtering; receipts stay 'pending'; the next full fold
+    * retires it). Called only after a full fold's manifest commit;
+    * bounded folds keep their ledgers because un-folded later deltas
+    * may still hold matching rows.
+    */
+  private def retireTombstones(spark: SparkSession, t: Table,
+                               observed: Seq[TombSnap]): Unit =
+    observed.foreach { s =>
+      val path = t.tombstonePath(s.col)
+      var attempt = 0
+      var done = false
+      while (!done && attempt <= 5) {
+        try {
+          SnapshotStore.currentGen(spark, path) match {
+            case None => done = true // ledger vacuumed away — nothing pending
+            case cur @ Some(g) =>
+              val remaining =
+                if (g == s.gen) s.ids.limit(0)
+                else spark.read.parquet(SnapshotStore.genPath(path, g))
+                  .select(col("__erased"))
+                  .join(s.ids, Seq("__erased"), "left_anti")
+                  .localCheckpoint(true)
+              val gen = SnapshotStore.stage(remaining, path)
+              if (remaining.isEmpty) {
+                // committed-cleared state: marker lands in the staged dir
+                // BEFORE the pointer commit, so readers never resolve a
+                // cleared generation that isn't marked
+                val f = fs(spark, t.path)
+                f.create(new Path(SnapshotStore.genPath(path, gen),
+                  ClearedMarker), true).close()
+              }
+              SnapshotStore.commitFrom(spark, path, gen, cur)
+              done = true
+          }
+        } catch {
+          case _: CommitConflictException => attempt += 1
+        }
+      }
+    }
 
   /** Append one micro-batch as an immutable delta — O(batch) I/O. The
     * batch is pre-deduped (latest-wins) so a delta holds one row per key;
@@ -379,9 +522,32 @@ object BaseDelta {
     graft.silver.Staging.dedupLatestByMax(keyed, t.keys, t.orderCols)
       .coalesce(deltaFiles)
       .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
-    readManifestVersioned(spark, t).foreach { case (v, m) =>
-      if (!m.deltas.contains(batchId))
-        writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId), v)
+    readManifestVersioned(spark, t) match {
+      case Some((v, m)) =>
+        if (!m.deltas.contains(batchId))
+          writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId), v)
+      case None =>
+        // MIGRATE ON FIRST APPEND (not first compaction): commit a
+        // manifest naming every on-disk delta plus this batch. Without
+        // it, every table between its first append and first compaction
+        // lived on raw directory listings, and a fold-vs-OPTIMIZE race
+        // there was a SILENT LOSS: compact's listing could see this
+        // append's dir mid-write, fold a partial/empty snapshot of the
+        // batch, and floor time travel past its id — the replay ledger
+        // then skips the batch forever (caught live by CommitRaceSpec's
+        // index-fold-vs-OPTIMIZE race). With the manifest committed from
+        // birth, compact folds only manifest-listed (fully written)
+        // deltas and every writer serializes on the manifest CAS.
+        // Genuinely legacy tables (a pre-manifest flat base on disk) keep
+        // the old listing path — their migration is compact's, under the
+        // single-writer maintenance contract.
+        val f = fs(spark, t.path)
+        val legacyBase = f.exists(new Path(t.basePath)) ||
+          f.exists(new Path(t.basePath + ".__old"))
+        if (!legacyBase)
+          writeManifest(spark, t,
+            Manifest(0L, (diskDeltas(spark, t).toSet + batchId).toSeq.sorted),
+            basedOn = 0L)
     }
   }
 
@@ -534,8 +700,13 @@ object BaseDelta {
     }
     // pending logical erasures MATERIALIZE here: the fold is the
     // deferred rewrite's vehicle, so the new base is physically free of
-    // tombstoned rows
-    val folded0 = applyTombstones(spark, t, folded1)
+    // tombstoned rows. The ledgers are OBSERVED once — (generation, ids)
+    // pinned — because retirement below must not wipe ids an eraser
+    // commits after this read (they are not in this rewrite)
+    val tombObs = observeTombstones(spark, t)
+    val folded0 = tombObs.foldLeft(folded1) { (d, s) =>
+      d.join(broadcast(s.ids), d(s.col) === col("__erased"), "left_anti")
+    }
     // (a transform filtering everything is safe: Spark writes a
     // schema-preserving empty file, so the new base stays readable)
     transform.map(_(folded0)).getOrElse(folded0)
@@ -549,10 +720,11 @@ object BaseDelta {
       Manifest(newGen, kept, folded),
       mvOpt.map(_._1).getOrElse(0L))  // ← commit point (CAS on read version)
     // a FULL fold has rewritten every live row through the tombstone
-    // filter — the ledger is materialized and retires (receipt upgrade
-    // point). A bounded fold keeps it: the un-folded later deltas may
+    // filter — the OBSERVED ids are materialized and retire (receipt
+    // upgrade point); ids committed since the observation stay pending.
+    // A bounded fold keeps its ledgers: the un-folded later deltas may
     // still hold matching rows, which reads must keep filtering.
-    if (kept.isEmpty) clearTombstones(spark, t)
+    if (kept.isEmpty) retireTombstones(spark, t, tombObs)
     // retire everything no longer referenced by the PREVIOUS generation:
     // readers may still hold (gen, live); older state is unreachable.
     // Bounds matter for fail-clean concurrency: base gens strictly BELOW
@@ -642,6 +814,20 @@ object BaseDelta {
     val versions = manifestVersions(spark, t)
     versions.dropRight(math.max(1, retainManifests))
       .foreach(v => drop(manifestFile(t, v)))
+    // committed-cleared tombstone ledgers: their pending set is empty,
+    // so the dir is pure history — physically reclaimable here (vacuum's
+    // writer-quiet contract covers the eraser race a live delete would
+    // otherwise have; a ledger with PENDING ids is never touched)
+    val troot = new Path(s"${t.path}/_tombstones")
+    if (f.exists(troot)) {
+      f.listStatus(troot).filter(_.isDirectory).foreach { st =>
+        val c = st.getPath.getName
+        if (SnapshotStore.exists(spark, t.tombstonePath(c)) &&
+            pendingLedgerGen(spark, t, c).isEmpty)
+          drop(st.getPath)
+      }
+      if (f.exists(troot) && f.listStatus(troot).isEmpty) drop(troot)
+    }
     deleted.toSeq
   }
 }

@@ -14,56 +14,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class CommitConflictException(msg: String)
   extends RuntimeException(msg)
 
-/** The commit-point primitive shared by every pointer store here: move
-  * `tmp` to the fresh name `dst` such that EXACTLY ONE contender can
-  * succeed.
-  *
-  * `FileSystem.rename` is NOT that primitive on `file://`: RawLocal
-  * delegates to POSIX rename(2), which silently REPLACES an existing
-  * destination file and reports success — two contenders racing one
-  * version name would both "win" and the second would clobber the
-  * first's committed pointer (observed in the q249 race: a completed
-  * commit vanished). On local filesystems the commit is therefore a
-  * hard LINK — link(2) is atomic and fails with EEXIST when the target
-  * exists — followed by deleting the tmp name. On HDFS, rename to a
-  * nonexistent target is atomic-exclusive at the NameNode (the classic
-  * contract); object stores map this to a conditional If-None-Match
-  * PUT. Returns true iff this contender committed `dst`.
-  */
-private[gold] object CommitCas {
-  def publish(f: org.apache.hadoop.fs.FileSystem,
-              tmp: org.apache.hadoop.fs.Path,
-              dst: org.apache.hadoop.fs.Path): Boolean =
-    if (f.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
-      }
-    } else f.rename(tmp, dst)
-
-  /** Atomic create-no-overwrite — the reservation primitive. On
-    * `file://` Hadoop's create(p, false) is a non-atomic exists-check-
-    * then-create (a TOCTOU hole barrier-synchronized writers actually
-    * hit), so local paths go through java.io.File.createNewFile —
-    * O_CREAT|O_EXCL, atomic on POSIX. HDFS create(overwrite=false) is
-    * atomic at the NameNode; object stores map this to a conditional
-    * If-None-Match PUT.
-    */
-  def createExclusive(f: org.apache.hadoop.fs.FileSystem,
-                      p: org.apache.hadoop.fs.Path): Boolean =
-    if (f.getScheme == "file")
-      new java.io.File(p.toUri.getPath).createNewFile()
-    else
-      try { f.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
-}
-
 /** Multi-table atomic publish — one commit spanning several snapshot
   * tables, so readers always see a MUTUALLY CONSISTENT set of
   * generations. The single-table [[SnapshotStore]] cannot express the

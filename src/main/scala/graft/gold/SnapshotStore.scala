@@ -35,15 +35,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    bounded-retention compromise as [[BaseDelta]] / Delta VACUUM).
   *
   * Concurrency contract: single writer, any number of readers. The
-  * single-writer rule is ENFORCED at the commit point rather than
-  * assumed: a writer that loses the pointer CAS (or finds its staged
+  * single-writer rule is ENFORCED rather than assumed, at both steps:
+  * staging RESERVES its generation number (create-exclusive marker, so
+  * contenders never share — and can never tear — a staging directory),
+  * and a writer that loses the pointer CAS (or finds its staged
   * generation stale) gets a typed [[CommitConflictException]] — nothing
   * partial commits, readers keep the winner, and the loser's staged
   * generation is an invisible orphan that [[vacuum]] reclaims; recovery
   * is to redo the whole read-modify-write publish against the new
-  * committed generation. Multi-writer workloads belong on
-  * [[MultiSnapshot]], whose generation reservations also make
-  * concurrent STAGING collision-free.
+  * committed generation ([[publishFrom]] makes the conflict window span
+  * the caller's reads, which retrying read-merge-publish writers — the
+  * tombstone ledger's concurrent erasers — must use). Multi-TABLE
+  * atomicity belongs on [[MultiSnapshot]].
   */
 object SnapshotStore {
 
@@ -68,32 +71,48 @@ object SnapshotStore {
 
   /** The committed generation, or None for an unpublished table. */
   def currentGen(spark: SparkSession, path: String): Option[Long] =
-    ptrVersions(spark, path).lastOption.map { v =>
-      val f = fs(spark, path)
-      val in = f.open(ptrFile(path, v))
-      val s = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](256)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      "\"gen\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"corrupt pointer ${ptrFile(path, v)}: $s"))
-        .group(1).toLong
-    }
+    ptrVersions(spark, path).lastOption.map(readPtrGen(spark, path, _))
 
-  /** Write generation current+1's data WITHOUT committing it — the table
-    * keeps serving the current generation until [[commit]]. Overwrites
-    * any orphan left by a previous crash at the same generation number.
-    * Exposed (rather than folded into [[publish]]) so crash-recovery
-    * tests can stop between the two steps — the window the rename swap
-    * could not make safe on object stores.
+  private def readPtrGen(spark: SparkSession, path: String, v: Long): Long = {
+    val f = fs(spark, path)
+    val in = f.open(ptrFile(path, v))
+    val s = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    "\"gen\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"corrupt pointer ${ptrFile(path, v)}: $s"))
+      .group(1).toLong
+  }
+
+  private def reserveMarker(path: String, gen: Long) =
+    new Path(path, s".reserve.g$gen")
+
+  /** Write a fresh generation's data WITHOUT committing it — the table
+    * keeps serving the current generation until [[commit]]. The
+    * generation number is RESERVED first (create-exclusive marker
+    * `.reserve.g<N>`, the [[MultiSnapshot]] recipe), so two concurrent
+    * stagers never share a staging directory — without the reservation,
+    * a loser's `SaveMode.Overwrite` into the shared `currentGen+1` dir
+    * could delete/rewrite it AFTER the winner's pointer CAS committed
+    * it, tearing a committed generation before the loser's typed
+    * conflict ever fired. A marker left by a crashed or CAS-losing
+    * stager just bumps the number; its orphaned dir is reclaimed by
+    * [[vacuum]]. Exposed (rather than folded into [[publish]]) so
+    * crash-recovery tests can stop between the two steps — the window
+    * the rename swap could not make safe on object stores.
     */
   def stage(df: DataFrame, path: String,
             partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val next = currentGen(spark, path).getOrElse(0L) + 1
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    var next = currentGen(spark, path).getOrElse(0L) + 1
+    while (!CommitCas.createExclusive(f, f.makeQualified(reserveMarker(path, next))))
+      next += 1
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(genPath(path, next))
@@ -106,11 +125,50 @@ object SnapshotStore {
     * semantics), then retire generations older than the PREVIOUS one
     * (in-flight readers may still hold it) and stale pointer versions.
     */
-  def commit(spark: SparkSession, path: String, gen: Long): Unit = {
+  def commit(spark: SparkSession, path: String, gen: Long): Unit =
+    commitChecked(spark, path, gen, observed = None)
+
+  /** [[commit]] with the caller's OWN observation point: `observed` is
+    * the committed generation the staged contents were DERIVED from
+    * (None = derived from an unpublished table). The conflict check then
+    * spans the caller's whole read-modify-write window: any commit that
+    * landed between the caller's reads and this call — even one whose
+    * generation number is lower than ours — is a typed conflict, where
+    * the bare [[commit]]'s `staged > committed` check would silently
+    * admit stale-derived content (two read-merge-publish writers racing
+    * one path both stage above the generation they read; the later
+    * committer's content is missing the earlier one's merge — the
+    * lost-update two concurrent `logicalErase` calls on one tombstone
+    * ledger would hit). Read-merge-publish callers MUST use this form;
+    * bare [[commit]]/[[publish]] are for blind replaces or externally
+    * serialized writers (a streaming sink's per-batch state fold).
+    */
+  def commitFrom(spark: SparkSession, path: String, gen: Long,
+                 observed: Option[Long]): Unit =
+    commitChecked(spark, path, gen, Some(observed))
+
+  private def commitChecked(spark: SparkSession, path: String, gen: Long,
+                            observed: Option[Option[Long]]): Unit = {
     val f = fs(spark, path)
     require(f.exists(new Path(genPath(path, gen))),
       s"SnapshotStore.commit: generation $gen was never staged at $path")
-    val prev = currentGen(spark, path)
+    // ONE pointer listing feeds both the conflict check and the CAS
+    // version: a contender committing after this listing takes version
+    // `next`, so our pointer CAS fails and the conflict surfaces typed —
+    // deriving `prev` and `next` from separate listings would leave a
+    // window where a commit lands between them and stale-derived content
+    // commits under a higher fresh version
+    val versions = ptrVersions(spark, path)
+    val prev = versions.lastOption.map(readPtrGen(spark, path, _))
+    observed.foreach { obs =>
+      if (prev != obs)
+        throw new CommitConflictException(
+          s"SnapshotStore.commitFrom at $path: committed generation is " +
+            s"$prev but this publish derived from $obs — a concurrent " +
+            "publish won the window; re-derive from the current " +
+            "generation and redo (this staged dir is an invisible " +
+            "orphan for vacuum)")
+    }
     if (!prev.forall(_ < gen))
       throw new CommitConflictException(
         s"SnapshotStore.commit at $path: staged generation $gen is not " +
@@ -118,7 +176,6 @@ object SnapshotStore {
           "re-derive from the current generation and redo the whole " +
           "publish (this staged dir is an invisible orphan for vacuum)")
     f.mkdirs(new Path(ptrRoot(path)))
-    val versions = ptrVersions(spark, path)
     val next = versions.lastOption.getOrElse(0L) + 1
     // nonce'd tmp: contenders must not share a scratch file (the
     // winner's rename would steal the loser's)
@@ -154,6 +211,12 @@ object SnapshotStore {
         if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
             n.stripPrefix("gen=").toLong < p)
           f.delete(st.getPath, true)
+        // reservation markers below the replaced generation can never be
+        // contended again (reservations start at committed + 1)
+        if (n.startsWith(".reserve.g") &&
+            n.stripPrefix(".reserve.g").forall(_.isDigit) &&
+            n.stripPrefix(".reserve.g").toLong < p)
+          f.delete(st.getPath, false)
       }
     }
     versions.dropRight(1).foreach(v => f.delete(ptrFile(path, v), false))
@@ -164,6 +227,19 @@ object SnapshotStore {
               partitionCols: Seq[String] = Nil): Long = {
     val gen = stage(df, path, partitionCols)
     commit(df.sparkSession, path, gen)
+    gen
+  }
+
+  /** Atomic read-modify-write publish: stage + [[commitFrom]] against
+    * the caller's observation point. Throws the typed conflict when ANY
+    * commit landed on `path` since the caller read `observed` — the form
+    * every merge-with-current-state publish must use ([[commitFrom]]'s
+    * scaladoc has the lost-update shape the bare [[publish]] admits).
+    */
+  def publishFrom(df: DataFrame, path: String, observed: Option[Long],
+                  partitionCols: Seq[String] = Nil): Long = {
+    val gen = stage(df, path, partitionCols)
+    commitFrom(df.sparkSession, path, gen, observed)
     gen
   }
 
@@ -196,6 +272,11 @@ object SnapshotStore {
       val n = st.getPath.getName
       if (n.startsWith("gen=") && n.stripPrefix("gen=").forall(_.isDigit) &&
           n.stripPrefix("gen=").toLong != cur && f.delete(st.getPath, true))
+        deleted += st.getPath.toString
+      if (n.startsWith(".reserve.g") &&
+          n.stripPrefix(".reserve.g").forall(_.isDigit) &&
+          n.stripPrefix(".reserve.g").toLong != cur &&
+          f.delete(st.getPath, false))
         deleted += st.getPath.toString
     }
     ptrVersions(spark, path).dropRight(1)

@@ -22,17 +22,29 @@ import org.apache.spark.sql.functions._
   * A compaction that republishes identical contents carries the column
   * (it is contents), so maintenance generations no longer break replay
   * skipping — the Optimize cadence now composes with EVERY sink, not
-  * only the merge-idempotent ones. States written by pre-ledger code
-  * (no column) report -1: replays refold once across the upgrade
-  * boundary, never skip fresh batches.
+  * only the merge-idempotent ones.
+  *
+  * Upgrade boundary (states written by pre-ledger code, no column):
+  * [[applied]] falls back to the round-8 GENERATION-PARITY check (batch
+  * b committed generation b+1) instead of treating the state as
+  * never-folded. The -1 alternative looked benign ("refold once") but
+  * these merges are ADDITIVE, not idempotent — upgrades force a
+  * restart, restarts commonly replay the last batch, and refolding it
+  * would silently double-count every sum/moment/count in the state.
+  * The parity fallback carries round 8's own residual (a maintenance
+  * generation published out of band before the upgrade inflates parity
+  * and skips one fresh batch) for at most one fold: the first
+  * post-upgrade publish stamps the column and the ledger takes over.
   */
 object StateLedger {
 
   val Col = "__last_batch"
 
   /** Highest batch id folded into the state at `path`; -1 when the
-    * state predates the ledger (or is empty — zero rows cannot carry a
-    * column); None when nothing is published.
+    * state predates the ledger (unknown) or is EMPTY at batch -stamp
+    * (zero rows cannot carry a column value — refolding onto an empty
+    * state is additive-safe, so -1 is correct there); None when nothing
+    * is published.
     */
   def lastBatch(spark: SparkSession, path: String): Option[Long] =
     if (!SnapshotStore.exists(spark, path)) None
@@ -46,10 +58,21 @@ object StateLedger {
     }
 
   /** Replay check: batch `batchId`'s contribution is already in the
-    * published state.
+    * published state. Pre-ledger states (no column) answer via the
+    * round-8 generation-parity fallback — see the object scaladoc for
+    * why -1 ("just refold") would double-count additive state at the
+    * upgrade boundary.
     */
   def applied(spark: SparkSession, path: String, batchId: Long): Boolean =
-    lastBatch(spark, path).exists(_ >= batchId)
+    if (!SnapshotStore.exists(spark, path)) false
+    else {
+      val df = SnapshotStore.read(spark, path)
+      if (df.columns.contains(Col)) {
+        val r = df.select(max(col(Col))).head()
+        !r.isNullAt(0) && r.getLong(0) >= batchId
+      } else
+        SnapshotStore.currentGen(spark, path).exists(_ >= batchId + 1)
+    }
 
   /** Stamp the ledger column onto a state frame about to publish.
     * Callers fold strictly increasing batch ids (the [[applied]] gate),

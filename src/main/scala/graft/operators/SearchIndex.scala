@@ -65,15 +65,24 @@ object SearchIndex {
       BaseDelta.timeTravelFloor(spark, t).exists(_ >= batchId)
 
   /** The stats row's own ledger: highest batch id whose (n_docs, sum_dl)
-    * contribution is in the published stats. -1 when stats were published
-    * by pre-ledger code (unknown — never blocks a fold; the per-table
-    * delta ledgers still dedupe whole-batch replays).
+    * contribution is in the published stats. Stats published by
+    * PRE-LEDGER code (no `last_batch` column) fall back to the round-8
+    * generation-parity estimate (batch b committed generation b+1):
+    * answering -1 instead would refold a restart-replayed batch into
+    * n_docs/sum_dl, which are additive — a silent one-time double-count
+    * at the upgrade boundary (the same StateLedger hazard). Parity can
+    * over-claim only if a pre-upgrade maintenance publish inflated the
+    * generation out of band — round 8's own residual, carried for at
+    * most one fold: the first post-upgrade fold writes the column and
+    * the true ledger takes over. (Round-9+ erasure corrections preserve
+    * `last_batch`, so they never re-enter this fallback.)
     */
   private def statsLastBatch(spark: SparkSession, st: State): Option[Long] =
     if (!SnapshotStore.exists(spark, st.statsPath)) None
     else {
       val s = SnapshotStore.read(spark, st.statsPath)
-      if (!s.columns.contains("last_batch")) Some(-1L)
+      if (!s.columns.contains("last_batch"))
+        Some(SnapshotStore.currentGen(spark, st.statsPath).getOrElse(0L) - 1)
       else Some(s.select(max(col("last_batch"))).head().getLong(0))
     }
 

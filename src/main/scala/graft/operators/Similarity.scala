@@ -191,6 +191,149 @@ object Similarity {
       .toDF("cell_id", "centroid")
   }
 
+  /** k-means|| (Bahmani et al., VLDB 2012) seeding — the SCALABLE
+    * retrain-quality election: where [[centroidsFarthest]] runs `nCells`
+    * SEQUENTIAL driver-scheduled corpus passes (one broadcast-score +
+    * TakeOrdered per seed — 10⁵ Spark jobs at the 10⁵ cells `ivfTopK`
+    * documents), this gets the same cover-every-cluster-before-doubling
+    * guarantee in O(`rounds`) distributed passes: each round
+    * OVERSAMPLES ~`oversample`·nCells candidates with probability
+    * proportional to squared distance from the current candidate set
+    * (so uncovered clusters are found in expectation immediately, not
+    * one per pass), then ONE weighting pass counts each candidate's
+    * basin and a driver-side weighted k-center over the ~rounds·l
+    * candidates picks the final `nCells` — candidates with heavy basins
+    * and large separation win, stray outliers (weight 1) lose, which is
+    * the robustness farthest-point lacks.
+    *
+    * Fully deterministic (the property every election here holds):
+    * seed 1 is the hash-min vector, the per-round sampling coin is
+    * `xxhash64(id, round)` mapped to [0,1), and all ties break by id /
+    * candidate index — no RNG state anywhere.
+    *
+    * Cost envelope: `rounds`+2 corpus passes (distance update against
+    * the NEW candidates only — each pass scores l ≈ oversample·nCells
+    * vectors as in-expression literals, map-side, no shuffle — plus the
+    * seed election and one weighting pass that shares [[assignCells]]'
+    * single id-partitioned window shuffle); driver election is
+    * O(|candidates|·nCells·dims) ≈ O(rounds·oversample·nCells²·dims) —
+    * at 10⁵ cells run it on a corpus `.sample()` and/or shard the
+    * driver step, the standard quantizer-training compromise. The
+    * candidate literals bound l: keep oversample·nCells ≲ 10³ per round
+    * (codegen expression width), which the default hits at any nCells
+    * by capping l.
+    */
+  def centroidsKMeansParallel(corpus: DataFrame, idCol: String,
+                              vecCol: String, nCells: Int, rounds: Int = 5,
+                              oversample: Double = 2.0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // distance to the NEAREST of a driver-side candidate batch, as a
+      // map-side literal expression (1 - cosine; bounded [0, 2])
+      def distToNew(cands: Seq[Array[Float]], vc: Column): Column =
+        cands.map(c => lit(1.0) -
+          graft.functions.VectorFunctions.cosine(vc, typedLit(c.toSeq)))
+          .reduce(least(_, _))
+      val seed0Rows = vecs.withColumn("__h", xxhash64(col("__cid")))
+        .orderBy(col("__h").asc, col("__cid").asc).limit(1)
+        .select(col("__cv")).collect()
+      if (seed0Rows.isEmpty)
+        return Seq.empty[(Int, Array[Float])].toDF("cell_id", "centroid")
+      val cands =
+        scala.collection.mutable.ArrayBuffer[Array[Float]](
+          seed0Rows.head.getSeq[Float](0).toArray)
+      val l = math.min(1000.0, math.max(1.0, oversample * nCells))
+      var state = vecs.withColumn("__mind",
+        distToNew(cands.toSeq, col("__cv"))).localCheckpoint(true)
+      var r = 0
+      var saturated = false
+      while (r < rounds && !saturated) {
+        val phi = state.agg(sum(col("__mind") * col("__mind"))).head()
+          .getDouble(0)
+        if (phi <= 1e-12) saturated = true // every vector ≈ on a candidate
+        else {
+          // deterministic coin: u(id, round) uniform in [0,1)
+          val u = pmod(xxhash64(col("__cid"), lit(r)), lit(1000000000L))
+            .cast("double") / lit(1e9)
+          val picked = state
+            .filter(u < lit(l) * col("__mind") * col("__mind") / lit(phi))
+            .select(col("__cv")).collect()
+            .map(_.getSeq[Float](0).toArray)
+          if (picked.isEmpty) r += 1 // unlucky round, re-coin with r+1
+          else {
+            cands ++= picked
+            state = state.withColumn("__mind",
+              least(col("__mind"), distToNew(picked.toSeq, col("__cv"))))
+              .localCheckpoint(true)
+            r += 1
+          }
+        }
+      }
+      // ONE weighting pass: each candidate's basin size
+      val candDf = cands.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
+      val weights: Map[Int, Long] =
+        assignCells(state.select(col("__cid"), col("__cv")), candDf,
+          "__cid", "__cv", nProbe = 1)
+          .groupBy(col("cell_id")).agg(count(lit(1)).as("__w"))
+          .collect().map(row => row.getLong(0).toInt -> row.getLong(1)).toMap
+      // driver-side weighted k-center over the candidate set: heaviest
+      // basin first, then argmax of weight · d²(nearest chosen) —
+      // separation AND mass, deterministic index tie-break
+      def dcos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      }
+      val w = cands.indices.map(i => weights.getOrElse(i, 0L).toDouble)
+      val first = w.indices.maxBy(i => (w(i), -i))
+      val chosen = scala.collection.mutable.ArrayBuffer[Int](first)
+      val isChosen = Array.fill(cands.size)(false)
+      isChosen(first) = true
+      val dmin = cands.indices
+        .map(i => dcos(cands(i), cands(first))).toArray
+      var exhausted = false
+      while (chosen.size < math.min(nCells, cands.size) && !exhausted) {
+        var best = -1; var bestScore = -1.0
+        var i = 0
+        while (i < cands.size) {
+          if (!isChosen(i)) {
+            val s = w(i) * dmin(i) * dmin(i)
+            if (s > bestScore) { bestScore = s; best = i }
+          }
+          i += 1
+        }
+        if (best < 0 || bestScore <= 1e-18) {
+          // remaining candidates are duplicates of chosen ones — pad by
+          // weight so the cell count still reaches nCells when possible
+          cands.indices.filter(!isChosen(_))
+            .sortBy(i => (-w(i), i))
+            .take(math.min(nCells, cands.size) - chosen.size)
+            .foreach { i => chosen += i; isChosen(i) = true }
+          exhausted = true
+        } else {
+          chosen += best
+          isChosen(best) = true
+          var j = 0
+          while (j < cands.size) {
+            val d = dcos(cands(j), cands(best))
+            if (d < dmin(j)) dmin(j) = d
+            j += 1
+          }
+        }
+      }
+      chosen.toSeq.zipWithIndex
+        .map { case (ci, cell) => (cell, cands(ci)) }
+        .toDF("cell_id", "centroid")
+    } finally { vecs.unpersist(); () }
+  }
+
   /** Assign each vector to its nearest centroid (broadcast centroids → no
     * corpus shuffle beyond the final partition-by-cell).
     */

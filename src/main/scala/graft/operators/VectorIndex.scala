@@ -306,7 +306,8 @@ object VectorIndex {
     */
   def refreshQuantizer(spark: SparkSession, m: Managed, nCells: Int,
                        refineIters: Int = 0, pqM: Int = 0,
-                       pqK: Int = 16): State = {
+                       pqK: Int = 16,
+                       election: String = "kmeans-par"): State = {
     val cur = active(spark, m)
     val g = activeQgen(spark, m) + 1
     val next = m.subState(g)
@@ -316,11 +317,24 @@ object VectorIndex {
     try {
       require(!corpus.isEmpty,
         s"VectorIndex.refreshQuantizer: active index at ${cur.root} is empty")
-      // retrain-quality seeding: farthest-point election covers every
-      // separated cluster before doubling any — the whole point of the
-      // refresh is escaping the stale partition, so don't seed it with
-      // the fold path's cheap hash sample
-      val seeded = Similarity.centroidsFarthest(corpus, "id", "vec", nCells)
+      // retrain-quality seeding: a coverage-guaranteed election (every
+      // separated cluster seeded before any is doubled) — the whole
+      // point of the refresh is escaping the stale partition, so don't
+      // seed it with the fold path's cheap hash sample. Default is the
+      // k-means|| oversampling election (O(rounds) distributed passes —
+      // scales to the 10⁵-cell quantizers ivfTopK documents);
+      // 'kcenter' keeps the sequential farthest-point election (nCells
+      // corpus passes — fine at small nCells, spec-proven identical
+      // recall recovery).
+      val seeded = election match {
+        case "kmeans-par" =>
+          Similarity.centroidsKMeansParallel(corpus, "id", "vec", nCells)
+        case "kcenter" =>
+          Similarity.centroidsFarthest(corpus, "id", "vec", nCells)
+        case other => sys.error(
+          s"VectorIndex.refreshQuantizer: unknown election '$other' " +
+            "(expected 'kmeans-par' or 'kcenter')")
+      }
       val cents =
         if (refineIters > 0)
           Similarity.kmeansRefine(corpus, "id", "vec", seeded, refineIters)

@@ -263,10 +263,10 @@ class CommitRaceSpec extends SparkSpec {
     SnapshotStore.vacuum(spark, path)
     assert(!f.exists(orphan), "crashed stager's generation survived vacuum")
     assert(SnapshotStore.read(spark, path).count() == 7)
-    // (true-concurrent same-table STAGING is outside SnapshotStore's
-    // single-writer contract — two stagers share a generation number and
-    // can interleave file writes; multi-writer workloads belong on
-    // MultiSnapshot, whose reservations make staging collision-free. The
+    // (same-table staging is collision-free here too: stage() RESERVES
+    // its generation number via create-exclusive markers, so true-
+    // concurrent stagers write disjoint dirs — the read-merge-publish
+    // race itself is pinned by CommitStoreSpec's publishFrom test. The
     // commit point above is what this store guarantees: a stale writer
     // can never overwrite a committed generation silently.)
   }
@@ -344,5 +344,82 @@ class CommitRaceSpec extends SparkSpec {
       BaseDelta.append(spark, t, Seq((3, 3L)).toDF("k", "v"), 2L)
     assert(BaseDelta.read(spark, t).select("k").collect()
       .map(_.getInt(0)).toSet == Set(1, 2, 3))
+  }
+
+  test("two concurrent logicalErase on one column: both acks survive in the union ledger") {
+    for (round <- 1 to 2) {
+      val t = BaseDelta.Table(tmpDir(s"race-er-$round") + "/t",
+        Seq("id"), Seq("v"), None)
+      BaseDelta.append(spark, t,
+        (1L to 20L).map(i => (i, i)).toDF("id", "v"), 0L)
+      val results = race(Seq(
+        () => { BaseDelta.logicalErase(spark, t, "id",
+          Seq(1L, 2L, 3L).toDF("id")); () },
+        () => { BaseDelta.logicalErase(spark, t, "id",
+          Seq(10L, 11L).toDF("id")); () }))
+      // logicalErase retries its ledger publish internally (bounded) —
+      // a surfaced failure here means the retry contract broke
+      results.foreach {
+        case Failure(e) => fail(s"round $round: eraser failed: $e")
+        case Success(_) => ()
+      }
+      val visible = BaseDelta.read(spark, t)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(visible == (1L to 20L).toSet -- Set(1L, 2L, 3L, 10L, 11L),
+        s"round $round: an acked erasure is still readable: $visible")
+      // the ledger is the UNION — the pre-fix shared staging dir let the
+      // loser's overwrite tear the winner's committed ids out
+      val pending = BaseDelta.pendingTombstones(spark, t)("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(pending == Set(1L, 2L, 3L, 10L, 11L),
+        s"round $round: acked ids fell out of the ledger: $pending")
+    }
+  }
+
+  test("full fold racing a fresh logicalErase: the newcomer's ack is never discarded") {
+    for (round <- 1 to 3) {
+      val t = BaseDelta.Table(tmpDir(s"race-fold-er-$round") + "/t",
+        Seq("id"), Seq("v"), None)
+      BaseDelta.append(spark, t,
+        (1L to 20L).map(i => (i, i)).toDF("id", "v"), 0L)
+      BaseDelta.logicalErase(spark, t, "id", Seq(1L, 2L).toDF("id"))
+      val results = race(Seq(
+        () => BaseDelta.compact(spark, t),
+        () => { BaseDelta.logicalErase(spark, t, "id",
+          Seq(5L).toDF("id")); () }))
+      results.foreach {
+        case Failure(e) => assert(e.isInstanceOf[CommitConflictException],
+          s"round $round: untyped failure $e")
+        case Success(_) => ()
+      }
+      if (results(0).isFailure) BaseDelta.compact(spark, t)
+      assert(results(1).isSuccess, s"round $round: eraser failed")
+      // the user-visible pin: everything acked is unreachable, whichever
+      // way the fold and the erase interleaved
+      val visible = BaseDelta.read(spark, t)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(visible == (1L to 20L).toSet -- Set(1L, 2L, 5L),
+        s"round $round: an acked erasure resurfaced: $visible")
+      // and the ledger-integrity pin: if id 5's row still exists
+      // physically (the fold's ledger read predated its ack), the ledger
+      // MUST still list it — the pre-fix blind clearTombstones wiped the
+      // whole ledger after the fold, silently discarding the newcomer
+      // and upgrading its receipt to 'materialized'
+      val baseIds = spark.read
+        .parquet(BaseDelta.currentBasePath(spark, t).get)
+        .select("id").collect().map(_.getLong(0)).toSet
+      if (baseIds.contains(5L))
+        assert(BaseDelta.pendingTombstones(spark, t).get("id")
+          .exists(_.collect().map(_.getLong(0)).toSet.contains(5L)),
+          s"round $round: acked id 5 discarded from the ledger while its row persists")
+      // a later full fold materializes whatever stayed pending
+      BaseDelta.compact(spark, t, transform = Some(identity))
+      assert(BaseDelta.pendingTombstones(spark, t).isEmpty,
+        s"round $round: pending ids failed to materialize")
+      assert(spark.read.parquet(BaseDelta.currentBasePath(spark, t).get)
+        .select("id").collect().map(_.getLong(0)).toSet ==
+        (1L to 20L).toSet -- Set(1L, 2L, 5L),
+        s"round $round: physical rewrite incomplete")
+    }
   }
 }

@@ -37,11 +37,19 @@ class SnapshotStoreSpec extends SparkSpec {
       "commit point must not move on a crashed publish")
     assert(SnapshotStore.read(spark, path).as[(Int, String)].collect().toSet ==
       Set(1 -> "old"), "reader must still see the pre-crash snapshot")
-    // recovery is just the replayed publish: it overwrites the orphan
+    // recovery is just the replayed publish. Generation numbers are
+    // RESERVED (create-exclusive markers), so the replay never reuses —
+    // and can never tear — the crashed attempt's number: it claims the
+    // next one, and the orphaned gen 2 stays invisible until vacuum.
     val g = SnapshotStore.publish(table(1 -> "new", 2 -> "extra"), path)
-    assert(g == 2L)
+    assert(g == 3L)
     assert(SnapshotStore.read(spark, path).as[(Int, String)].collect().toSet ==
       Set(1 -> "new", 2 -> "extra"))
+    SnapshotStore.vacuum(spark, path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      SnapshotStore.genPath(path, 2L))), "crashed orphan survived vacuum")
   }
 
   test("a reader holding the previous generation survives one publish") {

@@ -297,6 +297,35 @@ class VectorIndexSpec extends SparkSpec {
       "previous generation must survive one cycle for in-flight readers")
   }
 
+  test("k-means|| election: recall recovery >= the k-center baseline on the drift fixture, deterministic") {
+    val (batchA, batchB) = syntheticDrift
+    val corpus = batchA.unionByName(batchB)
+    def recovered(electionName: String): Double = {
+      val m = VectorIndex.Managed(tmpDir(s"vidx-elect-$electionName"))
+      VectorIndex.fold(spark, VectorIndex.active(spark, m), batchA, 0L,
+        "vec_id", "embedding", nCells = 4, refineIters = 4)
+      VectorIndex.fold(spark, VectorIndex.active(spark, m), batchB, 1L,
+        "vec_id", "embedding", nCells = 4)
+      val st = VectorIndex.refreshQuantizer(spark, m, nCells = 6,
+        refineIters = 6, election = electionName)
+      recallOf(st, batchB, corpus, k = 4, nProbe = 1)
+    }
+    val kcenter = recovered("kcenter")
+    val kmeansPar = recovered("kmeans-par")
+    assert(kmeansPar >= kcenter - 1e-9,
+      s"k-means|| recall $kmeansPar fell below the k-center baseline $kcenter")
+    assert(kmeansPar >= 0.8, s"k-means|| recall did not recover: $kmeansPar")
+    // the election itself is deterministic: same corpus, same centroids
+    val c1 = Similarity.centroidsKMeansParallel(corpus, "vec_id",
+      "embedding", 6).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val c2 = Similarity.centroidsKMeansParallel(corpus, "vec_id",
+      "embedding", 6).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 == c2, "k-means|| election is not deterministic")
+    assert(c1.size == 6)
+  }
+
   test("scoring plan: queries broadcast, postings never shuffle for the join") {
     val st = foldCuts(Seq(60L))
     val plan = VectorIndex.topK(spark, st, emb.filter($"vec_id" < 5),
