@@ -160,7 +160,24 @@ object BaseDelta {
                             basedOn: Long): Unit = {
     val f = fs(spark, t.path)
     f.mkdirs(new Path(t.manifestRoot))
+    // CAS-on-read-version, FAST-FAILED against a fresh listing before the
+    // link: the link alone stopped being a conflict detector the moment
+    // committed version files could be deleted — a writer that read v3
+    // and then stalled (fold in progress) could link v4 long after v7
+    // committed if v4's file had been reclaimed, silently committing an
+    // INVISIBLE stale manifest whose side effects (tombstone retirement,
+    // base generations) corrupt the real lineage (caught live by
+    // StorageChaosSpec: a phantom fold's retirement dropped acked
+    // erasure ids whose rewrite never joined the committed lineage).
+    // Belt: this check. Suspenders: committed version files are never
+    // deleted inline anywhere — only [[vacuum]] (writer-quiet) reclaims
+    // them, so a freed number can never be re-linked while writers run.
     val versions = manifestVersions(spark, t)
+    if (versions.lastOption.getOrElse(0L) != basedOn)
+      throw new CommitConflictException(
+        s"BaseDelta manifest CAS at ${t.path}: derived from v$basedOn but " +
+          s"the committed version is v${versions.lastOption.getOrElse(0L)} — " +
+          "a concurrent writer committed since this read; re-read and redo")
     val next = basedOn + 1
     // nonce'd tmp name: two contenders must not share a scratch file —
     // the winner's rename would steal it and turn the loser's clean CAS
@@ -184,7 +201,14 @@ object BaseDelta {
           "writer committed first; this table is single-writer (re-read " +
           "and redo the append/compact against the new manifest)")
     }
-    versions.dropRight(1).foreach(v => f.delete(manifestFile(t, v), false))
+    // committed manifest files are IMMUTABLE HISTORY — deleting one here
+    // would free its version number for a stalled writer's link (the
+    // phantom-commit hazard above); [[vacuum]] reclaims old versions at
+    // a writer-quiet moment (retainManifests window)
+    if (sys.props.contains("graft.debug.snapshot"))
+      println(s"[snapdbg ${Thread.currentThread().getName}] MANIFEST ${t.path} " +
+        s"v=$next basedOn=$basedOn gen=${m.generation} deltas=${m.deltas.sorted.mkString(",")} " +
+        s"folded=${m.foldedThrough} listed=${versions.mkString(",")}")
   }
 
   /** Delta dirs present on disk (live + retained) — cleanup's view, not the
@@ -398,6 +422,9 @@ object BaseDelta {
       try {
         SnapshotStore.publishFrom(merged, path, observed)
         pendingAfter = merged.count() // request-sized, pinned
+        if (sys.props.contains("graft.debug.snapshot"))
+          println(s"[snapdbg ${Thread.currentThread().getName}] ERASE-ACK " +
+            s"$path obs=$observed merged=${merged.as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.mkString(",")}")
       } catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -481,6 +508,9 @@ object BaseDelta {
                   .join(s.ids, Seq("__erased"), "left_anti")
                   .localCheckpoint(true)
               val gen = SnapshotStore.stage(remaining, path)
+              if (sys.props.contains("graft.debug.snapshot"))
+                println(s"[snapdbg ${Thread.currentThread().getName}] RETIRE " +
+                  s"$path sgen=${s.gen} cur=$g staged=$gen applied=${s.ids.count()} remaining=${remaining.count()}")
               if (remaining.isEmpty) {
                 // committed-cleared state: marker lands in the staged dir
                 // BEFORE the pointer commit, so readers never resolve a

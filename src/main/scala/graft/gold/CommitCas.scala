@@ -13,7 +13,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * pointer — the exact lost-update class the q249 races pin). Recovery:
   * register a [[CommitBackend]] for the scheme that maps the two
   * primitives onto the store's own conditional-write API (S3
-  * `If-None-Match: *` PUT, GCS `x-goods-if-generation-match: 0`, Azure
+  * `If-None-Match: *` PUT, GCS `x-goog-if-generation-match: 0`, Azure
   * `If-None-Match: *`) via [[CommitCas.register]].
   */
 final class UnsupportedCommitStoreException(msg: String)

@@ -129,12 +129,17 @@ object MultiSnapshot {
     * ones.
     */
   def commitAt(spark: SparkSession, root: String, version: Long): Commit = {
-    val vs = commitVersions(spark, root)
-    require(vs.contains(version),
+    // the retained WINDOW is the last two commit versions (one after an
+    // erasure vacuum) — older version FILES may still exist on disk
+    // (immutable CAS history, reclaimed only by vacuum; see publish),
+    // but their generation dirs are retired on publish, so resolving
+    // them must refuse typed here rather than fail on missing data dirs
+    val retained = commitVersions(spark, root).takeRight(2)
+    require(retained.contains(version),
       s"MultiSnapshot.commitAt: version $version is not retained at $root " +
-        s"(retained: ${vs.mkString(", ")}) — retention keeps the current " +
-        "and previous commits; older pointers are retired on publish and " +
-        "erasure vacuums everything but current")
+        s"(retained window: ${retained.mkString(", ")}) — retention keeps " +
+        "the current and previous commits; older generation dirs are " +
+        "retired on publish and erasure vacuums everything but current")
     readCommitFile(spark, root, version)
   }
 
@@ -336,8 +341,12 @@ object MultiSnapshot {
           f.delete(st.getPath, false)
       }
     }
-    commitVersions(spark, root).dropRight(2)
-      .foreach(pv => f.delete(commitFile(root, pv), false))
+    // committed version files are IMMUTABLE HISTORY: deleting one here
+    // would free its number for a stalled contender's link — a phantom
+    // commit landing below the real latest that its writer believes
+    // succeeded (the lineage-corruption class StorageChaosSpec caught on
+    // BaseDelta manifests). [[vacuum]] reclaims commit history at a
+    // writer-quiet moment; readers only ever resolve the max version.
     committed
   }
 

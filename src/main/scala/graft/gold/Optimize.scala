@@ -165,6 +165,10 @@ object Optimize {
     // PUBLISH: stage N+1 (readers still serve N), then pointer-swap
     val newGen = SnapshotStore.stage(compacted, path, partitionCols)
     SnapshotStore.commit(spark, path, newGen)
+    // compaction is the sink's own maintenance slot, and a snapshot state
+    // store is single-writer by contract — the one place pointer-history
+    // reclamation is race-free (see SnapshotStore.reclaimHistory)
+    SnapshotStore.reclaimHistory(spark, path)
     val after = dataFiles(f, new Path(SnapshotStore.genPath(path, newGen)))
     OptimizeStats(gen, newGen, files.length, after.length,
       bytesBefore, after.map(_._3).sum, nBins)

@@ -200,6 +200,9 @@ object SnapshotStore {
           s"v$next; generation $gen is NOT committed and remains an " +
           "invisible orphan for vacuum — re-derive and redo the publish")
     }
+    if (sys.props.contains("graft.debug.snapshot"))
+      println(s"[snapdbg ${Thread.currentThread().getName}] COMMIT $path " +
+        s"gen=$gen v=$next prev=$prev obs=$observed")
     // retention: keep the just-replaced generation for readers that
     // resolved it before this commit; drop anything older. Delete only
     // generations that are actually on disk (one listing), not a
@@ -219,7 +222,14 @@ object SnapshotStore {
           f.delete(st.getPath, false)
       }
     }
-    versions.dropRight(1).foreach(v => f.delete(ptrFile(path, v), false))
+    // committed pointer files are IMMUTABLE HISTORY: deleting one inline
+    // would free its version number, and a freed number is a hole a
+    // stalled contender can still link into — its "successful" commit
+    // lands BELOW the real latest, an invisible phantom whose caller
+    // believes the publish happened (for a tombstone ledger that is a
+    // lost erasure ack; the manifest-side twin was caught live by
+    // StorageChaosSpec). Reclamation belongs to [[vacuum]] /
+    // [[reclaimHistory]] — writer-quiet or single-writer maintenance.
   }
 
   /** Atomic publish: stage + commit. Returns the committed generation. */
@@ -259,7 +269,11 @@ object SnapshotStore {
     * previous generation `commit` retains for in-flight readers, any
     * orphaned staged generations from crashed publishes, and all but the
     * newest pointer version. Returns deleted paths for the operation
-    * ledger.
+    * ledger. WRITER-QUIET moments only: an orphan above the committed
+    * generation is indistinguishable from a concurrent stager's
+    * in-flight dir + reservation, and sweeping the reservation would let
+    * a later stager re-reserve the number — the shared-staging tear the
+    * marker exists to prevent. (Readers are always safe.)
     */
   def vacuum(spark: SparkSession, path: String): Seq[String] = {
     val curOpt = currentGen(spark, path)
@@ -283,6 +297,24 @@ object SnapshotStore {
       .foreach(v => if (f.delete(ptrFile(path, v), false))
         deleted += ptrFile(path, v).toString)
     deleted.toSeq
+  }
+
+  /** Bounded pointer-history reclamation for a SINGLE-WRITER table (a
+    * streaming sink's state store): delete pointer versions below
+    * `keepVersions` from the top. Safe ONLY where the caller is the one
+    * writer of `path` (no stalled contender can exist whose link a freed
+    * number would admit — the phantom-commit hazard [[commitChecked]]
+    * documents); multi-writer paths (tombstone ledgers) must use the
+    * writer-quiet [[vacuum]] instead. Readers stay safe: the newest
+    * version always survives, and a reader racing the window onto an
+    * older version fails LOUDLY (missing file), never silently stale.
+    */
+  def reclaimHistory(spark: SparkSession, path: String,
+                     keepVersions: Int = 8): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = fs(spark, path)
+    ptrVersions(spark, path).dropRight(keepVersions)
+      .map { v => f.delete(ptrFile(path, v), false); ptrFile(path, v).toString }
   }
 
   /** Read-merge-publish convenience — `UpsertByKey.intoParquet` on the
