@@ -157,7 +157,9 @@ object Similarity {
     * cluster receives two (the k-means++-family guarantee hash-random
     * sampling lacks; random seeds routinely double-cover one cluster and
     * orphan another, which a Lloyd refine cannot undo). Cost: `nCells`
-    * broadcast-scored passes over the corpus — the offline-maintenance
+    * map-side probe passes over the corpus (the growing seed batch
+    * rides one codegen'd [[graft.functions.SeedSet]] expression, each
+    * pass a scan + TakeOrdered(1)) — the offline-maintenance
     * price ([[VectorIndex.refreshQuantizer]]'s path), not the fold path;
     * pass a `.sample()` of the corpus to cap it at scale (quantizer
     * training on a sample is standard IVF practice).
@@ -172,16 +174,14 @@ object Similarity {
       .select(col("__cv")).collect().head.getSeq[Float](0).toArray
     val seeds = scala.collection.mutable.ArrayBuffer[Array[Float]](seed0)
     while (seeds.size < nCells) {
-      val centsDf = broadcast(seeds.toSeq.zipWithIndex
-        .map { case (v, i) => (i, v) }.toDF("cell_id", "centroid"))
-      // the vector whose BEST similarity to any seed is WORST — scored
-      // map-side against the broadcast seeds, one TakeOrdered(1) pass
-      val far = vecs.crossJoin(centsDf)
-        .groupBy(col("__cid")).agg(
-          max(graft.functions.VectorFunctions.cosine(col("__cv"),
-            col("centroid"))).as("__best"),
-          first(col("__cv")).as("__cv"))
-        .orderBy(col("__best").asc, col("__cid").asc).limit(1)
+      // the vector whose BEST similarity to any seed is WORST: the seed
+      // batch rides ONE codegen'd probe expression (SeedSet reference
+      // object — a literal/crossJoin form would fall out of codegen past
+      // ~100 seeds), so each pass is a map-side scan + TakeOrdered(1)
+      val far = vecs
+        .withColumn("__dist", graft.functions.SeedFunctions
+          .nearestSeedDist(col("__cv"), seeds.toArray))
+        .orderBy(col("__dist").desc, col("__cid").asc).limit(1)
         .select(col("__cv")).collect()
       if (far.isEmpty) return seeds.toSeq.zipWithIndex
         .map { case (v, i) => (i, v) }.toDF("cell_id", "centroid")
@@ -211,17 +211,18 @@ object Similarity {
     * `xxhash64(id, round)` mapped to [0,1), and all ties break by id /
     * candidate index — no RNG state anywhere.
     *
-    * Cost envelope: `rounds`+2 corpus passes (distance update against
-    * the NEW candidates only — each pass scores l ≈ oversample·nCells
-    * vectors as in-expression literals, map-side, no shuffle — plus the
-    * seed election and one weighting pass that shares [[assignCells]]'
-    * single id-partitioned window shuffle); driver election is
-    * O(|candidates|·nCells·dims) ≈ O(rounds·oversample·nCells²·dims) —
-    * at 10⁵ cells run it on a corpus `.sample()` and/or shard the
-    * driver step, the standard quantizer-training compromise. The
-    * candidate literals bound l: keep oversample·nCells ≲ 10³ per round
-    * (codegen expression width), which the default hits at any nCells
-    * by capping l.
+    * Cost envelope: `rounds`+2 corpus passes, every one MAP-SIDE with
+    * zero shuffle — the candidate batch rides a single codegen'd probe
+    * expression ([[graft.functions.SeedSet]] reference object; a
+    * least()-of-cosine-literals chain falls out of whole-stage codegen
+    * past ~100 candidates and runs interpreted), the distance update
+    * scores only the NEW candidates, and the weighting pass is a
+    * map-only argmax probe + candidate-sized hash agg. Driver election
+    * is O(|candidates|·nCells·dims) ≈ O(rounds·oversample·nCells²·dims)
+    * — at 10⁵ cells run it on a corpus `.sample()` and/or shard the
+    * driver step, the standard quantizer-training compromise. `l` is
+    * capped at 10³ per round to bound the per-round collect and the
+    * driver election, not codegen.
     */
   def centroidsKMeansParallel(corpus: DataFrame, idCol: String,
                               vecCol: String, nCells: Int, rounds: Int = 5,
@@ -231,12 +232,14 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // distance to the NEAREST of a driver-side candidate batch, as a
-      // map-side literal expression (1 - cosine; bounded [0, 2])
+      // distance to the NEAREST of a driver-side candidate batch: the
+      // batch rides ONE codegen'd probe (SeedSet reference object). The
+      // prior form — a least() chain of per-candidate cosine literals —
+      // blew the 64 KB codegen method limit past ~100 candidates and
+      // silently dropped the whole stage to INTERPRETED evaluation
+      // (~10× the scan cost, observed at 1M×128 in Perf elect-r10)
       def distToNew(cands: Seq[Array[Float]], vc: Column): Column =
-        cands.map(c => lit(1.0) -
-          graft.functions.VectorFunctions.cosine(vc, typedLit(c.toSeq)))
-          .reduce(least(_, _))
+        graft.functions.SeedFunctions.nearestSeedDist(vc, cands.toArray)
       val seed0Rows = vecs.withColumn("__h", xxhash64(col("__cid")))
         .orderBy(col("__h").asc, col("__cid").asc).limit(1)
         .select(col("__cv")).collect()
@@ -272,14 +275,15 @@ object Similarity {
           }
         }
       }
-      // ONE weighting pass: each candidate's basin size
-      val candDf = cands.toSeq.zipWithIndex
-        .map { case (v, i) => (i.toLong, v) }.toDF("cell_id", "centroid")
-      val weights: Map[Int, Long] =
-        assignCells(state.select(col("__cid"), col("__cv")), candDf,
-          "__cid", "__cv", nProbe = 1)
-          .groupBy(col("cell_id")).agg(count(lit(1)).as("__w"))
-          .collect().map(row => row.getLong(0).toInt -> row.getLong(1)).toMap
+      // ONE weighting pass: each candidate's basin size — map-only argmax
+      // probe + a candidate-sized hash agg (the crossJoin + window form
+      // shuffles n·k rows for the same answer)
+      val weights: Map[Int, Long] = state
+        .select(graft.functions.SeedFunctions
+          .nearestSeedIdx(col("__cv"), cands.toArray).as("cell_id"))
+        .filter(col("cell_id") >= 0)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("__w"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
       // driver-side weighted k-center over the candidate set: heaviest
       // basin first, then argmax of weight · d²(nearest chosen) —
       // separation AND mass, deterministic index tie-break
