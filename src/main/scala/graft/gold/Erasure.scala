@@ -253,18 +253,24 @@ object Erasure {
     // point) and the publish declares `c` as its base — a stream batch
     // that commits in between forces a typed conflict instead of this
     // erasure silently re-publishing pre-batch state over it
-    val stagedNames = c.gens.keySet
-      .filterNot(_.startsWith(MultiSnapshot.PointerPrefix))
-      .filter(keyCols.contains).toSeq.sorted
-    val stagedReceipts = stagedNames.map { name =>
-      receiptOf(name, MultiSnapshot.readPinned(spark, root, c, name),
-        keyCols(name), "erased").localCheckpoint(true)
+    // receipts + filtered staging + commit are one transaction pinned
+    // to `c`: a concurrent erasure/fold that retires c's generations
+    // mid-execution becomes the typed retryable conflict
+    val stagedReceipts = MultiSnapshot.conflictIfRetired(spark, root, Some(c)) {
+      val stagedNames = c.gens.keySet
+        .filterNot(_.startsWith(MultiSnapshot.PointerPrefix))
+        .filter(keyCols.contains).toSeq.sorted
+      val receipts = stagedNames.map { name =>
+        receiptOf(name, MultiSnapshot.readPinned(spark, root, c, name),
+          keyCols(name), "erased").localCheckpoint(true)
+      }
+      if (stagedNames.nonEmpty)
+        MultiSnapshot.publishFrom(spark, root, Some(c), stagedNames.map { name =>
+          name -> MultiSnapshot.readPinned(spark, root, c, name)
+            .join(subj, col(keyCols(name)) === col("__subject"), "left_anti")
+        }.toMap)
+      receipts
     }
-    if (stagedNames.nonEmpty)
-      MultiSnapshot.publishFrom(spark, root, Some(c), stagedNames.map { name =>
-        name -> MultiSnapshot.readPinned(spark, root, c, name)
-          .join(subj, col(keyCols(name)) === col("__subject"), "left_anti")
-      }.toMap)
     // 3. the old bytes go NOW — writer-safe form: everything below the
     // just-committed generations (the pre-erasure state) is destroyed;
     // a concurrent committer's reserved staging above them is left for

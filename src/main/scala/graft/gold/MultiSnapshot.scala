@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-derive from the NEW committed state and publish again (a full
   * read-modify-write redo, not a blind resend of the stale frames).
   */
-final class CommitConflictException(msg: String)
-  extends RuntimeException(msg)
+final class CommitConflictException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** Multi-table atomic publish — one commit spanning several snapshot
   * tables, so readers always see a MUTUALLY CONSISTENT set of
@@ -119,6 +119,55 @@ object MultiSnapshot {
   def currentCommit(spark: SparkSession, root: String): Option[Commit] =
     commitVersions(spark, root).lastOption
       .map(readCommitFile(spark, root, _))
+
+  private def fileGone(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 12) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = cur.getMessage
+          // Spark 4 surfaces a task's missing-input as error class
+          // FAILED_READ_FILE.FILE_NOT_EXIST wrapped in SparkException
+          if (m != null && (m.contains("FILE_NOT_EXIST") ||
+              m.contains("File does not exist"))) return true
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Runs `body` — the read-fold-stage phase of a read-modify-write
+    * transaction based on the `observed` commit — translating a
+    * RETIRED-SNAPSHOT read failure into the typed retryable conflict. A
+    * coordinated erasure destroys pre-erasure generation dirs the moment
+    * its commit lands (the erasure contract: erased bytes must not
+    * outlive the ack), so a transaction that resolved the PREVIOUS
+    * commit can have its pinned reads die mid-execution with
+    * FILE_NOT_EXIST — the same lost-my-read race `publishFrom` would
+    * report at the commit point, just surfacing earlier, at read
+    * execution. Only that case is translated: a file error while the
+    * root's commit has NOT advanced past `observed` is a genuine storage
+    * fault and propagates untouched.
+    */
+  def conflictIfRetired[A](spark: SparkSession, root: String,
+                           observed: Option[Commit])(body: => A): A =
+    try body
+    catch {
+      case e: CommitConflictException => throw e
+      case e: Throwable if fileGone(e) =>
+        val obsV = observed.map(_.version).getOrElse(0L)
+        val curV = currentCommit(spark, root).map(_.version).getOrElse(0L)
+        if (curV > obsV)
+          throw new CommitConflictException(
+            s"MultiSnapshot: snapshot at $root retired mid-transaction — " +
+              s"based on version $obsV, current is $curV (an erasure or " +
+              "maintenance commit destroyed the observed generations); " +
+              "re-read the current commit and redo", e)
+        else throw e
+    }
 
   /** Cross-table TIME TRAVEL: the commit at `version`, refused loudly
     * when it has been retired (retention keeps the current and previous

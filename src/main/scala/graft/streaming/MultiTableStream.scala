@@ -171,100 +171,107 @@ object MultiTableStream {
     // without consuming a batch id (see BatchLedger).
     if (committed.flatMap(MultiSnapshot.pointer(_, BatchLedger))
         .exists(_ >= batchId)) return
-    val gens = committed.map(_.gens).getOrElse(Map.empty)
+    // the whole read-fold-stage-commit phase is one transaction based
+    // on `committed`: a concurrent erasure that retires the observed
+    // generations mid-execution surfaces as the TYPED retryable
+    // conflict (same race publishFrom reports at the commit point,
+    // caught earlier at read execution), never a raw FILE_NOT_EXIST
+    val c = MultiSnapshot.conflictIfRetired(spark, root, committed) {
+      val gens = committed.map(_.gens).getOrElse(Map.empty)
 
-    def slice(route: String, project: DataFrame => DataFrame): DataFrame =
-      project(batch.filter(col(routeCol) === route).drop(routeCol))
+      def slice(route: String, project: DataFrame => DataFrame): DataFrame =
+        project(batch.filter(col(routeCol) === route).drop(routeCol))
 
-    val newDims = dims.map { d =>
-      val rows0 = slice(d.route, d.project)
-      val snapshot0 =
-        if (gens.contains(d.table))
-          MultiSnapshot.readPinned(spark, root, committed.get, d.table)
-        else Scd2Merge.emptyLogSnapshot(rows0, d.tsCol)
-      // opt-in evolution: an upstream ALTER TABLE that grew (or widened)
-      // columns aligns both sides to the least-common-supertype union
-      // schema — old versions read typed nulls for new columns, a NEW
-      // check column opens versions where its value differs from null
-      // (the correct SCD2 reading of "this attribute started existing").
-      // Off by default so accidental drift fails loudly.
-      val (snapshot, rows) =
-        if (!d.allowSchemaEvolution) (snapshot0, rows0)
-        else {
-          import graft.sources.SchemaEvolution
-          val target = SchemaEvolution.evolvedSchema(Seq(
-            snapshot0.drop(Scd2Merge.EffectiveFrom, Scd2Merge.EffectiveTo),
-            rows0.drop(d.tsCol)))
-          val tsType = rows0.schema(d.tsCol).dataType
-          val eff = org.apache.spark.sql.types.TimestampType
-          (SchemaEvolution.alignTo(snapshot0,
-            target :+ (Scd2Merge.EffectiveFrom -> eff)
-              :+ (Scd2Merge.EffectiveTo -> eff)),
-            SchemaEvolution.alignTo(rows0, target :+ (d.tsCol -> tsType)))
-        }
-      d.table -> Scd2Merge.applyLog(snapshot, rows, d.keys, d.checkCols,
-        d.tsCol, d.tieBreak, d.opCol)
-    }
-    val newFacts = facts.map { f =>
-      val rows0 = slice(f.route, f.project)
-      val existing0 =
-        if (gens.contains(f.table))
-          Some(MultiSnapshot.readPinned(spark, root, committed.get, f.table))
-        else None
-      val (existing, rows) =
-        if (!f.allowSchemaEvolution || existing0.isEmpty) (existing0, rows0)
-        else {
-          import graft.sources.SchemaEvolution
-          val target = SchemaEvolution.evolvedSchema(Seq(existing0.get, rows0))
-          (Some(SchemaEvolution.alignTo(existing0.get, target)),
-            SchemaEvolution.alignTo(rows0, target))
-        }
-      f.table -> UpsertByKey.mergeBatch(existing, rows, f.keys, f.orderCols,
-        f.opCol)
-    }
-    // O(batch) facts: STAGE the delta dir now (durable, invisible — no
-    // committed pointer reaches this batch id yet); the pointer advances
-    // to batchId in the same atomic flip as the dims. An empty slice
-    // stages nothing — readAt(batchId) then serves the earlier deltas.
-    val pointers = deltaFacts.map { f =>
-      val rows = slice(f.route, f.project)
-      if (!rows.isEmpty)
-        graft.gold.BaseDelta.append(spark, f.deltaTable(root), rows, batchId)
-      f.table -> batchId
-    }.toMap
-    // AUDIT before the flip: candidate views are the post-fold frames
-    // (delta facts read as-of THIS batch — staged deltas included, which
-    // coordinator readers cannot see yet)
-    if (audits.nonEmpty) {
-      val candidates: Map[String, DataFrame] =
-        (newDims ++ newFacts).toMap ++ deltaFacts.flatMap { f =>
-          val t = f.deltaTable(root)
-          val (base, ds) = graft.gold.BaseDelta.resolveSnapshot(spark, t)
-          if (base.isEmpty && ds.isEmpty) None
-          else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, batchId,
-            f.allowSchemaEvolution))
-        }
-      val failed = audits.flatMap { a =>
-        val n = a.check(candidates).limit(21).count()
-        if (n > 0) Some(s"${a.name} (${if (n > 20) ">20" else n} violations)")
-        else None
+      val newDims = dims.map { d =>
+        val rows0 = slice(d.route, d.project)
+        val snapshot0 =
+          if (gens.contains(d.table))
+            MultiSnapshot.readPinned(spark, root, committed.get, d.table)
+          else Scd2Merge.emptyLogSnapshot(rows0, d.tsCol)
+        // opt-in evolution: an upstream ALTER TABLE that grew (or widened)
+        // columns aligns both sides to the least-common-supertype union
+        // schema — old versions read typed nulls for new columns, a NEW
+        // check column opens versions where its value differs from null
+        // (the correct SCD2 reading of "this attribute started existing").
+        // Off by default so accidental drift fails loudly.
+        val (snapshot, rows) =
+          if (!d.allowSchemaEvolution) (snapshot0, rows0)
+          else {
+            import graft.sources.SchemaEvolution
+            val target = SchemaEvolution.evolvedSchema(Seq(
+              snapshot0.drop(Scd2Merge.EffectiveFrom, Scd2Merge.EffectiveTo),
+              rows0.drop(d.tsCol)))
+            val tsType = rows0.schema(d.tsCol).dataType
+            val eff = org.apache.spark.sql.types.TimestampType
+            (SchemaEvolution.alignTo(snapshot0,
+              target :+ (Scd2Merge.EffectiveFrom -> eff)
+                :+ (Scd2Merge.EffectiveTo -> eff)),
+              SchemaEvolution.alignTo(rows0, target :+ (d.tsCol -> tsType)))
+          }
+        d.table -> Scd2Merge.applyLog(snapshot, rows, d.keys, d.checkCols,
+          d.tsCol, d.tieBreak, d.opCol)
       }
-      if (failed.nonEmpty)
-        throw new AuditFailedException(
-          s"MultiTableStream: batch $batchId REFUSED at the publish gate — " +
-            s"${failed.mkString("; ")}. Readers keep commit " +
-            s"${committed.map(_.version).getOrElse(0L)}; staged state is " +
-            "invisible and a replay re-audits.")
+      val newFacts = facts.map { f =>
+        val rows0 = slice(f.route, f.project)
+        val existing0 =
+          if (gens.contains(f.table))
+            Some(MultiSnapshot.readPinned(spark, root, committed.get, f.table))
+          else None
+        val (existing, rows) =
+          if (!f.allowSchemaEvolution || existing0.isEmpty) (existing0, rows0)
+          else {
+            import graft.sources.SchemaEvolution
+            val target = SchemaEvolution.evolvedSchema(Seq(existing0.get, rows0))
+            (Some(SchemaEvolution.alignTo(existing0.get, target)),
+              SchemaEvolution.alignTo(rows0, target))
+          }
+        f.table -> UpsertByKey.mergeBatch(existing, rows, f.keys, f.orderCols,
+          f.opCol)
+      }
+      // O(batch) facts: STAGE the delta dir now (durable, invisible — no
+      // committed pointer reaches this batch id yet); the pointer advances
+      // to batchId in the same atomic flip as the dims. An empty slice
+      // stages nothing — readAt(batchId) then serves the earlier deltas.
+      val pointers = deltaFacts.map { f =>
+        val rows = slice(f.route, f.project)
+        if (!rows.isEmpty)
+          graft.gold.BaseDelta.append(spark, f.deltaTable(root), rows, batchId)
+        f.table -> batchId
+      }.toMap
+      // AUDIT before the flip: candidate views are the post-fold frames
+      // (delta facts read as-of THIS batch — staged deltas included, which
+      // coordinator readers cannot see yet)
+      if (audits.nonEmpty) {
+        val candidates: Map[String, DataFrame] =
+          (newDims ++ newFacts).toMap ++ deltaFacts.flatMap { f =>
+            val t = f.deltaTable(root)
+            val (base, ds) = graft.gold.BaseDelta.resolveSnapshot(spark, t)
+            if (base.isEmpty && ds.isEmpty) None
+            else Some(f.table -> graft.gold.BaseDelta.readAt(spark, t, batchId,
+              f.allowSchemaEvolution))
+          }
+        val failed = audits.flatMap { a =>
+          val n = a.check(candidates).limit(21).count()
+          if (n > 0) Some(s"${a.name} (${if (n > 20) ">20" else n} violations)")
+          else None
+        }
+        if (failed.nonEmpty)
+          throw new AuditFailedException(
+            s"MultiTableStream: batch $batchId REFUSED at the publish gate — " +
+              s"${failed.mkString("; ")}. Readers keep commit " +
+              s"${committed.map(_.version).getOrElse(0L)}; staged state is " +
+              "invisible and a replay re-audits.")
+      }
+      // every batch commits (the @sys.batch ledger marker rides the same
+      // atomic flip) even when all slices are empty — the replay check
+      // needs the marker to advance monotonically with batch ids. The
+      // publish is BASED ON the commit this fold read (`committed`): an
+      // erasure/repair that advanced one of our tables in between makes
+      // this batch a typed conflict the stream retries, never a silent
+      // overwrite of the erased state with our stale fold
+      MultiSnapshot.publishFrom(spark, root, committed,
+        (newDims ++ newFacts).toMap, pointers + (BatchLedger -> batchId))
     }
-    // every batch commits (the @sys.batch ledger marker rides the same
-    // atomic flip) even when all slices are empty — the replay check
-    // needs the marker to advance monotonically with batch ids. The
-    // publish is BASED ON the commit this fold read (`committed`): an
-    // erasure/repair that advanced one of our tables in between makes
-    // this batch a typed conflict the stream retries, never a silent
-    // overwrite of the erased state with our stale fold
-    val c = MultiSnapshot.publishFrom(spark, root, committed,
-      (newDims ++ newFacts).toMap, pointers + (BatchLedger -> batchId))
     require(c.version > committed.map(_.version).getOrElse(0L),
       s"MultiTableStream: version regressed to ${c.version} publishing " +
         s"batch $batchId")
