@@ -7483,7 +7483,40 @@ object Queries {
                lead(ts) OVER w AS effective_to,
                (lead(ts) OVER w) IS NULL AS is_current
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
+    // ── q257/q258: the remaining high-traffic TVFs proven the same way —
+    //    each expands to the identical DataFrame plan its Scala form
+    //    builds, so each shares that query's oracle verbatim (q01, q08) ──
+    Q("q257_sql_tvf_dedup",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.events(s, d).createOrReplaceTempView("events_tvf2")
+        s.sql("""
+          SELECT user_id, event_type, event_id, ts, value
+          FROM dedup_latest('events_tvf2', 'user_id,event_type',
+                            'ts desc,event_id desc')""")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, ts, value FROM (
+          SELECT user_id, event_type, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1""")),
+
+    Q("q258_sql_tvf_fk_orphans",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        Tables.customer(s, d).createOrReplaceTempView("customer_tvf")
+        Tables.orders(s, d).createOrReplaceTempView("orders_tvf")
+        s.sql("""
+          SELECT c_custkey, c_name, c_mktsegment
+          FROM fk_orphans('customer_tvf', 'c_custkey',
+                          'orders_tvf', 'o_custkey')""")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,17 +120,22 @@ object MultiSnapshot {
     commitVersions(spark, root).lastOption
       .map(readCommitFile(spark, root, _))
 
-  private def fileGone(e: Throwable): Boolean = {
+  private def snapshotReadFailure(e: Throwable): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 12) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        case _: java.io.EOFException => return true
         case _ =>
           val m = cur.getMessage
-          // Spark 4 surfaces a task's missing-input as error class
-          // FAILED_READ_FILE.FILE_NOT_EXIST wrapped in SparkException
-          if (m != null && (m.contains("FILE_NOT_EXIST") ||
+          // Spark 4 wraps a task's failed input read in SparkException
+          // with error class FAILED_READ_FILE.* — the subclass varies
+          // with WHEN the destruction hit (FILE_NOT_EXIST once the file
+          // is unlinked, NO_HINT for a footer/length mismatch mid-
+          // destruction on stores whose deletes/copies are per-file),
+          // so the whole family counts as a possibly-retired read
+          if (m != null && (m.contains("FAILED_READ_FILE") ||
               m.contains("File does not exist"))) return true
       }
       cur = cur.getCause
@@ -157,7 +162,7 @@ object MultiSnapshot {
     try body
     catch {
       case e: CommitConflictException => throw e
-      case e: Throwable if fileGone(e) =>
+      case e: Throwable if snapshotReadFailure(e) =>
         val obsV = observed.map(_.version).getOrElse(0L)
         val curV = currentCommit(spark, root).map(_.version).getOrElse(0L)
         if (curV > obsV)
