@@ -320,6 +320,66 @@ object BaseDelta {
       c -> SnapshotStore.read(spark, t.tombstonePath(c))
     }.toMap
 
+  /** Everything a read of `t` resolves that concurrent maintenance can
+    * retire: the committed manifest version plus every tombstone
+    * ledger's committed generation. The observation point for
+    * [[conflictIfRetired]] — any change to it between a read's plan and
+    * its execution means files the plan referenced may legitimately be
+    * gone (compaction retirement, an erasure vacuum, a ledger ack
+    * outrunning the one-generation in-flight-reader window).
+    */
+  def stateFingerprint(spark: SparkSession, t: Table): Map[String, Long] = {
+    val manifest = manifestVersions(spark, t).lastOption
+      .map("manifest" -> _).toSeq
+    val f = fs(spark, t.path)
+    val root = new Path(s"${t.path}/_tombstones")
+    val ledgers =
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .flatMap(c => SnapshotStore.currentGen(spark, t.tombstonePath(c))
+          .map(g => s"ledger:$c" -> g))
+    (manifest ++ ledgers).toMap
+  }
+
+  /** The BaseDelta tier of [[MultiSnapshot.conflictIfRetired]]: runs
+    * `body` (a read or read-modify-write over `t`, fingerprinted at
+    * entry) and translates a mid-execution read failure into the typed
+    * retryable [[CommitConflictException]] iff the table's
+    * [[stateFingerprint]] changed — a concurrent compaction/erasure
+    * retired state the plan had resolved. A read failure with an
+    * UNCHANGED fingerprint is a genuine storage fault and propagates.
+    * The coordinator-tier guard cannot subsume this one: a deferred
+    * erasure ack advances only the per-column ledger generation, never
+    * the coordinator commit, so composite readers nest both guards
+    * (outer root, inner table).
+    */
+  def conflictIfRetired[A](spark: SparkSession, t: Table)(body: => A): A = {
+    val observed = stateFingerprint(spark, t)
+    try body
+    catch {
+      case e: CommitConflictException => throw e
+      case e: Throwable if MultiSnapshot.snapshotReadFailure(e) =>
+        // announce-then-destroy protocols (swapInDelta, manifest CAS)
+        // bump their version just before the destruction; a reader can
+        // observe the failure a beat before the commit lands — grace-
+        // recheck briefly before declaring a genuine storage fault
+        var cur = stateFingerprint(spark, t)
+        var grace = 0
+        while (cur == observed && grace < 3) {
+          Thread.sleep(250)
+          cur = stateFingerprint(spark, t)
+          grace += 1
+        }
+        if (cur != observed)
+          throw new CommitConflictException(
+            s"BaseDelta: state at ${t.path} retired mid-read — observed " +
+              s"$observed, current $cur (compaction/erasure maintenance " +
+              "destroyed resolved files); re-resolve and retry", e)
+        else throw e
+    }
+  }
+
   /** Default pending-erasure budget ([[logicalErase]],
     * [[tombstoneReport]]): every read anti-joins one broadcast per
     * pending (column, ledger), so an unbounded backlog of acked-but-
@@ -448,6 +508,92 @@ object BaseDelta {
     * GDPR's 30-day window amortizes against). No-op when nothing is
     * pending. Returns the vacuumed paths.
     */
+  /** Replace the CONTENT of a manifest-listed delta id without moving
+    * the time-travel floor. Raw `Overwrite` of a reader-visible dir is
+    * not an option: mid-write the dir is empty (UNABLE_TO_INFER_SCHEMA
+    * for a concurrent planner) and nothing announces the mutation, so
+    * the retired-state guards cannot distinguish it from a storage
+    * fault. Protocol: STAGE the new content beside the live dir,
+    * ANNOUNCE with a same-content manifest touch-commit (the version
+    * bump the guards key on — it also CAS-serializes concurrent
+    * replacers), then SWAP via two dir renames. A reader can hit a
+    * missing dir for one beat, never a torn or half-written one, and
+    * the announced version tells its guard this was maintenance. Used
+    * by erasure's kept-tail rewrite and by append's
+    * retry-over-a-listed-delta.
+    */
+  private def swapInDelta(spark: SparkSession, t: Table, id: Long,
+                          content: DataFrame): Unit = {
+    val f = fs(spark, t.path)
+    val (v, m) = readManifestVersioned(spark, t).getOrElse(
+      throw new CommitConflictException(
+        s"BaseDelta.swapInDelta: no manifest at ${t.path} — the delta " +
+          "being replaced is no longer committed; re-read and redo"))
+    if (!m.deltas.contains(id))
+      throw new CommitConflictException(
+        s"BaseDelta.swapInDelta: delta $id at ${t.path} left the " +
+          "manifest (folded by a concurrent compaction); re-read and redo")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val live = new Path(t.deltaPath(id))
+    val stage = new Path(t.deltaPath(id) + s".stage-$nonce")
+    val trash = new Path(t.deltaPath(id) + s".trash-$nonce")
+    content.coalesce(4).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    try writeManifest(spark, t, m, v) // announce: version bump, same content
+    catch { case e: Throwable => f.delete(stage, true); throw e }
+    if (!f.exists(live)) {
+      // REPAIR: the listed dir is gone (a writer-hostile vacuum raced
+      // the listing, or a crashed swap) — winning the announce CAS above
+      // makes this writer the owner; recreate from the staged content
+      if (!f.rename(stage, live)) {
+        f.delete(stage, true)
+        throw new CommitConflictException(
+          s"BaseDelta.swapInDelta: lost the repair race on delta $id at " +
+            s"${t.path}; re-read and redo")
+      }
+      return
+    }
+    if (!f.rename(live, trash)) {
+      f.delete(stage, true)
+      throw new CommitConflictException(
+        s"BaseDelta.swapInDelta: delta $id at ${t.path} was replaced by " +
+          "a concurrent writer; re-read and redo")
+    }
+    if (!f.rename(stage, live)) {
+      f.rename(trash, live)
+      f.delete(stage, true)
+      throw new CommitConflictException(
+        s"BaseDelta.swapInDelta: lost the swap race on delta $id at " +
+          s"${t.path}; re-read and redo")
+    }
+    f.delete(trash, true)
+  }
+
+  /** Rewrite every LIVE delta with id > `above` through `transform` in
+    * place — same ids, same delta list, the time-travel floor does not
+    * move. The eager-erasure companion to a pointer-BOUNDED
+    * [[compact]]: the folded prefix is rewritten through the fold's
+    * transform; this destroys the subject bytes in the kept tail (a
+    * coordinator's staged-but-uncommitted batches) without folding it,
+    * so committed readers behind the pointer keep their as-of point
+    * while no retained file holds the subject. Each replacement rides
+    * [[swapInDelta]]'s announce-then-swap protocol; under the
+    * deterministic-replay contract an in-flight appender retrying its
+    * batch re-supplies the same source rows, so whichever replacement
+    * serializes last through the manifest CAS leaves correct content.
+    */
+  def rewriteKeptDeltas(spark: SparkSession, t: Table, above: Option[Long],
+                        transform: DataFrame => DataFrame): Unit = {
+    val live = readManifestVersioned(spark, t).map(_._2.deltas)
+      .getOrElse(diskDeltas(spark, t))
+    live.filter(id => above.forall(id > _)).foreach { id =>
+      val p = t.deltaPath(id)
+      // materialize BEFORE the swap retires the source files
+      val rewritten = transform(spark.read.parquet(p)).localCheckpoint(true)
+      try swapInDelta(spark, t, id, rewritten)
+      finally { rewritten.unpersist(); () }
+    }
+  }
+
   def materializeErasures(spark: SparkSession, t: Table): Seq[String] = {
     if (pendingTombstones(spark, t).isEmpty) return Seq.empty
     compact(spark, t, transform = Some(identity))
@@ -549,13 +695,33 @@ object BaseDelta {
       if (t.opCol.isDefined)
         incoming.filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
       else incoming
-    graft.silver.Staging.dedupLatestByMax(keyed, t.keys, t.orderCols)
-      .coalesce(deltaFiles)
-      .write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
+    val deduped = graft.silver.Staging
+      .dedupLatestByMax(keyed, t.keys, t.orderCols).coalesce(deltaFiles)
+    readManifestVersioned(spark, t) match {
+      case Some((_, m0)) if m0.deltas.contains(batchId) =>
+        // REPLAY over a manifest-LISTED (reader-visible) delta: a raw
+        // Overwrite would race concurrent readers (empty dir mid-write)
+        // and concurrent maintenance (an eager erasure's kept-tail
+        // rewrite) with no announcement — ride the announce-then-swap
+        // protocol instead
+        swapInDelta(spark, t, batchId, deduped)
+        return
+      case _ => ()
+    }
+    // fresh delta: the dir is not reader-visible until the manifest
+    // lists it, so a plain write has no race window
+    deduped.write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
     readManifestVersioned(spark, t) match {
       case Some((v, m)) =>
         if (!m.deltas.contains(batchId))
           writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId), v)
+        else
+          // a contender listed this id between our two manifest reads
+          // (same-batch replay racing itself): the just-written dir is
+          // now reader-visible but may differ from the winner's —
+          // deterministic replay makes the contents equivalent, so
+          // leave the committed listing as is
+          ()
       case None =>
         // MIGRATE ON FIRST APPEND (not first compaction): commit a
         // manifest naming every on-disk delta plus this batch. Without
@@ -804,7 +970,8 @@ object BaseDelta {
     * to retire against.
     */
   def vacuum(spark: SparkSession, t: Table,
-             retainManifests: Int = 2): Seq[String] = {
+             retainManifests: Int = 2,
+             writerSafeUpTo: Option[Long] = None): Seq[String] = {
     val mOpt = readManifest(spark, t)
     if (mOpt.isEmpty) return Seq.empty
     val m = mOpt.get
@@ -816,13 +983,22 @@ object BaseDelta {
     // history AND above-current orphans from crashed or CAS-losing
     // compactors (reserved numbers are never reused, so orphans don't
     // self-heal by overwrite); plus reservation markers and the legacy
-    // flat base once any manifest-tracked generation exists. Run with
-    // no writers in flight (the Delta VACUUM zero-retention contract).
+    // flat base once any manifest-tracked generation exists. The FULL
+    // form runs with no writers in flight (the Delta VACUUM
+    // zero-retention contract); `writerSafeUpTo = Some(b)` is the
+    // concurrent-writer form an EAGER coordinated erasure needs — it
+    // reclaims only what that erasure itself retired (below-current base
+    // generations and unlisted delta dirs with id <= b, the fold bound),
+    // never an in-flight appender's fresh unlisted dir (ids above the
+    // committed pointer) or an in-flight compactor's above-current
+    // staging.
+    val writerSafe = writerSafeUpTo.isDefined
     val baseRoot = new Path(t.path)
     if (f.exists(baseRoot)) f.listStatus(baseRoot).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("base_g") && n.stripPrefix("base_g").forall(_.isDigit) &&
-          n.stripPrefix("base_g").toLong != m.generation)
+          (if (writerSafe) n.stripPrefix("base_g").toLong < m.generation
+           else n.stripPrefix("base_g").toLong != m.generation))
         drop(st.getPath)
     }
     val mroot = new Path(t.manifestRoot)
@@ -830,15 +1006,18 @@ object BaseDelta {
       val n = st.getPath.getName
       if (n.startsWith(".reserve.base") &&
           n.stripPrefix(".reserve.base").forall(_.isDigit) &&
-          n.stripPrefix(".reserve.base").toLong != m.generation)
+          (if (writerSafe) n.stripPrefix(".reserve.base").toLong < m.generation
+           else n.stripPrefix(".reserve.base").toLong != m.generation))
         drop(st.getPath)
     }
     if (m.generation >= 1) {
       drop(new Path(t.basePath))
       drop(new Path(t.basePath + ".__old"))
     }
-    // folded (or orphaned) delta dirs: anything not in the live set
+    // folded (or orphaned) delta dirs: anything not in the live set —
+    // bounded at the fold point in writer-safe mode
     (diskDeltas(spark, t).toSet -- m.deltas.toSet).toSeq.sorted
+      .filter(id => writerSafeUpTo.forall(id <= _))
       .foreach(id => drop(new Path(t.deltaPath(id))))
     // manifest history beyond the retention window (never the newest)
     val versions = manifestVersions(spark, t)

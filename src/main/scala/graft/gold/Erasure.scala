@@ -231,20 +231,53 @@ object Erasure {
     // 1. delta members first: fact rows go before dim rows ever can
     val deltaReceipts = deltaMembers.toSeq.sortBy(_._1).flatMap {
       case (name, t) =>
+        // per-member BaseDelta-tier retired-state guard: a concurrent
+        // fold/erasure retiring resolved files mid-receipt is the typed
+        // conflict the caller retries, not a raw read failure
         keyCols.get(name).map { keyCol =>
-          if (deferred) {
-            val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol,
-              "pending").localCheckpoint(true)
-            BaseDelta.logicalErase(spark, t, keyCol, subj,
-              countRows = false)
-            rec
-          } else {
-            val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol,
-              "erased").localCheckpoint(true)
-            BaseDelta.compact(spark, t, transform = Some(df =>
-              df.join(subj, col(keyCol) === col("__subject"), "left_anti")))
-            BaseDelta.vacuum(spark, t)
-            rec
+          BaseDelta.conflictIfRetired(spark, t) {
+            val anti = (df: org.apache.spark.sql.DataFrame) =>
+              df.join(subj, col(keyCol) === col("__subject"), "left_anti")
+            if (deferred) {
+              val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol,
+                "pending").localCheckpoint(true)
+              BaseDelta.logicalErase(spark, t, keyCol, subj,
+                countRows = false)
+              rec
+            } else {
+              val rec = receiptOf(name, BaseDelta.read(spark, t), keyCol,
+                "erased").localCheckpoint(true)
+              // A coordinator-managed member (its name resolves to a
+              // committed pointer) bounds the fold AT that pointer:
+              // an unbounded fold would pull a staged-but-uncommitted
+              // batch into the base and raise the time-travel floor
+              // past the committed as-of point — breaking every reader
+              // of the CURRENT commit until the in-flight fold retries.
+              // The kept tail (staged deltas above the pointer) is
+              // rewritten IN PLACE instead, so no retained file holds
+              // the subject and the floor stays at the pointer. Rows of
+              // the subject arriving in batches ingested AFTER this
+              // erasure's commit are new data, not resurrections — the
+              // point-in-time erasure contract.
+              MultiSnapshot.pointer(c, name) match {
+                case Some(ptr) =>
+                  BaseDelta.compact(spark, t, transform = Some(anti),
+                    upTo = Some(ptr))
+                  BaseDelta.rewriteKeptDeltas(spark, t, Some(ptr), anti)
+                  // WRITER-SAFE reclaim: a coordinator member has an
+                  // in-contract concurrent writer (the stream), so the
+                  // full vacuum's unlisted-dir sweep would delete a
+                  // fresh append mid-write — reclaim only what this
+                  // erasure retired (old base, folded deltas <= ptr)
+                  BaseDelta.vacuum(spark, t, writerSafeUpTo = Some(ptr))
+                case None =>
+                  // standalone member: the caller owns the writer-quiet
+                  // window (the documented full-vacuum contract)
+                  BaseDelta.compact(spark, t, transform = Some(anti))
+                  BaseDelta.vacuum(spark, t)
+              }
+              rec
+            }
           }
         }
     }

@@ -120,7 +120,7 @@ object MultiSnapshot {
     commitVersions(spark, root).lastOption
       .map(readCommitFile(spark, root, _))
 
-  private def snapshotReadFailure(e: Throwable): Boolean = {
+  private[gold] def snapshotReadFailure(e: Throwable): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 12) {
@@ -129,13 +129,24 @@ object MultiSnapshot {
         case _: java.io.EOFException => return true
         case _ =>
           val m = cur.getMessage
-          // Spark 4 wraps a task's failed input read in SparkException
-          // with error class FAILED_READ_FILE.* — the subclass varies
-          // with WHEN the destruction hit (FILE_NOT_EXIST once the file
-          // is unlinked, NO_HINT for a footer/length mismatch mid-
-          // destruction on stores whose deletes/copies are per-file),
-          // so the whole family counts as a possibly-retired read
+          // The error shape varies with WHEN the destruction hit:
+          //  - plan time (dir listing): AnalysisException PATH_NOT_FOUND
+          //  - task read, file unlinked: FAILED_READ_FILE.FILE_NOT_EXIST
+          //  - task read, mid-destruction on stores whose deletes/copies
+          //    are per-file: FAILED_READ_FILE.NO_HINT (footer/length
+          //    mismatch) or a bare EOF
+          // — all the same cause, so the whole family counts as a
+          // possibly-retired read
+          // ("No such file or directory": a WRITE task's POSIX fs op —
+          // mkdir/chmod/rename — on a dir destroyed under it)
+          // (UNABLE_TO_INFER_SCHEMA: a dir caught between destruction
+          // and replacement lists no parquet footers at plan time)
           if (m != null && (m.contains("FAILED_READ_FILE") ||
+              m.contains("PATH_NOT_FOUND") ||
+              m.contains("Path does not exist") ||
+              m.contains("No such file or directory") ||
+              m.contains("Mkdirs failed to create") ||
+              m.contains("UNABLE_TO_INFER_SCHEMA") ||
               m.contains("File does not exist"))) return true
       }
       cur = cur.getCause
@@ -164,7 +175,17 @@ object MultiSnapshot {
       case e: CommitConflictException => throw e
       case e: Throwable if snapshotReadFailure(e) =>
         val obsV = observed.map(_.version).getOrElse(0L)
-        val curV = currentCommit(spark, root).map(_.version).getOrElse(0L)
+        // announce-then-destroy protocols commit their version bump just
+        // BEFORE the destruction, but a reader can observe the failure a
+        // beat before the commit file lands — grace-recheck briefly
+        // before declaring a genuine storage fault
+        var curV = currentCommit(spark, root).map(_.version).getOrElse(0L)
+        var grace = 0
+        while (curV <= obsV && grace < 3) {
+          Thread.sleep(250)
+          curV = currentCommit(spark, root).map(_.version).getOrElse(0L)
+          grace += 1
+        }
         if (curV > obsV)
           throw new CommitConflictException(
             s"MultiSnapshot: snapshot at $root retired mid-transaction — " +

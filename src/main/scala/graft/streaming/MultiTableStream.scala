@@ -235,7 +235,13 @@ object MultiTableStream {
       val pointers = deltaFacts.map { f =>
         val rows = slice(f.route, f.project)
         if (!rows.isEmpty)
-          graft.gold.BaseDelta.append(spark, f.deltaTable(root), rows, batchId)
+          // table-tier retired-state guard: an eager coordinated erasure
+          // compacting/rewriting this member mid-append surfaces as the
+          // typed conflict (the stream retries the batch), never a raw
+          // task-level fs failure
+          graft.gold.BaseDelta.conflictIfRetired(spark, f.deltaTable(root)) {
+            graft.gold.BaseDelta.append(spark, f.deltaTable(root), rows, batchId)
+          }
         f.table -> batchId
       }.toMap
       // AUDIT before the flip: candidate views are the post-fold frames

@@ -51,6 +51,13 @@ class CoordinatorChaosSpec extends SparkSpec {
   private val factSpec = MultiTableStream.UpsertFact("txns", "txn",
     Seq("txn_id"), Seq("seq"), opCol = Some("op"),
     project = _.select("txn_id", "account_id", "amount", "op", "seq", "ts"))
+  // O(batch) member for the delta-tier seed: maxDeltas = 2 forces the
+  // in-fold bounded compaction to fire nearly every batch, so the
+  // manifest-CAS machinery (the phantom-commit fix's home) rides the
+  // same storm as the coordinator pointers
+  private val deltaSpec = MultiTableStream.DeltaFact("dtxns", "dtxn",
+    Seq("txn_id"), Seq("seq"), opCol = Some("op"), maxDeltas = 2,
+    project = _.select("txn_id", "account_id", "amount", "op", "seq", "ts"))
 
   private def retryConflict[A](maxAttempts: Int)(body: => A): A = {
     var attempt = 0
@@ -236,5 +243,145 @@ class CoordinatorChaosSpec extends SparkSpec {
         if (store == "mock") { CommitCas.deregister("mock"); () }
       }
     }
+  }
+
+  test("coordinator chaos seed=99 with a BaseDelta member: manifest CAS + mixed eager/deferred erasure under the storm") {
+    val rnd = new scala.util.Random(99)
+    val root = tmpDir("coord-chaos-99") + "/r"
+    val dt = deltaSpec.deltaTable(root)
+
+    // batch 0: seed accounts + one seed delta-fact row per account
+    val seedRows = (1000L until 1020L).flatMap { a =>
+      Seq(("acct", a, -1L, a + 0.5, 0L, "2024-01-01 00:00:00"),
+        ("dtxn", a, a + 9500L, 1.0, 0L, "2024-01-01 00:00:00"))
+    }
+    MultiTableStream.foldBatch(spark, root, cdcRows(seedRows),
+      "route", Seq(dimSpec), Seq.empty, 0L, deltaFacts = Seq(deltaSpec))
+
+    val plans = (1 to AppendBatches).map { b =>
+      val day = f"2024-02-${b + 1}%02d 00:00:00"
+      val accts = (0L until 20L).filter(_ => rnd.nextBoolean())
+        .map(a => ("acct", a, -1L, a * 100.0 + b, b.toLong, day))
+      val dtxns = (0L until 120L).filter(_ => rnd.nextInt(3) == 0)
+        .map(t => ("dtxn", t % 20, t, t + b.toDouble, b.toLong, day))
+      (accts ++ dtxns, accts.map(_._2), dtxns.map(_._3))
+    }
+    val eraseTargets: Seq[Seq[Seq[Long]]] = Seq.fill(2)(
+      Seq.fill(ErasesPerEraser)(
+        Seq.fill(3)(1000L + rnd.nextInt(20)).distinct))
+    val sleeps = Seq.fill(64)(rnd.nextInt(40)).iterator.buffered
+    def jitter(): Unit = Thread.sleep(synchronized {
+      if (sleeps.hasNext) sleeps.next().toLong else 5L })
+
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    val appender = () => (1 to AppendBatches).foreach { b =>
+      jitter()
+      retryConflict(20) { MultiTableStream.foldBatch(spark, root,
+        cdcRows(plans(b - 1)._1), "route", Seq(dimSpec), Seq.empty,
+        b.toLong, deltaFacts = Seq(deltaSpec)) }
+    }
+    // eraser 0 erases EAGERLY (BaseDelta compact+vacuum inside the
+    // storm — physical destruction racing readers), eraser 1 DEFERRED
+    // (tombstone-ledger ack; reads must anti-join immediately)
+    val erasers = eraseTargets.zipWithIndex.map { case (plan, i) => () =>
+      plan.foreach { ids =>
+        jitter()
+        retryConflict(20) {
+          Erasure.eraseCoordinated(spark, root,
+            Map("accounts" -> "account_id", "dtxns" -> "account_id"),
+            ids.toDF("account_id"),
+            deltaMembers = Map("dtxns" -> dt),
+            deferred = i == 1).collect()
+        }
+        ids.foreach(acked.add(_))
+      }
+    }
+    // composite reader recipe: OUTER root-tier guard (coordinator commit
+    // advanced — erasure retired gen dirs), INNER table-tier guard (a
+    // deferred ack advances only the delta table's ledger generation,
+    // which the coordinator version cannot see)
+    val reader = () => (1 to 6).foreach { _ =>
+      jitter()
+      retryConflict(10) {
+        val observed = MultiSnapshot.currentCommit(spark, root)
+        MultiSnapshot.conflictIfRetired(spark, root, observed) {
+          graft.gold.BaseDelta.conflictIfRetired(spark, dt) {
+            val t = MultiTableStream.readCommitted(spark, root, Seq(deltaSpec))
+            assert(t("accounts").filter(col(Scd2Merge.EffectiveTo).isNull)
+              .groupBy("account_id").count().filter(col("count") > 1).isEmpty,
+              "seed 99: duplicate current account version mid-race")
+            t.get("dtxns").foreach { d =>
+              assert(d.groupBy("txn_id").count().filter(col("count") > 1).isEmpty,
+                "seed 99: duplicate txn_id in a committed delta-fact view")
+            }
+          }
+        }
+      }
+    }
+
+    val bodies: Seq[() => Unit] = Seq(appender) ++ erasers :+ reader
+    val pool = Executors.newFixedThreadPool(bodies.size)
+    val start = new CountDownLatch(1)
+    val futures = bodies.map { b =>
+      pool.submit(new java.util.concurrent.Callable[Try[Unit]] {
+        def call(): Try[Unit] = { start.await(); Try(b()) }
+      })
+    }
+    start.countDown()
+    val results = futures.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    results.collect { case Failure(e) => e }.foreach { e =>
+      assert(e.isInstanceOf[CommitConflictException],
+        s"seed 99: non-typed leak: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    assert(results.forall(_.isSuccess),
+      "seed 99: a worker exhausted conflict retries — protocol livelock")
+
+    assert(MultiTableStream.lastFoldedBatch(spark, root)
+      .contains(AppendBatches.toLong), "seed 99: ledger lost a fold")
+    val latestAcct: Map[Long, Long] = plans.zipWithIndex
+      .flatMap { case (p, i) => p._2.map(_ -> (i + 1).toLong) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val latestDtxn: Map[Long, Long] = plans.zipWithIndex
+      .flatMap { case (p, i) => p._3.map(_ -> (i + 1).toLong) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val erased = acked.toArray.map(_.asInstanceOf[Long]).toSet
+
+    val t = MultiTableStream.readCommitted(spark, root, Seq(deltaSpec))
+    val curDim = t("accounts").filter(col(Scd2Merge.EffectiveTo).isNull)
+      .select(col("account_id"), col("amount"))
+      .as[(Long, Double)].collect().toMap
+    latestAcct.foreach { case (a, b) =>
+      assert(curDim.get(a).contains(a * 100.0 + b),
+        s"seed 99: account $a expected ${a * 100.0 + b} got ${curDim.get(a)}")
+    }
+    val gotD = t("dtxns").select(col("txn_id"), col("seq"))
+      .as[(Long, Long)].collect().toMap
+    latestDtxn.foreach { case (id, b) =>
+      assert(gotD.get(id).contains(b),
+        s"seed 99: delta txn $id expected seq=$b got ${gotD.get(id)} — lost fold")
+    }
+    erased.foreach { a =>
+      assert(t("accounts").filter(col("account_id") === a).isEmpty,
+        s"seed 99: acked-erased account $a still in the dim")
+      assert(!gotD.contains(a + 9500L),
+        s"seed 99: acked-erased account $a's delta row still readable")
+    }
+    (1000L until 1020L).filterNot(erased).foreach { a =>
+      assert(gotD.get(a + 9500L).contains(0L),
+        s"seed 99: untouched seed delta row for $a wrong/missing")
+    }
+
+    // quiesced lifecycle close: every deferred ack materializes, the
+    // readable view is unchanged
+    graft.gold.BaseDelta.materializeErasures(spark, dt)
+    assert(graft.gold.BaseDelta.pendingTombstones(spark, dt).isEmpty,
+      "seed 99: ledgers still pending after a quiesced full fold")
+    val after = MultiTableStream.readCommitted(spark, root, Seq(deltaSpec))
+    assert(after("dtxns").select(col("txn_id"), col("seq"))
+      .as[(Long, Long)].collect().toMap == gotD,
+      "seed 99: materialization changed the committed delta-fact view")
   }
 }
