@@ -354,31 +354,9 @@ object BaseDelta {
     * the coordinator commit, so composite readers nest both guards
     * (outer root, inner table).
     */
-  def conflictIfRetired[A](spark: SparkSession, t: Table)(body: => A): A = {
-    val observed = stateFingerprint(spark, t)
-    try body
-    catch {
-      case e: CommitConflictException => throw e
-      case e: Throwable if MultiSnapshot.snapshotReadFailure(e) =>
-        // announce-then-destroy protocols (swapInDelta, manifest CAS)
-        // bump their version just before the destruction; a reader can
-        // observe the failure a beat before the commit lands — grace-
-        // recheck briefly before declaring a genuine storage fault
-        var cur = stateFingerprint(spark, t)
-        var grace = 0
-        while (cur == observed && grace < 3) {
-          Thread.sleep(250)
-          cur = stateFingerprint(spark, t)
-          grace += 1
-        }
-        if (cur != observed)
-          throw new CommitConflictException(
-            s"BaseDelta: state at ${t.path} retired mid-read — observed " +
-              s"$observed, current $cur (compaction/erasure maintenance " +
-              "destroyed resolved files); re-resolve and retry", e)
-        else throw e
-    }
-  }
+  def conflictIfRetired[A](spark: SparkSession, t: Table)(body: => A): A =
+    MultiSnapshot.retiredGuard(s"BaseDelta(${t.path})",
+      () => stateFingerprint(spark, t))(body)
 
   /** Default pending-erasure budget ([[logicalErase]],
     * [[tombstoneReport]]): every read anti-joins one broadcast per

@@ -155,6 +155,38 @@ object MultiSnapshot {
     false
   }
 
+  /** Generic retired-state guard: runs `body`, translating a
+    * mid-execution read failure into the typed retryable conflict iff
+    * `fingerprint` (captured at entry) has CHANGED — concurrent
+    * maintenance retired state the body had resolved. A failure with an
+    * unchanged fingerprint is a genuine storage fault and propagates,
+    * after a short grace re-check (announce-then-destroy protocols
+    * commit their bump just before the destruction; a reader can
+    * observe the failure a beat earlier).
+    */
+  private[graft] def retiredGuard[A](what: String,
+      fingerprint: () => Map[String, Long])(body: => A): A = {
+    val observed = fingerprint()
+    try body
+    catch {
+      case e: CommitConflictException => throw e
+      case e: Throwable if snapshotReadFailure(e) =>
+        var cur = fingerprint()
+        var grace = 0
+        while (cur == observed && grace < 3) {
+          Thread.sleep(250)
+          cur = fingerprint()
+          grace += 1
+        }
+        if (cur != observed)
+          throw new CommitConflictException(
+            s"$what: state retired mid-read — observed $observed, " +
+              s"now $cur (concurrent maintenance destroyed resolved " +
+              "files); re-resolve and retry", e)
+        else throw e
+    }
+  }
+
   /** Runs `body` — the read-fold-stage phase of a read-modify-write
     * transaction based on the `observed` commit — translating a
     * RETIRED-SNAPSHOT read failure into the typed retryable conflict. A

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gold.{BaseDelta, SnapshotStore}
+import graft.gold.{BaseDelta, MultiSnapshot, SnapshotStore}
 
 /** Incrementally-maintained BM25 search index — `TextAnalysis.bm25`
   * recomputes corpus statistics from raw text on every call; this keeps
@@ -86,6 +86,50 @@ object SearchIndex {
       else Some(s.select(max(col("last_batch"))).head().getLong(0))
     }
 
+  /** Composite retired-state guard over the index's four state stores —
+    * the reader recipe for SERVING during concurrent maintenance: a
+    * fold's bounded compaction, an eager [[erase]]'s rewrite, or a
+    * ledger ack can retire files a running query had resolved; inside
+    * this guard that surfaces as the typed retryable conflict instead
+    * of a raw task failure, and a failure with no concurrent
+    * maintenance still propagates as the storage fault it is.
+    */
+  def conflictIfRetired[A](spark: SparkSession, st: State)(body: => A): A =
+    MultiSnapshot.retiredGuard(s"SearchIndex(${st.root})", () => {
+      val tables = Seq("postings" -> st.postingsTable,
+        "docstats" -> st.docstatsTable, "positions" -> st.positionsTable)
+      tables.flatMap { case (n, t) =>
+        BaseDelta.stateFingerprint(spark, t)
+          .map { case (k, v) => s"$n.$k" -> v }
+      }.toMap ++
+        SnapshotStore.currentGen(spark, st.statsPath).map("stats" -> _).toMap
+    })(body)
+
+  /** Publish the stats row through a read-merge-publish OBSERVATION CAS
+    * (bounded retry): plain last-writer-wins publish let a concurrent
+    * fold's merge — computed from the PRE-correction stats — silently
+    * overwrite an erasure's n_docs/sum_dl correction. `merged` receives
+    * the pinned current stats row (None for a virgin path) and returns
+    * the row to commit; on a lost CAS the merge recomputes against the
+    * new current.
+    */
+  private def publishStatsCas(spark: SparkSession, st: State,
+      merged: Option[DataFrame] => DataFrame): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val obs = SnapshotStore.currentGen(spark, st.statsPath)
+      val cur = obs.map(g =>
+        spark.read.parquet(SnapshotStore.genPath(st.statsPath, g)))
+      try { SnapshotStore.publishFrom(merged(cur), st.statsPath, obs); done = true }
+      catch {
+        case e: graft.gold.CommitConflictException =>
+          attempts += 1
+          if (attempts > 5) throw e
+      }
+    }
+  }
+
   /** Fold one document batch (idCol, textCol) into the index. Replays
     * are no-ops PER STATE TABLE: each of postings/docstats/positions
     * checks its own delta-id ledger (plus its compaction fold floor —
@@ -102,6 +146,7 @@ object SearchIndex {
   def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
            idCol: String, textCol: String, maxDeltas: Int = 16,
            allowSchemaEvolution: Boolean = false): Unit = {
+    conflictIfRetired(spark, st) {
     val postingsDone = appliedTo(spark, st.postingsTable, batchId)
     val docstatsDone = appliedTo(spark, st.docstatsTable, batchId)
     val positionsDone = appliedTo(spark, st.positionsTable, batchId)
@@ -139,20 +184,20 @@ object SearchIndex {
         val delta = docs.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
           .withColumn("last_batch", lit(batchId))
-        val merged =
-          if (SnapshotStore.exists(spark, st.statsPath)) {
-            val old0 = SnapshotStore.read(spark, st.statsPath)
+        publishStatsCas(spark, st, {
+          case Some(old0) =>
             val old = if (old0.columns.contains("last_batch")) old0
               else old0.withColumn("last_batch", lit(-1L))
             old.select("n_docs", "sum_dl", "last_batch").unionByName(delta)
               .agg(sum(col("n_docs")).as("n_docs"),
                 sum(col("sum_dl")).as("sum_dl"),
                 max(col("last_batch")).as("last_batch"))
-          } else delta
-        SnapshotStore.publish(merged, st.statsPath)
+          case None => delta
+        })
       }
       ()
     } finally docs.unpersist()
+    }
   }
 
   /** Right-to-erasure over the INDEX: remove every trace of `docIds`
@@ -173,27 +218,37 @@ object SearchIndex {
     * production erasure pipeline uses (Perf `gov-r8` measures the
     * one-shot cost at 10M docs).
     */
-  def erase(spark: SparkSession, st: State, docIds: DataFrame): Unit = {
+  def erase(spark: SparkSession, st: State,
+            docIds: DataFrame): Unit = conflictIfRetired(spark, st) {
     val ids = broadcast(docIds.select(col(docIds.columns.head)
       .as("__erase_id")).distinct())
     def drop(t: BaseDelta.Table): Unit = {
+      // the fold is an in-contract concurrent writer on every state
+      // table, so reclaim WRITER-SAFE: bound at the pre-compact listed
+      // ids — a fresh fold append's not-yet-listed dir is never swept
+      val bound = BaseDelta.deltaBatches(spark, t)
+        .maxOption.getOrElse(-1L)
       BaseDelta.compact(spark, t, allowSchemaEvolution = true,
         transform = Some(df =>
         df.join(ids, col("doc_id") === col("__erase_id"), "left_anti")))
-      BaseDelta.vacuum(spark, t)
+      BaseDelta.vacuum(spark, t, writerSafeUpTo = Some(bound))
     }
     // the stats ledger survives the out-of-band correction: erasure does
     // not consume a batch id, so the republished row carries the SAME
-    // last_batch — a later fold's replay check stays exact
-    val prevLb = statsLastBatch(spark, st).getOrElse(-1L)
+    // last_batch — a later fold's replay check stays exact. The
+    // correction rides the observation CAS so a concurrent fold's merge
+    // cannot silently overwrite it (and vice versa: a lost CAS here
+    // recomputes from the post-fold docstats).
     drop(st.postingsTable); drop(st.positionsTable); drop(st.docstatsTable)
-    val corrected = BaseDelta.read(spark, st.docstatsTable,
-        allowSchemaEvolution = true)
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .withColumn("last_batch", lit(prevLb))
-    SnapshotStore.publish(corrected, st.statsPath)
-    SnapshotStore.vacuum(spark, st.statsPath)
+    publishStatsCas(spark, st, { cur =>
+      val prevLb = cur.filter(_.columns.contains("last_batch"))
+        .map(_.agg(max(col("last_batch"))).collect()(0).getLong(0))
+        .getOrElse(-1L)
+      BaseDelta.read(spark, st.docstatsTable, allowSchemaEvolution = true)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .withColumn("last_batch", lit(prevLb))
+    })
     ()
   }
 
@@ -212,7 +267,7 @@ object SearchIndex {
     * milliseconds-ack + rewrite-later.
     */
   def eraseLogical(spark: SparkSession, st: State,
-                   docIds: DataFrame): DataFrame = {
+                   docIds: DataFrame): DataFrame = conflictIfRetired(spark, st) {
     val ids = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
     // ONE doc-level receipt (docstats: one row per doc); the other two
     // tables' ledgers publish without their own count scans
@@ -223,14 +278,17 @@ object SearchIndex {
     BaseDelta.logicalErase(spark, st.positionsTable, "doc_id", ids,
       countRows = false)
     // stats correction reads the FILTERED docstats view; the fold
-    // ledger (last_batch) survives, as in [[erase]]
-    val prevLb = statsLastBatch(spark, st).getOrElse(-1L)
-    val corrected = BaseDelta.read(spark, st.docstatsTable,
-        allowSchemaEvolution = true)
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .withColumn("last_batch", lit(prevLb))
-    SnapshotStore.publish(corrected, st.statsPath)
+    // ledger (last_batch) survives, as in [[erase]] — and rides the same
+    // observation CAS so a racing fold merge cannot undo the correction
+    publishStatsCas(spark, st, { cur =>
+      val prevLb = cur.filter(_.columns.contains("last_batch"))
+        .map(_.agg(max(col("last_batch"))).collect()(0).getLong(0))
+        .getOrElse(-1L)
+      BaseDelta.read(spark, st.docstatsTable, allowSchemaEvolution = true)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .withColumn("last_batch", lit(prevLb))
+    })
     receipt
   }
 

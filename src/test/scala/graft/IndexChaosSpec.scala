@@ -1,0 +1,161 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import scala.util.{Failure, Try}
+import org.apache.spark.sql.functions._
+import graft.gold.{BaseDelta, CommitConflictException, SnapshotStore}
+import graft.operators.SearchIndex
+
+/** Randomized concurrency soak over the SEARCH-INDEX tier — the chaos
+  * discipline applied one level up from BaseDelta: a seeded scheduler
+  * interleaves the streaming fold (four state stores: postings,
+  * docstats, positions, stats), a DEFERRED eraser (`eraseLogical`), an
+  * EAGER eraser (`erase` — three-table rewrite + writer-safe vacuum
+  * racing live folds), and a SERVING reader, then checks the final
+  * index against the sequential model. The serving reader's invariant
+  * is the erasure contract mid-race: a doc whose erasure was acked
+  * before the query started must never appear in results, no matter
+  * which maintenance was mid-flight. The final stats row must equal the
+  * surviving corpus exactly — the lost-correction race (a fold's stats
+  * merge computed from pre-correction stats overwriting an erasure's
+  * n_docs fix) fails here.
+  *
+  * Key-space design (the StorageChaosSpec recipe): the appender owns
+  * doc ids [0, 500) in disjoint per-batch ranges (append-only corpus),
+  * the deferred eraser owns seed docs [10000, 10050), the eager eraser
+  * [10050, 10100) — every acked erasure must be gone from search,
+  * stats, and (post-materialization) the physical state.
+  */
+class IndexChaosSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val AppendBatches = 5
+
+  private def appenderDocs(b: Int) =
+    ((b - 1) * 100 until b * 100)
+      .map(i => (i.toLong, s"alpha tok${i % 7} w${i % 13}"))
+      .toDF("doc_id", "text")
+
+  private def retryConflict[A](maxAttempts: Int)(body: => A): A = {
+    var attempt = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    out.get
+  }
+
+  test("index chaos seed=55: serving honors acked erasures mid-race; stats survive concurrent corrections") {
+    val rnd = new scala.util.Random(55)
+    val st = SearchIndex.State(tmpDir("index-chaos") + "/ix")
+
+    // batch 0 (pre-race): both erasers' seed ranges
+    val seeds = (10000L until 10100L).map(i => (i, s"omega common s${i % 5}"))
+      .toDF("doc_id", "text")
+    SearchIndex.fold(spark, st, seeds, 0L, "doc_id", "text")
+
+    val deferredPlan = Seq.fill(3)(
+      Seq.fill(6)(10000L + rnd.nextInt(50)).distinct)
+    val eagerPlan = Seq.fill(2)(
+      Seq.fill(6)(10050L + rnd.nextInt(50)).distinct)
+    val sleeps = Seq.fill(64)(rnd.nextInt(40)).iterator.buffered
+    def jitter(): Unit = Thread.sleep(synchronized {
+      if (sleeps.hasNext) sleeps.next().toLong else 5L })
+
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    // every fold rides its own retry: a concurrent eager erase holds the
+    // manifest CAS for whole-table rewrites, and the fold's per-table
+    // applied-ledger makes the replay fold exactly the missing remainder
+    val appender = () => (1 to AppendBatches).foreach { b =>
+      jitter()
+      retryConflict(20) { SearchIndex.fold(spark, st, appenderDocs(b),
+        b.toLong, "doc_id", "text", maxDeltas = 2) }
+    }
+    val deferredEraser = () => deferredPlan.foreach { ids =>
+      jitter()
+      retryConflict(20) {
+        SearchIndex.eraseLogical(spark, st, ids.toDF("doc_id")).collect()
+      }
+      ids.foreach(acked.add(_))
+    }
+    val eagerEraser = () => eagerPlan.foreach { ids =>
+      jitter()
+      retryConflict(20) {
+        SearchIndex.erase(spark, st, ids.toDF("doc_id"))
+      }
+      ids.foreach(acked.add(_))
+    }
+    val searcher = () => (1 to 6).foreach { _ =>
+      jitter()
+      // snapshot the ack set BEFORE the query: anything acked by then
+      // must be invisible no matter how the query interleaves with
+      // in-flight maintenance
+      val ackedBefore = acked.toArray.map(_.asInstanceOf[Long]).toSet
+      val hits = retryConflict(10) {
+        SearchIndex.conflictIfRetired(spark, st) {
+          SearchIndex.search(spark, st, Seq("omega"))
+            .select("doc_id").as[Long].collect().toSet
+        }
+      }
+      val leaked = hits.intersect(ackedBefore)
+      assert(leaked.isEmpty,
+        s"acked-erased docs served mid-race: ${leaked.toSeq.sorted.take(5)}")
+    }
+
+    val bodies: Seq[() => Unit] =
+      Seq(appender, deferredEraser, eagerEraser, searcher)
+    val pool = Executors.newFixedThreadPool(bodies.size)
+    val start = new CountDownLatch(1)
+    val futures = bodies.map { b =>
+      pool.submit(new java.util.concurrent.Callable[Try[Unit]] {
+        def call(): Try[Unit] = { start.await(); Try(b()) }
+      })
+    }
+    start.countDown()
+    val results = futures.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    results.collect { case Failure(e) => e }.foreach { e =>
+      assert(e.isInstanceOf[CommitConflictException],
+        s"non-typed leak: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    assert(results.forall(_.isSuccess),
+      "a worker exhausted conflict retries — protocol livelock")
+
+    // sequential model
+    val erased = acked.toArray.map(_.asInstanceOf[Long]).toSet
+    val omega = SearchIndex.search(spark, st, Seq("omega"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(omega == (10000L until 10100L).toSet -- erased,
+      s"seed-doc survivors wrong: ${omega.size} vs expected " +
+        s"${100 - erased.size}")
+    val alpha = SearchIndex.search(spark, st, Seq("alpha"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(alpha == (0L until (AppendBatches * 100).toLong).toSet,
+      s"appender docs wrong: got ${alpha.size}, lost folds?")
+
+    // the lost-correction race: stats must equal the surviving corpus
+    val stats = SnapshotStore.read(spark, st.statsPath)
+      .select("n_docs").as[Long].collect()(0)
+    val expectedDocs = AppendBatches * 100L + (100L - erased.size)
+    assert(stats == expectedDocs,
+      s"stats n_docs $stats != surviving corpus $expectedDocs — a " +
+        "concurrent fold merge overwrote an erasure correction (or lost a fold)")
+
+    // quiesced lifecycle close: deferred acks materialize, nothing changes
+    Seq(st.postingsTable, st.docstatsTable, st.positionsTable).foreach { t =>
+      BaseDelta.materializeErasures(spark, t)
+      assert(BaseDelta.pendingTombstones(spark, t).isEmpty,
+        s"ledgers still pending on ${t.path}")
+    }
+    assert(SearchIndex.search(spark, st, Seq("omega"))
+      .select("doc_id").as[Long].collect().toSet == omega,
+      "materialization changed the served view")
+  }
+}
