@@ -320,6 +320,17 @@ object BaseDelta {
       c -> SnapshotStore.read(spark, t.tombstonePath(c))
     }.toMap
 
+  /** The committed manifest version (0 when none) — the PIN for a
+    * read-window CAS: a caller whose WRITE content derives from state
+    * reads (not just from its own input) captures this before reading
+    * and passes it as `pinnedFrom` to [[append]]/[[compact]], so any
+    * concurrent commit between the state read and the write surfaces as
+    * the typed retryable conflict instead of a silently stale-derived
+    * commit (the `ClusterIndex.fold` pairs-vs-erase race).
+    */
+  private[graft] def manifestVersion(spark: SparkSession, t: Table): Long =
+    readManifestVersioned(spark, t).map(_._1).getOrElse(0L)
+
   /** Everything a read of `t` resolves that concurrent maintenance can
     * retire: the committed manifest version plus every tombstone
     * ledger's committed generation. The observation point for
@@ -663,9 +674,15 @@ object BaseDelta {
     * On a manifest table the delta becomes visible only through the
     * manifest update (commit point); a crash in between leaves an
     * invisible delta dir that the replayed batch overwrites.
+    *
+    * `pinnedFrom` (a [[manifestVersion]] captured BEFORE the caller's
+    * state reads) turns the manifest CAS into a read-window CAS: the
+    * commit only lands if no other writer committed since the pin —
+    * required when `incoming` was DERIVED from reads of this table
+    * (or of a sibling table whose writers always touch this one).
     */
   def append(spark: SparkSession, t: Table, incoming: DataFrame, batchId: Long,
-             deltaFiles: Int = 4): Unit = {
+             deltaFiles: Int = 4, pinnedFrom: Option[Long] = None): Unit = {
     // CDC mode: a malformed envelope that lost even its before-image has
     // null keys — drop it rather than store a junk null-key row (same
     // contract as UpsertByKey.byMaxCdc)
@@ -675,6 +692,18 @@ object BaseDelta {
       else incoming
     val deduped = graft.silver.Staging
       .dedupLatestByMax(keyed, t.keys, t.orderCols).coalesce(deltaFiles)
+    // pinned fast-fail BEFORE the delta write: stale-derived content
+    // must not even stage (the writeManifest CAS below is the atomic
+    // backstop for the remaining window)
+    pinnedFrom.foreach { p =>
+      val cur = readManifestVersioned(spark, t).map(_._1).getOrElse(0L)
+      if (cur != p)
+        throw new CommitConflictException(
+          s"BaseDelta.append read-window CAS at ${t.path}: derived from " +
+            s"v$p but the committed version is v$cur — a concurrent " +
+            "writer committed since the caller's state read; re-derive " +
+            "and retry")
+    }
     readManifestVersioned(spark, t) match {
       case Some((_, m0)) if m0.deltas.contains(batchId) =>
         // REPLAY over a manifest-LISTED (reader-visible) delta: a raw
@@ -692,7 +721,12 @@ object BaseDelta {
     readManifestVersioned(spark, t) match {
       case Some((v, m)) =>
         if (!m.deltas.contains(batchId))
-          writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId), v)
+          // with a pin, CAS against the PINNED version: a commit between
+          // the pin and here makes v > pinned and the writeManifest
+          // fresh-listing check fails typed instead of landing stale-
+          // derived content
+          writeManifest(spark, t, m.copy(deltas = m.deltas :+ batchId),
+            pinnedFrom.getOrElse(v))
         else
           // a contender listed this id between our two manifest reads
           // (same-batch replay racing itself): the just-written dir is
@@ -826,13 +860,29 @@ object BaseDelta {
     * A bounded fold with a `transform` still rewrites the base through
     * the transform, but only the folded prefix of deltas — erasure over
     * the full table must use `upTo = None`.
+    *
+    * `pinnedFrom` (a [[manifestVersion]] captured before the CALLER's
+    * own state reads) widens the manifest CAS to cover that read window
+    * — for a `transform` derived from earlier reads (the
+    * `ClusterIndex.erase` relabel set), not just from this compaction's
+    * own snapshot.
     */
   def compact(spark: SparkSession, t: Table,
               allowSchemaEvolution: Boolean = false,
               transform: Option[DataFrame => DataFrame] = None,
-              upTo: Option[Long] = None): Unit = {
+              upTo: Option[Long] = None,
+              pinnedFrom: Option[Long] = None): Unit = {
     val f = fs(spark, t.path)
     val mvOpt = readManifestVersioned(spark, t)
+    pinnedFrom.foreach { p =>
+      val cur = mvOpt.map(_._1).getOrElse(0L)
+      if (cur != p)
+        throw new CommitConflictException(
+          s"BaseDelta.compact read-window CAS at ${t.path}: transform " +
+            s"derived from v$p but the committed version is v$cur — a " +
+            "concurrent writer committed since the caller's state read; " +
+            "re-derive and retry")
+    }
     val mOpt = mvOpt.map(_._2)
     if (mOpt.isEmpty)
       // legacy crash recovery (writer-side): restore a base left dangling
@@ -892,7 +942,9 @@ object BaseDelta {
       .reduceOption(_ max _)
     writeManifest(spark, t,
       Manifest(newGen, kept, folded),
-      mvOpt.map(_._1).getOrElse(0L))  // ← commit point (CAS on read version)
+      // commit point: CAS on the pinned (caller-read-window) version
+      // when given, else on this compaction's own read version
+      pinnedFrom.getOrElse(mvOpt.map(_._1).getOrElse(0L)))
     // a FULL fold has rewritten every live row through the tombstone
     // filter — the OBSERVED ids are materialized and retire (receipt
     // upgrade point); ids committed since the observation stay pending.

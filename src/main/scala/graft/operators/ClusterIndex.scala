@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gold.BaseDelta
+import graft.gold.{BaseDelta, CommitConflictException, MultiSnapshot}
 
 /** Incremental near-dup cluster maintenance — the steady-state form of
   * `Dedup.ngramJaccard` + `Dedup.resolveClusters`: fold each incoming
@@ -76,6 +76,46 @@ object ClusterIndex {
       BaseDelta.Table(s"$root/clusters", Seq("id"), Seq("as_of"), None)
   }
 
+  /** Composite retired-state guard over both state tables — the reader
+    * recipe for serving during concurrent maintenance (an [[erase]]'s
+    * rewrite + writer-safe vacuum, a fold's in-line compaction): a read
+    * failure against files the plan had resolved surfaces as the typed
+    * retryable conflict iff either table's state advanced; otherwise it
+    * propagates as the storage fault it is.
+    */
+  def conflictIfRetired[A](spark: SparkSession, st: State)(body: => A): A =
+    MultiSnapshot.retiredGuard(s"ClusterIndex(${st.root})", () =>
+      BaseDelta.stateFingerprint(spark, st.postingsTable)
+        .map { case (k, v) => s"postings.$k" -> v } ++
+        BaseDelta.stateFingerprint(spark, st.clustersTable)
+          .map { case (k, v) => s"clusters.$k" -> v })(body)
+
+  private def appliedTo(spark: SparkSession, t: BaseDelta.Table,
+                        batchId: Long): Boolean =
+    BaseDelta.deltaBatches(spark, t).contains(batchId) ||
+      BaseDelta.timeTravelFloor(spark, t).exists(_ >= batchId)
+
+  /** Highest applied batch id of a state table (fold floor ∪ live
+    * deltas) — [[erase]]'s batch-consistency gate compares the two
+    * tables' values to detect a mid-flight fold.
+    */
+  private def appliedMax(spark: SparkSession, t: BaseDelta.Table): Long =
+    (BaseDelta.timeTravelFloor(spark, t).toSeq ++
+      BaseDelta.deltaBatches(spark, t)).foldLeft(-1L)(_ max _)
+
+  /** Bounded-read-amp compaction as DEFERRABLE maintenance: a CAS loss
+    * here (a concurrent eraser won the window) just postpones the fold
+    * to the next batch — the append already committed, so failing the
+    * fold over it would only force a pointless replay.
+    */
+  private def maybeCompactDeferred(spark: SparkSession, t: BaseDelta.Table,
+                                   maxDeltas: Int,
+                                   allowSchemaEvolution: Boolean): Unit =
+    if (BaseDelta.deltaBatches(spark, t).size > maxDeltas) {
+      try BaseDelta.compact(spark, t, allowSchemaEvolution)
+      catch { case _: CommitConflictException => () }
+    }
+
   private def tableNonEmpty(spark: SparkSession, t: BaseDelta.Table): Boolean = {
     val (base, deltas) = BaseDelta.resolveSnapshot(spark, t)
     base.isDefined || deltas.nonEmpty
@@ -102,20 +142,37 @@ object ClusterIndex {
            threshold: Double = 0.2, maxStateDf: Int = 0,
            maxDeltas: Int = 16,
            maxBroadcastHashes: Long = 4000000L,
-           allowSchemaEvolution: Boolean = false): Unit = {
-    // exactly-once ledger: a replayed batch id is SKIPPED, not refolded —
-    // its original delta carried remap rows for old-cluster members that
-    // a refold (whose edges now map to already-final labels) could not
-    // regenerate, so overwriting the delta would lose them. The delta id
-    // list plus the compaction fold boundary together record every
-    // applied batch.
-    val applied =
-      BaseDelta.deltaBatches(spark, st.clustersTable).contains(batchId) ||
-        BaseDelta.timeTravelFloor(spark, st.clustersTable).exists(_ >= batchId)
-    if (applied) return
+           allowSchemaEvolution: Boolean = false): Unit =
+      conflictIfRetired(spark, st) {
+    // READ-WINDOW PIN, captured before any state read: the edges/remap
+    // below derive from the postings + clusters state, and every
+    // concurrent writer (an [[erase]], maintenance compaction) commits
+    // to the clusters table — CAS'ing the clusters append against this
+    // pin makes the whole fold serializable against them (a mid-fold
+    // erase forces the typed retryable conflict; the refold recomputes
+    // from the post-erase state)
+    val pin = BaseDelta.manifestVersion(spark, st.clustersTable)
+    // exactly-once ledger, PER TABLE: a replayed batch id is SKIPPED,
+    // not refolded — the clusters delta carried remap rows for
+    // old-cluster members that a refold (whose edges now map to
+    // already-final labels) could not regenerate. The postings delta is
+    // a pure function of the batch, so a crash between the two appends
+    // (clusters committed, postings not) replays as a postings-only
+    // completion instead of silently losing the batch's shingles from
+    // every future cross-pair probe.
+    val clustersApplied = appliedTo(spark, st.clustersTable, batchId)
+    val postingsApplied = appliedTo(spark, st.postingsTable, batchId)
+    if (clustersApplied && postingsApplied) return
     val bp = batchPostings(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (clustersApplied) {
+        // postings-only completion of a crash-interrupted fold
+        BaseDelta.append(spark, st.postingsTable, bp, batchId)
+        maybeCompactDeferred(spark, st.postingsTable, maxDeltas,
+          allowSchemaEvolution)
+        return
+      }
       val hasState = tableNonEmpty(spark, st.postingsTable)
       val within = Dedup.ngramJaccard(batch, idCol, textCol, k, threshold)
         .select(col("id_a"), col("id_b"))
@@ -187,10 +244,15 @@ object ClusterIndex {
         }
       val delta = assign.unionByName(remapped)
         .withColumn("as_of", lit(batchId))
-      BaseDelta.appendAndMaybeCompact(spark, st.clustersTable, delta,
-        batchId, maxDeltas, allowSchemaEvolution)
-      BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, bp,
-        batchId, maxDeltas, allowSchemaEvolution)
+      // clusters FIRST (the ledger table), pinned at the fold's read
+      // window; postings second (regenerable — see the crash note above)
+      BaseDelta.append(spark, st.clustersTable, delta, batchId,
+        pinnedFrom = Some(pin))
+      BaseDelta.append(spark, st.postingsTable, bp, batchId)
+      maybeCompactDeferred(spark, st.clustersTable, maxDeltas,
+        allowSchemaEvolution)
+      maybeCompactDeferred(spark, st.postingsTable, maxDeltas,
+        allowSchemaEvolution)
     } finally bp.unpersist()
   }
 
@@ -228,9 +290,30 @@ object ClusterIndex {
     *
     * Replays of old batch ids cannot resurrect erased docs — [[fold]]'s
     * applied ledger (delta ids + fold floor) survives the compactions.
+    *
+    * Safe under a LIVE stream: the whole erase runs inside the
+    * read-window CAS anchored on the clusters table — a fold committing
+    * mid-erase (or an erase mid-fold) forces the typed retryable
+    * conflict on whichever commits second, and the retry re-derives
+    * from the post-commit state. The entry gate below additionally
+    * waits out a fold caught BETWEEN its two appends (clusters
+    * committed, postings not): re-pairing from a postings view missing
+    * the just-assigned batch would split clusters wrongly. Reclaim is
+    * writer-safe ([[BaseDelta.vacuum]] bounded at the pre-compact
+    * listed deltas), so a concurrent fold's fresh dir is never swept.
     */
   def erase(spark: SparkSession, st: State, docIds: DataFrame,
-            k: Int = 3, threshold: Double = 0.2): Unit = {
+            k: Int = 3, threshold: Double = 0.2): Unit =
+      conflictIfRetired(spark, st) {
+    val pin = BaseDelta.manifestVersion(spark, st.clustersTable)
+    val cMax = appliedMax(spark, st.clustersTable)
+    val pMax = appliedMax(spark, st.postingsTable)
+    if (cMax != pMax)
+      throw new CommitConflictException(
+        s"ClusterIndex.erase at ${st.root}: state tables are mid-fold " +
+          s"(clusters applied through $cMax, postings $pMax) — a " +
+          "concurrent fold is between its two appends; retry after it " +
+          "commits (or complete a crashed fold by replaying the batch)")
     val ids = broadcast(docIds.select(col(docIds.columns.head)
       .as("__erase_id")).distinct())
     val cur = BaseDelta.read(spark, st.clustersTable, allowSchemaEvolution = true)
@@ -244,10 +327,14 @@ object ClusterIndex {
     try {
       members.count()
       // 2. postings shrink first — the pair recompute below must not
-      //    see erased docs' shingles
+      //    see erased docs' shingles. Reclaim bounded at the listed
+      //    deltas (writer-safe: a racing fold's fresh dir survives)
+      val pBound = BaseDelta.deltaBatches(spark, st.postingsTable)
+        .foldLeft(-1L)(_ max _)
       BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
         df.join(ids, col("id") === col("__erase_id"), "left_anti")))
-      BaseDelta.vacuum(spark, st.postingsTable)
+      BaseDelta.vacuum(spark, st.postingsTable,
+        writerSafeUpTo = Some(pBound))
       // 3. surviving members' exact-Jaccard pairs from surviving postings
       val mp = BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true)
         .join(broadcast(members), Seq("id"))
@@ -275,12 +362,19 @@ object ClusterIndex {
           coalesce(col("cluster_id"), col("id")).as("cluster_id"),
           col("as_of"))
         .localCheckpoint(true)
-      // 5. clusters table: erased gone, affected members replaced
+      // 5. clusters table: erased gone, affected members replaced — the
+      //    COMMIT POINT of the whole erase, CAS'd against the clusters
+      //    version observed at entry (the members/relabel sets derive
+      //    from that read; any fold since then must force the retry)
+      val cBound = BaseDelta.deltaBatches(spark, st.clustersTable)
+        .foldLeft(-1L)(_ max _)
       BaseDelta.compact(spark, st.clustersTable, transform = Some(df =>
         df.join(ids, col("id") === col("__erase_id"), "left_anti")
           .join(broadcast(members), Seq("id"), "left_anti")
-          .unionByName(relabeled)))
-      BaseDelta.vacuum(spark, st.clustersTable)
+          .unionByName(relabeled)),
+        pinnedFrom = Some(pin))
+      BaseDelta.vacuum(spark, st.clustersTable,
+        writerSafeUpTo = Some(cBound))
     } finally members.unpersist()
   }
 

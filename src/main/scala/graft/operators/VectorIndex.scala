@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.gold.{BaseDelta, SnapshotStore}
+import graft.gold.{BaseDelta, MultiSnapshot, SnapshotStore}
 import graft.functions.VectorFunctions
 
 /** Incrementally-maintained IVF vector index — the steady-state form of
@@ -35,7 +35,12 @@ import graft.functions.VectorFunctions
   * (q244); partial probes trade recall for cells skipped, spec-bounded.
   *
   * Contract: each id arrives in exactly one batch (upstream dedup gate);
-  * vectors are non-zero (cosine); single writer, any readers.
+  * vectors are non-zero (cosine); single FOLD writer, any readers.
+  * Out-of-band [[erase]]/[[eraseLogical]] may run against a live fold
+  * stream: every commit is CAS-serialized (losers surface the typed
+  * retryable conflict), reclaim is writer-safe, and readers serve
+  * through [[conflictIfRetired]] (pinned by the IndexChaosSpec vector
+  * soak).
   */
 object VectorIndex {
 
@@ -48,6 +53,23 @@ object VectorIndex {
       */
     def codebookPath: String = s"$root/codebook"
   }
+
+  /** Composite retired-state guard over the sub-index's three stores —
+    * the reader recipe for serving ([[topK]]/[[topKAdc]] actions)
+    * during concurrent maintenance: an [[erase]]'s compaction +
+    * writer-safe vacuum or a ledger ack can retire files a running
+    * query had resolved; inside this guard that surfaces as the typed
+    * retryable conflict, while a failure with no concurrent
+    * maintenance still propagates as the storage fault it is.
+    */
+  def conflictIfRetired[A](spark: SparkSession, st: State)(body: => A): A =
+    MultiSnapshot.retiredGuard(s"VectorIndex(${st.root})", () =>
+      BaseDelta.stateFingerprint(spark, st.postingsTable)
+        .map { case (k, v) => s"postings.$k" -> v } ++
+        SnapshotStore.currentGen(spark, st.centroidsPath)
+          .map("centroids" -> _).toMap ++
+        SnapshotStore.currentGen(spark, st.codebookPath)
+          .map("codebook" -> _).toMap)(body)
 
   private def readCodebook(spark: SparkSession, st: State): Array[Long] =
     SnapshotStore.read(spark, st.codebookPath)
@@ -65,7 +87,8 @@ object VectorIndex {
            batchId: Long, idCol: String, vecCol: String, nCells: Int = 16,
            refineIters: Int = 0, maxDeltas: Int = 64,
            pqM: Int = 0, pqK: Int = 16,
-           allowSchemaEvolution: Boolean = false): Unit = {
+           allowSchemaEvolution: Boolean = false): Unit =
+      conflictIfRetired(spark, st) {
     // replay ledger (delta ids + compaction fold floor): a replayed
     // batch id is a SKIP, not an overwrite — after an [[erase]]
     // compaction, an overwrite under an already-folded id would
@@ -194,14 +217,23 @@ object VectorIndex {
     * aggregate statistics, not subject rows (same stance as PCA
     * components / IDF tables; retrain to a new root if policy demands
     * it). Folding continues normally — the postings ledger is
-    * append-overwrite by batch id, which compaction preserves.
+    * append-overwrite by batch id, which compaction preserves. Safe
+    * under a live fold stream: fold appends are state-independent
+    * (frozen quantizer), the compaction CAS serializes the rewrite
+    * against them (a fold landing mid-compact forces the typed
+    * retryable conflict here), and reclaim is writer-safe — vacuum
+    * bounded at the pre-compact listed deltas never sweeps a racing
+    * fold's fresh not-yet-listed dir.
     */
-  def erase(spark: SparkSession, st: State, ids: DataFrame): Unit = {
+  def erase(spark: SparkSession, st: State,
+            ids: DataFrame): Unit = conflictIfRetired(spark, st) {
     val subj = broadcast(ids.select(col(ids.columns.head)
       .as("__erase_id")).distinct())
+    val bound = BaseDelta.deltaBatches(spark, st.postingsTable)
+      .foldLeft(-1L)(_ max _)
     BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
       df.join(subj, col("id") === col("__erase_id"), "left_anti")))
-    BaseDelta.vacuum(spark, st.postingsTable)
+    BaseDelta.vacuum(spark, st.postingsTable, writerSafeUpTo = Some(bound))
     ()
   }
 
@@ -239,8 +271,9 @@ object VectorIndex {
     * pending receipt.
     */
   def eraseLogical(spark: SparkSession, st: State,
-                   ids: DataFrame): DataFrame =
+                   ids: DataFrame): DataFrame = conflictIfRetired(spark, st) {
     BaseDelta.logicalErase(spark, st.postingsTable, "id", ids)
+  }
 
   /** Number of cells in the frozen quantizer (for `nProbe = nCells`
     * exact serving and recall experiments).

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.gold.CommitConflictException
 import graft.operators.{ClusterIndex, SearchIndex, VectorIndex}
 
 /** Streaming maintenance of the three persisted LLM-pipeline indexes —
@@ -12,8 +13,31 @@ import graft.operators.{ClusterIndex, SearchIndex, VectorIndex}
   * `foreachBatch` shells by design: the fold IS the operator, the
   * stream only schedules it (the `scd2LogStream`/`upsertStreamDelta`
   * pattern applied to the index tier).
+  *
+  * Out-of-band erasure (`erase`/`eraseLogical`) against a live stream is
+  * in-contract: a maintenance commit landing inside a fold's read
+  * window surfaces as the typed retryable conflict, which the sink
+  * absorbs with a bounded in-batch retry (the fold's per-table applied
+  * ledgers make each retry exactly the remaining work). A conflict
+  * storm beyond the bound fails the batch and falls back to the
+  * checkpoint-restart replay — the same convergence, paid with a
+  * restart.
   */
 object IndexStreams {
+
+  private def retryConflict[A](attempts: Int)(body: => A): A = {
+    var n = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: CommitConflictException =>
+          n += 1
+          if (n >= attempts) throw e
+      }
+    }
+    out.get
+  }
 
   /** Continuously fold documents (idCol, textCol) into a BM25 + phrase
     * [[SearchIndex]].
@@ -25,8 +49,10 @@ object IndexStreams {
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!b.isEmpty)
-          SearchIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, textCol,
-            maxDeltas)
+          retryConflict(5) {
+            SearchIndex.fold(b.sparkSession, st, b.toDF(), id, idCol,
+              textCol, maxDeltas)
+          }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -43,8 +69,10 @@ object IndexStreams {
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!b.isEmpty)
-          ClusterIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, textCol,
-            k, threshold, maxStateDf, maxDeltas)
+          retryConflict(5) {
+            ClusterIndex.fold(b.sparkSession, st, b.toDF(), id, idCol,
+              textCol, k, threshold, maxStateDf, maxDeltas)
+          }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -61,8 +89,10 @@ object IndexStreams {
                         trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
     embeddings.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        VectorIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, vecCol,
-          nCells, refineIters, maxDeltas, pqM, pqK)
+        retryConflict(5) {
+          VectorIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, vecCol,
+            nCells, refineIters, maxDeltas, pqM, pqK)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -322,4 +322,41 @@ class BaseDeltaSpec extends SparkSpec {
     assert(BaseDelta.read(spark, table).select("id").collect()
       .map(_.getLong(0)).toSet == Set(0L, 1L))
   }
+
+  test("read-window CAS: a commit between the pin and the write forces the typed conflict; a fresh pin commits") {
+    val table = t(tmpDir("bd-pin") + "/t")
+    def batch(id: Long, b: Int) = Seq((id, s"v$b", b)).toDF("id", "v", "ver")
+    BaseDelta.append(spark, table, batch(1L, 0), 0L)
+    // pin, then a contender commits (the ClusterIndex fold-vs-erase
+    // shape: content derived from state read at the pin must not land)
+    val pin = BaseDelta.manifestVersion(spark, table)
+    BaseDelta.append(spark, table, batch(2L, 1), 1L)
+    intercept[graft.gold.CommitConflictException] {
+      BaseDelta.append(spark, table, batch(3L, 2), 2L,
+        pinnedFrom = Some(pin))
+    }
+    intercept[graft.gold.CommitConflictException] {
+      BaseDelta.compact(spark, table, pinnedFrom = Some(pin))
+    }
+    // the conflicted append staged nothing reader-visible
+    assert(BaseDelta.read(spark, table).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // fresh pins: both commit
+    BaseDelta.append(spark, table, batch(3L, 2), 2L,
+      pinnedFrom = Some(BaseDelta.manifestVersion(spark, table)))
+    BaseDelta.compact(spark, table,
+      pinnedFrom = Some(BaseDelta.manifestVersion(spark, table)))
+    assert(BaseDelta.read(spark, table).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // the pre-manifest (virgin-table) pin is version 0 and commits too
+    val t2 = t(tmpDir("bd-pin0") + "/t")
+    val pin0 = BaseDelta.manifestVersion(spark, t2)
+    assert(pin0 == 0L)
+    BaseDelta.append(spark, t2, batch(9L, 0), 0L, pinnedFrom = Some(pin0))
+    assert(BaseDelta.read(spark, t2).count() == 1L)
+    // and a stale virgin pin conflicts once someone else committed
+    intercept[graft.gold.CommitConflictException] {
+      BaseDelta.append(spark, t2, batch(8L, 1), 1L, pinnedFrom = Some(0L))
+    }
+  }
 }

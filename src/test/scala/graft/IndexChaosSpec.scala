@@ -4,7 +4,7 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import scala.util.{Failure, Try}
 import org.apache.spark.sql.functions._
 import graft.gold.{BaseDelta, CommitConflictException, SnapshotStore}
-import graft.operators.SearchIndex
+import graft.operators.{ClusterIndex, Dedup, SearchIndex, VectorIndex}
 
 /** Randomized concurrency soak over the SEARCH-INDEX tier — the chaos
   * discipline applied one level up from BaseDelta: a seeded scheduler
@@ -157,5 +157,189 @@ class IndexChaosSpec extends SparkSpec {
     assert(SearchIndex.search(spark, st, Seq("omega"))
       .select("doc_id").as[Long].collect().toSet == omega,
       "materialization changed the served view")
+  }
+
+  private def runWorkers(bodies: Seq[() => Unit]): Unit = {
+    val pool = Executors.newFixedThreadPool(bodies.size)
+    val start = new CountDownLatch(1)
+    val futures = bodies.map { b =>
+      pool.submit(new java.util.concurrent.Callable[Try[Unit]] {
+        def call(): Try[Unit] = { start.await(); Try(b()) }
+      })
+    }
+    start.countDown()
+    val results = futures.map(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    results.collect { case Failure(e) => e }.foreach { e =>
+      assert(e.isInstanceOf[CommitConflictException],
+        s"non-typed leak: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    assert(results.forall(_.isSuccess),
+      "a worker exhausted conflict retries — protocol livelock")
+  }
+
+  test("cluster chaos seed=66: fold-vs-erase serializes on the clusters read-window CAS; final state equals the sequential recompute") {
+    val rnd = new scala.util.Random(66)
+    val st = ClusterIndex.State(tmpDir("cluster-chaos") + "/cx")
+    // 10 groups of 4 byte-identical docs → ten 4-member clusters
+    def groupText(g: Int) =
+      s"omega group$g lorem ipsum dolor sit amet shared common tokens here"
+    val seeds = (0 until 40).map(i => (10000L + i, groupText(i / 4)))
+    ClusterIndex.fold(spark, st, seeds.toDF("doc_id", "text"), 0L,
+      "doc_id", "text")
+
+    // appender docs: a third JOIN a seed group's cluster (identical
+    // text — the cross-pair whose stale super-node label the read-window
+    // CAS must protect against a concurrent erase); the rest are
+    // singletons with doc-unique trigrams
+    def appendDocs(b: Int) = ((b - 1) * 30 until b * 30).map { i =>
+      if (i % 3 == 0) (i.toLong, groupText(i % 10))
+      else (i.toLong, s"solo w${i}a w${i}b w${i}c w${i}d w${i}e")
+    }.toDF("doc_id", "text")
+
+    val erasePlanA = Seq.fill(2)(
+      Seq.fill(7)(10000L + rnd.nextInt(20)).distinct)
+    val erasePlanB = Seq.fill(2)(
+      Seq.fill(7)(10020L + rnd.nextInt(20)).distinct)
+    val sleeps = Seq.fill(64)(rnd.nextInt(60)).iterator.buffered
+    def jitter(): Unit = Thread.sleep(synchronized {
+      if (sleeps.hasNext) sleeps.next().toLong else 5L })
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    val appender = () => (1 to 4).foreach { b =>
+      jitter()
+      retryConflict(40) { ClusterIndex.fold(spark, st, appendDocs(b),
+        b.toLong, "doc_id", "text", maxDeltas = 2) }
+    }
+    def eraser(plan: Seq[Seq[Long]]) = () => plan.foreach { ids =>
+      jitter()
+      retryConflict(40) {
+        ClusterIndex.erase(spark, st, ids.toDF("doc_id"))
+      }
+      ids.foreach(acked.add(_))
+    }
+    val reader = () => (1 to 6).foreach { _ =>
+      jitter()
+      val ackedBefore = acked.toArray.map(_.asInstanceOf[Long]).toSet
+      val present = retryConflict(20) {
+        ClusterIndex.conflictIfRetired(spark, st) {
+          ClusterIndex.clusters(spark, st)
+            .select("id").as[Long].collect().toSet
+        }
+      }
+      val leaked = present.intersect(ackedBefore)
+      assert(leaked.isEmpty,
+        s"acked-erased docs still clustered mid-race: ${leaked.toSeq.sorted.take(5)}")
+    }
+
+    runWorkers(Seq(appender, eraser(erasePlanA), eraser(erasePlanB), reader))
+
+    // sequential model: the final corpus fully determines the expected
+    // clustering (fold equivalence + erase re-clustering equivalence) —
+    // any interleaving-dependent divergence fails here
+    val erased = acked.toArray.map(_.asInstanceOf[Long]).toSet
+    val surviving = seeds.filterNot { case (id, _) => erased.contains(id) } ++
+      (1 to 4).flatMap(b => ((b - 1) * 30 until b * 30).map { i =>
+        if (i % 3 == 0) (i.toLong, groupText(i % 10))
+        else (i.toLong, s"solo w${i}a w${i}b w${i}c w${i}d w${i}e")
+      })
+    val all = surviving.toDF("doc_id", "text")
+    val comp = Dedup.resolveClusters(
+      Dedup.ngramJaccard(all, "doc_id", "text", k = 3, threshold = 0.2))
+    val expected = all.select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val got = ClusterIndex.clusters(spark, st)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"final clusters diverge from the sequential recompute:\n got=" +
+        got.exceptAll(expected).orderBy("id").collect().take(8).mkString(",") +
+        "\n missing=" +
+        expected.exceptAll(got).orderBy("id").collect().take(8).mkString(","))
+    // erased docs' shingles are physically gone from the postings state
+    val postIds = BaseDelta.read(spark, st.postingsTable,
+        allowSchemaEvolution = true)
+      .select("id").as[Long].distinct().collect().toSet
+    assert(postIds.intersect(erased).isEmpty,
+      "erased docs' postings survived the rewrite")
+  }
+
+  test("vector chaos seed=77: serving honors acked erasures; eager rewrite + writer-safe vacuum under a live fold stream") {
+    val rnd = new scala.util.Random(77)
+    val st = VectorIndex.State(tmpDir("vector-chaos") + "/vx")
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(j => (math.sin(i * 31.0 + j * 7.0) + 1.5).toFloat)
+    val seeds = (10000L until 10100L).map(i => (i, vec(i)))
+    VectorIndex.fold(spark, st, seeds.toDF("vec_id", "embedding"), 0L,
+      "vec_id", "embedding", nCells = 4)
+
+    val eagerPlan = Seq.fill(2)(
+      Seq.fill(8)(10000L + rnd.nextInt(50)).distinct)
+    val deferredPlan = Seq.fill(3)(
+      Seq.fill(8)(10050L + rnd.nextInt(50)).distinct)
+    val sleeps = Seq.fill(64)(rnd.nextInt(40)).iterator.buffered
+    def jitter(): Unit = Thread.sleep(synchronized {
+      if (sleeps.hasNext) sleeps.next().toLong else 5L })
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    val appender = () => (1 to 5).foreach { b =>
+      jitter()
+      retryConflict(30) { VectorIndex.fold(spark, st,
+        ((b - 1) * 100 until b * 100).map(i => (i.toLong, vec(i.toLong)))
+          .toDF("vec_id", "embedding"),
+        b.toLong, "vec_id", "embedding", nCells = 4, maxDeltas = 2) }
+    }
+    val eagerEraser = () => eagerPlan.foreach { ids =>
+      jitter()
+      retryConflict(30) {
+        VectorIndex.erase(spark, st, ids.toDF("vec_id"))
+      }
+      ids.foreach(acked.add(_))
+    }
+    val deferredEraser = () => deferredPlan.foreach { ids =>
+      jitter()
+      retryConflict(30) {
+        VectorIndex.eraseLogical(spark, st, ids.toDF("vec_id")).collect()
+      }
+      ids.foreach(acked.add(_))
+    }
+    val queries = Seq((-1L, vec(10005L)), (-2L, vec(42L)), (-3L, vec(10077L)))
+      .toDF("vec_id", "embedding")
+    val searcher = () => (1 to 6).foreach { _ =>
+      jitter()
+      val ackedBefore = acked.toArray.map(_.asInstanceOf[Long]).toSet
+      val hits = retryConflict(20) {
+        VectorIndex.conflictIfRetired(spark, st) {
+          VectorIndex.topK(spark, st, queries, "vec_id", "embedding",
+            k = 30, nProbe = 4)
+            .select("neighbor_id").as[Long].collect().toSet
+        }
+      }
+      val leaked = hits.intersect(ackedBefore)
+      assert(leaked.isEmpty,
+        s"acked-erased vectors served mid-race: ${leaked.toSeq.sorted.take(5)}")
+    }
+
+    runWorkers(Seq(appender, eagerEraser, deferredEraser, searcher))
+
+    // final state: exactly the surviving corpus (deferred pending ids
+    // already invisible to the merge-on-read view)
+    val erased = acked.toArray.map(_.asInstanceOf[Long]).toSet
+    val expectedIds = (0L until 500L).toSet ++
+      (10000L until 10100L).toSet -- erased
+    val gotIds = BaseDelta.read(spark, st.postingsTable,
+        allowSchemaEvolution = true)
+      .select("id").as[Long].collect().toSet
+    assert(gotIds == expectedIds,
+      s"index ids diverge: extra=${(gotIds -- expectedIds).toSeq.sorted.take(5)}" +
+        s" missing=${(expectedIds -- gotIds).toSeq.sorted.take(5)}")
+    // quiesced lifecycle close: deferred acks materialize, view unchanged
+    BaseDelta.materializeErasures(spark, st.postingsTable)
+    assert(BaseDelta.pendingTombstones(spark, st.postingsTable).isEmpty,
+      "postings ledger still pending after materialization")
+    assert(BaseDelta.read(spark, st.postingsTable,
+        allowSchemaEvolution = true)
+      .select("id").as[Long].collect().toSet == expectedIds,
+      "materialization changed the index contents")
   }
 }
