@@ -25,7 +25,7 @@ import graft.operators.{ClusterIndex, SearchIndex, VectorIndex}
   */
 object IndexStreams {
 
-  private def retryConflict[A](attempts: Int)(body: => A): A = {
+  private[graft] def retryConflict[A](attempts: Int)(body: => A): A = {
     var n = 0
     var out: Option[A] = None
     while (out.isEmpty) {

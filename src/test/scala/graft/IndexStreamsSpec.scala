@@ -65,6 +65,64 @@ class IndexStreamsSpec extends SparkSpec {
       s"streamed clusters diverge:\n${got.collect().mkString("\n")}")
   }
 
+  test("sink conflict retry: re-runs on the typed conflict, rethrows past the bound") {
+    import graft.gold.CommitConflictException
+    var calls = 0
+    val out = IndexStreams.retryConflict(5) {
+      calls += 1
+      if (calls < 3) throw new CommitConflictException("injected")
+      calls
+    }
+    assert(out == 3 && calls == 3)
+    calls = 0
+    intercept[CommitConflictException] {
+      IndexStreams.retryConflict(3) {
+        calls += 1; throw new CommitConflictException("storm")
+      }
+    }
+    assert(calls == 3, "the bound must be exact — beyond it the batch fails over to checkpoint replay")
+    // a non-conflict failure must propagate immediately, never retried
+    calls = 0
+    intercept[IllegalStateException] {
+      IndexStreams.retryConflict(5) {
+        calls += 1; throw new IllegalStateException("storage fault")
+      }
+    }
+    assert(calls == 1)
+  }
+
+  test("erase under a live cluster stream: acked removal invisible to serve, later folds unaffected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val famA = "alpha beta gamma delta epsilon zeta"
+    val famB = "one two three four five six"
+    val st = ClusterIndex.State(tmpDir("cis-live") + "/s")
+    val ms = MemoryStream[(Long, String)]
+    val q = IndexStreams.clusterIndexStream(
+      ms.toDF().toDF("doc_id", "text"), st, tmpDir("cis-live-ckpt"),
+      "doc_id", "text", trigger = Trigger.ProcessingTime(0))
+    ms.addData(Seq((10L, famA), (11L, famA + " extra"), (20L, famB)))
+    q.processAllAvailable()
+    // out-of-band erasure against the RUNNING stream (in-contract)
+    ClusterIndex.erase(spark, st, Seq(11L).toDF("id"))
+    ms.addData(Seq((21L, famB + " tail"), (30L, famA + " more")))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = Seq((10L, famA), (20L, famB), (21L, famB + " tail"),
+      (30L, famA + " more"))
+    val comp = Dedup.resolveClusters(
+      Dedup.ngramJaccard(survivors.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, threshold = 0.2))
+    val expected = survivors.toDF("doc_id", "text")
+      .select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val got = ClusterIndex.clusters(spark, st)
+    assert(got.filter($"id" === 11L).isEmpty, "erased doc resurfaced")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"post-erase streamed clusters diverge:\n${got.collect().mkString("\n")}")
+  }
+
   test("vector index stream: full-probe serve equals brute force; empty trigger harmless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
