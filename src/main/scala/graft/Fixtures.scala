@@ -169,4 +169,41 @@ object Fixtures {
   def search3Copy(s: SparkSession, d: String): operators.SearchIndex.State =
     operators.SearchIndex.State(
       mutableCopy(s, d, "search3")(base => buildSearch(s, d, s"$base/s")) + "/s")
+
+  // ── vector index family — q244's exact recipe ──────────────────────
+
+  private def buildVector(s: SparkSession, d: String, root: String): Unit = {
+    val st = operators.VectorIndex.State(root)
+    val emb = Tables.embeddings(s, d)
+    Seq(emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)).zipWithIndex.foreach {
+      case (b, i) => operators.VectorIndex.fold(s, st, b, i.toLong,
+        "vec_id", "embedding", nCells = 8)
+    }
+  }
+
+  /** Three-batch IVF vector index (postings/centroids; q244's build —
+    * which stays the timed build-path query).
+    */
+  def vector3(s: SparkSession, d: String): operators.VectorIndex.State =
+    operators.VectorIndex.State(
+      cached(s, d, "vector3")(base => buildVector(s, d, s"$base/s")) + "/s")
+
+  // ── cluster index family — q190's exact recipe ─────────────────────
+
+  private def buildCluster(s: SparkSession, d: String, root: String): Unit = {
+    val st = operators.ClusterIndex.State(root)
+    val docs = Tables.documents(s, d)
+    (0 to 2).foreach(i => operators.ClusterIndex.fold(s, st,
+      docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+      "doc_id", "text"))
+  }
+
+  /** Three-batch near-dup cluster index (q190's build — which stays the
+    * timed build-path query).
+    */
+  def cluster3(s: SparkSession, d: String): operators.ClusterIndex.State =
+    operators.ClusterIndex.State(
+      cached(s, d, "cluster3")(base => buildCluster(s, d, s"$base/s")) + "/s")
 }

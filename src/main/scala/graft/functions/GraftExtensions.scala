@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * and the flagship whole-table operators as TABLE-VALUED functions
   * (see [[GraftExtensions.tableBuilders]]): scd2_from_changelog,
-  * dedup_latest, upsert_by_key, minhash_lsh, fk_orphans.
+  * dedup_latest, upsert_by_key, minhash_lsh, fk_orphans — plus the
+  * persisted index tier's serve paths: search_bm25, phrase_search,
+  * vector_topk, cluster_assignments.
   *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or config `spark.sql.extensions=graft.functions.GraftExtensions`;
@@ -160,6 +162,48 @@ object GraftExtensions {
         strArg(es(1), "childKey"),
         table(strArg(es(2), "parent")),
         strArg(es(3), "parentKey"))
+        .queryExecution.logical),
+
+    // ── index-tier serving: the PERSISTED indexes from pure SQL. The
+    //    first argument is the index root (a path literal — index state
+    //    lives under a storage root, not the session catalog); the TVF
+    //    expands to the identical serve plan the Scala API builds, so
+    //    document text / raw vectors are never read at query time.
+    //
+    //   SELECT * FROM search_bm25('/idx/s', 'data,bank,risk')
+    //   SELECT * FROM phrase_search('/idx/s', 'exact phrase words')
+    //   SELECT * FROM vector_topk('/idx/v', 'queries_v', 'vec_id', 'embedding', 5, 0)
+    //   SELECT * FROM cluster_assignments('/idx/c')
+    "search_bm25" -> (es =>
+      graft.operators.SearchIndex.search(
+        org.apache.spark.sql.SparkSession.active,
+        graft.operators.SearchIndex.State(strArg(es(0), "indexRoot")),
+        csv(strArg(es(1), "terms")))
+        .queryExecution.logical),
+    "phrase_search" -> (es =>
+      graft.operators.SearchIndex.phraseSearch(
+        org.apache.spark.sql.SparkSession.active,
+        graft.operators.SearchIndex.State(strArg(es(0), "indexRoot")),
+        strArg(es(1), "phrase").trim.split("\\s+").toSeq.filter(_.nonEmpty))
+        .queryExecution.logical),
+    // nProbe ≤ 0 means FULL probe (exact over the index — brute-force
+    // equivalent); a SQL user has no Scala-side nCells() to call
+    "vector_topk" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val st = graft.operators.VectorIndex.State(strArg(es(0), "indexRoot"))
+      val nProbeArg = numArg(es(5), "nProbe").toInt
+      val nProbe = if (nProbeArg <= 0)
+        graft.operators.VectorIndex.nCells(spark, st) else nProbeArg
+      graft.operators.VectorIndex.topK(spark, st,
+        table(strArg(es(1), "queries")),
+        strArg(es(2), "idCol"), strArg(es(3), "vecCol"),
+        k = numArg(es(4), "k").toInt, nProbe = nProbe)
+        .queryExecution.logical
+    }),
+    "cluster_assignments" -> (es =>
+      graft.operators.ClusterIndex.clusters(
+        org.apache.spark.sql.SparkSession.active,
+        graft.operators.ClusterIndex.State(strArg(es(0), "indexRoot")))
         .queryExecution.logical))
 
   /** Register into an already-built session (tests, spark-shell). */

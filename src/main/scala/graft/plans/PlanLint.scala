@@ -152,6 +152,11 @@ object PlanLint {
     // round 9: deferred-erasure search shares q202/q246's class-1 hit —
     // the 1-row corpus-stats broadcast cross
     "q251_deferred_erasure" -> Map("broadcast_nested_loop" -> 1L),
+    // round 10: the TVF serve surfaces expand to the IDENTICAL plans as
+    // their Scala forms — q259 carries q202's 1-row corpus-stats cross,
+    // q261 carries q244's nCells-row centroid broadcast cross
+    "q259_sql_tvf_search" -> Map("broadcast_nested_loop" -> 1L),
+    "q261_sql_tvf_vector" -> Map("broadcast_nested_loop" -> 1L),
     "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 2L),
     "q53_group_minhash" -> Map("broadcast_nested_loop" -> 1L),
     "q56_tfidf" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),

@@ -75,4 +75,47 @@ class TableFunctionSpec extends SparkSpec {
         |""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("index-tier serving TVFs ≡ their Scala serve forms") {
+    import graft.operators.{ClusterIndex, SearchIndex, VectorIndex}
+    GraftExtensions.register(spark)
+    // search + phrase over one small folded index
+    val docs = Seq((1L, "bank account risk risk"), (2L, "data lake account"),
+      (3L, "risk risk model"), (4L, "other words entirely")).toDF("doc_id", "text")
+    val sst = SearchIndex.State(tmpDir("tvf-si") + "/s")
+    SearchIndex.fold(spark, sst, docs, 0L, "doc_id", "text")
+    val bm25Sql = spark.sql(
+      s"SELECT * FROM search_bm25('${sst.root}', 'account,risk')").collect().toSet
+    val bm25Api = SearchIndex.search(spark, sst, Seq("account", "risk"))
+      .collect().toSet
+    assert(bm25Sql == bm25Api && bm25Sql.nonEmpty)
+    val phraseSql = spark.sql(
+      s"SELECT * FROM phrase_search('${sst.root}', 'risk risk')").collect().toSet
+    val phraseApi = SearchIndex.phraseSearch(spark, sst, Seq("risk", "risk"))
+      .collect().toSet
+    assert(phraseSql == phraseApi && phraseSql.nonEmpty)
+    // vector top-k: nProbe ≤ 0 expands to the full probe (nCells)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vst = VectorIndex.State(tmpDir("tvf-vi") + "/s")
+    VectorIndex.fold(spark, vst, emb, 0L, "vec_id", "embedding", nCells = 4)
+    emb.filter($"vec_id" < 5).createOrReplaceTempView("tvf_vq")
+    val vSql = spark.sql(
+      s"""SELECT * FROM vector_topk('${vst.root}', 'tvf_vq',
+         |'vec_id', 'embedding', 3, 0)""".stripMargin).collect().toSet
+    val vApi = VectorIndex.topK(spark, vst, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3,
+      nProbe = VectorIndex.nCells(spark, vst)).collect().toSet
+    assert(vSql == vApi && vSql.nonEmpty)
+    // cluster assignments
+    val cst = ClusterIndex.State(tmpDir("tvf-ci") + "/s")
+    ClusterIndex.fold(spark, cst,
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "unrelated text right here")).toDF("doc_id", "text"),
+      0L, "doc_id", "text")
+    val cSql = spark.sql(
+      s"SELECT * FROM cluster_assignments('${cst.root}')").collect().toSet
+    val cApi = ClusterIndex.clusters(spark, cst).collect().toSet
+    assert(cSql == cApi && cSql.size == 3)
+  }
 }
