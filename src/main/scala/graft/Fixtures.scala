@@ -190,6 +190,11 @@ object Fixtures {
     operators.VectorIndex.State(
       cached(s, d, "vector3")(base => buildVector(s, d, s"$base/s")) + "/s")
 
+  /** Private copy of [[vector3]] for mutating queries (erasure). */
+  def vector3Copy(s: SparkSession, d: String): operators.VectorIndex.State =
+    operators.VectorIndex.State(
+      mutableCopy(s, d, "vector3")(base => buildVector(s, d, s"$base/s")) + "/s")
+
   // ── cluster index family — q190's exact recipe ─────────────────────
 
   private def buildCluster(s: SparkSession, d: String, root: String): Unit = {
@@ -206,4 +211,9 @@ object Fixtures {
   def cluster3(s: SparkSession, d: String): operators.ClusterIndex.State =
     operators.ClusterIndex.State(
       cached(s, d, "cluster3")(base => buildCluster(s, d, s"$base/s")) + "/s")
+
+  /** Private copy of [[cluster3]] for mutating queries (erasure). */
+  def cluster3Copy(s: SparkSession, d: String): operators.ClusterIndex.State =
+    operators.ClusterIndex.State(
+      mutableCopy(s, d, "cluster3")(base => buildCluster(s, d, s"$base/s")) + "/s")
 }

@@ -7646,6 +7646,81 @@ object Queries {
           UNION
           SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
         SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM cc GROUP BY id""")),
+
+    // ── one deletion request, every derived artifact
+    //    (ErasureSweep.eraseDerived): the subject set sweeps the given
+    //    indexes in one call; the combined receipt audits what each
+    //    artifact held. Deferred mode is the production ack path
+    //    (tombstone flips; serving immediately excludes the subjects);
+    //    the cluster tier — whose erase is structural (bridge-split) and
+    //    timed separately in q264 — is covered by ErasureSpec's 3-tier
+    //    sweep. Oracle: the per-artifact subject-row counts ──
+    Q("q263_erase_sweep",
+      (s, d) => {
+        val sst = Fixtures.search3Copy(s, d)
+        val vst = Fixtures.vector3Copy(s, d)
+        val subjects = Tables.documents(s, d).select(col("doc_id").as("id"))
+          .unionByName(Tables.embeddings(s, d).select(col("vec_id").as("id")))
+          .filter(pmod(col("id"), lit(7)) === 2).distinct()
+        graft.operators.ErasureSweep.eraseDerived(s, subjects,
+          search = Seq(sst), vector = Seq(vst), deferred = true)
+          .select(col("artifact"), col("mode"), col("status"),
+            col("n_subject_rows"))
+      },
+      Some("""
+        SELECT 'search_index' AS artifact, 'deferred' AS mode,
+               'pending' AS status,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 7 = 2) AS n_subject_rows
+        UNION ALL
+        SELECT 'vector_index', 'deferred', 'pending',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 7 = 2)""")),
+
+    // ── right-to-erasure over the CLUSTER index (ClusterIndex.erase):
+    //    structural, not a row filter — removing a doc that BRIDGED two
+    //    families must SPLIT the merged cluster, so the erase re-pairs
+    //    the affected clusters' survivors from the (filtered) shingle
+    //    postings. Oracle: q190's from-scratch connected components over
+    //    the SURVIVING corpus only — post-erase state must equal an
+    //    index that never saw the subjects ──
+    Q("q264_cluster_erase",
+      (s, d) => {
+        val st = Fixtures.cluster3Copy(s, d)
+        val subjects = Tables.documents(s, d).select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(7)) === 2)
+        operators.ClusterIndex.erase(s, st, subjects)
+        operators.ClusterIndex.clustersNonSingleton(s, st)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM surv),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
+        SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM cc GROUP BY id"""))
   )
 

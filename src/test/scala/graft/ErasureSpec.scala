@@ -207,4 +207,81 @@ class ErasureSpec extends SparkSpec {
     assert(BaseDelta.readAt(spark, dt, ptr).select("txn_id").collect()
       .map(_.getLong(0)).toSet == Set(100L, 102L))
   }
+
+  test("eraseDerived: one subject set sweeps all three index tiers; idempotent re-invoke") {
+    import graft.operators.{ClusterIndex, ErasureSweep, SearchIndex, VectorIndex}
+    val famA = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, famA), (2L, famA + " extra"), (3L, "bank account risk"),
+      (4L, "data lake account"), (5L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" <= 40)
+    def freshStates() = {
+      val sst = SearchIndex.State(tmpDir("sw-s") + "/s")
+      val vst = VectorIndex.State(tmpDir("sw-v") + "/s")
+      val cst = ClusterIndex.State(tmpDir("sw-c") + "/s")
+      SearchIndex.fold(spark, sst, docs, 0L, "doc_id", "text")
+      VectorIndex.fold(spark, vst, emb, 0L, "vec_id", "embedding", nCells = 4)
+      ClusterIndex.fold(spark, cst, docs, 0L, "doc_id", "text")
+      (sst, vst, cst)
+    }
+    val subjects = Seq(1L, 3L, 999L).toDF("id") // 999: absent everywhere
+
+    // EAGER sweep ≡ the three per-tier erases run by hand
+    val (s1, v1, c1) = freshStates()
+    val receipt = ErasureSweep.eraseDerived(spark, subjects,
+      Seq(s1), Seq(v1), Seq(c1))
+      .select("artifact", "mode", "status", "n_subject_rows")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(receipt == Set(
+      ("search_index", "eager", "erased", 2L),
+      ("vector_index", "eager", "erased", 2L),
+      ("cluster_index", "eager_structural", "erased", 2L)))
+    val (s2, v2, c2) = freshStates()
+    SearchIndex.erase(spark, s2, subjects)
+    VectorIndex.erase(spark, v2, subjects)
+    ClusterIndex.erase(spark, c2, subjects)
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(SearchIndex.search(spark, s1, Seq("account", "alpha")),
+      SearchIndex.search(spark, s2, Seq("account", "alpha"))))
+    val probes = emb.filter($"vec_id" > 30)
+    assert(same(
+      VectorIndex.topK(spark, v1, probes, "vec_id", "embedding", 3,
+        nProbe = VectorIndex.nCells(spark, v1)),
+      VectorIndex.topK(spark, v2, probes, "vec_id", "embedding", 3,
+        nProbe = VectorIndex.nCells(spark, v2))))
+    assert(same(ClusterIndex.clusters(spark, c1),
+      ClusterIndex.clusters(spark, c2)))
+    assert(ClusterIndex.clusters(spark, c1).filter($"id".isin(1L, 3L)).isEmpty)
+
+    // crash-repair: the SAME sweep re-invoked converges (completed
+    // tiers no-op, receipts now report zero subject rows)
+    val receipt2 = ErasureSweep.eraseDerived(spark, subjects,
+      Seq(s1), Seq(v1), Seq(c1)).select("n_subject_rows")
+      .collect().map(_.getLong(0)).toSet
+    assert(receipt2 == Set(0L))
+    assert(same(SearchIndex.search(spark, s1, Seq("account", "alpha")),
+      SearchIndex.search(spark, s2, Seq("account", "alpha"))))
+
+    // DEFERRED sweep: immediate ack, serving excludes the subjects NOW,
+    // cluster tier erases eagerly (the documented structural exception)
+    val (s3, v3, c3) = freshStates()
+    val dReceipt = ErasureSweep.eraseDerived(spark, subjects,
+      Seq(s3), Seq(v3), Seq(c3), deferred = true)
+      .select("artifact", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dReceipt == Set(("search_index", "pending"),
+      ("vector_index", "pending"), ("cluster_index", "erased")))
+    assert(same(SearchIndex.search(spark, s3, Seq("account", "alpha")),
+      SearchIndex.search(spark, s2, Seq("account", "alpha"))))
+    assert(same(
+      VectorIndex.topK(spark, v3, probes, "vec_id", "embedding", 3,
+        nProbe = VectorIndex.nCells(spark, v3)),
+      VectorIndex.topK(spark, v2, probes, "vec_id", "embedding", 3,
+        nProbe = VectorIndex.nCells(spark, v2))))
+    assert(same(ClusterIndex.clusters(spark, c3),
+      ClusterIndex.clusters(spark, c2)))
+  }
 }
