@@ -46,6 +46,7 @@ object ErasureSweep {
                    search: Seq[SearchIndex.State] = Nil,
                    vector: Seq[VectorIndex.State] = Nil,
                    cluster: Seq[ClusterIndex.State] = Nil,
+                   managedVector: Seq[VectorIndex.Managed] = Nil,
                    deferred: Boolean = false): DataFrame = {
     val subj = broadcast(subjects.select(col(subjects.columns.head)
       .as("__subject")).distinct())
@@ -82,6 +83,20 @@ object ErasureSweep {
       val n = found(ClusterIndex.clusters(spark, st), "id")
       ClusterIndex.erase(spark, st, subj)
       rows += (("cluster_index", st.root, "eager_structural", "erased", n))
+    }
+    // managed (refresh-capable) vector indexes: the active generation
+    // erases like a plain vector index, and RETIRED quantizer
+    // generations' bytes are destroyed in both modes (see
+    // [[VectorIndex.eraseManaged]]) — a deferred ack that left the
+    // subject readable in a retired sub-index would not be erasure
+    managedVector.foreach { m =>
+      val act = VectorIndex.active(spark, m)
+      val n = found(BaseDelta.read(spark, act.postingsTable,
+        allowSchemaEvolution = true), "id")
+      VectorIndex.eraseManaged(spark, m, subj, deferred)
+      val (mode, status) =
+        if (deferred) ("deferred", "pending") else ("eager", "erased")
+      rows += (("vector_index_managed", m.root, mode, status, n))
     }
 
     spark.createDataFrame(rows.toSeq)

@@ -422,4 +422,61 @@ object VectorIndex {
     deleted ++= SnapshotStore.vacuum(spark, m.activePath)
     deleted.toSeq
   }
+
+  /** The MANAGED reader recipe: [[conflictIfRetired]] over the active
+    * sub-index PLUS the generation pointer — an [[eraseManaged]] (which
+    * destroys retired sub-indexes the moment it acks) or a
+    * [[refreshQuantizer]] swap mid-read surfaces as the typed retryable
+    * conflict (re-resolve `active` and retry), never a raw read
+    * failure or a silent cross-generation mix.
+    */
+  def conflictIfRetiredManaged[A](spark: SparkSession, m: Managed)
+                                 (body: => A): A =
+    MultiSnapshot.retiredGuard(s"VectorIndex.Managed(${m.root})", () => {
+      val g = activeQgen(spark, m)
+      val st = m.subState(g)
+      Map("qgen" -> g) ++
+        BaseDelta.stateFingerprint(spark, st.postingsTable)
+          .map { case (k, v) => s"postings.$k" -> v } ++
+        SnapshotStore.currentGen(spark, st.centroidsPath)
+          .map("centroids" -> _).toMap ++
+        SnapshotStore.currentGen(spark, st.codebookPath)
+          .map("codebook" -> _).toMap
+    })(body)
+
+  /** Right-to-erasure over a MANAGED index. Erasing only the ACTIVE
+    * sub-index is not erasure: retired quantizer generations — kept on
+    * disk for in-flight readers after a [[refreshQuantizer]] swap —
+    * still hold the subject's vectors in their postings bytes. This
+    * erases the active generation (eager rewrite, or deferred tombstone
+    * ack with `deferred = true`) and destroys every RETIRED sub-index
+    * NOW, in both modes — the erasure contract (erased bytes must not
+    * outlive the ack; the same rule the coordinated erasure applies to
+    * retired snapshot generations), and retired generations have no
+    * tombstone mechanism or serving path, so deletion IS the cheap op.
+    * A reader pinned to a destroyed generation surfaces the typed
+    * retryable conflict through [[conflictIfRetiredManaged]] (or the
+    * sub-state [[conflictIfRetired]], whose fingerprint loses its
+    * manifest key when the dir goes). Returns the destroyed sub-index
+    * paths — the receipt line documenting where pre-erasure bytes
+    * lived.
+    */
+  def eraseManaged(spark: SparkSession, m: Managed, ids: DataFrame,
+                   deferred: Boolean = false): Seq[String] = {
+    val keep = activeQgen(spark, m)
+    val act = m.subState(keep)
+    if (deferred) { eraseLogical(spark, act, ids); () }
+    else erase(spark, act, ids)
+    val f = new org.apache.hadoop.fs.Path(m.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(m.root)
+    val destroyed = scala.collection.mutable.ArrayBuffer[String]()
+    if (f.exists(root)) f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("q") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong != keep && f.delete(st.getPath, true))
+        destroyed += st.getPath.toString
+    }
+    destroyed.toSeq
+  }
 }

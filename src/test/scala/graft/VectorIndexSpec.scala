@@ -297,6 +297,66 @@ class VectorIndexSpec extends SparkSpec {
       "previous generation must survive one cycle for in-flight readers")
   }
 
+  test("managed erasure: retired generations' bytes destroyed, active serving excludes subjects, pinned reader conflicts typed") {
+    val (batchA, batchB) = syntheticDrift
+    val corpus = batchA.unionByName(batchB)
+    def build(): VectorIndex.Managed = {
+      val m = VectorIndex.Managed(tmpDir("vidx-erase-mgd"))
+      VectorIndex.fold(spark, VectorIndex.active(spark, m), batchA, 0L,
+        "vec_id", "embedding", nCells = 4)
+      VectorIndex.fold(spark, VectorIndex.active(spark, m), batchB, 1L,
+        "vec_id", "embedding", nCells = 4)
+      VectorIndex.refreshQuantizer(spark, m, nCells = 6)
+      m // gen-2 active; gen-1 sub-index still ON DISK (in-flight readers)
+    }
+    val fs = (p: String) => new org.apache.hadoop.fs.Path(p)
+    val hfs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val m = build()
+    val gen1 = VectorIndex.active(spark, m) // pinned BEFORE the erase? no — gen-2
+    val retired = m.subState(1L)
+    assert(hfs.exists(fs(retired.root)),
+      "fixture broken: retired gen-1 should still be on disk pre-erase")
+    val subjects = corpus.filter($"vec_id" % 5 === 0).select("vec_id")
+    val destroyed = VectorIndex.eraseManaged(spark, m, subjects)
+    // retired bytes gone NOW, not at the next refresh cycle
+    assert(destroyed.exists(_.endsWith("q1")) && !hfs.exists(fs(retired.root)),
+      s"retired generation survived the erasure: $destroyed")
+    // active serving equals an index that never saw the subjects
+    val survivors = corpus.filter($"vec_id" % 5 =!= 0)
+    val got = VectorIndex.topK(spark, VectorIndex.active(spark, m),
+      survivors.filter($"vec_id" < 20), "vec_id", "embedding", k = 3,
+      nProbe = VectorIndex.nCells(spark, gen1))
+    val expect = Similarity.bruteForceTopK(survivors.filter($"vec_id" < 20),
+      survivors, "vec_id", "embedding", k = 3)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "post-erase managed serving diverges from never-ingested brute force")
+    // a reader pinned to the DESTROYED generation: typed conflict, not
+    // a raw read failure (the sub-state fingerprint lost its manifest)
+    val m2 = build()
+    val pinned = m2.subState(1L)
+    val plan = VectorIndex.topK(spark, pinned,
+      corpus.filter($"vec_id" < 5), "vec_id", "embedding", k = 3, nProbe = 4)
+    intercept[graft.gold.CommitConflictException] {
+      VectorIndex.conflictIfRetired(spark, pinned) {
+        // the erase lands INSIDE the reader's guarded window — the
+        // deterministic form of "maintenance destroyed my resolved files
+        // mid-read": fingerprint observed with gen-1 present, re-checked
+        // without it
+        VectorIndex.eraseManaged(spark, m2, subjects, deferred = true)
+        plan.collect()
+      }
+    }
+    // deferred mode on the ACTIVE generation: ack invisible immediately
+    val gotD = VectorIndex.topK(spark, VectorIndex.active(spark, m2),
+      survivors.filter($"vec_id" < 20), "vec_id", "embedding", k = 3,
+      nProbe = VectorIndex.nCells(spark, VectorIndex.active(spark, m2)))
+    assert(gotD.join(subjects.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_semi").isEmpty,
+      "deferred managed erasure still serves a subject as neighbor")
+  }
+
   test("k-means|| election: recall recovery >= the k-center baseline on the drift fixture, deterministic") {
     val (batchA, batchB) = syntheticDrift
     val corpus = batchA.unionByName(batchB)
