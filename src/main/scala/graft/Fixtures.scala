@@ -58,19 +58,46 @@ object Fixtures {
   }
 
   /** A private mutable COPY of the cached fixture — for queries that
-    * erase/poison/rewrite state. Cheap local file copy vs a full
-    * re-fold; each call gets its own copy.
+    * erase/poison/rewrite state. Each call gets its own copy, built as
+    * a HARDLINK FARM (directories recreated, files linked): every
+    * mutation in this engine is immutable-file-shaped — new generation
+    * dirs, tmp + rename to fresh names, unlinks — never an in-place
+    * write to an existing file, so two links to one inode can never
+    * observe each other's mutations. Metadata-only vs a byte copy
+    * (FixturesSpec pins the isolation: mutating a copy leaves the
+    * shared fixture byte-identical). Falls back to a byte copy if the
+    * link fails (non-POSIX or cross-device tmp).
     */
   def mutableCopy(spark: SparkSession, sfDir: String, family: String)
                  (build: String => Unit): String = {
     val src = cached(spark, sfDir, family)(build)
     val dst = java.nio.file.Files.createTempDirectory(s"graft-fx-$family")
       .toString + "/m"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(src).getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs, new Path(dst),
-      false, conf)
+    try linkFarm(new java.io.File(src), new java.io.File(dst))
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new Path(src).getFileSystem(conf)
+        val d = new java.io.File(dst)
+        if (d.exists()) {
+          fs.delete(new Path(dst), true); ()
+        }
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(src), fs,
+          new Path(dst), false, conf)
+        ()
+    }
     dst
+  }
+
+  private def linkFarm(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      if (!dst.exists() && !dst.mkdirs())
+        throw new java.io.IOException(s"mkdir failed: $dst")
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(c => linkFarm(c, new java.io.File(dst, c.getName)))
+    } else
+      java.nio.file.Files.createLink(dst.toPath, src.toPath)
+    ()
   }
 
   // ── coordinator (MultiTableStream) family — q242's exact recipe ────
