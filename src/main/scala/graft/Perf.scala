@@ -1204,6 +1204,53 @@ object Perf {
         }
       }
     }
+    if (what == "sweep-r10") {
+      // cross-artifact erasure sweep at scale (ErasureSweep.eraseDerived):
+      // the number that matters is the DEFERRED ACK — it must be
+      // corpus-size-independent for the ledger tiers (pointer flips +
+      // O(docstats) stats re-agg) while the cluster tier's eager
+      // re-pair tracks its state size (the documented structural
+      // exception, reported separately). 1k-subject batched request,
+      // the same amortization pattern as gov-r8.
+      import java.nio.file.Files
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "1000000").toLong
+      val sdocs = syntheticDocs(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sdocs.count()
+      val sst = operators.SearchIndex.State(
+        Files.createTempDirectory("sw-si").toString + "/s")
+      time(s"sweep-build-search-$n")(
+        { operators.SearchIndex.fold(spark, sst, sdocs, 0L, "id", "text"); 1L })
+      val m = operators.VectorIndex.Managed(
+        Files.createTempDirectory("sw-vi").toString + "/v")
+      val nv = n / 5
+      time(s"sweep-build-vector-managed-$nv") {
+        operators.VectorIndex.fold(spark,
+          operators.VectorIndex.active(spark, m), syntheticVecs(nv), 0L,
+          "id", "vec", nCells = 64)
+        // a refresh so a RETIRED generation exists — eraseManaged must
+        // destroy its bytes inside the ack
+        operators.VectorIndex.refreshQuantizer(spark, m, nCells = 64); 1L
+      }
+      val cst = operators.ClusterIndex.State(
+        Files.createTempDirectory("sw-ci").toString + "/c")
+      val nc = n / 5
+      time(s"sweep-build-cluster-$nc")(
+        { operators.ClusterIndex.fold(spark, cst,
+            sdocs.filter(col("id") < nc), 0L, "id", "text",
+            threshold = 0.9, maxStateDf = 1000); 1L })
+      val subjects = spark.range(1000L).select((col("id") * 9973L % (n / 5)).as("id"))
+      time(s"sweep-deferred-ack-1k-of-$n")(
+        { operators.ErasureSweep.eraseDerived(spark, subjects,
+            search = Seq(sst), cluster = Seq(cst), managedVector = Seq(m),
+            deferred = true).count() })
+      time("sweep-serve-post-search")(operators.SearchIndex.search(spark, sst,
+        Seq("alpha", "beta")).count())
+      time("sweep-serve-post-vector")(operators.VectorIndex.topK(spark,
+        operators.VectorIndex.active(spark, m),
+        syntheticVecs(10), "id", "vec", k = 5, nProbe = 4).count())
+      sdocs.unpersist()
+    }
     spark.stop()
   }
 }
