@@ -7721,6 +7721,50 @@ object Queries {
           UNION
           SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
         SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM cc GROUP BY id""")),
+
+    // ── DEFERRED cluster erasure (ClusterIndex.eraseLogical): the
+    //    structural re-pair + small clusters-table rewrite run eagerly,
+    //    the EXPENSIVE shingle-postings rewrite rides a tombstone
+    //    ledger — serving is exact the moment the ack returns, proven
+    //    by sharing q264's from-scratch-over-survivors oracle while the
+    //    postings ledger is still pending ──
+    Q("q265_cluster_erase_deferred",
+      (s, d) => {
+        val st = Fixtures.cluster3Copy(s, d)
+        val subjects = Tables.documents(s, d).select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(7)) === 2)
+        operators.ClusterIndex.eraseLogical(s, st, subjects)
+        operators.ClusterIndex.clustersNonSingleton(s, st)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+        t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\s+')[i],
+                string_split_regex(lower(trim(text)), '\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\s+')[i+2]))) AS sh
+          FROM surv),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+          HAVING CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.2),
+        edges AS (SELECT id_a AS id, id_b AS peer FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        cc(id, lbl) AS (
+          SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM edges)
+          UNION
+          SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
+        SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM cc GROUP BY id"""))
   )
 

@@ -303,7 +303,30 @@ object ClusterIndex {
     * listed deltas), so a concurrent fold's fresh dir is never swept.
     */
   def erase(spark: SparkSession, st: State, docIds: DataFrame,
-            k: Int = 3, threshold: Double = 0.2): Unit =
+            k: Int = 3, threshold: Double = 0.2): Unit = {
+    eraseImpl(spark, st, docIds, threshold, defer = false); ()
+  }
+
+  /** DEFERRED right-to-erasure: the immediate-ack form of [[erase]].
+    * The STRUCTURAL work cannot defer — removing a doc that bridged two
+    * families must SPLIT the merged cluster, so the re-pair and the
+    * (small, one-row-per-doc) clusters-table rewrite run eagerly and
+    * serving is exact the moment this returns. What defers is the
+    * EXPENSIVE part: the shingle-postings rewrite (O(corpus × shingles)
+    * bytes) rides a tombstone ledger — the re-pair reads the filtered
+    * view through the ledger anti-join, and the physical rewrite lands
+    * at the next compaction (or `BaseDelta.materializeErasures` on the
+    * postings table at a scheduled slot; `pendingTombstones` empty is
+    * the receipt-upgrade signal). Returns the doc-level pending receipt
+    * (id, n_rows_erased, status).
+    */
+  def eraseLogical(spark: SparkSession, st: State, docIds: DataFrame,
+                   k: Int = 3, threshold: Double = 0.2): DataFrame =
+    eraseImpl(spark, st, docIds, threshold, defer = true).get
+
+  private def eraseImpl(spark: SparkSession, st: State, docIds: DataFrame,
+                        threshold: Double,
+                        defer: Boolean): Option[DataFrame] =
       conflictIfRetired(spark, st) {
     val pin = BaseDelta.manifestVersion(spark, st.clustersTable)
     val cMax = appliedMax(spark, st.clustersTable)
@@ -326,15 +349,35 @@ object ClusterIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       members.count()
+      // doc-level pending receipt, MATERIALIZED before step 5's compact
+      // + vacuum retire the files `cur` resolved
+      val receipt =
+        if (!defer) None
+        else Some(ids.join(
+            cur.join(ids, col("id") === col("__erase_id"))
+              .groupBy(col("__erase_id")).agg(count(lit(1)).as("__n")),
+            Seq("__erase_id"), "left")
+          .select(col("__erase_id").as("id"),
+            coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
+            lit("pending").as("status"))
+          .localCheckpoint(true))
       // 2. postings shrink first — the pair recompute below must not
-      //    see erased docs' shingles. Reclaim bounded at the listed
-      //    deltas (writer-safe: a racing fold's fresh dir survives)
-      val pBound = BaseDelta.deltaBatches(spark, st.postingsTable)
-        .foldLeft(-1L)(_ max _)
-      BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
-        df.join(ids, col("id") === col("__erase_id"), "left_anti")))
-      BaseDelta.vacuum(spark, st.postingsTable,
-        writerSafeUpTo = Some(pBound))
+      //    see erased docs' shingles. Eager: physical compact + reclaim
+      //    bounded at the listed deltas (writer-safe: a racing fold's
+      //    fresh dir survives). Deferred: one tombstone-ledger flip —
+      //    step 3's read anti-joins the ledger, so the pair view is
+      //    identically filtered; the rewrite rides compaction.
+      if (defer)
+        BaseDelta.logicalErase(spark, st.postingsTable, "id",
+          docIds.select(col(docIds.columns.head)), countRows = false)
+      else {
+        val pBound = BaseDelta.deltaBatches(spark, st.postingsTable)
+          .foldLeft(-1L)(_ max _)
+        BaseDelta.compact(spark, st.postingsTable, transform = Some(df =>
+          df.join(ids, col("id") === col("__erase_id"), "left_anti")))
+        BaseDelta.vacuum(spark, st.postingsTable,
+          writerSafeUpTo = Some(pBound))
+      }
       // 3. surviving members' exact-Jaccard pairs from surviving postings
       val mp = BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true)
         .join(broadcast(members), Seq("id"))
@@ -375,6 +418,7 @@ object ClusterIndex {
         pinnedFrom = Some(pin))
       BaseDelta.vacuum(spark, st.clustersTable,
         writerSafeUpTo = Some(cBound))
+      receipt
     } finally members.unpersist()
   }
 

@@ -26,10 +26,12 @@ import graft.gold.BaseDelta
   * indexes flip tombstone ledgers (milliseconds, serving immediately
   * excludes the subjects, physical rewrite rides the next compaction —
   * `BaseDelta.pendingTombstones` empty is the per-table receipt-upgrade
-  * signal). Cluster indexes have NO deferred form — removing a doc can
-  * SPLIT a cluster it bridged, which is structural re-pairing, not a
-  * row filter — so they erase eagerly in either mode (receipt mode
-  * `eager_structural`, the documented exception).
+  * signal). Cluster indexes split the difference: removing a doc can
+  * SPLIT a cluster it bridged, so the structural re-pair and the small
+  * clusters-table rewrite run eagerly in BOTH modes (serving is exact
+  * on return), while deferred mode tombstones the expensive shingle
+  * postings instead of rewriting them (mode `deferred_structural`;
+  * eager mode stays `eager_structural`).
   *
   * Receipt: one row per artifact —
   * (artifact, root, mode, status, n_subject_rows), where
@@ -81,8 +83,17 @@ object ErasureSweep {
     }
     cluster.foreach { st =>
       val n = found(ClusterIndex.clusters(spark, st), "id")
-      ClusterIndex.erase(spark, st, subj)
-      rows += (("cluster_index", st.root, "eager_structural", "erased", n))
+      if (deferred) {
+        // structural re-labeling is eager (serving exact on return);
+        // the expensive postings rewrite rides the tombstone ledger —
+        // hence still "pending" until materialized
+        ClusterIndex.eraseLogical(spark, st, subj)
+        rows += (("cluster_index", st.root, "deferred_structural",
+          "pending", n))
+      } else {
+        ClusterIndex.erase(spark, st, subj)
+        rows += (("cluster_index", st.root, "eager_structural", "erased", n))
+      }
     }
     // managed (refresh-capable) vector indexes: the active generation
     // erases like a plain vector index, and RETIRED quantizer

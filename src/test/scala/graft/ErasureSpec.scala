@@ -270,10 +270,11 @@ class ErasureSpec extends SparkSpec {
     val (s3, v3, c3) = freshStates()
     val dReceipt = ErasureSweep.eraseDerived(spark, subjects,
       Seq(s3), Seq(v3), Seq(c3), deferred = true)
-      .select("artifact", "status").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(dReceipt == Set(("search_index", "pending"),
-      ("vector_index", "pending"), ("cluster_index", "erased")))
+      .select("artifact", "mode", "status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dReceipt == Set(("search_index", "deferred", "pending"),
+      ("vector_index", "deferred", "pending"),
+      ("cluster_index", "deferred_structural", "pending")))
     assert(same(SearchIndex.search(spark, s3, Seq("account", "alpha")),
       SearchIndex.search(spark, s2, Seq("account", "alpha"))))
     assert(same(
@@ -281,6 +282,23 @@ class ErasureSpec extends SparkSpec {
         nProbe = VectorIndex.nCells(spark, v3)),
       VectorIndex.topK(spark, v2, probes, "vec_id", "embedding", 3,
         nProbe = VectorIndex.nCells(spark, v2))))
+    assert(same(ClusterIndex.clusters(spark, c3),
+      ClusterIndex.clusters(spark, c2)))
+    // a later fold on the deferred cluster index pairs against the
+    // FILTERED postings view — an erased doc's still-physical shingles
+    // can never re-link a new doc (would diverge from the eager index)
+    val late = Seq((6L, famA + " tail")).toDF("doc_id", "text")
+    ClusterIndex.fold(spark, c3, late, 1L, "doc_id", "text")
+    ClusterIndex.fold(spark, c2, late, 1L, "doc_id", "text")
+    assert(same(ClusterIndex.clusters(spark, c3),
+      ClusterIndex.clusters(spark, c2)),
+      "post-deferred-erase fold linked through a tombstoned doc's shingles")
+    // materialization upgrades the pending receipt: postings rewritten,
+    // ledger cleared
+    import graft.gold.BaseDelta
+    assert(BaseDelta.pendingTombstones(spark, c3.postingsTable).nonEmpty)
+    assert(BaseDelta.materializeErasures(spark, c3.postingsTable).nonEmpty)
+    assert(BaseDelta.pendingTombstones(spark, c3.postingsTable).isEmpty)
     assert(same(ClusterIndex.clusters(spark, c3),
       ClusterIndex.clusters(spark, c2)))
   }
