@@ -222,6 +222,34 @@ object Fixtures {
     operators.VectorIndex.State(
       mutableCopy(s, d, "vector3")(base => buildVector(s, d, s"$base/s")) + "/s")
 
+  // ── MANAGED vector index family: q244's fold + one quantizer
+  //    refresh, so a RETIRED generation (q1) exists on disk — the state
+  //    eraseManaged must destroy ──
+
+  private def buildVectorManaged(s: SparkSession, d: String,
+                                 root: String): Unit = {
+    val m = operators.VectorIndex.Managed(root)
+    val emb = Tables.embeddings(s, d)
+    Seq(emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)).zipWithIndex.foreach {
+      case (b, i) => operators.VectorIndex.fold(s,
+        operators.VectorIndex.active(s, m), b, i.toLong,
+        "vec_id", "embedding", nCells = 8)
+    }
+    operators.VectorIndex.refreshQuantizer(s, m, nCells = 8)
+    ()
+  }
+
+  /** Private copy of the managed (gen-2 active, gen-1 retired-on-disk)
+    * vector index for mutating queries (managed erasure).
+    */
+  def vector3ManagedCopy(s: SparkSession,
+                         d: String): operators.VectorIndex.Managed =
+    operators.VectorIndex.Managed(
+      mutableCopy(s, d, "vector3m")(base =>
+        buildVectorManaged(s, d, s"$base/m")) + "/m")
+
   // ── cluster index family — q190's exact recipe ─────────────────────
 
   private def buildCluster(s: SparkSession, d: String, root: String): Unit = {

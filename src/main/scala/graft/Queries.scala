@@ -7660,11 +7660,13 @@ object Queries {
       (s, d) => {
         val sst = Fixtures.search3Copy(s, d)
         val vst = Fixtures.vector3Copy(s, d)
+        val mst = Fixtures.vector3ManagedCopy(s, d)
         val subjects = Tables.documents(s, d).select(col("doc_id").as("id"))
           .unionByName(Tables.embeddings(s, d).select(col("vec_id").as("id")))
           .filter(pmod(col("id"), lit(7)) === 2).distinct()
         graft.operators.ErasureSweep.eraseDerived(s, subjects,
-          search = Seq(sst), vector = Seq(vst), deferred = true)
+          search = Seq(sst), vector = Seq(vst), managedVector = Seq(mst),
+          deferred = true)
           .select(col("artifact"), col("mode"), col("status"),
             col("n_subject_rows"))
       },
@@ -7675,6 +7677,10 @@ object Queries {
                 WHERE doc_id % 7 = 2) AS n_subject_rows
         UNION ALL
         SELECT 'vector_index', 'deferred', 'pending',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 7 = 2)
+        UNION ALL
+        SELECT 'vector_index_managed', 'deferred', 'pending',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
                 WHERE vec_id % 7 = 2)""")),
 
