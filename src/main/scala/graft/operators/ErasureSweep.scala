@@ -59,40 +59,50 @@ object ErasureSweep {
     val rows = scala.collection.mutable.ArrayBuffer.empty[
       (String, String, String, String, Long)]
 
+    // each tier's audit count + erase ride that tier's retired-state
+    // guard: a concurrent fold's compaction retiring the count's
+    // resolved files mid-scan is the typed retryable conflict (retry
+    // the whole sweep — it is idempotent), never a raw read failure
     search.foreach { st =>
-      val n = found(BaseDelta.read(spark, st.docstatsTable,
-        allowSchemaEvolution = true), "doc_id")
-      if (deferred) {
-        SearchIndex.eraseLogical(spark, st, subj)
-        rows += (("search_index", st.root, "deferred", "pending", n))
-      } else {
-        SearchIndex.erase(spark, st, subj)
-        rows += (("search_index", st.root, "eager", "erased", n))
+      SearchIndex.conflictIfRetired(spark, st) {
+        val n = found(BaseDelta.read(spark, st.docstatsTable,
+          allowSchemaEvolution = true), "doc_id")
+        if (deferred) {
+          SearchIndex.eraseLogical(spark, st, subj)
+          rows += (("search_index", st.root, "deferred", "pending", n))
+        } else {
+          SearchIndex.erase(spark, st, subj)
+          rows += (("search_index", st.root, "eager", "erased", n))
+        }
       }
     }
     vector.foreach { st =>
-      val n = found(BaseDelta.read(spark, st.postingsTable,
-        allowSchemaEvolution = true), "id")
-      if (deferred) {
-        VectorIndex.eraseLogical(spark, st, subj)
-        rows += (("vector_index", st.root, "deferred", "pending", n))
-      } else {
-        VectorIndex.erase(spark, st, subj)
-        rows += (("vector_index", st.root, "eager", "erased", n))
+      VectorIndex.conflictIfRetired(spark, st) {
+        val n = found(BaseDelta.read(spark, st.postingsTable,
+          allowSchemaEvolution = true), "id")
+        if (deferred) {
+          VectorIndex.eraseLogical(spark, st, subj)
+          rows += (("vector_index", st.root, "deferred", "pending", n))
+        } else {
+          VectorIndex.erase(spark, st, subj)
+          rows += (("vector_index", st.root, "eager", "erased", n))
+        }
       }
     }
     cluster.foreach { st =>
-      val n = found(ClusterIndex.clusters(spark, st), "id")
-      if (deferred) {
-        // structural re-labeling is eager (serving exact on return);
-        // the expensive postings rewrite rides the tombstone ledger —
-        // hence still "pending" until materialized
-        ClusterIndex.eraseLogical(spark, st, subj)
-        rows += (("cluster_index", st.root, "deferred_structural",
-          "pending", n))
-      } else {
-        ClusterIndex.erase(spark, st, subj)
-        rows += (("cluster_index", st.root, "eager_structural", "erased", n))
+      ClusterIndex.conflictIfRetired(spark, st) {
+        val n = found(ClusterIndex.clusters(spark, st), "id")
+        if (deferred) {
+          // structural re-labeling is eager (serving exact on return);
+          // the expensive postings rewrite rides the tombstone ledger —
+          // hence still "pending" until materialized
+          ClusterIndex.eraseLogical(spark, st, subj)
+          rows += (("cluster_index", st.root, "deferred_structural",
+            "pending", n))
+        } else {
+          ClusterIndex.erase(spark, st, subj)
+          rows += (("cluster_index", st.root, "eager_structural", "erased", n))
+        }
       }
     }
     // managed (refresh-capable) vector indexes: the active generation
@@ -101,13 +111,15 @@ object ErasureSweep {
     // [[VectorIndex.eraseManaged]]) — a deferred ack that left the
     // subject readable in a retired sub-index would not be erasure
     managedVector.foreach { m =>
-      val act = VectorIndex.active(spark, m)
-      val n = found(BaseDelta.read(spark, act.postingsTable,
-        allowSchemaEvolution = true), "id")
-      VectorIndex.eraseManaged(spark, m, subj, deferred)
-      val (mode, status) =
-        if (deferred) ("deferred", "pending") else ("eager", "erased")
-      rows += (("vector_index_managed", m.root, mode, status, n))
+      VectorIndex.conflictIfRetiredManaged(spark, m) {
+        val act = VectorIndex.active(spark, m)
+        val n = found(BaseDelta.read(spark, act.postingsTable,
+          allowSchemaEvolution = true), "id")
+        VectorIndex.eraseManaged(spark, m, subj, deferred)
+        val (mode, status) =
+          if (deferred) ("deferred", "pending") else ("eager", "erased")
+        rows += (("vector_index_managed", m.root, mode, status, n))
+      }
     }
 
     spark.createDataFrame(rows.toSeq)

@@ -342,4 +342,127 @@ class IndexChaosSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == expectedIds,
       "materialization changed the index contents")
   }
+
+  test("sweep chaos seed=88: idempotent deferred sweeps race live folds on all three tiers") {
+    import graft.operators.{ErasureSweep, Similarity}
+    val rnd = new scala.util.Random(88)
+    val sst = SearchIndex.State(tmpDir("sweep-chaos") + "/sx")
+    val cst = ClusterIndex.State(tmpDir("sweep-chaos") + "/cx")
+    val vst = VectorIndex.State(tmpDir("sweep-chaos") + "/vx")
+
+    // shared SUBJECT seeds [10000, 10040), present in ALL THREE indexes
+    // (the sweep's premise: one id space across derived artifacts)
+    def groupText(g: Int) =
+      s"omega group$g lorem ipsum dolor sit amet shared common here"
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(j => (math.sin(i * 31.0 + j * 7.0) + 1.5).toFloat)
+    val seedDocs = (0 until 40).map(i => (10000L + i, groupText(i / 4)))
+    SearchIndex.fold(spark, sst, seedDocs.toDF("doc_id", "text"), 0L,
+      "doc_id", "text")
+    ClusterIndex.fold(spark, cst, seedDocs.toDF("doc_id", "text"), 0L,
+      "doc_id", "text")
+    VectorIndex.fold(spark, vst,
+      (10000L until 10040L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      0L, "vec_id", "embedding", nCells = 4)
+
+    def appendDocs(b: Int) = ((b - 1) * 30 until b * 30).map { i =>
+      if (i % 4 == 0) (i.toLong, groupText(i % 10))
+      else (i.toLong, s"solo w${i}a w${i}b w${i}c w${i}d w${i}e")
+    }
+    val sweepPlan = Seq.fill(3)(
+      Seq.fill(9)(10000L + rnd.nextInt(40)).distinct)
+    val sleeps = Seq.fill(96)(rnd.nextInt(50)).iterator.buffered
+    def jitter(): Unit = Thread.sleep(synchronized {
+      if (sleeps.hasNext) sleeps.next().toLong else 5L })
+    val acked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+    val searchAppender = () => (1 to 3).foreach { b =>
+      jitter()
+      retryConflict(40) { SearchIndex.fold(spark, sst,
+        appendDocs(b).toDF("doc_id", "text"), b.toLong, "doc_id", "text",
+        maxDeltas = 2) }
+    }
+    val clusterAppender = () => (1 to 3).foreach { b =>
+      jitter()
+      retryConflict(40) { ClusterIndex.fold(spark, cst,
+        appendDocs(b).toDF("doc_id", "text"), b.toLong, "doc_id", "text",
+        maxDeltas = 2) }
+    }
+    val vectorAppender = () => (1 to 3).foreach { b =>
+      jitter()
+      retryConflict(40) { VectorIndex.fold(spark, vst,
+        ((b - 1) * 30 until b * 30).map(i => (i.toLong, vec(i.toLong)))
+          .toDF("vec_id", "embedding"),
+        b.toLong, "vec_id", "embedding", nCells = 4, maxDeltas = 2) }
+    }
+    // the sweep worker: a cross-tier conflict (any tier's fold winning a
+    // window) retries the WHOLE sweep — the documented idempotence
+    // contract exercised under the race, not just after a crash
+    val sweeper = () => sweepPlan.foreach { ids =>
+      jitter()
+      retryConflict(40) {
+        ErasureSweep.eraseDerived(spark, ids.toDF("id"),
+          search = Seq(sst), vector = Seq(vst), cluster = Seq(cst),
+          deferred = true).collect()
+      }
+      ids.foreach(acked.add(_))
+    }
+    val reader = () => (1 to 5).foreach { _ =>
+      jitter()
+      val ackedBefore = acked.toArray.map(_.asInstanceOf[Long]).toSet
+      val searchHits = retryConflict(20) {
+        SearchIndex.conflictIfRetired(spark, sst) {
+          SearchIndex.search(spark, sst, Seq("omega"))
+            .select("doc_id").as[Long].collect().toSet
+        }
+      }
+      assert(searchHits.intersect(ackedBefore).isEmpty,
+        "swept docs served from the search index mid-race")
+      val clustered = retryConflict(20) {
+        ClusterIndex.conflictIfRetired(spark, cst) {
+          ClusterIndex.clusters(spark, cst)
+            .select("id").as[Long].collect().toSet
+        }
+      }
+      assert(clustered.intersect(ackedBefore).isEmpty,
+        "swept docs still clustered mid-race")
+    }
+
+    runWorkers(Seq(searchAppender, clusterAppender, vectorAppender,
+      sweeper, reader))
+
+    // ── per-tier sequential models over the surviving corpus ──
+    val erased = acked.toArray.map(_.asInstanceOf[Long]).toSet
+    val seedSurvivors = seedDocs.filterNot { case (id, _) => erased(id) }
+    // search: "omega" lives in the seed survivors AND the appended
+    // group-joining docs (i % 4 == 0 share the seed groups' text)
+    val appendedOmega = (0 until 90).filter(_ % 4 == 0).map(_.toLong).toSet
+    assert(SearchIndex.search(spark, sst, Seq("omega"))
+      .select("doc_id").as[Long].collect().toSet ==
+      seedSurvivors.map(_._1).toSet ++ appendedOmega,
+      "search tier diverged from the sequential model")
+    // cluster: from-scratch recompute over every surviving doc
+    val allDocs = (seedSurvivors ++ (1 to 3).flatMap(appendDocs))
+      .toDF("doc_id", "text")
+    val comp = Dedup.resolveClusters(
+      Dedup.ngramJaccard(allDocs, "doc_id", "text", k = 3, threshold = 0.2))
+    val expected = allDocs.select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val gotClusters = ClusterIndex.clusters(spark, cst)
+    assert(gotClusters.exceptAll(expected).isEmpty &&
+      expected.exceptAll(gotClusters).isEmpty,
+      "cluster tier diverged from the sequential recompute")
+    // vector: full-probe top-k equals brute force over survivors
+    val corpus = ((0L until 90L) ++ seedSurvivors.map(_._1))
+      .map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" < 5)
+    val gotV = VectorIndex.topK(spark, vst, probes, "vec_id", "embedding",
+      k = 3, nProbe = VectorIndex.nCells(spark, vst))
+    val expV = Similarity.bruteForceTopK(probes, corpus, "vec_id",
+      "embedding", k = 3)
+    assert(gotV.exceptAll(expV).isEmpty && expV.exceptAll(gotV).isEmpty,
+      "vector tier diverged from brute force over survivors")
+  }
 }
