@@ -205,6 +205,7 @@ object BaseDelta {
     // would free its version number for a stalled writer's link (the
     // phantom-commit hazard above); [[vacuum]] reclaims old versions at
     // a writer-quiet moment (retainManifests window)
+    MultiSnapshot.noteSelfCommit() // enclosing guards: this mutation is ours
     if (sys.props.contains("graft.debug.snapshot"))
       println(s"[snapdbg ${Thread.currentThread().getName}] MANIFEST ${t.path} " +
         s"v=$next basedOn=$basedOn gen=${m.generation} deltas=${m.deltas.sorted.mkString(",")} " +
@@ -529,6 +530,22 @@ object BaseDelta {
     content.coalesce(4).write.mode(SaveMode.Overwrite).parquet(stage.toString)
     try writeManifest(spark, t, m, v) // announce: version bump, same content
     catch { case e: Throwable => f.delete(stage, true); throw e }
+    // stale-trash sweep: a swap that crashed between rename(live→trash)
+    // and delete(trash) leaves the PRE-rewrite bytes (for an erasure,
+    // the subject data) under batch=<id>.trash-<nonce> forever — the
+    // all-digit 'batch=' filters in diskDeltas/vacuum never match it.
+    // Winning the announce CAS serializes this writer as the id's owner:
+    // other-nonce trash dirs are crash leftovers (or a CAS-loser's
+    // doomed restore source — its restore rename failing is absorbed as
+    // its typed conflict), and their bytes are exactly what this rewrite
+    // replaces. Reclaim them NOW so a re-run of a crashed erasure
+    // destroys what its predecessor left behind.
+    val deltaParent = live.getParent
+    if (f.exists(deltaParent)) f.listStatus(deltaParent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"batch=$id.trash-") && n != trash.getName)
+        f.delete(st.getPath, true)
+    }
     if (!f.exists(live)) {
       // REPAIR: the listed dir is gone (a writer-hostile vacuum raced
       // the listing, or a crashed swap) — winning the announce CAS above
@@ -572,8 +589,18 @@ object BaseDelta {
     */
   def rewriteKeptDeltas(spark: SparkSession, t: Table, above: Option[Long],
                         transform: DataFrame => DataFrame): Unit = {
+    // manifest-less tables fail FAST and non-retryably: swapInDelta's
+    // announce-then-swap protocol REQUIRES a manifest to announce
+    // against, so a diskDeltas fallback here could never succeed — it
+    // would only convert a permanent condition into an endless retryable
+    // loop downstream. Migrate the table first (any append/compact
+    // commits a manifest), then rewrite.
     val live = readManifestVersioned(spark, t).map(_._2.deltas)
-      .getOrElse(diskDeltas(spark, t))
+      .getOrElse(throw new IllegalStateException(
+        s"BaseDelta.rewriteKeptDeltas: no manifest at ${t.path} — " +
+          "legacy (manifest-less) tables cannot take the in-place " +
+          "announce-then-swap rewrite; run compact() first to commit a " +
+          "manifest, then redo"))
     live.filter(id => above.forall(id > _)).foreach { id =>
       val p = t.deltaPath(id)
       // materialize BEFORE the swap retires the source files
@@ -1049,6 +1076,22 @@ object BaseDelta {
     (diskDeltas(spark, t).toSet -- m.deltas.toSet).toSeq.sorted
       .filter(id => writerSafeUpTo.forall(id <= _))
       .foreach(id => drop(new Path(t.deltaPath(id))))
+    // crash leftovers from swapInDelta's announce-then-swap: stage dirs
+    // (pre-announce crash) and trash dirs (crash between the two renames
+    // — these hold the PRE-rewrite bytes, e.g. an erasure's subject
+    // data), both invisible to the all-digit 'batch=' sweep above. FULL
+    // mode only: its writer-quiet contract guarantees no swap is in
+    // flight; writer-safe mode must not touch them (an in-flight
+    // kept-tail rewrite owns live stage/trash siblings).
+    if (!writerSafe) {
+      val droot = new Path(t.deltaRoot)
+      if (f.exists(droot)) f.listStatus(droot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") &&
+            (n.contains(".stage-") || n.contains(".trash-")))
+          drop(st.getPath)
+      }
+    }
     // manifest history beyond the retention window (never the newest)
     val versions = manifestVersions(spark, t)
     versions.dropRight(math.max(1, retainManifests))

@@ -155,22 +155,59 @@ object MultiSnapshot {
     false
   }
 
+  /** One active [[retiredGuard]] frame on this thread: the observation
+    * point advances on every SELF-commit (see [[noteSelfCommit]]) so the
+    * changed-fingerprint translation keys on OTHER writers' mutations,
+    * never the guarded body's own.
+    */
+  private final class GuardFrame(val fingerprint: () => Map[String, Long]) {
+    @volatile var observed: Map[String, Long] = fingerprint()
+  }
+
+  /** Guards active on the current thread, innermost first. The guarded
+    * bodies are driver-side read-modify-write transactions; their own
+    * commits (manifest CAS, snapshot pointer flips) happen on this same
+    * thread, so a thread-local stack is the complete registry.
+    */
+  private val activeGuards = new ThreadLocal[List[GuardFrame]] {
+    override def initialValue(): List[GuardFrame] = Nil
+  }
+
+  /** Called by every commit primitive (BaseDelta manifest CAS,
+    * SnapshotStore pointer commit, the coordinator commit below) right
+    * after ITS commit lands: re-captures each enclosing guard's
+    * observation point. Without this, a WRITE body wrapped in
+    * [[retiredGuard]] changes its own fingerprint on its first
+    * self-commit, and a genuine storage fault occurring after that point
+    * would be reclassified as a retryable "concurrent maintenance"
+    * conflict — masking the real fault behind burned retries.
+    */
+  private[graft] def noteSelfCommit(): Unit =
+    activeGuards.get().foreach { g =>
+      try g.observed = g.fingerprint()
+      catch { case _: Throwable => () } // a torn re-read must not fail the commit
+    }
+
   /** Generic retired-state guard: runs `body`, translating a
     * mid-execution read failure into the typed retryable conflict iff
-    * `fingerprint` (captured at entry) has CHANGED — concurrent
-    * maintenance retired state the body had resolved. A failure with an
-    * unchanged fingerprint is a genuine storage fault and propagates,
+    * `fingerprint` has CHANGED since last observed — concurrent
+    * maintenance retired state the body had resolved. The observation
+    * point re-captures after each of the body's OWN commits
+    * ([[noteSelfCommit]]), so self-mutation never masks a genuine
+    * storage fault. A failure with an unchanged fingerprint propagates,
     * after a short grace re-check (announce-then-destroy protocols
     * commit their bump just before the destruction; a reader can
     * observe the failure a beat earlier).
     */
   private[graft] def retiredGuard[A](what: String,
       fingerprint: () => Map[String, Long])(body: => A): A = {
-    val observed = fingerprint()
+    val frame = new GuardFrame(fingerprint)
+    activeGuards.set(frame :: activeGuards.get())
     try body
     catch {
       case e: CommitConflictException => throw e
       case e: Throwable if snapshotReadFailure(e) =>
+        val observed = frame.observed
         var cur = fingerprint()
         var grace = 0
         while (cur == observed && grace < 3) {
@@ -185,6 +222,7 @@ object MultiSnapshot {
               "files); re-resolve and retry", e)
         else throw e
     }
+    finally activeGuards.set(activeGuards.get().filterNot(_ eq frame))
   }
 
   /** Runs `body` — the read-fold-stage phase of a read-modify-write
@@ -408,7 +446,10 @@ object MultiSnapshot {
         .map { case (t, g) => s"$t=$g" }.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (CommitCas.publish(f, tmp, commitFile(root, v))) committed = Commit(v, newGens)
+      if (CommitCas.publish(f, tmp, commitFile(root, v))) {
+        committed = Commit(v, newGens)
+        noteSelfCommit() // enclosing guards: this mutation is ours
+      }
       else {
         // lost the CAS — a fresh-name rename fails only if a contender
         // took this version. Loop re-reads and either rebases (disjoint)

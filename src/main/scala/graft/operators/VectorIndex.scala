@@ -463,19 +463,48 @@ object VectorIndex {
     */
   def eraseManaged(spark: SparkSession, m: Managed, ids: DataFrame,
                    deferred: Boolean = false): Seq[String] = {
-    val keep = activeQgen(spark, m)
-    val act = m.subState(keep)
-    if (deferred) { eraseLogical(spark, act, ids); () }
-    else erase(spark, act, ids)
     val f = new org.apache.hadoop.fs.Path(m.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(m.root)
     val destroyed = scala.collection.mutable.ArrayBuffer[String]()
-    if (f.exists(root)) f.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("q") && n.drop(1).forall(_.isDigit) &&
-          n.drop(1).toLong != keep && f.delete(st.getPath, true))
-        destroyed += st.getPath.toString
+    // erase-then-reverify loop: destruction is restricted to g < keep —
+    // truly RETIRED generations. A g > keep dir may be an in-flight
+    // [[refreshQuantizer]] staging its rebuild; deleting it under the
+    // builder would let it keep appending into a recreated dir and
+    // publish a silently PARTIAL generation. Instead, after the sweep we
+    // re-read the active pointer: if a refresh published meanwhile, its
+    // rebuild read the corpus at an unknown point relative to our erase
+    // and may have resurrected the subject's vectors — so we redo the
+    // erase against the NEW active generation (the fold ledgers make the
+    // redo exactly the remaining work; an already-clean generation
+    // erases 0 rows). Both ops remain maintenance writers under the
+    // single-maintenance-writer contract; this loop makes a contract
+    // violation converge instead of silently leaking vectors.
+    var keep = activeQgen(spark, m)
+    var settled = false
+    var rounds = 0
+    while (!settled) {
+      val act = m.subState(keep)
+      if (deferred) { eraseLogical(spark, act, ids); () }
+      else erase(spark, act, ids)
+      if (f.exists(root)) f.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("q") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < keep && f.delete(st.getPath, true))
+          destroyed += st.getPath.toString
+      }
+      val now = activeQgen(spark, m)
+      if (now == keep) settled = true
+      else {
+        rounds += 1
+        if (rounds > 5)
+          throw new graft.gold.CommitConflictException(
+            s"VectorIndex.eraseManaged at ${m.root}: the active pointer " +
+              s"kept advancing ($rounds refreshQuantizer publishes during " +
+              "one erasure) — refresh and erasure are racing outside the " +
+              "single-maintenance-writer contract; quiesce and retry")
+        keep = now
+      }
     }
     destroyed.toSeq
   }

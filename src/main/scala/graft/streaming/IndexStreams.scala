@@ -25,6 +25,13 @@ import graft.operators.{ClusterIndex, SearchIndex, VectorIndex}
   */
 object IndexStreams {
 
+  /** Bounded retry on the typed conflict, with jittered exponential
+    * backoff between attempts (100ms·2^n ± half, capped at 2s): an
+    * immediate re-fold against an in-flight erasure — whose retired-state
+    * grace loop alone holds 3×250ms — would hot-spin full state re-reads
+    * that mostly re-conflict; the backoff lets the competing maintenance
+    * window close first.
+    */
   private[graft] def retryConflict[A](attempts: Int)(body: => A): A = {
     var n = 0
     var out: Option[A] = None
@@ -34,6 +41,9 @@ object IndexStreams {
         case e: CommitConflictException =>
           n += 1
           if (n >= attempts) throw e
+          val base = math.min(100L << (n - 1), 2000L)
+          Thread.sleep(base / 2 +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(base))
       }
     }
     out.get

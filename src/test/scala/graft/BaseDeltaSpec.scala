@@ -359,4 +359,64 @@ class BaseDeltaSpec extends SparkSpec {
       BaseDelta.append(spark, t2, batch(8L, 1), 1L, pinnedFrom = Some(0L))
     }
   }
+
+  test("crashed-swap leftovers: an erasure re-run reclaims its predecessor's trash; full vacuum sweeps stage and trash") {
+    val path = tmpDir("bd-swapleft") + "/t"
+    val table = t(path)
+    (0 until 3).foreach(i => BaseDelta.append(spark, table,
+      Seq((i.toLong, s"v$i", i)).toDF("id", "v", "ver"), i.toLong))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate a swap that crashed between rename(live→trash) and
+    // delete(trash): the trash holds the PRE-rewrite (subject) bytes —
+    // and one that crashed before the announce: a stale stage dir
+    spark.read.parquet(table.deltaPath(0L))
+      .write.parquet(table.deltaPath(0L) + ".trash-deadbeef")
+    spark.read.parquet(table.deltaPath(1L))
+      .write.parquet(table.deltaPath(1L) + ".stage-deadbeef")
+    // neither leftover is reader-visible
+    assert(BaseDelta.read(spark, table).count() == 3L)
+    // the erasure re-run path: rewriteKeptDeltas swaps each live delta
+    // in place, sweeping same-id trash from the crashed predecessor
+    BaseDelta.rewriteKeptDeltas(spark, table, None,
+      df => df.filter(col("id") =!= 0L))
+    assert(!f.exists(p(table.deltaPath(0L) + ".trash-deadbeef")),
+      "re-run left the crashed predecessor's trash (pre-erasure bytes)")
+    assert(BaseDelta.read(spark, table).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // the rewrite's own swaps left no stage/trash siblings
+    val leftovers = f.listStatus(p(table.deltaRoot)).map(_.getPath.getName)
+      .filter(n => n.contains(".stage-") || n.contains(".trash-")).toSet
+    assert(leftovers == Set("batch=1.stage-deadbeef"),
+      s"unexpected swap siblings: $leftovers")
+    // full vacuum (writer-quiet) reclaims the pre-announce stage orphan
+    BaseDelta.vacuum(spark, table)
+    assert(f.listStatus(p(table.deltaRoot)).map(_.getPath.getName)
+      .forall(n => !n.contains(".stage-") && !n.contains(".trash-")),
+      "full vacuum left swap leftovers under deltaRoot")
+    assert(BaseDelta.read(spark, table).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // writer-safe vacuum must NOT touch a (possibly live) swap sibling
+    val t2 = t(tmpDir("bd-swapws") + "/t")
+    BaseDelta.append(spark, t2,
+      Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
+    spark.read.parquet(t2.deltaPath(0L))
+      .write.parquet(t2.deltaPath(0L) + ".trash-11111111")
+    BaseDelta.vacuum(spark, t2, writerSafeUpTo = Some(99L))
+    assert(f.exists(p(t2.deltaPath(0L) + ".trash-11111111")),
+      "writer-safe vacuum deleted a swap sibling it must not touch")
+  }
+
+  test("rewriteKeptDeltas on a manifest-less table fails fast, not retryably") {
+    val path = tmpDir("bd-legacyswap") + "/t"
+    val table = t(path)
+    // legacy layout: a delta dir on disk, no manifest ever committed
+    Seq((1L, "a", 1)).toDF("id", "v", "ver")
+      .write.parquet(table.deltaPath(0L))
+    val e = intercept[IllegalStateException] {
+      BaseDelta.rewriteKeptDeltas(spark, table, None, identity)
+    }
+    assert(e.getMessage.contains("no manifest"))
+  }
 }

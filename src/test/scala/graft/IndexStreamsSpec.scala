@@ -89,6 +89,19 @@ class IndexStreamsSpec extends SparkSpec {
       }
     }
     assert(calls == 1)
+    // conflict retries back off (jittered exponential): three conflicts
+    // sleep at least base/2 each = 50+100+200 ms — no hot-spin refolds
+    // against an in-flight erasure's grace window
+    calls = 0
+    val t0 = System.nanoTime()
+    IndexStreams.retryConflict(5) {
+      calls += 1
+      if (calls < 4) throw new CommitConflictException("backoff probe")
+      calls
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs >= 300,
+      s"retryConflict hot-spun: 3 conflict retries took only ${elapsedMs}ms")
   }
 
   test("erase under a live cluster stream: acked removal invisible to serve, later folds unaffected") {

@@ -110,4 +110,39 @@ class MultiSnapshotSpec extends SparkSpec {
     // v1 is the oldest retained: no baseline, flags unknown
     assert(h((1L, "customers")) == (("staged", 1L, None)), h)
   }
+
+  test("retiredGuard: a write body's own commits never mask a genuine storage fault; a concurrent mutation still translates typed") {
+    import graft.gold.BaseDelta
+    val table = BaseDelta.Table(tmpDir("ms-selfcommit") + "/t",
+      Seq("id"), Seq("ver", "id"), None)
+    BaseDelta.append(spark, table,
+      Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
+    val missing = tmpDir("ms-missing") + "/never-written"
+    // self-commit then a GENUINE fault: the body's own append bumps the
+    // table fingerprint, but the guard's observation point re-captures on
+    // self-commits — the fault must propagate RAW, not as a retryable
+    // "concurrent maintenance" conflict that burns a sink's retries
+    val e = intercept[Throwable] {
+      BaseDelta.conflictIfRetired(spark, table) {
+        BaseDelta.append(spark, table,
+          Seq((2L, "b", 1)).toDF("id", "v", "ver"), 1L)
+        spark.read.parquet(missing).collect()
+      }
+    }
+    assert(!e.isInstanceOf[graft.gold.CommitConflictException],
+      s"a genuine storage fault after a self-commit was reclassified " +
+        s"as a retryable conflict: $e")
+    // same shape, but an OTHER writer mutates after the self-commit:
+    // that IS concurrent maintenance — the fault translates typed
+    intercept[graft.gold.CommitConflictException] {
+      BaseDelta.conflictIfRetired(spark, table) {
+        BaseDelta.append(spark, table,
+          Seq((3L, "c", 1)).toDF("id", "v", "ver"), 2L)
+        val other = new Thread(() => BaseDelta.append(spark, table,
+          Seq((4L, "d", 1)).toDF("id", "v", "ver"), 3L))
+        other.start(); other.join()
+        spark.read.parquet(missing).collect()
+      }
+    }
+  }
 }

@@ -319,7 +319,15 @@ class VectorIndexSpec extends SparkSpec {
     assert(hfs.exists(fs(retired.root)),
       "fixture broken: retired gen-1 should still be on disk pre-erase")
     val subjects = corpus.filter($"vec_id" % 5 === 0).select("vec_id")
+    // an in-flight refreshQuantizer's staging dir (a generation ABOVE the
+    // active pointer) must SURVIVE the sweep: destroying it under the
+    // builder would let the refresh publish a silently partial generation
+    val staging = fs(m.subState(9L).root)
+    hfs.mkdirs(staging)
     val destroyed = VectorIndex.eraseManaged(spark, m, subjects)
+    assert(hfs.exists(staging) && !destroyed.exists(_.endsWith("q9")),
+      s"eraseManaged destroyed an above-active staging generation: $destroyed")
+    hfs.delete(staging, true)
     // retired bytes gone NOW, not at the next refresh cycle
     assert(destroyed.exists(_.endsWith("q1")) && !hfs.exists(fs(retired.root)),
       s"retired generation survived the erasure: $destroyed")
@@ -343,8 +351,13 @@ class VectorIndexSpec extends SparkSpec {
         // the erase lands INSIDE the reader's guarded window — the
         // deterministic form of "maintenance destroyed my resolved files
         // mid-read": fingerprint observed with gen-1 present, re-checked
-        // without it
-        VectorIndex.eraseManaged(spark, m2, subjects, deferred = true)
+        // without it. On a SEPARATE thread: the guard's observation
+        // point re-captures after same-thread self-commits (so a write
+        // body's own mutations never mask storage faults), and this
+        // erase models a CONCURRENT maintainer, not the body itself.
+        val eraser = new Thread(() =>
+          VectorIndex.eraseManaged(spark, m2, subjects, deferred = true))
+        eraser.start(); eraser.join()
         plan.collect()
       }
     }
