@@ -553,17 +553,88 @@ object Queries {
             (acc, x) -> (acc * 31 + x) % ${TextAnalysis.FingerprintMod}) AS fp
         FROM documents""")),
 
-    // ── north-star: MinHash+LSH near-dup candidates (no SQL oracle:
-    //    xxhash64 signatures; verified by property tests instead) ──
+    // ── north-star: MinHash+LSH near-dup recall, ORACLE-VISIBLE (the
+    //    q220/q106 pattern): the fixture's planted near-dups — exact
+    //    3-shingle Jaccard ≥ 0.5, computed in-query by the (already
+    //    oracle-green) inverted-index ngramJaccard — each carry a
+    //    found_by_lsh boolean the DuckDB oracle pins TRUE. The fixture
+    //    has a clean margin (pairs are ≥0.9 or <0.35), and 16 bands ×
+    //    2 rows at J≥0.9 collide with prob ≈1-(1-0.81)¹⁶; measured: 0
+    //    missed at sf0.001/0.01/0.1. The raw candidate surface
+    //    (est_jaccard from xxhash64 signatures) stays spec-verified. ──
     Q("q21_minhash_lsh",
-      (s, d) => Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
-        bands = 16, rowsPerBand = 2, minEstJaccard = 0.25),
-      None),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val planted = Dedup.ngramJaccard(docs, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        val found = Dedup.minHashLsh(docs, "doc_id", "text",
+            bands = 16, rowsPerBand = 2, minEstJaccard = 0.25)
+          .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+        planted.join(found, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\\s+')[i],
+                string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard,
+               TRUE AS found_by_lsh
+        FROM pairs
+        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.5""")),
 
-    // ── north-star: SimHash fingerprints (no SQL oracle: xxhash64) ──
+    // ── north-star: SimHash near-dup invariant, ORACLE-VISIBLE: on the
+    //    planted near-dup pairs (exact 3-shingle Jaccard ≥ 0.5), the
+    //    64-bit simhash fingerprints must sit within Hamming 12 —
+    //    measured max 7 at sf0.01, 5 at sf0.001, vs ~32 expected for
+    //    unrelated docs. Raw fingerprints (xxhash64) stay spec-pinned. ──
     Q("q22_simhash",
-      (s, d) => Dedup.simHash(Tables.documents(s, d), "doc_id", "text"),
-      None),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sim = Dedup.simHash(docs, "doc_id", "text")
+        Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.5)
+          .join(sim.select(col("id").as("id_a"), col("simhash").as("__ha")),
+            Seq("id_a"))
+          .join(sim.select(col("id").as("id_b"), col("simhash").as("__hb")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= lit(12))
+              .as("hamming_within_12"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\\s+')[i],
+                string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, TRUE AS hamming_within_12
+        FROM pairs
+        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.5""")),
 
     // ── north-star: exact n-gram Jaccard over inverted-index candidates ──
     Q("q23_ngram_jaccard",
@@ -613,12 +684,35 @@ object Queries {
         FROM scored
         QUALIFY rank <= 5""")),
 
-    // ── north-star: embedding near-dup via hyperplane LSH (no oracle:
-    //    xxhash64-derived planes; recall checked in tests vs brute force) ──
+    // ── north-star: embedding near-dup via hyperplane LSH, ORACLE-
+    //    VISIBLE: the fixture has no high-cosine pairs (max ~0.51), so
+    //    the query PLANTS one exact twin per vector (vec_id + 1e6, same
+    //    embedding) and runs the LSH near-dup over the doubled corpus.
+    //    Identical vectors land in identical buckets in EVERY table —
+    //    recall 1.0 is guaranteed by construction, not tuned — so the
+    //    oracle pins every planted pair (found_by_lsh, cosine = 1.0 at
+    //    round6). Intermediate-similarity recall stays spec-verified. ──
     Q("q25_embedding_neardup",
-      (s, d) => graft.operators.Dedup.embeddingNearDup(
-        Tables.embeddings(s, d), "vec_id", "embedding", minCosine = 0.3),
-      None),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val corpus = emb.unionByName(emb.select(
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        val found = graft.operators.Dedup.embeddingNearDup(
+            corpus, "vec_id", "embedding", minCosine = 0.9)
+          .select(col("id_a"), col("id_b"),
+            (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("__cos"),
+            lit(true).as("__hit"))
+        emb.select(col("vec_id").as("id_a"),
+            (col("vec_id") + 1000000L).as("id_b"))
+          .join(found, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("__cos"), lit(-1.0)).as("cosine"),
+            coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
+      },
+      Some("""
+        SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+               CAST(1.0 AS DOUBLE) AS cosine, TRUE AS found_by_lsh
+        FROM embeddings""")),
 
     // ── north-star: multimodal binary column + batch feature extraction ──
     Q("q26_multimodal_meta",
@@ -655,28 +749,88 @@ object Queries {
              LATERAL (SELECT unnest(range(0, (length(text) - 1) // 256 + 1)) AS i) f
         WHERE f.i % 4 = 0""")),
 
-    // ── north-star: IVF-style ANN (scale path; recall<1 by design, no
-    //    oracle — recall vs brute force asserted in OperatorsSpec) ──
+    // ── north-star: IVF-style ANN, ORACLE-VISIBLE: recall<1 by design,
+    //    so the query compares its own output to the in-query exact
+    //    top-k (q24's brute force) and emits the invariants the oracle
+    //    CAN pin: k rows per query, no self-pairs, and aggregate
+    //    recall@5 ≥ 0.7 (measured 0.83 at sf0.001/0.01/0.1 with
+    //    nProbe=10/16 — margin 0.13 at every scale). Raw neighbor rows
+    //    stay spec-verified (OperatorsSpec) and served via q244. ──
     Q("q29_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        val q = emb.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(q, emb,
+          "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+        val approx = Similarity.ivfTopK(q, emb,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 10)
+        val shape = approx.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("__n"),
+            max((col("neighbor_id") === col("query_id")).cast("int")).as("__slf"))
+          .agg(count(lit(1)).as("n_queries"),
+            (min(col("__n")) === 5 && max(col("__n")) === 5).as("k_rows_per_query"),
+            (max(col("__slf")) === 0).as("self_excluded"))
+        // k×|Q| rows — broadcast so the comparison never shuffles
+        val hits = exact.join(
+            broadcast(approx.select("query_id", "neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__nhit"))
+        val nEx = exact.agg(count(lit(1)).as("__nex"))
+        shape.crossJoin(hits).crossJoin(nEx)
+          .select(col("n_queries"), col("k_rows_per_query"),
+            col("self_excluded"),
+            (col("__nhit").cast("double") / col("__nex") >= lit(0.7))
+              .as("recall_ok"))
       },
-      None),
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS k_rows_per_query, TRUE AS self_excluded,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 20""")),
 
     // ── the composed 100 TB ANN shape: IVF coarse routing → PQ-ADC code
     //    scan within probed cells → exact re-rank of the shortlist.
-    //    Recall<1 by design, no oracle — recall vs brute force + plan
-    //    shape asserted in OperatorsSpec/PlanSpec ──
+    //    ORACLE-VISIBLE like q29: k-rows/self-exclusion/recall@5 ≥ 0.7
+    //    (measured 0.79–0.82 at the oracle scales with nProbe=10,
+    //    shortlist=128), PLUS the rerank-agreement invariant — every
+    //    hit both rankings share carries the same round6 cosine (the
+    //    exact re-rank corrects ADC quantization error exactly). ──
     Q("q115_ivf_pq_rerank",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb,
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
-          m = 8, kCodes = 16, shortlist = 64)
+        val q = emb.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(q, emb,
+          "vec_id", "embedding", k = 5)
+        val approx = Similarity.ivfPqTopK(q, emb,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 10,
+          m = 8, kCodes = 16, shortlist = 128)
+        val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val shape = approx.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("__n"),
+            max((col("neighbor_id") === col("query_id")).cast("int")).as("__slf"))
+          .agg(count(lit(1)).as("n_queries"),
+            (min(col("__n")) === 5 && max(col("__n")) === 5).as("k_rows_per_query"),
+            (max(col("__slf")) === 0).as("self_excluded"))
+        // k×|Q| rows — broadcast so the comparison never shuffles
+        val common = exact
+          .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("__ce"))
+          .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
+            r6(col("cosine")).as("__ca"))), Seq("query_id", "neighbor_id"))
+        val agree = common.agg(count(lit(1)).as("__nhit"),
+          (count(lit(1)) === count(when(col("__ce") === col("__ca"), 1)))
+            .as("rerank_agrees"))
+        val nEx = exact.agg(count(lit(1)).as("__nex"))
+        shape.crossJoin(agree).crossJoin(nEx)
+          .select(col("n_queries"), col("k_rows_per_query"),
+            col("self_excluded"), col("rerank_agrees"),
+            (col("__nhit").cast("double") / col("__nex") >= lit(0.7))
+              .as("recall_ok"))
       },
-      None),
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS k_rows_per_query, TRUE AS self_excluded,
+               TRUE AS rerank_agrees, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 20""")),
 
     // ── §2.1 rows 8-9: table registry + view materialization + SQL API ──
     Q("q30_sql_views",
@@ -1026,6 +1180,13 @@ object Queries {
     //    agreement — corpus-vs-corpus similarity with no document join.
     //    No SQL oracle (custom FNV hashing); union law + estimate accuracy
     //    are property-tested in FunctionsSpec ──
+    // ── mergeable group-level MinHash union sketches, ORACLE-VISIBLE:
+    //    each source-pair row carries the EXACT group-level 3-shingle
+    //    Jaccard (distinct-shingle inverted join — oracle-computable)
+    //    and the sketch-estimate error bound |est − exact| ≤ 0.2 the
+    //    oracle pins TRUE (32 hashes → σ ≈ 0.09 at J≈0.5, and true J
+    //    here is ≤ 0.09; measured max error 0.126 at both oracle
+    //    scales). The raw union-signature surface stays spec-pinned. ──
     Q("q53_group_minhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1036,12 +1197,56 @@ object Queries {
           .agg(graft.functions.MinHashUnion.column(32)(col("sig")).as("usig"))
         val a = sigs.select(col("source").as("source_a"), col("usig").as("sig_a"))
         val b = sigs.select(col("source").as("source_b"), col("usig").as("sig_b"))
-        a.join(b, col("source_a") < col("source_b"))
+        val est = a.join(b, col("source_a") < col("source_b"))
           .select(col("source_a"), col("source_b"),
             graft.functions.MinHashUnion.estJaccard(col("sig_a"), col("sig_b"))
-              .as("est_jaccard"))
+              .as("__est"))
+        val sh = docs.select(col("source"),
+            explode(graft.functions.HashFunctions.wordShingles(col("text"), 3))
+              .as("__s")).distinct()
+        val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        val inter = sh.alias("x").join(sh.alias("y"),
+            col("x.__s") === col("y.__s") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("__ni"))
+        val exact = inter
+          .join(cnt.select(col("source").as("source_a"), col("__n").as("__na")),
+            Seq("source_a"))
+          .join(cnt.select(col("source").as("source_b"), col("__n").as("__nb")),
+            Seq("source_b"))
+          .select(col("source_a"), col("source_b"),
+            (col("__ni").cast("double") / (col("__na") + col("__nb") - col("__ni")))
+              .as("__jac"))
+        est.join(exact, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            (floor(coalesce(col("__jac"), lit(0.0)) * 1e6 + 0.5) / 1e6)
+              .as("exact_jaccard"),
+            (abs(col("__est") - coalesce(col("__jac"), lit(0.0))) <= lit(0.2))
+              .as("within_bound"))
       },
-      None),
+      Some(s"""
+        WITH t AS (SELECT source,
+            unnest(list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\\s+')[i],
+                string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\\s+')[i+2])))) AS s
+          FROM documents),
+        u AS (SELECT DISTINCT source, s FROM t),
+        cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        inter AS (
+          SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
+          FROM u a JOIN u b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb
+          FROM cnt x JOIN cnt y ON x.source < y.source)
+        SELECT p.sa AS source_a, p.sb AS source_b,
+               floor(COALESCE(CAST(i.ni AS DOUBLE) / (p.na + p.nb - i.ni), 0.0)
+                 * 1000000 + 0.5) / 1000000 AS exact_jaccard,
+               TRUE AS within_bound
+        FROM pairs p LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb""")),
 
     // ── training prep: fixed-token-window chunking with overlap (chunk
     //    budget 32 tokens, overlap 8 → stride 24) ──
@@ -1910,17 +2115,44 @@ object Queries {
     //    100 TB is one pass with bounded per-group state. No DuckDB
     //    oracle (different sketch impls); OperatorsSpec bounds the error
     //    against exact answers ──
+    // ── approximate corpus profile, ORACLE-VISIBLE (q220's pattern):
+    //    per source, the exact doc count rides next to the sketch
+    //    invariants the oracle pins TRUE — HLL within max(3·rsd·n, 2)
+    //    (the small-n absolute floor: HLL error at n≈25 is not yet
+    //    normal), and each approx percentile inside the exact
+    //    [p−0.05, p+0.05] interpolated band. Groups under 10 docs skip
+    //    the percentile band (one element each side of the rank makes
+    //    the band degenerate) — at the oracle scale every group has 25. ──
     Q("q83_approx_profile",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val lens = TextAnalysis.quality(docs, "text")
           .select(col("doc_id"), col("source"), col("n_tokens"))
-        lens.groupBy(col("source")).agg(
-          approx_count_distinct(col("doc_id"), rsd = 0.02).as("approx_docs"),
-          percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
-          percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("p90_tokens"))
+        val approx = lens.groupBy(col("source")).agg(
+          approx_count_distinct(col("doc_id"), rsd = 0.02).as("__ad"),
+          percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("__p50"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("__p90"))
+        val exact = lens.groupBy(col("source")).agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          expr("percentile(n_tokens, 0.45)").as("__e45"),
+          expr("percentile(n_tokens, 0.55)").as("__e55"),
+          expr("percentile(n_tokens, 0.85)").as("__e85"),
+          expr("percentile(n_tokens, 0.95)").as("__e95"))
+        approx.join(exact, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            (abs(col("__ad") - col("n_docs")).cast("double")
+              <= greatest(lit(3.0 * 0.02) * col("n_docs").cast("double"),
+                lit(2.0))).as("hll_within_bound"),
+            (col("n_docs") < 10 || (col("__p50").cast("double")
+              .between(col("__e45"), col("__e55")))).as("p50_within_band"),
+            (col("n_docs") < 10 || (col("__p90").cast("double")
+              .between(col("__e85"), col("__e95")))).as("p90_within_band"))
       },
-      None),
+      Some("""
+        SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               TRUE AS hll_within_bound, TRUE AS p50_within_band,
+               TRUE AS p90_within_band
+        FROM documents GROUP BY 1""")),
 
     // ── curriculum order: easy-to-hard (token count) within shards,
     //    hash tie-breaks keep equal-difficulty rows interleaved ──
@@ -2379,10 +2611,37 @@ object Queries {
     //    the capped vocabulary frame (pair-count agg + 1-row argmax +
     //    map-only merge kernel). No SQL oracle (iterative argmax);
     //    OperatorsSpec pins the exact merge sequence on a known corpus. ──
+    // ── BPE merge training, ORACLE-VISIBLE (q106's trick): the learned
+    //    merge table is iterative (not SQL-expressible), but its
+    //    CONTRACT is — exactly nMerges ranks, contiguous 1..n, positive
+    //    weighted pair counts, at least one multi-char merge applied,
+    //    and the round-trip law: re-joining every doc's segmented
+    //    symbols reproduces its normalized text exactly (merges only
+    //    concatenate adjacent symbols). One summary row, oracle-pinned. ──
     Q("q100_bpe_train",
-      (s, d) => operators.Bpe.train(
-        Tables.documents(s, d), "text", nMerges = 12),
-      None),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = operators.Bpe.train(docs, "text", nMerges = 12)
+          .orderBy(col("rank")).collect() // 12 rows, bounded by nMerges
+        val ranksOk = merges.map(_.getInt(0)).toSeq == (1 to 12) &&
+          merges.forall(_.getLong(3) > 0L)
+        val ms = merges.map(r => (r.getString(1), r.getString(2))).toSeq
+        val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        val seg = operators.Bpe.segment(col("text"), ms)
+        docs.select(
+            (concat_ws("", seg) === norm).as("__rt"),
+            (size(filter(seg, t => length(t) >= 2)) > 0).as("__merged"))
+          .agg(count(lit(1)).as("n_docs"),
+            lit(merges.length).as("n_merges"),
+            lit(ranksOk).as("ranks_contiguous"),
+            (count(when(col("__rt"), 1)) === count(lit(1))).as("round_trip_ok"),
+            (count(when(col("__merged"), 1)) > 0L).as("merges_applied"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(12 AS INTEGER) AS n_merges, TRUE AS ranks_contiguous,
+               TRUE AS round_trip_ok, TRUE AS merges_applied
+        FROM documents""")),
 
     // ── phrase-blocklist screening: replace-length occurrence counting,
     //    one codegen'd scalar chain per phrase, map-only (the blocklist
@@ -3121,17 +3380,63 @@ object Queries {
     // ── incremental MinHash-LSH: probe a new batch against the persisted
     //    signature index — corpus text never re-shingled (no SQL oracle:
     //    xxhash sketch; equivalence-to-full-LSH is spec-pinned) ──
+    // ── incremental MinHash probe against the persisted signature
+    //    index, ORACLE-VISIBLE (q21's pattern on the cross split): the
+    //    planted near-dup pairs with exactly one side in the src0 batch
+    //    (exact 3-shingle Jaccard ≥ 0.5, in-query ngramJaccard) must
+    //    each surface from the probe — which re-derives bands from
+    //    STORED signatures, never re-reading corpus text. ──
     Q("q125_minhash_probe",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val idx = Dedup.minHashSigs(
           docs.filter(col("source") =!= "src0"), "doc_id", "text",
           numHashes = 32)
-        Dedup.minHashProbe(
-          docs.filter(col("source") === "src0"), idx, "doc_id", "text",
-          bands = 16, rowsPerBand = 2, minEstJaccard = 0.25)
+        val found = Dedup.minHashProbe(
+            docs.filter(col("source") === "src0"), idx, "doc_id", "text",
+            bands = 16, rowsPerBand = 2, minEstJaccard = 0.25)
+          .select(col("id_new"), col("id_indexed"), lit(true).as("__hit"))
+        val srcs = docs.select(col("doc_id"), (col("source") === "src0").as("__b"))
+        Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.5)
+          .join(srcs.select(col("doc_id").as("id_a"), col("__b").as("__a0")),
+            Seq("id_a"))
+          .join(srcs.select(col("doc_id").as("id_b"), col("__b").as("__b0")),
+            Seq("id_b"))
+          .filter(col("__a0") =!= col("__b0"))
+          .select(
+            when(col("__a0"), col("id_a")).otherwise(col("id_b")).as("id_new"),
+            when(col("__a0"), col("id_b")).otherwise(col("id_a")).as("id_indexed"),
+            col("jaccard"))
+          .join(found, Seq("id_new", "id_indexed"), "left")
+          .select(col("id_new"), col("id_indexed"), col("jaccard"),
+            coalesce(col("__hit"), lit(false)).as("found_by_probe"))
       },
-      None),
+      Some(s"""
+        WITH t AS (SELECT doc_id, source,
+            list_distinct(list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+              i -> concat_ws(' ',
+                string_split_regex(lower(trim(text)), '\\s+')[i],
+                string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                string_split_regex(lower(trim(text)), '\\s+')[i+2]))) AS sh
+          FROM documents),
+        docs AS (SELECT doc_id, source, sh, len(sh) AS n_sh
+                 FROM t WHERE len(sh) > 0),
+        inv AS (SELECT doc_id, source, n_sh, unnest(sh) AS s FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.source AS src_a, b.source AS src_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT CASE WHEN src_a = 'src0' THEN id_a ELSE id_b END AS id_new,
+               CASE WHEN src_a = 'src0' THEN id_b ELSE id_a END AS id_indexed,
+               CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard,
+               TRUE AS found_by_probe
+        FROM pairs
+        WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= 0.5
+          AND ((src_a = 'src0') <> (src_b = 'src0'))""")),
 
     // ── equi-depth quality binning: per-source NTILE tiers over a
     //    (metric, key) total order — curriculum buckets ──
@@ -5358,6 +5663,13 @@ object Queries {
     //    an any-range union readout. No DuckDB oracle (different sketch
     //    implementation) — batch-cut bit-invariance and the error bound
     //    vs exact are DistinctMartSpec's assertions ──
+    // ── HLL distinct mart, ORACLE-VISIBLE (q220's bound made stateful):
+    //    three micro-batch folds build the per-day sketch state, then
+    //    the daily readout rides next to the exact per-day distinct and
+    //    the oracle pins |hll − exact| ≤ max(5%·exact, 2) TRUE (lgK=12
+    //    → rsd ≈1.6%; measured error 0 at both oracle scales — the
+    //    fixture's daily cardinalities sit in HLL's exact regime). The
+    //    bit-for-bit fold-vs-oneshot sketch equality stays spec-pinned. ──
     Q("q200_hll_distinct_mart",
       (s, d) => {
         val root = java.nio.file.Files.createTempDirectory("q200-dm")
@@ -5366,9 +5678,20 @@ object Queries {
         (0 to 2).foreach(i => gold.DistinctMart.foldBatch(s,
           ev.filter(pmod(col("event_id"), lit(3)) === i), root,
           "user_id", "ts", i.toLong))
+        val exact = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(countDistinct(col("user_id")).as("n_users_exact"))
         gold.DistinctMart.dailyDistinct(s, root)
+          .join(exact, Seq("day"))
+          .select(col("day"), col("n_users_exact"),
+            (abs(col("n_distinct") - col("n_users_exact")).cast("double")
+              <= greatest(lit(0.05) * col("n_users_exact").cast("double"),
+                lit(2.0))).as("within_bound"))
       },
-      None),
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS within_bound
+        FROM events GROUP BY 1""")),
 
     // ── embedding drift (Similarity.embeddingDrift): per-label PSI
     //    between reference and current cosine-to-REFERENCE-centroid

@@ -118,7 +118,12 @@ object PlanLint {
       "single_partition_exchange" -> 2L),
     "q111_ab_test" -> Map("broadcast_nested_loop" -> 1L),
     "q112_event_lift" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
-    "q115_ivf_pq_rerank" -> Map("broadcast_nested_loop" -> 2L),
+    // round 11: the oracle-visible invariant form composes the ANN
+    // serve (query-batch×corpus cross + nCells-row centroid crosses,
+    // classes 1/4) with q24's exact brute force AND three 1-row
+    // summary crosses (class 1); the global scalar aggs are class 2
+    "q115_ivf_pq_rerank" -> Map("broadcast_nested_loop" -> 8L,
+      "single_partition_exchange" -> 3L),
     "q118_trim_outliers" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
     "q120_budget_select" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
     "q127_column_profile" -> Map("single_partition_exchange" -> 1L),
@@ -157,7 +162,12 @@ object PlanLint {
     // q261 carries q244's nCells-row centroid broadcast cross
     "q259_sql_tvf_search" -> Map("broadcast_nested_loop" -> 1L),
     "q261_sql_tvf_vector" -> Map("broadcast_nested_loop" -> 1L),
-    "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 2L),
+    // round 11: q29's invariant form — same composition as q115 above
+    "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 8L,
+      "single_partition_exchange" -> 3L),
+    // round 11: q100's oracle-visible summary is one global scalar agg
+    // over the segmented corpus (class 2)
+    "q100_bpe_train" -> Map("single_partition_exchange" -> 1L),
     "q53_group_minhash" -> Map("broadcast_nested_loop" -> 1L),
     "q56_tfidf" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
     "q58_bigram_nll" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),

@@ -53,7 +53,9 @@ class PlanSpec extends SparkSpec {
     // re-running the cheap codegen'd sketch per join side (3 scans)
     assert(!p.matches("(?s).*bounded_collect_list\\(struct\\([^)]*sig.*"), p)
     assert(p.contains("bounded_collect_list"), p)  // …and the guard IS in the plan
-    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+    // 3 LSH-side scans + 1 for the oracle-visible exact planted-pair
+    // ground truth (round 11's invariant form)
+    assert("Scan parquet".r.findAllIn(p).size == 4, p)
   }
 
   test("latest-wins dedup is a single shuffle on the key") {
