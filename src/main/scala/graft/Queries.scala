@@ -7772,15 +7772,32 @@ object Queries {
           docs.filter(pmod(col("doc_id"), lit(7)) === 2), countRows = false)
         graft.gold.BaseDelta.logicalErase(s, t, "doc_id",
           docs.filter(pmod(col("doc_id"), lit(11)) === 3), countRows = false)
-        graft.gold.BaseDelta.tombstoneReport(s, t, budget = 10L)
+        val before = graft.gold.BaseDelta.tombstoneReport(s, t, budget = 10L)
+        // round 11: the SINK-SIDE auto-upgrade the report recommends —
+        // the backlog exceeds the budget, so the in-band materialization
+        // fires (the hook IndexStreams/MultiTableStream run per batch),
+        // retires the ledgers, and physically rewrites the subject rows
+        val upgraded = graft.gold.BaseDelta
+          .materializePendingIfOverBudget(s, t, budget = 10L)
+        val cleared = graft.gold.BaseDelta.pendingTombstones(s, t).isEmpty
+        val remaining = graft.gold.BaseDelta.read(s, t)
+          .filter(pmod(col("doc_id"), lit(7)) === 2 ||
+            pmod(col("doc_id"), lit(11)) === 3).count()
+        before.select(col("erase_col"), col("pending_values"), col("budget"),
+          col("over_budget"), col("recommendation"),
+          lit(upgraded).as("auto_upgraded"),
+          lit(cleared).as("pending_cleared"),
+          lit(remaining == 0L).as("subject_rows_gone"))
       },
       Some("""
-        SELECT CAST(10 AS BIGINT) AS budget,
-               'doc_id' AS erase_col,
-               COUNT(*) > 10 AS over_budget,
+        SELECT 'doc_id' AS erase_col,
                CAST(COUNT(*) AS BIGINT) AS pending_values,
+               CAST(10 AS BIGINT) AS budget,
+               COUNT(*) > 10 AS over_budget,
                CASE WHEN COUNT(*) > 10 THEN 'materialize' ELSE 'ok'
-                 END AS recommendation
+                 END AS recommendation,
+               TRUE AS auto_upgraded, TRUE AS pending_cleared,
+               TRUE AS subject_rows_gone
         FROM (SELECT DISTINCT doc_id FROM documents
               WHERE doc_id % 7 = 2 OR doc_id % 11 = 3)""")),
 

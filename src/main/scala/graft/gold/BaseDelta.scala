@@ -616,6 +616,33 @@ object BaseDelta {
     vacuum(spark, t)
   }
 
+  /** True iff any pending erasure ledger on `t` holds more than `budget`
+    * values — the backlog signal [[logicalErase]] emits as
+    * `recommend_materialize` and [[tombstoneReport]] reads out. Ledgers
+    * are request-sized, so the counts are tiny jobs.
+    */
+  def tombstoneBacklogOver(spark: SparkSession, t: Table,
+                           budget: Long = DefaultTombstoneBudget): Boolean =
+    pendingTombstones(spark, t).exists(_._2.count() > budget)
+
+  /** The IN-BAND auto-upgrade a long-running sink wires into its batch
+    * maintenance: when the acked-but-unmaterialized backlog exceeds
+    * `budget`, run the full fold that physically rewrites tombstoned
+    * rows and retires the observed ledgers — reads stop paying the
+    * per-ledger anti-joins and receipts upgrade to 'materialized'.
+    * Compact-only, deliberately NOT [[materializeErasures]]: the full
+    * vacuum's writer-quiet contract does not hold inside a live sink
+    * batch with any-time [[logicalErase]] acks landing concurrently,
+    * so retained-history byte reclamation stays with the scheduled
+    * writer-quiet [[vacuum]]. Returns true when the upgrade ran.
+    */
+  def materializePendingIfOverBudget(spark: SparkSession, t: Table,
+      budget: Long = DefaultTombstoneBudget): Boolean =
+    if (tombstoneBacklogOver(spark, t, budget)) {
+      compact(spark, t, transform = Some(identity))
+      true
+    } else false
+
   /** One ledger's state as OBSERVED by a fold: the committed generation
     * at fold-read time plus its id set pinned in Spark storage
     * (localCheckpoint — the gen dir itself could be retired by two

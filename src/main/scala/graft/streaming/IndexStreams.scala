@@ -49,13 +49,35 @@ object IndexStreams {
     out.get
   }
 
+  /** Budget-tripped tombstone materialization, run as post-fold batch
+    * maintenance: any state table whose acked-but-unmaterialized erasure
+    * backlog exceeds `budget` takes the full fold that rewrites and
+    * retires its ledgers ([[graft.gold.BaseDelta.materializePendingIfOverBudget]]),
+    * so a long-running sink never lets every read pay an unbounded pile
+    * of per-ledger anti-joins. Best-effort within the batch: a typed
+    * conflict (an out-of-band eraser racing the fold) is retried briefly
+    * and otherwise left for the NEXT batch's check — the backlog signal
+    * re-fires until the upgrade lands, so the budget is enforced within
+    * a bounded number of batches, never silently dropped.
+    */
+  private def materializeOverBudget(tables: Seq[graft.gold.BaseDelta.Table],
+                                    spark: org.apache.spark.sql.SparkSession,
+                                    budget: Long): Unit =
+    tables.foreach { t =>
+      try retryConflict(3) {
+        graft.gold.BaseDelta.materializePendingIfOverBudget(spark, t, budget)
+      }
+      catch { case _: CommitConflictException => () /* next batch retries */ }
+    }
+
   /** Continuously fold documents (idCol, textCol) into a BM25 + phrase
     * [[SearchIndex]].
     */
   def searchIndexStream(docs: DataFrame, st: SearchIndex.State,
                         checkpoint: String, idCol: String, textCol: String,
                         maxDeltas: Int = 16,
-                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                        tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!b.isEmpty)
@@ -63,6 +85,8 @@ object IndexStreams {
             SearchIndex.fold(b.sparkSession, st, b.toDF(), id, idCol,
               textCol, maxDeltas)
           }
+        materializeOverBudget(Seq(st.postingsTable, st.docstatsTable,
+          st.positionsTable), b.sparkSession, tombstoneBudget)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -75,7 +99,8 @@ object IndexStreams {
                          checkpoint: String, idCol: String, textCol: String,
                          k: Int = 3, threshold: Double = 0.2,
                          maxStateDf: Int = 0, maxDeltas: Int = 16,
-                         trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+                         trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                         tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!b.isEmpty)
@@ -83,6 +108,8 @@ object IndexStreams {
             ClusterIndex.fold(b.sparkSession, st, b.toDF(), id, idCol,
               textCol, k, threshold, maxStateDf, maxDeltas)
           }
+        materializeOverBudget(Seq(st.postingsTable, st.clustersTable),
+          b.sparkSession, tombstoneBudget)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -96,13 +123,16 @@ object IndexStreams {
                         checkpoint: String, idCol: String, vecCol: String,
                         nCells: Int = 16, refineIters: Int = 0,
                         maxDeltas: Int = 64, pqM: Int = 0, pqK: Int = 16,
-                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                        tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): StreamingQuery =
     embeddings.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         retryConflict(5) {
           VectorIndex.fold(b.sparkSession, st, b.toDF(), id, idCol, vecCol,
             nCells, refineIters, maxDeltas, pqM, pqK)
         }
+        materializeOverBudget(Seq(st.postingsTable), b.sparkSession,
+          tombstoneBudget)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -156,7 +156,8 @@ object MultiTableStream {
                 routeCol: String, dims: Seq[Scd2Dim],
                 facts: Seq[UpsertFact], batchId: Long,
                 deltaFacts: Seq[DeltaFact] = Seq.empty,
-                audits: Seq[Audit] = Seq.empty): Unit = {
+                audits: Seq[Audit] = Seq.empty,
+                tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): Unit = {
     require(dims.nonEmpty || facts.nonEmpty || deltaFacts.nonEmpty,
       "MultiTableStream: at least one table spec required")
     val names = dims.map(_.table) ++ facts.map(_.table) ++
@@ -289,7 +290,20 @@ object MultiTableStream {
     deltaFacts.foreach { f =>
       val t = f.deltaTable(root)
       val prevPtr = committed.flatMap(MultiSnapshot.pointer(_, f.table))
-      if (graft.gold.BaseDelta.deltaBatches(spark, t).size > f.maxDeltas)
+      if (graft.gold.BaseDelta.tombstoneBacklogOver(spark, t, tombstoneBudget))
+        // BUDGET-TRIPPED erasure materialization: fold EVERYTHING through
+        // the tombstone filter, bounded at THIS batch's just-committed
+        // pointer (a full fold is what retires the ledgers — a
+        // prev-pointer-bounded one keeps them pending). The floor lands
+        // on the current commit, spending one readAt retention cycle —
+        // the same trade the eager coordinated erasure makes, paid only
+        // when the acked backlog has outgrown what every read should
+        // keep anti-joining. A typed conflict (an eraser racing the
+        // fold) leaves the upgrade to the next batch's re-check.
+        try graft.gold.BaseDelta.compact(spark, t,
+          transform = Some(identity), upTo = Some(batchId))
+        catch { case _: graft.gold.CommitConflictException => () }
+      else if (graft.gold.BaseDelta.deltaBatches(spark, t).size > f.maxDeltas)
         graft.gold.BaseDelta.compact(spark, t, upTo = prevPtr)
     }
   }
@@ -299,11 +313,12 @@ object MultiTableStream {
             routeCol: String, dims: Seq[Scd2Dim], facts: Seq[UpsertFact],
             deltaFacts: Seq[DeltaFact] = Seq.empty,
             audits: Seq[Audit] = Seq.empty,
-            trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+            tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): StreamingQuery =
     parsed.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         foldBatch(b.sparkSession, root, b.toDF(), routeCol, dims, facts, id,
-          deltaFacts, audits)
+          deltaFacts, audits, tombstoneBudget)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

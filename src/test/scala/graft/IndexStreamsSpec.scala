@@ -136,6 +136,40 @@ class IndexStreamsSpec extends SparkSpec {
       s"post-erase streamed clusters diverge:\n${got.collect().mkString("\n")}")
   }
 
+  test("tombstone budget: the search sink auto-materializes an over-budget backlog at the next trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.gold.BaseDelta
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val st = SearchIndex.State(tmpDir("sis-budget") + "/s")
+    val ms = MemoryStream[(Long, String)]
+    val q = IndexStreams.searchIndexStream(
+      ms.toDF().toDF("doc_id", "text"), st, tmpDir("sis-budget-ckpt"),
+      "doc_id", "text", trigger = Trigger.ProcessingTime(0),
+      tombstoneBudget = 2L)
+    ms.addData(Seq((1L, "alpha beta gamma"), (2L, "alpha delta"),
+      (3L, "beta epsilon"), (4L, "gamma zeta"), (5L, "delta eta"),
+      (6L, "epsilon theta")))
+    q.processAllAvailable()
+    // out-of-band DEFERRED erasure: immediate ack, backlog 3 > budget 2
+    SearchIndex.eraseLogical(spark, st, Seq(1L, 2L, 3L).toDF("doc_id"))
+    assert(BaseDelta.tombstoneBacklogOver(spark, st.docstatsTable, 2L),
+      "fixture broken: backlog should exceed the budget")
+    // next trigger: the sink's post-fold maintenance fires the upgrade
+    ms.addData(Seq((7L, "alpha iota")))
+    q.processAllAvailable()
+    q.stop()
+    Seq(st.postingsTable, st.docstatsTable, st.positionsTable).foreach(t =>
+      assert(BaseDelta.pendingTombstones(spark, t).isEmpty,
+        s"${t.path}: over-budget ledger survived the next batch"))
+    // the physical rewrite actually landed: state excludes subjects,
+    // keeps survivors + post-erase traffic; serve agrees
+    assert(BaseDelta.read(spark, st.docstatsTable).select("doc_id")
+      .as[Long].collect().toSet == Set(4L, 5L, 6L, 7L))
+    assert(SearchIndex.search(spark, st, Seq("alpha"))
+      .select("doc_id").as[Long].collect().toSet == Set(7L),
+      "post-upgrade serve disagrees")
+  }
+
   test("vector index stream: full-probe serve equals brute force; empty trigger harmless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -236,6 +236,48 @@ class MultiTableStreamSpec extends SparkSpec {
     assert(graft.gold.BaseDelta.timeTravelFloor(spark, bt).forall(_ <= ptr))
   }
 
+  test("budget-tripped materialization: an over-budget deferred erasure materializes at the next fold") {
+    import graft.gold.BaseDelta
+    val root = tmpDir("mts-budget") + "/r"
+    val rootRef = tmpDir("mts-budget-ref") + "/r" // never-erased reference
+    for (i <- 0 until 2) {
+      MultiTableStream.foldBatch(spark, root, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq.empty, i.toLong, deltaFacts = Seq(deltaFactSpec))
+      MultiTableStream.foldBatch(spark, rootRef, cdc(batches(i): _*), "route",
+        Seq(dimSpec), Seq.empty, i.toLong, deltaFacts = Seq(deltaFactSpec))
+    }
+    val t = deltaFactSpec.deltaTable(root)
+    // deferred subject erasure on the delta member: ack now, backlog 1 > 0
+    BaseDelta.logicalErase(spark, t, "account_id",
+      Seq(2).toDF("account_id"), countRows = false)
+    assert(BaseDelta.tombstoneBacklogOver(spark, t, 0L))
+    // the next fold carries the auto-upgrade (budget 0 = materialize any
+    // backlog); batch-2 rows of the erased subject stay suppressed — the
+    // pending-window-replay contract — and the fold retires the ledger
+    MultiTableStream.foldBatch(spark, root, cdc(batches(2): _*), "route",
+      Seq(dimSpec), Seq.empty, 2L, deltaFacts = Seq(deltaFactSpec),
+      tombstoneBudget = 0L)
+    MultiTableStream.foldBatch(spark, rootRef, cdc(batches(2): _*), "route",
+      Seq(dimSpec), Seq.empty, 2L, deltaFacts = Seq(deltaFactSpec))
+    assert(BaseDelta.pendingTombstones(spark, t).isEmpty,
+      "over-budget ledger survived the next fold")
+    // committed view = the never-erased reference minus the subject
+    val got = MultiTableStream.readCommitted(spark, root,
+      deltaFacts = Seq(deltaFactSpec))("txns")
+      .select("txn_id", "account_id", "amount")
+    val want = MultiTableStream.readCommitted(spark, rootRef,
+      deltaFacts = Seq(deltaFactSpec))("txns")
+      .filter($"account_id" =!= 2)
+      .select("txn_id", "account_id", "amount")
+    sameRows(got, want, "post-upgrade committed view diverges")
+    // the upgrade folded THROUGH this batch's pointer: current commit
+    // stays readable as-of, and no delta dir still holds subject bytes
+    assert(graft.gold.BaseDelta.readAt(spark, t, 2L)
+      .filter($"account_id" === 2).isEmpty)
+    assert(BaseDelta.deltaBatches(spark, t).isEmpty,
+      "full fold expected — ledger retirement needs kept == empty")
+  }
+
   test("an erasure between micro-batches does not desync the exactly-once ledger") {
     val root = tmpDir("mts-erase-ledger") + "/r"
     foldAll(root, 2) // batches 0,1 committed (v1, v2)
