@@ -8111,7 +8111,90 @@ object Queries {
           UNION
           SELECT e.id, c.lbl FROM edges e JOIN cc c ON c.id = e.peer)
         SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-        FROM cc GROUP BY id"""))
+        FROM cc GROUP BY id""")),
+
+    // ── DURABLE erasure receipts (ErasureSweep.eraseDerivedLedgered +
+    //    receiptStatus): the sweep's combined receipt persists into an
+    //    append-only BaseDelta ledger — the GDPR audit trail surviving
+    //    the session — and the readout joins it to the CURRENT
+    //    per-artifact tombstone state: here the search tier is
+    //    materialized after the ack (its 'pending' receipt row upgrades
+    //    to current_status 'materialized') while the vector tier's
+    //    ledger is still pending ──
+    Q("q266_erasure_receipts",
+      (s, d) => {
+        val sst = Fixtures.search3Copy(s, d)
+        val vst = Fixtures.vector3Copy(s, d)
+        val ledger = java.nio.file.Files
+          .createTempDirectory("q266-receipts").toString + "/r"
+        val subjects = Tables.documents(s, d).select(col("doc_id").as("id"))
+          .unionByName(Tables.embeddings(s, d).select(col("vec_id").as("id")))
+          .filter(pmod(col("id"), lit(7)) === 2).distinct()
+        graft.operators.ErasureSweep.eraseDerivedLedgered(s, ledger, 1L,
+          subjects, search = Seq(sst), vector = Seq(vst), deferred = true)
+        Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable)
+          .foreach(t => graft.gold.BaseDelta.materializeErasures(s, t))
+        graft.operators.ErasureSweep.receiptStatus(s, ledger,
+            search = Seq(sst), vector = Seq(vst))
+          .select(col("sweep_id"), col("artifact"), col("mode"),
+            col("status"), col("current_status"), col("n_subject_rows"))
+      },
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS sweep_id, 'search_index' AS artifact,
+               'deferred' AS mode, 'pending' AS status,
+               'materialized' AS current_status,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 7 = 2) AS n_subject_rows
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'vector_index', 'deferred', 'pending',
+               'pending',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 7 = 2)""")),
+
+    // ── the GDPR path END-TO-END from pure SQL (GraftExtensions
+    //    procedure-shaped TVFs): erase_subjects acks the deferred
+    //    erasure, materialize_erasures upgrades the pending ledgers,
+    //    search_bm25 serves — no Scala in sight. The serve result is
+    //    q251's exact semantics (the materialization changes bytes, not
+    //    answers), so this shares q251's oracle verbatim ──
+    Q("q267_sql_erase_subjects",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        val st = Fixtures.search3Copy(s, d)
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(7)) === 2)
+          .select(col("doc_id")).createOrReplaceTempView("subjects_q267")
+        s.sql(s"""SELECT * FROM erase_subjects('search', '${st.root}',
+          'subjects_q267', true)""").collect()
+        s.sql(s"""SELECT * FROM materialize_erasures('search', '${st.root}')""")
+          .collect()
+        s.sql(s"""
+          SELECT doc_id, n_terms, score
+          FROM search_bm25('${st.root}', 'data,bank,account,risk')""")
+      },
+      Some("""
+        WITH post AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE doc_id % 7 <> 2),
+        p2 AS (SELECT doc_id, tok FROM post WHERE length(tok) > 0),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM p2 GROUP BY 1),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+               FROM dl),
+        tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM p2 WHERE tok IN ('data', 'bank', 'account', 'risk')
+               GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        t AS (
+          SELECT tf.doc_id,
+                 floor(((ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))) /
+                        (CAST(tf.tf AS DOUBLE) +
+                          1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+                       * 1000000 + 0.5) / 1000000 AS t6
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM t GROUP BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

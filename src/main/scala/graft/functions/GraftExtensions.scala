@@ -77,6 +77,12 @@ object GraftExtensions {
       s"$name must be a string literal, got $other")
   }
 
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a boolean literal, got $other")
+  }
+
   // ── TABLE-VALUED surfaces for the flagship whole-table operators ────
   //
   // The engine is API-first; the reference's consumers are SQL-first
@@ -204,7 +210,80 @@ object GraftExtensions {
       graft.operators.ClusterIndex.clusters(
         org.apache.spark.sql.SparkSession.active,
         graft.operators.ClusterIndex.State(strArg(es(0), "indexRoot")))
-        .queryExecution.logical))
+        .queryExecution.logical),
+
+    // ── GOVERNANCE mutations from pure SQL — procedure-shaped TVFs:
+    //    the mutation EXECUTES when the statement is analyzed (the SQL
+    //    analogue of CALL), and the returned table is its receipt. The
+    //    build+serve TVFs above already cover the read path; these close
+    //    the reference's GDPR loop for SQL-first consumers — ack an
+    //    erasure, then upgrade the pending ledgers — with no Scala in
+    //    sight. `kind` names the index tier ('search' | 'vector' |
+    //    'cluster' | 'managed_vector'); subjects are passed as a
+    //    registered view name, the same convention as every input table
+    //    here.
+    //
+    //   SELECT * FROM erase_subjects('search', '/idx/s', 'subjects_v', true)
+    //   SELECT * FROM materialize_erasures('search', '/idx/s')
+    "erase_subjects" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val kind = strArg(es(0), "kind")
+      val root = strArg(es(1), "indexRoot")
+      val subjects = table(strArg(es(2), "subjectsView"))
+      val deferred = es.length > 3 && boolArg(es(3), "deferred")
+      val receipt = kind match {
+        case "search" => graft.operators.ErasureSweep.eraseDerived(spark,
+          subjects, search = Seq(graft.operators.SearchIndex.State(root)),
+          deferred = deferred)
+        case "vector" => graft.operators.ErasureSweep.eraseDerived(spark,
+          subjects, vector = Seq(graft.operators.VectorIndex.State(root)),
+          deferred = deferred)
+        case "cluster" => graft.operators.ErasureSweep.eraseDerived(spark,
+          subjects, cluster = Seq(graft.operators.ClusterIndex.State(root)),
+          deferred = deferred)
+        case "managed_vector" => graft.operators.ErasureSweep.eraseDerived(
+          spark, subjects,
+          managedVector = Seq(graft.operators.VectorIndex.Managed(root)),
+          deferred = deferred)
+        case other => throw new IllegalArgumentException(
+          s"erase_subjects: unknown kind '$other' (expected search | " +
+            "vector | cluster | managed_vector)")
+      }
+      receipt.queryExecution.logical
+    }),
+    "materialize_erasures" -> (es => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val kind = strArg(es(0), "kind")
+      val root = strArg(es(1), "indexRoot")
+      val tables = kind match {
+        case "search" =>
+          val st = graft.operators.SearchIndex.State(root)
+          Seq(st.postingsTable, st.docstatsTable, st.positionsTable)
+        case "vector" =>
+          Seq(graft.operators.VectorIndex.State(root).postingsTable)
+        case "cluster" =>
+          val st = graft.operators.ClusterIndex.State(root)
+          Seq(st.postingsTable, st.clustersTable)
+        case "managed_vector" =>
+          val m = graft.operators.VectorIndex.Managed(root)
+          Seq(graft.operators.VectorIndex.active(spark, m).postingsTable)
+        case other => throw new IllegalArgumentException(
+          s"materialize_erasures: unknown kind '$other' (expected search " +
+            "| vector | cluster | managed_vector)")
+      }
+      // same contract as the Scala surface: the caller owns the
+      // writer-quiet window (scheduled maintenance slot)
+      val rows = tables.map { t =>
+        val had = graft.gold.BaseDelta.pendingTombstones(spark, t).nonEmpty
+        val vacuumed = graft.gold.BaseDelta.materializeErasures(spark, t)
+        (t.path, had, vacuumed.length.toLong,
+          graft.gold.BaseDelta.pendingTombstones(spark, t).isEmpty)
+      }
+      spark.createDataFrame(rows)
+        .toDF("table_path", "had_pending", "n_paths_vacuumed",
+          "pending_cleared")
+        .queryExecution.logical
+    }))
 
   /** Register into an already-built session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -125,4 +125,77 @@ object ErasureSweep {
     spark.createDataFrame(rows.toSeq)
       .toDF("artifact", "root", "mode", "status", "n_subject_rows")
   }
+
+  /** Handle for the DURABLE erasure-receipts ledger — an append-only
+    * [[BaseDelta]] table holding one row per (sweep attempt, artifact):
+    * the GDPR audit trail the reference's retention story implies
+    * (readme.md:33-41), surviving the session that ran the sweep. Keys
+    * make every attempt's rows distinct, so a crash-repair re-invocation
+    * under a NEW sweep id appends a second pass instead of overwriting
+    * the first — the trail keeps both the crashed attempt's evidence and
+    * the repair's zero-row convergence rows. A checkpoint REPLAY of the
+    * same attempt reuses its sweep id and rides BaseDelta's batch-id
+    * idempotence (the delta overwrites itself, exactly-once).
+    */
+  def receiptsTable(root: String): BaseDelta.Table =
+    BaseDelta.Table(root, Seq("sweep_id", "artifact", "root"),
+      Seq("sweep_id"), None)
+
+  /** [[eraseDerived]] + durable receipts: runs the sweep, appends its
+    * receipt rows (stamped with `sweepId`) to the ledger at
+    * `ledgerRoot`, and returns them. The append is one artifact-count-
+    * sized batch — negligible next to the erases it documents.
+    */
+  def eraseDerivedLedgered(spark: SparkSession, ledgerRoot: String,
+                           sweepId: Long, subjects: DataFrame,
+                           search: Seq[SearchIndex.State] = Nil,
+                           vector: Seq[VectorIndex.State] = Nil,
+                           cluster: Seq[ClusterIndex.State] = Nil,
+                           managedVector: Seq[VectorIndex.Managed] = Nil,
+                           deferred: Boolean = false): DataFrame = {
+    val receipt = eraseDerived(spark, subjects, search, vector, cluster,
+      managedVector, deferred).withColumn("sweep_id", lit(sweepId))
+    BaseDelta.append(spark, receiptsTable(ledgerRoot), receipt, sweepId)
+    receipt
+  }
+
+  /** The audit readout: persisted receipts joined to the CURRENT
+    * per-artifact tombstone state, so a `status = 'pending'` row
+    * VISIBLY upgrades to `current_status = 'materialized'` once its
+    * artifact's tables hold no pending ledger (the receipt-upgrade
+    * signal, now queryable after the fact). Rows recorded `erased` stay
+    * `erased`; receipts for artifacts not among the given states read
+    * `unknown` (the auditor must name every artifact it vouches for).
+    * The per-artifact pending probes are driver-side over the handful
+    * of roots — storage-metadata listings, no data pass.
+    */
+  def receiptStatus(spark: SparkSession, ledgerRoot: String,
+                    search: Seq[SearchIndex.State] = Nil,
+                    vector: Seq[VectorIndex.State] = Nil,
+                    cluster: Seq[ClusterIndex.State] = Nil,
+                    managedVector: Seq[VectorIndex.Managed] = Nil): DataFrame = {
+    def pendingAny(ts: Seq[BaseDelta.Table]): Boolean =
+      ts.exists(t => BaseDelta.pendingTombstones(spark, t).nonEmpty)
+    val states: Seq[(String, String, Boolean)] =
+      search.map(st => ("search_index", st.root, pendingAny(Seq(
+        st.postingsTable, st.docstatsTable, st.positionsTable)))) ++
+      vector.map(st => ("vector_index", st.root,
+        pendingAny(Seq(st.postingsTable)))) ++
+      cluster.map(st => ("cluster_index", st.root, pendingAny(Seq(
+        st.postingsTable, st.clustersTable)))) ++
+      managedVector.map { m =>
+        val act = VectorIndex.active(spark, m)
+        ("vector_index_managed", m.root, pendingAny(Seq(act.postingsTable)))
+      }
+    val cur = spark.createDataFrame(states)
+      .toDF("artifact", "root", "__pending")
+    BaseDelta.read(spark, receiptsTable(ledgerRoot))
+      .join(broadcast(cur), Seq("artifact", "root"), "left")
+      .withColumn("current_status",
+        when(col("status") === "erased", lit("erased"))
+          .when(col("__pending") === true, lit("pending"))
+          .when(col("__pending") === false, lit("materialized"))
+          .otherwise(lit("unknown")))
+      .drop("__pending")
+  }
 }

@@ -161,6 +161,9 @@ object PlanLint {
     // their Scala forms — q259 carries q202's 1-row corpus-stats cross,
     // q261 carries q244's nCells-row centroid broadcast cross
     "q259_sql_tvf_search" -> Map("broadcast_nested_loop" -> 1L),
+    // round 11: the SQL GDPR-path serve is q251/q259's exact shape —
+    // the 1-row corpus-stats broadcast cross every BM25 score rides
+    "q267_sql_erase_subjects" -> Map("broadcast_nested_loop" -> 1L),
     "q261_sql_tvf_vector" -> Map("broadcast_nested_loop" -> 1L),
     // round 11: q29's invariant form — same composition as q115 above
     "q29_ann_ivf" -> Map("broadcast_nested_loop" -> 8L,

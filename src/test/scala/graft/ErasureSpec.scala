@@ -302,4 +302,56 @@ class ErasureSpec extends SparkSpec {
     assert(same(ClusterIndex.clusters(spark, c3),
       ClusterIndex.clusters(spark, c2)))
   }
+
+  test("receipts ledger: crash-resweep records both passes; readout upgrades pending to materialized") {
+    import graft.operators.{ErasureSweep, SearchIndex, VectorIndex}
+    import graft.gold.BaseDelta
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" <= 20)
+    val sst = SearchIndex.State(tmpDir("rl-s") + "/s")
+    val vst = VectorIndex.State(tmpDir("rl-v") + "/s")
+    SearchIndex.fold(spark, sst, docs, 0L, "doc_id", "text")
+    VectorIndex.fold(spark, vst, emb, 0L, "vec_id", "embedding", nCells = 4)
+    val ledger = tmpDir("rl-ledger") + "/r"
+    val lt = ErasureSweep.receiptsTable(ledger)
+    val subjects = Seq(1L, 3L).toDF("id")
+    // pass 1 (deferred ack), then a "crash" and the repair pass under a
+    // NEW sweep id: the audit trail must keep BOTH — the first attempt's
+    // evidence and the repair's zero-row convergence rows
+    ErasureSweep.eraseDerivedLedgered(spark, ledger, 1L, subjects,
+      search = Seq(sst), vector = Seq(vst), deferred = true)
+    ErasureSweep.eraseDerivedLedgered(spark, ledger, 2L, subjects,
+      search = Seq(sst), vector = Seq(vst), deferred = true)
+    val recorded = BaseDelta.read(spark, lt)
+      .select("sweep_id", "artifact", "status", "n_subject_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(recorded == Set(
+      (1L, "search_index", "pending", 2L),
+      (1L, "vector_index", "pending", 2L),
+      (2L, "search_index", "pending", 0L), // tombstones already suppress
+      (2L, "vector_index", "pending", 0L)), recorded)
+    // a checkpoint REPLAY of pass 2 reuses its sweep id: idempotent
+    ErasureSweep.eraseDerivedLedgered(spark, ledger, 2L, subjects,
+      search = Seq(sst), vector = Seq(vst), deferred = true)
+    assert(BaseDelta.read(spark, lt).count() == 4L)
+    // materialize ONE tier: its receipts (both passes) upgrade in the
+    // readout, the other tier's stay pending
+    Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable)
+      .foreach(t => BaseDelta.materializeErasures(spark, t))
+    val status = ErasureSweep.receiptStatus(spark, ledger,
+        search = Seq(sst), vector = Seq(vst))
+      .select("artifact", "current_status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(status == Set(("search_index", "materialized"),
+      ("vector_index", "pending")), status)
+    // an artifact the auditor does not vouch for reads 'unknown'
+    val unknown = ErasureSweep.receiptStatus(spark, ledger,
+        search = Seq(sst))
+      .filter($"artifact" === "vector_index")
+      .select("current_status").collect().map(_.getString(0)).toSet
+    assert(unknown == Set("unknown"))
+  }
 }

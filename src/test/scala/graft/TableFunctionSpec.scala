@@ -118,4 +118,48 @@ class TableFunctionSpec extends SparkSpec {
     val cApi = ClusterIndex.clusters(spark, cst).collect().toSet
     assert(cSql == cApi && cSql.size == 3)
   }
+
+  test("governance TVFs: erase_subjects acks, materialize_erasures upgrades — the GDPR path from pure SQL") {
+    import graft.gold.BaseDelta
+    import graft.operators.SearchIndex
+    val docs = Seq((1L, "bank account risk"), (2L, "data lake account"),
+      (3L, "risk model words"), (4L, "other words entirely"))
+      .toDF("doc_id", "text")
+    val sst = SearchIndex.State(tmpDir("tvf-gov") + "/s")
+    SearchIndex.fold(spark, sst, docs, 0L, "doc_id", "text")
+    Seq(1L, 3L).toDF("doc_id").createOrReplaceTempView("tvf_subjects")
+    // deferred ack from SQL: receipt rows say pending, serving excludes NOW
+    val receipt = spark.sql(s"""
+      SELECT * FROM erase_subjects('search', '${sst.root}',
+        'tvf_subjects', true)""").collect()
+    assert(receipt.map(r => (r.getAs[String]("artifact"),
+      r.getAs[String]("status"), r.getAs[Long]("n_subject_rows"))).toSet
+      == Set(("search_index", "pending", 2L)))
+    assert(spark.sql(s"SELECT doc_id FROM search_bm25('${sst.root}', 'risk')")
+      .collect().isEmpty, "'risk' only occurred in the erased docs")
+    assert(BaseDelta.pendingTombstones(spark, sst.docstatsTable).nonEmpty)
+    // upgrade from SQL: ledgers retire, bytes rewritten
+    val mat = spark.sql(s"""
+      SELECT * FROM materialize_erasures('search', '${sst.root}')""").collect()
+    assert(mat.length == 3 && mat.forall(_.getAs[Boolean]("pending_cleared")))
+    assert(mat.count(_.getAs[Boolean]("had_pending")) == 3)
+    Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable).foreach(t =>
+      assert(BaseDelta.pendingTombstones(spark, t).isEmpty))
+    // post-upgrade serve equals the never-ingested corpus
+    val want = {
+      val ref = SearchIndex.State(tmpDir("tvf-gov-ref") + "/s")
+      SearchIndex.fold(spark, ref,
+        docs.filter($"doc_id".isin(2L, 4L)), 0L, "doc_id", "text")
+      SearchIndex.search(spark, ref, Seq("account", "words")).collect().toSet
+    }
+    val got = spark.sql(
+      s"SELECT * FROM search_bm25('${sst.root}', 'account,words')")
+      .collect().toSet
+    assert(got == want && got.nonEmpty)
+    // a non-literal kind / unknown kind fails loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM materialize_erasures('nope', '${sst.root}')")
+        .collect()
+    }
+  }
 }
