@@ -50,9 +50,25 @@ class IndexChaosSpec extends SparkSpec {
     out.get
   }
 
-  test("index chaos seed=55: serving honors acked erasures mid-race; stats survive concurrent corrections") {
-    val rnd = new scala.util.Random(55)
-    val st = SearchIndex.State(tmpDir("index-chaos") + "/ix")
+  /** Root under the given store scheme; `mock` registers the non-atomic
+    * object-store FS + the conditional-PUT backend (the
+    * CoordinatorChaosSpec recipe), so the same storms prove the index
+    * tiers' maintenance protocols on a store whose renames can lie.
+    */
+  private def chaosRoot(prefix: String, store: String): String = {
+    val p = tmpDir(prefix) + "/ix"
+    if (store == "mock") {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.mock.impl", classOf[MockObjectStoreFileSystem].getName)
+      graft.gold.CommitCas.register("mock", MockConditionalPut)
+      s"mock:$p"
+    } else p
+  }
+
+  for ((seed, store) <- Seq((55, "file"), (155, "mock")))
+  test(s"index chaos seed=$seed on $store: serving honors acked erasures mid-race; stats survive concurrent corrections") {
+    val rnd = new scala.util.Random(seed)
+    val st = SearchIndex.State(chaosRoot("index-chaos", store))
 
     // batch 0 (pre-race): both erasers' seed ranges
     val seeds = (10000L until 10100L).map(i => (i, s"omega common s${i % 5}"))
@@ -178,9 +194,10 @@ class IndexChaosSpec extends SparkSpec {
       "a worker exhausted conflict retries — protocol livelock")
   }
 
-  test("cluster chaos seed=66: fold-vs-erase serializes on the clusters read-window CAS; final state equals the sequential recompute") {
-    val rnd = new scala.util.Random(66)
-    val st = ClusterIndex.State(tmpDir("cluster-chaos") + "/cx")
+  for ((seed, store) <- Seq((66, "file"), (166, "mock")))
+  test(s"cluster chaos seed=$seed on $store: fold-vs-erase serializes on the clusters read-window CAS; final state equals the sequential recompute") {
+    val rnd = new scala.util.Random(seed)
+    val st = ClusterIndex.State(chaosRoot("cluster-chaos", store))
     // 10 groups of 4 byte-identical docs → ten 4-member clusters
     def groupText(g: Int) =
       s"omega group$g lorem ipsum dolor sit amet shared common tokens here"
@@ -264,9 +281,10 @@ class IndexChaosSpec extends SparkSpec {
       "erased docs' postings survived the rewrite")
   }
 
-  test("vector chaos seed=77: serving honors acked erasures; eager rewrite + writer-safe vacuum under a live fold stream") {
-    val rnd = new scala.util.Random(77)
-    val st = VectorIndex.State(tmpDir("vector-chaos") + "/vx")
+  for ((seed, store) <- Seq((77, "file"), (177, "mock")))
+  test(s"vector chaos seed=$seed on $store: serving honors acked erasures; eager rewrite + writer-safe vacuum under a live fold stream") {
+    val rnd = new scala.util.Random(seed)
+    val st = VectorIndex.State(chaosRoot("vector-chaos", store))
     def vec(i: Long): Array[Float] =
       Array.tabulate(8)(j => (math.sin(i * 31.0 + j * 7.0) + 1.5).toFloat)
     val seeds = (10000L until 10100L).map(i => (i, vec(i)))
