@@ -1251,6 +1251,71 @@ object Perf {
         syntheticVecs(10), "id", "vec", k = 5, nProbe = 4).count())
       sdocs.unpersist()
     }
+    if (what == "eraseack") {
+      // Deferred cluster-erase ACK latency as a function of AFFECTED-
+      // cluster size (the one tier whose ack is not O(1): the bridge-
+      // split contract forces the structural re-pair to run eagerly).
+      // Synthetic state built directly (bypassing fold — the fixture is
+      // the point, not ingestion): a CHAIN cluster (doc i ~ doc i+1 via
+      // one shared shingle; erasing the middle doc splits it into two
+      // halves — re-pair is O(members) pairs + O(log diameter)
+      // label-propagation rounds) and a STAR cluster (erasing the hub
+      // shatters it into singletons — the re-pair finds zero pairs).
+      import graft.gold.BaseDelta
+      import graft.operators.ClusterIndex
+      for (n <- Seq(100, 10000, 1000000); shape <- Seq("chain", "star")) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"eraseack-$shape-$n").toString + "/cx"
+        val st = ClusterIndex.State(root)
+        val ids = spark.range(n.toLong).select(col("id"))
+        val postings = shape match {
+          case "chain" =>
+            ids.select(col("id"),
+              explode(array(col("id"), col("id") + 1)).as("s"),
+              lit(2).as("n_sh"))
+          case "star" =>
+            val hub = ids.filter(col("id") > 0)
+              .select(lit(0L).as("id"), col("id").as("s"),
+                lit(n - 1).as("n_sh"))
+            val mem = ids.filter(col("id") > 0)
+              .select(col("id"),
+                explode(array(col("id"), col("id") + n)).as("s"),
+                lit(2).as("n_sh"))
+            hub.unionByName(mem)
+        }
+        BaseDelta.append(spark, st.postingsTable, postings, 0L)
+        BaseDelta.append(spark, st.clustersTable,
+          ids.select(col("id"), lit(0L).as("cluster_id"),
+            lit(0L).as("as_of")), 0L)
+        val subject = if (shape == "chain") n / 2L else 0L
+        time(s"eraseack-$shape-n$n")(
+          ClusterIndex.eraseLogical(spark, st,
+            spark.range(subject, subject + 1).select(col("id").as("doc_id")))
+            .count())
+      }
+      // the budgeted fallback at the worst measured point: ack is the
+      // relabel-only path, the re-pair moves to repairStructural
+      locally {
+        val n = 1000000
+        val root = java.nio.file.Files
+          .createTempDirectory("eraseack-budget").toString + "/cx"
+        val st = ClusterIndex.State(root)
+        val ids = spark.range(n.toLong).select(col("id"))
+        BaseDelta.append(spark, st.postingsTable,
+          ids.select(col("id"),
+            explode(array(col("id"), col("id") + 1)).as("s"),
+            lit(2).as("n_sh")), 0L)
+        BaseDelta.append(spark, st.clustersTable,
+          ids.select(col("id"), lit(0L).as("cluster_id"),
+            lit(0L).as("as_of")), 0L)
+        time(s"eraseack-chain-n$n-budgeted-ack")(
+          ClusterIndex.eraseLogical(spark, st,
+            spark.range(n / 2L, n / 2L + 1).select(col("id").as("doc_id")),
+            maxAffected = 100000L).count())
+        time(s"eraseack-chain-n$n-async-repair")(
+          { ClusterIndex.repairStructural(spark, st); 1L })
+      }
+    }
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gold.{BaseDelta, CommitConflictException, MultiSnapshot}
+import graft.gold.{BaseDelta, CommitConflictException, MultiSnapshot, SnapshotStore}
 
 /** Incremental near-dup cluster maintenance — the steady-state form of
   * `Dedup.ngramJaccard` + `Dedup.resolveClusters`: fold each incoming
@@ -74,6 +74,10 @@ object ClusterIndex {
       BaseDelta.Table(s"$root/postings", Seq("id", "s"), Seq("n_sh"), None)
     def clustersTable: BaseDelta.Table =
       BaseDelta.Table(s"$root/clusters", Seq("id"), Seq("as_of"), None)
+    /** Pending structural-repair marker set (cluster labels an
+      * over-budget [[eraseLogical]] left stale-merged).
+      */
+    def repairPath: String = s"$root/_repair"
   }
 
   /** Composite retired-state guard over both state tables — the reader
@@ -321,12 +325,14 @@ object ClusterIndex {
     * (id, n_rows_erased, status).
     */
   def eraseLogical(spark: SparkSession, st: State, docIds: DataFrame,
-                   k: Int = 3, threshold: Double = 0.2): DataFrame =
-    eraseImpl(spark, st, docIds, threshold, defer = true).get
+                   k: Int = 3, threshold: Double = 0.2,
+                   maxAffected: Long = Long.MaxValue): DataFrame =
+    eraseImpl(spark, st, docIds, threshold, defer = true, maxAffected).get
 
   private def eraseImpl(spark: SparkSession, st: State, docIds: DataFrame,
                         threshold: Double,
-                        defer: Boolean): Option[DataFrame] =
+                        defer: Boolean,
+                        maxAffected: Long = Long.MaxValue): Option[DataFrame] =
       conflictIfRetired(spark, st) {
     val pin = BaseDelta.manifestVersion(spark, st.clustersTable)
     val cMax = appliedMax(spark, st.clustersTable)
@@ -348,7 +354,17 @@ object ClusterIndex {
       .select(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      members.count()
+      val nAffected = members.count()
+      // OVER-BUDGET fallback decision: a subject bridging a mega-cluster
+      // makes the eager re-pair the ack's cost (measured: ~38 s at 10⁶
+      // affected members, Perf eraseack) — past `maxAffected` the
+      // deferred form skips the pair recompute, leaves the affected
+      // clusters STALE-MERGED (splits missed until repair — the
+      // documented staleness bound: the next [[repairStructural]], which
+      // the streaming sink schedules every batch), and records them in
+      // the repair marker set. Unreachability is NOT stale: the erased
+      // docs leave the clusters table and the postings ledger NOW.
+      val structDeferred = defer && nAffected > maxAffected
       // doc-level pending receipt, MATERIALIZED before step 5's compact
       // + vacuum retire the files `cur` resolved
       val receipt =
@@ -359,7 +375,8 @@ object ClusterIndex {
             Seq("__erase_id"), "left")
           .select(col("__erase_id").as("id"),
             coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
-            lit("pending").as("status"))
+            lit(if (structDeferred) "pending_structural" else "pending")
+              .as("status"))
           .localCheckpoint(true))
       // 2. postings shrink first — the pair recompute below must not
       //    see erased docs' shingles. Eager: physical compact + reclaim
@@ -378,6 +395,53 @@ object ClusterIndex {
         BaseDelta.vacuum(spark, st.postingsTable,
           writerSafeUpTo = Some(pBound))
       }
+      if (structDeferred) {
+        // 3'. RELABEL ONLY: each affected cluster keeps its (possibly
+        // stale-merged) membership but takes the min SURVIVING member id
+        // as its label — an erased doc's id must not outlive the ack as
+        // a label. One agg + two joins over the affected members; no
+        // pair generation, no propagation rounds.
+        val newLabels = members
+          .join(cur.select(col("id"), col("cluster_id")), Seq("id"))
+          .groupBy(col("cluster_id")).agg(min(col("id")).as("__newlbl"))
+        val relabeled = members
+          .join(cur.select(col("id"), col("cluster_id"), col("as_of")),
+            Seq("id"))
+          .join(broadcast(newLabels), Seq("cluster_id")) // ≤ |subjects| rows
+          .select(col("id"), col("__newlbl").as("cluster_id"), col("as_of"))
+          .localCheckpoint(true)
+        // pinned BEFORE the compact below retires the files `cur` resolved
+        val marks = newLabels.select(col("__newlbl").as("cluster_id"))
+          .localCheckpoint(true)
+        val cBound = BaseDelta.deltaBatches(spark, st.clustersTable)
+          .foldLeft(-1L)(_ max _)
+        BaseDelta.compact(spark, st.clustersTable, transform = Some(df =>
+          df.join(ids, col("id") === col("__erase_id"), "left_anti")
+            .join(broadcast(members), Seq("id"), "left_anti")
+            .unionByName(relabeled)),
+          pinnedFrom = Some(pin))
+        BaseDelta.vacuum(spark, st.clustersTable,
+          writerSafeUpTo = Some(cBound))
+        // 4'. mark the stale labels for the async repair — read-merge-
+        // publish under the observation CAS (two over-budget erasures
+        // may race; neither's marks may be lost)
+        var attempt = 0
+        var published = false
+        while (!published) {
+          val observed = SnapshotStore.currentGen(spark, st.repairPath)
+          val merged = observed.map(g => spark.read
+              .parquet(SnapshotStore.genPath(st.repairPath, g))
+              .select(col("cluster_id"))
+              .unionByName(marks).distinct()).getOrElse(marks)
+            .localCheckpoint(true)
+          try { SnapshotStore.publishFrom(merged, st.repairPath, observed); published = true }
+          catch {
+            case e: CommitConflictException =>
+              attempt += 1
+              if (attempt > 5) throw e
+          }
+        }
+      } else {
       // 3. surviving members' exact-Jaccard pairs from surviving postings
       val mp = BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true)
         .join(broadcast(members), Seq("id"))
@@ -418,8 +482,108 @@ object ClusterIndex {
         pinnedFrom = Some(pin))
       BaseDelta.vacuum(spark, st.clustersTable,
         writerSafeUpTo = Some(cBound))
+      }
       receipt
     } finally members.unpersist()
+  }
+
+  /** Pending structural-repair marker labels (clusters an over-budget
+    * [[eraseLogical]] left stale-merged), if any.
+    */
+  def pendingRepairs(spark: SparkSession, st: State): Option[DataFrame] =
+    if (!SnapshotStore.exists(spark, st.repairPath)) None
+    else {
+      val m = SnapshotStore.read(spark, st.repairPath)
+      if (m.isEmpty) None else Some(m)
+    }
+
+  /** The ASYNC half of an over-budget deferred erasure: re-pair every
+    * marked cluster's members from the (tombstone-filtered) postings
+    * and rewrite their assignments — after this, the index equals the
+    * one an unbudgeted eager-structural erase would have produced. The
+    * marker set clears under the observation CAS (labels marked by an
+    * erasure racing this repair survive for the next run). Returns true
+    * when a repair ran. Single maintenance writer, like every OPTIMIZE
+    * here; the streaming sink schedules it per batch — that cadence is
+    * the staleness bound.
+    */
+  def repairStructural(spark: SparkSession, st: State,
+                       threshold: Double = 0.2): Boolean =
+      conflictIfRetired(spark, st) {
+    val observed = SnapshotStore.currentGen(spark, st.repairPath)
+    if (observed.isEmpty) false
+    else {
+      val marks = spark.read
+        .parquet(SnapshotStore.genPath(st.repairPath, observed.get))
+        .select(col("cluster_id")).localCheckpoint(true)
+      if (marks.isEmpty) false
+      else {
+        val pin = BaseDelta.manifestVersion(spark, st.clustersTable)
+        val cur = BaseDelta.read(spark, st.clustersTable,
+          allowSchemaEvolution = true)
+        val members = cur
+          .join(broadcast(marks.withColumnRenamed("cluster_id", "__mc")),
+            col("cluster_id") === col("__mc"))
+          .select(col("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          members.count()
+          val mp = BaseDelta.read(spark, st.postingsTable,
+            allowSchemaEvolution = true).join(broadcast(members), Seq("id"))
+          val pairs = mp.select(col("id").as("id_a"), col("s"),
+              col("n_sh").as("n_a"))
+            .join(mp.select(col("id").as("id_b"), col("s"),
+              col("n_sh").as("n_b")), Seq("s"))
+            .filter(col("id_a") < col("id_b"))
+            .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared").cast("double")
+              / (col("n_a") + col("n_b") - col("n_shared")) >= threshold)
+            .select(col("id_a"), col("id_b"))
+          val comp =
+            if (pairs.isEmpty) pairs.select(col("id_a").as("id"),
+              col("id_b").as("cluster_id")).limit(0)
+            else Dedup.resolveClusters(pairs)
+          val relabeled = members.join(comp, Seq("id"), "left")
+            .join(cur.select(col("id"), col("as_of")), Seq("id"))
+            .select(col("id"),
+              coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+              col("as_of"))
+            .localCheckpoint(true)
+          val cBound = BaseDelta.deltaBatches(spark, st.clustersTable)
+            .foldLeft(-1L)(_ max _)
+          BaseDelta.compact(spark, st.clustersTable, transform = Some(df =>
+            df.join(broadcast(members), Seq("id"), "left_anti")
+              .unionByName(relabeled)),
+            pinnedFrom = Some(pin))
+          BaseDelta.vacuum(spark, st.clustersTable,
+            writerSafeUpTo = Some(cBound))
+          // clear ONLY the observed marks: an over-budget erasure that
+          // marked labels after our read keeps its marks for the next run
+          var attempt = 0
+          var published = false
+          while (!published) {
+            val curGen = SnapshotStore.currentGen(spark, st.repairPath)
+            val remaining =
+              if (curGen == observed) marks.limit(0)
+              else spark.read
+                .parquet(SnapshotStore.genPath(st.repairPath, curGen.get))
+                .select(col("cluster_id"))
+                .join(marks, Seq("cluster_id"), "left_anti")
+            try {
+              SnapshotStore.publishFrom(remaining.localCheckpoint(true),
+                st.repairPath, curGen)
+              published = true
+            } catch {
+              case e: CommitConflictException =>
+                attempt += 1
+                if (attempt > 5) throw e
+            }
+          }
+          true
+        } finally members.unpersist()
+      }
+    }
   }
 
   /** Current assignment for every ingested doc (singletons included). */

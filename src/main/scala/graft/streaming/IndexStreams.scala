@@ -110,6 +110,14 @@ object IndexStreams {
           }
         materializeOverBudget(Seq(st.postingsTable, st.clustersTable),
           b.sparkSession, tombstoneBudget)
+        // the async half of an over-budget deferred erasure: re-pair the
+        // stale-merged clusters it marked — this per-batch cadence IS
+        // the documented staleness bound; a typed conflict defers to the
+        // next trigger
+        try { retryConflict(3) {
+          ClusterIndex.repairStructural(b.sparkSession, st, threshold)
+        }; () }
+        catch { case _: CommitConflictException => () }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -153,6 +153,51 @@ class ClusterIndexSpec extends SparkSpec {
       "post-erasure fold diverges from recompute")
   }
 
+  test("over-budget deferred erase: relabel-only ack, stale-merged until repairStructural converges") {
+    import graft.gold.BaseDelta
+    val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
+      (21L, famB + " tail"), (40L, "lonely standalone text here"))
+    val b2 = docs((5L, bridge)) // the bridge IS the min id → it is the label
+    val st = foldAll(Seq(b1, b2))
+    assert(ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filterKeys(Set(10L, 20L).contains).values.toSet == Set(5L))
+    // budget 0: the ack takes the relabel-only fallback — no re-pair
+    val receipt = ClusterIndex.eraseLogical(spark, st,
+      Seq(5L).toDF("doc_id"), maxAffected = 0L).collect()
+    assert(receipt.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet == Set((5L, 1L, "pending_structural")), receipt.mkString(","))
+    val byId = ClusterIndex.clusters(spark, st).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unreachability and label hygiene are NOT stale: the erased doc is
+    // gone as a member AND as a label (min surviving member takes over)
+    assert(!byId.contains(5L), "erased doc still assigned")
+    assert(!byId.values.toSet.contains(5L), "erased id survived as a label")
+    // what IS stale (documented): the split is missed — both families
+    // still share one cluster under the min-survivor label
+    assert(Set(10L, 11L, 20L, 21L).map(byId) == Set(10L),
+      s"fallback should leave the cluster stale-merged: $byId")
+    assert(byId(40L) == 40L)
+    assert(ClusterIndex.pendingRepairs(spark, st).isDefined,
+      "over-budget erase must mark the repair")
+    assert(BaseDelta.pendingTombstones(spark, st.postingsTable).nonEmpty,
+      "postings ledger must be pending")
+    // the async half: repair splits the families, equals the recompute
+    // that never saw the bridge (the unbudgeted eager result)
+    assert(ClusterIndex.repairStructural(spark, st))
+    sameRows(ClusterIndex.clusters(spark, st), fullRecompute(b1),
+      "post-repair clusters diverge from the eager-erase result")
+    assert(ClusterIndex.pendingRepairs(spark, st).isEmpty)
+    assert(!ClusterIndex.repairStructural(spark, st),
+      "repair must be a no-op when nothing is marked")
+    // later folds still converge
+    ClusterIndex.fold(spark, st, docs((50L, famB + " fresh")), 2L,
+      "doc_id", "text")
+    sameRows(ClusterIndex.clusters(spark, st),
+      fullRecompute(b1.unionByName(docs((50L, famB + " fresh")))),
+      "post-repair fold diverges from recompute")
+  }
+
   test("shuffle-semi-join fallback folds identically to the broadcast prefilter") {
     val b1 = docs((10L, famA), (11L, famA + " extra"), (20L, famB),
       (21L, famB + " tail"), (40L, "lonely standalone text here"))
