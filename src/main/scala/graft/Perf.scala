@@ -1135,6 +1135,31 @@ object Perf {
       vecs.unpersist()
     }
 
+    if (what == "lowmem") {
+      // the scale-r10 OOM shape — the 10M-doc ClusterIndex 3-batch fold
+      // that failed at 250 MB/core — run UNDER the documented floor
+      // (e.g. SPARK_DRIVER_MEM=3g SPARK_GRAFT_CPUS=32 → 96 MB/core):
+      // Dedup.adaptivePairParts must scale the pair shuffles so the fold
+      // completes green with no env overrides
+      import java.nio.file.Files
+      val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
+      println(s"PERF lowmem: heapMb=${Runtime.getRuntime.maxMemory() / 1048576} " +
+        s"slots=${spark.sparkContext.defaultParallelism} adaptiveParts=" +
+        operators.Dedup.adaptivePairParts(spark, operators.ClusterIndex.FoldFloorMb))
+      val sdocs = syntheticDocs(n)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      sdocs.count()
+      time(s"lowmem-clusterindex-fold3-$n") {
+        val st = operators.ClusterIndex.State(
+          Files.createTempDirectory("lowmem-ci").toString + "/c")
+        (0 until 3).foreach(b => operators.ClusterIndex.fold(spark, st,
+          sdocs.filter(pmod(col("id"), lit(3)) === b), b.toLong, "id", "text",
+          threshold = 0.9, maxStateDf = 1000))
+        operators.ClusterIndex.clustersNonSingleton(spark, st).count()
+      }
+      sdocs.unpersist()
+    }
+
     if (what == "scale-r10") {
       // weak-scaling refresh of the round-9 state-tier BUILD paths
       // (r9 verdict #7): each family's fold at n and 10n on the same

@@ -527,7 +527,8 @@ object BaseDelta {
     val live = new Path(t.deltaPath(id))
     val stage = new Path(t.deltaPath(id) + s".stage-$nonce")
     val trash = new Path(t.deltaPath(id) + s".trash-$nonce")
-    content.coalesce(4).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    content.coalesce(4).write.options(MemoryBudget.parquetWriteOptions(spark))
+      .mode(SaveMode.Overwrite).parquet(stage.toString)
     try writeManifest(spark, t, m, v) // announce: version bump, same content
     catch { case e: Throwable => f.delete(stage, true); throw e }
     // stale-trash sweep: a swap that crashed between rename(live→trash)
@@ -771,7 +772,8 @@ object BaseDelta {
     }
     // fresh delta: the dir is not reader-visible until the manifest
     // lists it, so a plain write has no race window
-    deduped.write.mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
+    deduped.write.options(MemoryBudget.parquetWriteOptions(spark))
+      .mode(SaveMode.Overwrite).parquet(t.deltaPath(batchId))
     readManifestVersioned(spark, t) match {
       case Some((v, m)) =>
         if (!m.deltas.contains(batchId))
@@ -988,7 +990,8 @@ object BaseDelta {
     // (a transform filtering everything is safe: Spark writes a
     // schema-preserving empty file, so the new base stays readable)
     transform.map(_(folded0)).getOrElse(folded0)
-      .write.mode(SaveMode.Overwrite).parquet(newBase.toString)
+      .write.options(MemoryBudget.parquetWriteOptions(spark))
+      .mode(SaveMode.Overwrite).parquet(newBase.toString)
     // fold boundary: everything up to the highest FOLDED batch is now
     // inseparable from the base — recorded so readAt can refuse, monotone
     // across compactions (a fold can only raise the floor)

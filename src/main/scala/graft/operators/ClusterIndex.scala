@@ -80,6 +80,15 @@ object ClusterIndex {
     def repairPath: String = s"$root/_repair"
   }
 
+  /** This fold's measured memory floor (MB per task slot): the 10M-doc
+    * fold OOMs at 250 MB/core and passes at 750 (scale-r10) — steeper
+    * than the generic [[Dedup.PairGeneratorFloorMb]] because the fold's
+    * cross stage carries (id, n_sh) pairs through BOTH join sides.
+    * Below it, [[Dedup.adaptivePairParts]] scales the fold's pair
+    * shuffles so per-task state lands back at the floor.
+    */
+  private[graft] val FoldFloorMb = 750L
+
   /** Composite retired-state guard over both state tables — the reader
     * recipe for serving during concurrent maintenance (an [[erase]]'s
     * rewrite + writer-safe vacuum, a fold's in-line compaction): a read
@@ -195,7 +204,12 @@ object ClusterIndex {
           val batchHashes = bp.select(col("s")).distinct()
           val nHashes = batchHashes.count()
           val sp0 = prefilteredState(spark, st, batchHashes,
-            useBroadcast = nHashes <= maxBroadcastHashes)
+            // a sub-floor heap forces the (spec-identical) shuffled
+            // semi-join: a multi-million-hash broadcast alone can
+            // exceed the whole JVM there (measured at 3 GB/32)
+            useBroadcast = nHashes <= maxBroadcastHashes &&
+              graft.gold.MemoryBudget.mbPerSlot(spark) >=
+                graft.gold.MemoryBudget.FloorMb)
           val sp =
             if (maxStateDf <= 0) sp0
             else {
@@ -205,9 +219,16 @@ object ClusterIndex {
                 .filter(col("__df") > maxStateDf).select(col("s"))
               sp0.join(hot, Seq("s"), "left_anti")
             }
+          // low-memory degradation: under the measured MB/core floor,
+          // the Σdf² cross join + its partial agg run at a scaled
+          // partition count so per-task state stays bounded
+          val spSized = Dedup.adaptivePairParts(spark, FoldFloorMb) match {
+            case Some(n) => sp.repartition(n, col("s"))
+            case None => sp
+          }
           val cross = bp.select(col("id").as("id_a"), col("s"),
               col("n_sh").as("n_a"))
-            .join(sp.select(col("id").as("id_b"), col("s"),
+            .join(spSized.select(col("id").as("id_b"), col("s"),
               col("n_sh").as("n_b")), Seq("s"))
             .filter(col("id_a") =!= col("id_b"))
             .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
@@ -239,11 +260,16 @@ object ClusterIndex {
         else {
           val oldCids = edges.select(col("id_b").as("id")).distinct()
             .join(batchIds, Seq("id"), "left_anti")
-          val remap = comp.join(oldCids, Seq("id"))
+          val remap0 = comp.join(oldCids, Seq("id"))
             .filter(col("cluster_id") =!= col("id"))
             .select(col("id").as("__old"), col("cluster_id").as("__new"))
+          // batch-sized hint, but a sub-floor heap can't afford even
+          // that — fall back to the shuffled join there
+          val remap = if (graft.gold.MemoryBudget.mbPerSlot(spark) >=
+              graft.gold.MemoryBudget.FloorMb) broadcast(remap0)
+            else remap0.hint("merge")
           BaseDelta.read(spark, st.clustersTable, allowSchemaEvolution = true)
-            .join(broadcast(remap), col("cluster_id") === col("__old"))
+            .join(remap, col("cluster_id") === col("__old"))
             .select(col("id"), col("__new").as("cluster_id"))
         }
       val delta = assign.unionByName(remapped)
@@ -443,8 +469,12 @@ object ClusterIndex {
         }
       } else {
       // 3. surviving members' exact-Jaccard pairs from surviving postings
-      val mp = BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true)
+      val mp0 = BaseDelta.read(spark, st.postingsTable, allowSchemaEvolution = true)
         .join(broadcast(members), Seq("id"))
+      val mp = Dedup.adaptivePairParts(spark, FoldFloorMb) match {
+        case Some(n) => mp0.repartition(n, col("s"))
+        case None => mp0
+      }
       val pairs = mp.select(col("id").as("id_a"), col("s"),
           col("n_sh").as("n_a"))
         .join(mp.select(col("id").as("id_b"), col("s"),
@@ -528,8 +558,12 @@ object ClusterIndex {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           members.count()
-          val mp = BaseDelta.read(spark, st.postingsTable,
+          val mp0 = BaseDelta.read(spark, st.postingsTable,
             allowSchemaEvolution = true).join(broadcast(members), Seq("id"))
+          val mp = Dedup.adaptivePairParts(spark, FoldFloorMb) match {
+            case Some(n) => mp0.repartition(n, col("s"))
+            case None => mp0
+          }
           val pairs = mp.select(col("id").as("id_a"), col("s"),
               col("n_sh").as("n_a"))
             .join(mp.select(col("id").as("id_b"), col("s"),

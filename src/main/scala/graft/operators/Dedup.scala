@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,12 +282,50 @@ object Dedup {
     * plan before CollectMetrics reports — an empty map plus an empty
     * result IS the all-dropped signal.
     */
+  /** Measured pair-generator memory floor (MB per task slot): below it,
+    * the bounded-collect buffers + spill readers of a default-partitioned
+    * pair shuffle OOM (soak-r9 ~300 MB/core; re-confirmed by scale-r10's
+    * 10M-doc fold failing at 250 MB/core and passing at 750).
+    */
+  private[graft] val PairGeneratorFloorMb = 300L
+
+  /** Adaptive low-memory degradation for the pair generators: when the
+    * JVM gives each task slot less than the measured floor, CAP the
+    * pair shuffles' partition count at the number of concurrent tasks
+    * the heap can give the floor to — fewer, bigger in-flight tasks
+    * whose fixed unmanaged overhead fits (slower wall-clock through
+    * idle slots, but green instead of OOM, with no env overrides; see
+    * [[graft.gold.MemoryBudget]] for the measured reasoning). None =
+    * each slot already has the floor; keep default partitioning. An
+    * explicit `repartition(n, keys)` pins the count — AQE never
+    * coalesces user-specified repartitions. `graft.test.mbPerCore`
+    * overrides detection for deterministic specs.
+    */
+  private[graft] def adaptivePairParts(spark: SparkSession,
+      floorMb: Long = PairGeneratorFloorMb): Option[Int] = {
+    // entering a pair generator under the floor also engages the STICKY
+    // session profile (shuffle partitioning capped at the in-flight task
+    // budget), so the downstream final aggregations run under the same
+    // concurrency cap — the measured reasoning lives in MemoryBudget's
+    // scaladoc
+    graft.gold.MemoryBudget.applyLowMemoryProfile(spark, floorMb)
+    graft.gold.MemoryBudget.pairParts(spark, floorMb)
+  }
+
   private[operators] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
                                      member: Column,
                                      maxBucket: Int = DefaultMaxBucket,
                                      audit: Option[Observation] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val grouped = df
+    // low-memory degradation: scale the bucket shuffle so each task's
+    // collect buffers fit the measured floor (see adaptivePairParts);
+    // partitioned on exactly the group keys, so the aggregation below
+    // reuses the exchange instead of adding one
+    val sized = adaptivePairParts(df.sparkSession) match {
+      case Some(n) => df.repartition(n, bucketKeys.map(col): _*)
+      case None => df
+    }
+    val grouped = sized
       .groupBy(bucketKeys.map(col): _*)
       .agg(graft.functions.BoundedCollectList.column(member, maxBucket).as("ms"))
     val observed = audit match {

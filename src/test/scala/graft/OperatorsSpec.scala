@@ -2335,4 +2335,54 @@ class OperatorsSpec extends SparkSpec {
       .collect()(0)
     assert(ld.getLong(2) == 2L, ld.toString)
   }
+
+  test("adaptive low-memory degradation: sub-floor MB/core pins scaled pair shuffles; results identical") {
+    import graft.operators.ClusterIndex
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reference = pairs(Dedup.ngramJaccard(docs, "doc_id", "text",
+      k = 3, threshold = 0.2).select("id_a", "id_b"))
+    // ample memory: no degradation
+    assert(Dedup.adaptivePairParts(spark, floorMb = 1L).isEmpty)
+    sys.props("graft.test.mbPerCore") = "150" // below both floors
+    try {
+      // local[4] × 150 MB = 600 MB effective heap: the generic floor
+      // (300) caps in-flight pair tasks at 2, the fold floor (750) at 1
+      assert(Dedup.adaptivePairParts(spark).contains(2))
+      assert(Dedup.adaptivePairParts(spark, ClusterIndex.FoldFloorMb)
+        .contains(1))
+      val q = Dedup.ngramJaccard(docs, "doc_id", "text",
+        k = 3, threshold = 0.2)
+      // the scaled repartition is PINNED in the plan — an explicit
+      // numPartitions repartition is exempt from AQE coalescing, so a
+      // small corpus can't silently undo the per-task memory bound
+      val pinned = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.optNumPartitions
+      }.flatten
+      assert(pinned.contains(2),
+        s"expected a pinned 2-partition pair shuffle, got $pinned")
+      assert(pairs(q.select("id_a", "id_b")) == reference,
+        "degraded pair generation changed the result")
+      // the cluster fold under degradation still equals the recompute
+      val st = ClusterIndex.State(tmpDir("adapt-ci") + "/s")
+      ClusterIndex.fold(spark, st,
+        docs.filter($"doc_id" < 25), 0L, "doc_id", "text")
+      ClusterIndex.fold(spark, st,
+        docs.filter($"doc_id" >= 25), 1L, "doc_id", "text")
+      val comp = Dedup.resolveClusters(Dedup.ngramJaccard(docs,
+        "doc_id", "text", k = 3, threshold = 0.2))
+      val expected = docs.select($"doc_id".as("id")).distinct()
+        .join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      val got = ClusterIndex.clusters(spark, st)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "degraded incremental clusters diverge from the recompute")
+    } finally {
+      sys.props.remove("graft.test.mbPerCore")
+      graft.gold.MemoryBudget.resetLowMemoryProfile(spark)
+    }
+  }
 }
