@@ -402,10 +402,22 @@ object BaseDelta {
   /** Anti-join every pending tombstone ledger — the read-side guard.
     * Ledgers are request-sized (bounded by erasure subjects), so each
     * rides one broadcast.
+    *
+    * ORDERING CONTRACT (race found live by the vector chaos storm, and
+    * latent since the ledgers existed): `tombs` must be observed BEFORE
+    * the manifest the view resolved. A concurrent full fold
+    * materializes pending ids and THEN retires their ledger — a reader
+    * that resolved the manifest first could pair the OLD generation
+    * (subject rows still physical) with the CLEARED ledger and serve an
+    * acked erasure. Ledger-first closes it: a cleared ledger implies
+    * the materializing fold's manifest committed BEFORE the clear, so
+    * the later manifest resolve sees the post-fold generation; a
+    * still-pending ledger anti-joins regardless of which generation
+    * resolves.
     */
-  private def applyTombstones(spark: SparkSession, t: Table,
-                              df: DataFrame): DataFrame =
-    pendingTombstones(spark, t).foldLeft(df) { case (d, (c, ids)) =>
+  private def applyTombstones(df: DataFrame,
+                              tombs: Map[String, DataFrame]): DataFrame =
+    tombs.foldLeft(df) { case (d, (c, ids)) =>
       d.join(broadcast(ids.select(col(ids.columns.head).as("__erased"))),
         d(c) === col("__erased"), "left_anti")
     }
@@ -828,6 +840,8 @@ object BaseDelta {
     */
   def read(spark: SparkSession, t: Table,
            allowSchemaEvolution: Boolean = false): DataFrame = {
+    // ledgers BEFORE the manifest — see applyTombstones' ordering contract
+    val tombs = pendingTombstones(spark, t)
     val (baseOpt, deltaIds) = resolveSnapshot(spark, t)
     val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
       deltaIds.map(id => spark.read.parquet(t.deltaPath(id)))
@@ -842,7 +856,7 @@ object BaseDelta {
           .filter(t.keys.map(col(_).isNotNull).reduce(_ && _))
       case None => merged
     }
-    applyTombstones(spark, t, view)
+    applyTombstones(view, tombs)
   }
 
   /** Time-travel read: the table as of `asOfBatch` — the merge-on-read
@@ -872,6 +886,8 @@ object BaseDelta {
           s"the base and is no longer separable (compact less often or " +
           s"raise maxDeltas to widen the time-travel window)")
     }
+    // ledgers BEFORE the manifest — see applyTombstones' ordering contract
+    val tombs = pendingTombstones(spark, t)
     val (baseOpt, deltaIds) = resolveSnapshot(spark, t)
     val visible = deltaIds.filter(_ <= asOfBatch)
     val parts = baseOpt.toSeq.map(spark.read.parquet(_)) ++
@@ -888,7 +904,7 @@ object BaseDelta {
     }
     // erasure overrides time travel: logically-erased rows are
     // unreachable at EVERY retained as-of point, not just the head
-    applyTombstones(spark, t, view)
+    applyTombstones(view, tombs)
   }
 
   /** The oldest batch id `readAt` can still separate, if known: the max
@@ -1127,18 +1143,27 @@ object BaseDelta {
     versions.dropRight(math.max(1, retainManifests))
       .foreach(v => drop(manifestFile(t, v)))
     // committed-cleared tombstone ledgers: their pending set is empty,
-    // so the dir is pure history — physically reclaimable here (vacuum's
-    // writer-quiet contract covers the eraser race a live delete would
-    // otherwise have; a ledger with PENDING ids is never touched)
-    val troot = new Path(s"${t.path}/_tombstones")
-    if (f.exists(troot)) {
-      f.listStatus(troot).filter(_.isDirectory).foreach { st =>
-        val c = st.getPath.getName
-        if (SnapshotStore.exists(spark, t.tombstonePath(c)) &&
-            pendingLedgerGen(spark, t, c).isEmpty)
-          drop(st.getPath)
+    // so the dir is pure history — physically reclaimable in FULL mode
+    // only (the writer-quiet contract covers the eraser race a live
+    // delete would otherwise have; a ledger with PENDING ids is never
+    // touched). The WRITER-SAFE form must not touch them at all:
+    // logicalErase is an any-time immediate-ack call, and a check-then-
+    // delete racing a concurrent ack's publish into the same column dir
+    // would silently destroy an acknowledged erasure — the eraser
+    // returned success, the ids never apply (reachable live: an eager
+    // erase's writer-safe vacuum vs the deferred eraser in the vector
+    // chaos storm).
+    if (!writerSafe) {
+      val troot = new Path(s"${t.path}/_tombstones")
+      if (f.exists(troot)) {
+        f.listStatus(troot).filter(_.isDirectory).foreach { st =>
+          val c = st.getPath.getName
+          if (SnapshotStore.exists(spark, t.tombstonePath(c)) &&
+              pendingLedgerGen(spark, t, c).isEmpty)
+            drop(st.getPath)
+        }
+        if (f.exists(troot) && f.listStatus(troot).isEmpty) drop(troot)
       }
-      if (f.exists(troot) && f.listStatus(troot).isEmpty) drop(troot)
     }
     deleted.toSeq
   }
