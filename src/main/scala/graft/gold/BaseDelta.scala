@@ -205,7 +205,6 @@ object BaseDelta {
     // would free its version number for a stalled writer's link (the
     // phantom-commit hazard above); [[vacuum]] reclaims old versions at
     // a writer-quiet moment (retainManifests window)
-    MultiSnapshot.noteSelfCommit() // enclosing guards: this mutation is ours
     if (sys.props.contains("graft.debug.snapshot"))
       println(s"[snapdbg ${Thread.currentThread().getName}] MANIFEST ${t.path} " +
         s"v=$next basedOn=$basedOn gen=${m.generation} deltas=${m.deltas.sorted.mkString(",")} " +
@@ -442,7 +441,14 @@ object BaseDelta {
     */
   def logicalErase(spark: SparkSession, t: Table, eraseCol: String,
                    ids: DataFrame, countRows: Boolean = true,
-                   pendingBudget: Long = DefaultTombstoneBudget): DataFrame = {
+                   pendingBudget: Long = DefaultTombstoneBudget): DataFrame =
+      // table-tier retired-state guard: the receipt's table scan and the
+      // ledger read-merge loop pin generation dirs a CONCURRENT eraser's
+      // retention can retire mid-execution (two acks on one column while
+      // this one's receipt scans — caught live by the storage chaos
+      // storm after the ledger-first read widened the window); that must
+      // surface as the typed retryable conflict, never a raw read fault
+      conflictIfRetired(spark, t) {
     val subj = broadcast(ids.select(col(ids.columns.head).as("__erased"))
       .distinct())
     // `countRows = false` skips the per-subject row-count scan — the ack
@@ -943,7 +949,11 @@ object BaseDelta {
               allowSchemaEvolution: Boolean = false,
               transform: Option[DataFrame => DataFrame] = None,
               upTo: Option[Long] = None,
-              pinnedFrom: Option[Long] = None): Unit = {
+              pinnedFrom: Option[Long] = None): Unit =
+      // same guard as logicalErase: the fold scan and the tombstone
+      // observation pin generation dirs concurrent erasure acks can
+      // retire mid-fold — typed conflict, not a raw read fault
+      conflictIfRetired(spark, t) {
     val f = fs(spark, t.path)
     val mvOpt = readManifestVersioned(spark, t)
     pinnedFrom.foreach { p =>

@@ -155,59 +155,40 @@ object MultiSnapshot {
     false
   }
 
-  /** One active [[retiredGuard]] frame on this thread: the observation
-    * point advances on every SELF-commit (see [[noteSelfCommit]]) so the
-    * changed-fingerprint translation keys on OTHER writers' mutations,
-    * never the guarded body's own.
-    */
-  private final class GuardFrame(val fingerprint: () => Map[String, Long]) {
-    @volatile var observed: Map[String, Long] = fingerprint()
-  }
-
-  /** Guards active on the current thread, innermost first. The guarded
-    * bodies are driver-side read-modify-write transactions; their own
-    * commits (manifest CAS, snapshot pointer flips) happen on this same
-    * thread, so a thread-local stack is the complete registry.
-    */
-  private val activeGuards = new ThreadLocal[List[GuardFrame]] {
-    override def initialValue(): List[GuardFrame] = Nil
-  }
-
-  /** Called by every commit primitive (BaseDelta manifest CAS,
-    * SnapshotStore pointer commit, the coordinator commit below) right
-    * after ITS commit lands: re-captures each enclosing guard's
-    * observation point. Without this, a WRITE body wrapped in
-    * [[retiredGuard]] changes its own fingerprint on its first
-    * self-commit, and a genuine storage fault occurring after that point
-    * would be reclassified as a retryable "concurrent maintenance"
-    * conflict — masking the real fault behind burned retries.
-    */
-  private[graft] def noteSelfCommit(): Unit =
-    activeGuards.get().foreach { g =>
-      try g.observed = g.fingerprint()
-      catch { case _: Throwable => () } // a torn re-read must not fail the commit
-    }
-
   /** Generic retired-state guard: runs `body`, translating a
     * mid-execution read failure into the typed retryable conflict iff
-    * `fingerprint` has CHANGED since last observed — concurrent
-    * maintenance retired state the body had resolved. The observation
-    * point re-captures after each of the body's OWN commits
-    * ([[noteSelfCommit]]), so self-mutation never masks a genuine
-    * storage fault. A failure with an unchanged fingerprint propagates,
+    * `fingerprint` (captured at entry) has CHANGED — concurrent
+    * maintenance retired state the body had resolved. A failure with an
+    * unchanged fingerprint is a genuine storage fault and propagates,
     * after a short grace re-check (announce-then-destroy protocols
     * commit their bump just before the destruction; a reader can
     * observe the failure a beat earlier).
+    *
+    * SELF-MUTATION AMBIGUITY, adjudicated (round 11): a WRITE body's own
+    * commits also change the fingerprint, so a genuine storage fault
+    * occurring after a self-commit translates to the typed conflict on
+    * its first occurrence. The obvious fix — re-capturing the
+    * observation point after each self-commit — is UNSOUND, proven live
+    * by the storage chaos storm: any refresh silently absorbs a
+    * concurrent destroyer's change that landed before it (at key
+    * granularity too: changes between two refreshes are
+    * indistinguishable from the body's own), and the resulting RAW
+    * error breaks the retry protocol exactly when a real race happened.
+    * Translating on any entry-to-failure change is the sound side of
+    * the ambiguity: a real conflict always retries; a genuine fault
+    * surfaces once its retry re-enters with a fresh baseline (bodies
+    * whose replays are ledger-skipped stop self-mutating, so attempt 2
+    * propagates raw) or, for always-recommitting bodies, when the
+    * retry budget ends — with the REAL fault attached as this
+    * exception's cause either way.
     */
   private[graft] def retiredGuard[A](what: String,
       fingerprint: () => Map[String, Long])(body: => A): A = {
-    val frame = new GuardFrame(fingerprint)
-    activeGuards.set(frame :: activeGuards.get())
+    val observed = fingerprint()
     try body
     catch {
       case e: CommitConflictException => throw e
       case e: Throwable if snapshotReadFailure(e) =>
-        val observed = frame.observed
         var cur = fingerprint()
         var grace = 0
         while (cur == observed && grace < 3) {
@@ -219,10 +200,11 @@ object MultiSnapshot {
           throw new CommitConflictException(
             s"$what: state retired mid-read — observed $observed, " +
               s"now $cur (concurrent maintenance destroyed resolved " +
-              "files); re-resolve and retry", e)
+              "files, or this body's own commits moved the state — the " +
+              "cause below is the real fault if this persists across " +
+              "retries); re-resolve and retry", e)
         else throw e
     }
-    finally activeGuards.set(activeGuards.get().filterNot(_ eq frame))
   }
 
   /** Runs `body` — the read-fold-stage phase of a read-modify-write
@@ -446,10 +428,7 @@ object MultiSnapshot {
         .map { case (t, g) => s"$t=$g" }.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (CommitCas.publish(f, tmp, commitFile(root, v))) {
-        committed = Commit(v, newGens)
-        noteSelfCommit() // enclosing guards: this mutation is ours
-      }
+      if (CommitCas.publish(f, tmp, commitFile(root, v))) committed = Commit(v, newGens)
       else {
         // lost the CAS — a fresh-name rename fails only if a contender
         // took this version. Loop re-reads and either rebases (disjoint)

@@ -200,7 +200,6 @@ object SnapshotStore {
           s"v$next; generation $gen is NOT committed and remains an " +
           "invisible orphan for vacuum — re-derive and redo the publish")
     }
-    MultiSnapshot.noteSelfCommit() // enclosing guards: this mutation is ours
     if (sys.props.contains("graft.debug.snapshot"))
       println(s"[snapdbg ${Thread.currentThread().getName}] COMMIT $path " +
         s"gen=$gen v=$next prev=$prev obs=$observed")

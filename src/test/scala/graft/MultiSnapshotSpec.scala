@@ -111,33 +111,52 @@ class MultiSnapshotSpec extends SparkSpec {
     assert(h((1L, "customers")) == (("staged", 1L, None)), h)
   }
 
-  test("retiredGuard: a write body's own commits never mask a genuine storage fault; a concurrent mutation still translates typed") {
+  test("retiredGuard adjudication: any entry-to-failure change translates typed with the real fault as cause; an unchanged fingerprint propagates raw") {
     import graft.gold.BaseDelta
     val table = BaseDelta.Table(tmpDir("ms-selfcommit") + "/t",
       Seq("id"), Seq("ver", "id"), None)
     BaseDelta.append(spark, table,
       Seq((1L, "a", 1)).toDF("id", "v", "ver"), 0L)
     val missing = tmpDir("ms-missing") + "/never-written"
-    // self-commit then a GENUINE fault: the body's own append bumps the
-    // table fingerprint, but the guard's observation point re-captures on
-    // self-commits — the fault must propagate RAW, not as a retryable
-    // "concurrent maintenance" conflict that burns a sink's retries
-    val e = intercept[Throwable] {
+    // a genuine fault with NO fingerprint movement: raw, never typed
+    val raw = intercept[Throwable] {
+      BaseDelta.conflictIfRetired(spark, table) {
+        spark.read.parquet(missing).collect()
+      }
+    }
+    assert(!raw.isInstanceOf[graft.gold.CommitConflictException],
+      s"an unchanged-fingerprint fault was reclassified: $raw")
+    // a WRITE body's own commit moves the fingerprint, so a genuine
+    // fault after it translates typed ON THIS ATTEMPT — the adjudicated
+    // sound side of the ambiguity (observation-refresh attribution was
+    // falsified live by the chaos storm: a refresh absorbs a concurrent
+    // destroyer's change). The retry protocol disambiguates: a replayed
+    // body whose self-commits ledger-skip re-enters with a fresh
+    // baseline and the persistent fault then propagates raw — and the
+    // REAL fault rides as the typed conflict's cause meanwhile.
+    val ambiguous = intercept[graft.gold.CommitConflictException] {
       BaseDelta.conflictIfRetired(spark, table) {
         BaseDelta.append(spark, table,
           Seq((2L, "b", 1)).toDF("id", "v", "ver"), 1L)
         spark.read.parquet(missing).collect()
       }
     }
-    assert(!e.isInstanceOf[graft.gold.CommitConflictException],
-      s"a genuine storage fault after a self-commit was reclassified " +
-        s"as a retryable conflict: $e")
-    // same shape, but an OTHER writer mutates after the self-commit:
-    // that IS concurrent maintenance — the fault translates typed
+    assert(ambiguous.getCause != null &&
+      !ambiguous.getCause.isInstanceOf[graft.gold.CommitConflictException],
+      s"the real fault must ride as the cause: $ambiguous")
+    // a retry whose replay is ledger-skipped (no self-commit this time)
+    // re-enters with a fresh baseline and the persistent fault now
+    // propagates raw — the disambiguation the scaladoc documents
+    val retried = intercept[Throwable] {
+      BaseDelta.conflictIfRetired(spark, table) {
+        spark.read.parquet(missing).collect()
+      }
+    }
+    assert(!retried.isInstanceOf[graft.gold.CommitConflictException],
+      s"the disambiguating retry still translated typed: $retried")
+    // an OTHER writer mutating mid-body: always typed
     intercept[graft.gold.CommitConflictException] {
       BaseDelta.conflictIfRetired(spark, table) {
-        BaseDelta.append(spark, table,
-          Seq((3L, "c", 1)).toDF("id", "v", "ver"), 2L)
         val other = new Thread(() => BaseDelta.append(spark, table,
           Seq((4L, "d", 1)).toDF("id", "v", "ver"), 3L))
         other.start(); other.join()
