@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.gold.{BaseDelta, CommitCas, CommitConflictException, Erasure,
-  SnapshotStore}
+import graft.gold.{BaseDelta, Erasure, SnapshotStore}
 import graft.streaming.MultiTableStream
 import graft.streaming.MultiTableStream.{DeltaFact, Scd2Dim}
 
@@ -33,15 +32,8 @@ import graft.streaming.MultiTableStream.{DeltaFact, Scd2Dim}
   * of the tested points. Default run tests the capped point set; set
   * GRAFT_CRASH_SWEEP=full for the exhaustive every-distinct-step pass.
   */
-class CrashSweepSpec extends SparkSpec {
+class CrashSweepSpec extends CrashSweepHarness {
   import spark.implicits._
-
-  spark.sparkContext.hadoopConfiguration
-    .set("fs.faulty.impl", classOf[FaultyFileSystem].getName)
-  CommitCas.register("faulty", FaultyConditionalPut)
-
-  private val maxPoints =
-    if (sys.env.get("GRAFT_CRASH_SWEEP").contains("full")) Int.MaxValue else 12
 
   // ── fixtures ───────────────────────────────────────────────────────
   // Payload strings are unique per row and structurally distinct
@@ -57,180 +49,29 @@ class CrashSweepSpec extends SparkSpec {
   private def secretsOf(ids: Seq[Int]): Seq[String] =
     ids.map(i => s"SECRETx${i}z")
 
-  // ── harness ────────────────────────────────────────────────────────
-  private case class Protocol(
-      name: String,
-      setup: String => Unit,
-      op: String => Unit,
-      recover: String => Unit,
-      observe: String => Seq[String],
-      // extra legal read-after-crash states beyond {pre, post}, keyed by
-      // a builder over the fresh root (documented multi-commit
-      // intermediates only)
-      extraMid: Seq[String => Seq[String]] = Seq.empty,
-      // payload strings that must not exist in ANY surviving byte on
-      // disk after recovery + full vacuum (physical-erasure protocols)
-      erasedPayloads: Seq[String] = Seq.empty,
-      // full-reclamation pass run after recovery, before the byte scan
-      finalVacuum: String => Unit = _ => ())
-
-  private def canon(rows: Seq[String]): Seq[String] = rows.sorted
-
-  private def retryTyped(n: Int)(body: => Unit): Unit = {
-    var attempt = 0
-    var done = false
-    while (!done) {
-      try { body; done = true }
-      catch {
-        case _: CommitConflictException if attempt < n => attempt += 1
-      }
-    }
-  }
-
-  private def localDirOf(root: String): String =
-    root.stripPrefix("faulty:").split('/').dropRight(1).mkString("/")
-
-  private def freshRoot(name: String): String =
-    s"faulty:${tmpDir(s"crash-$name")}/t"
-
-  /** Raw byte scan: any file under the root's local dir containing any of
-    * `payloads` as ASCII bytes. Conservative-sound (compression can hide
-    * bytes, never invent them); parquet dictionary/plain pages keep
-    * unique strings literal.
-    */
-  private def filesHolding(root: String, payloads: Seq[String]): Seq[String] = {
-    val base = java.nio.file.Paths.get(root.stripPrefix("faulty:"))
-    if (!java.nio.file.Files.exists(base)) return Seq.empty
-    val needles = payloads.map(_.getBytes("UTF-8"))
-    val hits = scala.collection.mutable.ArrayBuffer[String]()
-    val walk = java.nio.file.Files.walk(base)
-    try walk.forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        if (needles.exists(n => indexOfBytes(bytes, n) >= 0))
-          hits += p.toString
-      }
-    } finally walk.close()
-    hits.toSeq
-  }
-
-  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int = {
-    var i = 0
-    while (i + needle.length <= hay.length) {
-      var j = 0
-      while (j < needle.length && hay(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
-      i += 1
-    }
-    -1
-  }
-
-  private def sweep(p: Protocol): Unit = {
-    // uncompressed parquet while sweeping: the physical byte scan for
-    // erased payloads needs dictionary/plain pages to hold strings
-    // literally (snappy back-references can hide a needle's tail)
-    val codecKey = "spark.sql.parquet.compression.codec"
-    val prevCodec = spark.conf.getOption(codecKey)
-    spark.conf.set(codecKey, "uncompressed")
-    try sweepBody(p)
-    finally prevCodec match {
-      case Some(c) => spark.conf.set(codecKey, c)
-      case None => spark.conf.unset(codecKey)
-    }
-  }
-
-  private def sweepBody(p: Protocol): Unit = {
-    // baseline: pre-state and the no-crash post-state
-    val r0 = freshRoot(p.name)
-    p.setup(r0)
-    val pre = canon(p.observe(r0))
-    p.op(r0)
-    val expected = canon(p.observe(r0))
-    val extraLegal = p.extraMid.map { mk =>
-      val r = freshRoot(p.name); canon(mk(r))
-    }
-
-    // record the mutating-op trace
-    val r1 = freshRoot(p.name)
-    p.setup(r1)
-    val (recRes, ops) = FaultClock.record(localDirOf(r1))(p.op(r1))
-    assert(recRes.isRight, s"${p.name}: record pass failed: $recRes")
-    assert(canon(p.observe(r1)) == expected,
-      s"${p.name}: record pass end state diverged from baseline")
-    assert(ops.nonEmpty, s"${p.name}: no mutating ops recorded")
-
-    // crash points: first and last occurrence of each distinct signature
-    val bySig = ops.zipWithIndex.groupBy(_._1)
-    val points0 = (bySig.values.map(_.head._2) ++ bySig.values.map(_.last._2))
-      .toSeq.distinct.sorted.map(_ + 1) // 1-based op index
-    val points =
-      if (points0.size <= maxPoints) points0
-      else { // even spread, always keeping the first and last point
-        val step = (points0.size - 1).toDouble / (maxPoints - 1)
-        (0 until maxPoints).map(i => points0((i * step).round.toInt)).distinct
-      }
-
-    var crashed = 0
-    var unfired = 0
-    points.foreach { k =>
-      val r = freshRoot(p.name)
-      p.setup(r)
-      val (fired, out) = FaultClock.armed(localDirOf(r), k.toLong)(p.op(r))
-      if (!fired) {
-        // this run used fewer ops than the recorded trace — it completed
-        // fault-free and must have produced the full effect
-        assert(out.isRight && canon(p.observe(r)) == expected,
-          s"${p.name}: unfired point $k left a diverged state")
-        unfired += 1
-      } else {
-        crashed += 1
-        val at = s"crash point $k/${ops.size} (${ops(k - 1)})"
-        if (out.isRight)
-          // tolerated only when the semantic effect fully landed before
-          // the crash (a best-effort cleanup op after the commit point)
-          assert(canon(p.observe(r)) == expected,
-            s"${p.name}: $at — op reported SUCCESS but the state is torn")
-        else {
-          val mid = canon(p.observe(r))
-          assert(mid == pre || mid == expected || extraLegal.contains(mid),
-            s"${p.name}: $at — read-after-crash is a TORN state:\n" +
-              s"  got:  $mid\n  pre:  $pre\n  post: $expected")
-        }
-        retryTyped(4)(p.recover(r))
-        assert(canon(p.observe(r)) == expected,
-          s"${p.name}: $at — recovery did not converge")
-        if (p.erasedPayloads.nonEmpty) {
-          p.finalVacuum(r)
-          val leaked = filesHolding(r, p.erasedPayloads)
-          assert(leaked.isEmpty,
-            s"${p.name}: $at — erased subject bytes survived recovery + " +
-              s"full vacuum in:\n  ${leaked.mkString("\n  ")}")
-        }
-      }
-    }
-    info(s"${p.name}: ${ops.size} mutating ops, ${bySig.size} distinct steps, " +
-      s"${points.size} points tested ($crashed crashed, $unfired unfired)")
-    assert(crashed > 0, s"${p.name}: no crash point ever fired")
-  }
+  // Both crash substrates: POSIX-atomic renames, and the mock object
+  // store whose single-file renames decompose into crashable
+  // copy+delete steps (a died-mid-rename writer leaves src AND dst).
+  for (scheme <- Seq("faulty", "faultymock")) {
 
   // ── protocol table: storage tier ───────────────────────────────────
 
-  private def obsSnapshot(root: String): Seq[String] =
+  def obsSnapshot(root: String): Seq[String] =
     SnapshotStore.read(spark, root).collect().map(_.toString).toSeq
 
-  private def obsDelta(root: String): Seq[String] =
+  def obsDelta(root: String): Seq[String] =
     BaseDelta.read(spark, deltaTable(root)).collect().map(_.toString).toSeq
 
-  test("crash sweep: snapshot publish (stage + pointer CAS)") {
-    sweep(Protocol("snapshot-publish",
+  test(s"crash sweep [$scheme]: snapshot publish (stage + pointer CAS)") {
+    sweep(scheme)(Protocol("snapshot-publish",
       setup = r => { SnapshotStore.publish(docs("a", 1 to 6), r); () },
       op = r => { SnapshotStore.publish(docs("b", 1 to 6), r); () },
       recover = r => { SnapshotStore.publish(docs("b", 1 to 6), r); () },
       observe = obsSnapshot))
   }
 
-  test("crash sweep: snapshot vacuum (history reclamation)") {
-    sweep(Protocol("snapshot-vacuum",
+  test(s"crash sweep [$scheme]: snapshot vacuum (history reclamation)") {
+    sweep(scheme)(Protocol("snapshot-vacuum",
       setup = r => Seq("a", "b", "c").foreach(t =>
         SnapshotStore.publish(docs(t, 1 to 6), r)),
       op = r => { SnapshotStore.vacuum(spark, r); () },
@@ -238,16 +79,16 @@ class CrashSweepSpec extends SparkSpec {
       observe = obsSnapshot))
   }
 
-  test("crash sweep: delta append (fresh delta + manifest CAS)") {
-    sweep(Protocol("delta-append",
+  test(s"crash sweep [$scheme]: delta append (fresh delta + manifest CAS)") {
+    sweep(scheme)(Protocol("delta-append",
       setup = r => BaseDelta.append(spark, deltaTable(r), docs("a", 1 to 6), 0L),
       op = r => BaseDelta.append(spark, deltaTable(r), docs("b", 7 to 12), 1L),
       recover = r => BaseDelta.append(spark, deltaTable(r), docs("b", 7 to 12), 1L),
       observe = obsDelta))
   }
 
-  test("crash sweep: delta compact (fold + generation swap)") {
-    sweep(Protocol("delta-compact",
+  test(s"crash sweep [$scheme]: delta compact (fold + generation swap)") {
+    sweep(scheme)(Protocol("delta-compact",
       setup = r => {
         BaseDelta.append(spark, deltaTable(r), docs("a", 1 to 6), 0L)
         BaseDelta.append(spark, deltaTable(r), docs("b", 4 to 9), 1L)
@@ -258,9 +99,9 @@ class CrashSweepSpec extends SparkSpec {
       observe = obsDelta))
   }
 
-  test("crash sweep: logical erase (ledger read-merge-publish ack)") {
+  test(s"crash sweep [$scheme]: logical erase (ledger read-merge-publish ack)") {
     val subjects = Seq(2, 3)
-    sweep(Protocol("logical-erase",
+    sweep(scheme)(Protocol("logical-erase",
       setup = r => {
         BaseDelta.append(spark, deltaTable(r), docs("a", 1 to 6), 0L)
         BaseDelta.compact(spark, deltaTable(r))
@@ -273,7 +114,7 @@ class CrashSweepSpec extends SparkSpec {
       observe = obsDelta))
   }
 
-  test("crash sweep: materialize erasures (rewrite + ledger retire + vacuum) — no surviving subject bytes") {
+  test(s"crash sweep [$scheme]: materialize erasures (rewrite + ledger retire + vacuum) — no surviving subject bytes") {
     val subjects = Seq(2, 3, 8)
     def setup(r: String): Unit = {
       BaseDelta.append(spark, deltaTable(r), docs("a", 1 to 6), 0L)
@@ -283,7 +124,7 @@ class CrashSweepSpec extends SparkSpec {
         subjects.map(_.toLong).toDF("id"))
       ()
     }
-    sweep(Protocol("materialize-erasures",
+    sweep(scheme)(Protocol("materialize-erasures",
       setup = setup,
       op = r => { BaseDelta.materializeErasures(spark, deltaTable(r)); () },
       // a crash between the fold commit and the ledger retire can leave
@@ -304,24 +145,24 @@ class CrashSweepSpec extends SparkSpec {
 
   // ── protocol table: coordinator tier ───────────────────────────────
 
-  private val dimSpec = Scd2Dim("d", "dim", Seq("id"), Seq("v"), "ts",
+  val dimSpec = Scd2Dim("d", "dim", Seq("id"), Seq("v"), "ts",
     tieBreak = Seq("id"),
     project = _.select("id", "v", "ts"))
-  private def factSpec = DeltaFact("f", "fact", Seq("id"), Seq("ts", "id"),
+  def factSpec = DeltaFact("f", "fact", Seq("id"), Seq("ts", "id"),
     maxDeltas = 2,
     project = _.select("id", "v", "ts"))
 
-  private def routed(tag: String, dimIds: Seq[Int], factIds: Seq[Int]): DataFrame =
+  def routed(tag: String, dimIds: Seq[Int], factIds: Seq[Int]): DataFrame =
     docs(tag, dimIds).withColumn("route", lit("dim"))
       .unionByName(docs(tag, factIds).withColumn("route", lit("fact")))
       .coalesce(1)
 
-  private def fold(r: String, tag: String, dimIds: Seq[Int], factIds: Seq[Int],
+  def fold(r: String, tag: String, dimIds: Seq[Int], factIds: Seq[Int],
                    batch: Long): Unit =
     MultiTableStream.foldBatch(spark, r, routed(tag, dimIds, factIds),
       "route", Seq(dimSpec), Seq.empty, batch, deltaFacts = Seq(factSpec))
 
-  private def obsCommitted(root: String): Seq[String] = {
+  def obsCommitted(root: String): Seq[String] = {
     val t = MultiTableStream.readCommitted(spark, root,
       deltaFacts = Seq(factSpec))
     t.toSeq.sortBy(_._1).flatMap { case (name, df) =>
@@ -329,15 +170,15 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
-  test("crash sweep: coordinator foldBatch (dim stage + fact delta + atomic flip)") {
-    sweep(Protocol("fold-batch",
+  test(s"crash sweep [$scheme]: coordinator foldBatch (dim stage + fact delta + atomic flip)") {
+    sweep(scheme)(Protocol("fold-batch",
       setup = r => fold(r, "a", Seq(1, 2), Seq(11, 12), 0L),
       op = r => fold(r, "b", Seq(2, 3), Seq(13, 14), 1L),
       recover = r => fold(r, "b", Seq(2, 3), Seq(13, 14), 1L),
       observe = obsCommitted))
   }
 
-  test("crash sweep: coordinated erasure, eager — fact-first ordering, no surviving subject bytes") {
+  test(s"crash sweep [$scheme]: coordinated erasure, eager — fact-first ordering, no surviving subject bytes") {
     val subjects = Seq(2, 12)
     def erase(r: String): Unit = {
       Erasure.eraseCoordinated(spark, r,
@@ -358,7 +199,7 @@ class CrashSweepSpec extends SparkSpec {
         subjects.map(_.toLong).toDF("id"))
       obsCommitted(r)
     }
-    sweep(Protocol("erase-coordinated-eager",
+    sweep(scheme)(Protocol("erase-coordinated-eager",
       setup = setup,
       op = erase,
       recover = erase,
@@ -373,7 +214,7 @@ class CrashSweepSpec extends SparkSpec {
       }))
   }
 
-  test("crash sweep: coordinated erasure, deferred — immediate unreachability survives any crash point") {
+  test(s"crash sweep [$scheme]: coordinated erasure, deferred — immediate unreachability survives any crash point") {
     val subjects = Seq(2, 12)
     def erase(r: String): Unit = {
       Erasure.eraseCoordinated(spark, r,
@@ -393,11 +234,12 @@ class CrashSweepSpec extends SparkSpec {
         subjects.map(_.toLong).toDF("id"), countRows = false)
       obsCommitted(r)
     }
-    sweep(Protocol("erase-coordinated-deferred",
+    sweep(scheme)(Protocol("erase-coordinated-deferred",
       setup = setup,
       op = erase,
       recover = erase,
       observe = obsCommitted,
       extraMid = Seq(factErasedMid)))
+  }
   }
 }

@@ -105,53 +105,74 @@ object FaultClock {
   }
 }
 
-/** Local-disk FileSystem (scheme `faulty`) whose mutating ops consult
-  * [[FaultClock]] — the substrate for crash-at-every-protocol-step
-  * sweeps. Read ops are untouched.
+/** Stackable fault-clock layer: every mutating op consults [[FaultClock]]
+  * before delegating. Mixed over both local-POSIX and mock-object-store
+  * bases — on the latter, a single-file rename decomposes into
+  * clocked create(dst) + delete(src) steps (virtual dispatch through the
+  * mix-in), so the sweep also gets the object-store-only crash shape
+  * where BOTH source and destination survive a died-mid-rename writer.
   */
-class FaultyFileSystem extends RawLocalFileSystem {
-  override def getScheme: String = "faulty"
-  override def getUri: URI = URI.create("faulty:///")
-
-  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
-                      bufferSize: Int, replication: Short, blockSize: Long,
-                      progress: Progressable)
+trait FaultClockedFs extends org.apache.hadoop.fs.FileSystem {
+  abstract override def create(f: Path, permission: FsPermission,
+                               overwrite: Boolean, bufferSize: Int,
+                               replication: Short, blockSize: Long,
+                               progress: Progressable)
       : org.apache.hadoop.fs.FSDataOutputStream = {
     FaultClock.note("create", FaultClock.normalize(f))
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
 
-  override def createNonRecursive(f: Path, permission: FsPermission,
-                                  flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
-                                  bufferSize: Int, replication: Short,
-                                  blockSize: Long, progress: Progressable)
+  abstract override def createNonRecursive(f: Path, permission: FsPermission,
+                                           flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+                                           bufferSize: Int, replication: Short,
+                                           blockSize: Long, progress: Progressable)
       : org.apache.hadoop.fs.FSDataOutputStream = {
     FaultClock.note("create", FaultClock.normalize(f))
     super.createNonRecursive(f, permission, flags, bufferSize, replication,
       blockSize, progress)
   }
 
-  override def rename(src: Path, dst: Path): Boolean = {
+  abstract override def rename(src: Path, dst: Path): Boolean = {
     FaultClock.note("rename",
       FaultClock.normalize(src) + "->" + FaultClock.normalize(dst))
     super.rename(src, dst)
   }
 
-  override def delete(p: Path, recursive: Boolean): Boolean = {
+  abstract override def delete(p: Path, recursive: Boolean): Boolean = {
     FaultClock.note("delete", FaultClock.normalize(p))
     super.delete(p, recursive)
   }
 
-  override def mkdirs(f: Path): Boolean = {
+  abstract override def mkdirs(f: Path): Boolean = {
     FaultClock.note("mkdirs", FaultClock.normalize(f))
     super.mkdirs(f)
   }
 
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+  abstract override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     FaultClock.note("mkdirs", FaultClock.normalize(f))
     super.mkdirs(f, permission)
   }
+}
+
+/** Local-disk FileSystem (scheme `faulty`) whose mutating ops consult
+  * [[FaultClock]] — the substrate for crash-at-every-protocol-step
+  * sweeps. Read ops are untouched.
+  */
+class FaultyFileSystem extends RawLocalFileSystem with FaultClockedFs {
+  override def getScheme: String = "faulty"
+  override def getUri: URI = URI.create("faulty:///")
+}
+
+/** The object-store shape under the fault clock (scheme `faultymock`):
+  * [[MockObjectStoreFileSystem]] single-file renames are client-side
+  * check + copy + delete, each step individually crashable — a writer
+  * dying mid-rename leaves src AND dst on disk, the failure mode POSIX
+  * rename atomicity can never produce.
+  */
+class FaultyMockFileSystem extends MockObjectStoreFileSystem with FaultClockedFs {
+  override def getScheme: String = "faultymock"
+  override def getUri: URI = URI.create("faultymock:///")
 }
 
 /** Commit backend for the `faulty` scheme: the atomic commit point itself
