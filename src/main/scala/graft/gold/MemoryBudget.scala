@@ -81,6 +81,45 @@ object MemoryBudget {
     true
   }
 
+  private var scopeDepth = 0
+  private var priorFloor: Option[Long] = None
+
+  /** SCOPED low-memory degradation: engage [[applyLowMemoryProfile]] for
+    * the duration of `body` and restore the session's planning confs on
+    * exit (of the OUTERMOST scope — nesting keeps the tightest floor
+    * until the last scope closes). The eager operators that own their
+    * actions (the cluster fold / re-pair family) wrap their bodies here,
+    * so a 267-query mixed workload doesn't pay shuffle-capped,
+    * broadcast-less plans on every query that happens to run AFTER the
+    * first sub-floor fold — that sticky leak measured as a uniform
+    * ~1.2× across the whole benchmark suite at 256 MB/slot. Concurrent
+    * queries on other threads DURING a scope still see the degraded
+    * confs: conservative-correct, since a memory-starved fold in flight
+    * is exactly when an optimistic auto-broadcast is fatal. No-op at or
+    * above the floor.
+    */
+  def withLowMemoryProfile[A](spark: SparkSession,
+                              floorMb: Long = FloorMb)(body: => A): A = {
+    if (mbPerSlot(spark) >= floorMb) return body
+    synchronized {
+      if (scopeDepth == 0)
+        priorFloor = spark.conf.getOption(AppliedKey).map(_.toLong)
+      scopeDepth += 1
+      applyLowMemoryProfile(spark, floorMb)
+    }
+    try body
+    finally synchronized {
+      scopeDepth -= 1
+      if (scopeDepth == 0) {
+        resetLowMemoryProfile(spark)
+        // an explicitly-applied (legacy sticky) profile that predated the
+        // outermost scope is the caller's contract — reinstate it
+        priorFloor.foreach(f => applyLowMemoryProfile(spark, f))
+        priorFloor = None
+      }
+    }
+  }
+
   /** Undo [[applyLowMemoryProfile]] — for shared test sessions only. */
   def resetLowMemoryProfile(spark: SparkSession): Unit = synchronized {
     spark.conf.getOption(BaseKey).foreach(b =>

@@ -156,6 +156,20 @@ object ClusterIndex {
            maxDeltas: Int = 16,
            maxBroadcastHashes: Long = 4000000L,
            allowSchemaEvolution: Boolean = false): Unit =
+    // the fold owns its actions, so the low-memory degradation is SCOPED
+    // to it — applied on entry when the heap sits under the fold floor,
+    // restored on exit so later unrelated queries on the session keep
+    // their auto-broadcasts and full shuffle width
+    graft.gold.MemoryBudget.withLowMemoryProfile(spark, FoldFloorMb)(
+      foldImpl(spark, st, batch, batchId, idCol, textCol, k, threshold,
+        maxStateDf, maxDeltas, maxBroadcastHashes, allowSchemaEvolution))
+
+  private def foldImpl(spark: SparkSession, st: State, batch: DataFrame,
+           batchId: Long, idCol: String, textCol: String, k: Int,
+           threshold: Double, maxStateDf: Int,
+           maxDeltas: Int,
+           maxBroadcastHashes: Long,
+           allowSchemaEvolution: Boolean): Unit =
       conflictIfRetired(spark, st) {
     // READ-WINDOW PIN, captured before any state read: the edges/remap
     // below derive from the postings + clusters state, and every
@@ -359,6 +373,15 @@ object ClusterIndex {
                         threshold: Double,
                         defer: Boolean,
                         maxAffected: Long = Long.MaxValue): Option[DataFrame] =
+    // scoped like the fold: the structural re-pair runs the same pair
+    // generators under the same floor
+    graft.gold.MemoryBudget.withLowMemoryProfile(spark, FoldFloorMb)(
+      eraseBody(spark, st, docIds, threshold, defer, maxAffected))
+
+  private def eraseBody(spark: SparkSession, st: State, docIds: DataFrame,
+                        threshold: Double,
+                        defer: Boolean,
+                        maxAffected: Long): Option[DataFrame] =
       conflictIfRetired(spark, st) {
     val pin = BaseDelta.manifestVersion(spark, st.clustersTable)
     val cMax = appliedMax(spark, st.clustersTable)
@@ -539,6 +562,11 @@ object ClusterIndex {
     */
   def repairStructural(spark: SparkSession, st: State,
                        threshold: Double = 0.2): Boolean =
+    graft.gold.MemoryBudget.withLowMemoryProfile(spark, FoldFloorMb)(
+      repairBody(spark, st, threshold))
+
+  private def repairBody(spark: SparkSession, st: State,
+                         threshold: Double): Boolean =
       conflictIfRetired(spark, st) {
     val observed = SnapshotStore.currentGen(spark, st.repairPath)
     if (observed.isEmpty) false

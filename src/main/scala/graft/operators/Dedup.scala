@@ -302,15 +302,16 @@ object Dedup {
     * overrides detection for deterministic specs.
     */
   private[graft] def adaptivePairParts(spark: SparkSession,
-      floorMb: Long = PairGeneratorFloorMb): Option[Int] = {
-    // entering a pair generator under the floor also engages the STICKY
-    // session profile (shuffle partitioning capped at the in-flight task
-    // budget), so the downstream final aggregations run under the same
-    // concurrency cap — the measured reasoning lives in MemoryBudget's
-    // scaladoc
-    graft.gold.MemoryBudget.applyLowMemoryProfile(spark, floorMb)
+      floorMb: Long = PairGeneratorFloorMb): Option[Int] =
+    // plan-pinned cap ONLY: the returned count bakes an AQE-exempt
+    // repartition into the pair plan, so the memory bound survives no
+    // matter when the caller acts on it. The SESSION-level levers
+    // (shuffle-partition cap for non-pair stages, auto-broadcast
+    // disable) are deliberately NOT flipped from a lazy plan builder —
+    // they'd leak into every later query on the session (measured as a
+    // uniform ~1.2× across the bench suite). Eager operators that own
+    // their actions scope them via MemoryBudget.withLowMemoryProfile.
     graft.gold.MemoryBudget.pairParts(spark, floorMb)
-  }
 
   private[operators] def bucketPairs(df: DataFrame, bucketKeys: Seq[String],
                                      member: Column,
