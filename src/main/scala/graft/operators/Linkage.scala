@@ -181,6 +181,15 @@ object Linkage {
       .select(col("__g"), col("__pid"),
         explode(sequence(col("__ppos") - maxDist, col("__ppos") + maxDist))
           .as("__pos"))
+      // PINNED sort-merge: both sides are corpus-sized (strings ×
+      // prefix/gram fan-out) and the explode defeats size estimation, so
+      // the optimizer can elect to BROADCAST the exploded prefix side —
+      // measured at sf1 that one choice made the whole operator 4.2×
+      // slower (320 s vs 76 s, same 19.4M-pair output): 32 copies of a
+      // multi-million-row hashed relation where a partitioned join
+      // spreads the hot-gram fan-out instead. Never broadcast a side
+      // that scales with the corpus.
+      .hint("merge")
       .join(keptGrams.select(col("__g"), col("__id").as("__aid"), col("__pos")),
         Seq("__g", "__pos"))
       .filter(col("__pid") =!= col("__aid"))
