@@ -2298,17 +2298,51 @@ object Queries {
     // ── perceptual image dedup: text → REAL PNG encode → javax.imageio
     //    decode → 64-bit dHash → pigeonhole hamming near-dup. The encode/
     //    decode round-trip exercises the genuine codec path (testdata has
-    //    no image payloads); exact-dup texts give identical rasters →
-    //    hamming 0. No DuckDB oracle (codec output isn't SQL-expressible);
-    //    OperatorsSpec covers golden images, tweaks, and corrupt payloads ──
+    //    no image payloads). Codec output isn't SQL-expressible, so the
+    //    oracle pins PLANTED-PAIR RECALL (q220/q106 pattern): for each
+    //    base doc we plant an exact payload twin (identical raster →
+    //    hamming 0) and a provably-bounded near twin
+    //    (pngPayloadPerturbed inverts only dHash cell (0,0) → hamming ≤ 1
+    //    by construction), run the near-dup join over the FULL corpus +
+    //    twins, and emit found/bound booleans the oracle pins TRUE. A
+    //    recall miss or a Hamming-bound violation is now a hard
+    //    CORRECTNESS failure. Golden rasters/tweaks/corrupt payloads stay
+    //    spec-pinned (OperatorsSpec). ──
     Q("q89_image_neardup",
       (s, d) => {
-        val withPng = Tables.documents(s, d)
-          .select(col("doc_id"),
-            Multimodal.pngPayload(col("text")).as("payload"))
-        Multimodal.dhashNearDup(withPng, "doc_id", maxHamming = 6)
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"),
+          Multimodal.pngPayload(col("text")).as("payload"))
+        val planted = docs.filter(col("doc_id") < 12)
+        val exactTwins = planted.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          Multimodal.pngPayload(col("text")).as("payload"))
+        val nearTwins = planted.select(
+          (col("doc_id") + 200000L).as("doc_id"),
+          Multimodal.pngPayloadPerturbed(col("text")).as("payload"))
+        val pairs = Multimodal.dhashNearDup(
+            corpus.unionByName(exactTwins).unionByName(nearTwins),
+            "doc_id", maxHamming = 6)
+          .select(least(col("id_a"), col("id_b")).as("lo"),
+            greatest(col("id_a"), col("id_b")).as("hi"),
+            col("hamming"))
+        val exact = planted
+          .select(col("doc_id").as("lo"), (col("doc_id") + 100000L).as("hi"))
+          .join(pairs, Seq("lo", "hi"), "left")
+          .select(col("lo").as("doc_id"),
+            (col("hamming").isNotNull && col("hamming") === 0)
+              .as("exact_twin_found_h0"))
+        val near = planted
+          .select(col("doc_id").as("lo"), (col("doc_id") + 200000L).as("hi"))
+          .join(pairs, Seq("lo", "hi"), "left")
+          .select(col("lo").as("doc_id"),
+            (col("hamming").isNotNull && col("hamming") <= 1)
+              .as("near_twin_found_hle1"))
+        exact.join(near, Seq("doc_id"))
       },
-      None),
+      Some("""
+        SELECT doc_id, TRUE AS exact_twin_found_h0, TRUE AS near_twin_found_hle1
+        FROM documents WHERE doc_id < 12""")),
 
     // ── bucketized range join: points-in-intervals as a hash equi-join on
     //    domain chunks + residual BETWEEN, instead of the BNLJ/cartesian
@@ -2738,18 +2772,31 @@ object Queries {
 
     // ── compression-ratio quality proxy: deflate length ratio per doc +
     //    per-source aggregate — the model-free repetitiveness filter
-    //    (CCNet/RefinedWeb family); map-only codegen'd kernel. No DuckDB
-    //    oracle (no deflate there) — spec-pinned behavior. ──
+    //    (CCNet/RefinedWeb family); map-only codegen'd kernel. DuckDB has
+    //    no deflate, so the oracle pins the codec's LAWS instead (q220/
+    //    q106 pattern): inflate(deflate(x)) == x per row, and the ratio
+    //    inside zlib's provable band (0, 1 + 11/len] — stored-block
+    //    framing adds ≤ 11 bytes for len < 64 KiB, so any ratio outside
+    //    the band is a codec/buffer bug, not data. The raw ratio stats
+    //    stay spec-pinned (OperatorsSpec: repetitive ≪ diverse, bounds,
+    //    determinism). ──
     Q("q104_compression_ratio",
       (s, d) => Tables.documents(s, d)
         .select(col("source"),
-          TextAnalysis.compressionRatio(col("text")).as("cr"))
+          TextAnalysis.compressionRatio(col("text")).as("cr"),
+          TextAnalysis.compressionRoundTrip(col("text")).as("rt"),
+          octet_length(col("text")).as("len"))
+        .withColumn("band",
+          col("cr") > lit(0.0) &&
+            col("cr") <= lit(1.0) + lit(11.0) / greatest(col("len"), lit(1)))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          avg(col("cr")).as("mean_ratio"),
-          min(col("cr")).as("min_ratio"),
-          max(col("cr")).as("max_ratio")),
-      None),
+          bool_and(col("rt")).as("round_trip_ok"),
+          bool_and(col("band")).as("ratio_in_band")),
+      Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS round_trip_ok, TRUE AS ratio_in_band
+        FROM documents GROUP BY 1""")),
 
     // ── Jensen–Shannon drift matrix between language groups' unigram
     //    distributions — the distribution-level complement of q60's

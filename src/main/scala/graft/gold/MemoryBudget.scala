@@ -39,6 +39,9 @@ object MemoryBudget {
 
   private val AppliedKey = "graft.lowmem.appliedFloor"
   private val BaseKey = "graft.lowmem.basePartitions"
+  private val BaseBroadcastKey = "graft.lowmem.baseAutoBroadcast"
+  private val DepthKey = "graft.lowmem.scopeDepth"
+  private val PriorFloorKey = "graft.lowmem.priorFloor"
 
   /** The in-flight cap: how many concurrent tasks the heap can give
     * `floorMb` each (≥1). Uses the effective total (slots × per-slot
@@ -77,12 +80,16 @@ object MemoryBudget {
     // optimistic auto-broadcast is fatal (measured live at 3 GB/32).
     // The engine's own broadcast() hints stay: those frames are
     // deliberately bounded (request-sized subjects, nCells centroids).
+    // Capture the EXACT prior threshold first (builder/spark-submit
+    // values live only in session SQLConf — `unset` would silently
+    // fall back to the built-in 10 MB default, losing a deployment's
+    // custom value), so reset restores it byte-for-byte.
+    if (spark.conf.getOption(BaseBroadcastKey).isEmpty)
+      spark.conf.set(BaseBroadcastKey,
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     true
   }
-
-  private var scopeDepth = 0
-  private var priorFloor: Option[Long] = None
 
   /** SCOPED low-memory degradation: engage [[applyLowMemoryProfile]] for
     * the duration of `body` and restore the session's planning confs on
@@ -97,35 +104,59 @@ object MemoryBudget {
     * confs: conservative-correct, since a memory-starved fold in flight
     * is exactly when an optimistic auto-broadcast is fatal. No-op at or
     * above the floor.
+    *
+    * Scope state (depth + the pre-scope sticky floor) lives in the
+    * SESSION's conf, not JVM globals: two sessions in one JVM get
+    * independent scopes — session A's exit can't restore (or fail to
+    * restore) session B, and A's prior floor can't be re-applied to B.
+    * The depth is bumped only AFTER the engage succeeds, so a throwing
+    * engage can't leak a permanently-degraded session.
     */
   def withLowMemoryProfile[A](spark: SparkSession,
                               floorMb: Long = FloorMb)(body: => A): A = {
     if (mbPerSlot(spark) >= floorMb) return body
     synchronized {
-      if (scopeDepth == 0)
-        priorFloor = spark.conf.getOption(AppliedKey).map(_.toLong)
-      scopeDepth += 1
+      val depth = spark.conf.getOption(DepthKey).map(_.toInt).getOrElse(0)
+      if (depth == 0) {
+        spark.conf.getOption(AppliedKey) match {
+          case Some(f) => spark.conf.set(PriorFloorKey, f)
+          case None    => spark.conf.unset(PriorFloorKey)
+        }
+      }
       applyLowMemoryProfile(spark, floorMb)
+      spark.conf.set(DepthKey, (depth + 1).toString)
     }
     try body
     finally synchronized {
-      scopeDepth -= 1
-      if (scopeDepth == 0) {
+      val depth = spark.conf.getOption(DepthKey).map(_.toInt).getOrElse(1)
+      if (depth <= 1) {
+        spark.conf.unset(DepthKey)
+        val prior = spark.conf.getOption(PriorFloorKey).map(_.toLong)
+        spark.conf.unset(PriorFloorKey)
         resetLowMemoryProfile(spark)
         // an explicitly-applied (legacy sticky) profile that predated the
         // outermost scope is the caller's contract — reinstate it
-        priorFloor.foreach(f => applyLowMemoryProfile(spark, f))
-        priorFloor = None
-      }
+        prior.foreach(f => applyLowMemoryProfile(spark, f))
+      } else spark.conf.set(DepthKey, (depth - 1).toString)
     }
   }
 
-  /** Undo [[applyLowMemoryProfile]] — for shared test sessions only. */
+  /** Undo [[applyLowMemoryProfile]] — restores the exact pre-engage
+    * planning confs (shuffle partitions AND auto-broadcast threshold;
+    * a plain `unset` would revert a deployment-configured threshold to
+    * the built-in default). Also used directly by shared test sessions.
+    */
   def resetLowMemoryProfile(spark: SparkSession): Unit = synchronized {
     spark.conf.getOption(BaseKey).foreach(b =>
       spark.conf.set("spark.sql.shuffle.partitions", b))
-    if (spark.conf.getOption(AppliedKey).isDefined)
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.getOption(BaseBroadcastKey) match {
+      case Some(b) =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", b)
+      case None =>
+        if (spark.conf.getOption(AppliedKey).isDefined)
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.conf.unset(BaseBroadcastKey)
     spark.conf.unset(AppliedKey)
     spark.conf.unset(BaseKey)
   }

@@ -224,7 +224,12 @@ object Linkage {
       val targets = keptShorts.select(col("__id").as("__aid"),
           explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
             .as("__len"))
+      // PINNED sort-merge, same rationale as the gram join above: the
+      // short-string population is corpus-scaling (every string under
+      // ~q·(k+1) chars) and the ±maxDist explode hides its size from the
+      // optimizer — never broadcast a side that scales with the corpus
       val shortPairs = keptShorts.select(col("__id").as("__pid"), col("__len"))
+        .hint("merge")
         .join(targets, Seq("__len"))
         .filter(col("__pid") =!= col("__aid"))
         .select(least(col("__pid"), col("__aid")).as("id_a"),

@@ -215,6 +215,41 @@ object Multimodal {
     f(src)
   }
 
+  /** [[pngFromBytes]] with a PROVABLY BOUNDED perturbation: the four
+    * pixels of dHash grid cell (0,0) — x<2, y<2 on the 16×16 raster
+    * (column cell = x·9/16, row cell = y·8/16) — are inverted. A cell
+    * (r,c) participates only in comparison bits (r,c−1) and (r,c), and
+    * cell (0,0) has no left neighbour, so
+    * hamming(dhash(original), dhash(perturbed)) ≤ 1 by construction.
+    * Planted next to the unperturbed encoding, this gives recall oracles
+    * a near-duplicate whose Hamming bound is a theorem, not a tuning.
+    */
+  def pngFromBytesPerturbed(seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 256) {
+      val x = i % 16
+      val y = i / 16
+      val v = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      raster.setSample(x, y, 0, if (x < 2 && y < 2) 255 - v else v)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** [[pngFromBytesPerturbed]] as a column (UDF tier, same contract as
+    * [[pngPayload]]).
+    */
+  def pngPayloadPerturbed(src: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null else pngFromBytesPerturbed(s.getBytes("UTF-8")))
+    f(src)
+  }
+
   /** Frame-sampling shape for video-like payloads: split the payload into
     * fixed-size "frames" and explode — demonstrates the row-explosion
     * pattern (and its partition-size impact) without a real codec.

@@ -55,7 +55,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Long,
-                      maxBucketsPerInterval: Int = 4096): DataFrame = {
+                      maxBucketsPerInterval: Int = 4096,
+                      intervalHint: String = "merge"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!points.columns.contains(Bucket) && !intervals.columns.contains(Bucket))
     val p = points.withColumn(Bucket,
@@ -73,7 +74,15 @@ object RangeJoin {
             lit(s"range-join interval spans more than $maxBucketsPerInterval " +
               s"buckets at width $bucketWidth: lo="), col(loCol).cast("string"),
             lit(" hi="), col(hiCol).cast("string")))))))
-    p.join(iv, Seq(Bucket))
+    // PINNED sort-merge on the bucket join: the interval side just
+    // exploded ×(span/width), and Generate is invisible to size
+    // estimation — the planner can elect to BROADCAST a bucket-replica
+    // relation that scales with the interval corpus (per-user windows,
+    // per-rule bands derived from a fact table). Same cliff class as the
+    // measured 4.2× fuzzy-join regression (Linkage.scala:181). A caller
+    // whose interval side is contract-small (a fixed rulebook) can
+    // opt back into broadcast via `intervalHint = "broadcast"`.
+    p.join(iv.hint(intervalHint), Seq(Bucket))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop(Bucket)
   }
@@ -122,7 +131,11 @@ object RangeJoin {
               lit(" hi="), col(hiCol).cast("string")))))))
     }
 
-    buckets(a, aLoCol, aHiCol).join(buckets(b, bLoCol, bHiCol), Seq(Bucket))
+    // PINNED sort-merge: BOTH sides are bucket-exploded interval corpora
+    // (see pointInInterval's pin rationale) — neither is safe to elect
+    // as a stats-blind broadcast build side.
+    buckets(a, aLoCol, aHiCol).hint("merge")
+      .join(buckets(b, bLoCol, bHiCol), Seq(Bucket))
       .where(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol) &&
         col(Bucket) === floor(greatest(col(aLoCol), col(bLoCol))
           .cast("double") / bucketWidth).cast("long"))

@@ -453,7 +453,12 @@ object TextAnalysis {
       posts.filter(col("__tok") === t)
         .select(col(idCol), (col("__pos") - i).as("__start"))
     }
-    frames.reduce((a, b) => a.join(b, Seq(idCol, "__start")))
+    // PINNED sort-merge on the positional-intersection joins: each frame
+    // is ONE TERM's positional postings — corpus-scaling for a frequent
+    // term, and the posexplode below it hides that from size estimation,
+    // so the planner can elect to broadcast a posting list that is
+    // gigabytes at corpus scale (the Linkage.scala:181 cliff class).
+    frames.reduce((a, b) => a.hint("merge").join(b, Seq(idCol, "__start")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_occurrences"))
   }
@@ -949,6 +954,15 @@ object TextAnalysis {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(DeflateRatio(ex))
   }
 
+  /** Boolean inflate(deflate(text)) == text — the lossless-codec law
+    * behind [[compressionRatio]], emitted in-query so the oracle can pin
+    * it TRUE per row (q220/q106 pattern). Map-only codegen'd kernel.
+    */
+  def compressionRoundTrip(text: Column): Column = {
+    val ex = org.apache.spark.sql.graftbridge.ColumnBridge.expr(text)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(DeflateRoundTrip(ex))
+  }
+
   /** Join-based blocklist matching — [[blocklistScreen]]'s scale path for
     * LARGE phrase lists (expression trees grow linearly with phrases; a
     * 100k-phrase list needs a join, not literals). Phrases are grouped by
@@ -1390,6 +1404,42 @@ object TextKernels {
       out.toDouble / raw.length
     } finally d.end()
   }
+
+  /** The compression law behind [[deflateRatio]], checkable in-query:
+    * inflate(deflate(bytes)) must reproduce the input byte-for-byte
+    * (deflate is lossless; a codec or buffer bug breaks this first).
+    * True on empty input. Same thread-safety shape as [[deflateRatio]].
+    */
+  def deflateRoundTrip(s: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val raw = s.getBytes
+    if (raw.length == 0) return true
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val compressed = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        compressed.write(buf, 0, n)
+      }
+    } finally d.end()
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(compressed.toByteArray)
+      val back = new Array[Byte](raw.length)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(back, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return false // truncated stream
+        off += n
+      }
+      if (off != raw.length || !inf.finished()) return false
+      java.util.Arrays.equals(back, raw)
+    } catch {
+      case _: java.util.zip.DataFormatException => false
+    } finally inf.end()
+  }
 }
 
 /** string → double deflate compression ratio (see TextAnalysis.compressionRatio). */
@@ -1407,4 +1457,21 @@ case class DeflateRatio(child: org.apache.spark.sql.catalyst.expressions.Express
       s"${ev.value} = graft.operators.TextKernels.deflateRatio($s);")
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): DeflateRatio = copy(child = c)
+}
+
+/** string → boolean inflate(deflate(x)) == x (see TextKernels.deflateRoundTrip). */
+case class DeflateRoundTrip(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRoundTrip(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.operators.TextKernels.deflateRoundTrip($s);")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): DeflateRoundTrip = copy(child = c)
 }

@@ -38,6 +38,9 @@ object PlanLint {
     ("broadcast_nested_loop", "BroadcastNestedLoopJoin"),
     ("single_partition_exchange", "Exchange SinglePartition"))
 
+  /** All rule names, string-matched AND tree-walked. */
+  val RuleNames: Seq[String] = Rules.map(_._1) :+ "broadcast_of_generate"
+
   /** (rule, n_hits) for every rule — zeros included, so the report is
     * fixed-shape and a clean plan is visibly clean.
     */
@@ -45,7 +48,63 @@ object PlanLint {
     val plan = df.queryExecution.executedPlan.toString
     Rules.map { case (rule, needle) =>
       rule -> plan.sliding(needle.length).count(_ == needle).toLong
+    } :+ ("broadcast_of_generate" -> broadcastOfGenerate(df))
+  }
+
+  /** The q141 scale-cliff class, as a rule: a broadcast join whose
+    * build side contains a Generate (explode/posexplode) reachable
+    * WITHOUT crossing an aggregation or limit. Size estimation through
+    * Generate is structurally blind — Catalyst propagates the CHILD's
+    * row count through an operator that multiplies rows by array
+    * length — so an exploded relation that scales with the corpus can
+    * look "small enough to broadcast" at plan time (measured live: a
+    * 4.2× wall-clock cliff at sf1 when the exploded (gram, position)
+    * prefix relation got shipped; fatal at 100 TB). A hit demands
+    * either a pinned shuffle strategy (`.hint("merge")` /
+    * `.hint("shuffle_hash")` — the Linkage.scala:181 fix) or a
+    * RegistryBudget adjudication that the exploded side is parameter-
+    * sized by construction (literal percentile/bin/salt/date spines),
+    * never corpus-sized.
+    *
+    * The walk STOPS at aggregates and limits: a groupBy collapses the
+    * explosion and re-grounds cardinality at the group count behind a
+    * real shuffle whose bytes AQE measures directly — a broadcast of an
+    * aggregated candidate/stats frame is a size question (the existing
+    * maxBucket/Σdf² operator caps), not the structural stats-blindness
+    * this rule exists for. Tree-walked, not string-matched: containment
+    * and path conditions aren't expressible on the flat render.
+    */
+  def broadcastOfGenerate(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    // detection anchors on the broadcast JOIN's build side, not the
+    // BroadcastExchange node: under AQE the lint runs on the pre-
+    // EnsureRequirements inputPlan, where the join is already elected
+    // but the exchange not yet inserted
+    def walk(p: SparkPlan): Iterator[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case r: ReusedExchangeExec => Iterator(r) ++ walk(r.child)
+      case other => Iterator(other) ++ other.children.iterator.flatMap(walk)
     }
+    def unAggGenerate(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => unAggGenerate(a.inputPlan)
+      case r: ReusedExchangeExec => unAggGenerate(r.child)
+      case _: GenerateExec => true
+      case _: BaseAggregateExec => false
+      case l if l.nodeName.contains("Limit") => false
+      case other => other.children.exists(unAggGenerate)
+    }
+    walk(df.queryExecution.executedPlan).count {
+      case b: BroadcastHashJoinExec =>
+        unAggGenerate(if (b.buildSide == BuildLeft) b.left else b.right)
+      case b: BroadcastNestedLoopJoinExec =>
+        unAggGenerate(if (b.buildSide == BuildLeft) b.left else b.right)
+      case _ => false
+    }.toLong
   }
 
   /** The report as a DataFrame: (query_label, rule, n_hits). */
@@ -117,6 +176,14 @@ object PlanLint {
     "q106_tokenize_pack" -> Map("broadcast_nested_loop" -> 1L,
       "single_partition_exchange" -> 2L),
     "q111_ab_test" -> Map("broadcast_nested_loop" -> 1L),
+    // round 12 (broadcast_of_generate adjudications — class 5, bounded
+    // replication): q87's build side is the contract-small dim replicated
+    // ×saltFactor by a LITERAL sequence explode — the deliberate skew
+    // pattern, bounded by |dim|×salts, worst-case estimate error = the
+    // salt factor itself; q219/q238 broadcast day spines exploded from
+    // min/max date aggregates — bounded by the calendar domain, never
+    // the corpus
+    "q87_salted_join" -> Map("broadcast_of_generate" -> 1L),
     "q112_event_lift" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 1L),
     // round 11: the oracle-visible invariant form composes the ANN
     // serve (query-batch×corpus cross + nCells-row centroid crosses,
@@ -139,9 +206,11 @@ object PlanLint {
     "q202_search_index" -> Map("broadcast_nested_loop" -> 1L),
     "q203_column_diff" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
     "q215_corr_matrix" -> Map("single_partition_exchange" -> 1L),
-    "q219_locf" -> Map("broadcast_nested_loop" -> 1L),
+    "q219_locf" -> Map("broadcast_nested_loop" -> 1L,
+      "broadcast_of_generate" -> 1L),
     "q225_quantile_normalize" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 3L),
-    "q238_twab" -> Map("broadcast_nested_loop" -> 1L),
+    "q238_twab" -> Map("broadcast_nested_loop" -> 1L,
+      "broadcast_of_generate" -> 1L),
     "q241_topk_others" -> Map("single_partition_exchange" -> 1L),
     "q24_cosine_topk" -> Map("broadcast_nested_loop" -> 1L),
     // round 8: post-erasure search shares q202's class-1 hit — the

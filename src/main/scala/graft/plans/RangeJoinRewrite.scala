@@ -186,7 +186,27 @@ object RangeJoinRewrite extends PredicateHelper {
       val (newL, newR) =
         if (lo.pointOnLeft) (pointProj, gen) else (gen, pointProj)
       val bucketEq = EqualTo(pBucket.toAttribute, ivAttr)
-      val joined = Join(newL, newR, Inner, Some(And(bucketEq, cond)), hint)
+      // PIN sort-merge on the Generate side unless the user already
+      // hinted a strategy: the interval side just exploded ×(span/width)
+      // and Generate is invisible to size estimation, so the planner can
+      // elect to broadcast a bucket-replica relation that scales with
+      // the interval corpus (RangeJoin.pointInInterval's pin, mirrored
+      // at the rule level — the Linkage.scala:181 cliff class)
+      val pinnedHint =
+        if (hint.leftHint.exists(_.strategy.isDefined) ||
+            hint.rightHint.exists(_.strategy.isDefined)) hint
+        else {
+          val merge = Some(org.apache.spark.sql.catalyst.plans.logical
+            .HintInfo(strategy = Some(
+              org.apache.spark.sql.catalyst.plans.logical.SHUFFLE_MERGE)))
+          if (lo.pointOnLeft)
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint(
+              hint.leftHint, merge)
+          else
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint(
+              merge, hint.rightHint)
+        }
+      val joined = Join(newL, newR, Inner, Some(And(bucketEq, cond)), pinnedHint)
       Project(j.output, joined)
     }
   }

@@ -43,6 +43,20 @@ trait CrashSweepHarness extends SparkSpec {
 
   protected def canon(rows: Seq[String]): Seq[String] = rows.sorted
 
+  /** Wait for every Spark job to settle, then stand the clock down. A
+    * failed job's sibling tasks are killed asynchronously; one still
+    * running could complete a mutating filesystem op unpoisoned the
+    * instant the clock turned OFF, producing flaky torn states in
+    * multi-task protocols.
+    */
+  protected def quiesceAndDisarm(): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 10000000000L
+    while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    FaultClock.disarm()
+  }
+
   protected def retryTyped(n: Int)(body: => Unit): Unit = {
     var attempt = 0
     var done = false
@@ -160,38 +174,49 @@ trait CrashSweepHarness extends SparkSpec {
     points.foreach { k =>
       val r = freshRoot(p.name, scheme)
       p.setup(r)
+      // the clock stays armed past a body throw: Spark kills sibling
+      // tasks of a failed job asynchronously, and a straggler must keep
+      // hitting poison while we observe the torn state (observe only
+      // reads; reads are never clocked). We quiesce active jobs and
+      // disarm only when about to run recovery, which mutates.
       val (fired, out) = FaultClock.armed(localDirOf(r), k.toLong)(p.op(r))
-      if (!fired) {
-        // this run used fewer ops than the recorded trace — it completed
-        // fault-free and must have produced the full effect
-        assert(out.isRight && canon(p.observe(r)) == expected,
-          s"${p.name}: unfired point $k left a diverged state")
-        unfired += 1
-      } else {
-        crashed += 1
-        val at = s"crash point $k/${ops.size} (${ops(k - 1)})"
-        if (out.isRight)
-          // tolerated only when the semantic effect fully landed before
-          // the crash (a best-effort cleanup op after the commit point)
+      try {
+        if (!fired) {
+          // this run used fewer ops than the recorded trace — it completed
+          // fault-free and must have produced the full effect
+          quiesceAndDisarm()
+          assert(out.isRight && canon(p.observe(r)) == expected,
+            s"${p.name}: unfired point $k left a diverged state")
+          unfired += 1
+        } else {
+          crashed += 1
+          val at = s"crash point $k/${ops.size} (${ops(k - 1)})"
+          if (out.isRight) {
+            // tolerated only when the semantic effect fully landed before
+            // the crash (a best-effort cleanup op after the commit point)
+            val got = canon(p.observe(r))
+            quiesceAndDisarm()
+            assert(got == expected,
+              s"${p.name}: $at — op reported SUCCESS but the state is torn")
+          } else if (p.checkMid) {
+            val mid = canon(p.observe(r))
+            quiesceAndDisarm()
+            assert(mid == pre || mid == expected || extraLegal.contains(mid),
+              s"${p.name}: $at — read-after-crash is a TORN state:\n" +
+                s"  got:  $mid\n  pre:  $pre\n  post: $expected")
+          } else quiesceAndDisarm()
+          retryTyped(4)(p.recover(r))
           assert(canon(p.observe(r)) == expected,
-            s"${p.name}: $at — op reported SUCCESS but the state is torn")
-        else if (p.checkMid) {
-          val mid = canon(p.observe(r))
-          assert(mid == pre || mid == expected || extraLegal.contains(mid),
-            s"${p.name}: $at — read-after-crash is a TORN state:\n" +
-              s"  got:  $mid\n  pre:  $pre\n  post: $expected")
+            s"${p.name}: $at — recovery did not converge")
+          if (p.erasedPayloads.nonEmpty) {
+            p.finalVacuum(r)
+            val leaked = filesHolding(r, p.erasedPayloads)
+            assert(leaked.isEmpty,
+              s"${p.name}: $at — erased subject bytes survived recovery + " +
+                s"full vacuum in:\n  ${leaked.mkString("\n  ")}")
+          }
         }
-        retryTyped(4)(p.recover(r))
-        assert(canon(p.observe(r)) == expected,
-          s"${p.name}: $at — recovery did not converge")
-        if (p.erasedPayloads.nonEmpty) {
-          p.finalVacuum(r)
-          val leaked = filesHolding(r, p.erasedPayloads)
-          assert(leaked.isEmpty,
-            s"${p.name}: $at — erased subject bytes survived recovery + " +
-              s"full vacuum in:\n  ${leaked.mkString("\n  ")}")
-        }
-      }
+      } finally FaultClock.disarm()
     }
     info(s"${p.name}: ${ops.size} mutating ops, ${bySig.size} distinct steps, " +
       s"${points.size} points tested ($crashed crashed, $unfired unfired)")

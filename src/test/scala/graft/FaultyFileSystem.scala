@@ -92,7 +92,12 @@ object FaultClock {
   }
 
   /** Armed pass: crash at mutating op `k`. Returns (crash fired?, body
-    * outcome).
+    * outcome). The clock STAYS ARMED after the body returns/throws:
+    * Spark kills sibling tasks of a failed job asynchronously, and a
+    * straggler still running must keep hitting poison while the harness
+    * observes the torn state (reads are never clocked, so observing
+    * under arms is safe). The harness calls [[disarm]] explicitly once
+    * it has observed and is about to run recovery.
     */
   def armed[A](rootPrefix: String, k: Long)(body: => A): (Boolean, Either[Throwable, A]) = {
     opCount.set(0); firstHit = null; prefix = rootPrefix
@@ -100,9 +105,11 @@ object FaultClock {
     val r =
       try Right(body)
       catch { case t: Throwable => Left(t) }
-      finally { mode = OFF; crashAt = Long.MaxValue }
     (firstHit != null, r)
   }
+
+  /** Stand down an armed clock (harness-driven, after observation). */
+  def disarm(): Unit = { mode = OFF; crashAt = Long.MaxValue }
 }
 
 /** Stackable fault-clock layer: every mutating op consults [[FaultClock]]

@@ -1247,6 +1247,47 @@ class OperatorsSpec extends SparkSpec {
     } finally dec.close()
   }
 
+  test("pngFromBytesPerturbed: dhash moves AT MOST 1 bit from the original, across seeds") {
+    // the q89 oracle's recall fixture rests on this theorem: the
+    // perturbation touches only dHash cell (0,0), which participates in
+    // exactly one comparison bit
+    val dec = new graft.operators.PixelDecoder
+    try {
+      (0 until 40).foreach { s =>
+        val seed = Array.tabulate(64 + s)(i => ((i * 31 + s * 17) % 256).toByte)
+        val h0 = dec.dhash(Multimodal.pngFromBytes(seed), "png").get
+        val h1 = dec.dhash(Multimodal.pngFromBytesPerturbed(seed), "png").get
+        val ham = java.lang.Long.bitCount(h0 ^ h1)
+        assert(ham <= 1, s"seed $s: perturbation moved $ham bits")
+      }
+      // empty seed: both rasters defined, bound still holds
+      val e0 = dec.dhash(Multimodal.pngFromBytes(Array.empty), "png").get
+      val e1 = dec.dhash(Multimodal.pngFromBytesPerturbed(Array.empty), "png").get
+      assert(java.lang.Long.bitCount(e0 ^ e1) <= 1)
+    } finally dec.close()
+  }
+
+  test("deflate round-trip law holds on empty/unicode/repetitive/long inputs; band bound holds") {
+    import graft.operators.{TextAnalysis, TextKernels}
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("", "a", "héllo wörld ünïcode é中文",
+      Seq.fill(5000)("spam").mkString(" "),
+      (1 to 3000).map(i => s"w${i * 7919 % 100000}").mkString(" "),
+      "\n\t\r mixed control  bytes")
+    texts.foreach { t =>
+      assert(TextKernels.deflateRoundTrip(UTF8String.fromString(t)),
+        s"round trip failed for ${t.take(30)}")
+      val len = t.getBytes("UTF-8").length
+      val cr = TextKernels.deflateRatio(UTF8String.fromString(t))
+      assert(cr > 0.0 && cr <= 1.0 + 11.0 / math.max(len, 1),
+        s"ratio $cr outside band for len $len")
+    }
+    // and through the codegen'd column path
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rts = df.select(TextAnalysis.compressionRoundTrip($"text")).collect()
+    assert(rts.forall(_.getBoolean(0)))
+  }
+
   test("dhashNearDup pairs near-identical images; corrupt payloads drop out") {
     val base = Array.tabulate(256)(i => (i * 7 % 253).toByte)
     val tweak = base.clone(); tweak(10) = (tweak(10) + 100).toByte

@@ -46,8 +46,30 @@ class PlanLintSpec extends SparkSpec {
       "clean" -> fact.join(broadcast(dim), Seq("k")),
       "dirty" -> fact.crossJoin(spark.range(3L).toDF("j"))))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    assert(rep.length == 6)
+    assert(rep.length == 2 * PlanLint.RuleNames.length)
     assert(rep.filter(_._1 == "clean").forall(_._3 == 0L), rep.mkString(","))
     assert(rep.filter(_._1 == "dirty").map(_._3).sum > 0)
+  }
+
+  test("broadcast_of_generate: a broadcast whose subtree explodes is caught; pinned merge is clean") {
+    // the q141 shape in miniature: an exploded relation joined back to a
+    // fact — with a broadcast hint on the exploded side the rule fires
+    val exploded = dim.select(col("k"),
+      explode(split(lit("a b c d e f"), " ")).as("g"))
+    val hit = fact.join(broadcast(exploded), Seq("k"))
+    assert(PlanLint.counts(hit)
+      .find(_._1 == "broadcast_of_generate").get._2 > 0,
+      hit.queryExecution.executedPlan.toString)
+    assert(PlanLint.overBudget("scratch_bog", hit)
+      .exists(_._1 == "broadcast_of_generate"))
+    // the FIX shape: pin sort-merge — no broadcast of the exploded side
+    val pinned = fact.join(exploded.hint("merge"), Seq("k"))
+    assert(PlanLint.counts(pinned)
+      .find(_._1 == "broadcast_of_generate").get._2 == 0L,
+      pinned.queryExecution.executedPlan.toString)
+    // a broadcast with no Generate below stays clean under the new rule
+    val plain = fact.join(broadcast(dim), Seq("k"))
+    assert(PlanLint.counts(plain)
+      .find(_._1 == "broadcast_of_generate").get._2 == 0L)
   }
 }

@@ -248,21 +248,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"), p)
   }
 
-  test("range join plans as a hash equi-join on buckets, never a nested loop") {
+  test("range join plans as a PINNED shuffled equi-join on buckets, never a nested loop") {
     val p = plan("q90_range_join")
     // the whole point of the bucketization: the non-equi BETWEEN predicate
-    // rides a hash join (broadcast at this SF, shuffled at scale) instead
-    // of BNLJ/cartesian, which are quadratic at 100 TB
+    // rides an equi-join instead of BNLJ/cartesian, which are quadratic at
+    // 100 TB. Round 12: the bucket join is PINNED sort-merge — the
+    // exploded interval side scales with the interval corpus and Generate
+    // hides that from size estimation, so a broadcast election here is the
+    // Linkage.scala:181 cliff class (flagged by PlanLint
+    // broadcast_of_generate)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("HashJoin"), p)
+    assert(p.contains("SortMergeJoin"), p)
   }
 
-  test("interval-overlap join is also a bucket hash join, never a nested loop") {
+  test("interval-overlap join is also a pinned bucket equi-join, never a nested loop") {
     val p = plan("q96_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("HashJoin"), p)
+    assert(p.contains("SortMergeJoin"), p)
   }
 
   test("sessionize: the lag/flag/sum windows and the rollup share ONE key shuffle") {
