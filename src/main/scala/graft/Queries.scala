@@ -8241,7 +8241,75 @@ object Queries {
           FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                CAST(SUM(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) AS score
-        FROM t GROUP BY 1"""))
+        FROM t GROUP BY 1""")),
+
+    // ── the GOVERNANCE-HEALTH mart (ErasureSweep.governanceHealth): the
+    //    ops single pane joining the erasure ledgers — receipts awaiting
+    //    materialization, per-table tombstone backlogs vs budget, and
+    //    marked-but-unrepaired clusters. Fixture: sweep 1 erases doc
+    //    subjects from search+cluster (deferred) and the search tier is
+    //    then fully materialized (its receipt must upgrade, its ledgers
+    //    read 'clear'); sweep 2 erases vector subjects and stays pending.
+    //    Every status/count is a deterministic function of the planted
+    //    subject sets, so the whole mart rides the hard DuckDB gate; the
+    //    pending-marker row's lifecycle (mark → repair → clear) is
+    //    spec-pinned (GovernanceHealthSpec) since marker counts depend
+    //    on cluster structure ──
+    Q("q268_governance_health",
+      (s, d) => {
+        val sst = Fixtures.search3Copy(s, d)
+        val vst = Fixtures.vector3Copy(s, d)
+        val cst = Fixtures.cluster3Copy(s, d)
+        val ledger = java.nio.file.Files
+          .createTempDirectory("q268-receipts").toString + "/r"
+        val docSubj = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(7)) === 2).select(col("doc_id"))
+        val vecSubj = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(11)) === 3).select(col("vec_id"))
+        graft.operators.ErasureSweep.eraseDerivedLedgered(s, ledger, 1L,
+          docSubj, search = Seq(sst), cluster = Seq(cst), deferred = true)
+        Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable)
+          .foreach(t => graft.gold.BaseDelta.materializeErasures(s, t))
+        graft.operators.ErasureSweep.eraseDerivedLedgered(s, ledger, 2L,
+          vecSubj, vector = Seq(vst), deferred = true)
+        graft.operators.ErasureSweep.governanceHealth(s, ledger,
+          search = Seq(sst), vector = Seq(vst), cluster = Seq(cst))
+      },
+      Some("""
+        WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+                    WHERE doc_id % 7 = 2),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+               WHERE vec_id % 11 = 3)
+        SELECT 'receipt' AS component, 'search_index' AS artifact,
+               'sweep_1' AS item, 'materialized' AS status,
+               CAST(0 AS BIGINT) AS n_pending, 'ok' AS action
+        UNION ALL
+        SELECT 'receipt', 'cluster_index', 'sweep_1', 'pending',
+               (SELECT n FROM nd), 'materialize'
+        UNION ALL
+        SELECT 'receipt', 'vector_index', 'sweep_2', 'pending',
+               (SELECT n FROM nv), 'materialize'
+        UNION ALL
+        SELECT 'tombstone_ledger', 'search_index', 'postings', 'clear',
+               CAST(0 AS BIGINT), 'ok'
+        UNION ALL
+        SELECT 'tombstone_ledger', 'search_index', 'docstats', 'clear',
+               CAST(0 AS BIGINT), 'ok'
+        UNION ALL
+        SELECT 'tombstone_ledger', 'search_index', 'positions', 'clear',
+               CAST(0 AS BIGINT), 'ok'
+        UNION ALL
+        SELECT 'tombstone_ledger', 'vector_index', 'postings', 'pending',
+               (SELECT n FROM nv), 'scheduled'
+        UNION ALL
+        SELECT 'tombstone_ledger', 'cluster_index', 'postings', 'pending',
+               (SELECT n FROM nd), 'scheduled'
+        UNION ALL
+        SELECT 'tombstone_ledger', 'cluster_index', 'clusters', 'clear',
+               CAST(0 AS BIGINT), 'ok'
+        UNION ALL
+        SELECT 'repair_marker', 'cluster_index', 'marked_clusters', 'clear',
+               CAST(0 AS BIGINT), 'ok'"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -198,4 +198,79 @@ object ErasureSweep {
           .otherwise(lit("unknown")))
       .drop("__pending")
   }
+
+  /** The single-pane GOVERNANCE-HEALTH mart: every piece of in-flight
+    * erasure state an operator must watch, unified into one queryable
+    * frame — `(component, artifact, item, status, n_pending, action)`:
+    *
+    *  - `receipt` rows: [[receiptStatus]]'s sweep×artifact audit trail,
+    *    `pending` until the artifact's ledgers materialize;
+    *  - `tombstone_ledger` rows: one per artifact STATE TABLE, with the
+    *    table's total pending tombstone count — `scheduled` rides the
+    *    next compaction, `materialize` means the count crossed
+    *    `tombstoneBudget` (the q255 auto-trip threshold);
+    *  - `repair_marker` rows: clusters a budget-tripped
+    *    [[ClusterIndex.eraseLogical]] left marked for async
+    *    [[ClusterIndex.repairStructural]] — `pending` here means serving
+    *    is already exact but the index still owes itself a re-pair.
+    *
+    * The per-table probes are driver-side over the HANDFUL of artifact
+    * roots and their request-sized ledgers (bounded by erasure subjects,
+    * never by data) — same bounded-cardinality contract as
+    * [[receiptStatus]].
+    */
+  def governanceHealth(spark: SparkSession, ledgerRoot: String,
+                       search: Seq[SearchIndex.State] = Nil,
+                       vector: Seq[VectorIndex.State] = Nil,
+                       cluster: Seq[ClusterIndex.State] = Nil,
+                       managedVector: Seq[VectorIndex.Managed] = Nil,
+                       tombstoneBudget: Long =
+                         BaseDelta.DefaultTombstoneBudget): DataFrame = {
+    val receipts = receiptStatus(spark, ledgerRoot, search, vector, cluster,
+        managedVector)
+      .select(lit("receipt").as("component"), col("artifact"),
+        concat(lit("sweep_"), col("sweep_id").cast("string")).as("item"),
+        col("current_status").as("status"),
+        when(col("current_status") === "pending",
+          coalesce(col("n_subject_rows"), lit(0L)))
+          .otherwise(lit(0L)).as("n_pending"),
+        when(col("current_status") === "pending", lit("materialize"))
+          .otherwise(lit("ok")).as("action"))
+
+    def ledgerRow(artifact: String, tname: String, t: BaseDelta.Table)
+        : (String, String, String, String, Long, String) = {
+      val n = BaseDelta.pendingTombstones(spark, t).values
+        .map(_.count()).sum
+      ("tombstone_ledger", artifact, tname,
+        if (n > 0) "pending" else "clear", n,
+        if (n > tombstoneBudget) "materialize"
+        else if (n > 0) "scheduled" else "ok")
+    }
+
+    val ledgers =
+      search.flatMap(st => Seq(
+        ledgerRow("search_index", "postings", st.postingsTable),
+        ledgerRow("search_index", "docstats", st.docstatsTable),
+        ledgerRow("search_index", "positions", st.positionsTable))) ++
+      vector.map(st =>
+        ledgerRow("vector_index", "postings", st.postingsTable)) ++
+      managedVector.map { m =>
+        val act = VectorIndex.active(spark, m)
+        ledgerRow("vector_index_managed", "postings", act.postingsTable)
+      } ++
+      cluster.flatMap(st => Seq(
+        ledgerRow("cluster_index", "postings", st.postingsTable),
+        ledgerRow("cluster_index", "clusters", st.clustersTable)))
+
+    val markers = cluster.map { st =>
+      val n = ClusterIndex.pendingRepairs(spark, st)
+        .map(_.count()).getOrElse(0L)
+      ("repair_marker", "cluster_index", "marked_clusters",
+        if (n > 0) "pending" else "clear", n,
+        if (n > 0) "repair" else "ok")
+    }
+
+    receipts.unionByName(spark.createDataFrame(ledgers ++ markers)
+      .toDF("component", "artifact", "item", "status", "n_pending", "action"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterIndex, ErasureSweep, SearchIndex, VectorIndex}
+
+/** The governance-health mart (ErasureSweep.governanceHealth): the
+  * deterministic receipt/ledger states ride q268's hard DuckDB oracle;
+  * this spec pins what the oracle can't — the repair-marker LIFECYCLE
+  * (budget-tripped erase marks → mart reads pending/repair →
+  * repairStructural converges → mart reads clear/ok), whose counts
+  * depend on cluster structure.
+  */
+class GovernanceHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def martRow(df: org.apache.spark.sql.DataFrame,
+                      component: String, item: String) =
+    df.filter(col("component") === component && col("item") === item)
+      .collect().map(r => (r.getAs[String]("status"),
+        r.getAs[Long]("n_pending"), r.getAs[String]("action")))
+
+  test("repair-marker lifecycle: budget-tripped erase -> pending/repair -> repairStructural -> clear/ok") {
+    val st = Fixtures.cluster3Copy(spark, d)
+    val ledger = tmpDir("gh-ledger") + "/r"
+    // a sweep so the receipts component is populated too
+    ErasureSweep.eraseDerivedLedgered(spark, ledger, 1L,
+      Seq(3L).toDF("doc_id"), cluster = Seq(st), deferred = true)
+    // budget-tripped logical erase: maxAffected = 0 forces relabel-now +
+    // marked async structural repair. The subject must sit in a
+    // NON-SINGLETON cluster (a singleton erase has nothing to re-pair),
+    // so pick one from the index itself.
+    val member = ClusterIndex.clustersNonSingleton(spark, st)
+      .agg(min(col("id"))).collect().head.getLong(0)
+    ClusterIndex.eraseLogical(spark, st, Seq(member).toDF("doc_id"),
+      maxAffected = 0L)
+    val before = ErasureSweep.governanceHealth(spark, ledger,
+      cluster = Seq(st))
+    val marked = martRow(before, "repair_marker", "marked_clusters")
+    assert(marked.length == 1)
+    assert(marked.head._1 == "pending" && marked.head._2 > 0 &&
+      marked.head._3 == "repair", marked.head)
+    // postings ledger must read pending too (3 subjects erased logically)
+    val ledgerRows = martRow(before, "tombstone_ledger", "postings")
+    assert(ledgerRows.head._1 == "pending" && ledgerRows.head._2 > 0,
+      ledgerRows.head)
+
+    assert(ClusterIndex.repairStructural(spark, st), "repair did not run")
+    val after = ErasureSweep.governanceHealth(spark, ledger,
+      cluster = Seq(st))
+    val cleared = martRow(after, "repair_marker", "marked_clusters")
+    assert(cleared.head == (("clear", 0L, "ok")), cleared.head)
+  }
+
+  test("mixed-artifact mart: receipt upgrade tracks materialization; fixed schema") {
+    val sst = Fixtures.search3Copy(spark, d)
+    val vst = Fixtures.vector3Copy(spark, d)
+    val ledger = tmpDir("gh-ledger2") + "/r"
+    ErasureSweep.eraseDerivedLedgered(spark, ledger, 1L,
+      Seq(2L, 9L).toDF("id"), search = Seq(sst), vector = Seq(vst),
+      deferred = true)
+    val before = ErasureSweep.governanceHealth(spark, ledger,
+      search = Seq(sst), vector = Seq(vst))
+    assert(before.columns.toSeq == Seq("component", "artifact", "item",
+      "status", "n_pending", "action"))
+    // both receipts pending, all four ledger rows pending
+    assert(before.filter(col("component") === "receipt" &&
+      col("status") === "pending").count() == 2)
+    assert(before.filter(col("component") === "tombstone_ledger" &&
+      col("status") === "pending").count() == 4)
+    // materialize ONLY the search tier: its receipt upgrades, vector stays
+    Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable)
+      .foreach(t => graft.gold.BaseDelta.materializeErasures(spark, t))
+    val after = ErasureSweep.governanceHealth(spark, ledger,
+      search = Seq(sst), vector = Seq(vst))
+    val searchReceipt = after.filter(col("component") === "receipt" &&
+      col("artifact") === "search_index").collect().head
+    assert(searchReceipt.getAs[String]("status") == "materialized" &&
+      searchReceipt.getAs[String]("action") == "ok")
+    val vecReceipt = after.filter(col("component") === "receipt" &&
+      col("artifact") === "vector_index").collect().head
+    assert(vecReceipt.getAs[String]("status") == "pending")
+    assert(after.filter(col("component") === "tombstone_ledger" &&
+      col("artifact") === "search_index" &&
+      col("status") === "clear").count() == 3)
+  }
+}
