@@ -1341,6 +1341,105 @@ object Perf {
           { ClusterIndex.repairStructural(spark, st); 1L })
       }
     }
+
+    if (what == "gov-soak-r12") {
+      // STEADY-STATE governance soak (r11 verdict #5): the full loop —
+      // fold + deferred erasure + budget-tripped auto-materialization +
+      // async structural repair — TOGETHER for many batches through the
+      // real IndexStreams sink. Records per-batch fold latency, pending-
+      // ledger depth, and marked-cluster staleness; the committed SURVEY
+      // table asserts flat latency and bounded staleness.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.gold.BaseDelta
+      import graft.operators.ClusterIndex
+      import spark.implicits._
+      val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "50").toInt
+      val batchDocsN = sys.env.getOrElse("SPARK_GRAFT_BATCH_DOCS", "40000").toInt
+      val eraseEvery = 5
+      val budget = sys.env.getOrElse("SPARK_GRAFT_TOMB_BUDGET", "120").toLong
+      val root = java.nio.file.Files
+        .createTempDirectory("gov-soak").toString
+      val st = ClusterIndex.State(s"$root/cx")
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.IndexStreams.clusterIndexStream(
+        ms.toDF().toDF("doc_id", "text"), st, s"$root/ckpt",
+        "doc_id", "text",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        tombstoneBudget = budget)
+      // 10% of each batch lands in 50-member exact-dup families (key =
+      // floor-to-500-block), so folds and erasures do real cluster work.
+      // Every 3-shingle carries >= 2 key-derived wide-modulus tokens, so
+      // shingle df ~= family size — the corpus shape the df-cap contract
+      // assumes (boilerplate-heavy corpora are the caps' job, not the
+      // steady-state soak's)
+      def batchDocs(b: Int): Seq[(Long, String)] =
+        (0 until batchDocsN).map { j =>
+          val id = b.toLong * batchDocsN + j
+          val key = if (id % 10 == 0) id - (id % 500) else id
+          (id, s"k$key a${key % 9973} b${key * 31 % 100003} " +
+            s"c${key * 17 % 1000003} d${key % 97} e${key % 13}")
+        }
+      println(s"GOVSOAK batches=$nBatches batchDocs=$batchDocsN " +
+        s"eraseEvery=$eraseEvery budget=$budget " +
+        s"heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}MiB")
+      var staleSince = -1
+      (0 until nBatches).foreach { b =>
+        val t0 = System.nanoTime()
+        ms.addData(batchDocs(b))
+        q.processAllAvailable()
+        val foldS = (System.nanoTime() - t0) / 1e9
+        var eraseS = 0.0
+        if (b > 0 && b % eraseEvery == 0) {
+          // HALF of one family from the PREVIOUS batch (survivors remain,
+          // so there is structure to re-pair), budget 0 → the relabel-only
+          // ack marks clusters for async repair
+          val subs = (0 until 500 by 20)
+            .map(j => (b - 1).toLong * batchDocsN + j)
+          val t1 = System.nanoTime()
+          graft.streaming.IndexStreams.retryConflict(5)(
+            ClusterIndex.eraseLogical(spark, st, subs.toDF("doc_id"),
+              maxAffected = 0L).count())
+          eraseS = (System.nanoTime() - t1) / 1e9
+        }
+        val pending = BaseDelta.pendingTombstones(spark, st.postingsTable)
+          .values.map(_.count()).sum
+        val marks = ClusterIndex.pendingRepairs(spark, st)
+          .map(_.count()).getOrElse(0L)
+        if (marks > 0 && staleSince < 0) staleSince = b
+        val staleness = if (marks > 0) b - staleSince + 1 else { staleSince = -1; 0 }
+        println(f"GOVSOAK batch=$b%02d fold_s=$foldS%.2f erase_s=$eraseS%.2f " +
+          s"pending=$pending markers=$marks staleness=$staleness")
+        System.out.flush()
+      }
+      q.stop()
+    }
+
+    if (what == "lowmem-overhead") {
+      // r11 verdict #7: the scoped low-memory profile's cost when NOT
+      // needed. Above the floor the wrapper short-circuits before any
+      // session mutation; this pins the per-call primitive cost next to
+      // a real fold so the <1% claim is a measurement. MemoryBudgetSpec
+      // pins the byte-identical-confs contract.
+      import graft.gold.MemoryBudget
+      println(s"LOWMEM-OVERHEAD mbPerSlot=${MemoryBudget.mbPerSlot(spark)}")
+      time("wrapper-noop-x1e6") {
+        var i = 0
+        while (i < 1000000) {
+          MemoryBudget.withLowMemoryProfile(spark)(()); i += 1
+        }
+        1000000L
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("lowmem-ovh").toString + "/cx"
+      val st = operators.ClusterIndex.State(root)
+      time("cluster-fold-3batch-roomy") {
+        (0 to 2).foreach(i => operators.ClusterIndex.fold(spark, st,
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+          "doc_id", "text"))
+        operators.ClusterIndex.clusters(spark, st).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -374,7 +374,19 @@ object Dedup {
     */
   def resolveClusters(pairs: DataFrame, aCol: String = "id_a",
                       bCol: String = "id_b", maxIter: Int = 20,
-                      reliableCheckpoint: Boolean = false): DataFrame = {
+                      reliableCheckpoint: Boolean = false): DataFrame =
+    // eager (persist + per-round actions over the pair plan) → it OWNS
+    // its actions, so the sub-floor degradation is scoped here like the
+    // ClusterIndex fold/erase family — a lazy pair BUILDER must never
+    // flip session confs (the r11 sticky-profile lesson), but an
+    // executor of pair plans at a sub-floor heap must not run them with
+    // optimistic auto-broadcast live
+    graft.gold.MemoryBudget.withLowMemoryProfile(pairs.sparkSession)(
+      resolveClustersBody(pairs, aCol, bCol, maxIter, reliableCheckpoint))
+
+  private def resolveClustersBody(pairs: DataFrame, aCol: String,
+                                  bCol: String, maxIter: Int,
+                                  reliableCheckpoint: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
