@@ -117,9 +117,23 @@ def main():
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
         selects = []
         for i in range(COPIES):
-            proj = ", ".join(
-                f"({c} + {i * s}) AS {c}" if (c in shifts and (s := shifts[c]))
-                else c for c in cols)
+            def proj_col(c):
+                if c in shifts:
+                    return f"({c} + {i * shifts[c]}) AS {c}"
+                # customer names get the documents treatment (q141's fuzzy
+                # join otherwise sees 10 exact twins per name): replicas
+                # suffix "@<i>" (edit distance 2 > maxDist 1 — no
+                # cross-replica match, within-replica distances exactly
+                # preserved); planted near-dups (c_custkey % 10 == 0,
+                # replicas 1..3) append ONE letter — true distance-1 pairs
+                if t == "customer" and c == "c_name" and i > 0:
+                    letter = chr(ord('a') + i - 1)
+                    nd = f"c_custkey % {NEARDUP_MOD} = 0" \
+                        if i <= NEARDUP_REPLICAS else "FALSE"
+                    return (f"(CASE WHEN {nd} THEN c_name || '{letter}' "
+                            f"ELSE c_name || '@{i}' END) AS c_name")
+                return c
+            proj = ", ".join(proj_col(c) for c in cols)
             selects.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
         con.execute(f"COPY ({' UNION ALL '.join(selects)}) "
                     f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
