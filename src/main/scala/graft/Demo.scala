@@ -96,7 +96,7 @@ object Demo {
 
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(
-      Files.createTempDirectory("graft-demo").toString)
+      Scratch.dir("graft-demo"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")

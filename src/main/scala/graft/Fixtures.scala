@@ -71,8 +71,7 @@ object Fixtures {
   def mutableCopy(spark: SparkSession, sfDir: String, family: String)
                  (build: String => Unit): String = {
     val src = cached(spark, sfDir, family)(build)
-    val dst = java.nio.file.Files.createTempDirectory(s"graft-fx-$family")
-      .toString + "/m"
+    val dst = Scratch.dir(s"graft-fx-$family") + "/m"
     try linkFarm(new java.io.File(src), new java.io.File(dst))
     catch {
       case _: UnsupportedOperationException | _: java.io.IOException =>

@@ -88,9 +88,9 @@ object Perf {
       // whole Kafka→consumer→MinIO path, readme baseline: 100 msg/s)
       import java.nio.file.{Files, Paths}
       val n = 500000L
-      val in = Files.createTempDirectory("st-in").toString
-      val bronze = Files.createTempDirectory("st-bronze").toString + "/tx"
-      val ckpt = Files.createTempDirectory("st-ckpt").toString
+      val in = Scratch.dir("st-in")
+      val bronze = Scratch.dir("st-bronze") + "/tx"
+      val ckpt = Scratch.dir("st-ckpt")
       sources.Synthetic.asEnvelopes(
           sources.Synthetic.transactions(spark, n, nAccounts = 10000), "transactions")
         .repartition(20)
@@ -298,7 +298,7 @@ object Perf {
       // ~the batch, not ~the corpus (the corpus text is never re-read).
       val n = sys.env.getOrElse("SPARK_GRAFT_N", "10000000").toLong
       val corpus = syntheticDocs(n)
-      val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+      val dir = Scratch.dir("sigidx")
       time(s"probe-index-build-$n") {
         operators.Dedup.minHashSigs(corpus, "id", "text", numHashes = 32)
           .write.mode("overwrite").parquet(dir)
@@ -582,7 +582,7 @@ object Perf {
       // exactly ONE partition: whole-table swap is O(table), the pruned
       // sink O(touched partition), base+delta O(batch)
       import java.nio.file.Files
-      val root = Files.createTempDirectory("sinks").toString
+      val root = Scratch.dir("sinks")
       val n = 5000000L
       val fact = sources.Synthetic.transactions(spark, n, nAccounts = 500000)
         .withColumn("part_date", to_date(
@@ -632,9 +632,9 @@ object Perf {
     if (what == "scd2stream") {
       // end-to-end drive of the streaming SCD2 maintenance path
       import java.nio.file.{Files, Paths}
-      val in = Files.createTempDirectory("scd-in").toString
-      val snap = Files.createTempDirectory("scd-out").toString + "/dim"
-      val ckpt = Files.createTempDirectory("scd-ckpt").toString
+      val in = Scratch.dir("scd-in")
+      val snap = Scratch.dir("scd-out") + "/dim"
+      val ckpt = Scratch.dir("scd-ckpt")
       def env(id: Int, bal: Double, ts: String, lsn: Long) =
         s"""{"payload":{"before":null,"after":{"id":$id,"customer_id":1,"account_type":"SAVINGS","balance":$bal,"currency":"USD","created_at":"$ts"},"source":{"table":"accounts","lsn":$lsn,"ts_ms":$lsn},"op":"c","ts_ms":$lsn}}"""
       Files.writeString(Paths.get(s"$in/b1.json"),
@@ -711,8 +711,7 @@ object Perf {
             .plus(expr(s"make_interval(0,0,0,0,0,0, pmod(hash(id * 7), ${86400L * 56}))"))
             .as("ts"),
           (pmod(hash(col("id") * 13), lit(10000)) / lit(100.0)).as("value"))
-      val root = java.nio.file.Files.createTempDirectory("perf-marts")
-        .toString
+      val root = Scratch.dir("perf-marts")
       val mart = gold.AnalystMarts.Mart(s"$root/m")
       for (b <- 0 until 4)
         time(s"mart-fold-b$b-${n / 4 / 1000000}M")(
@@ -770,8 +769,7 @@ object Perf {
             concat(mkWords(seed), lit(" dupmark")))
             .otherwise(mkWords(seed)).as("text"))
       }
-      val root = java.nio.file.Files.createTempDirectory("perf-clidx")
-        .toString
+      val root = Scratch.dir("perf-clidx")
       val st = operators.ClusterIndex.State(s"$root/s")
       for (b <- 0 until 4)
         time(s"cluster-fold-b$b-500k")(
@@ -811,8 +809,7 @@ object Perf {
           .as("status"),
         to_timestamp(lit("2024-01-01 00:00:00"))
           .plus(expr(s"make_interval(0,0,0,0,0,0, id)")).as("ts"))
-      val root = java.nio.file.Files.createTempDirectory("perf-gov")
-        .toString + "/t"
+      val root = Scratch.dir("perf-gov") + "/t"
       time("erasure-write-10M-60parts")(
         { ev.write.partitionBy("day").parquet(root); n })
       // 100 subjects: ~2k rows spread over all 60 partitions (worst-case
@@ -825,8 +822,7 @@ object Perf {
       time("erasure-readback")(spark.read.parquet(root).count())
       // SCD2 changelog fold: 4 batches of 2.5M rows, ~500k keys, status
       // changes create real versions
-      val scdRoot = java.nio.file.Files.createTempDirectory("perf-scd")
-        .toString + "/dim"
+      val scdRoot = Scratch.dir("perf-scd") + "/dim"
       def logBatch(b: Int) = spark.range(b * n / 4, (b + 1) * n / 4)
         .select(pmod(hash(col("id")), lit(users)).cast("long").as("k"),
           col("id").as("seq"),
@@ -870,8 +866,7 @@ object Perf {
       // plan → rewrite → pointer-swap, and measure what a reader pays
       // before/after: file count, full-scan aggregate latency, and
       // zone-pruned scanned rows for a selective user_id range.
-      val root = java.nio.file.Files.createTempDirectory("perf-opt")
-        .toString + "/t"
+      val root = Scratch.dir("perf-opt") + "/t"
       val ev = Tables.events(spark, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
@@ -1024,10 +1019,8 @@ object Perf {
             base.as("ts"))
         facts.unionByName(dims)
       }
-      val rootUp = java.nio.file.Files.createTempDirectory("perf-mts-up")
-        .toString + "/r"
-      val rootD = java.nio.file.Files.createTempDirectory("perf-mts-d")
-        .toString + "/r"
+      val rootUp = Scratch.dir("perf-mts-up") + "/r"
+      val rootD = Scratch.dir("perf-mts-d") + "/r"
       for (b <- 0L until 12L) {
         val batch = batchOf(b)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1057,7 +1050,7 @@ object Perf {
       val n = 10000000L
       val big = syntheticDocs(n)
       val st = operators.SearchIndex.State(
-        java.nio.file.Files.createTempDirectory("gov-r8-si").toString + "/s")
+        Scratch.dir("gov-r8-si") + "/s")
       for (b <- 0 until 4)
         time(s"si-fold-2.5M-b$b")(
           { operators.SearchIndex.fold(spark, st,
@@ -1151,7 +1144,7 @@ object Perf {
       sdocs.count()
       time(s"lowmem-clusterindex-fold3-$n") {
         val st = operators.ClusterIndex.State(
-          Files.createTempDirectory("lowmem-ci").toString + "/c")
+          Scratch.dir("lowmem-ci") + "/c")
         (0 until 3).foreach(b => operators.ClusterIndex.fold(spark, st,
           sdocs.filter(pmod(col("id"), lit(3)) === b), b.toLong, "id", "text",
           threshold = 0.9, maxStateDf = 1000))
@@ -1175,14 +1168,14 @@ object Perf {
         sdocs.count()
         time(s"r10-searchindex-fold3-$n") { // q202's 3-batch build
           val st = operators.SearchIndex.State(
-            Files.createTempDirectory("r10-si").toString + "/s")
+            Scratch.dir("r10-si") + "/s")
           (0 until 3).foreach(b => operators.SearchIndex.fold(spark, st,
             sdocs.filter(pmod(col("id"), lit(3)) === b), b.toLong, "id", "text"))
           operators.SearchIndex.search(spark, st, Seq("alpha", "beta")).count()
         }
         time(s"r10-clusterindex-fold3-$n") { // q190's 3-batch build
           val st = operators.ClusterIndex.State(
-            Files.createTempDirectory("r10-ci").toString + "/c")
+            Scratch.dir("r10-ci") + "/c")
           (0 until 3).foreach(b => operators.ClusterIndex.fold(spark, st,
             sdocs.filter(pmod(col("id"), lit(3)) === b), b.toLong, "id", "text",
             threshold = 0.9, maxStateDf = 1000))
@@ -1194,7 +1187,7 @@ object Perf {
         val vecs = syntheticVecs(nv)
         time(s"r10-vectorindex-fold-refresh-$nv") { // q244 fold + q250 refresh
           val m = operators.VectorIndex.Managed(
-            Files.createTempDirectory("r10-vi").toString + "/v")
+            Scratch.dir("r10-vi") + "/v")
           operators.VectorIndex.fold(spark,
             operators.VectorIndex.active(spark, m), vecs, 0L, "id", "vec",
             nCells = 64)
@@ -1215,7 +1208,7 @@ object Perf {
           lit("c").as("op"), col("id").as("seq"),
           to_timestamp(lit("2024-01-05 00:00:00")).as("ts"))
         time(s"r10-multitable-fold-$n") {
-          val root = Files.createTempDirectory("r10-mts").toString + "/r"
+          val root = Scratch.dir("r10-mts") + "/r"
           val dim = streaming.MultiTableStream.Scd2Dim("accounts", "acct",
             Seq("account_id"), Seq("amount"), "ts", tieBreak = Seq("seq"),
             opCol = Some("op"),
@@ -1243,11 +1236,11 @@ object Perf {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sdocs.count()
       val sst = operators.SearchIndex.State(
-        Files.createTempDirectory("sw-si").toString + "/s")
+        Scratch.dir("sw-si") + "/s")
       time(s"sweep-build-search-$n")(
         { operators.SearchIndex.fold(spark, sst, sdocs, 0L, "id", "text"); 1L })
       val m = operators.VectorIndex.Managed(
-        Files.createTempDirectory("sw-vi").toString + "/v")
+        Scratch.dir("sw-vi") + "/v")
       val nv = n / 5
       time(s"sweep-build-vector-managed-$nv") {
         operators.VectorIndex.fold(spark,
@@ -1258,7 +1251,7 @@ object Perf {
         operators.VectorIndex.refreshQuantizer(spark, m, nCells = 64); 1L
       }
       val cst = operators.ClusterIndex.State(
-        Files.createTempDirectory("sw-ci").toString + "/c")
+        Scratch.dir("sw-ci") + "/c")
       val nc = n / 5
       time(s"sweep-build-cluster-$nc")(
         { operators.ClusterIndex.fold(spark, cst,
@@ -1289,8 +1282,7 @@ object Perf {
       import graft.gold.BaseDelta
       import graft.operators.ClusterIndex
       for (n <- Seq(100, 10000, 1000000); shape <- Seq("chain", "star")) {
-        val root = java.nio.file.Files
-          .createTempDirectory(s"eraseack-$shape-$n").toString + "/cx"
+        val root = Scratch.dir(s"eraseack-$shape-$n") + "/cx"
         val st = ClusterIndex.State(root)
         val ids = spark.range(n.toLong).select(col("id"))
         val postings = shape match {
@@ -1322,8 +1314,7 @@ object Perf {
       // relabel-only path, the re-pair moves to repairStructural
       locally {
         val n = 1000000
-        val root = java.nio.file.Files
-          .createTempDirectory("eraseack-budget").toString + "/cx"
+        val root = Scratch.dir("eraseack-budget") + "/cx"
         val st = ClusterIndex.State(root)
         val ids = spark.range(n.toLong).select(col("id"))
         BaseDelta.append(spark, st.postingsTable,
@@ -1357,8 +1348,7 @@ object Perf {
       val batchDocsN = sys.env.getOrElse("SPARK_GRAFT_BATCH_DOCS", "40000").toInt
       val eraseEvery = 5
       val budget = sys.env.getOrElse("SPARK_GRAFT_TOMB_BUDGET", "120").toLong
-      val root = java.nio.file.Files
-        .createTempDirectory("gov-soak").toString
+      val root = Scratch.dir("gov-soak")
       val st = ClusterIndex.State(s"$root/cx")
       implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
@@ -1430,8 +1420,7 @@ object Perf {
         }
         1000000L
       }
-      val root = java.nio.file.Files
-        .createTempDirectory("lowmem-ovh").toString + "/cx"
+      val root = Scratch.dir("lowmem-ovh") + "/cx"
       val st = operators.ClusterIndex.State(root)
       time("cluster-fold-3batch-roomy") {
         (0 to 2).foreach(i => operators.ClusterIndex.fold(spark, st,

@@ -79,8 +79,7 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), gold.AnalystMarts.Mart]()
   private def foldedMart(s: SparkSession, d: String): gold.AnalystMarts.Mart =
     martCache.computeIfAbsent((s, d), _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-mart")
-        .toString + "/m"
+      val root = Scratch.dir("graft-mart") + "/m"
       val mart = gold.AnalystMarts.Mart(root)
       val ev = Tables.events(s, d)
         .select("user_id", "event_type", "ts", "value", "event_id")
@@ -121,7 +120,7 @@ object Queries {
     //    batched (the O(batch)-write upsert story; gold/BaseDelta.scala) ──
     Q("q45_base_delta",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q45-bd").toString + "/t"
+        val root = Scratch.dir("q45-bd") + "/t"
         val table = graft.gold.BaseDelta.Table(
           root, Seq("user_id", "event_type"), Seq("ts", "event_id"))
         val ev = Tables.events(s, d)
@@ -1837,7 +1836,7 @@ object Queries {
     //    layout time ──
     Q("q73_bucketed_join",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+        val tmp = Scratch.dir("graft-bucket")
         sources.Bucketing.writeBucketed(
           s.read.parquet(s"$d/orders.parquet")
             .select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -4858,8 +4857,7 @@ object Queries {
     //    oracle — probe ≡ full recompute by construction) ──
     Q("q172_novelty_probe",
       (s, d) => {
-        val idx = java.nio.file.Files.createTempDirectory("q172-idx")
-          .toString + "/novelty_index"
+        val idx = Scratch.dir("q172-idx") + "/novelty_index"
         val docs = Tables.documents(s, d)
         TextAnalysis.ngramNoveltyIndex(
           docs.filter(col("source") =!= "src0"), "text", k = 3, idx)
@@ -4955,8 +4953,7 @@ object Queries {
     //    mutates one row hash-mismatches ──
     Q("q175_optimize_roundtrip",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q175-opt")
-          .toString + "/t"
+        val root = Scratch.dir("q175-opt") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "event_type", "ts", "value")
         graft.gold.SnapshotStore.publish(ev.repartition(64), root)
@@ -5152,8 +5149,7 @@ object Queries {
     //    never span a partition dir, and reads back bit-identical ──
     Q("q182_optimize_partitioned",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q182-opt")
-          .toString + "/t"
+        val root = Scratch.dir("q182-opt") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "ts", "value", "event_type")
         graft.gold.SnapshotStore.publish(ev.repartition(40), root,
@@ -5209,8 +5205,7 @@ object Queries {
     //    partition, or leaves a subject row behind hash-mismatches ──
     Q("q184_erase_partitioned",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q184-era")
-          .toString + "/t"
+        val root = Scratch.dir("q184-era") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "event_type", "ts", "value")
           .withColumn("day", to_date(col("ts")))
@@ -5232,8 +5227,7 @@ object Queries {
     Q("q185_erase_receipt",
       (s, d) => {
         import s.implicits._
-        val root = java.nio.file.Files.createTempDirectory("q185-era")
-          .toString + "/t"
+        val root = Scratch.dir("q185-era") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "ts")
           .withColumn("day", to_date(col("ts")))
@@ -5260,8 +5254,7 @@ object Queries {
     //    oracle checks the surviving table) ──
     Q("q186_erase_snapshot",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q186-era")
-          .toString + "/t"
+        val root = Scratch.dir("q186-era") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "event_type", "ts", "value")
         graft.gold.SnapshotStore.publish(ev, root)
@@ -5328,8 +5321,7 @@ object Queries {
     //    OptimizeSpec's assertion) ──
     Q("q189_compaction_cadence",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q189-cad")
-          .toString + "/t"
+        val root = Scratch.dir("q189-cad") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "event_type", "ts", "value")
         (0 until 8).foreach { i =>
@@ -5359,8 +5351,7 @@ object Queries {
     //    remap, or double-applies a batch hash-mismatches ──
     Q("q190_incremental_clusters",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q190-clidx")
-          .toString + "/s"
+        val root = Scratch.dir("q190-clidx") + "/s"
         val st = operators.ClusterIndex.State(root)
         val docs = Tables.documents(s, d)
         (0 to 2).foreach { i =>
@@ -5406,8 +5397,7 @@ object Queries {
     //    same two relations ──
     Q("q191_change_feed",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q191-cdf")
-          .toString + "/t"
+        val root = Scratch.dir("q191-cdf") + "/t"
         val ev = Tables.events(s, d).select("event_id", "user_id", "value")
         val m = pmod(col("event_id"), lit(10))
         graft.gold.SnapshotStore.publish(ev.filter(m < 8), root)
@@ -5450,8 +5440,7 @@ object Queries {
     //    source join, so a torn or stale member table hash-mismatches ──
     Q("q192_multi_table_commit",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q192-ms")
-          .toString + "/r"
+        val root = Scratch.dir("q192-ms") + "/r"
         val cust = Tables.customer(s, d)
           .select("c_custkey", "c_mktsegment")
         val ord = Tables.orders(s, d)
@@ -5592,8 +5581,7 @@ object Queries {
     //    the partition layout is the retention index ──
     Q("q196_retention_ttl",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q196-ttl")
-          .toString + "/t"
+        val root = Scratch.dir("q196-ttl") + "/t"
         val ev = Tables.events(s, d)
           .select("event_id", "user_id", "event_type", "ts", "value")
           .withColumn("day", to_date(col("ts")).cast("string"))
@@ -5719,8 +5707,7 @@ object Queries {
     //    bit-for-bit fold-vs-oneshot sketch equality stays spec-pinned. ──
     Q("q200_hll_distinct_mart",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q200-dm")
-          .toString + "/s"
+        val root = Scratch.dir("q200-dm") + "/s"
         val ev = Tables.events(s, d)
         (0 to 2).foreach(i => gold.DistinctMart.foldBatch(s,
           ev.filter(pmod(col("event_id"), lit(3)) === i), root,
@@ -5817,8 +5804,7 @@ object Queries {
     //    match q75's from-scratch posting-list oracle hash-exactly ──
     Q("q202_search_index",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q202-si")
-          .toString + "/s"
+        val root = Scratch.dir("q202-si") + "/s"
         val st = operators.SearchIndex.State(root)
         val docs = Tables.documents(s, d)
         (0 to 2).foreach(i => operators.SearchIndex.fold(s, st,
@@ -6518,8 +6504,7 @@ object Queries {
     //    fold ≡ the batch audit, which the oracle states directly ──
     Q("q223_gap_monitor",
       (s, d) => {
-        val st = java.nio.file.Files.createTempDirectory("q223-gap")
-          .toString + "/s"
+        val st = Scratch.dir("q223-gap") + "/s"
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
@@ -6753,8 +6738,7 @@ object Queries {
     //    batch matrix, so it shares q215's oracle ──
     Q("q231_corr_monitor",
       (s, d) => {
-        val st = java.nio.file.Files.createTempDirectory("q231-mom")
-          .toString + "/s"
+        val st = Scratch.dir("q231-mom") + "/s"
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
         val li = Tables.lineitem(s, d)
         (0 to 2).foreach(i => graft.streaming.MomentsStream.foldBatch(s,
@@ -7226,8 +7210,7 @@ object Queries {
     //    the rename-swap sink it replaces ──
     Q("q158_snapshot_publish",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q158-snap")
-          .toString + "/t"
+        val root = Scratch.dir("q158-snap") + "/t"
         val ev = Tables.events(s, d)
         val keys = Seq("user_id", "event_type")
         val ord = Seq(col("ts").desc, col("event_id").desc)
@@ -7277,8 +7260,7 @@ object Queries {
     //    (ts, event_id); the fact is the full keyed event set) ──
     Q("q242_multi_commit_stream",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q242-mts")
-          .toString + "/r"
+        val root = Scratch.dir("q242-mts") + "/r"
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
             col("value"), col("ts"))
@@ -7329,8 +7311,7 @@ object Queries {
     //    shape changes, the committed view must not ──
     Q("q243_delta_fact_commit",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q243-mts")
-          .toString + "/r"
+        val root = Scratch.dir("q243-mts") + "/r"
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
             col("value"), col("ts"))
@@ -7383,8 +7364,7 @@ object Queries {
     //    EXACTLY — q24's oracle, now against folded state ──
     Q("q244_vector_index",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q244-vidx")
-          .toString + "/s"
+        val root = Scratch.dir("q244-vidx") + "/s"
         val st = graft.operators.VectorIndex.State(root)
         val emb = Tables.embeddings(s, d)
         Seq(emb.filter(col("vec_id") % 3 === 0),
@@ -7551,8 +7531,7 @@ object Queries {
     //    with both racers' tables through one commit resolve ──
     Q("q249_post_race_readout",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("q249-race")
-          .toString + "/r"
+        val root = Scratch.dir("q249-race") + "/r"
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_id"), col("event_type"),
             col("value"), col("ts"))
@@ -7614,7 +7593,7 @@ object Queries {
     Q("q250_vector_index_refresh",
       (s, d) => {
         val m = graft.operators.VectorIndex.Managed(
-          java.nio.file.Files.createTempDirectory("q250-vr").toString)
+          Scratch.dir("q250-vr"))
         val emb = Tables.embeddings(s, d)
         Seq(emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 === 1)).zipWithIndex.foreach {
@@ -7809,8 +7788,7 @@ object Queries {
     //    signal to schedule materializeErasures at a maintenance slot) ──
     Q("q255_tombstone_budget",
       (s, d) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("q255-tomb").toString + "/t"
+        val root = Scratch.dir("q255-tomb") + "/t"
         val t = graft.gold.BaseDelta.Table(root, Seq("doc_id"),
           Seq("doc_id"), None)
         val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -8172,8 +8150,7 @@ object Queries {
       (s, d) => {
         val sst = Fixtures.search3Copy(s, d)
         val vst = Fixtures.vector3Copy(s, d)
-        val ledger = java.nio.file.Files
-          .createTempDirectory("q266-receipts").toString + "/r"
+        val ledger = Scratch.dir("q266-receipts") + "/r"
         val subjects = Tables.documents(s, d).select(col("doc_id").as("id"))
           .unionByName(Tables.embeddings(s, d).select(col("vec_id").as("id")))
           .filter(pmod(col("id"), lit(7)) === 2).distinct()
@@ -8260,8 +8237,7 @@ object Queries {
         val sst = Fixtures.search3Copy(s, d)
         val vst = Fixtures.vector3Copy(s, d)
         val cst = Fixtures.cluster3Copy(s, d)
-        val ledger = java.nio.file.Files
-          .createTempDirectory("q268-receipts").toString + "/r"
+        val ledger = Scratch.dir("q268-receipts") + "/r"
         val docSubj = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(7)) === 2).select(col("doc_id"))
         val vecSubj = Tables.embeddings(s, d)

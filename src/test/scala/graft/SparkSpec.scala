@@ -25,6 +25,5 @@ object SparkTestSession {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  def tmpDir(prefix: String): String = Scratch.dir(prefix)
 }
