@@ -1363,12 +1363,21 @@ object Perf {
       // shingle df ~= family size — the corpus shape the df-cap contract
       // assumes (boilerplate-heavy corpora are the caps' job, not the
       // steady-state soak's)
+      // SPARK_GRAFT_SOAK_SHAPE=boiler: every doc shares a 4-token
+      // boilerplate prefix (hot shingles in EVERY batch) — the shape
+      // that exposed the pre-r12 linear fold-cost growth and now pins
+      // the cross-side prefix cut's flatness
+      val boiler = sys.env.get("SPARK_GRAFT_SOAK_SHAPE").contains("boiler")
       def batchDocs(b: Int): Seq[(Long, String)] =
         (0 until batchDocsN).map { j =>
           val id = b.toLong * batchDocsN + j
           val key = if (id % 10 == 0) id - (id % 500) else id
-          (id, s"k$key a${key % 9973} b${key * 31 % 100003} " +
-            s"c${key * 17 % 1000003} d${key % 97} e${key % 13}")
+          val text =
+            if (boiler) s"terms of service apply $key alpha ${key % 9973} " +
+              s"beta ${key % 97} gamma ${key % 13}"
+            else s"k$key a${key % 9973} b${key * 31 % 100003} " +
+              s"c${key * 17 % 1000003} d${key % 97} e${key % 13}"
+          (id, text)
         }
       println(s"GOVSOAK batches=$nBatches batchDocs=$batchDocsN " +
         s"eraseEvery=$eraseEvery budget=$budget " +

@@ -148,11 +148,22 @@ object ClusterIndex {
   /** Fold one batch into the persisted state. Idempotent under replay of
     * the same `batchId`. `maxStateDf` drops shingles hotter than the cut
     * on the INDEX side (corpus-wide boilerplate — the q23/q99 df-prune
-    * economics; 0 disables).
+    * economics; 0 disables). Default = `Dedup.DefaultMaxBucket`, the SAME
+    * stopword contract the within-batch pair generator applies via
+    * `maxBucket`: without it, a boilerplate shingle present in every
+    * batch joins the batch against its ENTIRE accumulated posting list —
+    * measured (gov-soak, 4-token shared prefix) as per-batch fold cost
+    * growing linearly with index size, 12 → 139 s over five 2k-doc
+    * batches; with the cap the same soak holds flat. A shingle whose
+    * corpus df crosses the cap stops contributing CROSS pairs exactly as
+    * it stops contributing within-batch pairs — consistent stopword
+    * semantics when the cap binds, identity when it doesn't (all
+    * harness fixtures keep df under it).
     */
   def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
            idCol: String, textCol: String, k: Int = 3,
-           threshold: Double = 0.2, maxStateDf: Int = 0,
+           threshold: Double = 0.2,
+           maxStateDf: Int = Dedup.DefaultMaxBucket,
            maxDeltas: Int = 16,
            maxBroadcastHashes: Long = 4000000L,
            allowSchemaEvolution: Boolean = false): Unit =

@@ -98,7 +98,8 @@ object IndexStreams {
   def clusterIndexStream(docs: DataFrame, st: ClusterIndex.State,
                          checkpoint: String, idCol: String, textCol: String,
                          k: Int = 3, threshold: Double = 0.2,
-                         maxStateDf: Int = 0, maxDeltas: Int = 16,
+                         maxStateDf: Int = graft.operators.Dedup.DefaultMaxBucket,
+                         maxDeltas: Int = 16,
                          trigger: Trigger = Trigger.ProcessingTime("1 minute"),
                          tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): StreamingQuery =
     docs.writeStream
