@@ -795,6 +795,55 @@ object Perf {
         operators.Dedup.resolveClusters(operators.Dedup.ngramJaccard(
           all, "doc_id", "text", k = 3, threshold = 0.2)).count())
     }
+    if (what == "clusterbuild") {
+      // the FROM-SCRATCH 3-batch cluster index build over the sf docs —
+      // q190's pre-round-13 bench shape, kept here as the build-path
+      // timing now that q190 benches the incremental fold contract
+      // (one live batch onto the memoized 2-batch Fixtures base)
+      val root = Scratch.dir("perf-clbuild")
+      val st = operators.ClusterIndex.State(s"$root/s")
+      for (i <- 0 to 2)
+        time(s"cluster-build-fold-b$i")(
+          { operators.ClusterIndex.fold(spark, st,
+              docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
+              "doc_id", "text"); 0L })
+      time("cluster-build-readout")(
+        operators.ClusterIndex.clustersNonSingleton(spark, st).count())
+    }
+    if (what == "q190parts") {
+      // where does the incremental-fold bench line spend its time?
+      // (copy of the memoized 2-batch base vs the one live fold vs the
+      // readout) — run twice so warm-JIT numbers are visible
+      for (r <- 1 to 2) {
+        var st: operators.ClusterIndex.State = null
+        time(s"r$r-cluster2Copy")({ st = Fixtures.cluster2Copy(spark, d); 0L })
+        time(s"r$r-fold-b2")({ operators.ClusterIndex.fold(spark, st,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L,
+          "doc_id", "text"); 0L })
+        time(s"r$r-readout")(
+          operators.ClusterIndex.clustersNonSingleton(spark, st).count())
+      }
+    }
+    if (what == "q190stages") {
+      // stage-level cost of the single incremental fold: within-batch
+      // pairs vs label propagation vs the delta appends
+      val st = Fixtures.cluster2Copy(spark, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      time("batchPostings")(
+        operators.ClusterIndex.batchPostings(batch, "doc_id", "text", 3).count())
+      var within: org.apache.spark.sql.DataFrame = null
+      time("within-pairs")({
+        within = operators.Dedup.ngramJaccard(batch, "doc_id", "text", 3, 0.2)
+          .select(col("id_a"), col("id_b"))
+          .persist()
+        within.count()
+      })
+      time("resolveClusters-within")(
+        operators.Dedup.resolveClusters(within).count())
+      time("full-fold")({ operators.ClusterIndex.fold(spark, st, batch, 2L,
+        "doc_id", "text"); 0L })
+      within.unpersist()
+    }
     if (what == "gov-r7") {
       // governance ops at 10M rows: partitioned GDPR erasure (touched
       // partitions only) and the exact-changelog SCD2 fold

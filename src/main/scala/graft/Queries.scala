@@ -2306,7 +2306,11 @@ object Queries {
     //    twins, and emit found/bound booleans the oracle pins TRUE. A
     //    recall miss or a Hamming-bound violation is now a hard
     //    CORRECTNESS failure. Golden rasters/tweaks/corrupt payloads stay
-    //    spec-pinned (OperatorsSpec). ──
+    //    spec-pinned (OperatorsSpec). Twin ids live at +10M/+20M — a
+    //    namespace disjoint from every scale factor's real doc_ids AND
+    //    from the sf1 fixture's replica shift (make_sf1.py DOC_SHIFT =
+    //    100k × 10 copies tops out below 1.1M), so the (lo,hi) recall
+    //    join can never pair a twin against a replica doc. ──
     Q("q89_image_neardup",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -2314,10 +2318,10 @@ object Queries {
           Multimodal.pngPayload(col("text")).as("payload"))
         val planted = docs.filter(col("doc_id") < 12)
         val exactTwins = planted.select(
-          (col("doc_id") + 100000L).as("doc_id"),
+          (col("doc_id") + 10000000L).as("doc_id"),
           Multimodal.pngPayload(col("text")).as("payload"))
         val nearTwins = planted.select(
-          (col("doc_id") + 200000L).as("doc_id"),
+          (col("doc_id") + 20000000L).as("doc_id"),
           Multimodal.pngPayloadPerturbed(col("text")).as("payload"))
         val pairs = Multimodal.dhashNearDup(
             corpus.unionByName(exactTwins).unionByName(nearTwins),
@@ -2326,13 +2330,13 @@ object Queries {
             greatest(col("id_a"), col("id_b")).as("hi"),
             col("hamming"))
         val exact = planted
-          .select(col("doc_id").as("lo"), (col("doc_id") + 100000L).as("hi"))
+          .select(col("doc_id").as("lo"), (col("doc_id") + 10000000L).as("hi"))
           .join(pairs, Seq("lo", "hi"), "left")
           .select(col("lo").as("doc_id"),
             (col("hamming").isNotNull && col("hamming") === 0)
               .as("exact_twin_found_h0"))
         val near = planted
-          .select(col("doc_id").as("lo"), (col("doc_id") + 200000L).as("hi"))
+          .select(col("doc_id").as("lo"), (col("doc_id") + 20000000L).as("hi"))
           .join(pairs, Seq("lo", "hi"), "left")
           .select(col("lo").as("doc_id"),
             (col("hamming").isNotNull && col("hamming") <= 1)
@@ -2774,9 +2778,11 @@ object Queries {
     //    (CCNet/RefinedWeb family); map-only codegen'd kernel. DuckDB has
     //    no deflate, so the oracle pins the codec's LAWS instead (q220/
     //    q106 pattern): inflate(deflate(x)) == x per row, and the ratio
-    //    inside zlib's provable band (0, 1 + 11/len] — stored-block
-    //    framing adds ≤ 11 bytes for len < 64 KiB, so any ratio outside
-    //    the band is a codec/buffer bug, not data. The raw ratio stats
+    //    inside zlib's provable band (0, 1 + (6 + 5·⌈len/65535⌉)/len] —
+    //    2 B zlib header + 4 B adler + a 5 B stored-block frame PER
+    //    64 KiB block, so the bound holds for any input length (the old
+    //    11/len form was only valid under 64 KiB) and any ratio outside
+    //    it is a codec/buffer bug, not data. The raw ratio stats
     //    stay spec-pinned (OperatorsSpec: repetitive ≪ diverse, bounds,
     //    determinism). ──
     Q("q104_compression_ratio",
@@ -2787,7 +2793,10 @@ object Queries {
           octet_length(col("text")).as("len"))
         .withColumn("band",
           col("cr") > lit(0.0) &&
-            col("cr") <= lit(1.0) + lit(11.0) / greatest(col("len"), lit(1)))
+            col("cr") <= lit(1.0) +
+              (lit(6.0) + lit(5.0) *
+                ceil(col("len").cast("double") / lit(65535.0))) /
+                greatest(col("len"), lit(1)))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           bool_and(col("rt")).as("round_trip_ok"),
@@ -5342,23 +5351,25 @@ object Queries {
       },
       Some("SELECT event_id, user_id, event_type, ts, value FROM events")),
 
-    // ── incremental near-dup cluster maintenance (ClusterIndex): the
-    //    documents corpus folded in three batches against persisted
-    //    postings + cluster state — cross pairs probe the index, old
-    //    clusters enter as super-nodes, bridged clusters remap. The
-    //    oracle recomputes components from scratch (q57's recursive
-    //    CTE), so a fold that misses a cross pair, skips a bridge
-    //    remap, or double-applies a batch hash-mismatches ──
+    // ── incremental near-dup cluster maintenance (ClusterIndex): ONE
+    //    live batch folded against a memoized 2-batch persisted index
+    //    (Fixtures.cluster2Copy hardlink copy) — cross pairs probe the
+    //    accumulated postings, old clusters enter as super-nodes,
+    //    bridged clusters remap. This measures the operator's CONTRACT —
+    //    the O(batch) incremental fold, the thing that never rebuilds at
+    //    100 TB — not a from-scratch 3× rebuild (that build stays timed
+    //    as `Perf clusterbuild`; round-13 verdict #2). Final state is
+    //    identical to the 3-batch build, so the oracle is unchanged: it
+    //    recomputes components from scratch (q57's recursive CTE), and a
+    //    fold that misses a cross pair, skips a bridge remap, or
+    //    double-applies the batch hash-mismatches ──
     Q("q190_incremental_clusters",
       (s, d) => {
-        val root = Scratch.dir("q190-clidx") + "/s"
-        val st = operators.ClusterIndex.State(root)
+        val st = Fixtures.cluster2Copy(s, d)
         val docs = Tables.documents(s, d)
-        (0 to 2).foreach { i =>
-          operators.ClusterIndex.fold(s, st,
-            docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong,
-            "doc_id", "text")
-        }
+        operators.ClusterIndex.fold(s, st,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L,
+          "doc_id", "text")
         operators.ClusterIndex.clustersNonSingleton(s, st)
           .select(col("id").as("doc_id"), col("cluster_id"))
       },

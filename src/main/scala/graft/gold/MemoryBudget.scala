@@ -123,7 +123,22 @@ object MemoryBudget {
           case None    => spark.conf.unset(PriorFloorKey)
         }
       }
-      applyLowMemoryProfile(spark, floorMb)
+      // The engage mutates several confs in sequence; if it throws
+      // part-way, DepthKey was never written and the finally below won't
+      // run for this scope — restore NOW (outermost only; an inner-scope
+      // failure leaves the outer scope's finally responsible) instead of
+      // leaking a partially-degraded session.
+      try applyLowMemoryProfile(spark, floorMb)
+      catch {
+        case t: Throwable =>
+          if (depth == 0) {
+            val prior = spark.conf.getOption(PriorFloorKey).map(_.toLong)
+            spark.conf.unset(PriorFloorKey)
+            resetLowMemoryProfile(spark)
+            prior.foreach(f => applyLowMemoryProfile(spark, f))
+          }
+          throw t
+      }
       spark.conf.set(DepthKey, (depth + 1).toString)
     }
     try body

@@ -159,6 +159,17 @@ object ClusterIndex {
     * it stops contributing within-batch pairs — consistent stopword
     * semantics when the cap binds, identity when it doesn't (all
     * harness fixtures keep df under it).
+    *
+    * MIGRATION NOTE (behavior-changing default, round 12): this default
+    * was 0 (disabled) before round 12. A corpus whose shingles carry
+    * df > `Dedup.DefaultMaxBucket` (256) loses CROSS-batch pairs through
+    * those shingles under the new default — near-dup recall for such
+    * pairs drops without any caller-side code change, including on a
+    * RESUMED `clusterIndexStream` checkpoint whose earlier folds ran
+    * uncapped (the index state itself is compatible; only newly-folded
+    * batches probe under the cap). Callers that need the old exhaustive
+    * semantics must pass `maxStateDf = 0` explicitly and own the
+    * measured linear fold-cost growth that motivated the cap.
     */
   def fold(spark: SparkSession, st: State, batch: DataFrame, batchId: Long,
            idCol: String, textCol: String, k: Int = 3,
@@ -212,7 +223,10 @@ object ClusterIndex {
         return
       }
       val hasState = tableNonEmpty(spark, st.postingsTable)
-      val within = Dedup.ngramJaccard(batch, idCol, textCol, k, threshold)
+      // within-batch pairs from the ALREADY-PERSISTED batch postings —
+      // same counting-path semantics as ngramJaccard(batch, …), minus a
+      // second shingle+hash pass over the whole batch
+      val within = Dedup.jaccardFromPostings(bp, threshold)
         .select(col("id_a"), col("id_b"))
       val edges =
         if (!hasState) within
@@ -268,6 +282,11 @@ object ClusterIndex {
               .select(col("id_a"), col("cluster_id").as("id_b")))
             .distinct()
         }
+      // edges is consumed up to THREE times below (the isEmpty probe,
+      // resolveClusters' src/dst union, the remap's oldCids) — without a
+      // persist each consumer re-runs the Σdf²-bounded cross join from
+      // scratch (measured ~3 s × 2 redundant executions per sf0.1 fold)
+      edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comp =
         if (edges.isEmpty) edges.select(col("id_a").as("id"),
           col("id_b").as("cluster_id")).limit(0)
@@ -308,6 +327,8 @@ object ClusterIndex {
         allowSchemaEvolution)
       maybeCompactDeferred(spark, st.postingsTable, maxDeltas,
         allowSchemaEvolution)
+      edges.unpersist()
+      ()
     } finally bp.unpersist()
   }
 

@@ -235,6 +235,10 @@ object ErasureSweep {
           coalesce(col("n_subject_rows"), lit(0L)))
           .otherwise(lit(0L)).as("n_pending"),
         when(col("current_status") === "pending", lit("materialize"))
+          // a receipt whose artifact state wasn't passed to the call is
+          // UNKNOWN, not healthy — an ops pane mapping unknown → ok
+          // invites missed pending erasures
+          .when(col("current_status") === "unknown", lit("inspect"))
           .otherwise(lit("ok")).as("action"))
 
     def ledgerRow(artifact: String, tname: String, t: BaseDelta.Table)

@@ -1270,17 +1270,24 @@ class OperatorsSpec extends SparkSpec {
   test("deflate round-trip law holds on empty/unicode/repetitive/long inputs; band bound holds") {
     import graft.operators.{TextAnalysis, TextKernels}
     import org.apache.spark.unsafe.types.UTF8String
+    // includes a >64 KiB high-entropy input: deflate stored-block framing
+    // adds 5 B PER 64 KiB block (+6 B zlib header/adler), so the band must
+    // be block-aware - the old 1 + 11/len form is only valid under 64 KiB
+    val rng = new scala.util.Random(42)
+    val big = Array.fill(200000)((33 + rng.nextInt(94)).toChar).mkString
     val texts = Seq("", "a", "héllo wörld ünïcode é中文",
       Seq.fill(5000)("spam").mkString(" "),
       (1 to 3000).map(i => s"w${i * 7919 % 100000}").mkString(" "),
-      "\n\t\r mixed control  bytes")
+      "\n\t\r mixed control  bytes", big)
     texts.foreach { t =>
       assert(TextKernels.deflateRoundTrip(UTF8String.fromString(t)),
         s"round trip failed for ${t.take(30)}")
       val len = t.getBytes("UTF-8").length
       val cr = TextKernels.deflateRatio(UTF8String.fromString(t))
-      assert(cr > 0.0 && cr <= 1.0 + 11.0 / math.max(len, 1),
-        s"ratio $cr outside band for len $len")
+      val bound = 1.0 + (6.0 + 5.0 * math.ceil(len / 65535.0)) /
+        math.max(len, 1)
+      assert(cr > 0.0 && cr <= bound,
+        s"ratio $cr outside band $bound for len $len")
     }
     // and through the codegen'd column path
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
