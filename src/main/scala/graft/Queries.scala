@@ -8296,7 +8296,101 @@ object Queries {
                CAST(0 AS BIGINT), 'ok'
         UNION ALL
         SELECT 'repair_marker', 'cluster_index', 'marked_clusters', 'clear',
-               CAST(0 AS BIGINT), 'ok'"""))
+               CAST(0 AS BIGINT), 'ok'""")),
+
+    // ── second modality (round-13 verdict #5): REAL RIFF/WAVE containers
+    //    synthesized from the text (8 kHz mono 16-bit PCM, frame count a
+    //    pure function of byte length — wavFromBytes), parsed back by the
+    //    codegen'd AudioMeta expression walking the actual chunk bytes.
+    //    The oracle recomputes EVERY header field from octet_length(text)
+    //    — a parse that misreads fmt/data chunk layout, frame math, or
+    //    container size hash-mismatches. Corrupt/truncated containers
+    //    stay spec-pinned (OperatorsSpec golden headers). duration_ms is
+    //    the same double expression on both sides (IEEE-deterministic). ──
+    Q("q269_audio_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.wavPayload(col("text")).as("payload"))
+        .withColumn("m", Multimodal.audioMeta(col("payload")))
+        .select(col("doc_id"),
+          col("m.format").as("format"),
+          col("m.n_channels").as("n_channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.n_frames").as("n_frames"),
+          col("m.n_bytes").as("n_bytes"),
+          (col("m.n_frames").cast("double") / col("m.sample_rate") * 1000.0)
+            .as("duration_ms")),
+      Some("""
+        WITH f AS (SELECT doc_id,
+            16 + strlen(text) % 480 AS nf FROM documents)
+        SELECT doc_id, 'wav' AS format, CAST(1 AS INTEGER) AS n_channels,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(16 AS INTEGER) AS bits_per_sample,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(44 + nf * 2 AS INTEGER) AS n_bytes,
+               CAST(nf AS DOUBLE) / 8000 * 1000.0 AS duration_ms
+        FROM f""")),
+
+    // ── interleaved image-text corpus stats (round-13 verdict #5): a
+    //    media side-table synthesized from documents (doc k carries
+    //    doc_id%4 REAL PNG images; every (doc_id+seq)%3=0 image has a
+    //    caption), aggregated back to per-doc multimodal coverage — the
+    //    images-per-doc / caption-coverage profile an interleaved
+    //    pretraining mix needs. Counting fields are SQL-derivable and
+    //    oracle-pinned exactly; the decode law (every synthesized payload
+    //    parses as a real PNG container via the codegen'd MediaMeta) is
+    //    pinned as the all_decoded_png boolean. Payload bytes never
+    //    reach the aggregate — metadata-only columns flow, the 100 TB
+    //    layout contract. ──
+    Q("q270_interleaved_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val media = docs
+          .select(col("doc_id"), col("text"),
+            posexplode(array_repeat(lit(1),
+              pmod(col("doc_id"), lit(4)).cast("int"))))
+          .select(col("doc_id"), col("text"), col("pos").as("seq"))
+          .withColumn("payload",
+            Multimodal.pngPayload(concat(col("text"), lit("#"), col("seq"))))
+          .withColumn("caption",
+            when(pmod(col("doc_id") + col("seq"), lit(3)) === 0,
+              substring(col("text"), 1, 16)))
+        val agg = media
+          .withColumn("fmt",
+            Multimodal.mediaMeta(col("payload")).getField("format"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_images"),
+            count(col("caption")).as("n_captioned"),
+            bool_and(col("fmt") === "png").as("all_png"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_images"), lit(0L)).as("n_images"),
+            coalesce(col("n_captioned"), lit(0L)).as("n_captioned"),
+            when(coalesce(col("n_images"), lit(0L)) === 0, lit(0.0))
+              .otherwise(floor(col("n_captioned").cast("double")
+                / col("n_images") * 1e6 + 0.5) / 1e6)
+              .as("caption_coverage"),
+            coalesce(col("all_png"), lit(true)).as("all_decoded_png"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, u.seq
+          FROM documents,
+               LATERAL (SELECT unnest(range(0, doc_id % 4)) AS seq) u),
+        a AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_images,
+                 CAST(SUM(CASE WHEN (doc_id + seq) % 3 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_captioned
+          FROM m GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(a.n_images, 0) AS n_images,
+               COALESCE(a.n_captioned, 0) AS n_captioned,
+               CASE WHEN COALESCE(a.n_images, 0) = 0 THEN 0.0
+                    ELSE floor(CAST(a.n_captioned AS DOUBLE)
+                      / a.n_images * 1000000 + 0.5) / 1000000
+               END AS caption_coverage,
+               TRUE AS all_decoded_png
+        FROM documents d LEFT JOIN a USING (doc_id)"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

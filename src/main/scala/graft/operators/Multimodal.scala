@@ -41,6 +41,20 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
+  /** Audio-tier metadata: real RIFF/WAVE header fields when the payload
+    * is a PCM WAV container, zeros + format "unknown" otherwise (the
+    * n_bytes/checksum fingerprint is still real there — same contract as
+    * the image tier's stub fallback).
+    */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
   /** Pixel-tier output of the batch path: dimensions from the DECODED
     * raster (not the header) + mean Rec.601 luminance. Null when the
     * payload is not a decodable image.
@@ -88,6 +102,12 @@ object Multimodal {
     * MediaMeta).
     */
   def mediaMeta(payload: Column): Column = co(MediaMeta(ex(payload)))
+
+  /** Audio metadata struct for a payload column (native expression; see
+    * AudioMeta — the second modality on the same codegen'd-kernel
+    * pattern).
+    */
+  def audioMeta(payload: Column): Column = co(AudioMeta(ex(payload)))
 
   /** Feature extraction over the payload column, as a projection: real
     * header-derived dimensions for JPEG/PNG/GIF payloads, stub tier
@@ -247,6 +267,48 @@ object Multimodal {
   def pngPayloadPerturbed(src: Column): Column = {
     val f = udf((s: String) =>
       if (s == null) null else pngFromBytesPerturbed(s.getBytes("UTF-8")))
+    f(src)
+  }
+
+  /** A REAL RIFF/WAVE container synthesized deterministically from seed
+    * bytes: 8 kHz mono 16-bit PCM, `16 + len(seed) % 480` frames whose
+    * samples derive from the seed (testdata carries no audio payloads, so
+    * queries synthesize the container and the header parse stays a real
+    * byte-structure walk — the q89/pngFromBytes recipe for audio). The
+    * frame-count formula is intentionally SQL-derivable from the seed
+    * length so a DuckDB oracle can pin every header field exactly.
+    */
+  def wavFromBytes(seed: Array[Byte]): Array[Byte] = {
+    val nFrames = 16 + (seed.length % 480)
+    val dataBytes = nFrames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataBytes)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1)                      // PCM
+    buf.putShort(1)                      // mono
+    buf.putInt(8000)                     // sample rate
+    buf.putInt(8000 * 2)                 // byte rate
+    buf.putShort(2)                      // block align
+    buf.putShort(16)                     // bits per sample
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataBytes)
+    var i = 0
+    while (i < nFrames) {
+      val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      buf.putShort((((b * 251 + i * 7919) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** [[wavFromBytes]] as a column over a string column (UDF tier — the
+    * synthesis is demo plumbing like [[pngPayload]], not a hot path; the
+    * PARSE side stays a codegen'd expression).
+    */
+  def wavPayload(src: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null else wavFromBytes(s.getBytes("UTF-8")))
     f(src)
   }
 
@@ -455,6 +517,69 @@ object MediaHeaders {
     Array(w, h)
   }
 
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xFFFFFFFFL
+
+  /** RIFF/WAVE: "RIFF"[size]"WAVE", then word-aligned chunks
+    * `[id4][size LE32][payload]`; the "fmt " chunk carries
+    * audioFormat(LE16)=1 for PCM, channels(LE16), sampleRate(LE32),
+    * byteRate(LE32), blockAlign(LE16), bitsPerSample(LE16); the "data"
+    * chunk's size / blockAlign = frame count. Returns
+    * (channels, sampleRate, bitsPerSample, nFrames) or null when the
+    * payload is not a parseable PCM WAV. Chunk walk tolerates extra
+    * chunks (LIST/INFO/fact) in any order — real encoders emit them —
+    * and rejects truncated declarations rather than reading past the
+    * buffer.
+    */
+  def wavMeta(b: Array[Byte]): Array[Long] = {
+    if (b.length < 44) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return null
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var i = 12
+    var channels = 0L; var rate = 0L; var bits = 0L; var blockAlign = 0L
+    var dataSize = -1L; var haveFmt = false
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      // a declared chunk size larger than the whole buffer is a corrupt/
+      // truncated container — reject BEFORE the index math (an unsigned
+      // 4 GB size would overflow the Int increment into a loop)
+      if (size > b.length.toLong) return null
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        if (le16(b, i + 8) != 1) return null // PCM only
+        channels = le16(b, i + 10).toLong
+        rate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20).toLong
+        bits = le16(b, i + 22).toLong
+        haveFmt = true
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+          b(i + 3) == 'a') {
+        // declared size beyond the buffer = truncated container
+        if (i + 8 + size > b.length) return null
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size & 1L).toInt // chunks are word-aligned
+    }
+    if (!haveFmt || dataSize < 0 || channels == 0 || rate == 0 ||
+        blockAlign == 0) return null
+    Array(channels, rate, bits, dataSize / blockAlign)
+  }
+
+  /** Kernel for the AudioMeta expression (static-forwardable for
+    * codegen).
+    */
+  def audioMeta(bytes: Array[Byte]): InternalRow = {
+    val w = wavMeta(bytes)
+    if (w != null)
+      InternalRow(bytes.length, Multimodal.checksum64(bytes),
+        UTF8String.fromString("wav"), w(0).toInt, w(1).toInt, w(2).toInt,
+        w(3))
+    else
+      InternalRow(bytes.length, Multimodal.checksum64(bytes),
+        UTF8String.fromString("unknown"), 0, 0, 0, 0L)
+  }
+
   /** Kernel for the MediaMeta expression (static-forwardable for codegen). */
   def mediaMeta(bytes: Array[Byte]): InternalRow =
     parse(bytes) match {
@@ -472,6 +597,31 @@ object MediaHeaders {
   * static kernel call, so metadata projection stays in whole-stage codegen
   * and pass-through columns are never materialized.
   */
+/** binary payload → struct<n_bytes, checksum, format, n_channels,
+  * sample_rate, bits_per_sample, n_frames>; header-real for RIFF/WAVE PCM
+  * containers, zeroed "unknown" tier otherwise. Same single-static-kernel
+  * codegen shape as [[MediaMeta]] — the projection stays inside
+  * whole-stage codegen and never leaves columnar form for pass-through
+  * columns.
+  */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Multimodal.AudioMetaSchema
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.audioMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.operators.MediaHeaders.audioMeta($a);")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"audio_meta needs a binary argument, got $other")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MediaMeta(child: Expression) extends UnaryExpression {
   override def dataType: DataType = Multimodal.MetaSchema
   override def nullSafeEval(input: Any): Any =

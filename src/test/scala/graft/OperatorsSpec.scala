@@ -790,6 +790,75 @@ class OperatorsSpec extends SparkSpec {
     assert(collect(Multimodal.extractFeaturesBatch(df)) == viaExpr)
   }
 
+  test("audio headers: synthesized WAV parses exactly; JDK codec agrees; corrupt rejected") {
+    // golden synthesis: seed of 10 bytes → 16 + 10%480 = 26 frames,
+    // container = 44 + 52 bytes
+    val seed = "ten bytes!".getBytes("UTF-8")
+    val wav = Multimodal.wavFromBytes(seed)
+    assert(wav.length == 44 + 26 * 2)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val parsed = MediaHeaders.wavMeta(wav)
+    assert(parsed != null)
+    assert(parsed.toSeq == Seq(1L, 8000L, 16L, 26L))
+    // cross-validate against the JDK's OWN wav reader (javax.sound ships
+    // with the JVM): channels / rate / bits / frame count must all agree
+    // with our byte-walk parser
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    try {
+      val fmt = ais.getFormat
+      assert(fmt.getChannels == 1)
+      assert(fmt.getSampleRate == 8000f)
+      assert(fmt.getSampleSizeInBits == 16)
+      assert(ais.getFrameLength == 26L)
+    } finally ais.close()
+    // chunk-walk tolerance: a LIST chunk between fmt and data still parses
+    val withList = {
+      val head = wav.take(36) // RIFF..fmt chunk end
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val data = wav.drop(36)
+      val out = head ++ list ++ data
+      // patch RIFF size (bytes 4..7, LE) for the 12 inserted bytes
+      val riffSize = (out.length - 8)
+      out(4) = (riffSize & 0xff).toByte
+      out(5) = ((riffSize >> 8) & 0xff).toByte
+      out(6) = ((riffSize >> 16) & 0xff).toByte
+      out(7) = ((riffSize >> 24) & 0xff).toByte
+      out
+    }
+    assert(MediaHeaders.wavMeta(withList).toSeq == Seq(1L, 8000L, 16L, 26L))
+    // rejections: plain text, truncated data chunk, non-PCM format tag,
+    // declared chunk size past the buffer (the Int-overflow guard)
+    assert(MediaHeaders.wavMeta("plain text, not audio".getBytes) == null)
+    assert(MediaHeaders.wavMeta(wav.dropRight(10)) == null)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float format tag
+    assert(MediaHeaders.wavMeta(nonPcm) == null)
+    val hugeChunk = wav.clone()
+    hugeChunk(16) = -1; hugeChunk(17) = -1; hugeChunk(18) = -1; hugeChunk(19) = -1
+    assert(MediaHeaders.wavMeta(hugeChunk) == null)
+
+    // expression form: real fields for wav payloads, zeroed unknown tier
+    // otherwise; n_bytes/checksum real in BOTH tiers
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = df.select($"id", Multimodal.audioMeta($"payload").as("m"))
+      .select($"id", $"m.*").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("format") == "wav")
+    assert(out(1L).getAs[Int]("n_channels") == 1)
+    assert(out(1L).getAs[Int]("sample_rate") == 8000)
+    assert(out(1L).getAs[Int]("bits_per_sample") == 16)
+    assert(out(1L).getAs[Long]("n_frames") == 26L)
+    assert(out(1L).getAs[Int]("n_bytes") == wav.length)
+    assert(out(2L).getAs[String]("format") == "unknown")
+    assert(out(2L).getAs[Int]("n_channels") == 0)
+    assert(out(2L).getAs[Long]("n_frames") == 0L)
+    assert(out(2L).getAs[Long]("checksum") ==
+      Multimodal.checksum64("not audio".getBytes("UTF-8")))
+  }
+
   test("bloom kernels: zero false negatives, false positives under the design bound") {
     import graft.functions.{BloomFunctions, BloomKernels, HashFunctions}
     val numBits = 1 << 20
