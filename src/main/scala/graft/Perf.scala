@@ -1401,11 +1401,16 @@ object Perf {
       val st = ClusterIndex.State(s"$root/cx")
       implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
+      // round-13: the sink refreshes the STREAMING governance pane after
+      // every batch — the soak's per-batch numbers below read from the
+      // PANE mart, proving the ops view converges live with the ledgers
       val q = graft.streaming.IndexStreams.clusterIndexStream(
         ms.toDF().toDF("doc_id", "text"), st, s"$root/ckpt",
         "doc_id", "text",
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
-        tombstoneBudget = budget)
+        tombstoneBudget = budget,
+        pane = Some(graft.streaming.IndexStreams.PaneConfig(
+          s"$root/pane", s"$root/receipts")))
       // 10% of each batch lands in 50-member exact-dup families (key =
       // floor-to-500-block), so folds and erasures do real cluster work.
       // Every 3-shingle carries >= 2 key-derived wide-modulus tokens, so
@@ -1450,14 +1455,27 @@ object Perf {
               maxAffected = 0L).count())
           eraseS = (System.nanoTime() - t1) / 1e9
         }
+        // per-batch numbers from the PANE SNAPSHOT (what ops would watch),
+        // cross-checked against the direct ledger probes every batch
+        val snap = graft.operators.ErasureSweep
+          .governancePaneLatest(spark, s"$root/pane")
+          .filter(org.apache.spark.sql.functions.col("item")
+            .isin("postings", "marked_clusters"))
+          .collect()
+          .map(r => r.getAs[String]("item") -> r.getAs[Long]("n_pending"))
+          .toMap
+        val pendingPane = snap.getOrElse("postings", -1L)
+        val marksPane = snap.getOrElse("marked_clusters", -1L)
         val pending = BaseDelta.pendingTombstones(spark, st.postingsTable)
           .values.map(_.count()).sum
         val marks = ClusterIndex.pendingRepairs(spark, st)
           .map(_.count()).getOrElse(0L)
+        val paneOk = pendingPane == pending && marksPane == marks
         if (marks > 0 && staleSince < 0) staleSince = b
         val staleness = if (marks > 0) b - staleSince + 1 else { staleSince = -1; 0 }
         println(f"GOVSOAK batch=$b%02d fold_s=$foldS%.2f erase_s=$eraseS%.2f " +
-          s"pending=$pending markers=$marks staleness=$staleness")
+          s"pending=$pending markers=$marks staleness=$staleness " +
+          s"pane_pending=$pendingPane pane_markers=$marksPane pane_ok=$paneOk")
         System.out.flush()
       }
       q.stop()

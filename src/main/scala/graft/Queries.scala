@@ -8261,6 +8261,9 @@ object Queries {
           vecSubj, vector = Seq(vst), deferred = true)
         graft.operators.ErasureSweep.governanceHealth(s, ledger,
           search = Seq(sst), vector = Seq(vst), cluster = Seq(cst))
+          // root is a scratch path — drop it for the deterministic oracle
+          // shape (the streaming pane keeps it as a key disambiguator)
+          .drop("root")
       },
       Some("""
         WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents

@@ -226,9 +226,34 @@ object ErasureSweep {
                        managedVector: Seq[VectorIndex.Managed] = Nil,
                        tombstoneBudget: Long =
                          BaseDelta.DefaultTombstoneBudget): DataFrame = {
-    val receipts = receiptStatus(spark, ledgerRoot, search, vector, cluster,
+    // a pane BEFORE the first ledgered sweep (e.g. batch 0 of a fresh
+    // streaming sink) has no receipts table yet — that is an empty
+    // receipts section, not a crash
+    val hasReceipts = {
+      val (b, d) = BaseDelta.resolveSnapshot(spark, receiptsTable(ledgerRoot))
+      b.isDefined || d.nonEmpty
+    }
+    val receiptSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("artifact",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("root",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_pending",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("action",
+        org.apache.spark.sql.types.StringType)))
+    val receipts = if (!hasReceipts)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], receiptSchema)
+    else receiptStatus(spark, ledgerRoot, search, vector, cluster,
         managedVector)
-      .select(lit("receipt").as("component"), col("artifact"),
+      .select(lit("receipt").as("component"), col("artifact"), col("root"),
         concat(lit("sweep_"), col("sweep_id").cast("string")).as("item"),
         col("current_status").as("status"),
         when(col("current_status") === "pending",
@@ -241,11 +266,12 @@ object ErasureSweep {
           .when(col("current_status") === "unknown", lit("inspect"))
           .otherwise(lit("ok")).as("action"))
 
-    def ledgerRow(artifact: String, tname: String, t: BaseDelta.Table)
-        : (String, String, String, String, Long, String) = {
+    def ledgerRow(artifact: String, root: String, tname: String,
+                  t: BaseDelta.Table)
+        : (String, String, String, String, String, Long, String) = {
       val n = BaseDelta.pendingTombstones(spark, t).values
         .map(_.count()).sum
-      ("tombstone_ledger", artifact, tname,
+      ("tombstone_ledger", artifact, root, tname,
         if (n > 0) "pending" else "clear", n,
         if (n > tombstoneBudget) "materialize"
         else if (n > 0) "scheduled" else "ok")
@@ -253,28 +279,76 @@ object ErasureSweep {
 
     val ledgers =
       search.flatMap(st => Seq(
-        ledgerRow("search_index", "postings", st.postingsTable),
-        ledgerRow("search_index", "docstats", st.docstatsTable),
-        ledgerRow("search_index", "positions", st.positionsTable))) ++
+        ledgerRow("search_index", st.root, "postings", st.postingsTable),
+        ledgerRow("search_index", st.root, "docstats", st.docstatsTable),
+        ledgerRow("search_index", st.root, "positions", st.positionsTable))) ++
       vector.map(st =>
-        ledgerRow("vector_index", "postings", st.postingsTable)) ++
+        ledgerRow("vector_index", st.root, "postings", st.postingsTable)) ++
       managedVector.map { m =>
         val act = VectorIndex.active(spark, m)
-        ledgerRow("vector_index_managed", "postings", act.postingsTable)
+        ledgerRow("vector_index_managed", m.root, "postings",
+          act.postingsTable)
       } ++
       cluster.flatMap(st => Seq(
-        ledgerRow("cluster_index", "postings", st.postingsTable),
-        ledgerRow("cluster_index", "clusters", st.clustersTable)))
+        ledgerRow("cluster_index", st.root, "postings", st.postingsTable),
+        ledgerRow("cluster_index", st.root, "clusters", st.clustersTable)))
 
     val markers = cluster.map { st =>
       val n = ClusterIndex.pendingRepairs(spark, st)
         .map(_.count()).getOrElse(0L)
-      ("repair_marker", "cluster_index", "marked_clusters",
+      ("repair_marker", "cluster_index", st.root, "marked_clusters",
         if (n > 0) "pending" else "clear", n,
         if (n > 0) "repair" else "ok")
     }
 
     receipts.unionByName(spark.createDataFrame(ledgers ++ markers)
-      .toDF("component", "artifact", "item", "status", "n_pending", "action"))
+      .toDF("component", "artifact", "root", "item", "status", "n_pending",
+        "action"))
+  }
+
+  /** Durable per-batch history of [[governanceHealth]] snapshots — the
+    * STREAMING form of the single pane (round-13 verdict #6): a
+    * [[BaseDelta]] mart the index sinks refresh after every fold, so ops
+    * watch receipts/backlogs/markers CONVERGE during a run instead of
+    * querying after it. Keyed by (as_of_batch, component, artifact,
+    * root, item): unique within a snapshot by construction (root
+    * disambiguates same-type artifacts), so history rows never collapse
+    * across batches. Appends ride BaseDelta's batch-id idempotence — a
+    * replayed foreachBatch attempt overwrites its own snapshot,
+    * exactly-once.
+    */
+  def governancePaneTable(root: String): BaseDelta.Table =
+    BaseDelta.Table(root,
+      Seq("as_of_batch", "component", "artifact", "root", "item"),
+      Seq("as_of_batch"), None)
+
+  /** Compute the current [[governanceHealth]] and append it to the pane
+    * mart stamped `as_of_batch = asOfBatch`. Snapshot size is bounded by
+    * artifact count (+ sweep receipts), so the append is metadata-tier.
+    */
+  def refreshGovernancePane(spark: SparkSession, paneRoot: String,
+                            asOfBatch: Long, ledgerRoot: String,
+                            search: Seq[SearchIndex.State] = Nil,
+                            vector: Seq[VectorIndex.State] = Nil,
+                            cluster: Seq[ClusterIndex.State] = Nil,
+                            managedVector: Seq[VectorIndex.Managed] = Nil,
+                            tombstoneBudget: Long =
+                              BaseDelta.DefaultTombstoneBudget): Unit = {
+    val snap = governanceHealth(spark, ledgerRoot, search, vector, cluster,
+        managedVector, tombstoneBudget)
+      .withColumn("as_of_batch", lit(asOfBatch))
+    BaseDelta.append(spark, governancePaneTable(paneRoot), snap, asOfBatch)
+    ()
+  }
+
+  /** The pane's LATEST snapshot (same shape as [[governanceHealth]] plus
+    * `as_of_batch`); full history stays queryable via
+    * `BaseDelta.read(governancePaneTable(root))`.
+    */
+  def governancePaneLatest(spark: SparkSession, paneRoot: String): DataFrame = {
+    val hist = BaseDelta.read(spark, governancePaneTable(paneRoot))
+    // bounded driver value: one max over an artifact-count × batches mart
+    val mx = hist.agg(max(col("as_of_batch"))).head.getLong(0)
+    hist.filter(col("as_of_batch") === mx)
   }
 }

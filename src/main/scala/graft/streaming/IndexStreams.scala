@@ -92,6 +92,17 @@ object IndexStreams {
       .trigger(trigger)
       .start()
 
+  /** Governance-pane wiring for a streaming index sink: after each
+    * batch's fold + maintenance, [[graft.operators.ErasureSweep.refreshGovernancePane]]
+    * appends the current receipts/backlogs/markers snapshot (stamped with
+    * the batch id) to the durable pane mart at `paneRoot` — ops watch the
+    * erasure state CONVERGE live instead of querying after the run.
+    * `ledgerRoot` is the sweep-receipts ledger the sink's erasers write
+    * (empty until the first ledgered sweep — the pane shows an empty
+    * receipts section, not an error).
+    */
+  case class PaneConfig(paneRoot: String, ledgerRoot: String)
+
   /** Continuously fold documents into the incremental near-dup
     * [[ClusterIndex]] (persisted postings + cluster assignments).
     */
@@ -101,7 +112,8 @@ object IndexStreams {
                          maxStateDf: Int = graft.operators.Dedup.DefaultMaxBucket,
                          maxDeltas: Int = 16,
                          trigger: Trigger = Trigger.ProcessingTime("1 minute"),
-                         tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget): StreamingQuery =
+                         tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget,
+                         pane: Option[PaneConfig] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!b.isEmpty)
@@ -119,6 +131,12 @@ object IndexStreams {
           ClusterIndex.repairStructural(b.sparkSession, st, threshold)
         }; () }
         catch { case _: CommitConflictException => () }
+        // pane refresh LAST, so the snapshot reflects this batch's fold,
+        // materializations, and repairs; batch-id idempotent like the fold
+        pane.foreach(p =>
+          graft.operators.ErasureSweep.refreshGovernancePane(b.sparkSession,
+            p.paneRoot, id, p.ledgerRoot, cluster = Seq(st),
+            tombstoneBudget = tombstoneBudget))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -62,8 +62,11 @@ class GovernanceHealthSpec extends SparkSpec {
       deferred = true)
     val before = ErasureSweep.governanceHealth(spark, ledger,
       search = Seq(sst), vector = Seq(vst))
-    assert(before.columns.toSeq == Seq("component", "artifact", "item",
-      "status", "n_pending", "action"))
+    assert(before.columns.toSeq == Seq("component", "artifact", "root",
+      "item", "status", "n_pending", "action"))
+    // root disambiguates same-type artifacts — the pane mart's key
+    assert(before.filter(col("component") === "tombstone_ledger" &&
+      col("root") =!= sst.root && col("root") =!= vst.root).count() == 0)
     // both receipts pending, all four ledger rows pending
     assert(before.filter(col("component") === "receipt" &&
       col("status") === "pending").count() == 2)
@@ -84,5 +87,68 @@ class GovernanceHealthSpec extends SparkSpec {
     assert(after.filter(col("component") === "tombstone_ledger" &&
       col("artifact") === "search_index" &&
       col("status") === "clear").count() == 3)
+  }
+
+  test("streaming pane: per-batch snapshots match a direct governanceHealth at every boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("gh-pane")
+    val st = ClusterIndex.State(s"$root/cx")
+    val pane = ErasureSweep.governancePaneTable(s"$root/pane")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.IndexStreams.clusterIndexStream(
+      ms.toDF().toDF("doc_id", "text"), st, s"$root/ckpt", "doc_id", "text",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      tombstoneBudget = 1000L,
+      pane = Some(graft.streaming.IndexStreams.PaneConfig(
+        s"$root/pane", s"$root/receipts")))
+    try {
+      def docs(b: Int): Seq[(Long, String)] = (0 until 40).map { j =>
+        val id = b.toLong * 40 + j
+        // every 4th doc duplicates its predecessor batch's text → real
+        // cross-batch cluster work for the fold
+        val key = if (id % 4 == 0 && id >= 40) id - 40 else id
+        (id, s"alpha $key beta ${key % 7} gamma ${key % 13} delta $key epsilon")
+      }
+      def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select("component", "artifact", "root", "item", "status",
+            "n_pending", "action")
+          .collect().map(_.mkString("|")).toSet
+      (0 until 4).foreach { b =>
+        ms.addData(docs(b))
+        q.processAllAvailable()
+        if (b == 2) {
+          // a mid-run budget-tripped logical erase: markers + pending
+          // tombstones must show up in the NEXT batch's pane snapshot
+          val member = ClusterIndex.clustersNonSingleton(spark, st)
+            .agg(min(col("id"))).collect().head.getLong(0)
+          ClusterIndex.eraseLogical(spark, st, Seq(member).toDF("doc_id"),
+            maxAffected = 0L)
+        }
+        // boundary consistency: the pane's latest snapshot is EXACTLY the
+        // pane-relevant state the ledgers report right now (the erase
+        // between boundaries is intentionally invisible until the next
+        // batch refresh — the pane is a per-batch view, not a live one)
+        if (b != 2) {
+          val latest = ErasureSweep.governancePaneLatest(spark, s"$root/pane")
+          assert(latest.select(max(col("as_of_batch"))).head.getLong(0) == b.toLong)
+          val direct = ErasureSweep.governanceHealth(spark, s"$root/receipts",
+            cluster = Seq(st), tombstoneBudget = 1000L)
+          assert(canon(latest) == canon(direct),
+            s"pane != direct at batch $b")
+        }
+      }
+      // batch 3's snapshot (after the erase) must carry the repair marker
+      // and pending postings the direct view sees — converged again
+      val hist = graft.gold.BaseDelta.read(spark, pane)
+      assert(hist.select(countDistinct(col("as_of_batch"))).head.getLong(0) == 4L)
+      // the batch-3 snapshot shows the erase's pending work OR its
+      // completion (the sink's own repair/materialization may clear it
+      // within the same batch) — either way it matches the direct view
+      val latest = ErasureSweep.governancePaneLatest(spark, s"$root/pane")
+      val direct = ErasureSweep.governanceHealth(spark, s"$root/receipts",
+        cluster = Seq(st), tombstoneBudget = 1000L)
+      assert(canon(latest) == canon(direct))
+    } finally q.stop()
   }
 }
