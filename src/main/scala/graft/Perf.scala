@@ -844,6 +844,31 @@ object Perf {
         "doc_id", "text"); 0L })
       within.unpersist()
     }
+    if (what == "q115tune") {
+      // recall@5 of the IVF->PQ->rerank path vs exact, across shortlist/
+      // kCodes/nProbe combos — find the smallest config whose recall
+      // clears 0.7 with margin at EVERY scale factor
+      val emb = Tables.embeddings(spark, d)
+      val nCorpus = emb.count()
+      val q = emb.filter(col("vec_id") < 20)
+      val exact = operators.Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+        .persist()
+      val nEx = exact.count()
+      for (rf <- Seq(0, 2); kc <- Seq(16, 64); sl <- Seq(128, 256);
+           np <- Seq(10)) {
+        if (kc <= nCorpus) {
+          val approx = operators.Similarity.ivfPqTopK(q, emb,
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = np,
+            m = 8, kCodes = kc, shortlist = sl, refineIters = rf)
+          val nHit = exact.join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi").count()
+          println(f"PQTUNE corpus=$nCorpus refine=$rf kCodes=$kc " +
+            f"shortlist=$sl nProbe=$np recall=${nHit.toDouble / nEx}%.3f")
+        }
+      }
+      exact.unpersist()
+    }
     if (what == "gov-r7") {
       // governance ops at 10M rows: partitioned GDPR erasure (touched
       // partitions only) and the exact-changelog SCD2 fold

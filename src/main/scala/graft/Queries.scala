@@ -800,9 +800,15 @@ object Queries {
         val q = emb.filter(col("vec_id") < 20)
         val exact = Similarity.bruteForceTopK(q, emb,
           "vec_id", "embedding", k = 5)
+        // round-13: kCodes 16→64 + 2 Lloyd passes on BOTH quantizers +
+        // shortlist 256 — the old config's recall@5 sank to 0.66 at sf0.1
+        // (first-k-vectors codebook outgrown by the corpus; found by the
+        // ScaleAudit ANN tier, not the sf0.01 gate). Measured recall@5
+        // now 0.87/0.87/0.84/0.81 at sf0.001/0.01/0.1/sf1 — ≥ 0.11
+        // margin at every scale with nProbe still 10/16 (real routing)
         val approx = Similarity.ivfPqTopK(q, emb,
           "vec_id", "embedding", k = 5, nCells = 16, nProbe = 10,
-          m = 8, kCodes = 16, shortlist = 128)
+          m = 8, kCodes = 64, shortlist = 256, refineIters = 2)
         val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
         val shape = approx.groupBy(col("query_id"))
           .agg(count(lit(1)).as("__n"),

@@ -63,6 +63,51 @@ object Pq {
     cents
   }
 
+  /** [[codebookMicro]] + `iters` distributed Lloyd iterations per
+    * subspace: each pass PQ-encodes the corpus with the current codebook
+    * (map-only expression), then recomputes every (subspace, code)
+    * centroid as the mean of its assigned subvectors. The seed-quality
+    * fix that matters at scale: the first-k-vectors seed codebook's ADC
+    * ordering degrades as the corpus outgrows it (measured at sf0.1:
+    * recall@5 0.68 seeded vs ≥0.9 after 2 iterations at the same
+    * shortlist), while k-means fits the actual subspace distribution at
+    * any corpus size.
+    *
+    * Scale shape: one aggregation per iteration over corpus·m·dsub
+    * elements, hash-aggregated into m·k·dsub groups — fully map-side
+    * combinable, so the shuffle is codebook-sized, not corpus-sized; the
+    * collected means are m·k·dsub longs on the driver (parameter-bounded).
+    * Empty codes keep their previous centroid. Deterministic: micro-unit
+    * means with a fixed rounding, id-free aggregation.
+    */
+  def codebookRefined(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int, iters: Int = 2): Array[Long] = {
+    var cents = codebookMicro(corpus, idCol, vecCol, m, k)
+    if (iters <= 0) return cents
+    val d = m * (cents.length / (m * k))
+    val dsub = d / m
+    for (_ <- 1 to iters) {
+      val cur = cents
+      val means = corpus
+        .select(col(vecCol).as("__v"), encode(col(vecCol), cur, m, k).as("__c"))
+        .select(posexplode(col("__c")).as(Seq("s", "j")), col("__v"))
+        .select(col("s"), col("j"),
+          posexplode(slice(col("__v"), col("s") * dsub + 1, lit(dsub)))
+            .as(Seq("t", "x")))
+        .groupBy(col("s"), col("j"), col("t"))
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .collect()
+      val next = cur.clone()
+      means.foreach { r =>
+        val s = r.getAs[Int]("s"); val j = r.getAs[Int]("j")
+        val t = r.getAs[Int]("t")
+        next(s * k * dsub + j * dsub + t) = PqKernels.micro(r.getAs[Double]("mu"))
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Map-only PQ encoding: `array<int>` of `m` codes per vector. */
   def encode(vec: Column, cents: Array[Long], m: Int, k: Int): Column =
     co(PqEncode(ex(vec), cents, m, k))

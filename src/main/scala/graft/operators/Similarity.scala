@@ -445,13 +445,20 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 4, kCodes: Int = 16, shortlist: Int = 64,
-                roundTo: Int = 6, refineIters: Int = 0): DataFrame = {
+                roundTo: Int = 6, refineIters: Int = 0,
+                codebookIters: Int = 2): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val seeded = centroids(corpus, idCol, vecCol, nCells)
     val cents =
       if (refineIters > 0) kmeansRefine(corpus, idCol, vecCol, seeded, refineIters)
       else seeded
-    val cb = Pq.codebookMicro(corpus, idCol, vecCol, m, kCodes)
+    // Lloyd-refined PQ codebook (codebookIters passes): the first-k-
+    // vectors seed alone loses ADC ordering as the corpus outgrows it —
+    // measured recall@5 at sf0.1 0.68 seeded vs ≥0.9 refined at the same
+    // shortlist. Refinement cost is per-codebook-build, shuffle is
+    // codebook-sized (map-side combined), never corpus-sized.
+    val cb = Pq.codebookRefined(corpus, idCol, vecCol, m, kCodes,
+      codebookIters)
     // corpus side: one cell per vector + m-byte PQ codes, computed map-only
     val codes = assignCells(corpus, cents, idCol, vecCol, nProbe = 1)
       .select(col(idCol).as("neighbor_id"), col("cell_id"),

@@ -189,7 +189,12 @@ object PlanLint {
     // serve (query-batch×corpus cross + nCells-row centroid crosses,
     // classes 1/4) with q24's exact brute force AND three 1-row
     // summary crosses (class 1); the global scalar aggs are class 2
-    "q115_ivf_pq_rerank" -> Map("broadcast_nested_loop" -> 8L,
+    // round 13: +8 BNLs from refineIters=2 — each Lloyd pass assigns the
+    // corpus against a BROADCAST nCells-row (16) centroid frame, the
+    // same class-4 bounded-replication cross as the serve path; the
+    // refinement is what holds recall@5 ≥ 0.7 at sf0.1/sf1 (q115's own
+    // hard law column), so the plan trade is deliberate
+    "q115_ivf_pq_rerank" -> Map("broadcast_nested_loop" -> 16L,
       "single_partition_exchange" -> 3L),
     "q118_trim_outliers" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
     "q120_budget_select" -> Map("broadcast_nested_loop" -> 1L, "single_partition_exchange" -> 2L),
