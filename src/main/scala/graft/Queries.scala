@@ -8399,7 +8399,107 @@ object Queries {
                       / a.n_images * 1000000 + 0.5) / 1000000
                END AS caption_coverage,
                TRUE AS all_decoded_png
-        FROM documents d LEFT JOIN a USING (doc_id)"""))
+        FROM documents d LEFT JOIN a USING (doc_id)""")),
+
+    // ── third modality (video): REAL ISO-BMFF/MP4 containers synthesized
+    //    from the text (full moov tree — mvhd/tkhd/mdhd/hdlr/stbl — every
+    //    parsed field a pure function of octet_length(text); mp4FromBytes),
+    //    parsed back by the codegen'd VideoMeta expression doing an actual
+    //    nested box walk (largesize/size-0/corruption-rejecting). The
+    //    oracle recomputes EVERY field from strlen — a walk that misreads
+    //    box nesting, 16.16 fixed-point size, v0 field offsets, or stsz
+    //    hash-mismatches. v1/largesize/corrupt layouts are spec-pinned
+    //    (OperatorsSpec hand-built boxes). ──
+    Q("q271_video_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.mp4Payload(col("text")).as("payload"))
+        .withColumn("m", Multimodal.videoMeta(col("payload")))
+        .select(col("doc_id"),
+          col("m.format").as("format"),
+          col("m.major_brand").as("major_brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.n_samples").as("n_samples"),
+          col("m.n_bytes").as("n_bytes"),
+          (col("m.duration").cast("double") / col("m.timescale"))
+            .as("duration_s")),
+      Some("""
+        WITH f AS (SELECT doc_id, strlen(text) AS l FROM documents)
+        SELECT doc_id, 'mp4' AS format, 'isom' AS major_brand,
+               CAST(25 AS INTEGER) AS timescale,
+               CAST(25 + l % 480 AS BIGINT) AS duration,
+               CAST(160 + l % 320 AS INTEGER) AS width,
+               CAST(120 + l % 240 AS INTEGER) AS height,
+               CAST(25 + l % 480 AS BIGINT) AS n_samples,
+               CAST(438 + l % 480 AS INTEGER) AS n_bytes,
+               CAST(25 + l % 480 AS DOUBLE) / 25 AS duration_s
+        FROM f""")),
+
+    // ── frame sampling over the video tier: every-4th-frame ids from the
+    //    PARSED sample count. The stride is pushed INTO the generator
+    //    (sequence(0, n-1, 4)) instead of explode-then-filter — at 100 TB
+    //    the difference is generating n/4 rows vs n rows then discarding
+    //    3/4 of them; payload bytes are projected away before the explode
+    //    so only (doc_id, n_samples) rides the generate. ──
+    Q("q272_frame_sample",
+      (s, d) => {
+        val v = Tables.documents(s, d)
+          .select(col("doc_id"), Multimodal.mp4Payload(col("text")).as("payload"))
+          .select(col("doc_id"),
+            Multimodal.videoMeta(col("payload")).getField("n_samples")
+              .as("n_samples"))
+        v.select(col("doc_id"), col("n_samples"),
+            explode(sequence(lit(0L), col("n_samples") - 1, lit(4L)))
+              .as("frame_id"))
+          .groupBy(col("doc_id"), col("n_samples"))
+          .agg(count(lit(1)).as("n_sampled"),
+            max(col("frame_id")).as("last_frame"))
+          .select(col("doc_id"), col("n_samples"), col("n_sampled"),
+            col("last_frame"))
+      },
+      Some("""
+        WITH f AS (SELECT doc_id,
+            25 + strlen(text) % 480 AS n FROM documents)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+               CAST(floor((n - 1) / 4.0) + 1 AS BIGINT) AS n_sampled,
+               CAST(floor((n - 1) / 4.0) * 4 AS BIGINT) AS last_frame
+        FROM f""")),
+
+    // ── the LSH-bucketed ANN scale path (data-independent counterpart
+    //    of q29's IVF and q115's IVF→PQ→rerank — no centroid training,
+    //    so it can't be outgrown the way q115's codebook was). ORACLE-
+    //    VISIBLE via the q25 planted-twin recipe: every query's exact
+    //    twin (vec_id + 1e6, identical embedding) collides in EVERY
+    //    hash table by construction, so twin_rank = 1 / twin_cosine =
+    //    1.0 is a theorem, not a tuning; the fixture's max true cosine
+    //    (~0.51) can't outrank it. Intermediate-similarity recall is
+    //    spec-verified on a clustered fixture (OperatorsSpec). ──
+    Q("q273_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val corpus = emb.unionByName(emb.select(
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        val q = emb.filter(col("vec_id") < 20)
+        val approx = Similarity.lshTopK(q, corpus, "vec_id", "embedding",
+          k = 5, numTables = 8, numPlanes = 8)
+        approx.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            max(when(col("neighbor_id") === col("query_id") + 1000000L,
+              col("rank"))).as("twin_rank"),
+            max(when(col("neighbor_id") === col("query_id") + 1000000L,
+              col("cosine"))).as("twin_cosine"),
+            max((col("neighbor_id") === col("query_id")).cast("int")).as("__slf"))
+          .select(col("query_id"), col("n_rows"), col("twin_rank"),
+            col("twin_cosine"), (col("__slf") === 0).as("self_excluded"))
+      },
+      Some("""
+        SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_rows,
+               CAST(1 AS INTEGER) AS twin_rank,
+               CAST(1.0 AS DOUBLE) AS twin_cosine,
+               TRUE AS self_excluded
+        FROM embeddings WHERE vec_id < 20"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,24 @@ object Multimodal {
     StructField("bits_per_sample", IntegerType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
 
+  /** Video-tier metadata: real ISO-BMFF (MP4) box-walk fields when the
+    * payload is a parseable container — `ftyp` major brand, `mvhd`
+    * timescale/duration, `tkhd` 16.16 fixed-point presentation size,
+    * `stsz` sample count — zeros + format "unknown" otherwise (the
+    * n_bytes/checksum fingerprint stays real there, matching the image
+    * and audio tiers' fallback contract).
+    */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("major_brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false)))
+
   /** Pixel-tier output of the batch path: dimensions from the DECODED
     * raster (not the header) + mean Rec.601 luminance. Null when the
     * payload is not a decodable image.
@@ -108,6 +126,12 @@ object Multimodal {
     * pattern).
     */
   def audioMeta(payload: Column): Column = co(AudioMeta(ex(payload)))
+
+  /** Video metadata struct for a payload column (native expression; see
+    * VideoMeta — the third modality on the same codegen'd-kernel
+    * pattern).
+    */
+  def videoMeta(payload: Column): Column = co(VideoMeta(ex(payload)))
 
   /** Feature extraction over the payload column, as a projection: real
     * header-derived dimensions for JPEG/PNG/GIF payloads, stub tier
@@ -309,6 +333,101 @@ object Multimodal {
   def wavPayload(src: Column): Column = {
     val f = udf((s: String) =>
       if (s == null) null else wavFromBytes(s.getBytes("UTF-8")))
+    f(src)
+  }
+
+  /** A REAL ISO-BMFF (MP4) container synthesized deterministically from
+    * seed bytes: `ftyp` (isom) + a full `moov` tree — `mvhd` (timescale
+    * 25), `trak`/`tkhd` (16.16 fixed-point size), `mdia`/`mdhd`/`hdlr`
+    * ("vide") and an `stbl` with `stsd`/`stts`/`stsz`/`stco` — plus an
+    * `mdat` of one byte per sample. Every field the parser reads is a
+    * pure function of the seed LENGTH (SQL-derivable, the
+    * wavFromBytes/q269 recipe): n_samples = 25 + len%480 (duration at
+    * timescale 25), width = 160 + len%320, height = 120 + len%240,
+    * total container size = 413 + n_samples bytes. Box sizes are NOT
+    * word-aligned (hdlr is 33 bytes) — ISO-BMFF has no RIFF-style
+    * padding, and the parser must not assume it.
+    */
+  def mp4FromBytes(seed: Array[Byte]): Array[Byte] = {
+    val n = 25 + (seed.length % 480)
+    val w = 160 + (seed.length % 320)
+    val h = 120 + (seed.length % 240)
+    val total = 413 + n
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    def unityMatrix(): Unit = {
+      buf.putInt(0x00010000); buf.putInt(0); buf.putInt(0)
+      buf.putInt(0); buf.putInt(0x00010000); buf.putInt(0)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0x40000000)
+    }
+    // ftyp (24)
+    buf.putInt(24); fourcc("ftyp"); fourcc("isom"); buf.putInt(0x200)
+    fourcc("isom"); fourcc("mp41")
+    // moov (381) = 8 + mvhd(108) + trak(265)
+    buf.putInt(381); fourcc("moov")
+    //   mvhd v0 (108)
+    buf.putInt(108); fourcc("mvhd"); buf.putInt(0) // version 0, flags 0
+    buf.putInt(0); buf.putInt(0)                   // creation, modification
+    buf.putInt(25); buf.putInt(n)                  // timescale, duration
+    buf.putInt(0x00010000)                         // rate 1.0
+    buf.putShort(0x0100.toShort)                   // volume 1.0
+    buf.putShort(0); buf.putLong(0L)               // reserved
+    unityMatrix()
+    (0 until 6).foreach(_ => buf.putInt(0))        // pre_defined
+    buf.putInt(2)                                  // next_track_ID
+    //   trak (265) = 8 + tkhd(92) + mdia(165)
+    buf.putInt(265); fourcc("trak")
+    //     tkhd v0 (92), flags 3 = enabled|in_movie
+    buf.putInt(92); fourcc("tkhd"); buf.putInt(3)
+    buf.putInt(0); buf.putInt(0)                   // creation, modification
+    buf.putInt(1); buf.putInt(0)                   // track_ID, reserved
+    buf.putInt(n)                                  // duration
+    buf.putLong(0L)                                // reserved
+    buf.putShort(0); buf.putShort(0)               // layer, alternate_group
+    buf.putShort(0); buf.putShort(0)               // volume (video: 0), reserved
+    unityMatrix()
+    buf.putInt(w << 16); buf.putInt(h << 16)       // 16.16 fixed point
+    //     mdia (165) = 8 + mdhd(32) + hdlr(33) + minf(92)
+    buf.putInt(165); fourcc("mdia")
+    //       mdhd v0 (32)
+    buf.putInt(32); fourcc("mdhd"); buf.putInt(0)
+    buf.putInt(0); buf.putInt(0)                   // creation, modification
+    buf.putInt(25); buf.putInt(n)                  // timescale, duration
+    buf.putShort(0x55C4.toShort)                   // language "und"
+    buf.putShort(0)                                // pre_defined
+    //       hdlr (33) — deliberately odd-sized: no RIFF padding in BMFF
+    buf.putInt(33); fourcc("hdlr"); buf.putInt(0)
+    buf.putInt(0); fourcc("vide")
+    buf.putInt(0); buf.putInt(0); buf.putInt(0)    // reserved
+    buf.put(0.toByte)                              // empty name (NUL)
+    //       minf (92) = 8 + stbl(84)
+    buf.putInt(92); fourcc("minf")
+    buf.putInt(84); fourcc("stbl")
+    buf.putInt(16); fourcc("stsd"); buf.putInt(0); buf.putInt(0)
+    buf.putInt(24); fourcc("stts"); buf.putInt(0)
+    buf.putInt(1); buf.putInt(n); buf.putInt(1)    // one run: n samples, dur 1
+    buf.putInt(20); fourcc("stsz"); buf.putInt(0)
+    buf.putInt(1); buf.putInt(n)                   // uniform 1-byte samples, count n
+    buf.putInt(16); fourcc("stco"); buf.putInt(0); buf.putInt(0)
+    // mdat (8 + n): one seed-derived byte per sample
+    buf.putInt(8 + n); fourcc("mdat")
+    var i = 0
+    while (i < n) {
+      val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+      buf.put(((b * 131 + i * 31) % 256).toByte)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** [[mp4FromBytes]] as a column over a string column (UDF tier — the
+    * synthesis is demo plumbing like [[pngPayload]]/[[wavPayload]]; the
+    * PARSE side stays a codegen'd expression).
+    */
+  def mp4Payload(src: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null else mp4FromBytes(s.getBytes("UTF-8")))
     f(src)
   }
 
@@ -566,6 +685,117 @@ object MediaHeaders {
     Array(channels, rate, bits, dataSize / blockAlign)
   }
 
+  @inline private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xFFFFFFFFL) << 32) |
+      (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+  @inline private def ascii4(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Mutable accumulator for the ISO-BMFF box walk. */
+  private final class Mp4Acc {
+    var brand: String = null
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    var nSamples = 0L
+    var haveMvhd = false
+    var haveTkhd = false
+  }
+
+  /** ISO-BMFF (ISO/IEC 14496-12) header walk: boxes are
+    * `[size BE32][type 4cc][payload]` with size==1 → 64-bit largesize
+    * follows, size==0 → box extends to end of file; container boxes
+    * (moov/trak/mdia/minf/stbl) nest. Reads `ftyp` major brand, `mvhd`
+    * timescale+duration (version 0 AND 1 layouts), `tkhd` 16.16
+    * fixed-point width/height (v0/v1), `stsz` sample count. Unknown
+    * boxes (mdat/free/uuid/udta/…) are skipped by declared size; a
+    * declared size past the buffer, below the header size, or
+    * overflowing is a corrupt/truncated container → null. No word
+    * alignment — BMFF boxes pack tightly, unlike RIFF chunks.
+    *
+    * Returns `[timescale, duration, width, height, nSamples]` via the
+    * accumulator; null when not a parseable MP4 (missing ftyp/mvhd/tkhd
+    * or structurally corrupt).
+    */
+  private def mp4Walk(b: Array[Byte], start: Long, end: Long,
+                      acc: Mp4Acc): Boolean = {
+    var i = start
+    while (i + 8 <= end) {
+      val ii = i.toInt
+      var size: Long = be32(b, ii).toLong & 0xFFFFFFFFL
+      var hdr = 8L
+      if (size == 1L) {
+        if (i + 16 > end) return false
+        size = be64(b, ii + 8)
+        hdr = 16L
+      } else if (size == 0L) size = end - i
+      if (size < hdr || size > end - i) return false // corrupt/truncated
+      val p = (i + hdr).toInt
+      val payloadLen = size - hdr
+      ascii4(b, ii + 4) match {
+        case "ftyp" =>
+          if (payloadLen < 8) return false
+          acc.brand = ascii4(b, p)
+        case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+          if (!mp4Walk(b, i + hdr, i + size, acc)) return false
+        case "mvhd" =>
+          val v = u8(b, p)
+          if (v == 0) {
+            if (payloadLen < 20) return false
+            acc.timescale = be32(b, p + 12).toLong & 0xFFFFFFFFL
+            acc.duration = be32(b, p + 16).toLong & 0xFFFFFFFFL
+          } else if (v == 1) {
+            if (payloadLen < 32) return false
+            acc.timescale = be32(b, p + 20).toLong & 0xFFFFFFFFL
+            acc.duration = be64(b, p + 24)
+          } else return false
+          acc.haveMvhd = true
+        case "tkhd" =>
+          val v = u8(b, p)
+          val off = if (v == 0) 76 else if (v == 1) 88 else return false
+          if (payloadLen < off + 8) return false
+          acc.width = be32(b, p + off) >>> 16
+          acc.height = be32(b, p + off + 4) >>> 16
+          acc.haveTkhd = true
+        case "stsz" =>
+          if (payloadLen < 12) return false
+          acc.nSamples = be32(b, p + 8).toLong & 0xFFFFFFFFL
+        case _ => () // skip by size (mdat, free, uuid, stts, stco, …)
+      }
+      i += size
+    }
+    true
+  }
+
+  /** (timescale, duration, width, height, nSamples, brand) for a
+    * parseable MP4 container, null otherwise. Exposed for specs; the
+    * expression tier goes through [[videoMeta]].
+    */
+  def mp4Meta(b: Array[Byte]): (Array[Long], String) = {
+    if (b.length < 16) return null
+    val acc = new Mp4Acc
+    if (!mp4Walk(b, 0L, b.length.toLong, acc)) return null
+    if (acc.brand == null || !acc.haveMvhd || !acc.haveTkhd) return null
+    (Array(acc.timescale, acc.duration, acc.width.toLong,
+      acc.height.toLong, acc.nSamples), acc.brand)
+  }
+
+  /** Kernel for the VideoMeta expression (static-forwardable for
+    * codegen).
+    */
+  def videoMeta(bytes: Array[Byte]): InternalRow = {
+    val m = mp4Meta(bytes)
+    if (m != null)
+      InternalRow(bytes.length, Multimodal.checksum64(bytes),
+        UTF8String.fromString("mp4"), UTF8String.fromString(m._2),
+        m._1(0).toInt, m._1(1), m._1(2).toInt, m._1(3).toInt, m._1(4))
+    else
+      InternalRow(bytes.length, Multimodal.checksum64(bytes),
+        UTF8String.fromString("unknown"), UTF8String.fromString(""),
+        0, 0L, 0, 0, 0L)
+  }
+
   /** Kernel for the AudioMeta expression (static-forwardable for
     * codegen).
     */
@@ -618,6 +848,30 @@ case class AudioMeta(child: Expression) extends UnaryExpression {
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"audio_meta needs a binary argument, got $other")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** binary payload → struct<n_bytes, checksum, format, major_brand,
+  * timescale, duration, width, height, n_samples>; header-real for
+  * ISO-BMFF (MP4) containers via a full box walk, zeroed "unknown" tier
+  * otherwise. Same single-static-kernel codegen shape as [[MediaMeta]] /
+  * [[AudioMeta]].
+  */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Multimodal.VideoMetaSchema
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.videoMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.operators.MediaHeaders.videoMeta($a);")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"video_meta needs a binary argument, got $other")
     }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

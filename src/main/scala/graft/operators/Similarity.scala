@@ -491,6 +491,80 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Sign-LSH (random-hyperplane) bucketed ANN: per-query top-k via LSH
+    * candidate buckets + exact cosine re-rank — the third scale path
+    * next to [[ivfTopK]] and [[ivfPqTopK]]. Where IVF routes by learned
+    * centroids (data-dependent — needs a build pass, degrades when the
+    * corpus outgrows them; see q115's codebook history), LSH buckets
+    * are data-INDEPENDENT: no training, stable under distribution
+    * drift, and append-only friendly — a streaming upsert buckets only
+    * the new rows, no centroid refresh cycle.
+    *
+    * Plan shape (the [[graft.operators.Dedup.embeddingNearDup]] anti-OOM
+    * layout): both sides compute all `numTables` bucket ids in ONE
+    * map-only native expression pass and explode ids only — vectors
+    * never ride the bucket rows. Candidates are bucket-equality matches
+    * in ANY table, deduped on (query, neighbor) while still id-pairs;
+    * raw vectors then join back via two small-side-broadcast joins and
+    * exact cosine ranks them. The query side is broadcast while its
+    * estimate stays under `maxBroadcastQueryBytes` (same degrade
+    * contract as [[ivfTopK]]: past it both sides shuffle on
+    * (table, bucket)).
+    *
+    * Recall < 1 by design: a true neighbor at angle θ is missed iff it
+    * collides in NO table, P_miss = (1 − (1 − θ/π)^numPlanes)^numTables
+    * — tune numPlanes down / numTables up for recall, up/down for cost
+    * (expected candidates per query ≈ numTables · n / 2^numPlanes for
+    * near-orthogonal corpora). Identical vectors collide in EVERY table
+    * (recall 1.0 by construction — the q273 planted-twin law).
+    * Deterministic: hyperplanes derive from splitmix64, ties break by
+    * neighbor id.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numTables: Int = 8,
+              numPlanes: Int = 8, roundTo: Int = 6,
+              maxBroadcastQueryBytes: Long = MaxBroadcastQueryBytes): DataFrame = {
+    import graft.functions.HashFunctions
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cBands = c
+      .withColumn("__bkts",
+        HashFunctions.lshBuckets(col("cv"), numTables, numPlanes))
+      .select(col("neighbor_id"),
+        posexplode(col("__bkts")).as(Seq("tbl", "bucket")))
+    // query bands as a UNION of per-table projections, not an explode:
+    // Catalyst's size estimate through Generate is structurally blind
+    // (the broadcast_of_generate lint class), while a union's stats
+    // honestly account the numTables× multiplication — so the broadcast
+    // decision below is made on real numbers. Cost: the bucket
+    // expression re-evaluates per table, on the |Q|-bounded side only.
+    val qBands = (0 until numTables).map { t =>
+      q.select(col("query_id"), lit(t).as("tbl"),
+        element_at(HashFunctions.lshBuckets(col("qv"), numTables, numPlanes),
+          t + 1).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val cand = cBands
+      .join(graft.functions.PlanHints.broadcastIfSmall(qBands,
+        maxBroadcastQueryBytes), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    // candidate list is |Q|-bounded (ANN contract: a query batch) — the
+    // vector join-back rides two broadcasts, the corpus never shuffles
+    val scored = c
+      .join(graft.functions.PlanHints.broadcastIfSmall(cand,
+        maxBroadcastQueryBytes), Seq("neighbor_id"))
+      .join(graft.functions.PlanHints.broadcastIfSmall(q,
+        maxBroadcastQueryBytes), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-space benchmark decontamination: drop every corpus vector
     * whose cosine to ANY benchmark vector reaches `minCosine` — the
     * semantic analog of the shingle-overlap `TextAnalysis.decontaminate`

@@ -275,6 +275,52 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("LSH top-k: clustered-fixture recall, twin rank-1 guarantee, shape") {
+    // clustered fixture: 8 well-separated centers × 12 members with tiny
+    // deterministic noise (intra-cluster cosine ≈ 0.99, inter ≈ random).
+    // At numPlanes=8/numTables=8 an 8°-apart pair misses with
+    // P = (1 − (1 − θ/π)^8)^8 ≈ 1e-4 — LSH must recover same-cluster
+    // neighbors, which chance (12/96 of the corpus per bucket) would not.
+    import graft.functions.HashFunctions
+    def unit(seed: Long, dim: Int): Array[Float] = {
+      val raw = Array.tabulate(dim) { d =>
+        (HashFunctions.splitmix64(seed * 131 + d).toDouble /
+          Long.MaxValue.toDouble).toFloat
+      }
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      raw.map(_ / n)
+    }
+    val vecs = (for (c <- 0 until 8; m <- 0 until 12) yield {
+      val center = unit(c + 1L, 16)
+      val noise = unit(c * 100L + m + 50L, 16)
+      val v = center.zip(noise).map { case (a, b) => a + 0.08f * b }
+      (c * 100L + m, v)
+    }).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 100 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding",
+      k = 5, numTables = 8, numPlanes = 8)
+    val rows = approx.collect()
+    // shape: ≤ 5 ranked rows per query, no self-pairs
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length <= 5))
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH recall too low on clustered fixture: $recall")
+    // identical-twin guarantee: a duplicated vector collides in EVERY
+    // table → always a candidate, rank 1 at cosine 1.0
+    val twins = vecs.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val out2 = Similarity.lshTopK(queries, vecs.unionByName(twins),
+      "vec_id", "embedding", k = 3).collect()
+    queries.collect().map(_.getAs[Long]("vec_id")).foreach { qid =>
+      val r1 = out2.filter(r => r.getAs[Long]("query_id") == qid &&
+        r.getAs[Int]("rank") == 1)
+      assert(r1.length == 1 && r1.head.getAs[Long]("neighbor_id") == qid + 100000L
+        && r1.head.getAs[Double]("cosine") == 1.0, s"twin not rank-1 for $qid")
+    }
+  }
+
   test("embedding near-dup finds an identical-vector pair") {
     val base = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val dup = base.filter($"vec_id" === 0).withColumn("vec_id", lit(9999L))
@@ -857,6 +903,89 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_frames") == 0L)
     assert(out(2L).getAs[Long]("checksum") ==
       Multimodal.checksum64("not audio".getBytes("UTF-8")))
+  }
+
+  test("video headers: synthesized MP4 box tree parses exactly; v1/largesize/size-0 layouts; corrupt rejected") {
+    // golden synthesis: seed of 10 bytes → 25 + 10%480 = 35 samples,
+    // width 170, height 130, container 413 + 35 = 448 bytes
+    val seed = "ten bytes!".getBytes("UTF-8")
+    val mp4 = Multimodal.mp4FromBytes(seed)
+    assert(mp4.length == 448)
+    // golden ftyp box: size 24, isom brand, minor 0x200, isom+mp41 compat
+    assert(mp4.take(24).toSeq == Seq[Byte](
+      0, 0, 0, 24, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm',
+      0, 0, 2, 0, 'i', 's', 'o', 'm', 'm', 'p', '4', '1'))
+    val (fields, brand) = MediaHeaders.mp4Meta(mp4)
+    assert(brand == "isom")
+    assert(fields.toSeq == Seq(25L, 35L, 170L, 130L, 35L))
+
+    // hand-built VERSION-1 container (64-bit mvhd/tkhd field layouts) with
+    // a largesize mdat and a size-0 (extends-to-EOF) free box at the end —
+    // the layouts the synthesizer never emits, pinned by hand
+    val v1 = {
+      val buf = java.nio.ByteBuffer.allocate(24 + 240 + 16 + 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      def matrix(): Unit = { buf.putInt(0x10000); (0 until 3).foreach(_ => buf.putInt(0))
+        buf.putInt(0x10000); (0 until 3).foreach(_ => buf.putInt(0)); buf.putInt(0x40000000) }
+      buf.putInt(24); fourcc("ftyp"); fourcc("iso6"); buf.putInt(0)
+      fourcc("iso6"); fourcc("mp42")
+      buf.putInt(240); fourcc("moov")
+      buf.putInt(120); fourcc("mvhd"); buf.put(1.toByte); buf.put(Array[Byte](0, 0, 0))
+      buf.putLong(0L); buf.putLong(0L)            // creation, modification (64-bit)
+      buf.putInt(90000)                           // timescale
+      buf.putLong(123456789L)                     // duration (64-bit)
+      buf.putInt(0x10000); buf.putShort(0x100.toShort); buf.putShort(0); buf.putLong(0L)
+      matrix(); (0 until 6).foreach(_ => buf.putInt(0)); buf.putInt(2)
+      buf.putInt(112); fourcc("trak")
+      buf.putInt(104); fourcc("tkhd"); buf.put(1.toByte); buf.put(Array[Byte](0, 0, 3))
+      buf.putLong(0L); buf.putLong(0L)            // creation, modification (64-bit)
+      buf.putInt(1); buf.putInt(0)                // track_ID, reserved
+      buf.putLong(123456789L)                     // duration (64-bit)
+      buf.putLong(0L); buf.putShort(0); buf.putShort(0); buf.putShort(0); buf.putShort(0)
+      matrix(); buf.putInt(1920 << 16); buf.putInt(1080 << 16)
+      buf.putInt(1); fourcc("mdat"); buf.putLong(16L) // largesize: header-only box
+      buf.putInt(0); fourcc("free")                   // size 0: extends to EOF
+      buf.array()
+    }
+    val (f1, b1) = MediaHeaders.mp4Meta(v1)
+    assert(b1 == "iso6")
+    assert(f1.toSeq == Seq(90000L, 123456789L, 1920L, 1080L, 0L))
+
+    // rejections: plain text, truncated container (mdat declared size past
+    // the buffer), box size below the 8-byte header, declared size past
+    // the buffer (the unsigned-32 overflow guard)
+    assert(MediaHeaders.mp4Meta("plain text, not a movie box".getBytes) == null)
+    assert(MediaHeaders.mp4Meta(mp4.dropRight(10)) == null)
+    // moov size 381 (0x17D) → 4: below the 8-byte box header
+    val tiny = mp4.clone(); tiny(24 + 2) = 0; tiny(24 + 3) = 4
+    assert(MediaHeaders.mp4Meta(tiny) == null)
+    val huge = mp4.clone()
+    huge(24) = -1; huge(25) = -1; huge(26) = -1; huge(27) = -1
+    assert(MediaHeaders.mp4Meta(huge) == null)
+    // a moov-less file (mdat only after ftyp) is not a parseable movie
+    assert(MediaHeaders.mp4Meta(mp4.take(24) ++ mp4.takeRight(43)) == null)
+
+    // expression form: real fields for mp4 payloads, zeroed unknown tier
+    // otherwise; n_bytes/checksum real in BOTH tiers
+    val df = Seq((1L, mp4), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = df.select($"id", Multimodal.videoMeta($"payload").as("m"))
+      .select($"id", $"m.*").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("format") == "mp4")
+    assert(out(1L).getAs[String]("major_brand") == "isom")
+    assert(out(1L).getAs[Int]("timescale") == 25)
+    assert(out(1L).getAs[Long]("duration") == 35L)
+    assert(out(1L).getAs[Int]("width") == 170)
+    assert(out(1L).getAs[Int]("height") == 130)
+    assert(out(1L).getAs[Long]("n_samples") == 35L)
+    assert(out(1L).getAs[Int]("n_bytes") == 448)
+    assert(out(2L).getAs[String]("format") == "unknown")
+    assert(out(2L).getAs[String]("major_brand") == "")
+    assert(out(2L).getAs[Long]("n_samples") == 0L)
+    assert(out(2L).getAs[Long]("checksum") ==
+      Multimodal.checksum64("not a video".getBytes("UTF-8")))
   }
 
   test("bloom kernels: zero false negatives, false positives under the design bound") {
