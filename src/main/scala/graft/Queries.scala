@@ -8499,6 +8499,82 @@ object Queries {
                CAST(1 AS INTEGER) AS twin_rank,
                CAST(1.0 AS DOUBLE) AS twin_cosine,
                TRUE AS self_excluded
+        FROM embeddings WHERE vec_id < 20""")),
+
+    // ── q273's PERSISTED form (LshVectorIndex): the index folds in
+    //    three batches, then serves from state — no corpus recompute.
+    //    numPlanes = 0 puts every vector in one bucket, making the
+    //    serve EXACTLY brute-force top-k (the nProbe = nCells role for
+    //    IVF, q244), so the whole fold→serve path is pinned by the
+    //    same SQL-expressible exact-cosine oracle ──
+    Q("q274_lsh_index",
+      (s, d) => {
+        val root = Scratch.dir("q274-lshidx") + "/s"
+        val st = graft.operators.LshVectorIndex.State(root)
+        val emb = Tables.embeddings(s, d)
+        Seq(emb.filter(col("vec_id") % 3 === 0),
+          emb.filter(col("vec_id") % 3 === 1),
+          emb.filter(col("vec_id") % 3 === 2)).zipWithIndex.foreach {
+          case (b, i) => graft.operators.LshVectorIndex.fold(s, st, b,
+            i.toLong, "vec_id", "embedding", numTables = 4, numPlanes = 0)
+        }
+        graft.operators.LshVectorIndex.topK(s, st,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 round(list_dot_product(qv, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 5""")),
+
+    // ── right-to-erasure ON the persisted LSH index, oracle-pinned via
+    //    the planted-twin theorem: every query's identical twin
+    //    (vec_id + 1e6) collides in every table; odd queries' twins are
+    //    then ACKED via the deferred-erasure ledger (no physical
+    //    rewrite), so the serve law is exact — even queries see their
+    //    twin at rank 1, odd queries must not see it at all ──
+    Q("q275_lsh_erase_serve",
+      (s, d) => {
+        val root = Scratch.dir("q275-lshidx") + "/s"
+        val st = graft.operators.LshVectorIndex.State(root)
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val twins = emb.select(
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        graft.operators.LshVectorIndex.fold(s, st, emb, 0L,
+          "vec_id", "embedding", numTables = 8, numPlanes = 8)
+        graft.operators.LshVectorIndex.fold(s, st, twins, 1L,
+          "vec_id", "embedding", numTables = 8, numPlanes = 8)
+        graft.operators.LshVectorIndex.eraseLogical(s, st,
+          emb.filter(col("vec_id") < 20 && col("vec_id") % 2 === 1)
+            .select((col("vec_id") + 1000000L).as("vec_id")))
+        val served = graft.operators.LshVectorIndex.topK(s, st,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        val summary = served.groupBy(col("query_id"))
+          .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L,
+            col("rank"))).as("__twin_rank"),
+            max((col("neighbor_id") === col("query_id")).cast("int")).as("__slf"))
+        emb.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
+          .join(summary, Seq("query_id"), "left")
+          .select(col("query_id"),
+            col("__twin_rank").isNotNull.as("twin_served"),
+            coalesce(col("__twin_rank") === 1, lit(true))
+              .as("twin_at_top_when_served"),
+            coalesce(col("__slf") === 0, lit(true)).as("self_excluded"))
+      },
+      Some("""
+        SELECT vec_id AS query_id,
+               (vec_id % 2 = 0) AS twin_served,
+               TRUE AS twin_at_top_when_served,
+               TRUE AS self_excluded
         FROM embeddings WHERE vec_id < 20"""))
   )
 

@@ -33,7 +33,7 @@ object ScaleAudit {
     */
   val CorpusBound: Seq[String] = Seq(
     "q29_ann_ivf", "q115_ivf_pq_rerank", "q244_vector_index",
-    "q250_vector_index_refresh", "q273_ann_lsh")
+    "q250_vector_index_refresh", "q273_ann_lsh", "q274_lsh_index")
 
   def main(args: Array[String]): Unit = {
     val (a, b) = (args(0), args(1))
