@@ -223,6 +223,33 @@ object Fixtures {
     operators.VectorIndex.State(
       mutableCopy(s, d, "vector3")(base => buildVector(s, d, s"$base/s")) + "/s")
 
+  // ── hyperplane-LSH vector index family: q274's EXACT-MODE build
+  //    (numPlanes = 0 → one shared bucket → serve ≡ brute force), so
+  //    every TVF/erasure query over it stays SQL-oracle-expressible ──
+
+  private def buildLsh(s: SparkSession, d: String, root: String): Unit = {
+    val st = operators.LshVectorIndex.State(root)
+    val emb = Tables.embeddings(s, d)
+    Seq(emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2)).zipWithIndex.foreach {
+      case (b, i) => operators.LshVectorIndex.fold(s, st, b, i.toLong,
+        "vec_id", "embedding", numTables = 4, numPlanes = 0)
+    }
+  }
+
+  /** Three-batch exact-mode LSH vector index (q274's build — which
+    * stays the timed build-path query).
+    */
+  def lsh3(s: SparkSession, d: String): operators.LshVectorIndex.State =
+    operators.LshVectorIndex.State(
+      cached(s, d, "lsh3")(base => buildLsh(s, d, s"$base/s")) + "/s")
+
+  /** Private copy of [[lsh3]] for mutating queries (erasure). */
+  def lsh3Copy(s: SparkSession, d: String): operators.LshVectorIndex.State =
+    operators.LshVectorIndex.State(
+      mutableCopy(s, d, "lsh3")(base => buildLsh(s, d, s"$base/s")) + "/s")
+
   // ── MANAGED vector index family: q244's fold + one quantizer
   //    refresh, so a RETIRED generation (q1) exists on disk — the state
   //    eraseManaged must destroy ──

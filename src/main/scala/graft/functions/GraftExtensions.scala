@@ -211,6 +211,18 @@ object GraftExtensions {
         org.apache.spark.sql.SparkSession.active,
         graft.operators.ClusterIndex.State(strArg(es(0), "indexRoot")))
         .queryExecution.logical),
+    // the LSH index's family (numTables/numPlanes) is frozen IN the
+    // index state, so unlike vector_topk there is no probe-width knob —
+    // serve fidelity was fixed at first fold (numPlanes = 0 ≡ exact)
+    //   SELECT * FROM lsh_topk('/idx/l', 'queries_v', 'vec_id', 'embedding', 5)
+    "lsh_topk" -> (es =>
+      graft.operators.LshVectorIndex.topK(
+        org.apache.spark.sql.SparkSession.active,
+        graft.operators.LshVectorIndex.State(strArg(es(0), "indexRoot")),
+        table(strArg(es(1), "queries")),
+        strArg(es(2), "idCol"), strArg(es(3), "vecCol"),
+        k = numArg(es(4), "k").toInt)
+        .queryExecution.logical),
 
     // ── GOVERNANCE mutations from pure SQL — procedure-shaped TVFs:
     //    the mutation EXECUTES when the statement is analyzed (the SQL
@@ -219,7 +231,8 @@ object GraftExtensions {
     //    the reference's GDPR loop for SQL-first consumers — ack an
     //    erasure, then upgrade the pending ledgers — with no Scala in
     //    sight. `kind` names the index tier ('search' | 'vector' |
-    //    'cluster' | 'managed_vector'); subjects are passed as a
+    //    'cluster' | 'managed_vector' | 'lsh_vector'); subjects are
+    //    passed as a
     //    registered view name, the same convention as every input table
     //    here.
     //
@@ -245,9 +258,13 @@ object GraftExtensions {
           spark, subjects,
           managedVector = Seq(graft.operators.VectorIndex.Managed(root)),
           deferred = deferred)
+        case "lsh_vector" => graft.operators.ErasureSweep.eraseDerived(
+          spark, subjects,
+          lsh = Seq(graft.operators.LshVectorIndex.State(root)),
+          deferred = deferred)
         case other => throw new IllegalArgumentException(
           s"erase_subjects: unknown kind '$other' (expected search | " +
-            "vector | cluster | managed_vector)")
+            "vector | cluster | managed_vector | lsh_vector)")
       }
       receipt.queryExecution.logical
     }),
@@ -267,9 +284,12 @@ object GraftExtensions {
         case "managed_vector" =>
           val m = graft.operators.VectorIndex.Managed(root)
           Seq(graft.operators.VectorIndex.active(spark, m).postingsTable)
+        case "lsh_vector" =>
+          val st = graft.operators.LshVectorIndex.State(root)
+          Seq(st.vectorsTable, st.bandsTable)
         case other => throw new IllegalArgumentException(
           s"materialize_erasures: unknown kind '$other' (expected search " +
-            "| vector | cluster | managed_vector)")
+            "| vector | cluster | managed_vector | lsh_vector)")
       }
       // same contract as the Scala surface: the caller owns the
       // writer-quiet window (scheduled maintenance slot)

@@ -49,7 +49,8 @@ object ErasureSweep {
                    vector: Seq[VectorIndex.State] = Nil,
                    cluster: Seq[ClusterIndex.State] = Nil,
                    managedVector: Seq[VectorIndex.Managed] = Nil,
-                   deferred: Boolean = false): DataFrame = {
+                   deferred: Boolean = false,
+                   lsh: Seq[LshVectorIndex.State] = Nil): DataFrame = {
     val subj = broadcast(subjects.select(col(subjects.columns.head)
       .as("__subject")).distinct())
 
@@ -105,6 +106,24 @@ object ErasureSweep {
         }
       }
     }
+    // hyperplane-LSH indexes: subject bytes live only in `vectors`
+    // (band rows are id-only), so the count probes that table; the
+    // data-independent family means erasure never touches routing state
+    // (no retired-generation sweep exists to run — see
+    // [[LshVectorIndex.erase]])
+    lsh.foreach { st =>
+      LshVectorIndex.conflictIfRetired(spark, st) {
+        val n = found(BaseDelta.read(spark, st.vectorsTable,
+          allowSchemaEvolution = true), "id")
+        if (deferred) {
+          LshVectorIndex.eraseLogical(spark, st, subj)
+          rows += (("lsh_vector_index", st.root, "deferred", "pending", n))
+        } else {
+          LshVectorIndex.erase(spark, st, subj)
+          rows += (("lsh_vector_index", st.root, "eager", "erased", n))
+        }
+      }
+    }
     // managed (refresh-capable) vector indexes: the active generation
     // erases like a plain vector index, and RETIRED quantizer
     // generations' bytes are destroyed in both modes (see
@@ -152,9 +171,10 @@ object ErasureSweep {
                            vector: Seq[VectorIndex.State] = Nil,
                            cluster: Seq[ClusterIndex.State] = Nil,
                            managedVector: Seq[VectorIndex.Managed] = Nil,
-                           deferred: Boolean = false): DataFrame = {
+                           deferred: Boolean = false,
+                           lsh: Seq[LshVectorIndex.State] = Nil): DataFrame = {
     val receipt = eraseDerived(spark, subjects, search, vector, cluster,
-      managedVector, deferred).withColumn("sweep_id", lit(sweepId))
+      managedVector, deferred, lsh).withColumn("sweep_id", lit(sweepId))
     BaseDelta.append(spark, receiptsTable(ledgerRoot), receipt, sweepId)
     receipt
   }
@@ -173,7 +193,8 @@ object ErasureSweep {
                     search: Seq[SearchIndex.State] = Nil,
                     vector: Seq[VectorIndex.State] = Nil,
                     cluster: Seq[ClusterIndex.State] = Nil,
-                    managedVector: Seq[VectorIndex.Managed] = Nil): DataFrame = {
+                    managedVector: Seq[VectorIndex.Managed] = Nil,
+                    lsh: Seq[LshVectorIndex.State] = Nil): DataFrame = {
     def pendingAny(ts: Seq[BaseDelta.Table]): Boolean =
       ts.exists(t => BaseDelta.pendingTombstones(spark, t).nonEmpty)
     val states: Seq[(String, String, Boolean)] =
@@ -186,7 +207,9 @@ object ErasureSweep {
       managedVector.map { m =>
         val act = VectorIndex.active(spark, m)
         ("vector_index_managed", m.root, pendingAny(Seq(act.postingsTable)))
-      }
+      } ++
+      lsh.map(st => ("lsh_vector_index", st.root, pendingAny(Seq(
+        st.vectorsTable, st.bandsTable))))
     val cur = spark.createDataFrame(states)
       .toDF("artifact", "root", "__pending")
     BaseDelta.read(spark, receiptsTable(ledgerRoot))
@@ -225,7 +248,8 @@ object ErasureSweep {
                        cluster: Seq[ClusterIndex.State] = Nil,
                        managedVector: Seq[VectorIndex.Managed] = Nil,
                        tombstoneBudget: Long =
-                         BaseDelta.DefaultTombstoneBudget): DataFrame = {
+                         BaseDelta.DefaultTombstoneBudget,
+                       lsh: Seq[LshVectorIndex.State] = Nil): DataFrame = {
     // a pane BEFORE the first ledgered sweep (e.g. batch 0 of a fresh
     // streaming sink) has no receipts table yet — that is an empty
     // receipts section, not a crash
@@ -252,7 +276,7 @@ object ErasureSweep {
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], receiptSchema)
     else receiptStatus(spark, ledgerRoot, search, vector, cluster,
-        managedVector)
+        managedVector, lsh)
       .select(lit("receipt").as("component"), col("artifact"), col("root"),
         concat(lit("sweep_"), col("sweep_id").cast("string")).as("item"),
         col("current_status").as("status"),
@@ -291,7 +315,10 @@ object ErasureSweep {
       } ++
       cluster.flatMap(st => Seq(
         ledgerRow("cluster_index", st.root, "postings", st.postingsTable),
-        ledgerRow("cluster_index", st.root, "clusters", st.clustersTable)))
+        ledgerRow("cluster_index", st.root, "clusters", st.clustersTable))) ++
+      lsh.flatMap(st => Seq(
+        ledgerRow("lsh_vector_index", st.root, "vectors", st.vectorsTable),
+        ledgerRow("lsh_vector_index", st.root, "bands", st.bandsTable)))
 
     val markers = cluster.map { st =>
       val n = ClusterIndex.pendingRepairs(spark, st)
@@ -333,9 +360,10 @@ object ErasureSweep {
                             cluster: Seq[ClusterIndex.State] = Nil,
                             managedVector: Seq[VectorIndex.Managed] = Nil,
                             tombstoneBudget: Long =
-                              BaseDelta.DefaultTombstoneBudget): Unit = {
+                              BaseDelta.DefaultTombstoneBudget,
+                            lsh: Seq[LshVectorIndex.State] = Nil): Unit = {
     val snap = governanceHealth(spark, ledgerRoot, search, vector, cluster,
-        managedVector, tombstoneBudget)
+        managedVector, tombstoneBudget, lsh)
       .withColumn("as_of_batch", lit(asOfBatch))
     BaseDelta.append(spark, governancePaneTable(paneRoot), snap, asOfBatch)
     ()

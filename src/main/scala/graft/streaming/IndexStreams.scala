@@ -164,4 +164,38 @@ object IndexStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Continuously fold embeddings into the hyperplane-LSH
+    * [[graft.operators.LshVectorIndex]]. The family is data-independent,
+    * so this sink has no refresh/repair arm at all — fold + budgeted
+    * materialization is the WHOLE maintenance story (the structural
+    * contrast with [[vectorIndexStream]]'s drift-prone quantizer).
+    * Replays ride the per-table batch ledgers: a foreachBatch retry
+    * after a crash between the two appends completes only the missing
+    * side (bands recompute deterministically from the frozen planes).
+    */
+  def lshVectorIndexStream(embeddings: DataFrame,
+                           st: graft.operators.LshVectorIndex.State,
+                           checkpoint: String, idCol: String, vecCol: String,
+                           numTables: Int = 8, numPlanes: Int = 8,
+                           maxDeltas: Int = 64,
+                           trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+                           tombstoneBudget: Long = graft.gold.BaseDelta.DefaultTombstoneBudget,
+                           pane: Option[PaneConfig] = None): StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        retryConflict(5) {
+          graft.operators.LshVectorIndex.fold(b.sparkSession, st, b.toDF(),
+            id, idCol, vecCol, numTables, numPlanes, maxDeltas)
+        }
+        materializeOverBudget(Seq(st.vectorsTable, st.bandsTable),
+          b.sparkSession, tombstoneBudget)
+        pane.foreach(p =>
+          graft.operators.ErasureSweep.refreshGovernancePane(b.sparkSession,
+            p.paneRoot, id, p.ledgerRoot, lsh = Seq(st),
+            tombstoneBudget = tombstoneBudget))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

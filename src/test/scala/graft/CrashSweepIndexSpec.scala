@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.{ClusterIndex, ErasureSweep, SearchIndex, VectorIndex}
+import graft.operators.{ClusterIndex, ErasureSweep, LshVectorIndex, SearchIndex, VectorIndex}
 
 /** Crash-point sweep over the INDEX tiers' maintenance protocols
   * (model and invariants: [[CrashSweepHarness]]). Index folds commit
@@ -153,6 +153,41 @@ class CrashSweepIndexSpec extends CrashSweepHarness {
       checkMid = false))
   }
 
+  // ── lsh vector index (vectors-first / bands-last two-table fold) ─────
+  private def obsLsh(root: String): Seq[String] =
+    LshVectorIndex.topK(spark, LshVectorIndex.State(root),
+      vecs(Seq(0, 1, 2)), "vec_id", "embedding", k = 3)
+      .collect().map(_.toString).toSeq
+
+  test("crash sweep: lsh-index fold (params freeze + vectors/bands ledgered appends)") {
+    sweep(Protocol("lsh-fold",
+      setup = r => LshVectorIndex.fold(spark, LshVectorIndex.State(r),
+        vecs(0 to 5), 0L, "vec_id", "embedding", numTables = 4, numPlanes = 0),
+      op = r => LshVectorIndex.fold(spark, LshVectorIndex.State(r),
+        vecs(6 to 11), 1L, "vec_id", "embedding", numTables = 4, numPlanes = 0),
+      recover = r => LshVectorIndex.fold(spark, LshVectorIndex.State(r),
+        vecs(6 to 11), 1L, "vec_id", "embedding", numTables = 4, numPlanes = 0),
+      observe = obsLsh,
+      checkMid = false))
+  }
+
+  test("crash sweep: lsh-index eager erase (two filtered compactions + writer-safe vacuums)") {
+    val subjects = Seq(1L, 7L).toDF("vec_id")
+    def erase(r: String): Unit =
+      LshVectorIndex.erase(spark, LshVectorIndex.State(r), subjects)
+    sweep(Protocol("lsh-erase",
+      setup = r => {
+        LshVectorIndex.fold(spark, LshVectorIndex.State(r), vecs(0 to 5),
+          0L, "vec_id", "embedding", numTables = 4, numPlanes = 0)
+        LshVectorIndex.fold(spark, LshVectorIndex.State(r), vecs(6 to 11),
+          1L, "vec_id", "embedding", numTables = 4, numPlanes = 0)
+      },
+      op = erase,
+      recover = erase,
+      observe = obsLsh,
+      checkMid = false))
+  }
+
   // ── managed vector index (quantizer generations) ─────────────────────
   private def managedSetup(r: String): VectorIndex.Managed = {
     val m = VectorIndex.Managed(r)
@@ -226,24 +261,28 @@ class CrashSweepIndexSpec extends CrashSweepHarness {
     // chain is repaired by re-invoking under the SAME sweep id
     val subjects = Seq(20L).toDF("id")
     def states(r: String) = (SearchIndex.State(s"$r/search"),
-      ClusterIndex.State(s"$r/cluster"), VectorIndex.State(s"$r/vector"))
+      ClusterIndex.State(s"$r/cluster"), VectorIndex.State(s"$r/vector"),
+      LshVectorIndex.State(s"$r/lsh"))
     def setup(r: String): Unit = {
-      val (sst, cst, vst) = states(r)
+      val (sst, cst, vst, lst) = states(r)
       SearchIndex.fold(spark, sst, clusterBatch0, 0L, "doc_id", "text")
       SearchIndex.fold(spark, sst, clusterBatch1, 1L, "doc_id", "text")
       ClusterIndex.fold(spark, cst, clusterBatch0, 0L, "doc_id", "text")
       ClusterIndex.fold(spark, cst, clusterBatch1, 1L, "doc_id", "text")
       VectorIndex.fold(spark, vst, vecs(Seq(10, 11, 20, 21, 30, 40)), 0L,
         "vec_id", "embedding", nCells = 2)
+      LshVectorIndex.fold(spark, lst, vecs(Seq(10, 11, 20, 21, 30, 40)), 0L,
+        "vec_id", "embedding", numTables = 4, numPlanes = 0)
     }
     def runSweep(r: String): Unit = {
-      val (sst, cst, vst) = states(r)
+      val (sst, cst, vst, lst) = states(r)
       ErasureSweep.eraseDerivedLedgered(spark, s"$r/receipts", 1L, subjects,
-        search = Seq(sst), vector = Seq(vst), cluster = Seq(cst))
+        search = Seq(sst), vector = Seq(vst), cluster = Seq(cst),
+        lsh = Seq(lst))
       ()
     }
     def observe(r: String): Seq[String] = {
-      val (sst, cst, vst) = states(r)
+      val (sst, cst, vst, lst) = states(r)
       val serving =
         SearchIndex.search(spark, sst, Seq("alpha", "one", "lonely"))
           .collect().map(x => s"search:$x").toSeq ++
@@ -251,11 +290,15 @@ class CrashSweepIndexSpec extends CrashSweepHarness {
           .collect().map(x => s"cluster:$x").toSeq ++
         VectorIndex.topK(spark, vst, vecs(Seq(10, 30)), "vec_id",
           "embedding", k = 3, nProbe = 2)
-          .collect().map(x => s"topk:$x").toSeq
+          .collect().map(x => s"topk:$x").toSeq ++
+        LshVectorIndex.topK(spark, lst, vecs(Seq(10, 30)), "vec_id",
+          "embedding", k = 3)
+          .collect().map(x => s"lshtopk:$x").toSeq
       val receipts =
         if (!SnapshotExists.receipts(spark, s"$r/receipts")) Seq.empty
         else ErasureSweep.receiptStatus(spark, s"$r/receipts",
-            search = Seq(sst), vector = Seq(vst), cluster = Seq(cst))
+            search = Seq(sst), vector = Seq(vst), cluster = Seq(cst),
+            lsh = Seq(lst))
           .select("sweep_id", "artifact", "status", "current_status")
           .collect().map(x => s"receipt:$x").toSeq
       serving ++ receipts

@@ -303,6 +303,51 @@ class ErasureSpec extends SparkSpec {
       ClusterIndex.clusters(spark, c2)))
   }
 
+  test("eraseDerived: lsh tier — eager equals by-hand erase, deferred acks through ledgers") {
+    import graft.operators.{ErasureSweep, LshVectorIndex, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" <= 40)
+    def fresh() = {
+      val st = LshVectorIndex.State(tmpDir("sw-lsh") + "/s")
+      LshVectorIndex.fold(spark, st, emb, 0L, "vec_id", "embedding",
+        numTables = 4, numPlanes = 0)
+      st
+    }
+    val subjects = Seq(1L, 3L, 999L).toDF("id") // 999: absent
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val probes = emb.filter($"vec_id" > 30)
+    val survivors = emb.filter(!$"vec_id".isin(1L, 3L))
+    val exact = Similarity.bruteForceTopK(probes, survivors, "vec_id",
+      "embedding", k = 3)
+
+    // eager: receipt counts subject rows on `vectors` only; serving
+    // equals brute force over the survivors
+    val e1 = fresh()
+    val receipt = ErasureSweep.eraseDerived(spark, subjects, lsh = Seq(e1))
+      .select("artifact", "mode", "status", "n_subject_rows")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(receipt == Set(("lsh_vector_index", "eager", "erased", 2L)))
+    assert(same(LshVectorIndex.topK(spark, e1, probes, "vec_id",
+      "embedding", k = 3), exact))
+    // idempotent re-invoke converges to zero subject rows
+    assert(ErasureSweep.eraseDerived(spark, subjects, lsh = Seq(e1))
+      .select("n_subject_rows").collect().map(_.getLong(0)).toSet == Set(0L))
+
+    // deferred: pending ack, serving excludes the subjects NOW; the
+    // family (and its frozen params) are untouched
+    val e2 = fresh()
+    val dReceipt = ErasureSweep.eraseDerived(spark, subjects,
+      lsh = Seq(e2), deferred = true)
+      .select("artifact", "mode", "status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(dReceipt == Set(("lsh_vector_index", "deferred", "pending")))
+    assert(same(LshVectorIndex.topK(spark, e2, probes, "vec_id",
+      "embedding", k = 3), exact))
+    assert(LshVectorIndex.params(spark, e2).contains((4, 0)))
+  }
+
   test("receipts ledger: crash-resweep records both passes; readout upgrades pending to materialized") {
     import graft.operators.{ErasureSweep, SearchIndex, VectorIndex}
     import graft.gold.BaseDelta

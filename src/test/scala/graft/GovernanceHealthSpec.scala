@@ -89,6 +89,35 @@ class GovernanceHealthSpec extends SparkSpec {
       col("status") === "clear").count() == 3)
   }
 
+  test("lsh artifact: pane tracks both ledgers; receipt upgrades on materialization") {
+    import graft.operators.LshVectorIndex
+    val st = LshVectorIndex.State(tmpDir("gh-lsh") + "/s")
+    LshVectorIndex.fold(spark,
+      st, Tables.embeddings(spark, d).filter(col("vec_id") <= 40),
+      0L, "vec_id", "embedding", numTables = 4, numPlanes = 4)
+    val ledger = tmpDir("gh-ledger3") + "/r"
+    ErasureSweep.eraseDerivedLedgered(spark, ledger, 1L,
+      Seq(2L, 9L).toDF("id"), lsh = Seq(st), deferred = true)
+    val before = ErasureSweep.governanceHealth(spark, ledger, lsh = Seq(st))
+    assert(before.filter(col("component") === "receipt" &&
+      col("artifact") === "lsh_vector_index" &&
+      col("status") === "pending").count() == 1)
+    // one ledger row per state table, both pending after the deferred ack
+    assert(before.filter(col("component") === "tombstone_ledger" &&
+      col("artifact") === "lsh_vector_index" &&
+      col("status") === "pending")
+      .select("item").collect().map(_.getString(0)).toSet ==
+      Set("vectors", "bands"))
+    Seq(st.vectorsTable, st.bandsTable)
+      .foreach(t => graft.gold.BaseDelta.materializeErasures(spark, t))
+    val after = ErasureSweep.governanceHealth(spark, ledger, lsh = Seq(st))
+    val receipt = after.filter(col("component") === "receipt").collect().head
+    assert(receipt.getAs[String]("status") == "materialized" &&
+      receipt.getAs[String]("action") == "ok")
+    assert(after.filter(col("component") === "tombstone_ledger" &&
+      col("status") === "clear").count() == 2)
+  }
+
   test("streaming pane: per-batch snapshots match a direct governanceHealth at every boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

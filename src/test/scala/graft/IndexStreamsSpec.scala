@@ -193,4 +193,41 @@ class IndexStreamsSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "streamed vector index diverges from brute force")
   }
+
+  test("lsh index stream: exact-mode serve equals brute force; pane snapshots land per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{ErasureSweep, LshVectorIndex}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val st = LshVectorIndex.State(tmpDir("lis") + "/s")
+    val pane = IndexStreams.PaneConfig(tmpDir("lis-pane") + "/p",
+      tmpDir("lis-ledger") + "/r")
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = IndexStreams.lshVectorIndexStream(
+      ms.toDF().toDF("vec_id", "embedding"), st, tmpDir("lis-ckpt"),
+      "vec_id", "embedding", numTables = 4, numPlanes = 0,
+      trigger = Trigger.ProcessingTime(0), pane = Some(pane))
+    ms.addData(rows.take(50).toSeq); q.processAllAvailable()
+    q.processAllAvailable() // empty trigger between data batches
+    ms.addData(rows.drop(50).toSeq); q.processAllAvailable()
+    q.stop()
+    val queries = emb.filter($"vec_id" < 10)
+    val got = LshVectorIndex.topK(spark, st, queries, "vec_id",
+      "embedding", k = 5)
+    val expected = Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", k = 5)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streamed lsh index diverges from brute force")
+    // the pane mart holds one clear-ledger snapshot per non-empty batch,
+    // and the latest snapshot matches a direct governanceHealth call
+    val latest = ErasureSweep.governancePaneLatest(spark, pane.paneRoot)
+      .drop("as_of_batch")
+    val direct = ErasureSweep.governanceHealth(spark, pane.ledgerRoot,
+      lsh = Seq(st))
+    assert(latest.exceptAll(direct).isEmpty && direct.exceptAll(latest).isEmpty,
+      "streamed pane snapshot diverges from direct governanceHealth")
+    assert(latest.filter(col("component") === "tombstone_ledger").count() == 2)
+  }
 }
