@@ -8575,7 +8575,170 @@ object Queries {
                (vec_id % 2 = 0) AS twin_served,
                TRUE AS twin_at_top_when_served,
                TRUE AS self_excluded
-        FROM embeddings WHERE vec_id < 20"""))
+        FROM embeddings WHERE vec_id < 20""")),
+
+    // ── the persisted LSH index from pure SQL (lsh_topk TVF over the
+    //    cached exact-mode fixture) — the q261 recipe for the new tier:
+    //    serve plan identical to the Scala API's, raw corpus never read
+    //    at query time, brute-force oracle via numPlanes = 0 ──
+    Q("q276_sql_tvf_lsh",
+      (s, d) => {
+        val st = Fixtures.lsh3(s, d)
+        graft.functions.GraftExtensions.register(s)
+        Tables.embeddings(s, d).filter(col("vec_id") < 20)
+          .createOrReplaceTempView("lsh_queries_tvf")
+        s.sql(s"""
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM lsh_topk('${st.root}', 'lsh_queries_tvf',
+                        'vec_id', 'embedding', 5)""")
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 round(list_dot_product(qv, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 5""")),
+
+    // ── the GDPR loop on the LSH tier from pure SQL (q267's recipe):
+    //    erase_subjects('lsh_vector', …, deferred) acks through the
+    //    tombstone ledgers, materialize_erasures upgrades them, and the
+    //    post-erasure lsh_topk serve must equal brute force over the
+    //    SURVIVORS — erased vectors gone as neighbors, exact mode makes
+    //    the whole readout SQL-expressible ──
+    Q("q277_sql_lsh_erase",
+      (s, d) => {
+        graft.functions.GraftExtensions.register(s)
+        val st = Fixtures.lsh3Copy(s, d)
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) === 2)
+          .select(col("vec_id")).createOrReplaceTempView("subjects_q277")
+        s.sql(s"""SELECT * FROM erase_subjects('lsh_vector', '${st.root}',
+          'subjects_q277', true)""").collect()
+        s.sql(s"""SELECT * FROM materialize_erasures('lsh_vector',
+          '${st.root}')""").collect()
+        Tables.embeddings(s, d).filter(col("vec_id") < 20)
+          .createOrReplaceTempView("lsh_queries_q277")
+        s.sql(s"""
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM lsh_topk('${st.root}', 'lsh_queries_q277',
+                        'vec_id', 'embedding', 5)""")
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 2),
+        scored AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 round(list_dot_product(qv, embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+          FROM corp, q WHERE vec_id <> query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 5""")),
+
+    // ── concat-and-chunk sequence packing (Sampling.packSequences): the
+    //    pretraining layout — fixed 512-token context windows cut from
+    //    the shard-concatenated token stream, one segment row per
+    //    (document, chunk) with exact token coordinates. Pure function
+    //    of (doc_id, token count) → fully SQL-expressible: the oracle
+    //    recomputes the same salted-hash shard/order, running cumsum,
+    //    and boundary-straddle explode ──
+    Q("q278_pack_sequences",
+      (s, d) => {
+        val lens = Tables.documents(s, d)
+          .withColumn("tok_len", size(TextAnalysis.tokens(col("text"))))
+        operators.Sampling.packSequences(lens, "doc_id", "tok_len",
+          capacity = 512, nShards = 8)
+      },
+      Some("""
+        WITH lens AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS tok_len
+          FROM documents),
+        p AS (
+          SELECT doc_id, tok_len,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR || 'pack-shard'), 1, 8))::UBIGINT
+                        % 8 AS BIGINT) AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'pack-pos'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS r
+          FROM lens WHERE tok_len > 0),
+        o AS (
+          SELECT doc_id, tok_len, shard,
+                 CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY r ASC, doc_id ASC) AS BIGINT) AS pos,
+                 CAST(SUM(tok_len) OVER (PARTITION BY shard
+                   ORDER BY r ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+          FROM p),
+        seg AS (
+          SELECT doc_id, shard, pos, e - tok_len AS s, e,
+                 unnest(generate_series((e - tok_len) // 512, (e - 1) // 512)) AS chunk
+          FROM o)
+        SELECT doc_id, shard, pos, chunk,
+               GREATEST(s - chunk * 512, 0) AS chunk_offset,
+               GREATEST(chunk * 512 - s, 0) AS seg_start,
+               LEAST(e, chunk * 512 + 512) - GREATEST(s, chunk * 512) AS seg_len
+        FROM seg""")),
+
+    // ── packing audit (Sampling.packingStats): per-shard chunk/token
+    //    totals, straddle counts, and the fill ratio — 1.0 everywhere
+    //    except each shard's final partial chunk by construction, so
+    //    the layout's only waste is nShards tails. Output bounded by
+    //    nShards ──
+    Q("q279_packing_stats",
+      (s, d) => {
+        val lens = Tables.documents(s, d)
+          .withColumn("tok_len", size(TextAnalysis.tokens(col("text"))))
+        operators.Sampling.packingStats(
+          operators.Sampling.packSequences(lens, "doc_id", "tok_len",
+            capacity = 512, nShards = 8),
+          capacity = 512)
+      },
+      Some("""
+        WITH lens AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS tok_len
+          FROM documents),
+        p AS (
+          SELECT doc_id, tok_len,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR || 'pack-shard'), 1, 8))::UBIGINT
+                        % 8 AS BIGINT) AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'pack-pos'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS r
+          FROM lens WHERE tok_len > 0),
+        o AS (
+          SELECT doc_id, tok_len, shard,
+                 CAST(SUM(tok_len) OVER (PARTITION BY shard
+                   ORDER BY r ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+          FROM p),
+        seg AS (
+          SELECT doc_id, shard, e - tok_len AS s, e,
+                 unnest(generate_series((e - tok_len) // 512, (e - 1) // 512)) AS chunk
+          FROM o),
+        segc AS (
+          SELECT shard, chunk,
+                 GREATEST(chunk * 512 - s, 0) AS seg_start,
+                 LEAST(e, chunk * 512 + 512) - GREATEST(s, chunk * 512) AS seg_len
+          FROM seg)
+        SELECT shard,
+               CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN seg_start > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles,
+               CAST(SUM(seg_len) AS BIGINT) AS total_tokens,
+               round(CAST(SUM(seg_len) AS DOUBLE) /
+                 (COUNT(DISTINCT chunk) * 512.0), 6) AS fill_ratio
+        FROM segc GROUP BY 1"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

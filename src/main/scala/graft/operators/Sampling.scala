@@ -249,6 +249,82 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Concat-and-chunk sequence packing — the pretraining data layout
+    * that turns a variable-length document corpus into fixed
+    * `capacity`-token context windows with ZERO padding waste: within
+    * each shard ([[trainingOrder]]'s salted-hash coordinate system),
+    * documents concatenate in the deterministic pseudo-random order and
+    * the token stream is cut every `capacity` tokens; a document
+    * straddling a cut contributes one SEGMENT row per chunk it touches.
+    *
+    * Output: one row per (document, chunk) segment —
+    * `(key, shard, pos, chunk, chunk_offset, seg_start, seg_len)`,
+    * where `chunk` is the GLOBAL chunk ordinal (over the shard-
+    * concatenated stream), `chunk_offset` the segment's first token
+    * position within its chunk, `seg_start` its first token within the
+    * document. Every chunk except each shard's last is exactly
+    * `capacity` tokens of real data — the attention-mask boundaries are
+    * the segment rows themselves.
+    *
+    * Scale: one shuffle (the shard window — each shard sorts ~1/nShards
+    * of the corpus, the same no-global-sort shape as [[trainingOrder]]);
+    * the segment explode adds at most `ceil(len/capacity)` rows per
+    * document. All coordinates are pure functions of (key, token count),
+    * so the layout reproduces bit-identically across runs, retries, and
+    * engines. Zero-length documents are dropped (they occupy no tokens).
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenLenCol: String,
+                    capacity: Int, nShards: Int,
+                    salt: String = "pack"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shard = pmod(
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt + "-shard"))),
+        1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashFraction(col(keyCol), salt + "-pos").asc, col(keyCol).asc)
+    val cap = lit(capacity.toLong)
+    df.filter(col(tokenLenCol) > 0)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("__end", sum(col(tokenLenCol).cast("long")).over(w))
+      .withColumn("__start", col("__end") - col(tokenLenCol).cast("long"))
+      // chunks covered: floor(start/cap) .. floor((end-1)/cap), inclusive
+      // (len >= 1 makes the range non-empty); token totals stay far under
+      // 2^53, so the floor-div through double is exact
+      .withColumn("chunk", explode(sequence(
+        floor(col("__start") / cap).cast("long"),
+        floor((col("__end") - 1) / cap).cast("long"))))
+      .withColumn("__cstart", col("chunk") * cap)
+      .select(col(keyCol), col("shard"), col("pos"), col("chunk"),
+        greatest(col("__start") - col("__cstart"), lit(0L)).as("chunk_offset"),
+        greatest(col("__cstart") - col("__start"), lit(0L)).as("seg_start"),
+        (least(col("__end"), col("__cstart") + cap) -
+          greatest(col("__start"), col("__cstart"))).as("seg_len"))
+  }
+
+  /** Packing audit over [[packSequences]] output: per-shard chunk count,
+    * token totals, straddle count (segments that continue a document
+    * from a previous chunk), and the fill ratio — which is 1.0 on every
+    * chunk except each shard's final partial one, by construction, so
+    * `fill_ratio ≈ 1 - waste` and the only waste is nShards tails. One
+    * hash aggregation, output bounded by nShards.
+    */
+  def packingStats(segments: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    segments.groupBy(col("shard"))
+      .agg(
+        countDistinct(col("chunk")).as("n_chunks"),
+        count(lit(1)).as("n_segments"),
+        sum((col("seg_start") > 0).cast("long")).as("n_straddles"),
+        sum(col("seg_len")).as("total_tokens"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast("double") /
+          (col("n_chunks") * lit(capacity.toDouble)), 6))
+  }
+
   /** Equi-depth binning: per stratum, NTILE(nBins) over the
     * (metric, key) total order — bins within a stratum hold equal row
     * counts (±1), the curriculum-bucket / quality-tier assignment that

@@ -128,6 +128,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: exact tiling for any corpus and capacity") {
+    val geomGen = for {
+      nDocs <- Gen.choose(1, 60)
+      cap <- Gen.choose(2, 50)
+      shards <- Gen.choose(1, 5)
+      lens <- Gen.listOfN(nDocs, Gen.choose(0, 120))
+    } yield (cap, shards, lens)
+    samples(geomGen, 20).foreach { case (cap, shards, lens) =>
+      val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l.toLong) }
+        .toDF("doc_id", "tok_len")
+      val segs = graft.operators.Sampling.packSequences(
+        df, "doc_id", "tok_len", cap, shards).collect()
+      // per-document: segment lengths sum to the doc's token count, and
+      // segments tile the doc contiguously from token 0
+      val byDoc = segs.groupBy(_.getAs[Long]("doc_id"))
+      val expected = lens.zipWithIndex.filter(_._1 > 0)
+      assert(byDoc.keySet == expected.map(_._2.toLong).toSet)
+      expected.foreach { case (l, id) =>
+        val rows = byDoc(id.toLong).sortBy(_.getAs[Long]("chunk"))
+        assert(rows.map(_.getAs[Long]("seg_len")).sum == l.toLong,
+          s"doc $id len $l cap $cap")
+        val starts = rows.map(_.getAs[Long]("seg_start"))
+        val tiled = rows.map(_.getAs[Long]("seg_len")).scanLeft(0L)(_ + _).init
+        assert(starts.toSeq == tiled.toSeq, s"doc $id segments not contiguous")
+      }
+      // per-chunk: every chunk is exactly `cap` tokens except each
+      // shard's LAST chunk, and chunk offsets tile each chunk
+      segs.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk")))
+        .foreach { case ((sh, ch), rows) =>
+          val fill = rows.map(_.getAs[Long]("seg_len")).sum
+          val lastChunk = segs.filter(_.getAs[Long]("shard") == sh)
+            .map(_.getAs[Long]("chunk")).max
+          assert(fill == cap.toLong || (ch == lastChunk && fill < cap),
+            s"shard $sh chunk $ch fill $fill cap $cap")
+          val sorted = rows.sortBy(_.getAs[Long]("chunk_offset"))
+          val tiled = sorted.map(_.getAs[Long]("seg_len")).scanLeft(0L)(_ + _).init
+          assert(sorted.map(_.getAs[Long]("chunk_offset")).toSeq == tiled.toSeq,
+            s"shard $sh chunk $ch offsets don't tile")
+        }
+      // determinism under repartitioning
+      val again = graft.operators.Sampling.packSequences(
+        df.repartition(7), "doc_id", "tok_len", cap, shards).collect()
+      assert(again.map(_.toString).sorted.toSeq ==
+        segs.map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("cluster resolution matches reference union-find on random graphs") {
     val graphGen = Gen.listOf(for {
       a <- Gen.choose(1L, 20L)
