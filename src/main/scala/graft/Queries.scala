@@ -8738,7 +8738,51 @@ object Queries {
                CAST(SUM(seg_len) AS BIGINT) AS total_tokens,
                round(CAST(SUM(seg_len) AS DOUBLE) /
                  (COUNT(DISTINCT chunk) * 512.0), 6) AS fill_ratio
-        FROM segc GROUP BY 1"""))
+        FROM segc GROUP BY 1""")),
+
+    // ── boundary-respecting greedy packing (packGreedyNoSplit): next-fit
+    //    with NO document splits — the layout when a doc must never
+    //    straddle a context window. History-dependent running fill →
+    //    the documented mapPartitions scan on the Spark side; the oracle
+    //    walks the same per-shard order with a recursive CTE, so every
+    //    chunk assignment and offset is pinned exactly ──
+    Q("q280_pack_nosplit",
+      (s, d) => {
+        val lens = Tables.documents(s, d)
+          .withColumn("tok_len", size(TextAnalysis.tokens(col("text"))))
+        operators.Sampling.packGreedyNoSplit(lens, "doc_id", "tok_len",
+          capacity = 512, nShards = 8)
+      },
+      Some("""
+        WITH RECURSIVE lens AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS tok_len
+          FROM documents),
+        p AS (
+          SELECT doc_id, tok_len,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR || 'pack-shard'), 1, 8))::UBIGINT
+                        % 8 AS BIGINT) AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || 'pack-pos'), 1, 8))::UBIGINT
+                   / 4294967296.0 AS r
+          FROM lens WHERE tok_len > 0),
+        o AS (
+          SELECT doc_id, tok_len, shard,
+                 CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY r ASC, doc_id ASC) AS BIGINT) AS pos
+          FROM p),
+        walk AS (
+          SELECT doc_id, shard, pos, tok_len,
+                 CAST(0 AS BIGINT) AS chunk, CAST(0 AS BIGINT) AS chunk_offset
+          FROM o WHERE pos = 1
+          UNION ALL
+          SELECT o.doc_id, o.shard, o.pos, o.tok_len,
+                 CASE WHEN w.chunk_offset + w.tok_len + o.tok_len > 512
+                      THEN w.chunk + 1 ELSE w.chunk END,
+                 CASE WHEN w.chunk_offset + w.tok_len + o.tok_len > 512
+                      THEN CAST(0 AS BIGINT)
+                      ELSE w.chunk_offset + w.tok_len END
+          FROM walk w JOIN o ON o.shard = w.shard AND o.pos = w.pos + 1)
+        SELECT doc_id, shard, pos, chunk, chunk_offset, tok_len FROM walk"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

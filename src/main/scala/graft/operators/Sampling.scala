@@ -305,6 +305,75 @@ object Sampling {
           greatest(col("__start"), col("__cstart"))).as("seg_len"))
   }
 
+  /** Boundary-respecting greedy packing (next-fit, NO document splits):
+    * the layout used when a document must never straddle a context
+    * window (no cross-document attention contamination without masks).
+    * Within each shard ([[trainingOrder]]'s coordinate system) documents
+    * are taken in the deterministic order and appended to the current
+    * chunk while they fit; a document that would overflow STARTS a new
+    * chunk. Exactly one row per document —
+    * `(key, shard, pos, chunk, chunk_offset, tok_len)` — and waste is
+    * bounded per chunk by the shard's longest document.
+    *
+    * Next-fit's running fill is history-dependent, so this is the
+    * documented mapPartitions-as-last-resort case: no window/cumsum
+    * expresses it. The scan is still scale-shaped — one narrow
+    * projection shuffles on shard, each task streams its shards'
+    * sorted rows with O(1) state, shard-parallel like every other
+    * coordinate op here. Documents longer than `capacity` fail loudly
+    * (pre-chunk them via TextAnalysis.chunk or use [[packSequences]],
+    * which splits); zero-length documents are dropped.
+    */
+  def packGreedyNoSplit(df: DataFrame, keyCol: String, tokenLenCol: String,
+                        capacity: Int, nShards: Int,
+                        salt: String = "pack"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shard = pmod(
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt + "-shard"))),
+        1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashFraction(col(keyCol), salt + "-pos").asc, col(keyCol).asc)
+    val keyField = df.schema(keyCol)
+    val outSchema = StructType(Seq(keyField,
+      StructField("shard", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("chunk", LongType, nullable = false),
+      StructField("chunk_offset", LongType, nullable = false),
+      StructField("tok_len", LongType, nullable = false)))
+    val cap = capacity.toLong
+    df.filter(col(tokenLenCol) > 0)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"),
+        col(tokenLenCol).cast("long").as("__len"))
+      // whole shards per task, rows pre-sorted: the scan below is a
+      // straight iterator pass with O(1) state, resetting on shard change
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .mapPartitions { rows =>
+        var curShard = -1L
+        var chunk = -1L
+        var fill = cap // forces a fresh chunk on the first row
+        rows.map { r =>
+          val sh = r.getLong(1)
+          val len = r.getLong(3)
+          if (len > cap) throw new IllegalArgumentException(
+            s"packGreedyNoSplit: document ${r.get(0)} has $len tokens > " +
+              s"capacity $cap — pre-chunk it or use packSequences")
+          if (sh != curShard) { curShard = sh; chunk = -1L; fill = cap }
+          if (fill + len > cap) { chunk += 1L; fill = 0L }
+          val off = fill
+          fill += len
+          Row(r.get(0), sh, r.getLong(2), chunk, off, len)
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Packing audit over [[packSequences]] output: per-shard chunk count,
     * token totals, straddle count (segments that continue a document
     * from a previous chunk), and the fill ratio — which is 1.0 on every

@@ -175,6 +175,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("no-split packing matches a sequential next-fit reference; never splits or overflows") {
+    val geomGen = for {
+      nDocs <- Gen.choose(1, 60)
+      cap <- Gen.choose(5, 60)
+      shards <- Gen.choose(1, 5)
+      lens <- Gen.listOfN(nDocs, Gen.choose(0, 60))
+    } yield (cap, shards, lens.map(math.min(_, cap))) // contract: len <= cap
+    samples(geomGen, 15).foreach { case (cap, shards, lens) =>
+      val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l.toLong) }
+        .toDF("doc_id", "tok_len")
+      val got = graft.operators.Sampling.packGreedyNoSplit(
+          df, "doc_id", "tok_len", cap, shards)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("pos"), r.getAs[Long]("chunk"),
+          r.getAs[Long]("chunk_offset"), r.getAs[Long]("tok_len")))
+      // reference: sequential next-fit over the engine's own (shard, pos)
+      // order — the scan semantics, re-derived independently
+      val expected = got.map(t => (t._2, t._3) -> t).toMap // keyed coords
+      got.groupBy(_._2).foreach { case (sh, rows) =>
+        var chunk = -1L; var fill = cap.toLong
+        rows.sortBy(_._3).foreach { case (id, _, pos, gotChunk, gotOff, len) =>
+          if (fill + len > cap) { chunk += 1; fill = 0 }
+          assert(gotChunk == chunk && gotOff == fill,
+            s"doc $id shard $sh pos $pos: got ($gotChunk,$gotOff) want ($chunk,$fill)")
+          fill += len
+          assert(fill <= cap, s"chunk overflow on doc $id")
+        }
+      }
+      // exactly one row per positive-length doc; pos is 1..n per shard
+      assert(got.length == lens.count(_ > 0))
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+      }
+      assert(expected.size == got.length) // (shard,pos) unique
+      // oversized doc fails loudly
+      if (lens.nonEmpty) {
+        val bad = Seq((999L, cap + 1L)).toDF("doc_id", "tok_len")
+        val e = intercept[org.apache.spark.SparkException] {
+          graft.operators.Sampling.packGreedyNoSplit(
+            bad, "doc_id", "tok_len", cap, shards).collect()
+        }
+        assert(e.getMessage != null)
+      }
+    }
+  }
+
   test("cluster resolution matches reference union-find on random graphs") {
     val graphGen = Gen.listOf(for {
       a <- Gen.choose(1L, 20L)
