@@ -8657,7 +8657,7 @@ object Queries {
       (s, d) => {
         val lens = Tables.documents(s, d)
           .withColumn("tok_len", size(TextAnalysis.tokens(col("text"))))
-        operators.Sampling.packSequences(lens, "doc_id", "tok_len",
+        operators.Packing.packSegments(lens, "doc_id", "tok_len",
           capacity = 512, nShards = 8)
       },
       Some("""
@@ -8699,8 +8699,8 @@ object Queries {
       (s, d) => {
         val lens = Tables.documents(s, d)
           .withColumn("tok_len", size(TextAnalysis.tokens(col("text"))))
-        operators.Sampling.packingStats(
-          operators.Sampling.packSequences(lens, "doc_id", "tok_len",
+        operators.Packing.packStats(
+          operators.Packing.packSegments(lens, "doc_id", "tok_len",
             capacity = 512, nShards = 8),
           capacity = 512)
       },
@@ -8750,7 +8750,7 @@ object Queries {
       (s, d) => {
         val lens = Tables.documents(s, d)
           .withColumn("tok_len", size(TextAnalysis.tokens(col("text"))))
-        operators.Sampling.packGreedyNoSplit(lens, "doc_id", "tok_len",
+        operators.Packing.packNoSplit(lens, "doc_id", "tok_len",
           capacity = 512, nShards = 8)
       },
       Some("""

@@ -138,7 +138,7 @@ class PropertySpec extends SparkSpec {
     samples(geomGen, 20).foreach { case (cap, shards, lens) =>
       val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l.toLong) }
         .toDF("doc_id", "tok_len")
-      val segs = graft.operators.Sampling.packSequences(
+      val segs = graft.operators.Packing.packSegments(
         df, "doc_id", "tok_len", cap, shards).collect()
       // per-document: segment lengths sum to the doc's token count, and
       // segments tile the doc contiguously from token 0
@@ -168,7 +168,7 @@ class PropertySpec extends SparkSpec {
             s"shard $sh chunk $ch offsets don't tile")
         }
       // determinism under repartitioning
-      val again = graft.operators.Sampling.packSequences(
+      val again = graft.operators.Packing.packSegments(
         df.repartition(7), "doc_id", "tok_len", cap, shards).collect()
       assert(again.map(_.toString).sorted.toSeq ==
         segs.map(_.toString).sorted.toSeq)
@@ -185,7 +185,7 @@ class PropertySpec extends SparkSpec {
     samples(geomGen, 15).foreach { case (cap, shards, lens) =>
       val df = lens.zipWithIndex.map { case (l, i) => (i.toLong, l.toLong) }
         .toDF("doc_id", "tok_len")
-      val got = graft.operators.Sampling.packGreedyNoSplit(
+      val got = graft.operators.Packing.packNoSplit(
           df, "doc_id", "tok_len", cap, shards)
         .collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
@@ -214,7 +214,7 @@ class PropertySpec extends SparkSpec {
       if (lens.nonEmpty) {
         val bad = Seq((999L, cap + 1L)).toDF("doc_id", "tok_len")
         val e = intercept[org.apache.spark.SparkException] {
-          graft.operators.Sampling.packGreedyNoSplit(
+          graft.operators.Packing.packNoSplit(
             bad, "doc_id", "tok_len", cap, shards).collect()
         }
         assert(e.getMessage != null)
