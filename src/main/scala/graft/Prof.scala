@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * SparkListener and prints, per query, total wall time plus per-job wall time
   * keyed by the action's call site — which line of which operator paid.
   *
+  * It also runs a 20 ms sampling profiler over the DRIVER thread while the
+  * query runs: the "gap" (total − Σ job wall time) is driver-side work —
+  * planning, manifest/dir metadata, hardlink farms — invisible to the
+  * listener, and the sampler names the graft frame that owns it.
+  *
   * Usage: runMain graft.Prof <sfDir> <q1,q2,...> [runs]
   */
 object Prof {
@@ -26,13 +31,17 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // (callSite, startedNs) per jobId; finished jobs accumulate into rows
+    // (site, startedNs) per jobId; finished jobs accumulate into rows
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+        // callSite lands in different property keys across Spark versions;
+        // fall back to the result stage's name (which embeds the call site)
+        val p = Option(js.properties)
+        val site = p.flatMap(pp => Option(pp.getProperty("callSite.short")))
+          .orElse(p.flatMap(pp => Option(pp.getProperty("spark.job.callSite.short"))))
+          .orElse(js.stageInfos.lastOption.map(_.name))
           .getOrElse("?")
         starts.put(js.jobId, (site, System.nanoTime()))
       }
@@ -56,11 +65,33 @@ object Prof {
     names.foreach { name =>
       (1 to runs).foreach { r =>
         rows.clear()
+        // driver-thread sampler: collapse each sample to its deepest
+        // graft.* frame (excluding Prof itself) so the gap time names the
+        // operator method that owns it
+        val driver = Thread.currentThread()
+        val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val st = driver.getStackTrace
+            val frame = st.find { e =>
+              val c = e.getClassName
+              c.startsWith("graft.") && !c.startsWith("graft.Prof")
+            }.map(e => s"${e.getClassName.stripPrefix("graft.")}.${e.getMethodName}")
+              .getOrElse(st.headOption.map(e =>
+                s"[ext] ${e.getClassName}.${e.getMethodName}").getOrElse("?"))
+            samples.merge(frame, 1, (a, b) => a + b)
+            Thread.sleep(20)
+          }
+        })
+        sampler.setDaemon(true)
+        sampler.start()
         val t0 = System.nanoTime()
         val n = try qmap(name)(spark, sfDir).count()
                 catch { case e: Throwable =>
                   println(s"!! $name failed: ${e.getMessage}"); -1L }
         val total = (System.nanoTime() - t0) / 1e9
+        sampling = false
         // drain any async listener stragglers
         Thread.sleep(200)
         import scala.jdk.CollectionConverters._
@@ -71,6 +102,12 @@ object Prof {
         println(f"\n### $name run$r total=$total%.2f s rows=$n jobs_sum=$jobSum%.2f s gap=${total - jobSum}%.2f s")
         bySite.take(30).foreach { case (site, t, c) =>
           println(f"  $t%8.3f s  x$c%-4d $site")
+        }
+        val totSamples = samples.values().asScala.map(_.toInt).sum.max(1)
+        println(f"  -- driver samples (${totSamples * 0.02}%.1f s sampled) --")
+        samples.asScala.toSeq.sortBy(-_._2.toInt).take(20).foreach {
+          case (f, c) =>
+            println(f"  ${c.toInt * 0.02}%8.2f s  $f")
         }
       }
     }

@@ -388,9 +388,42 @@ object Dedup {
                                   bCol: String, maxIter: Int,
                                   reliableCheckpoint: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // SCALE-ADAPTIVE loop width (guide §2.2/§2.5): the edge frame is
+    // persisted anyway, so one count sizes every shuffle of the loop.
+    // Each round otherwise runs 2-3 exchanges at the SESSION width over a
+    // frame that is usually orders of magnitude smaller than the corpus
+    // (pairs, not docs) — measured at sf0.1 as ~0.25 s/round of pure
+    // task/AQE-stage overhead (q134: 6.1 s of its 7.8 s total in the
+    // round checkpoints). Target ~4M label rows per partition, never
+    // above the session width (huge graphs keep the deployment's knob).
+    val nEdges = edges.count()
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val loopParts = math.max(1L, math.min(base.toLong,
+      nEdges / 4000000L + 1L)).toInt
+    // The loop OWNS its actions (same session-conf scoping precedent as
+    // MemoryBudget.withLowMemoryProfile): pin its shuffles at the derived
+    // width, and below 8 partitions drop AQE for the loop — each AQE
+    // query stage is its own job, and at single-digit partition counts
+    // the per-stage job overhead costs more than runtime re-optimization
+    // can return (the data volume is already known here, by count).
+    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    if (loopParts <= 8) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def restoreConf(): Unit = {
+      prevParts match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
     // each round's result is checkpoint'ed (eager): iterative plans
     // otherwise embed the previous round's lineage 2-3× per iteration —
     // an exponentially growing logical plan that blows up analysis and
@@ -404,6 +437,7 @@ object Dedup {
       .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
       .head.getDecimal(0)
+    try {
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
     var prevSum = labelSum(labels)
@@ -442,6 +476,7 @@ object Dedup {
       require(converged, s"resolveClusters did not converge in $maxIter iterations")
       labels
     } finally edges.unpersist()
+    } finally restoreConf()
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
