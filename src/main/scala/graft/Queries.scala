@@ -8173,8 +8173,8 @@ object Queries {
           .filter(pmod(col("id"), lit(7)) === 2).distinct()
         graft.operators.ErasureSweep.eraseDerivedLedgered(s, ledger, 1L,
           subjects, search = Seq(sst), vector = Seq(vst), deferred = true)
-        Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable)
-          .foreach(t => graft.gold.BaseDelta.materializeErasures(s, t))
+        graft.gold.BaseDelta.materializeErasuresAll(s,
+          Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable))
         graft.operators.ErasureSweep.receiptStatus(s, ledger,
             search = Seq(sst), vector = Seq(vst))
           .select(col("sweep_id"), col("artifact"), col("mode"),
@@ -8261,8 +8261,8 @@ object Queries {
           .filter(pmod(col("vec_id"), lit(11)) === 3).select(col("vec_id"))
         graft.operators.ErasureSweep.eraseDerivedLedgered(s, ledger, 1L,
           docSubj, search = Seq(sst), cluster = Seq(cst), deferred = true)
-        Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable)
-          .foreach(t => graft.gold.BaseDelta.materializeErasures(s, t))
+        graft.gold.BaseDelta.materializeErasuresAll(s,
+          Seq(sst.postingsTable, sst.docstatsTable, sst.positionsTable))
         graft.operators.ErasureSweep.eraseDerivedLedgered(s, ledger, 2L,
           vecSubj, vector = Seq(vst), deferred = true)
         graft.operators.ErasureSweep.governanceHealth(s, ledger,

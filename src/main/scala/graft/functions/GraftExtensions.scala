@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
-        builder))
+        GraftExtensions.noDriverParallelism(builder)))
     }
     // opt-in COUNT(DISTINCT) → HLL++ acceleration (flag-gated per query)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
@@ -130,6 +130,17 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$name must be a numeric literal, got $other")
   }
+
+  /** TVF builders execute INSIDE the analyzer's function resolution,
+    * which holds the SessionCatalog monitor — any engine path that fans
+    * work onto driver threads (graft.Par) would deadlock there, because
+    * the pool threads' own plan analysis needs that same lock. Builders
+    * therefore run with Par pinned to the calling thread.
+    */
+  private def noDriverParallelism(
+      b: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    es => graft.Par.sequentialInThisThread(b(es))
 
   val tableBuilders: Seq[(String, Seq[Expression] =>
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
@@ -292,13 +303,15 @@ object GraftExtensions {
             "| vector | cluster | managed_vector | lsh_vector)")
       }
       // same contract as the Scala surface: the caller owns the
-      // writer-quiet window (scheduled maintenance slot)
-      val rows = tables.map { t =>
+      // writer-quiet window (scheduled maintenance slot). Independent
+      // tables rewrite concurrently (guide §2.6 — materializeErasuresAll's
+      // rationale).
+      val rows = graft.Par.run(tables.map { t => () =>
         val had = graft.gold.BaseDelta.pendingTombstones(spark, t).nonEmpty
         val vacuumed = graft.gold.BaseDelta.materializeErasures(spark, t)
         (t.path, had, vacuumed.length.toLong,
           graft.gold.BaseDelta.pendingTombstones(spark, t).isEmpty)
-      }
+      })
       spark.createDataFrame(rows)
         .toDF("table_path", "had_pending", "n_paths_vacuumed",
           "pending_cleared")
@@ -317,7 +330,7 @@ object GraftExtensions {
       spark.sessionState.tableFunctionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
-        builder)
+        noDriverParallelism(builder))
     }
     // idempotent: experimental.extraOptimizations is a plain Seq
     val rules = spark.experimental.extraOptimizations

@@ -320,6 +320,36 @@ object BaseDelta {
       c -> SnapshotStore.read(spark, t.tombstonePath(c))
     }.toMap
 
+  /** Exact pending-id count per ledger WITHOUT a Spark job: ledgers are
+    * request-sized single-column parquet generations, and parquet footers
+    * carry the exact row count — a driver metadata read, the same class
+    * of work as the pointer resolve that located the generation. The
+    * governance pane probes every artifact table's ledgers on every
+    * refresh; at one count-job per ledger that was the pane's dominant
+    * cost while returning byte-identical numbers.
+    */
+  def pendingTombstoneCounts(spark: SparkSession,
+                             t: Table): Map[String, Long] =
+    tombstoneCols(spark, t).map { c =>
+      val path = t.tombstonePath(c)
+      val g = SnapshotStore.currentGen(spark, path).getOrElse(
+        sys.error(s"pendingTombstoneCounts: ledger vanished at $path"))
+      c -> parquetRowCount(spark, SnapshotStore.genPath(path, g))
+    }.toMap
+
+  /** Sum of footer row counts across a directory's parquet files. */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** The committed manifest version (0 when none) — the PIN for a
     * read-window CAS: a caller whose WRITE content derives from state
     * reads (not just from its own input) captures this before reading
@@ -468,6 +498,8 @@ object BaseDelta {
         .select(col("__erased").as(eraseCol),
           coalesce(col("__n"), lit(0L)).as("n_rows_erased"),
           lit("pending").as("status"))
+        // request-sized by contract — one partition, not session width
+        .coalesce(1)
         .localCheckpoint(true)
     val path = t.tombstonePath(eraseCol)
     // read-merge-publish behind the observation CAS, with bounded retry:
@@ -486,6 +518,10 @@ object BaseDelta {
         .parquet(SnapshotStore.genPath(path, g)).select(col("__erased")))
       val merged = existing
         .map(_.unionByName(subj.toDF()).distinct()).getOrElse(subj.toDF())
+        // request-sized ledger: publish ONE file, not session-width
+        // shards — readers re-list and re-open this dir on every pending
+        // anti-join, so file count is the read-side cost too
+        .coalesce(1)
         .localCheckpoint(true)
       try {
         SnapshotStore.publishFrom(merged, path, observed)
@@ -635,6 +671,16 @@ object BaseDelta {
     vacuum(spark, t)
   }
 
+  /** [[materializeErasures]] over several INDEPENDENT tables at once
+    * (guide §2.6): each table's fold is its own commit protocol on its
+    * own root, so the rewrites overlap instead of serializing on the
+    * driver — a three-table index materialization keeps the cores busy
+    * through each table's straggler tail. Results in input order.
+    */
+  def materializeErasuresAll(spark: SparkSession,
+                             tables: Seq[Table]): Seq[Seq[String]] =
+    graft.Par.run(tables.map(t => () => materializeErasures(spark, t)))
+
   /** True iff any pending erasure ledger on `t` holds more than `budget`
     * values — the backlog signal [[logicalErase]] emits as
     * `recommend_materialize` and [[tombstoneReport]] reads out. Ledgers
@@ -642,7 +688,9 @@ object BaseDelta {
     */
   def tombstoneBacklogOver(spark: SparkSession, t: Table,
                            budget: Long = DefaultTombstoneBudget): Boolean =
-    pendingTombstones(spark, t).exists(_._2.count() > budget)
+    // footer counts: exact, no Spark job (see pendingTombstoneCounts) —
+    // this probe runs in every sink batch's maintenance step
+    pendingTombstoneCounts(spark, t).exists(_._2 > budget)
 
   /** The IN-BAND auto-upgrade a long-running sink wires into its batch
     * maintenance: when the acked-but-unmaterialized backlog exceeds

@@ -396,13 +396,16 @@ object MultiSnapshot {
     // already overtaken on an overlapping member, don't write data at all
     conflictIfOverlap(currentCommit(spark, root))
     // RESERVE + STAGE: each contender claims a distinct generation number
-    // before writing a byte of data — durable, invisible, collision-free
-    val staged = tables.map { case (t, df) =>
+    // before writing a byte of data — durable, invisible, collision-free.
+    // Member stagings write DISJOINT generation dirs, so they run
+    // concurrently (guide §2.6): a dim+fact commit pays the slower
+    // member's write, not the sum of both.
+    val staged = graft.Par.run(tables.toSeq.map { case (t, df) => () =>
       val gen = reserveGen(f, root, t, prevGens.getOrElse(t, 0L) + 1)
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(genPath(root, t, gen))
       t -> gen
-    }
+    }).toMap
 
     var attempt = 0
     var committed: Commit = null

@@ -51,85 +51,76 @@ object ErasureSweep {
                    managedVector: Seq[VectorIndex.Managed] = Nil,
                    deferred: Boolean = false,
                    lsh: Seq[LshVectorIndex.State] = Nil): DataFrame = {
+    // materialize the request-sized subject set ONCE — every tier's
+    // audit count and erase would otherwise re-derive the caller's
+    // subject plan (typically a filter over a source table) per use
     val subj = broadcast(subjects.select(col(subjects.columns.head)
-      .as("__subject")).distinct())
+      .as("__subject")).distinct().coalesce(1).localCheckpoint(true))
 
     def found(df: DataFrame, keyCol: String): Long =
       df.join(subj, col(keyCol) === col("__subject"), "left_semi").count()
 
-    val rows = scala.collection.mutable.ArrayBuffer.empty[
-      (String, String, String, String, Long)]
+    type Row5 = (String, String, String, String, Long)
 
     // each tier's audit count + erase ride that tier's retired-state
     // guard: a concurrent fold's compaction retiring the count's
     // resolved files mid-scan is the typed retryable conflict (retry
-    // the whole sweep — it is idempotent), never a raw read failure
-    search.foreach { st =>
+    // the whole sweep — it is idempotent), never a raw read failure.
+    //
+    // Artifacts are independent roots with independent protocols, so the
+    // search/vector/lsh/managed tiers run CONCURRENTLY (guide §2.6) —
+    // wall-clock drops to the slowest artifact instead of the sum. The
+    // CLUSTER tier stays on the caller's thread, after the pool settles:
+    // its structural re-pair scopes session-level planning confs
+    // (MemoryBudget low-memory profile, the CC loop's width pin), which
+    // must not interleave with other tiers' plan compilation.
+    val searchTasks: Seq[() => Row5] = search.map(st => () =>
       SearchIndex.conflictIfRetired(spark, st) {
         val n = found(BaseDelta.read(spark, st.docstatsTable,
           allowSchemaEvolution = true), "doc_id")
         if (deferred) {
           SearchIndex.eraseLogical(spark, st, subj)
-          rows += (("search_index", st.root, "deferred", "pending", n))
+          ("search_index", st.root, "deferred", "pending", n)
         } else {
           SearchIndex.erase(spark, st, subj)
-          rows += (("search_index", st.root, "eager", "erased", n))
+          ("search_index", st.root, "eager", "erased", n)
         }
-      }
-    }
-    vector.foreach { st =>
+      })
+    val vectorTasks: Seq[() => Row5] = vector.map(st => () =>
       VectorIndex.conflictIfRetired(spark, st) {
         val n = found(BaseDelta.read(spark, st.postingsTable,
           allowSchemaEvolution = true), "id")
         if (deferred) {
           VectorIndex.eraseLogical(spark, st, subj)
-          rows += (("vector_index", st.root, "deferred", "pending", n))
+          ("vector_index", st.root, "deferred", "pending", n)
         } else {
           VectorIndex.erase(spark, st, subj)
-          rows += (("vector_index", st.root, "eager", "erased", n))
+          ("vector_index", st.root, "eager", "erased", n)
         }
-      }
-    }
-    cluster.foreach { st =>
-      ClusterIndex.conflictIfRetired(spark, st) {
-        val n = found(ClusterIndex.clusters(spark, st), "id")
-        if (deferred) {
-          // structural re-labeling is eager (serving exact on return);
-          // the expensive postings rewrite rides the tombstone ledger —
-          // hence still "pending" until materialized
-          ClusterIndex.eraseLogical(spark, st, subj)
-          rows += (("cluster_index", st.root, "deferred_structural",
-            "pending", n))
-        } else {
-          ClusterIndex.erase(spark, st, subj)
-          rows += (("cluster_index", st.root, "eager_structural", "erased", n))
-        }
-      }
-    }
+      })
     // hyperplane-LSH indexes: subject bytes live only in `vectors`
     // (band rows are id-only), so the count probes that table; the
     // data-independent family means erasure never touches routing state
     // (no retired-generation sweep exists to run — see
     // [[LshVectorIndex.erase]])
-    lsh.foreach { st =>
+    val lshTasks: Seq[() => Row5] = lsh.map(st => () =>
       LshVectorIndex.conflictIfRetired(spark, st) {
         val n = found(BaseDelta.read(spark, st.vectorsTable,
           allowSchemaEvolution = true), "id")
         if (deferred) {
           LshVectorIndex.eraseLogical(spark, st, subj)
-          rows += (("lsh_vector_index", st.root, "deferred", "pending", n))
+          ("lsh_vector_index", st.root, "deferred", "pending", n)
         } else {
           LshVectorIndex.erase(spark, st, subj)
-          rows += (("lsh_vector_index", st.root, "eager", "erased", n))
+          ("lsh_vector_index", st.root, "eager", "erased", n)
         }
-      }
-    }
+      })
     // managed (refresh-capable) vector indexes: the active generation
     // erases like a plain vector index, and RETIRED quantizer
     // generations' bytes are destroyed in both modes (see
     // [[VectorIndex.eraseManaged]]) — a deferred ack that left the
     // subject readable in a retired sub-index would not be erasure
-    managedVector.foreach { m =>
+    val managedTasks: Seq[() => Row5] = managedVector.map(m => () =>
       VectorIndex.conflictIfRetiredManaged(spark, m) {
         val act = VectorIndex.active(spark, m)
         val n = found(BaseDelta.read(spark, act.postingsTable,
@@ -137,11 +128,35 @@ object ErasureSweep {
         VectorIndex.eraseManaged(spark, m, subj, deferred)
         val (mode, status) =
           if (deferred) ("deferred", "pending") else ("eager", "erased")
-        rows += (("vector_index_managed", m.root, mode, status, n))
+        ("vector_index_managed", m.root, mode, status, n)
+      })
+    val parRows = graft.Par.run(
+      searchTasks ++ vectorTasks ++ lshTasks ++ managedTasks)
+    val (searchRows, rest1) = parRows.splitAt(search.size)
+    val (vectorRows, rest2) = rest1.splitAt(vector.size)
+    val (lshRows, managedRows) = rest2.splitAt(lsh.size)
+
+    val clusterRows: Seq[Row5] = cluster.map { st =>
+      ClusterIndex.conflictIfRetired(spark, st) {
+        val n = found(ClusterIndex.clusters(spark, st), "id")
+        if (deferred) {
+          // structural re-labeling is eager (serving exact on return);
+          // the expensive postings rewrite rides the tombstone ledger —
+          // hence still "pending" until materialized
+          ClusterIndex.eraseLogical(spark, st, subj)
+          ("cluster_index", st.root, "deferred_structural", "pending", n)
+        } else {
+          ClusterIndex.erase(spark, st, subj)
+          ("cluster_index", st.root, "eager_structural", "erased", n)
+        }
       }
     }
 
-    spark.createDataFrame(rows.toSeq)
+    // original (pre-parallelism) receipt row order preserved
+    val rows: Seq[(String, String, String, String, Long)] =
+      searchRows ++ vectorRows ++ clusterRows ++ lshRows ++ managedRows
+
+    spark.createDataFrame(rows)
       .toDF("artifact", "root", "mode", "status", "n_subject_rows")
   }
 
@@ -293,8 +308,9 @@ object ErasureSweep {
     def ledgerRow(artifact: String, root: String, tname: String,
                   t: BaseDelta.Table)
         : (String, String, String, String, String, Long, String) = {
-      val n = BaseDelta.pendingTombstones(spark, t).values
-        .map(_.count()).sum
+      // footer counts: exact and job-free — the pane probes every
+      // artifact table's ledgers per refresh (BaseDelta scaladoc)
+      val n = BaseDelta.pendingTombstoneCounts(spark, t).values.sum
       ("tombstone_ledger", artifact, root, tname,
         if (n > 0) "pending" else "clear", n,
         if (n > tombstoneBudget) "materialize"

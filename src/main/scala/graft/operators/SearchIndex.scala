@@ -239,7 +239,11 @@ object SearchIndex {
     // correction rides the observation CAS so a concurrent fold's merge
     // cannot silently overwrite it (and vice versa: a lost CAS here
     // recomputes from the post-fold docstats).
-    drop(st.postingsTable); drop(st.positionsTable); drop(st.docstatsTable)
+    // The three tables are independent roots with independent protocols —
+    // rewrite them concurrently (guide §2.6) instead of paying three
+    // straggler tails back to back.
+    graft.Par.run(Seq(st.postingsTable, st.positionsTable, st.docstatsTable)
+      .map(t => () => drop(t)))
     publishStatsCas(spark, st, { cur =>
       val prevLb = cur.filter(_.columns.contains("last_batch"))
         .map(_.agg(max(col("last_batch"))).collect()(0).getLong(0))
@@ -268,15 +272,22 @@ object SearchIndex {
     */
   def eraseLogical(spark: SparkSession, st: State,
                    docIds: DataFrame): DataFrame = conflictIfRetired(spark, st) {
+    // materialize the request-sized subject set ONCE: three ledger
+    // publishes (plus the receipt scan) would otherwise each re-derive
+    // the caller's subject plan — typically a filter over a source table
     val ids = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
+      .coalesce(1).localCheckpoint(true)
     // ONE doc-level receipt (docstats: one row per doc); the other two
-    // tables' ledgers publish without their own count scans
-    val receipt =
-      BaseDelta.logicalErase(spark, st.docstatsTable, "doc_id", ids)
-    BaseDelta.logicalErase(spark, st.postingsTable, "doc_id", ids,
-      countRows = false)
-    BaseDelta.logicalErase(spark, st.positionsTable, "doc_id", ids,
-      countRows = false)
+    // tables' ledgers publish without their own count scans. The three
+    // ledgers live on independent roots — publish them concurrently
+    // (guide §2.6).
+    val results = graft.Par.run(Seq(
+      () => Some(BaseDelta.logicalErase(spark, st.docstatsTable, "doc_id", ids)),
+      () => { BaseDelta.logicalErase(spark, st.postingsTable, "doc_id", ids,
+        countRows = false); None },
+      () => { BaseDelta.logicalErase(spark, st.positionsTable, "doc_id", ids,
+        countRows = false); None }))
+    val receipt = results.head.get
     // stats correction reads the FILTERED docstats view; the fold
     // ledger (last_batch) survives, as in [[erase]] — and rides the same
     // observation CAS so a racing fold merge cannot undo the correction
