@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-job time attribution inside a query — optimization-round measurement
@@ -50,6 +50,23 @@ object Prof {
         if (s != null) rows.add((s._1, (System.nanoTime() - s._2) / 1e9))
       }
     }
+    // per-stage task-time attribution: stage name embeds the operator
+    // call site of the exchange/action that produced it — the §1.1
+    // "which stage is slow" readout without the UI
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Double, Long, Long, Long)]()
+    val stageListener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        if (m != null) stageRows.add((si.name,
+          m.executorRunTime / 1e3,
+          m.inputMetrics.bytesRead,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(stageListener)
     spark.sparkContext.addSparkListener(listener)
 
     // same warmup as Bench so first-run init doesn't pollute attribution
@@ -65,6 +82,7 @@ object Prof {
     names.foreach { name =>
       (1 to runs).foreach { r =>
         rows.clear()
+        stageRows.clear()
         // driver-thread sampler: collapse each sample to its deepest
         // graft.* frame (excluding Prof itself) so the gap time names the
         // operator method that owns it
@@ -108,6 +126,14 @@ object Prof {
         samples.asScala.toSeq.sortBy(-_._2.toInt).take(20).foreach {
           case (f, c) =>
             println(f"  ${c.toInt * 0.02}%8.2f s  $f")
+        }
+        println("  -- stages by task time --")
+        stageRows.asScala.toSeq.groupBy(_._1).map { case (n, v) =>
+          (n, v.map(_._2).sum, v.map(_._3).sum, v.map(_._4).sum,
+            v.map(_._5).sum, v.size)
+        }.toSeq.sortBy(-_._2).take(20).foreach {
+          case (n, t, in, sr, sw, c) =>
+            println(f"  $t%8.2f s  x$c%-3d in=${in / 1e6}%.0fMB sr=${sr / 1e6}%.0fMB sw=${sw / 1e6}%.0fMB  $n")
         }
       }
     }
