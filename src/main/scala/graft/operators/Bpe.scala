@@ -56,6 +56,19 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(topVocab)
+    // The merge loop runs nMerges tiny aggregations over a frame BOUNDED
+    // at topVocab rows by construction — pin its shuffles narrow and
+    // drop AQE for the loop (each AQE query stage is its own job; at
+    // this frame size per-stage job overhead dominated the loop —
+    // the resolveClusters width-pin rationale, guide §2.2). train() owns
+    // its actions, so the session-conf scope is the established
+    // MemoryBudget precedent; restored on exit.
+    val loopParts = math.max(1, topVocab / 50000)
+    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // initial symbol sequences: one character per symbol
     var vocab = words.select(
         // (?!^)(?!$): split at every inter-char position — NOT at the ends
@@ -87,6 +100,16 @@ object Bpe {
     }
     vocab.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    } finally {
+      prevParts match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
   }
 
   /** Tokenize text with a learned merge table: normalized chars → merges

@@ -249,6 +249,13 @@ object Similarity {
         scala.collection.mutable.ArrayBuffer[Array[Float]](
           seed0Rows.head.getSeq[Float](0).toArray)
       val l = math.min(1000.0, math.max(1.0, oversample * nCells))
+      // NOTE (optimization round 13): eliding the per-round
+      // localCheckpoint in favor of a lazy least(prev, dist(new)) chain
+      // was tried and REVERTED — the phi aggregate and the sampling
+      // filter each re-evaluate the whole probe chain per round, and by
+      // round r that is the FULL cumulative candidate set twice over,
+      // which measured slower (q250 6.3 → 7.7 s) than materializing the
+      // per-round (id, vec, mind) state once.
       var state = vecs.withColumn("__mind",
         distToNew(cands.toSeq, col("__cv"))).localCheckpoint(true)
       var r = 0
