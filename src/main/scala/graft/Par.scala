@@ -34,6 +34,17 @@ private[graft] object Par {
     try body finally seqOnly.set(prev)
   }
 
+  /** Session-conf WIDTH PINS (the CC/BPE loop shuffles) are
+    * session-global: two concurrent loops interleaving save/restore can
+    * strand the session at loop width and slow every other in-flight
+    * worker's plans (caught live: the cluster fold-vs-erase chaos storm,
+    * where both sides run resolveClusters). Single holder — losers run
+    * at the current session width, which is correct, just un-pinned.
+    */
+  private val confPin = new java.util.concurrent.Semaphore(1)
+  def tryConfPin(): Boolean = confPin.tryAcquire()
+  def releaseConfPin(): Unit = confPin.release()
+
   def run[A](tasks: Seq[() => A], maxThreads: Int = 4): Seq[A] = {
     if (seqOnly.get() || tasks.sizeIs <= 1) return tasks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -64,10 +64,15 @@ object Bpe {
     // its actions, so the session-conf scope is the established
     // MemoryBudget precedent; restored on exit.
     val loopParts = math.max(1, topVocab / 50000)
+    // single-holder pin, same rationale as resolveClusters: session confs
+    // are global; a loser runs at the current session width
+    val pinned = graft.Par.tryConfPin()
     val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (pinned) {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     try {
     // initial symbol sequences: one character per symbol
     var vocab = words.select(
@@ -100,15 +105,17 @@ object Bpe {
     }
     vocab.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
-    } finally {
-      prevParts match {
-        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-        case None => spark.conf.unset("spark.sql.shuffle.partitions")
-      }
-      prevAqe match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-        case None => spark.conf.unset("spark.sql.adaptive.enabled")
-      }
+    } finally if (pinned) {
+      try {
+        prevParts match {
+          case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+          case None => spark.conf.unset("spark.sql.shuffle.partitions")
+        }
+        prevAqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      } finally graft.Par.releaseConfPin()
     }
   }
 

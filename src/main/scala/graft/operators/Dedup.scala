@@ -410,19 +410,28 @@ object Dedup {
     // query stage is its own job, and at single-digit partition counts
     // the per-stage job overhead costs more than runtime re-optimization
     // can return (the data volume is already known here, by count).
+    // SINGLE-HOLDER pin (Par.tryConfPin): session confs are global, so
+    // two concurrent loops (a fold racing an erase — the chaos-storm
+    // shape) must not interleave save/restore; the loser simply runs at
+    // the current session width.
+    val pinned = graft.Par.tryConfPin()
     val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    if (loopParts <= 8) spark.conf.set("spark.sql.adaptive.enabled", "false")
-    def restoreConf(): Unit = {
-      prevParts match {
-        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-        case None => spark.conf.unset("spark.sql.shuffle.partitions")
-      }
-      prevAqe match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-        case None => spark.conf.unset("spark.sql.adaptive.enabled")
-      }
+    if (pinned) {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      if (loopParts <= 8) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    def restoreConf(): Unit = if (pinned) {
+      try {
+        prevParts match {
+          case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+          case None => spark.conf.unset("spark.sql.shuffle.partitions")
+        }
+        prevAqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      } finally graft.Par.releaseConfPin()
     }
     // each round's result is checkpoint'ed (eager): iterative plans
     // otherwise embed the previous round's lineage 2-3× per iteration —

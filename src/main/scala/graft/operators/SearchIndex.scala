@@ -160,26 +160,34 @@ object SearchIndex {
       .filter(col("dl") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!postingsDone) {
-        val postings = docs
-          .select(col("doc_id"), explode(col("__tk")).as("__tok"))
-          .groupBy(xxhash64(col("__tok")).as("term_h"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"))
-        BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, postings,
-          batchId, maxDeltas, allowSchemaEvolution)
-      }
-      if (!docstatsDone)
-        BaseDelta.appendAndMaybeCompact(spark, st.docstatsTable,
-          docs.select("doc_id", "dl"), batchId, maxDeltas,
-          allowSchemaEvolution)
-      if (!positionsDone) {
-        val positions = docs
-          .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "__tok")))
-          .select(xxhash64(col("__tok")).as("term_h"), col("doc_id"),
-            col("pos").cast("long").as("pos"), lit(1L).as("one"))
-        BaseDelta.appendAndMaybeCompact(spark, st.positionsTable, positions,
-          batchId, maxDeltas, allowSchemaEvolution)
-      }
+      // the three state tables carry INDEPENDENT per-table replay ledgers
+      // (any crash-subset replays to exactly the missing tail — the
+      // scaladoc contract above), so their appends have no required
+      // order and run concurrently (guide §2.6); only the stats row is
+      // ordered (written last, its own ledger). `docs` is persisted, so
+      // the three plans share the tokenized batch instead of recomputing.
+      val appendTasks = Seq(
+        () => if (!postingsDone) {
+          val postings = docs
+            .select(col("doc_id"), explode(col("__tk")).as("__tok"))
+            .groupBy(xxhash64(col("__tok")).as("term_h"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+          BaseDelta.appendAndMaybeCompact(spark, st.postingsTable, postings,
+            batchId, maxDeltas, allowSchemaEvolution)
+        },
+        () => if (!docstatsDone)
+          BaseDelta.appendAndMaybeCompact(spark, st.docstatsTable,
+            docs.select("doc_id", "dl"), batchId, maxDeltas,
+            allowSchemaEvolution),
+        () => if (!positionsDone) {
+          val positions = docs
+            .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "__tok")))
+            .select(xxhash64(col("__tok")).as("term_h"), col("doc_id"),
+              col("pos").cast("long").as("pos"), lit(1L).as("one"))
+          BaseDelta.appendAndMaybeCompact(spark, st.positionsTable, positions,
+            batchId, maxDeltas, allowSchemaEvolution)
+        })
+      graft.Par.run(appendTasks)
       if (!statsDone) {
         val delta = docs.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
