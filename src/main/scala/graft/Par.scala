@@ -34,17 +34,6 @@ private[graft] object Par {
     try body finally seqOnly.set(prev)
   }
 
-  /** Session-conf WIDTH PINS (the CC/BPE loop shuffles) are
-    * session-global: two concurrent loops interleaving save/restore can
-    * strand the session at loop width and slow every other in-flight
-    * worker's plans (caught live: the cluster fold-vs-erase chaos storm,
-    * where both sides run resolveClusters). Single holder — losers run
-    * at the current session width, which is correct, just un-pinned.
-    */
-  private val confPin = new java.util.concurrent.Semaphore(1)
-  def tryConfPin(): Boolean = confPin.tryAcquire()
-  def releaseConfPin(): Unit = confPin.release()
-
   def run[A](tasks: Seq[() => A], maxThreads: Int = 4): Seq[A] = {
     if (seqOnly.get() || tasks.sizeIs <= 1) return tasks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -55,7 +44,20 @@ private[graft] object Par {
           def call(): A = t()
         })
       }
-      val settled = futs.map(f => scala.util.Try(f.get()))
+      // Try does NOT catch InterruptedException (fatal to NonFatal), so a
+      // caller interrupt while blocked in f.get() propagates immediately —
+      // cancel still-queued/running tasks and wait for the workers to
+      // unwind before rethrowing, so no half-running task outlives the
+      // call (tasks are idempotent commit protocols; cancellation is
+      // safe, and a plain shutdown() would leave them running detached).
+      val settled =
+        try futs.map(f => scala.util.Try(f.get()))
+        catch {
+          case ie: InterruptedException =>
+            pool.shutdownNow()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+            throw ie
+        }
       settled.foreach {
         case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
           throw e.getCause

@@ -303,9 +303,13 @@ object GraftExtensions {
             "| vector | cluster | managed_vector | lsh_vector)")
       }
       // same contract as the Scala surface: the caller owns the
-      // writer-quiet window (scheduled maintenance slot). Independent
-      // tables rewrite concurrently (guide §2.6 — materializeErasuresAll's
-      // rationale).
+      // writer-quiet window (scheduled maintenance slot). NOTE: every TVF
+      // builder runs under noDriverParallelism (the SessionCatalog-monitor
+      // deadlock guard), so this Par.run always degrades to in-order
+      // execution on the calling thread — the SQL surface rewrites the
+      // tables SEQUENTIALLY. Only the Scala surface
+      // (BaseDelta.materializeErasuresAll) gets driver-side overlap; kept
+      // as Par.run so the two surfaces share one code shape.
       val rows = graft.Par.run(tables.map { t => () =>
         val had = graft.gold.BaseDelta.pendingTombstones(spark, t).nonEmpty
         val vacuumed = graft.gold.BaseDelta.materializeErasures(spark, t)

@@ -57,29 +57,26 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(topVocab)
     // The merge loop runs nMerges tiny aggregations over a frame BOUNDED
-    // at topVocab rows by construction — pin its shuffles narrow and
-    // drop AQE for the loop (each AQE query stage is its own job; at
-    // this frame size per-stage job overhead dominated the loop —
-    // the resolveClusters width-pin rationale, guide §2.2). train() owns
-    // its actions, so the session-conf scope is the established
-    // MemoryBudget precedent; restored on exit.
-    val loopParts = math.max(1, topVocab / 50000)
-    // single-holder pin, same rationale as resolveClusters: session confs
-    // are global; a loser runs at the current session width
-    val pinned = graft.Par.tryConfPin()
-    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-    if (pinned) {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    try {
+    // at topVocab rows by construction (a few MB at the 10⁵ default) —
+    // run it on SinglePartition frames: `coalesce(1)` on the checkpointed
+    // vocab restates the partitioning fact each round, SinglePartition
+    // satisfies every required distribution, so the pair-count
+    // aggregation and the TakeOrdered argmax plan with ZERO exchanges and
+    // each round is one collect job + one checkpoint job (guide §2.2 —
+    // the resolveClusters single-partition rationale). Round 14: this
+    // replaces the r13 session-conf width pin, which (a) needed the
+    // Par.tryConfPin semaphore, and (b) engaged BEFORE `words`
+    // materialized, so the one corpus-sized pass below ran at the narrow
+    // loop width with AQE off — the corpus pass now keeps the session
+    // width and AQE (its shuffle is corpus-sized; the deployment's knobs
+    // are the right ones).
     // initial symbol sequences: one character per symbol
     var vocab = words.select(
         // (?!^)(?!$): split at every inter-char position — NOT at the ends
         // (Spark's split keeps the trailing empty piece a bare (?!^) emits)
         split(col("w"), "(?!^)(?!$)").as("syms"), col("cnt"))
       .localCheckpoint()
+      .coalesce(1)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     while (rank <= nMerges) {
@@ -98,6 +95,7 @@ object Bpe {
         merges += ((rank, l, r, n))
         val next = vocab.select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
           .localCheckpoint()
+          .coalesce(1)
         vocab.unpersist()
         vocab = next
         rank += 1
@@ -105,18 +103,6 @@ object Bpe {
     }
     vocab.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
-    } finally if (pinned) {
-      try {
-        prevParts match {
-          case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-          case None => spark.conf.unset("spark.sql.shuffle.partitions")
-        }
-        prevAqe match {
-          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-          case None => spark.conf.unset("spark.sql.adaptive.enabled")
-        }
-      } finally graft.Par.releaseConfPin()
-    }
   }
 
   /** Tokenize text with a learned merge table: normalized chars → merges

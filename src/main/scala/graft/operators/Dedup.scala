@@ -371,7 +371,21 @@ object Dedup {
     * must have set `sc.setCheckpointDir` to a fault-tolerant path. That is
     * the right trade on a 1000-executor cluster where a multi-hour
     * clustering job should survive preemption.
+    *
+    * Graphs at or under [[SmallGraphEdges]] edges run the loop on
+    * SinglePartition frames (plan-local `coalesce(1)` — zero exchanges,
+    * one job per round, no session confs touched), so concurrent loops
+    * compose; larger graphs keep the session width and AQE.
     */
+  /** Edge count at or under which an iterative graph loop (connected
+    * components here, PageRank in [[GraphOps]]) runs single-partition:
+    * one task comfortably owns the per-round join/agg over ≤4M edge rows
+    * (tens of MB, tens of ms), where session-width rounds pay more in
+    * task/AQE-stage scheduling than the whole round's compute — the r13
+    * q134 measurement (~0.25 s/round of pure overhead at width 32).
+    */
+  private[graft] val SmallGraphEdges = 4000000L
+
   def resolveClusters(pairs: DataFrame, aCol: String = "id_a",
                       bCol: String = "id_b", maxIter: Int = 20,
                       reliableCheckpoint: Boolean = false): DataFrame =
@@ -392,62 +406,72 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // SCALE-ADAPTIVE loop width (guide §2.2/§2.5): the edge frame is
-    // persisted anyway, so one count sizes every shuffle of the loop.
-    // Each round otherwise runs 2-3 exchanges at the SESSION width over a
-    // frame that is usually orders of magnitude smaller than the corpus
-    // (pairs, not docs) — measured at sf0.1 as ~0.25 s/round of pure
-    // task/AQE-stage overhead (q134: 6.1 s of its 7.8 s total in the
-    // round checkpoints). Target ~4M label rows per partition, never
-    // above the session width (huge graphs keep the deployment's knob).
+    // SCALE-ADAPTIVE loop parallelism (guide §2.2/§2.5): the edge frame
+    // is persisted anyway, so one count sizes the loop. Each round
+    // otherwise runs 2-3 exchanges at the SESSION width over a frame that
+    // is usually orders of magnitude smaller than the corpus (pairs, not
+    // docs) — measured at sf0.1 as ~0.25 s/round of pure task/AQE-stage
+    // overhead (q134: 6.1 s of its 7.8 s total in the round checkpoints).
     val nEdges = edges.count()
-    val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val loopParts = math.max(1L, math.min(base.toLong,
-      nEdges / 4000000L + 1L)).toInt
-    // The loop OWNS its actions (same session-conf scoping precedent as
-    // MemoryBudget.withLowMemoryProfile): pin its shuffles at the derived
-    // width, and below 8 partitions drop AQE for the loop — each AQE
-    // query stage is its own job, and at single-digit partition counts
-    // the per-stage job overhead costs more than runtime re-optimization
-    // can return (the data volume is already known here, by count).
-    // SINGLE-HOLDER pin (Par.tryConfPin): session confs are global, so
-    // two concurrent loops (a fold racing an erase — the chaos-storm
-    // shape) must not interleave save/restore; the loser simply runs at
-    // the current session width.
-    val pinned = graft.Par.tryConfPin()
-    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-    if (pinned) {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      if (loopParts <= 8) spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-    def restoreConf(): Unit = if (pinned) {
-      try {
-        prevParts match {
-          case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-          case None => spark.conf.unset("spark.sql.shuffle.partitions")
-        }
-        prevAqe match {
-          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-          case None => spark.conf.unset("spark.sql.adaptive.enabled")
-        }
-      } finally graft.Par.releaseConfPin()
-    }
+    // PLAN-LOCAL parallelism control (round 14 — replaces the r13
+    // session-conf width pin and its Par.tryConfPin semaphore, whose
+    // losers silently ran un-pinned and whose save/restore could not
+    // compose with concurrent loops or the TVF surface): a graph under
+    // [[Dedup.SmallGraphEdges]] runs the WHOLE loop on SinglePartition
+    // frames — `coalesce(1)` re-states the partitioning fact after every
+    // checkpoint, and SinglePartition satisfies every required
+    // distribution, so each round's joins and aggregations plan with
+    // ZERO exchanges and each round is ONE job regardless of AQE. That
+    // is strictly narrower than the r13 pin (which still planned 3-4
+    // width-1 exchanges per round) and mutates nothing session-global,
+    // so any number of loops compose. Graphs above the threshold keep
+    // the session width and AQE — the deployment's scale knobs — and the
+    // persisted edge frame; a ≥4M-edge round's real shuffle work
+    // amortizes per-stage overhead, which is exactly where runtime
+    // re-optimization earns its jobs.
+    val single = nEdges <= Dedup.SmallGraphEdges
+    def pin(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
     // each round's result is checkpoint'ed (eager): iterative plans
     // otherwise embed the previous round's lineage 2-3× per iteration —
     // an exponentially growing logical plan that blows up analysis and
     // the per-action plan-string rendering long before data does. This is
     // the standard Pregel-loop shape.
     def truncate(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+      pin(if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true))
     // exact label sum — the monotone convergence witness (see scaladoc);
     // a cheap scan of already-checkpointed blocks, no join, no recompute
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
       .head.getDecimal(0)
-    try {
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
+    // the loop's view of the edge frame. Single mode re-materializes it
+    // ONCE as a one-partition checkpoint — two measured effects on q134:
+    // (a) the loop's plans carry no InMemoryRelation, so AQE has no
+    // per-round TableCacheQueryStage jobs to submit (x55 submissions
+    // ≈ 2.3 s/run); (b) the cache blocks are released up front. The
+    // trailing `pin` matters: a checkpoint's LogicalRDD reports Unknown
+    // partitioning even for a 1-partition RDD, and the per-round join
+    // would re-exchange the edge side every round (measured: 9 MB of
+    // shuffle writes across the loop) — CoalesceExec(1) re-states
+    // SinglePartition. Big mode keeps the persisted frame at session
+    // width.
+    val loopEdges =
+      if (single) {
+        val e1 = pin(edges.coalesce(1).localCheckpoint(true))
+        edges.unpersist()
+        e1
+      } else edges
+    // Single mode also hints the node-sized join side SHUFFLE_HASH: with
+    // auto-broadcast commonly off here (the sub-floor MemoryBudget
+    // profile), the planner would pick sort-merge and re-SORT the
+    // edge-sized stream side once per round on one task; a hash build of
+    // the node-sized side streams the edges with no sort at all. Big
+    // mode keeps the planner's choice (a per-partition hash build at
+    // cluster widths is a memory bet the deployment should place, not
+    // this loop).
+    def hinted(df: DataFrame): DataFrame =
+      if (single) df.hint("shuffle_hash") else df
+    var labels = truncate(loopEdges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
     var prevSum = labelSum(labels)
     try {
@@ -455,27 +479,43 @@ object Dedup {
       var converged = false
       while (!converged && iter < maxIter) {
         // each node adopts the min of its own and its neighbors' labels…
-        val proposals = edges
-          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        val proposals = loopEdges
+          .join(hinted(labels.withColumnRenamed("id", "dst")), Seq("dst"))
           .select(col("src").as("id"), col("cluster_id"))
-        // persisted because the jump is a SELF-join: unmaterialized, the
-        // propagate join+aggregation would execute twice per round (the
-        // two join inputs are identical subtrees; exchange reuse shares
-        // only the shuffle files under them, not the aggregation work)
-        val propagated = labels.unionByName(proposals)
+        // materialized because the jump is a SELF-join: unmaterialized,
+        // the propagate join+aggregation would execute twice per round
+        // (the two join inputs are identical subtrees; exchange reuse
+        // shares only the shuffle files under them, not the aggregation
+        // work). Single mode CHECKPOINTS it (`truncate`) instead of
+        // persisting: a cached scan above an adaptive plan reports
+        // Unknown partitioning (which re-inserts session-width exchanges
+        // under the self-join) and every cache reference becomes its own
+        // AQE TableCacheQueryStage job — a checkpointed one-partition
+        // leaf has neither problem. `pin` restates SinglePartition over
+        // the 2-partition union so the aggregation plans exchange-free.
+        val propagatedRaw = pin(labels.unionByName(proposals))
           .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val propagated =
+          if (single) truncate(propagatedRaw)
+          else propagatedRaw.persist(StorageLevel.MEMORY_AND_DISK)
         // …then jumps to its label's label (pointer doubling): labels are
         // monotone (label(x) <= x), so the jump only improves, and the
         // effective distance to the cluster minimum halves per round —
         // O(log diameter) rounds instead of O(diameter), which is what
         // lets maxIter=20 cover even chain-shaped clusters of ~10⁶ docs
-        val next = truncate(propagated
-          .join(propagated
-              .select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
+        val jump = propagated
+          .join(hinted(propagated
+              .select(col("id").as("cluster_id"), col("cluster_id").as("__jump"))),
             Seq("cluster_id"))
-          .select(col("id"), col("__jump").as("cluster_id")))
-        propagated.unpersist() // next is already materialized (eager checkpoint)
+          .select(col("id"), col("__jump").as("cluster_id"))
+        if (iter == 0 && sys.props.contains("graft.debug.cc")) {
+          println(s"[ccdbg] single=$single nEdges=$nEdges round-1 plans:")
+          propagatedRaw.explain("formatted")
+          jump.explain("formatted")
+        }
+        val next = truncate(jump)
+        if (!single)
+          propagated.unpersist() // next is already materialized (eager checkpoint)
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0 // any change strictly lowers the sum
         prevSum = s
@@ -485,7 +525,6 @@ object Dedup {
       require(converged, s"resolveClusters did not converge in $maxIter iterations")
       labels
     } finally edges.unpersist()
-    } finally restoreConf()
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes

@@ -67,13 +67,16 @@ object ErasureSweep {
     // resolved files mid-scan is the typed retryable conflict (retry
     // the whole sweep — it is idempotent), never a raw read failure.
     //
-    // Artifacts are independent roots with independent protocols, so the
-    // search/vector/lsh/managed tiers run CONCURRENTLY (guide §2.6) —
-    // wall-clock drops to the slowest artifact instead of the sum. The
-    // CLUSTER tier stays on the caller's thread, after the pool settles:
-    // its structural re-pair scopes session-level planning confs
-    // (MemoryBudget low-memory profile, the CC loop's width pin), which
-    // must not interleave with other tiers' plan compilation.
+    // Artifacts are independent roots with independent protocols, so ALL
+    // tiers — cluster included since round 14 — run CONCURRENTLY (guide
+    // §2.6): wall-clock drops to the slowest artifact instead of the
+    // sum. The cluster tier was serial in r13 because its structural
+    // re-pair pinned session-level shuffle confs; the CC loop's width
+    // control is plan-local now (Dedup.resolveClusters), so the only
+    // session conf it still scopes is MemoryBudget's sub-floor profile —
+    // whose contract explicitly blesses concurrent visibility
+    // (conservative-correct: a memory-starved re-pair in flight is
+    // exactly when an optimistic auto-broadcast elsewhere is fatal).
     val searchTasks: Seq[() => Row5] = search.map(st => () =>
       SearchIndex.conflictIfRetired(spark, st) {
         val n = found(BaseDelta.read(spark, st.docstatsTable,
@@ -130,13 +133,7 @@ object ErasureSweep {
           if (deferred) ("deferred", "pending") else ("eager", "erased")
         ("vector_index_managed", m.root, mode, status, n)
       })
-    val parRows = graft.Par.run(
-      searchTasks ++ vectorTasks ++ lshTasks ++ managedTasks)
-    val (searchRows, rest1) = parRows.splitAt(search.size)
-    val (vectorRows, rest2) = rest1.splitAt(vector.size)
-    val (lshRows, managedRows) = rest2.splitAt(lsh.size)
-
-    val clusterRows: Seq[Row5] = cluster.map { st =>
+    val clusterTasks: Seq[() => Row5] = cluster.map(st => () =>
       ClusterIndex.conflictIfRetired(spark, st) {
         val n = found(ClusterIndex.clusters(spark, st), "id")
         if (deferred) {
@@ -149,8 +146,14 @@ object ErasureSweep {
           ClusterIndex.erase(spark, st, subj)
           ("cluster_index", st.root, "eager_structural", "erased", n)
         }
-      }
-    }
+      })
+
+    val parRows = graft.Par.run(
+      searchTasks ++ vectorTasks ++ lshTasks ++ managedTasks ++ clusterTasks)
+    val (searchRows, rest1) = parRows.splitAt(search.size)
+    val (vectorRows, rest2) = rest1.splitAt(vector.size)
+    val (lshRows, rest3) = rest2.splitAt(lsh.size)
+    val (managedRows, clusterRows) = rest3.splitAt(managedVector.size)
 
     // original (pre-parallelism) receipt row order preserved
     val rows: Seq[(String, String, String, String, Long)] =

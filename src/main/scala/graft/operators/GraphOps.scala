@@ -32,9 +32,17 @@ object GraphOps {
     * Scale shape: per iteration ONE edge-key join (edges ⋈ ranks, both
     * partitioned by src) and ONE hash aggregation on dst — the textbook
     * message-passing round; the rank frame is node-sized, degrees are
-    * computed once. Plans stay shallow (the loop builds `iters` joins,
-    * bounded by the parameter, so no checkpointing is needed at small
-    * fixed depths).
+    * computed once. The edge frame is materialized ONCE up front
+    * (`localCheckpoint` — it feeds the degree pass, the node pass, and
+    * every iteration's message join; left lazy, the caller's candidate
+    * plan would be re-embedded under each of those ~`iters`+2 references,
+    * which measured as 4–7× anti-scaling at wide sessions on q169), and
+    * its row count picks the loop layout: graphs at or under
+    * [[Dedup.SmallGraphEdges]] run the whole fixed-depth plan on
+    * SinglePartition frames — zero exchanges, one job at the caller's
+    * action — while larger graphs keep the session width and AQE (the
+    * [[Dedup.resolveClusters]] round-14 policy). Result values are a
+    * pure function of (edges, iters, dampPct) either way.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 3, dampPct: Int = 85): DataFrame = {
@@ -42,10 +50,14 @@ object GraphOps {
       s"iters must be in [1,10] (fixed-depth plan), got $iters")
     require(dampPct >= 1 && dampPct <= 99, s"dampPct must be in [1,99], got $dampPct")
     val base = (1000000L * (100 - dampPct)) / 100  // 150_000 at damp 85
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eChk = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val single = eChk.count() <= Dedup.SmallGraphEdges
+    val e = if (single) eChk.coalesce(1) else eChk
+    def pin(df: DataFrame): DataFrame = if (single) df.coalesce(1) else df
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val nodes = pin(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))).distinct()
     var p = nodes.withColumn("p", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = e.join(deg, Seq("src"))

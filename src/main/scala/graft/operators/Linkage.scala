@@ -135,6 +135,20 @@ object Linkage {
     * lose pairs, so it is audited (`dropped_grams`/`total_grams`), a loud
     * cap, not a silent one.
     *
+    * `maxDist = 1` CAP SEMANTICS: that case routes to an exact FastSS
+    * deletion-neighborhood plan (below), where `maxGramBucket` caps
+    * DELETION-KEY buckets rather than q-gram buckets. The recall shape
+    * near the cap differs: an ed-1 pair typically shares exactly ONE
+    * deletion key, so a dropped hot bucket loses its pairs outright,
+    * whereas the gram path's `q·maxDist + 1` rare prefix grams give
+    * per-pair redundancy. Both paths audit drops through the same
+    * `dropped_grams`/`total_grams` metrics (deletion keys count as
+    * "grams" there), and the deletion path's buckets are near-uniform by
+    * construction (keys are length-specific substrings, not shared
+    * boilerplate), so the cap binds far later — but callers sizing
+    * `maxGramBucket` for recall near the cap should know the parameter
+    * guards a different distribution on this path.
+    *
     * Scale shape: gram explode (O(len) rows per string) → gram-key df agg
     * → per-id rank window (id shuffle) → rare-gram join (fan-out bounded
     * by Σ prefix_df ≤ cap·prefix size) → distinct id pairs → strings join
