@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The crash/chaos soak suites (tagged graft.Soak at the class level) are
+// excluded from the default `sbt test` so the gate run fits its time
+// budget (they alone are ~14 min of the ~37-min full run); run them with
+// `sbt soak`. They are part of the release bar — exclusion is scheduling,
+// not retirement.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Soak")
+addCommandAlias("soak",
+  "; set Test / testOptions -= Tests.Argument(TestFrameworks.ScalaTest, \"-l\", \"graft.Soak\")" +
+  "; testOnly * -- -n graft.Soak")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

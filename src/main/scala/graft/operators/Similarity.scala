@@ -256,6 +256,16 @@ object Similarity {
       // round r that is the FULL cumulative candidate set twice over,
       // which measured slower (q250 6.3 → 7.7 s) than materializing the
       // per-round (id, vec, mind) state once.
+      //
+      // NOTE (optimization round 14): the resolveClusters single-partition
+      // treatment (coalesce(1)-pinned state per round) was tried here and
+      // REVERTED — q250 measured 7.11 s before vs 7.54 s after in the same
+      // window (Prof, local[32]; election stage jobs 51 → 47, wall flat).
+      // The election's per-round work is a handful of already-small jobs;
+      // q250's weight lives in the index WRITE contract (BaseDelta.append
+      // 1.8 s + SnapshotStore.stage 1.2 s driver samples) which width
+      // pinning cannot touch. Not worth the float-summation-order delta
+      // in phi for zero measured gain.
       var state = vecs.withColumn("__mind",
         distToNew(cands.toSeq, col("__cv"))).localCheckpoint(true)
       var r = 0

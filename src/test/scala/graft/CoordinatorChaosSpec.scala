@@ -34,6 +34,7 @@ import graft.streaming.MultiTableStream
   * a filesystem whose rename is deliberately non-atomic (the s3a shape,
   * the reference's MinIO substrate).
   */
+@Soak
 class CoordinatorChaosSpec extends SparkSpec {
   import spark.implicits._
 

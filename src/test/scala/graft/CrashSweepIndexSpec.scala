@@ -13,6 +13,7 @@ import graft.operators.{ClusterIndex, ErasureSweep, LshVectorIndex, SearchIndex,
   * serving-level check that an erased subject never reappears after a
   * crashed-and-replayed erase.
   */
+@Soak
 class CrashSweepIndexSpec extends CrashSweepHarness {
   import spark.implicits._
 

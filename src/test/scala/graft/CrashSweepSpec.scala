@@ -32,6 +32,7 @@ import graft.streaming.MultiTableStream.{DeltaFact, Scd2Dim}
   * of the tested points. Default run tests the capped point set; set
   * GRAFT_CRASH_SWEEP=full for the exhaustive every-distinct-step pass.
   */
+@Soak
 class CrashSweepSpec extends CrashSweepHarness {
   import spark.implicits._
 

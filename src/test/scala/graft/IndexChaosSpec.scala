@@ -26,6 +26,7 @@ import graft.operators.{ClusterIndex, Dedup, SearchIndex, VectorIndex}
   * [10050, 10100) — every acked erasure must be gone from search,
   * stats, and (post-materialization) the physical state.
   */
+@Soak
 class IndexChaosSpec extends SparkSpec {
   import spark.implicits._
 

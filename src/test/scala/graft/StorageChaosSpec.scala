@@ -25,6 +25,7 @@ import graft.gold.{BaseDelta, CommitConflictException}
   * it). Workers retry ONLY on the typed CommitConflictException; any
   * other throwable is a protocol leak and fails the test.
   */
+@Soak
 class StorageChaosSpec extends SparkSpec {
   import spark.implicits._
 
